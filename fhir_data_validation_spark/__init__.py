@@ -1,0 +1,21 @@
+"""PySpark-native constraint-validation engine.
+
+A brand-new engine with the query semantics of the reference validator
+(``TuNguyenSynapxe/fhir-data-validation``) re-expressed as DataFrame/Catalyst
+dataflow over tables of pre-tokenized training sequences
+``(doc_id string, tokens array<int>, n_tok int, source string)``.
+See SURVEY.md for the full semantic mapping.
+"""
+
+from .compiler import EngineConfig, compile_ruleset
+from .engine import ValidationEngine, ValidationResult, validate
+from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
+from .model import InstanceScope, RuleDefinition, RuleSet
+
+__all__ = [
+    "EngineConfig", "ErrorCode", "InstanceScope", "RuleConfigurationError",
+    "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
+    "ValidationEngine", "ValidationResult", "compile_ruleset", "validate",
+]
+
+__version__ = "0.1.0"

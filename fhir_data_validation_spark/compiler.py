@@ -1,0 +1,409 @@
+"""Rule compiler: declarative rules → Catalyst predicates / dataset plans.
+
+The analog of the reference's dual-lane evaluation planner
+(``RuleEngines/RuleEvaluationPlanner.cs:19-73``) collapsed to a single lane:
+every rule compiles at driver time to either
+
+* a **predicate entry** — (scope ``Column``, violation ``Column``, detail
+  ``Column``) fused into one projection pass over the scan (SURVEY §4.3:
+  one scan, many rules), or
+* a **dataset plan** — an aggregation/join job (uniqueness, referential
+  integrity, group cardinality, drift) executed as a separate pass that
+  shares the same violations schema.
+
+Compile-time rejection of malformed rules mirrors the reference pre-flight
+(``Services/FieldPathValidator.cs:81ff``, ``FhirPathRuleEngine.cs:94-124``):
+unknown columns → ``INVALID_FIELD_PATH``, missing params / bad regex / bad
+expressions → ``RULE_CONFIGURATION_ERROR``. Bad rules never reach executors.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DataType, NumericType, StringType,
+                               StructType)
+
+from .errors import ErrorCode, RuleConfigurationError, Severity, Stage
+from .model import RuleDefinition, RuleSet
+
+# Violations DataFrame schema — the unified error model
+# (``Models/ValidationError.cs:8-100`` re-keyed to the token table).
+VIOLATION_COLUMNS = (
+    "doc_id", "rule_id", "rule_type", "error_code",
+    "severity", "source", "column", "detail",
+)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine-level column bindings + knobs.
+
+    ``key_col``/``group_col`` bind the abstract (resourceId, resourceType)
+    addressing of the reference (``ValidationPipeline.cs:201-238``) to
+    concrete columns of the input table.
+    """
+
+    key_col: str = "doc_id"
+    group_col: str = "source"
+    max_examples: int = 3       # reference Take(3) example cap, FhirPathRuleEngine.cs:1994
+    salt_buckets: int = 16      # salt fan-out for skewed group_col aggregations
+
+
+@dataclass
+class PredicateEntry:
+    """One fused-scan rule: fires a violation struct when scope ∧ condition."""
+
+    rule: RuleDefinition
+    condition: Column           # True ⇒ violation (already includes scope)
+    detail: Column              # map<string,string>
+    stage: int = Stage.BUSINESS
+
+    def violation_struct(self) -> Column:
+        r = self.rule
+        return F.when(
+            self.condition,
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit(r.type).alias("rule_type"),
+                F.lit(self._error_code()).alias("error_code"),
+                F.lit(r.severity).alias("severity"),
+                F.lit(r.column or "").alias("column"),
+                self.detail.alias("detail"),
+                F.lit(self.stage).alias("stage"),
+            ),
+        )
+
+    def _error_code(self) -> str:
+        return self.rule.error_code or DEFAULT_ERROR_CODES[self.rule.type]
+
+
+@dataclass
+class DatasetPlan:
+    """A dataset-level rule executed as its own aggregation/join pass."""
+
+    rule: RuleDefinition
+    stage: int
+    execute: Callable[[DataFrame, "CompiledPlan"], DataFrame] = None  # → violations DF
+
+
+@dataclass
+class CompiledPlan:
+    ruleset: RuleSet
+    config: EngineConfig
+    schema: StructType
+    predicates: list[PredicateEntry] = field(default_factory=list)
+    dataset_plans: list[DatasetPlan] = field(default_factory=list)
+    needs_first_scope: bool = False
+    dims: dict[str, DataFrame] = field(default_factory=dict)
+
+    @property
+    def rule_ids(self) -> list[str]:
+        return [p.rule.id for p in self.predicates] + [d.rule.id for d in self.dataset_plans]
+
+
+DEFAULT_ERROR_CODES = {
+    "Required": ErrorCode.FIELD_REQUIRED,
+    "FixedValue": ErrorCode.FIXED_VALUE_MISMATCH,
+    "AllowedValues": ErrorCode.VALUE_NOT_ALLOWED,
+    "Enum": ErrorCode.INVALID_ENUM_VALUE,
+    "Regex": ErrorCode.PATTERN_MISMATCH,
+    "ArrayLength": ErrorCode.ARRAY_LENGTH_OUT_OF_RANGE,
+    "TokenDomain": ErrorCode.VALUE_NOT_ALLOWED,
+    "CustomExpr": ErrorCode.CUSTOM_CONDITION_FAILED,
+    "Range": ErrorCode.ANSWER_OUT_OF_RANGE,
+    "MaxLength": ErrorCode.MAX_LENGTH_EXCEEDED,
+    "Precision": ErrorCode.PRECISION_VIOLATION,
+    "TypeCheck": ErrorCode.INVALID_PRIMITIVE,
+    "ValueExclusivity": ErrorCode.VALUE_EXCLUSIVITY_VIOLATION,
+    "Unique": ErrorCode.DUPLICATE_KEY,
+    "Reference": ErrorCode.REFERENCE_NOT_FOUND,
+    "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
+    "Drift": ErrorCode.DISTRIBUTION_DRIFT,
+}
+
+# Rule type → pipeline stage (dedup authority ordering, ValidationPipeline.cs:783-827)
+RULE_STAGES = {
+    "TypeCheck": Stage.STRUCTURE,
+    "Enum": Stage.STRUCTURE,
+    "ValueExclusivity": Stage.STRUCTURE,
+    "Regex": Stage.STRUCTURE,
+    "Required": Stage.BUSINESS,
+    "FixedValue": Stage.BUSINESS,
+    "AllowedValues": Stage.BUSINESS,
+    "ArrayLength": Stage.BUSINESS,
+    "TokenDomain": Stage.BUSINESS,
+    "CustomExpr": Stage.BUSINESS,
+    "Range": Stage.CONSTRAINT,
+    "MaxLength": Stage.CONSTRAINT,
+    "Precision": Stage.CONSTRAINT,
+    "Unique": Stage.DATASET,
+    "Reference": Stage.REFERENCE,
+    "RequiredResources": Stage.DATASET,
+    "Drift": Stage.DRIFT,
+}
+
+
+def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:
+    for f_ in schema.fields:
+        if f_.name == name:
+            return f_.dataType
+    raise RuleConfigurationError(
+        rule.id, ErrorCode.INVALID_FIELD_PATH,
+        f"column {name!r} not in schema {[f_.name for f_ in schema.fields]}")
+
+
+def _smap(*pairs: tuple[str, Column | str]) -> Column:
+    """Build a map<string,string> detail column from (key, value) pairs."""
+    args: list[Column] = []
+    for k, v in pairs:
+        args.append(F.lit(k))
+        args.append(v.cast("string") if isinstance(v, Column) else F.lit(str(v)))
+    return F.create_map(*args) if args else F.create_map()
+
+
+def _nonempty(col: Column, dtype: DataType) -> Column:
+    """Value is present and non-empty (the reference's skip-empty contract
+    for AllowedValues/Regex/FixedValue, ``FhirPathRuleEngine.cs:1184,1264``)."""
+    if isinstance(dtype, StringType):
+        return col.isNotNull() & (F.trim(col) != "")
+    if isinstance(dtype, ArrayType):
+        return col.isNotNull() & (F.size(col) > 0)
+    return col.isNotNull()
+
+
+def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
+                  max_examples: int) -> tuple[Column, Column]:
+    """(bad_count, examples-as-json) over an array column, keeping element
+    indices for the per-element error contract (``FhirPathRuleEngine.cs:446-478``
+    "one error per invalid array element"), capped at ``max_examples`` like
+    the reference's Take(3) example lists."""
+    indexed = F.transform(col, lambda x, i: F.struct(i.alias("i"), x.alias("v")))
+    bad = F.filter(indexed, lambda s: is_bad(s["v"]))
+    return F.size(bad), F.to_json(F.slice(bad, 1, max_examples))
+
+
+def compile_ruleset(ruleset: RuleSet, schema: StructType,
+                    config: EngineConfig | None = None,
+                    dims: dict[str, DataFrame] | None = None) -> CompiledPlan:
+    """Compile every rule or raise ``RuleConfigurationError`` (collect-none:
+    configuration errors are author errors, not data errors — they fail the
+    compile, matching ``FhirPathRuleEngineTests.cs:147-176``)."""
+    config = config or EngineConfig()
+    plan = CompiledPlan(ruleset=ruleset, config=config, schema=schema,
+                        dims=dict(dims or {}))
+    _field_type(schema, config.key_col,
+                RuleDefinition(id="<engine>", type="<config>"))
+    group_type = _field_type(schema, config.group_col,
+                             RuleDefinition(id="<engine>", type="<config>"))
+
+    from . import plans as dataset_plans  # local import to avoid cycle
+
+    for rule in ruleset.rules:
+        stage = RULE_STAGES.get(rule.type)
+        if stage is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"unknown rule type {rule.type!r}")
+        if rule.type in ("Unique", "Reference", "RequiredResources", "Drift"):
+            plan.dataset_plans.append(dataset_plans.build(rule, stage, plan))
+            continue
+
+        scope = _scope_condition(rule, schema, config, plan)
+        cond, detail = _compile_predicate(rule, schema, config)
+        plan.predicates.append(PredicateEntry(
+            rule=rule, condition=scope & cond, detail=detail, stage=stage))
+    return plan
+
+
+def _scope_condition(rule: RuleDefinition, schema: StructType,
+                     config: EngineConfig, plan: CompiledPlan) -> Column:
+    conds: list[Column] = []
+    if rule.source != "*":
+        conds.append(F.col(config.group_col) == F.lit(rule.source))
+    if rule.scope.kind == "filter":
+        conds.append(_safe_expr(rule, rule.scope.condition))
+    elif rule.scope.kind == "first":
+        # row_number()==1 per group — engine materializes `_rn` lazily
+        # (ResourceSelector.cs:80-89 "first instance" re-expressed as a window)
+        plan.needs_first_scope = True
+        conds.append(F.col("_rn") == 1)
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _safe_expr(rule: RuleDefinition, expr: str) -> Column:
+    """Parse a Spark SQL expression at compile time; parse failure is a
+    configuration error (the rule-compile dry-run of SURVEY §3.3).
+
+    ``F.expr`` defers parsing in pyspark 4.x, so when a session is active we
+    force a parse through the SQL parser (driver-side, plan-only — the analog
+    of the reference's FHIRPath compile probe, ``FhirPathController.cs:33``).
+    """
+    from pyspark.sql import SparkSession
+    try:
+        col = F.expr(expr)
+        active = SparkSession.getActiveSession()
+        if active is not None and hasattr(active, "_jsparkSession"):
+            active._jsparkSession.sessionState().sqlParser().parseExpression(expr)
+        return col
+    except Exception as exc:  # ParseException and friends
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"cannot parse expression {expr!r}: {exc}") from exc
+
+
+def _compile_predicate(rule: RuleDefinition, schema: StructType,
+                       config: EngineConfig) -> tuple[Column, Column]:
+    """Return (violation condition, detail map) for a per-row rule."""
+    t = rule.type
+    if t == "CustomExpr":
+        if not rule.expr:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "CustomExpr requires 'expr'")
+        # violation when the expression is not strictly true (null ⇒ violation),
+        # matching "must return all-true non-empty" (FhirPathRuleEngine.cs:1714-1768)
+        cond = ~F.coalesce(_safe_expr(rule, rule.expr), F.lit(False))
+        return cond, _smap(("expression", rule.expr))
+
+    if t == "ValueExclusivity":
+        cols = rule.require_param("columns")
+        if not isinstance(cols, list) or len(cols) < 2:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "ValueExclusivity requires params.columns (≥2 names)")
+        for c in cols:
+            _field_type(schema, c, rule)
+        present = sum(F.col(c).isNotNull().cast("int") for c in cols)
+        # >1 variant present, the value[x] contract (JsonNodeStructuralValidator.cs:858-941)
+        return present > 1, _smap(("columns", json.dumps(cols)),
+                                  ("presentCount", present))
+
+    col_name = rule.require_column()
+    dtype = _field_type(schema, col_name, rule)
+    col = F.col(col_name)
+
+    if t == "Required":
+        # missing OR all-empty (FhirPathRuleEngine.cs:971-1033:
+        # empty string / whitespace counts as missing)
+        return ~_nonempty(col, dtype), _smap()
+
+    if t == "FixedValue":
+        expected = rule.require_param("value")
+        if isinstance(dtype, ArrayType):
+            bad_count, examples = _bad_elements(
+                col, lambda v: v != F.lit(expected), config.max_examples)
+            cond = _nonempty(col, dtype) & (bad_count > 0)
+            return cond, _smap(("expected", expected), ("badCount", bad_count),
+                               ("examples", examples))
+        cond = _nonempty(col, dtype) & (col != F.lit(expected))
+        return cond, _smap(("expected", expected), ("actual", col))
+
+    if t in ("AllowedValues", "Enum"):
+        values = rule.require_param("values")
+        if not isinstance(values, list) or not values:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"{t} requires non-empty params.values")
+        allowed = json.dumps(values)
+        if isinstance(dtype, ArrayType):
+            lit_vals = F.array(*[F.lit(v) for v in values])
+            bad_count, examples = _bad_elements(
+                col, lambda v: ~F.array_contains(lit_vals, v), config.max_examples)
+            cond = _nonempty(col, dtype) & (bad_count > 0)
+            return cond, _smap(("allowed", allowed), ("badCount", bad_count),
+                               ("examples", examples))
+        cond = _nonempty(col, dtype) & ~col.isin(values)
+        return cond, _smap(("actual", col), ("allowed", allowed))
+
+    if t == "Regex":
+        pattern = rule.require_pattern()
+        cond = _nonempty(col, dtype) & ~col.cast("string").rlike(pattern)
+        return cond, _smap(("pattern", pattern), ("actual", col))
+
+    if t == "ArrayLength":
+        lo, hi = rule.params.get("min"), rule.params.get("max")
+        if lo is None and hi is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "ArrayLength requires params.min and/or params.max")
+        if not isinstance(dtype, ArrayType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"ArrayLength column {col_name!r} is {dtype.simpleString()}, not array")
+        size = F.size(col)
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (size < lo)
+        if hi is not None:
+            cond = cond | (size > hi)
+        cond = col.isNotNull() & cond
+        return cond, _smap(("min", "" if lo is None else lo),
+                           ("max", "" if hi is None else hi), ("actual", size))
+
+    if t == "TokenDomain":
+        lo = rule.require_param("min")
+        hi = rule.require_param("maxExclusive")
+        if not isinstance(dtype, ArrayType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"TokenDomain column {col_name!r} is {dtype.simpleString()}, not array")
+        bad_count, examples = _bad_elements(
+            col, lambda v: (v < F.lit(lo)) | (v >= F.lit(hi)), config.max_examples)
+        cond = _nonempty(col, dtype) & (bad_count > 0)
+        return cond, _smap(("min", lo), ("maxExclusive", hi),
+                           ("badCount", bad_count), ("examples", examples))
+
+    if t == "Range":
+        lo, hi = rule.params.get("min"), rule.params.get("max")
+        if lo is None and hi is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "Range requires params.min and/or params.max")
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (col < lo)
+        if hi is not None:
+            cond = cond | (col > hi)
+        cond = col.isNotNull() & cond
+        return cond, _smap(("min", "" if lo is None else lo),
+                           ("max", "" if hi is None else hi), ("actual", col))
+
+    if t == "MaxLength":
+        max_len = int(rule.require_param("maxLength"))
+        cond = col.isNotNull() & (F.length(col.cast("string")) > max_len)
+        return cond, _smap(("maxLength", max_len),
+                           ("actual", F.length(col.cast("string"))))
+
+    if t == "Precision":
+        digits = int(rule.require_param("precision"))
+        if not isinstance(dtype, NumericType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Precision column {col_name!r} is not numeric")
+        cond = col.isNotNull() & (F.round(col, digits) != col)
+        return cond, _smap(("precision", digits), ("actual", col))
+
+    if t == "TypeCheck":
+        target = rule.require_param("dataType")
+        try:
+            casted = col.cast("string").try_cast(target)
+        except Exception as exc:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"bad dataType {target!r}: {exc}") from exc
+        cond = _nonempty(col, dtype) & casted.isNull()
+        return cond, _smap(("dataType", target), ("actual", col))
+
+    raise RuleConfigurationError(
+        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+        f"unknown rule type {t!r}")

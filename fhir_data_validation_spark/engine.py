@@ -1,0 +1,205 @@
+"""ValidationEngine: one scan, many rules → violations + verdicts.
+
+Execution model (SURVEY §3.4 / §4.3), re-expressing the reference pipeline
+(``Core/ValidationPipeline.cs:80-480``) as Spark dataflow:
+
+1. **Fused predicate pass** — every per-row rule contributes one
+   ``when(cond, struct(...))`` entry to a single projection; non-null entries
+   are compacted and exploded. One scan serves all rules (the reference's
+   rule-grouping-by-resourceType optimization, ``FhirPathRuleEngine.cs:77-79``,
+   generalized), stays entirely in whole-stage codegen, and never fails the
+   job on data errors (collect-all semantics,
+   ``JsonNodeStructuralValidator.cs:60-61``).
+2. **Dataset passes** — uniqueness / referential / cardinality / drift plans
+   (see ``plans/``), unioned by name into the same violations schema.
+3. **Dedup** — stage-priority ``row_number`` dedup on
+   ``(doc_id, error_code, column)``, earlier authority wins
+   (``ValidationPipeline.DeduplicateErrors``, ``ValidationPipeline.cs:783-827``).
+4. **Verdicts** — per-(group, rule) pass/fail aggregation
+   (``FinalizeSummary``, ``ValidationPipeline.cs:755-770``), including rules
+   with zero violations; pass ⇔ zero error-severity violations
+   (``Controllers/ValidateController.cs:70``).
+
+The engine never mutates input rows (zero-mutation guarantee,
+``docs/01_architecture_spec.md:28-29``): violations and verdicts are new
+DataFrames; the input is only read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .compiler import (CompiledPlan, EngineConfig, VIOLATION_COLUMNS,
+                       compile_ruleset)
+from .errors import Severity
+from .model import RuleSet
+
+CHUNK = 40  # max fused rules per projection — caps codegen size (SURVEY §7.3a)
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame   # unified error model rows (deduped)
+    verdicts: DataFrame     # (partition_key, rule_id, rows, violations, errors, passed)
+
+    def passed(self) -> bool:
+        """Run-level pass/fail: no error-severity violations anywhere."""
+        return self.violations.where(
+            F.col("severity") == Severity.ERROR).limit(1).count() == 0
+
+    def summary(self) -> DataFrame:
+        """Counts by severity × rule (A4, ``FinalizeSummary``)."""
+        return (self.violations
+                .groupBy("severity", "rule_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("severity", "rule_id"))
+
+
+class ValidationEngine:
+    def __init__(self, ruleset: RuleSet, dims: dict[str, DataFrame] | None = None,
+                 config: EngineConfig | None = None):
+        self.ruleset = ruleset
+        self.dims = dict(dims or {})
+        self.config = config or EngineConfig()
+        self._plan: CompiledPlan | None = None
+
+    def compile(self, df: DataFrame) -> CompiledPlan:
+        """Compile against the input schema (pre-flight; raises
+        RuleConfigurationError on any malformed rule)."""
+        self._plan = compile_ruleset(self.ruleset, df.schema, self.config,
+                                     self.dims)
+        return self._plan
+
+    def validate(self, df: DataFrame) -> ValidationResult:
+        plan = self.compile(df)
+        violations = self._all_violations(df, plan)
+        violations = dedupe_violations(violations)
+        verdicts = build_verdicts(df, violations, plan)
+        return ValidationResult(violations=violations.drop("stage"),
+                                verdicts=verdicts)
+
+    # -- internals ---------------------------------------------------------
+
+    def _all_violations(self, df: DataFrame, plan: CompiledPlan) -> DataFrame:
+        parts: list[DataFrame] = []
+        if plan.predicates:
+            parts.append(predicate_violations(df, plan))
+        for dp in plan.dataset_plans:
+            parts.append(dp.execute(df, plan))
+        if not parts:
+            return df.sparkSession.createDataFrame(
+                [], "doc_id string, rule_id string, rule_type string, "
+                    "error_code string, severity string, source string, "
+                    "column string, detail map<string,string>, stage int")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
+    """The fused one-scan pass over all per-row rules.
+
+    Chunked at ``CHUNK`` rules per projection to keep each generated
+    ``WholeStageCodegen`` body bounded; chunks still share the one scan via a
+    union over the same source relation (Catalyst collapses common scans in
+    the parquet reader cache; at Iceberg scale, prefer ≤ a few chunks).
+    """
+    cfg = plan.config
+    if plan.needs_first_scope:
+        # `first` instance scope (P3): stable first row per group by key order
+        w = Window.partitionBy(cfg.group_col).orderBy(cfg.key_col)
+        df = df.withColumn("_rn", F.row_number().over(w))
+
+    chunks = [plan.predicates[i:i + CHUNK]
+              for i in range(0, len(plan.predicates), CHUNK)]
+    parts = []
+    for chunk in chunks:
+        arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
+        part = (df.select(
+                    F.col(cfg.key_col).cast("string").alias("doc_id"),
+                    F.col(cfg.group_col).cast("string").alias("source"),
+                    arr.alias("_v"))
+                  .where(F.size("_v") > 0)
+                  .select("doc_id", "source", F.explode("_v").alias("v"))
+                  .select("doc_id", "v.rule_id", "v.rule_type", "v.error_code",
+                          "v.severity", "source", "v.column", "v.detail",
+                          "v.stage"))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedupe_violations(violations: DataFrame) -> DataFrame:
+    """A5: if two stages flag the same (doc_id, error_code, column), the
+    earlier-authority stage wins (``ValidationPipeline.cs:783-827``;
+    STRUCTURE outranks later stages). Dataset-level rows (doc_id null) are
+    never deduped against each other across rules."""
+    w = (Window.partitionBy("doc_id", "error_code", "column")
+         .orderBy(F.col("stage").asc(), F.col("rule_id").asc()))
+    return (violations
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) | F.col("doc_id").isNull())
+            .drop("_rn"))
+
+
+def build_verdicts(df: DataFrame, violations: DataFrame,
+                   plan: CompiledPlan) -> DataFrame:
+    """Per-(partition_key, rule) pass/fail table (A4 re-keyed per partition).
+
+    partition_key is the *stable* group value (``source``), not
+    ``spark_partition_id()``, so verdicts survive repartitioning and feed the
+    lineage/resume path deterministically (SURVEY §7.3c). Rules with zero
+    violations still get a row: group-rows × rule-ids is built by
+    crossJoin of two tiny aggregates, then violation counts are left-joined.
+    """
+    cfg = plan.config
+    spark = df.sparkSession
+    # NULL group values become a sentinel partition: a join on NULL keys
+    # would silently drop those verdict rows (SQL NULL ≠ NULL).
+    null_key = "<null>"
+    rows_per_group = (df.groupBy(F.coalesce(F.col(cfg.group_col).cast("string"),
+                                            F.lit(null_key))
+                                 .alias("partition_key"))
+                        .agg(F.count(F.lit(1)).alias("rows")))
+    rule_ids = spark.createDataFrame(
+        [(rid,) for rid in plan.rule_ids], "rule_id string")
+    grid = rows_per_group.crossJoin(F.broadcast(rule_ids))
+
+    per_group = (violations
+                 .where(F.col("doc_id").isNotNull())
+                 .groupBy(F.coalesce(F.col("source"), F.lit(null_key))
+                          .alias("partition_key"),
+                          F.col("rule_id"))
+                 .agg(F.count(F.lit(1)).alias("violations"),
+                      F.count(F.when(F.col("severity") == Severity.ERROR, 1))
+                       .alias("errors")))
+    verdicts = (grid.join(per_group, ["partition_key", "rule_id"], "left")
+                    .select("partition_key", "rule_id", "rows",
+                            F.coalesce("violations", F.lit(0)).alias("violations"),
+                            F.coalesce("errors", F.lit(0)).alias("errors"))
+                    .withColumn("passed", F.col("errors") == 0))
+
+    # dataset-level violations (no doc_id) → a run-level verdict row
+    run_level = (violations.where(F.col("doc_id").isNull())
+                 .groupBy("rule_id")
+                 .agg(F.count(F.lit(1)).alias("violations"),
+                      F.count(F.when(F.col("severity") == Severity.ERROR, 1))
+                       .alias("errors"))
+                 .select(F.lit("<dataset>").alias("partition_key"), "rule_id",
+                         F.lit(None).cast("long").alias("rows"),
+                         "violations", "errors",
+                         (F.col("errors") == 0).alias("passed")))
+    return verdicts.unionByName(run_level)
+
+
+def validate(df: DataFrame, ruleset: RuleSet,
+             dims: dict[str, DataFrame] | None = None,
+             config: EngineConfig | None = None) -> ValidationResult:
+    """Convenience one-shot API."""
+    return ValidationEngine(ruleset, dims=dims, config=config).validate(df)

@@ -1,0 +1,297 @@
+"""Dataset-level rule plans: aggregation / join passes.
+
+Each plan executes as its own Spark job over the (already scoped) input and
+returns a violations DataFrame in the unified schema. These are the only
+rules that shuffle (SURVEY §4.3): uniqueness and referential integrity are
+the scaling-efficiency budget; everything here is written so partial
+aggregation, broadcast joins and AQE keep the shuffle proportional to the
+*reduced* data, not the input.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ErrorCode, RuleConfigurationError, Severity
+from ..model import RuleDefinition
+
+VIOLATION_SCHEMA = (
+    "doc_id string, rule_id string, rule_type string, error_code string, "
+    "severity string, source string, column string, "
+    "detail map<string,string>, stage int"
+)
+
+
+def _viol_cols(rule: RuleDefinition, stage: int, error_code: str | None = None,
+               severity: str | None = None):
+    return [
+        F.lit(rule.id).alias("rule_id"),
+        F.lit(rule.type).alias("rule_type"),
+        F.lit(error_code or rule.error_code or "").alias("error_code"),
+        F.lit(severity or rule.severity).alias("severity"),
+        F.lit(rule.column or "").alias("column"),
+        F.lit(stage).alias("stage"),
+    ]
+
+
+def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
+    from ..compiler import DatasetPlan, DEFAULT_ERROR_CODES
+    t = rule.type
+    if t == "Unique":
+        rule.require_column()
+        exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
+    elif t == "Reference":
+        rule.require_column()
+        dim_name = rule.require_param("dim")
+        if dim_name not in plan.dims:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Reference rule needs dim {dim_name!r} passed to the engine "
+                f"(have: {sorted(plan.dims)})")
+        exec_fn = lambda df, p: reference_plan(df, rule, stage, p)
+    elif t == "RequiredResources":
+        reqs = rule.require_param("requirements")
+        if not isinstance(reqs, list) or not reqs:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "RequiredResources needs non-empty params.requirements")
+        for r in reqs:
+            if "source" not in r or "min" not in r:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    "each requirement needs 'source' and 'min'")
+        exec_fn = lambda df, p: required_resources_plan(df, rule, stage, p)
+    elif t == "Drift":
+        rule.require_column()
+        baseline = rule.require_param("baseline")
+        if baseline not in plan.dims:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Drift rule needs baseline dim {baseline!r} in engine dims")
+        exec_fn = lambda df, p: drift_plan(df, rule, stage, p)
+    else:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown dataset rule type {t!r}")
+    return DatasetPlan(rule=rule, stage=stage, execute=exec_fn)
+
+
+# ---------------------------------------------------------------- Unique (C3)
+
+def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                plan) -> DataFrame:
+    """PK uniqueness via hash-partitioned distinct counts (SURVEY §2.8 C3).
+
+    One shuffle on the key with map-side partial aggregation; emits one
+    violation per *duplicated key* (detail carries the count) rather than one
+    per row, so violation volume is bounded by the number of bad keys.
+    """
+    col = rule.column
+    dups = (df.groupBy(F.col(col).cast("string").alias("_key"))
+              .agg(F.count(F.lit(1)).alias("_cnt"),
+                   F.min(plan.config.group_col).alias("_src"))
+              .where(F.col("_cnt") > 1))
+    return dups.select(
+        F.col("_key").alias("doc_id"),
+        *_viol_cols(rule, stage, rule.error_code or ErrorCode.DUPLICATE_KEY),
+        F.col("_src").alias("source"),
+        F.create_map(F.lit("count"), F.col("_cnt").cast("string")).alias("detail"),
+    )
+
+
+# ----------------------------------------------------- Reference (J1/J2 anti-join)
+
+def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                   plan) -> DataFrame:
+    """Referential integrity via broadcast anti-join (``ReferenceResolver.cs:22-46``).
+
+    Dim side is broadcast when small (the common case for closed-world
+    dimensions); for large dims, drop the hint and let AQE pick sort-merge —
+    controlled by params.broadcast (default true). ``allowExternal`` policy
+    downgrades severity to warning (``ReferenceResolver.cs:116-126``).
+    """
+    col = rule.column
+    dim = plan.dims[rule.params["dim"]]
+    on = rule.params.get("on", col)
+    if on not in dim.columns:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dim has no column {on!r} (have {dim.columns})")
+    keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
+    if rule.params.get("broadcast", True):
+        keys = F.broadcast(keys)
+    severity = (Severity.WARNING if rule.params.get("allowExternal")
+                else rule.severity)
+    missing = (df.where(F.col(col).isNotNull())
+                 .join(keys, on=F.col(col) == F.col("_refkey"), how="left_anti"))
+    return missing.select(
+        F.col(plan.config.key_col).cast("string").alias("doc_id"),
+        *_viol_cols(rule, stage, rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
+                    severity),
+        F.col(plan.config.group_col).cast("string").alias("source"),
+        F.create_map(F.lit("value"), F.col(col).cast("string")).alias("detail"),
+    )
+
+
+# ------------------------------------------- RequiredResources (A1 cardinality)
+
+def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                            plan) -> DataFrame:
+    """Group-cardinality, closed world (``FhirPathRuleEngine.cs:1794-2152``).
+
+    One conditional hash-aggregation pass: per declared requirement a
+    ``count(when(where ∧ source=…))`` column, plus per-observed-group counts
+    for the undeclared check. The aggregate is tiny (one row), so the
+    comparison runs driver-side and emits one consolidated violation with
+    ``{expected, actual, missing, unexpected}`` detail — exactly the
+    reference's single-error contract.
+    """
+    group = plan.config.group_col
+    reqs: list[dict[str, Any]] = rule.params["requirements"]
+    aggs = []
+    for i, req in enumerate(reqs):
+        cond = F.col(group) == F.lit(req["source"])
+        for w in req.get("where", []):
+            cond = cond & _where_predicate(rule, w)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"_req_{i}"))
+    counts_row = df.agg(*aggs).collect()[0]
+
+    declared = {r["source"] for r in reqs}
+    observed = {r[0]: r[1] for r in
+                df.groupBy(group).agg(F.count(F.lit(1)).alias("n")).collect()
+                if r[0] is not None}
+
+    missing, out_of_range = [], []
+    for i, req in enumerate(reqs):
+        n = counts_row[f"_req_{i}"]
+        lo, hi, exact = req["min"], req.get("max"), req.get("exact", False)
+        bad = n < lo or (exact and n != lo) or (hi is not None and n > hi)
+        if bad:
+            (missing if n < lo else out_of_range).append(
+                {"source": req["source"], "expected_min": lo,
+                 "expected_max": hi, "actual": n})
+    unexpected = (sorted(set(observed) - declared)
+                  if rule.params.get("rejectUndeclared") else [])
+
+    spark = df.sparkSession
+    if not missing and not out_of_range and not unexpected:
+        return spark.createDataFrame([], VIOLATION_SCHEMA)
+    detail = {
+        "expected": json.dumps(reqs, sort_keys=True),
+        "actual": json.dumps(observed, sort_keys=True),
+        "missing": json.dumps(missing, sort_keys=True),
+        "outOfRange": json.dumps(out_of_range, sort_keys=True),
+        "unexpected": json.dumps(unexpected),
+    }
+    row = (None, rule.id, rule.type,
+           rule.error_code or ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
+           rule.severity, None, rule.column or "", detail, stage)
+    return spark.createDataFrame([row], VIOLATION_SCHEMA)
+
+
+def _where_predicate(rule: RuleDefinition, w: dict[str, Any]):
+    """Requirement where-filter ops ``= != contains in``
+    (``FhirPathRuleEngine.cs:1888-1923``)."""
+    col, op, val = w.get("column"), w.get("op", "="), w.get("value")
+    if not col:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "where-filter needs 'column'")
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "!=":
+        return c != F.lit(val)
+    if op == "contains":
+        return c.contains(val)
+    if op == "in":
+        return c.isin(val if isinstance(val, list) else [val])
+    raise RuleConfigurationError(
+        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+        f"unknown where op {op!r} (expected = != contains in)")
+
+
+# ----------------------------------------------------------- Drift (C5 KS/PSI)
+
+DRIFT_RESULT_SCHEMA = ("source string, psi double, ks double, ks_crit double, "
+                       "n_current long, n_baseline long")
+
+
+def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+               plan) -> DataFrame:
+    """Distribution drift vs a persisted baseline histogram (SURVEY §2.8 C5).
+
+    Two-phase: (1) JVM-side partial+final hash aggregation reduces the input
+    to per-(source, bucket) counts — shuffle size = O(groups × buckets), not
+    O(rows); (2) an Arrow-batched ``applyInPandas`` stage computes PSI and the
+    two-sample KS statistic per source over the *reduced* histograms (numpy,
+    vectorized — no per-row Python anywhere). Violation when PSI > psiMax or
+    KS exceeds its asymptotic critical value at ksAlpha.
+
+    Baseline dim schema: (source, column_name, bucket, count) — F6 in
+    FIXTURES.md.
+    """
+    col = rule.column
+    width = float(rule.params.get("bucketWidth", 64))
+    psi_max = float(rule.params.get("psiMax", 0.2))
+    ks_alpha = float(rule.params.get("ksAlpha", 0.01))
+    group = plan.config.group_col
+
+    current = (df.where(F.col(col).isNotNull())
+                 .groupBy(F.col(group).alias("source"),
+                          F.floor(F.col(col) / width).cast("int").alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .withColumn("side", F.lit("cur")))
+    baseline = (plan.dims[rule.params["baseline"]]
+                .where(F.col("column_name") == col)
+                .select(F.col("source"), F.col("bucket").cast("int"),
+                        F.col("count").alias("cnt"))
+                .withColumn("side", F.lit("base")))
+    merged = current.unionByName(baseline)
+
+    ks_c = math.sqrt(-0.5 * math.log(ks_alpha / 2.0))
+
+    def _drift(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        piv = (pdf.pivot_table(index="bucket", columns="side", values="cnt",
+                               aggfunc="sum", fill_value=0)
+                  .sort_index())
+        cur = piv["cur"].to_numpy(dtype=np.float64) if "cur" in piv else np.zeros(len(piv))
+        base = piv["base"].to_numpy(dtype=np.float64) if "base" in piv else np.zeros(len(piv))
+        n_cur, n_base = cur.sum(), base.sum()
+        if n_cur == 0 or n_base == 0:
+            return pd.DataFrame([{"source": src, "psi": float("nan"),
+                                  "ks": float("nan"), "ks_crit": float("nan"),
+                                  "n_current": int(n_cur), "n_baseline": int(n_base)}])
+        eps = 1e-6
+        p = np.maximum(cur / n_cur, eps)
+        q = np.maximum(base / n_base, eps)
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        ks = float(np.max(np.abs(np.cumsum(cur) / n_cur - np.cumsum(base) / n_base)))
+        crit = ks_c * math.sqrt((n_cur + n_base) / (n_cur * n_base))
+        return pd.DataFrame([{"source": src, "psi": psi, "ks": ks,
+                              "ks_crit": crit, "n_current": int(n_cur),
+                              "n_baseline": int(n_base)}])
+
+    stats = merged.groupBy("source").applyInPandas(_drift, DRIFT_RESULT_SCHEMA)
+    bad = stats.where((F.col("psi") > psi_max) | (F.col("ks") > F.col("ks_crit")))
+    return bad.select(
+        F.lit(None).cast("string").alias("doc_id"),
+        *_viol_cols(rule, stage, rule.error_code or ErrorCode.DISTRIBUTION_DRIFT),
+        F.col("source"),
+        F.create_map(
+            F.lit("psi"), F.round("psi", 6).cast("string"),
+            F.lit("psiMax"), F.lit(str(psi_max)),
+            F.lit("ks"), F.round("ks", 6).cast("string"),
+            F.lit("ksCrit"), F.round("ks_crit", 6).cast("string"),
+            F.lit("nCurrent"), F.col("n_current").cast("string"),
+            F.lit("nBaseline"), F.col("n_baseline").cast("string"),
+        ).alias("detail"),
+    )

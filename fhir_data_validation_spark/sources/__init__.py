@@ -1,0 +1,6 @@
+from .synth import (dirty_token_table, sources_dim, stats_baseline,
+                    token_table, vocab_dim)
+from .tables import load_table, load_tables
+
+__all__ = ["dirty_token_table", "load_table", "load_tables", "sources_dim",
+           "stats_baseline", "token_table", "vocab_dim"]

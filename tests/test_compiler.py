@@ -1,0 +1,68 @@
+"""Compile-time rejection of malformed rules — the RULE_CONFIGURATION_ERROR /
+INVALID_FIELD_PATH contract (FhirPathRuleEngineTests.cs:147-176,
+FhirPathRuleEngine.cs:94-124)."""
+
+import pytest
+
+from fhir_data_validation_spark import (ErrorCode, RuleConfigurationError,
+                                        RuleSet, compile_ruleset)
+from fhir_data_validation_spark.sources.synth import token_table
+
+
+@pytest.fixture(scope="module")
+def schema(spark):
+    return token_table(spark, 10).schema
+
+
+def _compile_one(schema, rule):
+    return compile_ruleset(RuleSet.parse({"rules": [rule]}), schema)
+
+
+@pytest.mark.parametrize("rule,code", [
+    ({"id": "R1", "type": "FixedValue", "column": "source"},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # missing value
+    ({"id": "R2", "type": "ArrayLength", "column": "tokens"},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # no min/max
+    ({"id": "R3", "type": "Regex", "column": "doc_id",
+      "params": {"pattern": "["}},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # bad regex
+    ({"id": "R4", "type": "Required", "column": "nope"},
+     ErrorCode.INVALID_FIELD_PATH),                            # unknown column
+    ({"id": "R5", "type": "NoSuchType", "column": "source"},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # unknown type
+    ({"id": "R6", "type": "Required", "column": "source",
+      "scope": {"kind": "filter"}},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # filter w/o cond
+    ({"id": "R7", "type": "CustomExpr", "expr": "size(("},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # unparsable expr
+    ({"id": "R8", "type": "ArrayLength", "column": "n_tok",
+      "params": {"min": 1}},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # non-array col
+    ({"id": "R9", "type": "Reference", "column": "source",
+      "params": {"dim": "missing_dim"}},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # unknown dim
+    ({"id": "R10", "type": "Required", "column": "source",
+      "severity": "fatal"},
+     ErrorCode.RULE_CONFIGURATION_ERROR),                      # bad severity
+])
+def test_bad_rules_rejected(schema, rule, code):
+    with pytest.raises(RuleConfigurationError) as exc:
+        _compile_one(schema, rule)
+    assert exc.value.code == code
+
+
+def test_duplicate_rule_id_rejected(schema):
+    with pytest.raises(RuleConfigurationError):
+        RuleSet.parse({"rules": [
+            {"id": "X", "type": "Required", "column": "tokens"},
+            {"id": "X", "type": "Required", "column": "source"}]})
+
+
+def test_good_ruleset_compiles(spark, schema):
+    from fhir_data_validation_spark.rulesets import default_token_ruleset
+    from fhir_data_validation_spark.sources.synth import sources_dim
+    plan = compile_ruleset(default_token_ruleset(), schema,
+                           dims={"sources_dim": sources_dim(spark)})
+    assert len(plan.rule_ids) == 11
+    assert len(plan.predicates) == 8
+    assert len(plan.dataset_plans) == 3

@@ -1,0 +1,168 @@
+"""Golden issue-list tests: exact expected violation counts per rule on the
+seeded-corruption table (FIXTURES.md F2) — the reference's exact-assertion
+pattern (FhirPathRuleEngineTests.cs:76-114) over the Spark engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark import ValidationEngine
+from fhir_data_validation_spark.rulesets import default_token_ruleset
+from fhir_data_validation_spark.sources.synth import (dirty_token_table,
+                                                      sources_dim,
+                                                      stats_baseline,
+                                                      token_table)
+
+N_ROWS = 2000
+BLOCKS = N_ROWS // 1000
+
+# per-1000-row block expectations derived from the injection bands
+EXPECTED_PER_BLOCK = {
+    "REQ-001": 10,   # empty tokens
+    "REQ-002": 2,    # null source
+    "LEN-001": 15,   # size 0 (10) + size>max (5)
+    "INV-001": 10,   # n_tok mismatch
+    "RGX-001": 5,    # doc_id grammar
+    "ALW-001": 5,    # source='junk'
+    "DOM-001": 10,   # out-of-vocab token
+    "FIX-001": 0,
+    "UNQ-001": 1,    # one duplicated key per block
+    "REF-001": 5,    # junk rows miss the dim
+}
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = dirty_token_table(spark, N_ROWS).drop("_row_id")
+    engine = ValidationEngine(default_token_ruleset(),
+                              dims={"sources_dim": sources_dim(spark)})
+    res = engine.validate(df)
+    res.violations.cache()
+    return res
+
+
+def test_exact_violation_counts(result):
+    counts = {r["rule_id"]: r["n"] for r in
+              result.violations.groupBy("rule_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for rule_id, per_block in EXPECTED_PER_BLOCK.items():
+        assert counts.get(rule_id, 0) == per_block * BLOCKS, rule_id
+    assert counts.get("CRD-001", 0) == 1  # undeclared 'junk' → one consolidated
+
+
+def test_error_codes(result):
+    codes = {r["rule_id"]: r["error_code"] for r in
+             result.violations.select("rule_id", "error_code")
+             .distinct().collect()}
+    assert codes["REQ-001"] == "FIELD_REQUIRED"
+    assert codes["LEN-001"] == "ARRAY_LENGTH_OUT_OF_RANGE"
+    assert codes["INV-001"] == "ARRAY_LENGTH_VIOLATION"
+    assert codes["RGX-001"] == "PATTERN_MISMATCH"
+    assert codes["ALW-001"] == "INVALID_ENUM_VALUE"
+    assert codes["DOM-001"] == "VALUE_NOT_ALLOWED"
+    assert codes["UNQ-001"] == "DUPLICATE_KEY"
+    assert codes["REF-001"] == "REFERENCE_NOT_FOUND"
+    assert codes["CRD-001"] == "RESOURCE_REQUIREMENT_VIOLATION"
+
+
+def test_duplicate_key_detail(result):
+    rows = result.violations.where(F.col("rule_id") == "UNQ-001").collect()
+    assert len(rows) == BLOCKS
+    for r in rows:
+        assert r["detail"]["count"] == "6"  # 1 original + 5 dup rows
+
+
+def test_unexpected_source_detail(result):
+    row = result.violations.where(F.col("rule_id") == "CRD-001").collect()[0]
+    assert "junk" in row["detail"]["unexpected"]
+    assert row["doc_id"] is None
+
+
+def test_verdicts(result, spark):
+    v = {(r["partition_key"], r["rule_id"]): r
+         for r in result.verdicts.collect()}
+    # junk partition fails the enum rule; web partition passes it
+    assert v[("junk", "ALW-001")]["passed"] is False
+    assert v[("web", "ALW-001")]["passed"] is True
+    # dataset-level verdict for the cardinality rule
+    assert v[("<dataset>", "CRD-001")]["passed"] is False
+    # NULL-source rows form a real partition and their violations are counted
+    # (regression: NULL join keys silently dropped these)
+    assert v[("<null>", "REQ-002")]["violations"] == 2 * BLOCKS
+    assert v[("<null>", "REQ-002")]["passed"] is False
+    assert ("<dataset>", "REQ-002") not in v
+    # rows accounting: web partition row count matches the data
+    web_rows = v[("web", "REQ-001")]["rows"]
+    assert web_rows > 0
+
+
+def test_clean_table_passes(spark):
+    df = token_table(spark, 1000)
+    engine = ValidationEngine(default_token_ruleset(),
+                              dims={"sources_dim": sources_dim(spark)})
+    res = engine.validate(df)
+    assert res.violations.count() == 0
+    assert res.passed() is True
+    # every verdict row passes
+    assert res.verdicts.where(~F.col("passed")).count() == 0
+
+
+def test_zero_mutation_invariant(spark):
+    """Token-array equality: validation must not mutate input rows
+    (docs/01_architecture_spec.md:28-29 zero-mutation guarantee)."""
+    df = dirty_token_table(spark, 500).drop("_row_id")
+    fingerprint = F.bit_xor(F.xxhash64("doc_id", "tokens", "n_tok", "source"))
+    before = df.select(fingerprint.alias("h")).collect()[0]["h"]
+    engine = ValidationEngine(default_token_ruleset(),
+                              dims={"sources_dim": sources_dim(spark)})
+    engine.validate(df).violations.count()
+    after = df.select(fingerprint.alias("h")).collect()[0]["h"]
+    assert before == after
+
+
+def test_severity_downgrade_reference(spark):
+    """allowExternal policy downgrades REFERENCE_NOT_FOUND to warning
+    (ReferenceResolver.cs:116-126)."""
+    from fhir_data_validation_spark.model import RuleSet
+    df = dirty_token_table(spark, 1000).drop("_row_id")
+    rs = RuleSet.parse({"rules": [
+        {"id": "REF-W", "type": "Reference", "column": "source",
+         "params": {"dim": "sources_dim", "on": "source",
+                    "allowExternal": True}}]})
+    res = ValidationEngine(rs, dims={"sources_dim": sources_dim(spark)}).validate(df)
+    sev = res.violations.select("severity").distinct().collect()
+    assert [r["severity"] for r in sev] == ["warning"]
+    assert res.passed() is True  # warnings never block
+
+
+def test_drift_detects_shift(spark):
+    from fhir_data_validation_spark.model import RuleSet
+    clean = token_table(spark, 20000, seed=42)
+    base = stats_baseline(clean, "n_tok", 512)
+    rs = RuleSet.parse({"rules": [
+        {"id": "DRF-001", "type": "Drift", "column": "n_tok",
+         "params": {"baseline": "stats_baseline", "psiMax": 0.2,
+                    "ksAlpha": 0.01, "bucketWidth": 512}}]})
+    # same distribution, different seed → no drift
+    same = token_table(spark, 20000, seed=777)
+    res = ValidationEngine(rs, dims={"stats_baseline": base}).validate(same)
+    assert res.violations.count() == 0
+    # shifted distribution (n_tok quadrupled) → drift fires per source
+    shifted = clean.withColumn("n_tok", F.least(F.col("n_tok") * 4, F.lit(8192)))
+    res2 = ValidationEngine(rs, dims={"stats_baseline": base}).validate(shifted)
+    assert res2.violations.count() > 0
+    row = res2.violations.collect()[0]
+    assert float(row["detail"]["psi"]) > 0.2 or \
+        float(row["detail"]["ks"]) > float(row["detail"]["ksCrit"])
+
+
+def test_first_scope(spark):
+    """InstanceScope 'first' (P3): rule applies only to the first row per
+    group (ResourceSelector.cs:80-89)."""
+    from fhir_data_validation_spark.model import RuleSet
+    df = token_table(spark, 100)
+    rs = RuleSet.parse({"rules": [
+        {"id": "FIRST-1", "type": "CustomExpr", "expr": "false",
+         "scope": {"kind": "first"}}]})
+    res = ValidationEngine(rs).validate(df)
+    n_groups = df.select("source").distinct().count()
+    assert res.violations.count() == n_groups
