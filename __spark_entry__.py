@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the public engine API over the driver's testdata tables, and the
+matching ``oracle_sql()`` entry states the same semantics in ANSI SQL for the
+DuckDB cross-check. Column names/aliases are identical on both sides.
+
+Keys map to SURVEY §2 operator ids (r1=Required … j1=Reference anti-join,
+a1=group cardinality, c1-c4 stats, a4 summary, a5 dedup, p3 first-scope).
 """
 
 from __future__ import annotations
@@ -12,27 +14,350 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
+from fhir_data_validation_spark.sources.tables import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_VIOL_COLS = ("doc_id", "rule_id", "error_code", "source")
+
+
+def _viol(res) -> DataFrame:
+    """Deterministic violations projection (detail map omitted: DuckDB map
+    hashing differs; details are covered by unit tests)."""
+    return res.violations.select(*_VIOL_COLS).orderBy(*_VIOL_COLS)
+
+
+def _validate(spark, df, rules, key_col, group_col, dims=None, dedupe=True):
+    # dedupe=False where key_col is not unique in the testdata (lineitem's
+    # (l_orderkey, l_linenumber) repeats), so per-physical-row violations
+    # match the oracle 1:1.
+    engine = ValidationEngine(RuleSet.parse({"rules": rules}), dims=dims,
+                              config=EngineConfig(key_col=key_col,
+                                                  group_col=group_col,
+                                                  dedupe=dedupe))
+    return engine.validate(df)
+
+
+# --------------------------------------------------------------- queries ----
+
+def q_r1_required(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "events")
+    res = _validate(spark, df,
+                    [{"id": "REQ-1", "type": "Required", "column": "props"}],
+                    key_col="event_id", group_col="event_type")
+    return _viol(res)
+
+
+def q_r2_fixed_value(spark: SparkSession, sf: str) -> DataFrame:
+    df = (load_table(spark, sf, "lineitem")
+          .withColumn("li_id", F.concat_ws("-", "l_orderkey", "l_linenumber")))
+    res = _validate(spark, df,
+                    [{"id": "FIX-1", "type": "FixedValue",
+                      "column": "l_returnflag",
+                      "scope": {"kind": "filter",
+                                "condition": "l_linestatus = 'O'"},
+                      "params": {"value": "N"}}],
+                    key_col="li_id", group_col="l_linestatus", dedupe=False)
+    return _viol(res)
+
+
+def q_r3_allowed_values(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df,
+                    [{"id": "ALW-1", "type": "AllowedValues",
+                      "column": "o_orderpriority",
+                      "params": {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}],
+                    key_col="o_orderkey", group_col="o_orderstatus")
+    return _viol(res)
+
+
+def q_r4_regex(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "customer")
+    res = _validate(spark, df,
+                    [{"id": "RGX-1", "type": "Regex", "column": "c_name",
+                      "params": {"pattern": "^Customer#0000000[0-9]{2}$"}}],
+                    key_col="c_custkey", group_col="c_mktsegment")
+    return _viol(res)
+
+
+def q_r5_range(spark: SparkSession, sf: str) -> DataFrame:
+    df = (load_table(spark, sf, "lineitem")
+          .withColumn("li_id", F.concat_ws("-", "l_orderkey", "l_linenumber")))
+    res = _validate(spark, df,
+                    [{"id": "RNG-1", "type": "Range", "column": "l_quantity",
+                      "params": {"min": 1, "max": 45}}],
+                    key_col="li_id", group_col="l_returnflag", dedupe=False)
+    return _viol(res)
+
+
+def q_r7_custom_expr(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "documents")
+    res = _validate(spark, df,
+                    [{"id": "EXP-1", "type": "CustomExpr",
+                      "expr": "n_chars <= 400"}],
+                    key_col="doc_id", group_col="lang")
+    return _viol(res)
+
+
+def q_p3_first_scope(spark: SparkSession, sf: str) -> DataFrame:
+    """`first` instance scope: flag the first order per status (P3)."""
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df,
+                    [{"id": "FST-1", "type": "CustomExpr", "expr": "false",
+                      "scope": {"kind": "first"}}],
+                    key_col="o_orderkey", group_col="o_orderstatus")
+    return res.violations.select("doc_id", "source").orderBy("source")
+
+
+def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """RequiredResources-style closed-world cardinality: nations per region
+    (A1) — broadcast join + conditional aggregation."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    counts = (region.join(F.broadcast(nation),
+                          region.r_regionkey == nation.n_regionkey, "left")
+              .groupBy("r_name")
+              .agg(F.count("n_nationkey").alias("n_nations"))
+              .withColumn("passed", F.col("n_nations") >= 5)
+              .orderBy("r_name"))
+    return counts
+
+
+def q_c3_unique(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df,
+                    [{"id": "UNQ-1", "type": "Unique", "column": "o_orderkey"}],
+                    key_col="o_orderkey", group_col="o_orderstatus")
+    return res.violations.select("doc_id", "rule_id", "error_code")
+
+
+def q_j1_reference(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    res = _validate(spark, df,
+                    [{"id": "REF-1", "type": "Reference", "column": "o_custkey",
+                      "params": {"dim": "customer", "on": "c_custkey"}}],
+                    key_col="o_orderkey", group_col="o_orderstatus",
+                    dims={"customer": customer})
+    return _viol(res)
+
+
+def q_j1_reference_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join that actually fires: lineitems referencing suppliers outside
+    the declared (non-negative balance) closed world."""
+    df = (load_table(spark, sf, "lineitem")
+          .withColumn("li_id", F.concat_ws("-", "l_orderkey", "l_linenumber")))
+    good_suppliers = (load_table(spark, sf, "supplier")
+                      .where(F.col("s_acctbal") >= 0))
+    res = _validate(spark, df,
+                    [{"id": "REF-2", "type": "Reference", "column": "l_suppkey",
+                      "params": {"dim": "supplier", "on": "s_suppkey"}}],
+                    key_col="li_id", group_col="l_returnflag",
+                    dims={"supplier": good_suppliers}, dedupe=False)
+    return _viol(res)
+
+
+def q_c1_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group column stats in one aggregation pass (C1/C2). Exact distinct
+    here for oracle parity; at scale swap to approx_count_distinct/HLL."""
+    df = load_table(spark, sf, "lineitem")
+    return (df.groupBy("l_returnflag")
+            .agg(F.round(F.min("l_quantity"), 4).alias("min_qty"),
+                 F.round(F.max("l_quantity"), 4).alias("max_qty"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg(F.col("l_quantity").isNull().cast("int")), 4)
+                  .alias("null_rate_qty"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
+def q_c2_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "customer")
+    return (df.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+def q_c4_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Width-bucketed histogram (C4): quantity in width-5 buckets."""
+    df = load_table(spark, sf, "lineitem")
+    return (df.groupBy(F.floor(F.col("l_quantity") / 5).cast("int")
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bucket"))
+
+
+def q_a4_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Full engine run + severity×rule summary aggregation (A4)."""
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df, [
+        {"id": "ALW-1", "type": "AllowedValues", "column": "o_orderpriority",
+         "params": {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}},
+        {"id": "RNG-1", "type": "Range", "column": "o_totalprice",
+         "params": {"min": 0}, "severity": "warning"},
+        {"id": "UNQ-1", "type": "Unique", "column": "o_orderkey"},
+    ], key_col="o_orderkey", group_col="o_orderstatus")
+    return res.summary()
+
+
+def q_a5_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage-priority dedup (A5): two rules emit the same
+    (doc_id, error_code, column); the earlier rule id wins, the duplicate is
+    suppressed."""
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df, [
+        {"id": "ALW-1", "type": "AllowedValues", "column": "o_orderpriority",
+         "errorCode": "VALUE_NOT_ALLOWED",
+         "params": {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}},
+        {"id": "ALW-2", "type": "AllowedValues", "column": "o_orderpriority",
+         "errorCode": "VALUE_NOT_ALLOWED",
+         "params": {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]}},
+    ], key_col="o_orderkey", group_col="o_orderstatus")
+    return (res.violations.groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("rule_id"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation of the orders table at sf0.001 → summary."""
+    return q_a4_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "r1_required": q_r1_required,
+        "r2_fixed_value": q_r2_fixed_value,
+        "r3_allowed_values": q_r3_allowed_values,
+        "r4_regex": q_r4_regex,
+        "r5_range": q_r5_range,
+        "r7_custom_expr": q_r7_custom_expr,
+        "p3_first_scope": q_p3_first_scope,
+        "a1_group_cardinality": q_a1_group_cardinality,
+        "a4_summary": q_a4_summary,
+        "a5_dedup": q_a5_dedup,
+        "c1_stats": q_c1_stats,
+        "c2_cardinality": q_c2_cardinality,
+        "c3_unique": q_c3_unique,
+        "c4_histogram": q_c4_histogram,
+        "j1_reference": q_j1_reference,
+        "j1_reference_seeded": q_j1_reference_seeded,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "r1_required": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id, 'REQ-1' AS rule_id,
+                   'FIELD_REQUIRED' AS error_code, event_type AS source
+            FROM events WHERE props IS NULL OR trim(props) = ''
+            ORDER BY doc_id""",
+        "r2_fixed_value": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                     AS doc_id,
+                   'FIX-1' AS rule_id, 'FIXED_VALUE_MISMATCH' AS error_code,
+                   l_linestatus AS source
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_returnflag IS NOT NULL
+              AND trim(l_returnflag) <> '' AND l_returnflag <> 'N'
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "r3_allowed_values": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, 'ALW-1' AS rule_id,
+                   'VALUE_NOT_ALLOWED' AS error_code, o_orderstatus AS source
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+              AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "r4_regex": """
+            SELECT CAST(c_custkey AS VARCHAR) AS doc_id, 'RGX-1' AS rule_id,
+                   'PATTERN_MISMATCH' AS error_code, c_mktsegment AS source
+            FROM customer
+            WHERE c_name IS NOT NULL AND trim(c_name) <> ''
+              AND NOT regexp_matches(c_name, '^Customer#0000000[0-9]{2}$')
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "r5_range": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                     AS doc_id,
+                   'RNG-1' AS rule_id, 'ANSWER_OUT_OF_RANGE' AS error_code,
+                   l_returnflag AS source
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45)
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "r7_custom_expr": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'EXP-1' AS rule_id,
+                   'CUSTOM_CONDITION_FAILED' AS error_code, lang AS source
+            FROM documents
+            WHERE NOT coalesce(n_chars <= 400, FALSE)
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "p3_first_scope": """
+            SELECT CAST(min(o_orderkey) AS VARCHAR) AS doc_id,
+                   o_orderstatus AS source
+            FROM orders GROUP BY o_orderstatus ORDER BY source""",
+        "a1_group_cardinality": """
+            SELECT r.r_name, count(n.n_nationkey) AS n_nations,
+                   count(n.n_nationkey) >= 5 AS passed
+            FROM region r LEFT JOIN nation n ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name""",
+        "a4_summary": """
+            WITH v AS (
+              SELECT 'error' AS severity, 'ALW-1' AS rule_id FROM orders
+              WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+                AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+              UNION ALL
+              SELECT 'warning', 'RNG-1' FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice < 0
+              UNION ALL
+              SELECT 'error', 'UNQ-1' FROM (
+                SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                HAVING count(*) > 1)
+            )
+            SELECT severity, rule_id, count(*) AS n FROM v
+            GROUP BY severity, rule_id ORDER BY severity, rule_id""",
+        "a5_dedup": """
+            SELECT 'ALW-1' AS rule_id, count(*) AS n FROM orders
+            WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+              AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+            ORDER BY rule_id""",
+        "c1_stats": """
+            SELECT l_returnflag,
+                   round(min(l_quantity), 4) AS min_qty,
+                   round(max(l_quantity), 4) AS max_qty,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 4)
+                     AS null_rate_qty,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "c2_cardinality": """
+            SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "c3_unique": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, 'UNQ-1' AS rule_id,
+                   'DUPLICATE_KEY' AS error_code
+            FROM orders GROUP BY o_orderkey HAVING count(*) > 1""",
+        "c4_histogram": """
+            SELECT CAST(floor(l_quantity / 5) AS INTEGER) AS bucket,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY bucket ORDER BY bucket""",
+        "j1_reference": """
+            SELECT CAST(o.o_orderkey AS VARCHAR) AS doc_id, 'REF-1' AS rule_id,
+                   'REFERENCE_NOT_FOUND' AS error_code,
+                   o.o_orderstatus AS source
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            ORDER BY doc_id""",
+        "j1_reference_seeded": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                     AS doc_id,
+                   'REF-2' AS rule_id, 'REFERENCE_NOT_FOUND' AS error_code,
+                   l_returnflag AS source
+            FROM lineitem
+            WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+            ORDER BY doc_id, rule_id, error_code, source""",
+    }

@@ -52,6 +52,7 @@ class EngineConfig:
     group_col: str = "source"
     max_examples: int = 3       # reference Take(3) example cap, FhirPathRuleEngine.cs:1994
     salt_buckets: int = 16      # salt fan-out for skewed group_col aggregations
+    dedupe: bool = True         # A5 cross-stage dedup; disable when key_col is not unique
 
 
 @dataclass

@@ -76,7 +76,8 @@ class ValidationEngine:
     def validate(self, df: DataFrame) -> ValidationResult:
         plan = self.compile(df)
         violations = self._all_violations(df, plan)
-        violations = dedupe_violations(violations)
+        if self.config.dedupe:
+            violations = dedupe_violations(violations)
         verdicts = build_verdicts(df, violations, plan)
         return ValidationResult(violations=violations.drop("stage"),
                                 verdicts=verdicts)
