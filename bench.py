@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the north-star metric — validated sequences/sec for a full
+rule-set pass over the synthetic token table — reported under
+"token_rows_per_sec". Set SPARK_GRAFT_TOKEN_ROWS to scale that corpus.
+
+Each query is materialized with a count() on the final (small) result so the
+timing covers the full distributed compute but no driver-side collect of
+bulk data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from fhir_data_validation_spark import ValidationEngine
+from fhir_data_validation_spark.rulesets import default_token_ruleset
+from fhir_data_validation_spark.session import get_spark
+from fhir_data_validation_spark.sources.synth import (dirty_token_table,
+                                                      sources_dim,
+                                                      stats_baseline,
+                                                      token_table)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def token_throughput(spark, n_rows: int) -> dict[str, float]:
+    """North-star metric: full default rule-set pass (incl. drift) over the
+    seeded-corruption token table; throughput = rows / wall-sec.
+
+    The corpus is materialized to parquet first (one-time, untimed) so the
+    measurement is validation over a table scan — the Iceberg-snapshot
+    scenario — not synthetic-data generation cost.
+    """
+    import tempfile
+    cores = spark.sparkContext.defaultParallelism
+    corpus_dir = os.environ.get("SPARK_GRAFT_TOKEN_DIR") or os.path.join(
+        tempfile.gettempdir(), f"fdv_bench_tokens_{n_rows}")
+    marker = os.path.join(corpus_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        (dirty_token_table(spark, n_rows, partitions=cores * 2)
+         .drop("_row_id")
+         .write.mode("overwrite").parquet(corpus_dir))
+    df = spark.read.parquet(corpus_dir)
+    dims = {"sources_dim": sources_dim(spark),
+            "stats_baseline": stats_baseline(
+                token_table(spark, max(n_rows // 10, 10_000), seed=7,
+                            partitions=cores), "n_tok", 64)}
+    engine = ValidationEngine(default_token_ruleset(with_drift=True),
+                              dims=dims)
+    t0 = time.perf_counter()
+    res = engine.validate(df)
+    n_viol = res.violations.count()
+    n_verd = res.verdicts.count()
+    elapsed = time.perf_counter() - t0
+    return {"token_rows": n_rows,
+            "token_wall_sec": round(elapsed, 3),
+            "token_rows_per_sec": round(n_rows / elapsed, 1),
+            "token_violations": n_viol,
+            "token_verdicts": n_verd}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "200000"))
+    spark = get_spark("fdv-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = time_queries(spark, sf_dir)
+    tok = token_throughput(spark, n_tokens)
+    total = round(sum(queries.values()) + tok["token_wall_sec"], 3)
+    result = {
+        "metric": "validated sequences/sec (full rule-set) + operator suite sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        **tok,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

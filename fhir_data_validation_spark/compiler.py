@@ -178,14 +178,23 @@ def _nonempty(col: Column, dtype: DataType) -> Column:
 
 
 def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
-                  max_examples: int) -> tuple[Column, Column]:
-    """(bad_count, examples-as-json) over an array column, keeping element
-    indices for the per-element error contract (``FhirPathRuleEngine.cs:446-478``
-    "one error per invalid array element"), capped at ``max_examples`` like
-    the reference's Take(3) example lists."""
+                  max_examples: int) -> tuple[Column, Column, Column]:
+    """(has_bad, bad_count, examples-as-json) over an array column.
+
+    ``has_bad`` is a cheap ``exists`` (single pass, no allocation,
+    short-circuits on first hit) used as the violation condition.
+    ``bad_count``/``examples`` keep element indices for the per-element error
+    contract (``FhirPathRuleEngine.cs:446-478`` "one error per invalid array
+    element", example cap = the reference's Take(3)) — they are referenced
+    only inside the violation ``when(cond, struct(...))``, so the indexed
+    transform runs only for the (rare) violating rows, not the whole scan.
+    """
+    has_bad = F.exists(col, is_bad)
+    bad_count = F.size(F.filter(col, is_bad))
     indexed = F.transform(col, lambda x, i: F.struct(i.alias("i"), x.alias("v")))
-    bad = F.filter(indexed, lambda s: is_bad(s["v"]))
-    return F.size(bad), F.to_json(F.slice(bad, 1, max_examples))
+    examples = F.to_json(F.slice(F.filter(indexed, lambda s: is_bad(s["v"])),
+                                 1, max_examples))
+    return has_bad, bad_count, examples
 
 
 def compile_ruleset(ruleset: RuleSet, schema: StructType,
@@ -301,9 +310,9 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
     if t == "FixedValue":
         expected = rule.require_param("value")
         if isinstance(dtype, ArrayType):
-            bad_count, examples = _bad_elements(
+            has_bad, bad_count, examples = _bad_elements(
                 col, lambda v: v != F.lit(expected), config.max_examples)
-            cond = _nonempty(col, dtype) & (bad_count > 0)
+            cond = _nonempty(col, dtype) & has_bad
             return cond, _smap(("expected", expected), ("badCount", bad_count),
                                ("examples", examples))
         cond = _nonempty(col, dtype) & (col != F.lit(expected))
@@ -318,9 +327,9 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         allowed = json.dumps(values)
         if isinstance(dtype, ArrayType):
             lit_vals = F.array(*[F.lit(v) for v in values])
-            bad_count, examples = _bad_elements(
+            has_bad, bad_count, examples = _bad_elements(
                 col, lambda v: ~F.array_contains(lit_vals, v), config.max_examples)
-            cond = _nonempty(col, dtype) & (bad_count > 0)
+            cond = _nonempty(col, dtype) & has_bad
             return cond, _smap(("allowed", allowed), ("badCount", bad_count),
                                ("examples", examples))
         cond = _nonempty(col, dtype) & ~col.isin(values)
@@ -358,9 +367,9 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"TokenDomain column {col_name!r} is {dtype.simpleString()}, not array")
-        bad_count, examples = _bad_elements(
+        has_bad, bad_count, examples = _bad_elements(
             col, lambda v: (v < F.lit(lo)) | (v >= F.lit(hi)), config.max_examples)
-        cond = _nonempty(col, dtype) & (bad_count > 0)
+        cond = _nonempty(col, dtype) & has_bad
         return cond, _smap(("min", lo), ("maxExclusive", hi),
                            ("badCount", bad_count), ("examples", examples))
 

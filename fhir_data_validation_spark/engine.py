@@ -74,10 +74,19 @@ class ValidationEngine:
         return self._plan
 
     def validate(self, df: DataFrame) -> ValidationResult:
+        # NOTE: do not .persist() the dims here — caching a dim replaces its
+        # parquet/local-relation size estimate with InMemoryRelation stats and
+        # can flip broadcast joins to sort-merge (measured 3-4× slowdown).
         plan = self.compile(df)
         violations = self._all_violations(df, plan)
         if self.config.dedupe:
             violations = dedupe_violations(violations)
+        # Violations are *reduced* data (bounded by bad rows, not input rows):
+        # persist so the verdict aggregation and downstream consumers don't
+        # re-execute every rule pass over the full input. MEMORY_AND_DISK
+        # spills gracefully in the pathological everything-is-bad case.
+        from pyspark import StorageLevel
+        violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         verdicts = build_verdicts(df, violations, plan)
         return ValidationResult(violations=violations.drop("stage"),
                                 verdicts=verdicts)
@@ -119,13 +128,14 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
               for i in range(0, len(plan.predicates), CHUNK)]
     parts = []
     for chunk in chunks:
+        # explode() drops empty arrays, so no pre-filter is needed — a
+        # filter-then-project here would make Catalyst evaluate the (rule
+        # condition) array twice per row.
         arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
         part = (df.select(
                     F.col(cfg.key_col).cast("string").alias("doc_id"),
                     F.col(cfg.group_col).cast("string").alias("source"),
-                    arr.alias("_v"))
-                  .where(F.size("_v") > 0)
-                  .select("doc_id", "source", F.explode("_v").alias("v"))
+                    F.explode(arr).alias("v"))
                   .select("doc_id", "v.rule_id", "v.rule_type", "v.error_code",
                           "v.severity", "source", "v.column", "v.detail",
                           "v.stage"))

@@ -155,22 +155,24 @@ def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     """
     group = plan.config.group_col
     reqs: list[dict[str, Any]] = rule.params["requirements"]
-    aggs = []
+    # one conditional hash-agg pass: per-group totals + per-requirement
+    # where-filtered counts (the group==source restriction falls out of the
+    # groupBy key, so each requirement reads its own group's row)
+    aggs = [F.count(F.lit(1)).alias("_total")]
     for i, req in enumerate(reqs):
-        cond = F.col(group) == F.lit(req["source"])
+        cond = F.lit(True)
         for w in req.get("where", []):
             cond = cond & _where_predicate(rule, w)
         aggs.append(F.count(F.when(cond, 1)).alias(f"_req_{i}"))
-    counts_row = df.agg(*aggs).collect()[0]
+    grouped = {r[group]: r for r in df.groupBy(group).agg(*aggs).collect()}
 
     declared = {r["source"] for r in reqs}
-    observed = {r[0]: r[1] for r in
-                df.groupBy(group).agg(F.count(F.lit(1)).alias("n")).collect()
-                if r[0] is not None}
+    observed = {k: v["_total"] for k, v in grouped.items() if k is not None}
 
     missing, out_of_range = [], []
     for i, req in enumerate(reqs):
-        n = counts_row[f"_req_{i}"]
+        row = grouped.get(req["source"])
+        n = row[f"_req_{i}"] if row is not None else 0
         lo, hi, exact = req["min"], req.get("max"), req.get("exact", False)
         bad = n < lo or (exact and n != lo) or (hi is not None and n > hi)
         if bad:
