@@ -44,6 +44,13 @@ CHUNK = 40  # max fused rules per projection — caps codegen size (SURVEY §7.3
 class ValidationResult:
     violations: DataFrame   # unified error model rows (deduped)
     verdicts: DataFrame     # (partition_key, rule_id, rows, violations, errors, passed)
+    _persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached violations (batch runners call this once a
+        batch's output is committed)."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
 
     def passed(self) -> bool:
         """Run-level pass/fail: no error-severity violations anywhere."""
@@ -89,7 +96,7 @@ class ValidationEngine:
         violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         verdicts = build_verdicts(df, violations, plan)
         return ValidationResult(violations=violations.drop("stage"),
-                                verdicts=verdicts)
+                                verdicts=verdicts, _persisted=violations)
 
     # -- internals ---------------------------------------------------------
 

@@ -1,0 +1,234 @@
+"""Checkpoint / lineage / resume: per-partition progress + metrics.
+
+North-rule requirement (SURVEY §7.2 step 7): the engine checkpoints
+per-partition progress and rule-level metrics to a lineage table so a run
+resumes after failure **without re-scanning validated partitions**. The
+reference has no analog — its whole run is one in-memory request
+(``Core/ValidationPipeline.cs:80-480``, ``processingTimeMs`` metadata at
+``Models/ValidationResponse.cs:83-84``); lineage is what replaces that
+single-process wall-clock accounting at 10^12-row scale.
+
+Design
+------
+* Work is partitioned by ``group_col`` (the ``source`` column — the
+  reference's resourceType discriminator). On a production Iceberg table
+  partitioned by ``source``, the per-batch ``df.filter(source IN (...))``
+  prunes at the snapshot/manifest level, so resuming **never re-reads
+  completed partitions' files**. Locally the same pruning happens on
+  hive-partitioned parquet directories.
+* Each batch writes its violations + verdicts with **dynamic partition
+  overwrite** keyed by ``partition_key`` — re-running an interrupted batch
+  replaces (not duplicates) its output, making batches idempotent.
+* Only after a batch's data is committed does the runner append the lineage
+  marker row. A crash between data-write and marker-write re-runs that one
+  batch on resume — at-least-once with idempotent output = exactly-once
+  results.
+* The lineage table is small (one row per (run, partition, rule)) and append
+  only; on Iceberg the append becomes a MERGE keyed
+  ``(run_id, partition_key, rule_id)``. Locally it is hive-partitioned
+  parquet under ``<root>/lineage/``.
+
+Dataset-scoped rules (Unique / RequiredResources / Drift) need cross-
+partition visibility, so the runner evaluates them in a dedicated final
+``<dataset>`` batch over the full input (their own passes are aggregation
+jobs whose shuffle input is the reduced data, not the scan — SURVEY §4.3);
+per-row rule families run inside the per-partition batches.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler import EngineConfig
+from .engine import ValidationEngine, ValidationResult
+from .model import RuleDefinition, RuleSet
+
+# rule types that must see the whole dataset, not one group partition
+_GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift")
+
+LINEAGE_SCHEMA = ("run_id string, partition_key string, rule_id string, "
+                  "rows long, violations long, errors long, passed boolean, "
+                  "wall_ms long, completed_at double")
+
+_NULL_KEY = "<null>"
+_DATASET_KEY = "<dataset>"
+
+
+@dataclass
+class LineageStore:
+    """Parquet-backed lineage table (Iceberg MERGE target in production)."""
+
+    path: str
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:  # first run: table does not exist yet
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def completed_partitions(self, spark: SparkSession, run_id: str) -> set[str]:
+        rows = (self.read(spark)
+                .where(F.col("run_id") == run_id)
+                .select("partition_key").distinct().collect())
+        return {r["partition_key"] for r in rows}
+
+    def append(self, spark: SparkSession, records: list[tuple]) -> None:
+        (spark.createDataFrame(records, LINEAGE_SCHEMA)
+         .coalesce(1)
+         .write.mode("append").parquet(self.path))
+
+    def metrics(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """Per-(partition, rule) metrics for one run — the scale analog of the
+        reference's ``processingTimeMs`` response metadata."""
+        return self.read(spark).where(F.col("run_id") == run_id)
+
+
+@dataclass
+class ResumableRun:
+    """Drives a resumable validation over one input DataFrame.
+
+    ``run(df)`` is safe to call repeatedly with the same ``run_id``: completed
+    partitions are skipped via the lineage table, interrupted ones are
+    re-done idempotently (dynamic partition overwrite).
+    """
+
+    ruleset: RuleSet
+    output_root: str
+    dims: dict[str, DataFrame] | None = None
+    config: EngineConfig = field(default_factory=EngineConfig)
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    groups_per_batch: int = 4
+
+    def __post_init__(self):
+        self.lineage = LineageStore(f"{self.output_root}/lineage")
+        self._violations_path = f"{self.output_root}/violations"
+        self._verdicts_path = f"{self.output_root}/verdicts"
+        per_row = [r for r in self.ruleset.rules
+                   if r.type not in _GLOBAL_RULE_TYPES]
+        global_ = [r for r in self.ruleset.rules
+                   if r.type in _GLOBAL_RULE_TYPES]
+        self._row_rules = RuleSet(version=self.ruleset.version,
+                                  rules=tuple(per_row))
+        self._global_rules = RuleSet(version=self.ruleset.version,
+                                     rules=tuple(global_))
+
+    # -- public API ---------------------------------------------------------
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """Execute (or resume) the run; returns the lineage metrics DF."""
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        done = self.lineage.completed_partitions(spark, self.run_id)
+
+        group = self.config.group_col
+        # group_col is low-cardinality by contract (the resourceType analog) —
+        # the driver-side work list is tiny even at 10^12 rows.
+        groups = [r[0] for r in
+                  df.select(F.coalesce(F.col(group).cast("string"),
+                                       F.lit(_NULL_KEY))).distinct().collect()]
+        pending = sorted(g for g in groups if g not in done)
+
+        if self._row_rules.rules:
+            for batch in _chunks(pending, self.groups_per_batch):
+                self._run_batch(df, batch)
+        if self._global_rules.rules and _DATASET_KEY not in done:
+            self._run_global(df)
+        return self.lineage.metrics(spark, self.run_id)
+
+    def violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._violations_path).drop("partition_key")
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._verdicts_path)
+
+    # -- internals ----------------------------------------------------------
+
+    def _run_batch(self, df: DataFrame, batch: list[str]) -> None:
+        spark = df.sparkSession
+        group = F.coalesce(F.col(self.config.group_col).cast("string"),
+                           F.lit(_NULL_KEY))
+        # on a source-partitioned Iceberg/parquet table this filter prunes
+        # files — a resumed run never re-scans completed partitions
+        sub = df.where(group.isin(batch))
+        engine = ValidationEngine(self._row_rules, dims=self.dims,
+                                  config=self.config)
+        t0 = time.perf_counter()
+        res = engine.validate(sub)
+        self._write(res, dataset_level=False)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        self._mark(spark, res, batch, wall_ms, dataset_level=False)
+        res.unpersist()
+
+    def _run_global(self, df: DataFrame) -> None:
+        spark = df.sparkSession
+        engine = ValidationEngine(self._global_rules, dims=self.dims,
+                                  config=self.config)
+        t0 = time.perf_counter()
+        res = engine.validate(df)
+        self._write(res, dataset_level=True)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        self._mark(spark, res, [_DATASET_KEY], wall_ms, dataset_level=True)
+        res.unpersist()
+
+    def _write(self, res: ValidationResult, dataset_level: bool) -> None:
+        """Idempotent batch output: dynamic partition overwrite on
+        (run_id, partition_key) replaces a re-run batch's files instead of
+        duplicating them. The dataset batch writes under the reserved
+        ``<dataset>`` key so it can never clobber per-group batches."""
+        pkey = (F.lit(_DATASET_KEY) if dataset_level
+                else F.coalesce(F.col("source"), F.lit(_NULL_KEY)))
+        (res.violations
+         .withColumn("run_id", F.lit(self.run_id))
+         .withColumn("partition_key", pkey)
+         .write.mode("overwrite").partitionBy("run_id", "partition_key")
+         .parquet(self._violations_path))
+        verd = res.verdicts.withColumn("run_id", F.lit(self.run_id))
+        if dataset_level:
+            verd = verd.withColumn("partition_key", F.lit(_DATASET_KEY))
+        (verd.write.mode("overwrite").partitionBy("run_id", "partition_key")
+         .parquet(self._verdicts_path))
+
+    def _mark(self, spark: SparkSession, res: ValidationResult,
+              batch: list[str], wall_ms: int, dataset_level: bool) -> None:
+        now = time.time()
+        verd = res.verdicts.collect()  # tiny: groups × rules
+        records = []
+        seen = set()
+        if dataset_level:
+            # aggregate per rule across groups → one metrics row per rule
+            by_rule: dict[str, list] = {}
+            for row in verd:
+                a = by_rule.setdefault(row["rule_id"], [0, 0, 0, True])
+                a[0] += row["rows"] or 0
+                a[1] += row["violations"]
+                a[2] += row["errors"]
+                a[3] = a[3] and row["passed"]
+            for rid, (rows, viol, errs, passed) in sorted(by_rule.items()):
+                records.append((self.run_id, _DATASET_KEY, rid, rows, viol,
+                                errs, passed, wall_ms, now))
+            seen.add(_DATASET_KEY)
+        else:
+            for row in verd:
+                key = row["partition_key"]
+                if key not in batch:
+                    continue
+                records.append((self.run_id, key, row["rule_id"], row["rows"],
+                                row["violations"], row["errors"],
+                                row["passed"], wall_ms, now))
+                seen.add(key)
+        # groups in the batch with zero rows after scoping still complete
+        for key in batch:
+            if key not in seen:
+                records.append((self.run_id, key, None, 0, 0, 0, True,
+                                wall_ms, now))
+        self.lineage.append(spark, records)
+
+
+def _chunks(seq: list, n: int):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]

@@ -1,0 +1,116 @@
+"""Column statistics & distribution operators (SURVEY §2.8 C1–C4).
+
+The scale-out generalization of the reference's per-value domain checks
+(T1–T8) into per-*distribution* checks: one aggregation pass computes
+min / max / null-rate / cardinality per column (and per group), histograms
+bucket numeric columns for the drift stage, and HLL sketches give mergeable
+cardinality state across runs/partitions (Spark 3.5+ ``hll_sketch_agg``).
+
+Everything here is a single ``groupBy().agg()`` — partial aggregation
+(map-side combine) keeps the shuffle proportional to groups × columns, not
+rows. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, NumericType
+
+GROUP_ALL = "<all>"
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            group_col: str | None = None, rsd: float = 0.05,
+            exact_distinct: bool = False) -> DataFrame:
+    """One-pass per-column profile: C1 (min/max/null-rate) + C2 (cardinality).
+
+    Returns one row per group with a struct per column:
+    ``<col>: {min, max, null_rate, n_distinct}``. ``approx_count_distinct``
+    (HLL, relative error ``rsd``) by default — exact distinct shuffles the
+    full value set and is only for small-scale oracle parity.
+    """
+    columns = columns or [f.name for f in df.schema.fields
+                          if f.name != group_col]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        dtype = df.schema[c].dataType
+        col = F.col(c)
+        # array columns profile their *length* (the n_tok view of tokens)
+        val = F.size(col) if isinstance(dtype, ArrayType) else col
+        numeric = isinstance(dtype, (NumericType, ArrayType))
+        # non-numeric min/max stay lexicographic strings (per-column struct
+        # types may differ; each struct is its own output column)
+        lo = F.min(val).cast("double" if numeric else "string")
+        hi = F.max(val).cast("double" if numeric else "string")
+        distinct = (F.countDistinct(val) if exact_distinct
+                    else F.approx_count_distinct(val, rsd))
+        aggs.append(F.struct(
+            lo.alias("min"), hi.alias("max"),
+            F.avg(col.isNull().cast("int")).alias("null_rate"),
+            distinct.alias("n_distinct"),
+        ).alias(c))
+    if group_col is None:
+        return df.agg(*aggs).select(F.lit(GROUP_ALL).alias("group"), "*")
+    return (df.groupBy(F.col(group_col).cast("string").alias("group"))
+            .agg(*aggs))
+
+
+def histogram(df: DataFrame, column: str, bucket_width: float,
+              group_col: str | None = None) -> DataFrame:
+    """C4: fixed-width histogram via floor-bucketing — one hash aggregation,
+    shuffle = O(groups × buckets). Output (group, bucket, cnt)."""
+    bucket = F.floor(F.col(column) / bucket_width).cast("int").alias("bucket")
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string")).alias("group")
+    return (df.where(F.col(column).isNotNull())
+            .groupBy(group, bucket)
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def token_frequencies(df: DataFrame, tokens_col: str = "tokens",
+                      sample_fraction: float | None = None,
+                      seed: int = 42) -> DataFrame:
+    """C4b: corpus token-frequency table via explode + count.
+
+    At 10^12 sequences an exact global explode is the single biggest shuffle
+    in the system; ``sample_fraction`` computes frequencies on a deterministic
+    row sample (rates, not counts, are what drift checks need). Partial
+    aggregation combines per-partition before the shuffle either way.
+    """
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    return (df.select(F.explode(tokens_col).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hll_sketches(df: DataFrame, columns: list[str],
+                 group_col: str | None = None,
+                 lg_k: int = 12) -> DataFrame:
+    """C2 at scale: mergeable HyperLogLog sketches per column (binary state,
+    Spark 3.5+ ``hll_sketch_agg``). Sketches from different runs/snapshots
+    merge with :func:`merge_hll` — cardinality tracking across 10^12 rows
+    without re-scanning history."""
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string")).alias("group")
+    aggs = [F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"{c}_hll")
+            for c in columns]
+    return df.groupBy(group).agg(*aggs)
+
+
+def merge_hll(sketches: DataFrame, columns: list[str]) -> DataFrame:
+    """Union per-group sketches into global estimates:
+    (column, n_distinct_estimate)."""
+    aggs = [F.hll_sketch_estimate(F.hll_union_agg(f"{c}_hll")).alias(c)
+            for c in columns]
+    return sketches.agg(*aggs)
+
+
+def pk_duplicates(df: DataFrame, key_col: str) -> DataFrame:
+    """C3: primary-key uniqueness via hash-partitioned distinct counts —
+    the standalone form of the engine's Unique rule. Returns duplicated keys
+    with their multiplicity; violation volume bounded by bad keys."""
+    return (df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1))

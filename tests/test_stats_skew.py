@@ -1,0 +1,86 @@
+"""Column-stats (C1–C4) and skew-salting operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark import stats
+from fhir_data_validation_spark.skew import (salted_count_distinct,
+                                             salted_examples)
+from fhir_data_validation_spark.sources.synth import token_table
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return token_table(spark, 2000).cache()
+
+
+def test_profile_global(spark, tokens):
+    row = stats.profile(tokens, ["n_tok", "doc_id"]).collect()[0]
+    assert row["group"] == "<all>"
+    assert row["n_rows"] == 2000
+    assert row["n_tok"]["min"] >= 1.0
+    assert row["n_tok"]["max"] <= 8192.0
+    assert row["n_tok"]["null_rate"] == 0.0
+    assert row["doc_id"]["min"] == "doc-00000000"  # lexicographic for strings
+    # doc_id is unique: HLL estimate within 5% rsd of 2000
+    assert abs(row["doc_id"]["n_distinct"] - 2000) < 2000 * 0.15
+
+
+def test_profile_grouped_and_array_column(spark, tokens):
+    rows = stats.profile(tokens, ["tokens"], group_col="source",
+                         exact_distinct=True).collect()
+    assert {r["group"] for r in rows} == {"web", "books", "code", "wiki"}
+    for r in rows:  # array columns profile their length
+        assert 1.0 <= r["tokens"]["min"] <= r["tokens"]["max"] <= 8192.0
+
+
+def test_histogram_matches_groupby(spark, tokens):
+    hist = stats.histogram(tokens, "n_tok", 64, group_col="source")
+    total = hist.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 2000
+    direct = (tokens.groupBy(F.floor(F.col("n_tok") / 64)).count().count())
+    assert hist.select("bucket").distinct().count() <= direct * 4
+
+
+def test_token_frequencies(spark, tokens):
+    freq = stats.token_frequencies(tokens.limit(50))
+    total = freq.agg(F.sum("cnt")).collect()[0][0]
+    expected = tokens.limit(50).agg(F.sum(F.size("tokens"))).collect()[0][0]
+    assert total == expected
+
+
+def test_hll_sketch_merge(spark, tokens):
+    sk = stats.hll_sketches(tokens, ["doc_id"], group_col="source")
+    assert sk.count() == 4
+    merged = stats.merge_hll(sk, ["doc_id"]).collect()[0]
+    assert abs(merged["doc_id"] - 2000) < 2000 * 0.15
+
+
+def test_pk_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",), ("c",), ("c",)], "k string")
+    dups = {r["k"]: r["cnt"] for r in stats.pk_duplicates(df, "k").collect()}
+    assert dups == {"b": 2, "c": 3}
+
+
+# ------------------------------------------------------------------- skew ---
+
+def test_salted_count_distinct_exact(spark, tokens):
+    got = {r["source"]: r["n_distinct"] for r in
+           salted_count_distinct(tokens, "source", "n_tok",
+                                 key_col="doc_id", buckets=8).collect()}
+    want = {r["source"]: r["n"] for r in
+            tokens.groupBy("source")
+            .agg(F.countDistinct("n_tok").alias("n")).collect()}
+    assert got == want
+
+
+def test_salted_examples_bounded_and_deterministic(spark, tokens):
+    ex1 = {r["source"]: r["examples"] for r in
+           salted_examples(tokens, "source", "doc_id", k=3).collect()}
+    ex2 = {r["source"]: r["examples"] for r in
+           salted_examples(tokens.repartition(13), "source", "doc_id",
+                           k=3).collect()}
+    assert ex1 == ex2  # deterministic under repartitioning
+    for v in ex1.values():
+        assert len(v) == 3 and v == sorted(v)
