@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
+from fhir_data_validation_spark.pipeline import (dedup, multimodal,
+                                                 similarity, text)
 from fhir_data_validation_spark.sources.tables import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -222,6 +224,127 @@ def q_a5_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")).orderBy("rule_id"))
 
 
+# ------------------------------------------- training-pipeline operators ----
+
+def _seeded_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-dup copies (first word dropped, id+10000) ∪ exact
+    copies (id+20000) of doc_id < 5 — deterministic seeded duplicates so the
+    dedup operators have non-trivial output. The oracle SQL constructs the
+    identical set."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.where(F.col("doc_id") < 5)
+    near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.regexp_replace("text", "^[a-z0-9]+ ", "")
+                       .alias("text"), "lang", "source", "n_chars")
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+    return docs.unionByName(near).unionByName(exact)
+
+
+def q_t1_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return (df.select("doc_id",
+                      text.token_count_ws(c).alias("n_ws"),
+                      text.token_count_bpe(c).alias("n_bpe"))
+            .orderBy("doc_id"))
+
+
+def q_t2_quality(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "documents")
+    return (df.select("doc_id",
+                      text.quality_score(F.col("text")).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def q_t3_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "documents")
+    return (df.select("doc_id", F.col("lang").alias("lang_actual"),
+                      text.lang_id(F.col("text")).alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
+def q_t4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    df = load_table(spark, sf, "documents")
+    return (df.select("doc_id",
+                      text.fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+def q_d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup.exact_duplicates(_seeded_docs(spark, sf))
+    return (out.select("fingerprint", "n_docs",
+                       F.col("keep").cast("long").alias("keep"))
+            .orderBy("keep"))
+
+
+def q_d2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup.jaccard_pairs(_seeded_docs(spark, sf), threshold=0.6)
+    return (out.select(F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"), "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+def q_d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(128)+LSH(64 bands) with exact-Jaccard verification — at the
+    configured band/row split recall at j ≥ 0.6 is ≈ 1, so the verified
+    candidate set equals the exact pair set (the oracle)."""
+    out = dedup.minhash_dedup(_seeded_docs(spark, sf), threshold=0.6)
+    return (out.select(F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"), "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+def q_d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash hamming ≤ 3 pairs — signature bit algebra is not
+    SQL-expressible in the oracle dialect: rows-only check (exact pairs
+    are unit-tested in tests/test_pipeline.py)."""
+    out = dedup.simhash_pairs(_seeded_docs(spark, sf), max_distance=3)
+    return (out.select(F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"), "hamming")
+            .orderBy("id_a", "id_b"))
+
+
+def _seeded_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    dup = (emb.where(F.col("vec_id") < 5)
+           .select((F.col("vec_id") + 100000).alias("vec_id"),
+                   "embedding", "label"))
+    return emb.unionByName(dup)
+
+
+def q_d5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup over seeded identical copies (threshold
+    0.999 ⇒ only true copies). Cosine value omitted from the projection:
+    float32 accumulation-order differences vs the oracle are below the
+    pair-detection threshold but not below hash equality."""
+    out = similarity.cosine_pairs(_seeded_embeddings(spark, sf),
+                                  threshold=0.999)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def q_s1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (blocked numpy matmul via mapInPandas);
+    ranks compared against the oracle, cosine omitted (float32 vs float64
+    4th-decimal ties)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.cosine_topk(emb.where(F.col("vec_id") >= 10),
+                                 emb.where(F.col("vec_id") < 3), k=5)
+    return (out.select("query_id", "vec_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
+def q_m1_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload metadata pass over the synthesized multimodal table
+    (modality omitted: it derives from xxhash64, which the oracle dialect
+    lacks; covered by unit tests)."""
+    mm = multimodal.synth_multimodal(load_table(spark, sf, "documents"))
+    meta = multimodal.extract_meta(mm)
+    return (meta.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "n_bytes", "header", "content_md5")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -245,6 +368,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_histogram": q_c4_histogram,
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
+        "t1_token_count": q_t1_token_count,
+        "t2_quality": q_t2_quality,
+        "t3_lang_id": q_t3_lang_id,
+        "t4_fingerprint": q_t4_fingerprint,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_jaccard_pairs": q_d2_jaccard_pairs,
+        "d3_minhash_lsh": q_d3_minhash_lsh,
+        "d4_simhash": q_d4_simhash,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
+        "s1_cosine_topk": q_s1_cosine_topk,
+        "m1_multimodal_meta": q_m1_multimodal_meta,
     }
 
 
@@ -360,4 +494,155 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
             ORDER BY doc_id, rule_id, error_code, source""",
+        "t1_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+'))
+                   END AS n_ws,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_bpe
+            FROM documents ORDER BY doc_id""",
+        "t2_quality": f"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS n,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) AS alpha,
+                CAST(len(list_filter(regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS n_words,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(
+                     lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                     x -> x IN ({_sql_list(text.EN_STOPWORDS)})))
+                     AS DOUBLE) AS stop_hits
+              FROM documents)
+            SELECT doc_id,
+              round(0.5 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+                  + 0.25 * (CASE WHEN n_words > 0 AND alpha / n_words >= 2.0
+                                  AND alpha / n_words <= 12.0
+                            THEN 1.0 ELSE 0.0 END)
+                  + 0.25 * (CASE WHEN n_words > 0
+                                  AND stop_hits / n_words >= 0.01
+                                  AND stop_hits / n_words <= 0.6
+                            THEN 1.0 ELSE 0.0 END), 4) AS quality
+            FROM c ORDER BY doc_id""",
+        "t3_lang_id": f"""
+            WITH h AS (
+              SELECT doc_id, lang AS lang_actual,
+                {_lang_hits_sql()}
+              FROM (SELECT doc_id, lang,
+                      list_filter(regexp_split_to_array(lower(text),
+                        '[^a-z0-9]+'), x -> x <> '') AS ws
+                    FROM documents))
+            SELECT doc_id, lang_actual,
+              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                   WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                   WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM h ORDER BY doc_id""",
+        "t4_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
+                       'g')) AS fingerprint
+            FROM documents ORDER BY doc_id""",
+        "d1_exact_dedup": f"""
+            WITH seeded AS ({_SEEDED_DOCS_SQL}),
+            fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
+                         'g')) AS fingerprint
+              FROM seeded)
+            SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+            ORDER BY keep""",
+        "d2_jaccard_pairs": f"""
+            {_JACCARD_SQL}
+            WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+        "d3_minhash_lsh": f"""
+            {_JACCARD_SQL}
+            WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+        "d5_embedding_neardup": """
+            WITH seeded AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id < 5)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM seeded a, seeded b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+            ORDER BY id_a, id_b""",
+        "s1_cosine_topk": """
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cos
+              FROM (SELECT * FROM embeddings WHERE vec_id < 3) q,
+                   (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+            SELECT query_id, vec_id, "rank" FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC)
+                       AS "rank"
+              FROM s)
+            WHERE "rank" <= 5 ORDER BY query_id, "rank" """,
+        "m1_multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   lower(hex(encode(substr(text, 1, 4)))) AS header,
+                   md5(text) AS content_md5
+            FROM documents ORDER BY doc_id""",
     }
+
+
+def _sql_list(values) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+def _lang_hits_sql() -> str:
+    return ",\n                ".join(
+        f"len(list_filter(ws, x -> x IN ({_sql_list(lex)}))) AS h_{lang}"
+        for lang, lex in text.LANG_LEXICON.items())
+
+
+# seeded duplicate construction — the SQL twin of _seeded_docs()
+_SEEDED_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, '^[a-z0-9]+ ', '')
+  FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5
+"""
+
+# exact word-3-gram Jaccard pairs over the seeded set — the oracle for both
+# the exact operator (d2) and the LSH-discovered, exactness-verified one (d3)
+_JACCARD_SQL = f"""
+  WITH seeded AS ({_SEEDED_DOCS_SQL}),
+  w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS ws
+    FROM seeded),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(ws) >= 3 THEN
+                    [array_to_string(ws[i:i+2], ' ')
+                     FOR i IN range(1, len(ws) - 1)]
+                  WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                  ELSE [] END) AS shs
+    FROM w),
+  p AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+  pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM p a JOIN p b ON a.s = b.s
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh)
+  SELECT id_a, id_b,
+         round(CAST(common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+"""

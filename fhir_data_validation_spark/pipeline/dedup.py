@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the part that matters at 10^9 documents):
+
+* **exact** — one hash-groupBy on the md5 fingerprint; shuffle carries
+  (hash, id), never text.
+* **n-gram Jaccard (exact)** — explode distinct word-shingles, self-join on
+  shingle to generate candidate pairs (only pairs sharing ≥1 shingle exist),
+  then one array_intersect per pair. Quadratic only within a shingle's
+  posting list — use it to verify, not to discover, at corpus scale.
+* **MinHash+LSH** — the discovery path: per-doc k-min-hash signature
+  (one groupBy over exploded shingles, all xxhash64/min — codegen), band
+  hashes, bucket self-join per band, exact-Jaccard verification of the
+  (few) candidates. Shuffle volume O(docs × bands), not O(pairs).
+* **SimHash** — 64-bit sign-of-weighted-bits signature; near-dup pairs by
+  pigeonhole on 16-bit chunks (hamming ≤ 3 ⇒ one of 4 chunks equal), then
+  ``bit_count(xor) ≤ k`` re-rank.
+
+No Python UDFs anywhere — signatures, bands and hamming are all native
+expressions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, words
+
+
+# ------------------------------------------------------------------ exact ---
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint:
+    (fingerprint, n_docs, doc_ids sorted, keep = smallest id)."""
+    return (df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col).alias("_id"))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+            .where(F.col("n_docs") > 1)
+            .withColumn("keep", F.col("doc_ids")[0]))
+
+
+# -------------------------------------------------------- n-gram Jaccard ----
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined). Documents shorter than n
+    words yield their whole word sequence as one shingle."""
+    w = words(col)
+    k = F.size(w)
+    shingled = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.array_distinct(
+        F.when(k >= n, shingled)
+         .when(k > 0, F.array(F.concat_ws(" ", w)))
+         .otherwise(F.array().cast("array<string>")))
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str,
+                   n: int) -> DataFrame:
+    return (df.select(F.col(id_col).alias("_id"),
+                      word_shingles(F.col(text_col), n).alias("_sh"))
+            .where(F.size("_sh") > 0))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs ≥ threshold:
+    (id_a, id_b, jaccard). Candidate pairs come from the shingle posting
+    lists (pairs with zero overlap are never materialized)."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    posts = sh.select("_id", F.explode("_sh").alias("s"))
+    pairs = (posts.alias("a")
+             .join(posts.alias("b"), "s")
+             .where(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    sizes = sh.select("_id", F.size("_sh").alias("n_sh"))
+    return (pairs
+            .join(sizes.withColumnRenamed("_id", "id_a")
+                       .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("_id", "id_b")
+                       .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("common").cast("double")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("common")), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------------- MinHash+LSH ----
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 128, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """k-min-hash signature per document: (_id, sig array<bigint>).
+
+    One groupBy over the exploded shingle postings with ``n_hashes`` min
+    aggregates of ``xxhash64(shingle, perm)`` — fully codegen, map-side
+    partial aggregation keeps the shuffle at O(docs × n_hashes)."""
+    posts = (_shingle_table(df, text_col, id_col, n)
+             .select("_id", F.explode("_sh").alias("s")))
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
+            for p in range(n_hashes)]
+    sig = posts.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[F.col(f"h{p}")
+                                       for p in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a, id_b) from equal band hashes.
+
+    rows-per-band = n_hashes // bands; a pair collides in band b iff their
+    signature slices match, so P(candidate) ≈ 1-(1-j^r)^bands — with r=2,
+    bands=64 recall at j ≥ 0.6 is 1-1e-12 (effectively exact)."""
+    n_hashes = None  # derived from the array at runtime via slice below
+    buckets = (sigs.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ":", b,
+                    F.slice(F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"))
+                     .cast("array<string>"))).alias("bh")))).alias("bb"))
+        .select("_id", "bb.band", "bb.bh"))
+    return (buckets.alias("a")
+            .join(buckets.alias("b"), ["band", "bh"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+
+
+def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
+                  n_hashes: int = 128, bands: int = 64,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
+    (id_a, id_b, jaccard). LSH discovers candidates in O(docs × bands);
+    the exact check touches only candidate pairs (array_intersect over the
+    two shingle sets — no posting-list blowup)."""
+    cands = lsh_candidates(
+        minhash_signatures(df, n_hashes, n, text_col, id_col), bands)
+    sh = _shingle_table(df, text_col, id_col, n)
+    verified = (cands
+                .join(sh.select(F.col("_id").alias("id_a"),
+                                F.col("_sh").alias("sh_a")), "id_a")
+                .join(sh.select(F.col("_id").alias("id_b"),
+                                F.col("_sh").alias("sh_b")), "id_b")
+                .withColumn("common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard",
+                            F.round(F.col("common").cast("double")
+                                    / (F.size("sh_a") + F.size("sh_b")
+                                       - F.col("common")), 4))
+                .where(F.col("jaccard") >= threshold))
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------- SimHash ---
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: (_id, simhash bigint).
+
+    Explode words, hash each once, then ``bits`` conditional-sum aggregates
+    (+1/-1 per bit) and a sign-vector reassembly — all codegen, one shuffle
+    of O(docs × bits) partials."""
+    posts = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(words(F.col(text_col))).alias("w"))
+             .withColumn("h", F.xxhash64("w")))
+    aggs = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)]
+    sums = posts.groupBy("_id").agg(*aggs)
+    sig = reduce(lambda a, b: a + b,
+                 [F.when(F.col(f"b{i}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), i))
+                   .otherwise(F.lit(0).cast("long"))
+                  for i in range(bits)])
+    return sums.select("_id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_distance: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate pairs with hamming distance ≤ max_distance:
+    (id_a, id_b, hamming). Pigeonhole: with 4 16-bit chunks, distance ≤ 3
+    guarantees ≥1 equal chunk — candidates come from 4 bucket self-joins,
+    then ``bit_count(a XOR b)`` re-ranks exactly."""
+    sigs = simhash(df, text_col, id_col)
+    chunks = (sigs.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright("simhash", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)])).alias("cc"))
+        .select("_id", "simhash", "cc.c", "cc.chunk"))
+    return (chunks.alias("a")
+            .join(chunks.alias("b"), ["c", "chunk"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
+                     .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_distance))

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, by scale:
+
+* :func:`cosine_pairs` — exact all-pairs cosine ≥ threshold via self-join +
+  native zip_with/aggregate dot product. O(n²) — correctness oracle and
+  small dims only.
+* :func:`cosine_topk` — brute-force top-k for a (small) query set: the
+  query matrix broadcasts into an Arrow ``mapInPandas`` stage, each corpus
+  batch does one numpy matmul and emits only its local top-k per query;
+  a final window keeps the global top-k. Shuffle = O(batches × queries × k).
+* :func:`ann_topk` — multi-table sign-random-projection LSH: deterministic
+  hyperplanes (seeded hash), L independent bucket tables, candidates from
+  any-table bucket equality, exact rerank of candidates. Sublinear
+  candidate volume at corpus scale; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.95,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-duplicate pairs: (id_a, id_b, cosine ≥ threshold).
+
+    All-pairs self-join — quadratic; the LSH path (:func:`ann_topk` buckets)
+    is the discovery mechanism at corpus scale, this is the exact
+    verifier / small-scale oracle."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (left.crossJoin(right)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str | None = None) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, vec_id, cosine, rank).
+
+    The query set must be broadcastable (collected to the driver once).
+    Corpus-side work is one vectorized numpy matmul per Arrow batch; each
+    batch emits ≤ queries × k candidate rows, the global window reduces to
+    the true top-k. No per-row Python."""
+    qid = query_id_col or id_col
+    qrows = queries.select(F.col(qid).alias("qid"),
+                           F.col(vec_col).alias("v")).collect()
+    q_ids = [r["qid"] for r in qrows]
+    qm = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
+                                 1e-12)
+            sims = qm @ cm.T                      # (n_queries, batch)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(q_ids, kk),
+                "vec_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 4)))
+
+
+# ------------------------------------------------- sign-random-projection ---
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state — reproducible
+    across drivers/retries, like everything else in the engine)."""
+    idx = np.arange(dim * n_bits, dtype=np.uint64).reshape(n_bits, dim)
+    # splitmix64-style integer mix, mapped to [-0.5, 0.5)
+    z = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z.astype(np.float64) / 2.0 ** 64) - 0.5
+
+
+def srp_signatures(df: DataFrame, n_bits: int = 8, n_tables: int = 16,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Multi-table sign-random-projection buckets: (id, table, bucket).
+
+    One Arrow batch matmul against all ``n_tables × n_bits`` hyperplanes;
+    each table packs its sign bits into one bucket id. L independent tables
+    turn per-table collision probability p^b into recall 1-(1-p^b)^L —
+    the standard SRP-LSH recall/pruning dial."""
+    out_schema = f"{id_col} long, table int, bucket long"
+    weights = np.power(2.0, np.arange(n_bits)).astype(np.float64)
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _hyperplanes(cm.shape[1], n_bits * n_tables, seed)
+            bits = (cm @ planes.T) >= 0   # (batch, n_tables*n_bits)
+            n = len(pdf)
+            bits = bits.reshape(n, n_tables, n_bits)
+            buckets = (bits @ weights).astype(np.int64)   # (batch, n_tables)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": buckets.ravel()})
+
+    return df.select(id_col, vec_col).mapInPandas(_sig, out_schema)
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_bits: int = 8, n_tables: int = 16, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via multi-table SRP-LSH + exact rerank:
+    (query_id, vec_id, cosine, rank).
+
+    Candidates = corpus vectors sharing any table's bucket with the query;
+    exact cosine reranks the candidates. Expected candidate volume ≈
+    n_tables × corpus / 2^n_bits per query; recall at angle θ is
+    1-(1-(1-θ/π)^n_bits)^n_tables. Uniform random vectors are the
+    worst case (no cluster structure) — real embedding corpora cluster, so
+    the same parameters prune far harder there."""
+    c_sig = srp_signatures(corpus, n_bits, n_tables, seed, id_col, vec_col)
+    q_sig = (srp_signatures(queries, n_bits, n_tables, seed, id_col, vec_col)
+             .withColumnRenamed(id_col, "query_id"))
+
+    cand = (q_sig.join(c_sig.withColumnRenamed(id_col, "cand_id"),
+                       ["table", "bucket"])
+            .select("query_id", "cand_id").distinct())
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("cand_id"),
+                       F.col(vec_col).alias("_cv"))
+    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
+              .withColumn("cosine",
+                          F.round(cosine(F.col("_qv"), F.col("_cv")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("cand_id").alias("vec_id"),
+                    "cosine", "rank"))

@@ -1,0 +1,110 @@
+"""Text analysis operators: tokenization, quality, language id, fingerprints.
+
+Everything compiles to native Catalyst expressions (split/rlike/
+regexp_extract_all/aggregate) — no Python in the scan path, so a 100 TB
+documents table is one whole-stage-codegen pass. Each operator has an exact
+ANSI-SQL twin used by the DuckDB oracle (``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2-ish coarse token pattern: word | number | single punctuation.
+# Kept to the regex subset with identical semantics in Java regex and RE2
+# so the DuckDB oracle can state the same expression.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+# tiny per-language stopword lexicons for the n-gram/stopword language-id
+# heuristic (deterministic, closed-world — not a model)
+LANG_LEXICON = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "y", "es", "una", "que"],
+}
+
+EN_STOPWORDS = LANG_LEXICON["en"] + ["it", "that", "for", "on", "with"]
+
+
+def words(col: Column) -> Column:
+    """Lower-cased alphanumeric word array (empty strings removed)."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda w: w != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "[ \\t\\n]+")))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Coarse BPE-ish token count via regex matches (word/number/punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def quality_score(col: Column, n_chars: Column | None = None) -> Column:
+    """Heuristic document quality in [0, 1]: alphabetic density, sane mean
+    word length, stopword presence. The exact arithmetic is mirrored in the
+    oracle SQL; keep both in sync."""
+    n = (n_chars if n_chars is not None else F.length(col)).cast("double")
+    ws = words(col)
+    n_words = F.size(ws).cast("double")
+    alpha = F.length(F.regexp_replace(col, "[^a-zA-Z]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0),
+                     F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(EN_STOPWORDS)))
+    stop_ratio = F.when(n_words > 0,
+                        stop_hits.cast("double") / n_words).otherwise(F.lit(0.0))
+    stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6),
+                     F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.5 * alpha_ratio + 0.25 * wlen_ok + 0.25 * stop_ok, 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-lexicon language id: argmax of per-language hit counts,
+    ``und`` (undetermined) when nothing matches. Ties break in the fixed
+    lexicon order — deterministic."""
+    ws = words(col)
+
+    # NOTE: F.filter introspects the lambda's arity (2nd param = element
+    # index), so the usual `lambda w, lex=lex:` capture trick breaks it —
+    # use a closure factory instead.
+    def in_lex(lex):
+        return lambda w: w.isin(lex)
+
+    hits = {lang: F.size(F.filter(ws, in_lex(lex)))
+            for lang, lex in LANG_LEXICON.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reversed so earlier lexicon order wins ties
+    for lang in reversed(list(LANG_LEXICON)):
+        out = F.when((best > 0) & (hits[lang] == best), lang).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-normalized
+    lower-cased text (md5 so the DuckDB oracle computes the identical
+    value; at scale this is one JVM hash per row either way)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), "[ \\t\\n]+", " ")
+                 .cast("binary"))
+
+
+def analyze(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: id, token counts, quality, language,
+    fingerprint — a single projection over the scan."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -146,56 +146,77 @@ def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                             plan) -> DataFrame:
     """Group-cardinality, closed world (``FhirPathRuleEngine.cs:1794-2152``).
 
-    One conditional hash-aggregation pass: per declared requirement a
-    ``count(when(where ∧ source=…))`` column, plus per-observed-group counts
-    for the undeclared check. The aggregate is tiny (one row), so the
-    comparison runs driver-side and emits one consolidated violation with
-    ``{expected, actual, missing, unexpected}`` detail — exactly the
-    reference's single-error contract.
+    Fully lazy dataflow (no driver-side collect — an eager barrier here
+    serializes the whole validate): one conditional hash-aggregation pass
+    reduces the input to a row per group (per-requirement
+    ``count(when(where, 1))`` + totals), a second single-row rollup compares
+    against the declared requirements and assembles the reference's
+    consolidated ``{expected, actual, missing, outOfRange, unexpected}``
+    detail with Catalyst JSON/array functions. Violation volume: 0 or 1 rows.
     """
     group = plan.config.group_col
     reqs: list[dict[str, Any]] = rule.params["requirements"]
-    # one conditional hash-agg pass: per-group totals + per-requirement
-    # where-filtered counts (the group==source restriction falls out of the
-    # groupBy key, so each requirement reads its own group's row)
     aggs = [F.count(F.lit(1)).alias("_total")]
     for i, req in enumerate(reqs):
         cond = F.lit(True)
         for w in req.get("where", []):
             cond = cond & _where_predicate(rule, w)
         aggs.append(F.count(F.when(cond, 1)).alias(f"_req_{i}"))
-    grouped = {r[group]: r for r in df.groupBy(group).agg(*aggs).collect()}
+    counts = (df.groupBy(F.col(group).cast("string").alias("_grp"))
+              .agg(*aggs))
 
-    declared = {r["source"] for r in reqs}
-    observed = {k: v["_total"] for k, v in grouped.items() if k is not None}
-
-    missing, out_of_range = [], []
+    declared = sorted({r["source"] for r in reqs})
+    # single-row rollup: per-requirement observed count + observed-group map
+    roll = []
     for i, req in enumerate(reqs):
-        row = grouped.get(req["source"])
-        n = row[f"_req_{i}"] if row is not None else 0
-        lo, hi, exact = req["min"], req.get("max"), req.get("exact", False)
-        bad = n < lo or (exact and n != lo) or (hi is not None and n > hi)
-        if bad:
-            (missing if n < lo else out_of_range).append(
-                {"source": req["source"], "expected_min": lo,
-                 "expected_max": hi, "actual": n})
-    unexpected = (sorted(set(observed) - declared)
-                  if rule.params.get("rejectUndeclared") else [])
+        roll.append(F.coalesce(
+            F.max(F.when(F.col("_grp") == req["source"], F.col(f"_req_{i}"))),
+            F.lit(0)).alias(f"_n_{i}"))
+    roll.append(F.to_json(F.map_from_entries(F.sort_array(F.collect_list(
+        F.when(F.col("_grp").isNotNull(),
+               F.struct(F.col("_grp"), F.col("_total"))))))).alias("_actual"))
+    roll.append(F.sort_array(F.collect_list(
+        F.when(F.col("_grp").isNotNull() & ~F.col("_grp").isin(declared),
+               F.col("_grp")))).alias("_unexpected"))
+    rollup = counts.agg(*roll)
 
-    spark = df.sparkSession
-    if not missing and not out_of_range and not unexpected:
-        return spark.createDataFrame([], VIOLATION_SCHEMA)
-    detail = {
-        "expected": json.dumps(reqs, sort_keys=True),
-        "actual": json.dumps(observed, sort_keys=True),
-        "missing": json.dumps(missing, sort_keys=True),
-        "outOfRange": json.dumps(out_of_range, sort_keys=True),
-        "unexpected": json.dumps(unexpected),
-    }
-    row = (None, rule.id, rule.type,
-           rule.error_code or ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
-           rule.severity, None, rule.column or "", detail, stage)
-    return spark.createDataFrame([row], VIOLATION_SCHEMA)
+    missing_e, oor_e = [], []
+    for i, req in enumerate(reqs):
+        n = F.col(f"_n_{i}")
+        lo, hi, exact = req["min"], req.get("max"), req.get("exact", False)
+        # struct fields alphabetical so to_json matches json.dumps(sort_keys)
+        entry = F.struct(n.alias("actual"),
+                         F.lit(hi).cast("long").alias("expected_max"),
+                         F.lit(lo).cast("long").alias("expected_min"),
+                         F.lit(req["source"]).alias("source"))
+        missing_e.append(F.when(n < lo, entry))
+        oor_cond = F.lit(False)
+        if exact:
+            oor_cond = oor_cond | (n != lo)
+        if hi is not None:
+            oor_cond = oor_cond | (n > hi)
+        oor_e.append(F.when((n >= lo) & oor_cond, entry))
+    missing = F.array_compact(F.array(*missing_e))
+    oor = F.array_compact(F.array(*oor_e))
+    unexpected = (F.col("_unexpected") if rule.params.get("rejectUndeclared")
+                  else F.array().cast("array<string>"))
+    bad = (F.size(missing) > 0) | (F.size(oor) > 0) | (F.size(unexpected) > 0)
+
+    json_opts = {"ignoreNullFields": "false"}
+    detail = F.create_map(
+        F.lit("expected"), F.lit(json.dumps(reqs, sort_keys=True)),
+        F.lit("actual"), F.col("_actual"),
+        F.lit("missing"), F.to_json(missing, json_opts),
+        F.lit("outOfRange"), F.to_json(oor, json_opts),
+        F.lit("unexpected"), F.to_json(unexpected),
+    )
+    return (rollup.where(bad)
+            .select(F.lit(None).cast("string").alias("doc_id"),
+                    *_viol_cols(rule, stage,
+                                rule.error_code
+                                or ErrorCode.RESOURCE_REQUIREMENT_VIOLATION),
+                    F.lit(None).cast("string").alias("source"),
+                    detail.alias("detail")))
 
 
 def _where_predicate(rule: RuleDefinition, w: dict[str, Any]):

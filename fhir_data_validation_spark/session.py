@@ -19,6 +19,12 @@ def get_spark(app_name: str = "fhir-data-validation-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # local mode shares ONE heap across all task threads — scale it with
+    # parallelism (a cluster gives each executor its own heap; here 32
+    # concurrent vectorized readers decoding array<int> batches need real
+    # headroom: 4096-row batches × ~1k-element arrays × 32 tasks ≈ 0.5 GB
+    # of column vectors alone)
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores)}g")
     return (
         SparkSession.builder
         .appName(app_name)
@@ -29,8 +35,11 @@ def get_spark(app_name: str = "fhir-data-validation-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # array-heavy rows: halve the columnar batch so per-task decode
+        # memory stays bounded regardless of tokens-array length
+        .config("spark.sql.parquet.columnarReaderBatchSize", "2048")
         .getOrCreate()
     )

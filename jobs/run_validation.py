@@ -1,0 +1,137 @@
+"""spark-submit entry point for a (resumable) validation run.
+
+North-rule packaging requirement (SURVEY §7.2 step 8): the engine ships as a
+zip for ``spark-submit --py-files``; all configuration arrives as job args —
+no code changes between local smoke and the 1000-executor cluster.
+
+Cluster:
+
+    spark-submit \\
+        --master yarn --deploy-mode cluster \\
+        --py-files fhir_data_validation_spark.zip \\
+        jobs/run_validation.py \\
+        --input cat.db.token_sequences --input-format table \\
+        --rules rules.json --output s3://bucket/validation/run42 \\
+        --dim sources_dim=cat.db.sources --run-id run42
+
+Local smoke:
+
+    python jobs/run_validation.py --input /root/testdata/sf0.001 --synth 10000
+
+Resume after failure: re-submit with the same ``--run-id`` and ``--output``;
+completed partitions are skipped via the lineage table (see ``lineage.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local smoke: `python jobs/run_validation.py` from the repo — the package
+# sits next to jobs/. On a cluster --py-files puts the zip on sys.path.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "fhir_data_validation_spark")):
+    sys.path.insert(0, _repo_root)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="parquet path or catalog table of "
+                   "(doc_id, tokens, n_tok, source) sequences")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "table"],
+                   help="'table' reads an Iceberg/HMS catalog table "
+                        "(snapshot scan); 'parquet' a path")
+    p.add_argument("--snapshot-id", default=None,
+                   help="Iceberg snapshot id to validate (VERSION AS OF)")
+    p.add_argument("--synth", type=int, default=0,
+                   help="generate a seeded synthetic dirty token table of N "
+                        "rows instead of reading --input")
+    p.add_argument("--rules", default=None,
+                   help="rules.json path (default: built-in token rule set)")
+    p.add_argument("--output", required=True,
+                   help="output root: violations/, verdicts/, lineage/")
+    p.add_argument("--dim", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="dimension table binding (repeatable)")
+    p.add_argument("--run-id", default=None,
+                   help="stable id for resume; omit for a fresh run")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--group-col", default="source")
+    p.add_argument("--groups-per-batch", type=int, default=4)
+    p.add_argument("--no-resume", action="store_true",
+                   help="single-shot validate (no lineage/checkpointing)")
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] master for smoke runs; on a cluster the "
+                        "master comes from spark-submit")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.lineage import ResumableRun
+    from fhir_data_validation_spark.rulesets import default_token_ruleset
+    from fhir_data_validation_spark.sources.synth import (dirty_token_table,
+                                                          sources_dim)
+
+    session = SparkSession.getActiveSession()
+    if session is None and args.cores:
+        from fhir_data_validation_spark.session import get_spark
+        session = get_spark("fdv-run", cores=args.cores)
+    elif session is None:
+        session = SparkSession.builder.getOrCreate()
+    spark = session
+
+    if args.synth:
+        df = dirty_token_table(spark, args.synth).drop("_row_id")
+    elif args.input_format == "table":
+        reader = spark.read
+        if args.snapshot_id:
+            reader = reader.option("snapshot-id", args.snapshot_id)
+        df = reader.table(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+
+    ruleset = (RuleSet.from_json(args.rules) if args.rules
+               else default_token_ruleset())
+    dims = {}
+    for binding in args.dim:
+        name, _, path = binding.partition("=")
+        dims[name] = (spark.read.parquet(path) if "/" in path
+                      else spark.read.table(path))
+    if not dims and not args.rules:
+        dims["sources_dim"] = sources_dim(spark)  # built-in rule set default
+
+    config = EngineConfig(key_col=args.key_col, group_col=args.group_col)
+    if args.no_resume:
+        res = ValidationEngine(ruleset, dims=dims, config=config).validate(df)
+        res.violations.write.mode("overwrite").parquet(
+            f"{args.output}/violations")
+        res.verdicts.write.mode("overwrite").parquet(
+            f"{args.output}/verdicts")
+        verdicts = res.verdicts
+    else:
+        kwargs = dict(dims=dims, config=config,
+                      groups_per_batch=args.groups_per_batch)
+        if args.run_id:
+            kwargs["run_id"] = args.run_id
+        run = ResumableRun(ruleset, args.output, **kwargs)
+        metrics = run.run(df)
+        verdicts = run.verdicts(spark)
+        print(json.dumps({"run_id": run.run_id,
+                          "partitions": metrics.select("partition_key")
+                                        .distinct().count()}))
+
+    failed = verdicts.where(~verdicts.passed).count()
+    print(json.dumps({"failed_verdicts": failed}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

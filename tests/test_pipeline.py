@@ -1,0 +1,187 @@
+"""Training-pipeline operator tests: text analysis, dedup family,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark.pipeline import (dedup, multimodal,
+                                                 similarity, text)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, docs):
+    """Documents plus seeded near-duplicates: for doc_id < 5, a copy with
+    the first word dropped (near-dup) at doc_id+10000 and an exact copy at
+    doc_id+20000."""
+    near = (docs.where(F.col("doc_id") < 5)
+            .select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.regexp_replace("text", "^[a-z0-9]+ ", "").alias("text"),
+                    "lang", "source", "n_chars"))
+    exact = (docs.where(F.col("doc_id") < 5)
+             .select((F.col("doc_id") + 20000).alias("doc_id"), "text",
+                     "lang", "source", "n_chars"))
+    return docs.unionByName(near).unionByName(exact).cache()
+
+
+# ------------------------------------------------------------------- text ---
+
+def test_token_count_ws(spark, docs):
+    row = docs.select("text", text.token_count_ws(F.col("text"))
+                      .alias("n")).first()
+    assert row["n"] == len(row["text"].split())
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], "text string")
+    got = [r["n"] for r in
+           df.select(text.token_count_ws(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 2]
+
+
+def test_lang_id_und_and_en(spark):
+    df = spark.createDataFrame(
+        [("1", "the cat and the dog of a house"),
+         ("2", "zzz qqq xxx"),
+         ("3", "der hund und die katze ist nicht")], "id string, text string")
+    got = {r["id"]: r["l"] for r in
+           df.select("id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {"1": "en", "2": "und", "3": "de"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("A  b\tc",), ("a b c",)], "text string")
+    fps = [r["f"] for r in
+           df.select(text.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_analyze_one_pass(docs):
+    out = text.analyze(docs)
+    assert out.columns == ["doc_id", "n_tokens_ws", "n_tokens_bpe",
+                           "quality", "lang_pred", "fingerprint"]
+    assert out.count() == docs.count()
+
+
+# ------------------------------------------------------------------ dedup ---
+
+def test_exact_duplicates(seeded):
+    groups = dedup.exact_duplicates(seeded).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g["n_docs"] == 2
+        assert g["keep"] == g["doc_ids"][0] == min(g["doc_ids"])
+
+
+def test_jaccard_pairs_finds_near_dups(seeded):
+    pairs = dedup.jaccard_pairs(seeded, threshold=0.6).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # each seeded trio (base, near, exact) produces 3 pairs
+    for base in range(5):
+        assert (base, base + 10000) in got
+        assert (base, base + 20000) in got
+        assert (base + 10000, base + 20000) in got
+    exact = {p["jaccard"] for p in pairs
+             if p["id_b"] == p["id_a"] + 20000 and p["id_a"] < 5}
+    assert exact == {1.0}
+
+
+def test_minhash_lsh_matches_exact_jaccard(seeded):
+    exact = {(p["id_a"], p["id_b"], p["jaccard"])
+             for p in dedup.jaccard_pairs(seeded, threshold=0.6).collect()}
+    lsh = {(p["id_a"], p["id_b"], p["jaccard"])
+           for p in dedup.minhash_dedup(seeded, threshold=0.6).collect()}
+    assert lsh == exact  # 64 bands × 2 rows ⇒ recall ≈ 1 at j ≥ 0.6
+
+
+def test_simhash_pairs(seeded):
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"]
+             for p in dedup.simhash_pairs(seeded, max_distance=3).collect()}
+    for base in range(5):  # exact copies at hamming 0
+        assert pairs.get((base, base + 20000)) == 0
+
+
+# ------------------------------------------------------------- similarity ---
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_cosine_pairs_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup_pairs = similarity.cosine_pairs(df, threshold=0.99).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_cosine_topk_matches_numpy(embs):
+    queries = embs.where(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(embs.where(F.col("vec_id") >= 3),
+                                 queries, k=5)
+    rows = got.collect()
+    emb = {r["vec_id"]: np.array(r["embedding"]) for r in embs.collect()}
+    for qid in [0, 1, 2]:
+        q = emb[qid] / np.linalg.norm(emb[qid])
+        sims = sorted(((float(q @ (v / np.linalg.norm(v))), cid)
+                       for cid, v in emb.items() if cid >= 3), reverse=True)
+        want = [cid for _, cid in sims[:5]]
+        have = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["query_id"] == qid),
+            key=lambda r: r["rank"])]
+        assert have == want
+
+
+def test_ann_topk_recall(embs):
+    queries = embs.where(F.col("vec_id") < 10)
+    corpus = embs.where(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    approx = similarity.ann_topk(corpus, queries, k=5, n_bits=4,
+                                 n_tables=16).collect()
+    exact_s = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_s = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_s & approx_s) / len(exact_s)
+    assert recall >= 0.6  # multiprobe SRP at 8 bits on 64-dim data
+
+
+# -------------------------------------------------------------- multimodal --
+
+def test_multimodal_meta(docs):
+    mm = multimodal.synth_multimodal(docs)
+    meta = multimodal.extract_meta(mm)
+    row = meta.join(docs.select(F.col("doc_id").cast("string"), "text"),
+                    "doc_id").first()
+    assert row["n_bytes"] == len(row["text"].encode())
+    assert set(r["modality"] for r in meta.collect()) <= set(
+        multimodal.MODALITIES)
+
+
+def test_decode_stub_raises_without_decoder(docs):
+    mm = multimodal.synth_multimodal(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode(mm)
+
+
+def test_decode_with_fake_decoder(docs):
+    mm = multimodal.synth_multimodal(docs)
+    out = multimodal.decode(mm, decoder=multimodal.fake_decoder)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    img = [r for r in rows if r["modality"] == "image"]
+    assert img and all("width" in r["feature"] for r in img)
+
+
+def test_frame_sample(docs):
+    mm = multimodal.synth_multimodal(docs)
+    frames = multimodal.frame_sample(mm, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert per_doc and all(1 <= r["count"] <= 4 for r in per_doc)
+    assert frames.where(F.col("frame_n_bytes") > 64).count() == 0
