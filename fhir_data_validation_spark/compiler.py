@@ -124,6 +124,8 @@ DEFAULT_ERROR_CODES = {
     "ValueExclusivity": ErrorCode.VALUE_EXCLUSIVITY_VIOLATION,
     "Unique": ErrorCode.DUPLICATE_KEY,
     "Reference": ErrorCode.REFERENCE_NOT_FOUND,
+    "Membership": ErrorCode.CODE_NOT_IN_VALUESET,
+    "CodeMaster": ErrorCode.INVALID_ANSWER_VALUE,
     "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
 }
@@ -145,18 +147,38 @@ RULE_STAGES = {
     "Precision": Stage.CONSTRAINT,
     "Unique": Stage.DATASET,
     "Reference": Stage.REFERENCE,
+    "Membership": Stage.BUSINESS,
+    "CodeMaster": Stage.CONSTRAINT,
     "RequiredResources": Stage.DATASET,
     "Drift": Stage.DRIFT,
 }
 
+# rule types executed as dataset plans (aggregation/join passes)
+DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeMaster",
+                      "RequiredResources", "Drift")
+
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:
-    for f_ in schema.fields:
-        if f_.name == name:
-            return f_.dataType
-    raise RuleConfigurationError(
-        rule.id, ErrorCode.INVALID_FIELD_PATH,
-        f"column {name!r} not in schema {[f_.name for f_ in schema.fields]}")
+    """Resolve a (possibly dotted) field path against the schema — the
+    compile-time analog of the reference's path pre-flight
+    (``Services/FieldPathValidator.cs:81ff``, P5 dot-path navigation).
+    Struct descent only; arrays are terminal (element rules use the array
+    rule family)."""
+    node: DataType = schema
+    for i, part in enumerate(name.split(".")):
+        if not isinstance(node, StructType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.INVALID_FIELD_PATH,
+                f"path {name!r}: {'.'.join(name.split('.')[:i])!r} is "
+                f"{node.simpleString()}, cannot descend further")
+        match = next((f_ for f_ in node.fields if f_.name == part), None)
+        if match is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.INVALID_FIELD_PATH,
+                f"column {name!r} not in schema: {part!r} missing from "
+                f"{[f_.name for f_ in node.fields]}")
+        node = match.dataType
+    return node
 
 
 def _smap(*pairs: tuple[str, Column | str]) -> Column:
@@ -227,7 +249,7 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"unknown rule type {rule.type!r}")
-        if rule.type in ("Unique", "Reference", "RequiredResources", "Drift"):
+        if rule.type in DATASET_RULE_TYPES:
             plan.dataset_plans.append(dataset_plans.build(rule, stage, plan))
             continue
 

@@ -170,11 +170,15 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
 
 
 def dedupe_violations(violations: DataFrame) -> DataFrame:
-    """A5: if two stages flag the same (doc_id, error_code, column), the
-    earlier-authority stage wins (``ValidationPipeline.cs:783-827``;
-    STRUCTURE outranks later stages). Dataset-level rows (doc_id null) are
-    never deduped against each other across rules."""
-    w = (Window.partitionBy("doc_id", "error_code", "column")
+    """A5: if two stages flag the same location — (doc_id, error_code,
+    column, element value) — the earlier-authority stage wins
+    (``ValidationPipeline.cs:783-827``; STRUCTURE outranks later stages).
+    ``detail['value']`` stands in for the reference's element-indexed
+    jsonPointer so per-element violations (Membership/CodeMaster) are
+    distinct locations, not duplicates. Dataset-level rows (doc_id null)
+    are never deduped against each other across rules."""
+    w = (Window.partitionBy("doc_id", "error_code", "column",
+                            F.col("detail")["value"])
          .orderBy(F.col("stage").asc(), F.col("rule_id").asc()))
     return (violations
             .withColumn("_rn", F.row_number().over(w))

@@ -70,6 +70,11 @@ class ErrorCode:
     RESOURCE_REQUIREMENT_VIOLATION = "RESOURCE_REQUIREMENT_VIOLATION"
     UNEXPECTED_RESOURCE = "UNEXPECTED_RESOURCE"
     DISTRIBUTION_DRIFT = "DISTRIBUTION_DRIFT"
+    # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
+    CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
+    INVALID_QUESTION_CODE = "INVALID_QUESTION_CODE"
+    INVALID_ANSWER_VALUE = "INVALID_ANSWER_VALUE"
+    MULTIPLE_VALUES_NOT_ALLOWED = "MULTIPLE_VALUES_NOT_ALLOWED"
     # configuration (compile-time, SURVEY §2.3 R2 missing-param contract)
     RULE_CONFIGURATION_ERROR = "RULE_CONFIGURATION_ERROR"
     INVALID_FIELD_PATH = "INVALID_FIELD_PATH"

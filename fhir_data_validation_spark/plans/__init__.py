@@ -41,6 +41,15 @@ def _viol_cols(rule: RuleDefinition, stage: int, error_code: str | None = None,
     ]
 
 
+def _require_dim(rule: RuleDefinition, plan) -> None:
+    dim_name = rule.require_param("dim")
+    if dim_name not in plan.dims:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"{rule.type} rule needs dim {dim_name!r} passed to the engine "
+            f"(have: {sorted(plan.dims)})")
+
+
 def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     from ..compiler import DatasetPlan, DEFAULT_ERROR_CODES
     t = rule.type
@@ -49,13 +58,20 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
     elif t == "Reference":
         rule.require_column()
-        dim_name = rule.require_param("dim")
-        if dim_name not in plan.dims:
-            raise RuleConfigurationError(
-                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                f"Reference rule needs dim {dim_name!r} passed to the engine "
-                f"(have: {sorted(plan.dims)})")
+        _require_dim(rule, plan)
         exec_fn = lambda df, p: reference_plan(df, rule, stage, p)
+    elif t == "Membership":
+        rule.require_column()
+        _require_dim(rule, plan)
+        rule.require_param("on")
+        exec_fn = lambda df, p: membership_plan(df, rule, stage, p)
+    elif t == "CodeMaster":
+        rule.require_column()
+        _require_dim(rule, plan)
+        rule.require_param("keyColumn")
+        rule.require_param("dimKey")
+        rule.require_param("allowedColumn")
+        exec_fn = lambda df, p: codemaster_plan(df, rule, stage, p)
     elif t == "RequiredResources":
         reqs = rule.require_param("requirements")
         if not isinstance(reqs, list) or not reqs:
@@ -110,7 +126,9 @@ def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
 
 def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                    plan) -> DataFrame:
-    """Referential integrity via broadcast anti-join (``ReferenceResolver.cs:22-46``).
+    """Referential integrity via broadcast anti-join (``ReferenceResolver.cs:22-46``),
+    plus the J2 target-type check (``ReferenceResolver.cs:143-169``) when
+    ``params.expectedTypes`` + ``params.typeColumn`` are configured.
 
     Dim side is broadcast when small (the common case for closed-world
     dimensions); for large dims, drop the hint and let AQE pick sort-merge —
@@ -124,20 +142,184 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"dim has no column {on!r} (have {dim.columns})")
+    expected_types = rule.params.get("expectedTypes")
+    type_col = rule.params.get("typeColumn")
+    if expected_types and not type_col:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "expectedTypes requires params.typeColumn naming the dim's "
+            "target-type column")
+    if type_col and type_col not in dim.columns:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dim has no typeColumn {type_col!r} (have {dim.columns})")
+    severity = (Severity.WARNING if rule.params.get("allowExternal")
+                else rule.severity)
+    base = [F.col(plan.config.key_col).cast("string").alias("doc_id"),
+            F.col(plan.config.group_col).cast("string").alias("source")]
+
+    if not expected_types:
+        keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
+        if rule.params.get("broadcast", True):
+            keys = F.broadcast(keys)
+        missing = (df.where(F.col(col).isNotNull())
+                   .join(keys, on=F.col(col) == F.col("_refkey"),
+                         how="left_anti"))
+        return missing.select(
+            base[0],
+            *_viol_cols(rule, stage,
+                        rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
+                        severity),
+            base[1],
+            F.create_map(F.lit("value"),
+                         F.col(col).cast("string")).alias("detail"))
+
+    # J2 lane: one broadcast LEFT join yields both misses and type mismatches
+    keys = (dim.select(F.col(on).alias("_refkey"),
+                       F.col(type_col).alias("_reftype")).dropDuplicates())
+    if rule.params.get("broadcast", True):
+        keys = F.broadcast(keys)
+    joined = (df.where(F.col(col).isNotNull())
+              .join(keys, on=F.col(col) == F.col("_refkey"), how="left"))
+    missing = joined.where(F.col("_refkey").isNull()).select(
+        base[0],
+        *_viol_cols(rule, stage,
+                    rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
+                    severity),
+        base[1],
+        F.create_map(F.lit("value"), F.col(col).cast("string")).alias("detail"))
+    mismatch = (joined.where(F.col("_refkey").isNotNull()
+                             & ~F.col("_reftype").isin(expected_types))
+                .select(
+        base[0],
+        *_viol_cols(rule, stage, ErrorCode.REFERENCE_TYPE_MISMATCH, severity),
+        base[1],
+        F.create_map(F.lit("value"), F.col(col).cast("string"),
+                     F.lit("actualType"), F.col("_reftype").cast("string"),
+                     F.lit("expectedTypes"), F.lit(json.dumps(expected_types)))
+         .alias("detail")))
+    return missing.unionByName(mismatch)
+
+
+# ------------------------------------------------ Membership (R6 terminology)
+
+def membership_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                    plan) -> DataFrame:
+    """Closed-world terminology membership (``FhirPathRuleEngine.cs:1467-1698``):
+    every value (or array element) must exist in the broadcast concept dim;
+    one violation per offending element with its value
+    (``CODE_NOT_IN_VALUESET``, per-element contract
+    ``FhirPathRuleEngine.cs:446-478``). Elements are de-duplicated per row
+    before the join (A6, ``ReferenceResolver.cs:89-103``) so violation
+    volume is bounded by distinct bad values per row."""
+    from pyspark.sql.types import ArrayType
+    col = rule.column
+    dim = plan.dims[rule.params["dim"]]
+    on = rule.params["on"]
+    if on not in dim.columns:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dim has no column {on!r} (have {dim.columns})")
+    is_array = isinstance(df.schema[col].dataType, ArrayType)
+    if is_array:
+        values = (df.select(F.col(plan.config.key_col).alias("_k"),
+                            F.col(plan.config.group_col).alias("_g"),
+                            F.explode(F.array_distinct(F.col(col)))
+                             .alias("_v")))
+    else:
+        values = (df.where(F.col(col).isNotNull())
+                  .select(F.col(plan.config.key_col).alias("_k"),
+                          F.col(plan.config.group_col).alias("_g"),
+                          F.col(col).alias("_v")))
     keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
     if rule.params.get("broadcast", True):
         keys = F.broadcast(keys)
-    severity = (Severity.WARNING if rule.params.get("allowExternal")
-                else rule.severity)
-    missing = (df.where(F.col(col).isNotNull())
-                 .join(keys, on=F.col(col) == F.col("_refkey"), how="left_anti"))
-    return missing.select(
-        F.col(plan.config.key_col).cast("string").alias("doc_id"),
-        *_viol_cols(rule, stage, rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
-                    severity),
-        F.col(plan.config.group_col).cast("string").alias("source"),
-        F.create_map(F.lit("value"), F.col(col).cast("string")).alias("detail"),
-    )
+    bad = values.join(keys, on=F.col("_v") == F.col("_refkey"),
+                      how="left_anti")
+    return bad.select(
+        F.col("_k").cast("string").alias("doc_id"),
+        *_viol_cols(rule, stage,
+                    rule.error_code or ErrorCode.CODE_NOT_IN_VALUESET),
+        F.col("_g").cast("string").alias("source"),
+        F.create_map(F.lit("value"), F.col("_v").cast("string"))
+         .alias("detail"))
+
+
+# ------------------------------------------- CodeMaster (J4/J5 constraint dim)
+
+def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                    plan) -> DataFrame:
+    """Two-level constraint-dim validation (``RuleEngines/CodeMasterEngine.cs``):
+    broadcast-join rows to a constraint dim on a key column, then
+
+    * key missing from the dim ⇒ ``INVALID_QUESTION_CODE``
+      (``CodeMasterEngine.cs:12-143``),
+    * ``multiValue`` false and >1 value ⇒ ``MULTIPLE_VALUES_NOT_ALLOWED``
+      (``CodeMasterEngine.cs:145-234``),
+    * per-element: value ∉ the dim row's allowed list ⇒
+      ``INVALID_ANSWER_VALUE`` — ``array_except`` against the joined allowed
+      array, one violation per offending element.
+
+    Dim schema: (dimKey, allowedColumn array, [multiValueColumn bool]).
+    """
+    from pyspark.sql.types import ArrayType
+    val_col, key_col = rule.column, rule.params["keyColumn"]
+    dim = plan.dims[rule.params["dim"]]
+    dim_key, allowed_col = rule.params["dimKey"], rule.params["allowedColumn"]
+    multi_col = rule.params.get("multiValueColumn")
+    for c, where in ((dim_key, "dim"), (allowed_col, "dim")):
+        if c not in dim.columns:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"{where} has no column {c!r} (have {dim.columns})")
+    is_array = isinstance(df.schema[val_col].dataType, ArrayType)
+
+    dim_sel = [F.col(dim_key).alias("_dkey"),
+               F.col(allowed_col).alias("_allowed")]
+    dim_sel.append((F.col(multi_col) if multi_col else F.lit(True))
+                   .alias("_multi"))
+    joined = (df.where(F.col(key_col).isNotNull())
+              .select(F.col(plan.config.key_col).alias("_k"),
+                      F.col(plan.config.group_col).alias("_g"),
+                      F.col(key_col).alias("_qkey"),
+                      (F.col(val_col) if is_array
+                       else F.array(F.col(val_col))).alias("_vals"))
+              .join(F.broadcast(dim.select(*dim_sel).dropDuplicates(["_dkey"])),
+                    on=F.col("_qkey") == F.col("_dkey"), how="left"))
+
+    base = [F.col("_k").cast("string").alias("doc_id")]
+    tail = [F.col("_g").cast("string").alias("source")]
+    unknown = (joined.where(F.col("_dkey").isNull())
+               .select(*base,
+                       *_viol_cols(rule, stage,
+                                   ErrorCode.INVALID_QUESTION_CODE),
+                       *tail,
+                       F.create_map(F.lit("key"),
+                                    F.col("_qkey").cast("string"))
+                        .alias("detail")))
+    multi = (joined.where(F.col("_dkey").isNotNull() & ~F.col("_multi")
+                          & (F.size("_vals") > 1))
+             .select(*base,
+                     *_viol_cols(rule, stage,
+                                 ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED),
+                     *tail,
+                     F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
+                                  F.lit("count"),
+                                  F.size("_vals").cast("string"))
+                      .alias("detail")))
+    bad_vals = (joined.where(F.col("_dkey").isNotNull())
+                .select(*base[:1], F.col("_g"), F.col("_qkey"),
+                        F.explode(F.array_except(
+                            F.array_distinct("_vals"), "_allowed"))
+                         .alias("_bad")))
+    invalid = bad_vals.select(
+        F.col("doc_id"),
+        *_viol_cols(rule, stage, ErrorCode.INVALID_ANSWER_VALUE),
+        F.col("_g").cast("string").alias("source"),
+        F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
+                     F.lit("value"), F.col("_bad").cast("string"))
+         .alias("detail"))
+    return unknown.unionByName(multi).unionByName(invalid)
 
 
 # ------------------------------------------- RequiredResources (A1 cardinality)

@@ -1,0 +1,85 @@
+"""Structured Streaming validation.
+
+The reference is strictly request/response batch (SURVEY §2.9: no streams),
+and the 10^12-row target validates Iceberg *snapshots*; streaming is the
+continuous-ingest variant of the same contract: validate sequences as they
+land, emit the violations stream, checkpoint via Spark's own offset log.
+
+Two modes:
+
+* :func:`validate_stream` — transformation-only: compiles the per-row rule
+  families onto a streaming DataFrame (the fused predicate pass is stateless,
+  so it lifts to streaming unchanged) and returns the streaming violations
+  DataFrame for the caller to ``writeStream``. Dataset-scoped rules
+  (Unique/Reference/RequiredResources/Drift) need cross-batch or
+  cross-partition visibility and are rejected here.
+* :func:`validate_stream_foreach_batch` — full-engine micro-batching: runs
+  the COMPLETE rule set (including dataset rules, scoped per micro-batch)
+  inside ``foreachBatch`` and appends violations + verdicts parquet keyed by
+  epoch. This is the lane for "validate each arriving Iceberg commit".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compiler import (DATASET_RULE_TYPES, EngineConfig, compile_ruleset)
+from ..engine import ValidationEngine, predicate_violations
+from ..errors import ErrorCode, RuleConfigurationError
+from ..model import RuleSet
+
+
+def validate_stream(stream_df: DataFrame, ruleset: RuleSet,
+                    config: EngineConfig | None = None) -> DataFrame:
+    """Streaming violations DataFrame from the per-row rule families.
+
+    The compiled plan is identical to the batch engine's fused pass —
+    stateless projection/filter, so Catalyst plans it on the micro-batch
+    exactly as on a table scan. ``first``-scope rules and dataset rules are
+    compile-time errors here (they require state or a global view)."""
+    config = config or EngineConfig()
+    bad = [r.id for r in ruleset.rules if r.type in DATASET_RULE_TYPES]
+    if bad:
+        raise RuleConfigurationError(
+            bad[0], ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dataset-scoped rules {bad} need cross-batch state; use "
+            "validate_stream_foreach_batch for the full rule set")
+    first = [r.id for r in ruleset.rules if r.scope.kind == "first"]
+    if first:
+        raise RuleConfigurationError(
+            first[0], ErrorCode.RULE_CONFIGURATION_ERROR,
+            "'first' instance scope needs a window — not defined on an "
+            "unbounded stream")
+    plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    return predicate_violations(stream_df, plan)
+
+
+def validate_stream_foreach_batch(stream_df: DataFrame, ruleset: RuleSet,
+                                  output_root: str,
+                                  dims: dict[str, DataFrame] | None = None,
+                                  config: EngineConfig | None = None,
+                                  trigger: dict | None = None):
+    """Run the FULL engine per micro-batch via ``foreachBatch``; violations
+    and verdicts append to ``<output_root>/violations|verdicts`` with the
+    epoch id. Dataset rules see one micro-batch at a time (a micro-batch ≈
+    one Iceberg commit in the snapshot-validation reading). Returns the
+    started ``StreamingQuery``."""
+    engine = ValidationEngine(ruleset, dims=dims, config=config)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = engine.validate(batch_df)
+        (res.violations.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{output_root}/violations"))
+        (res.verdicts.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{output_root}/verdicts"))
+        res.unpersist()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", f"{output_root}/_checkpoint"))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

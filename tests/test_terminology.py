@@ -1,0 +1,153 @@
+"""Terminology/constraint-dim rule tests: Membership (R6), Reference type
+check (J2), CodeMaster (J4/J5), nested-path navigation (P5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
+from fhir_data_validation_spark.errors import RuleConfigurationError
+from fhir_data_validation_spark.sources.synth import token_table, vocab_dim
+
+
+def _run(spark, df, rules, dims=None, **cfg):
+    engine = ValidationEngine(RuleSet.parse({"rules": rules}), dims=dims,
+                              config=EngineConfig(**cfg) if cfg else None)
+    return engine.validate(df)
+
+
+# -------------------------------------------------------- Membership (R6) ---
+
+def test_membership_array_column(spark):
+    """Out-of-vocab token elements flagged per distinct element (A6 dedup)."""
+    df = spark.createDataFrame(
+        [("d1", [1, 2, 3], "web"),
+         ("d2", [1, 99999, 99999, 2], "web"),   # dup bad value → ONE violation
+         ("d3", [88888, 99999], "web")],
+        "doc_id string, tokens array<int>, source string")
+    res = _run(spark, df,
+               [{"id": "MEM-1", "type": "Membership", "column": "tokens",
+                 "params": {"dim": "vocab", "on": "token_id"}}],
+               dims={"vocab": vocab_dim(spark, 50257)})
+    rows = res.violations.collect()
+    got = {(r["doc_id"], r["detail"]["value"]) for r in rows}
+    assert got == {("d2", "99999"), ("d3", "88888"), ("d3", "99999")}
+    assert all(r["error_code"] == "CODE_NOT_IN_VALUESET" for r in rows)
+
+
+def test_membership_scalar_column(spark):
+    df = spark.createDataFrame(
+        [("d1", "web"), ("d2", "junk")], "doc_id string, source string")
+    dim = spark.createDataFrame([("web",), ("wiki",)], "s string")
+    res = _run(spark, df,
+               [{"id": "MEM-2", "type": "Membership", "column": "source",
+                 "params": {"dim": "src", "on": "s"}}], dims={"src": dim})
+    assert [r["doc_id"] for r in res.violations.collect()] == ["d2"]
+
+
+def test_membership_requires_dim(spark):
+    df = token_table(spark, 10)
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df, [{"id": "MEM-3", "type": "Membership",
+                          "column": "tokens",
+                          "params": {"dim": "nope", "on": "x"}}])
+
+
+# ------------------------------------------------- Reference type check (J2) -
+
+def test_reference_type_check(spark):
+    df = spark.createDataFrame(
+        [("d1", "r1", "g"), ("d2", "r2", "g"), ("d3", "r9", "g")],
+        "doc_id string, ref string, source string")
+    dim = spark.createDataFrame(
+        [("r1", "Patient"), ("r2", "Device")],
+        "key string, target_type string")
+    res = _run(spark, df,
+               [{"id": "REF-T", "type": "Reference", "column": "ref",
+                 "params": {"dim": "d", "on": "key",
+                            "typeColumn": "target_type",
+                            "expectedTypes": ["Patient", "Group"]}}],
+               dims={"d": dim})
+    got = {r["doc_id"]: r["error_code"] for r in res.violations.collect()}
+    assert got == {"d2": "REFERENCE_TYPE_MISMATCH",
+                   "d3": "REFERENCE_NOT_FOUND"}
+    mism = res.violations.where("doc_id = 'd2'").collect()[0]
+    assert mism["detail"]["actualType"] == "Device"
+
+
+def test_reference_expected_types_needs_type_column(spark):
+    df = spark.createDataFrame([("d1", "r1", "g")],
+                               "doc_id string, ref string, source string")
+    dim = spark.createDataFrame([("r1",)], "key string")
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df,
+             [{"id": "REF-B", "type": "Reference", "column": "ref",
+               "params": {"dim": "d", "on": "key",
+                          "expectedTypes": ["Patient"]}}], dims={"d": dim})
+
+
+# ------------------------------------------------------- CodeMaster (J4/J5) -
+
+@pytest.fixture()
+def qa_frame(spark):
+    return spark.createDataFrame(
+        [("d1", "Q1", ["yes"], "scr"),          # ok
+         ("d2", "Q1", ["maybe"], "scr"),        # invalid answer
+         ("d3", "Q9", ["yes"], "scr"),          # unknown question
+         ("d4", "Q2", ["a", "b"], "scr"),       # multi not allowed
+         ("d5", "Q2", ["a"], "scr"),            # ok
+         ("d6", "Q1", ["yes", "no", "huh"], "scr")],  # multi ok + 1 invalid
+        "doc_id string, qcode string, answers array<string>, source string")
+
+
+@pytest.fixture()
+def qa_dim(spark):
+    return spark.createDataFrame(
+        [("Q1", ["yes", "no"], True), ("Q2", ["a", "b"], False)],
+        "code string, allowed array<string>, multi boolean")
+
+
+def test_codemaster(spark, qa_frame, qa_dim):
+    res = _run(spark, qa_frame,
+               [{"id": "CM-1", "type": "CodeMaster", "column": "answers",
+                 "params": {"dim": "cm", "keyColumn": "qcode",
+                            "dimKey": "code", "allowedColumn": "allowed",
+                            "multiValueColumn": "multi"}}],
+               dims={"cm": qa_dim})
+    got = {(r["doc_id"], r["error_code"]) for r in res.violations.collect()}
+    assert got == {("d2", "INVALID_ANSWER_VALUE"),
+                   ("d3", "INVALID_QUESTION_CODE"),
+                   ("d4", "MULTIPLE_VALUES_NOT_ALLOWED"),
+                   ("d6", "INVALID_ANSWER_VALUE")}
+    bad = {r["doc_id"]: r["detail"] for r in res.violations
+           .where("error_code = 'INVALID_ANSWER_VALUE'").collect()}
+    assert bad["d2"]["value"] == "maybe" and bad["d6"]["value"] == "huh"
+
+
+def test_codemaster_missing_dim_column(spark, qa_frame, qa_dim):
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, qa_frame,
+             [{"id": "CM-2", "type": "CodeMaster", "column": "answers",
+               "params": {"dim": "cm", "keyColumn": "qcode",
+                          "dimKey": "nope", "allowedColumn": "allowed"}}],
+             dims={"cm": qa_dim})
+
+
+# ------------------------------------------------- nested-path rules (P5) ---
+
+def test_nested_struct_path(spark):
+    df = spark.createDataFrame(
+        [("d1", {"a": {"b": 5}}, "g"), ("d2", {"a": {"b": 50}}, "g")],
+        "doc_id string, payload struct<a: struct<b: int>>, source string")
+    res = _run(spark, df,
+               [{"id": "NST-1", "type": "Range", "column": "payload.a.b",
+                 "params": {"min": 0, "max": 10}}])
+    assert [r["doc_id"] for r in res.violations.collect()] == ["d2"]
+
+
+def test_nested_path_rejects_bad_segment(spark):
+    df = spark.createDataFrame(
+        [("d1", {"a": 1}, "g")],
+        "doc_id string, payload struct<a: int>, source string")
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df, [{"id": "NST-2", "type": "Range",
+                          "column": "payload.a.b", "params": {"min": 0}}])
