@@ -182,12 +182,17 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
 
 
 def _smap(*pairs: tuple[str, Column | str]) -> Column:
-    """Build a map<string,string> detail column from (key, value) pairs."""
+    """Build a map<string,string> detail column from (key, value) pairs.
+    The empty map is explicitly typed — a bare ``create_map()`` is
+    map<void,void>, which breaks the dedup key's ``detail['value']``
+    lookup when a rule set contains only detail-less rules."""
     args: list[Column] = []
     for k, v in pairs:
         args.append(F.lit(k))
         args.append(v.cast("string") if isinstance(v, Column) else F.lit(str(v)))
-    return F.create_map(*args) if args else F.create_map()
+    if not args:
+        return F.create_map().cast("map<string,string>")
+    return F.create_map(*args)
 
 
 def _nonempty(col: Column, dtype: DataType) -> Column:
