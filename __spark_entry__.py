@@ -286,9 +286,9 @@ def q_d2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(128)+LSH(64 bands) with exact-Jaccard verification — at the
-    configured band/row split recall at j ≥ 0.6 is ≈ 1, so the verified
-    candidate set equals the exact pair set (the oracle)."""
+    """MinHash(64)+LSH(32 bands) with exact-Jaccard verification — at the
+    configured band/row split recall at j ≥ 0.6 is ≈ 1-6e-7, so the
+    verified candidate set equals the exact pair set (the oracle)."""
     out = dedup.minhash_dedup(_seeded_docs(spark, sf), threshold=0.6)
     return (out.select(F.col("id_a").cast("long").alias("id_a"),
                        F.col("id_b").cast("long").alias("id_b"), "jaccard")
@@ -315,11 +315,14 @@ def _seeded_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_d5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup over seeded identical copies (threshold
-    0.999 ⇒ only true copies). Cosine value omitted from the projection:
-    float32 accumulation-order differences vs the oracle are below the
+    0.999 ⇒ only true copies) via the scale path: SRP-LSH candidate
+    buckets + exact rerank (identical vectors have identical signatures in
+    every table ⇒ recall 1 by construction, so the exact-pair oracle
+    matches). Cosine value omitted from the projection: float32
+    accumulation-order differences vs the oracle are below the
     pair-detection threshold but not below hash equality."""
-    out = similarity.cosine_pairs(_seeded_embeddings(spark, sf),
-                                  threshold=0.999)
+    out = similarity.embedding_near_dup(_seeded_embeddings(spark, sf),
+                                        threshold=0.999)
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 

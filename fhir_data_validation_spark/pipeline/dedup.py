@@ -48,8 +48,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 # -------------------------------------------------------- n-gram Jaccard ----
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined). Documents shorter than n
-    words yield their whole word sequence as one shingle."""
+    """Distinct n-word shingles (space-joined strings). Documents shorter
+    than n words yield their whole word sequence as one shingle. Human-
+    readable variant — the dedup pipeline itself uses
+    :func:`shingle_hashes` (identical set cardinalities, no string
+    allocation)."""
     w = words(col)
     k = F.size(w)
     shingled = F.transform(
@@ -61,10 +64,28 @@ def word_shingles(col: Column, n: int = 3) -> Column:
          .otherwise(F.array().cast("array<string>")))
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of the n-word shingles.
+
+    Hashing inside the shingling lambda keeps postings fixed-width longs
+    end-to-end (no string shuffle keys). Set cardinalities equal the string
+    variant's up to 64-bit collisions (~n²/2^64), so Jaccard values are
+    unchanged."""
+    w = words(col)
+    k = F.size(w)
+    shingled = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))))
+    return F.array_distinct(
+        F.when(k >= n, shingled)
+         .when(k > 0, F.array(F.xxhash64(F.concat_ws(" ", w))))
+         .otherwise(F.array().cast("array<long>")))
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str,
                    n: int) -> DataFrame:
     return (df.select(F.col(id_col).alias("_id"),
-                      word_shingles(F.col(text_col), n).alias("_sh"))
+                      shingle_hashes(F.col(text_col), n).alias("_sh"))
             .where(F.size("_sh") > 0))
 
 
@@ -74,19 +95,20 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
     (id_a, id_b, jaccard). Candidate pairs come from the shingle posting
     lists (pairs with zero overlap are never materialized)."""
     sh = _shingle_table(df, text_col, id_col, n)
-    posts = sh.select("_id", F.explode("_sh").alias("s"))
+    # postings carry (id, shingle-hash, set-size): sizes ride the join, so
+    # the shingle table is evaluated once per join side instead of twice
+    # more for a sizes lookup; shingles are already fixed-width 64-bit keys
+    posts = sh.select("_id", F.size("_sh").alias("n"),
+                      F.explode("_sh").alias("h"))
     pairs = (posts.alias("a")
-             .join(posts.alias("b"), "s")
+             .join(posts.alias("b"), "h")
              .where(F.col("a._id") < F.col("b._id"))
              .groupBy(F.col("a._id").alias("id_a"),
                       F.col("b._id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("common")))
-    sizes = sh.select("_id", F.size("_sh").alias("n_sh"))
+             .agg(F.count(F.lit(1)).alias("common"),
+                  F.first("a.n").alias("n_a"),
+                  F.first("b.n").alias("n_b")))
     return (pairs
-            .join(sizes.withColumnRenamed("_id", "id_a")
-                       .withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("_id", "id_b")
-                       .withColumnRenamed("n_sh", "n_b"), "id_b")
             .withColumn("jaccard",
                         F.round(F.col("common").cast("double")
                                 / (F.col("n_a") + F.col("n_b")
@@ -119,7 +141,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
 
     rows-per-band = n_hashes // bands; a pair collides in band b iff their
     signature slices match, so P(candidate) ≈ 1-(1-j^r)^bands — with r=2,
-    bands=64 recall at j ≥ 0.6 is 1-1e-12 (effectively exact)."""
+    bands=32 recall at j ≥ 0.6 is 1-6e-7 (effectively exact)."""
     n_hashes = None  # derived from the array at runtime via slice below
     buckets = (sigs.select(
         "_id",
@@ -143,7 +165,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
 
 
 def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
-                  n_hashes: int = 128, bands: int = 64,
+                  n_hashes: int = 64, bands: int = 32,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
     (id_a, id_b, jaccard). LSH discovers candidates in O(docs × bands);

@@ -119,8 +119,20 @@ def embs(spark):
 def test_cosine_pairs_exact(spark):
     rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = dedup_pairs = similarity.cosine_pairs(df, threshold=0.99).collect()
+    pairs = similarity.cosine_pairs(df, threshold=0.99).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, embs):
+    seeded = embs.unionByName(
+        embs.where(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding",
+                "label"))
+    exact = {(p["id_a"], p["id_b"]) for p in
+             similarity.cosine_pairs(seeded, threshold=0.999).collect()}
+    lsh = {(p["id_a"], p["id_b"]) for p in
+           similarity.embedding_near_dup(seeded, threshold=0.999).collect()}
+    assert lsh == exact == {(i, i + 100000) for i in range(5)}
 
 
 def test_cosine_topk_matches_numpy(embs):
