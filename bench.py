@@ -65,6 +65,13 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
                             partitions=cores), "n_tok", 64)}
     engine = ValidationEngine(default_token_ruleset(with_drift=True),
                               dims=dims)
+    # untimed warmup: JIT + codegen compilation + Python-worker startup are
+    # per-process fixed costs, <0.1% of a real corpus-scale job — the timed
+    # figure is sustained throughput (same protocol as tools/scaling_bench)
+    warm = engine.validate(df)
+    warm.violations.count()
+    warm.verdicts.count()
+    warm.unpersist()
     t0 = time.perf_counter()
     res = engine.validate(df)
     n_viol = res.violations.count()
@@ -80,7 +87,7 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "200000"))
+    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "400000"))
     spark = get_spark("fdv-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
