@@ -224,6 +224,46 @@ def q_a5_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")).orderBy("rule_id"))
 
 
+def q_r6_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-world membership (R6): customer nation keys must exist in the
+    nation dim — per-element broadcast anti-join lane (CODE_NOT_IN_VALUESET
+    error model), distinct from the Reference row lane."""
+    df = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation").where(F.col("n_nationkey") < 20)
+    res = _validate(spark, df,
+                    [{"id": "MEM-1", "type": "Membership",
+                      "column": "c_nationkey",
+                      "params": {"dim": "nation", "on": "n_nationkey"}}],
+                    key_col="c_custkey", group_col="c_mktsegment",
+                    dims={"nation": nation})
+    return (res.violations.select("doc_id", "rule_id", "error_code", "source",
+                                  F.col("detail")["value"].alias("value"))
+            .orderBy("doc_id"))
+
+
+def q_j4_codemaster(spark: SparkSession, sf: str) -> DataFrame:
+    """CodeMaster constraint dim (J4/J5): per-status allowed order
+    priorities; violations are per-value INVALID_ANSWER_VALUE plus
+    INVALID_QUESTION_CODE for statuses missing from the dim."""
+    df = load_table(spark, sf, "orders")
+    dim = spark.createDataFrame(
+        [("O", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW"], True),
+         ("F", ["1-URGENT", "2-HIGH"], True)],
+        "status string, allowed array<string>, multi boolean")
+    res = _validate(spark, df,
+                    [{"id": "CM-1", "type": "CodeMaster",
+                      "column": "o_orderpriority",
+                      "params": {"dim": "cm", "keyColumn": "o_orderstatus",
+                                 "dimKey": "status",
+                                 "allowedColumn": "allowed",
+                                 "multiValueColumn": "multi"}}],
+                    key_col="o_orderkey", group_col="o_orderstatus",
+                    dims={"cm": dim})
+    return (res.violations.select("doc_id", "rule_id", "error_code", "source")
+            .orderBy("doc_id", "error_code"))
+
+
 # ------------------------------------------- training-pipeline operators ----
 
 def _seeded_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -371,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_histogram": q_c4_histogram,
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
+        "r6_membership": q_r6_membership,
+        "j4_codemaster": q_j4_codemaster,
         "t1_token_count": q_t1_token_count,
         "t2_quality": q_t2_quality,
         "t3_lang_id": q_t3_lang_id,
@@ -497,6 +539,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
             ORDER BY doc_id, rule_id, error_code, source""",
+        "r6_membership": """
+            SELECT CAST(c_custkey AS VARCHAR) AS doc_id, 'MEM-1' AS rule_id,
+                   'CODE_NOT_IN_VALUESET' AS error_code,
+                   c_mktsegment AS source,
+                   CAST(c_nationkey AS VARCHAR) AS value
+            FROM customer
+            WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN (
+              SELECT n_nationkey FROM nation WHERE n_nationkey < 20)
+            ORDER BY doc_id""",
+        "j4_codemaster": """
+            SELECT * FROM (
+              SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                     'CM-1' AS rule_id,
+                     'INVALID_QUESTION_CODE' AS error_code,
+                     o_orderstatus AS source
+              FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+              UNION ALL
+              SELECT CAST(o_orderkey AS VARCHAR), 'CM-1',
+                     'INVALID_ANSWER_VALUE', o_orderstatus
+              FROM orders WHERE o_orderstatus = 'F'
+                AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+            ORDER BY doc_id, error_code""",
         "t1_token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
