@@ -91,6 +91,7 @@ class DatasetPlan:
     rule: RuleDefinition
     stage: int
     execute: Callable[[DataFrame, "CompiledPlan"], DataFrame] = None  # → violations DF
+    codes: tuple[str, ...] = ()   # error codes this plan can emit
 
 
 @dataclass
@@ -106,6 +107,23 @@ class CompiledPlan:
     @property
     def rule_ids(self) -> list[str]:
         return [p.rule.id for p in self.predicates] + [d.rule.id for d in self.dataset_plans]
+
+    def needs_dedupe(self) -> bool:
+        """A5 dedup is only needed when two rules can emit the same
+        (error_code, column) location — decidable at compile time, saving a
+        full shuffle of the violations otherwise (SURVEY §4.1: skip stages
+        whose inputs cannot exist)."""
+        seen: set[tuple[str, str]] = set()
+        keys: list[tuple[str, str]] = []
+        for p in self.predicates:
+            keys.append((p._error_code(), p.rule.column or ""))
+        for d in self.dataset_plans:
+            keys.extend((c, d.rule.column or "") for c in d.codes)
+        for k in keys:
+            if k in seen:
+                return True
+            seen.add(k)
+        return False
 
 
 DEFAULT_ERROR_CODES = {

@@ -86,7 +86,9 @@ class ValidationEngine:
         # can flip broadcast joins to sort-merge (measured 3-4× slowdown).
         plan = self.compile(df)
         violations = self._all_violations(df, plan)
-        if self.config.dedupe:
+        # skip the dedup shuffle when no two rules can collide on an
+        # (error_code, column) location — compile-time decidable
+        if self.config.dedupe and plan.needs_dedupe():
             violations = dedupe_violations(violations)
         # Violations are *reduced* data (bounded by bad rows, not input rows):
         # persist so the verdict aggregation and downstream consumers don't

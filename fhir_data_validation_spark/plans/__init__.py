@@ -53,12 +53,15 @@ def _require_dim(rule: RuleDefinition, plan) -> None:
 def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     from ..compiler import DatasetPlan, DEFAULT_ERROR_CODES
     t = rule.type
+    codes: tuple[str, ...] = (rule.error_code or DEFAULT_ERROR_CODES[t],)
     if t == "Unique":
         rule.require_column()
         exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
     elif t == "Reference":
         rule.require_column()
         _require_dim(rule, plan)
+        if rule.params.get("expectedTypes"):
+            codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
         exec_fn = lambda df, p: reference_plan(df, rule, stage, p)
     elif t == "Membership":
         rule.require_column()
@@ -71,6 +74,9 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         rule.require_param("keyColumn")
         rule.require_param("dimKey")
         rule.require_param("allowedColumn")
+        codes = (ErrorCode.INVALID_QUESTION_CODE,
+                 ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
+                 ErrorCode.INVALID_ANSWER_VALUE)
         exec_fn = lambda df, p: codemaster_plan(df, rule, stage, p)
     elif t == "RequiredResources":
         reqs = rule.require_param("requirements")
@@ -96,7 +102,7 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"unknown dataset rule type {t!r}")
-    return DatasetPlan(rule=rule, stage=stage, execute=exec_fn)
+    return DatasetPlan(rule=rule, stage=stage, execute=exec_fn, codes=codes)
 
 
 # ---------------------------------------------------------------- Unique (C3)
