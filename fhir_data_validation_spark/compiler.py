@@ -54,6 +54,9 @@ class EngineConfig:
     salt_buckets: int = 16      # salt fan-out for skewed group_col aggregations
     dedupe: bool = True         # A5 cross-stage dedup; disable when key_col is not unique
     violation_partitions: int = 32  # post-scan exchange width for violating rows
+    # governance severity downgrades keyed by rule id; Contract-class rules
+    # refuse them (Models/RuleSet.cs:93-100, QuestionAnswerValidator.cs:19-23)
+    severity_overrides: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass
@@ -266,7 +269,29 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
 
     from . import plans as dataset_plans  # local import to avoid cycle
 
+    overrides = dict(config.severity_overrides)
+    known = {r.id for r in ruleset.rules}
+    for rid in overrides:
+        if rid not in known:
+            raise RuleConfigurationError(
+                rid, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "severity override targets unknown rule id")
+
     for rule in ruleset.rules:
+        if rule.id in overrides:
+            new_sev = overrides[rule.id]
+            if new_sev not in Severity.ALL:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"severity override {new_sev!r} not in {Severity.ALL}")
+            # Contract rules are never severity-downgraded
+            # (Models/RuleSet.cs:93-100); only Business rules may be
+            if rule.validation_class == "Contract":
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    "Contract-class rules cannot be severity-downgraded")
+            from dataclasses import replace
+            rule = replace(rule, severity=new_sev)
         stage = RULE_STAGES.get(rule.type)
         if stage is None:
             raise RuleConfigurationError(

@@ -66,3 +66,47 @@ def test_good_ruleset_compiles(spark, schema):
     assert len(plan.rule_ids) == 11
     assert len(plan.predicates) == 8
     assert len(plan.dataset_plans) == 3
+
+
+def test_severity_override_business_rule(spark):
+    """Governance downgrade: Business rules may be downgraded
+    (Models/RuleSet.cs:93-100); the violation carries the new severity."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    df = dirty_token_table(spark, 1000).drop("_row_id")
+    rs = RuleSet.parse({"rules": [
+        {"id": "REQ-X", "type": "Required", "column": "tokens"}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        severity_overrides=(("REQ-X", "warning"),))).validate(df)
+    sev = [r["severity"] for r in
+           res.violations.select("severity").distinct().collect()]
+    assert sev == ["warning"]
+    assert res.passed() is True  # warnings never block
+
+
+def test_severity_override_contract_rule_refused(spark):
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import token_table
+    df = token_table(spark, 10)
+    rs = RuleSet.parse({"rules": [
+        {"id": "CON-1", "type": "Range", "column": "n_tok",
+         "validationClass": "Contract", "params": {"min": 1}}]})
+    with pytest.raises(RuleConfigurationError):
+        ValidationEngine(rs, config=EngineConfig(
+            severity_overrides=(("CON-1", "warning"),))).validate(df)
+
+
+def test_severity_override_unknown_rule_refused(spark):
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import token_table
+    df = token_table(spark, 10)
+    rs = RuleSet.parse({"rules": [
+        {"id": "A", "type": "Required", "column": "tokens"}]})
+    with pytest.raises(RuleConfigurationError):
+        ValidationEngine(rs, config=EngineConfig(
+            severity_overrides=(("NOPE", "warning"),))).validate(df)
