@@ -3,18 +3,21 @@
 Execution model (SURVEY §3.4 / §4.3), re-expressing the reference pipeline
 (``Core/ValidationPipeline.cs:80-480``) as Spark dataflow:
 
-1. **Fused predicate pass** — every per-row rule contributes one
-   ``when(cond, struct(...))`` entry to a single projection; non-null entries
-   are compacted and exploded. One scan serves all rules (the reference's
-   rule-grouping-by-resourceType optimization, ``FhirPathRuleEngine.cs:77-79``,
-   generalized), stays entirely in whole-stage codegen, and never fails the
-   job on data errors (collect-all semantics,
+1. **Fused predicate pass** — one codegen'd filter on the OR of every
+   per-row rule condition over the scan, then violation structs built and
+   exploded for the (rare) violating rows after an exchange (see
+   :func:`predicate_violations` for why). One scan serves all rules (the
+   reference's rule-grouping-by-resourceType optimization,
+   ``FhirPathRuleEngine.cs:77-79``, generalized) and never fails the job on
+   data errors (collect-all semantics,
    ``JsonNodeStructuralValidator.cs:60-61``).
-2. **Dataset passes** — uniqueness / referential / cardinality / drift plans
-   (see ``plans/``), unioned by name into the same violations schema.
+2. **Dataset passes** — uniqueness / referential / membership / CodeMaster /
+   cardinality / drift plans (see ``plans/``), unioned by name into the same
+   violations schema.
 3. **Dedup** — stage-priority ``row_number`` dedup on
-   ``(doc_id, error_code, column)``, earlier authority wins
-   (``ValidationPipeline.DeduplicateErrors``, ``ValidationPipeline.cs:783-827``).
+   ``(doc_id, error_code, column, element value)``, earlier authority wins
+   (``ValidationPipeline.DeduplicateErrors``, ``ValidationPipeline.cs:783-827``);
+   skipped entirely when the compiled plan proves no collision is possible.
 4. **Verdicts** — per-(group, rule) pass/fail aggregation
    (``FinalizeSummary``, ``ValidationPipeline.cs:755-770``), including rules
    with zero violations; pass ⇔ zero error-severity violations
@@ -29,11 +32,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .compiler import (CompiledPlan, EngineConfig, VIOLATION_COLUMNS,
-                       compile_ruleset)
+from .compiler import CompiledPlan, EngineConfig, compile_ruleset
 from .errors import Severity
 from .model import RuleSet
 

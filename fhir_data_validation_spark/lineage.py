@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from .compiler import EngineConfig
 from .engine import ValidationEngine, ValidationResult
-from .model import RuleDefinition, RuleSet
+from .model import RuleSet
 
 # rule types that must see the whole dataset, not one group partition
 _GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift")

@@ -142,7 +142,6 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
     rows-per-band = n_hashes // bands; a pair collides in band b iff their
     signature slices match, so P(candidate) ≈ 1-(1-j^r)^bands — with r=2,
     bands=32 recall at j ≥ 0.6 is 1-6e-7 (effectively exact)."""
-    n_hashes = None  # derived from the array at runtime via slice below
     buckets = (sigs.select(
         "_id",
         F.explode(F.transform(

@@ -17,7 +17,6 @@ Three tiers, by scale:
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
