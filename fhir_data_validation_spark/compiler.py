@@ -59,17 +59,30 @@ class EngineConfig:
     severity_overrides: tuple[tuple[str, str], ...] = ()
 
 
+ELEMENTS_TYPE = "array<struct<i:int,v:string>>"
+
+
 @dataclass
 class PredicateEntry:
-    """One fused-scan rule: fires a violation struct when scope ∧ condition."""
+    """One fused-scan rule: fires a violation struct when scope ∧ condition.
+
+    ``elements`` (per-element rules, ``params.perElement``) carries the
+    indexed bad elements; the engine fans them out into one violation per
+    element AFTER the violating-rows exchange — the reference's
+    one-error-per-invalid-array-element contract
+    (``FhirPathRuleEngine.cs:446-478``) at O(bad elements) cost.
+    """
 
     rule: RuleDefinition
     condition: Column           # True ⇒ violation (already includes scope)
     detail: Column              # map<string,string>
     stage: int = Stage.BUSINESS
+    elements: Column | None = None  # array<struct<i,v>> of bad elements
 
     def violation_struct(self) -> Column:
         r = self.rule
+        elements = (self.elements if self.elements is not None
+                    else F.lit(None).cast(ELEMENTS_TYPE))
         return F.when(
             self.condition,
             F.struct(
@@ -80,6 +93,7 @@ class PredicateEntry:
                 F.lit(r.column or "").alias("column"),
                 self.detail.alias("detail"),
                 F.lit(self.stage).alias("stage"),
+                elements.alias("elements"),
             ),
         )
 
@@ -248,9 +262,11 @@ def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
         has_bad = F.exists(col, is_bad)
     bad_count = F.size(F.filter(col, is_bad))
     indexed = F.transform(col, lambda x, i: F.struct(i.alias("i"), x.alias("v")))
-    examples = F.to_json(F.slice(F.filter(indexed, lambda s: is_bad(s["v"])),
-                                 1, max_examples))
-    return has_bad, bad_count, examples
+    bad_raw = F.filter(indexed, lambda s: is_bad(s["v"]))
+    examples = F.to_json(F.slice(bad_raw, 1, max_examples))
+    bad_elements = F.transform(bad_raw, lambda s: F.struct(
+        s["i"].cast("int").alias("i"), s["v"].cast("string").alias("v")))
+    return has_bad, bad_count, examples, bad_elements
 
 
 def compile_ruleset(ruleset: RuleSet, schema: StructType,
@@ -302,9 +318,12 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             continue
 
         scope = _scope_condition(rule, schema, config, plan)
-        cond, detail = _compile_predicate(rule, schema, config)
+        out = _compile_predicate(rule, schema, config)
+        cond, detail = out[0], out[1]
+        elements = out[2] if len(out) == 3 else None
         plan.predicates.append(PredicateEntry(
-            rule=rule, condition=scope & cond, detail=detail, stage=stage))
+            rule=rule, condition=scope & cond, detail=detail, stage=stage,
+            elements=elements))
     return plan
 
 
@@ -390,12 +409,14 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         if isinstance(dtype, ArrayType):
             # native path: any element ≠ expected ⇔ something survives
             # array_remove(col, expected)
-            has_bad, bad_count, examples = _bad_elements(
+            has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, lambda v: v != F.lit(expected), config.max_examples,
                 has_bad=F.size(F.array_remove(col, expected)) > 0)
             cond = _nonempty(col, dtype) & has_bad
-            return cond, _smap(("expected", expected), ("badCount", bad_count),
-                               ("examples", examples))
+            return (cond,
+                    _smap(("expected", expected), ("badCount", bad_count),
+                          ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         cond = _nonempty(col, dtype) & (col != F.lit(expected))
         return cond, _smap(("expected", expected), ("actual", col))
 
@@ -409,13 +430,15 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         if isinstance(dtype, ArrayType):
             lit_vals = F.array(*[F.lit(v) for v in values])
             # native path: set-difference non-empty ⇔ some element ∉ values
-            has_bad, bad_count, examples = _bad_elements(
+            has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, lambda v: ~F.array_contains(lit_vals, v),
                 config.max_examples,
                 has_bad=F.size(F.array_except(col, lit_vals)) > 0)
             cond = _nonempty(col, dtype) & has_bad
-            return cond, _smap(("allowed", allowed), ("badCount", bad_count),
-                               ("examples", examples))
+            return (cond,
+                    _smap(("allowed", allowed), ("badCount", bad_count),
+                          ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         cond = _nonempty(col, dtype) & ~col.isin(values)
         return cond, _smap(("actual", col), ("allowed", allowed))
 
@@ -452,14 +475,16 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"TokenDomain column {col_name!r} is {dtype.simpleString()}, not array")
         # native path: domain is an interval, so min/max bound all elements
-        has_bad, bad_count, examples = _bad_elements(
+        has_bad, bad_count, examples, bad_els = _bad_elements(
             col, lambda v: (v < F.lit(lo)) | (v >= F.lit(hi)),
             config.max_examples,
             has_bad=(F.array_min(col) < F.lit(lo))
                     | (F.array_max(col) >= F.lit(hi)))
         cond = _nonempty(col, dtype) & has_bad
-        return cond, _smap(("min", lo), ("maxExclusive", hi),
-                           ("badCount", bad_count), ("examples", examples))
+        return (cond,
+                _smap(("min", lo), ("maxExclusive", hi),
+                      ("badCount", bad_count), ("examples", examples)),
+                bad_els if rule.params.get("perElement") else None)
 
     if t == "Range":
         lo, hi = rule.params.get("min"), rule.params.get("max")

@@ -159,14 +159,37 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
         violating = (df.where(any_cond)
                        .repartition(cfg.violation_partitions))
         arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
-        part = (violating
-                .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
-                        F.col(cfg.group_col).cast("string").alias("source"),
-                        F.explode(arr).alias("v"))
-                .select("doc_id", "v.rule_id", "v.rule_type", "v.error_code",
-                        "v.severity", "source", "v.column", "v.detail",
-                        "v.stage"))
-        parts.append(part)
+        fired = (violating
+                 .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
+                         F.col(cfg.group_col).cast("string").alias("source"),
+                         F.explode(arr).alias("v")))
+        base = ["doc_id", "v.rule_id", "v.rule_type", "v.error_code",
+                "v.severity", "source", "v.column"]
+        has_elements = any(p.elements is not None for p in chunk)
+        plain = fired.where(F.col("v.elements").isNull()) if has_elements \
+            else fired
+        plain = plain.select(*base, F.col("v.detail").alias("detail"),
+                             "v.stage")
+        parts.append(plain)
+        if has_elements:
+            # per-element fan-out (params.perElement): one violation per bad
+            # element with its index — runs on fired rows only, O(bad
+            # elements) (FhirPathRuleEngine.cs:446-478)
+            per_el = (fired.where(F.col("v.elements").isNotNull())
+                      .select(*base, F.col("v.detail").alias("_detail"),
+                              F.col("v.stage").alias("stage"),
+                              F.explode("v.elements").alias("e"))
+                      .select("doc_id", "rule_id", "rule_type", "error_code",
+                              "severity", "source", "column",
+                              F.map_concat(
+                                  F.col("_detail"),
+                                  F.create_map(
+                                      F.lit("index"),
+                                      F.col("e.i").cast("string"),
+                                      F.lit("value"), F.col("e.v")))
+                               .alias("detail"),
+                              "stage"))
+            parts.append(per_el)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -182,7 +205,8 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
     distinct locations, not duplicates. Dataset-level rows (doc_id null)
     are never deduped against each other across rules."""
     w = (Window.partitionBy("doc_id", "error_code", "column",
-                            F.col("detail")["value"])
+                            F.col("detail")["value"],
+                            F.col("detail")["index"])
          .orderBy(F.col("stage").asc(), F.col("rule_id").asc()))
     return (violations
             .withColumn("_rn", F.row_number().over(w))

@@ -151,3 +151,33 @@ def test_nested_path_rejects_bad_segment(spark):
     with pytest.raises(RuleConfigurationError):
         _run(spark, df, [{"id": "NST-2", "type": "Range",
                           "column": "payload.a.b", "params": {"min": 0}}])
+
+
+# --------------------------------------------- per-element fan-out (R2/R3) --
+
+def test_per_element_violations(spark):
+    """params.perElement: one violation per bad array element with its
+    index (FhirPathRuleEngine.cs:446-478 one-error-per-invalid-element)."""
+    df = spark.createDataFrame(
+        [("d1", [1, 99999, 2, 88888], "web"),
+         ("d2", [1, 2], "web")],
+        "doc_id string, tokens array<int>, source string")
+    res = _run(spark, df,
+               [{"id": "DOM-E", "type": "TokenDomain", "column": "tokens",
+                 "params": {"min": 0, "maxExclusive": 50257,
+                            "perElement": True}}])
+    rows = res.violations.collect()
+    got = {(r["doc_id"], r["detail"]["index"], r["detail"]["value"])
+           for r in rows}
+    assert got == {("d1", "1", "99999"), ("d1", "3", "88888")}
+
+
+def test_per_element_off_by_default(spark):
+    df = spark.createDataFrame(
+        [("d1", [1, 99999, 2, 88888], "web")],
+        "doc_id string, tokens array<int>, source string")
+    res = _run(spark, df,
+               [{"id": "DOM-R", "type": "TokenDomain", "column": "tokens",
+                 "params": {"min": 0, "maxExclusive": 50257}}])
+    rows = res.violations.collect()
+    assert len(rows) == 1 and rows[0]["detail"]["badCount"] == "2"
