@@ -1,1 +1,2 @@
 from .validate import validate_stream, validate_stream_foreach_batch  # noqa: F401
+from .monitor import violation_rates  # noqa: F401

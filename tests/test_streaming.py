@@ -78,3 +78,42 @@ def test_foreach_batch_full_engine(spark, corpus_dir, tmp_path):
     assert viol.select("epoch").distinct().count() >= 2  # real micro-batches
     verd = spark.read.parquet(f"{out}/verdicts")
     assert verd.where("rule_id = 'UNQ-001'").count() >= 1
+
+
+def test_windowed_violation_rates(spark, tmp_path):
+    """Watermarked windowed violation-rate monitor: streaming result equals
+    the batch result of the identical aggregation."""
+    from pyspark.sql import functions as F
+
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.streaming import violation_rates
+
+    src = str(tmp_path / "ts_tokens")
+    (dirty_token_table(spark, 2000).drop("_row_id")
+     .withColumn("ts", F.timestamp_seconds(
+         F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(600))))
+     .repartition(4).write.parquet(src))
+    batch_df = spark.read.parquet(src)
+    rules = RuleSet.parse({"rules": [
+        {"id": "REQ-T", "type": "Required", "column": "tokens"},
+        {"id": "DOM-T", "type": "TokenDomain", "column": "tokens",
+         "params": {"min": 0, "maxExclusive": 50257}}]})
+
+    batch = {((r["window"]["start"], r["source"])): (r["rows"], r["REQ-T"],
+                                                     r["DOM-T"])
+             for r in violation_rates(batch_df, rules, "ts",
+                                      "5 minutes").collect()}
+    assert sum(v[1] for v in batch.values()) == 20   # 1% of 2000
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (violation_rates(stream, rules, "ts", "5 minutes")
+         .writeStream.format("memory").queryName("rates")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {((r["window"]["start"], r["source"])): (r["rows"], r["REQ-T"],
+                                                   r["DOM-T"])
+           for r in spark.sql("SELECT * FROM rates").collect()}
+    assert got == batch
