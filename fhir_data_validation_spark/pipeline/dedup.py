@@ -96,10 +96,15 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
     lists (pairs with zero overlap are never materialized)."""
     sh = _shingle_table(df, text_col, id_col, n)
     # postings carry (id, shingle-hash, set-size): sizes ride the join, so
-    # the shingle table is evaluated once per join side instead of twice
-    # more for a sizes lookup; shingles are already fixed-width 64-bit keys
-    posts = sh.select("_id", F.size("_sh").alias("n"),
-                      F.explode("_sh").alias("h"))
+    # no separate sizes lookup; shingles are already fixed-width 64-bit keys.
+    # localCheckpoint materializes the postings ONCE for both self-join
+    # sides (Catalyst does not reuse the exchange across the aliased
+    # branches — measured 2× the shingling cost without it). At cluster
+    # scale swap for a persisted intermediate table: localCheckpoint blocks
+    # die with their executor.
+    posts = (sh.select("_id", F.size("_sh").alias("n"),
+                       F.explode("_sh").alias("h"))
+             .localCheckpoint(eager=False))
     pairs = (posts.alias("a")
              .join(posts.alias("b"), "h")
              .where(F.col("a._id") < F.col("b._id"))
@@ -120,15 +125,17 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
 # ----------------------------------------------------------- MinHash+LSH ----
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 128, n: int = 3,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """k-min-hash signature per document: (_id, sig array<bigint>).
 
     One groupBy over the exploded shingle postings with ``n_hashes`` min
     aggregates of ``xxhash64(shingle, perm)`` — fully codegen, map-side
-    partial aggregation keeps the shuffle at O(docs × n_hashes)."""
-    posts = (_shingle_table(df, text_col, id_col, n)
-             .select("_id", F.explode("_sh").alias("s")))
+    partial aggregation keeps the shuffle at O(docs × n_hashes).
+    ``shingles`` lets callers reuse a materialized shingle table."""
+    sh = shingles if shingles is not None else _shingle_table(
+        df, text_col, id_col, n)
+    posts = sh.select("_id", F.explode("_sh").alias("s"))
     aggs = [F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
             for p in range(n_hashes)]
     sig = posts.groupBy("_id").agg(*aggs)
@@ -170,9 +177,12 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
     (id_a, id_b, jaccard). LSH discovers candidates in O(docs × bands);
     the exact check touches only candidate pairs (array_intersect over the
     two shingle sets — no posting-list blowup)."""
+    # one materialized shingle table serves the signature aggregation and
+    # both verification joins (see jaccard_pairs for the checkpoint note)
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=False)
     cands = lsh_candidates(
-        minhash_signatures(df, n_hashes, n, text_col, id_col), bands)
-    sh = _shingle_table(df, text_col, id_col, n)
+        minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh),
+        bands)
     verified = (cands
                 .join(sh.select(F.col("_id").alias("id_a"),
                                 F.col("_sh").alias("sh_a")), "id_a")
