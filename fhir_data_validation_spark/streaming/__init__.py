@@ -1,2 +1,3 @@
 from .validate import validate_stream, validate_stream_foreach_batch  # noqa: F401
 from .monitor import violation_rates  # noqa: F401
+from .stateful import running_violation_totals  # noqa: F401

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator: running per-group violation totals.
+
+``applyInPandasWithState`` keeps (rows_seen, violations_seen) per group
+across micro-batches — the streaming analog of the batch verdict table's
+cumulative view, and the escape hatch for stateful logic Spark's windowed
+aggregations can't express (here: lifetime totals + first-seen batch
+tracking without windows). State size is O(groups); Arrow batches in, one
+summary row per updated group out per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from ..compiler import DATASET_RULE_TYPES, EngineConfig, compile_ruleset
+from ..errors import ErrorCode, RuleConfigurationError
+from ..model import RuleSet
+
+OUTPUT_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("rows_total", LongType()),
+    StructField("violations_total", LongType()),
+    StructField("batches_seen", LongType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("rows", LongType()),
+    StructField("violations", LongType()),
+    StructField("batches", LongType()),
+])
+
+
+def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
+                             config: EngineConfig | None = None) -> DataFrame:
+    """Streaming DataFrame of lifetime (rows, violations, batches) per
+    group, updated every micro-batch via ``applyInPandasWithState``.
+
+    The per-row rule conditions compile to ONE boolean column before the
+    stateful stage, so the Python side only sums booleans — no rule logic
+    crosses the Arrow boundary."""
+    config = config or EngineConfig()
+    bad = [r.id for r in ruleset.rules
+           if r.type in DATASET_RULE_TYPES or r.scope.kind == "first"]
+    if bad:
+        raise RuleConfigurationError(
+            bad[0], ErrorCode.RULE_CONFIGURATION_ERROR,
+            "dataset-scoped / first-scope rules not supported in the "
+            "stateful streaming lane")
+    plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    any_cond = plan.predicates[0].condition
+    for p in plan.predicates[1:]:
+        any_cond = any_cond | p.condition
+
+    slim = stream_df.select(
+        F.coalesce(F.col(config.group_col).cast("string"), F.lit("<null>"))
+         .alias("source"),
+        F.coalesce(any_cond, F.lit(False)).cast("int").alias("_viol"))
+
+    def update(key: Tuple[str],
+               pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = violations = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            violations += int(pdf["_viol"].sum())
+        if state.exists:
+            prev_rows, prev_viol, prev_batches = state.get
+        else:
+            prev_rows = prev_viol = prev_batches = 0
+        new = (prev_rows + rows, prev_viol + violations, prev_batches + 1)
+        state.update(new)
+        yield pd.DataFrame([{"source": key[0], "rows_total": new[0],
+                             "violations_total": new[1],
+                             "batches_seen": new[2]}])
+
+    return (slim.groupBy("source")
+            .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -117,3 +117,46 @@ def test_windowed_violation_rates(spark, tmp_path):
                                                    r["DOM-T"])
            for r in spark.sql("SELECT * FROM rates").collect()}
     assert got == batch
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: lifetime per-group totals accumulate across
+    micro-batches; final totals equal the batch counts."""
+    from pyspark.sql import functions as F
+
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.streaming import running_violation_totals
+
+    src = str(tmp_path / "sf_tokens")
+    (dirty_token_table(spark, 2000).drop("_row_id")
+     .repartition(4).write.parquet(src))
+    batch_df = spark.read.parquet(src)
+    rules = RuleSet.parse({"rules": [
+        {"id": "REQ-S", "type": "Required", "column": "tokens"}]})
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (running_violation_totals(stream, rules)
+         .writeStream.format("memory").queryName("totals")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends one row per (batch, group) update;
+    # the LAST row per group carries the lifetime totals
+    rows = spark.sql("SELECT * FROM totals").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["source"])
+        if cur is None or r["batches_seen"] > cur["batches_seen"]:
+            final[r["source"]] = r
+    want_rows = {r["source"]: r["n"] for r in
+                 batch_df.groupBy(F.coalesce("source", F.lit("<null>"))
+                                  .alias("source"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_rows = {k: v["rows_total"] for k, v in final.items()}
+    assert got_rows == want_rows
+    total_viol = sum(v["violations_total"] for v in final.values())
+    assert total_viol == 20  # 1% of 2000 empty-tokens rows
+    assert max(v["batches_seen"] for v in final.values()) >= 2
