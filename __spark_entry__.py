@@ -311,6 +311,18 @@ def q_t4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_t5_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style quality-filter rules running through the engine's
+    CustomExpr lane — quality filtering fuses into the same one-scan
+    violation pass as every other rule."""
+    from fhir_data_validation_spark.pipeline.presets import \
+        gopher_quality_rules
+    df = load_table(spark, sf, "documents")
+    res = _validate(spark, df, gopher_quality_rules()["rules"],
+                    key_col="doc_id", group_col="lang")
+    return _viol(res)
+
+
 def q_d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup.exact_duplicates(_seeded_docs(spark, sf))
     return (out.select("fingerprint", "n_docs",
@@ -417,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality": q_t2_quality,
         "t3_lang_id": q_t3_lang_id,
         "t4_fingerprint": q_t4_fingerprint,
+        "t5_quality_filter": q_t5_quality_filter,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_jaccard_pairs": q_d2_jaccard_pairs,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -612,6 +625,40 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
                        'g')) AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "t5_quality_filter": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                len(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS n,
+                len(list_distinct(list_filter(regexp_split_to_array(
+                    lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS n_dist,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS symbols
+              FROM documents)
+            SELECT * FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'QF-WORDCOUNT' AS rule_id,
+                     'QUALITY_WORD_COUNT' AS error_code, lang AS source
+              FROM w WHERE NOT coalesce(n >= 5 AND n <= 100000, FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-WORDLEN',
+                     'QUALITY_MEAN_WORD_LENGTH', lang
+              FROM w WHERE NOT coalesce(n = 0 OR
+                (CAST(alpha AS DOUBLE) / n >= 2.0
+                 AND CAST(alpha AS DOUBLE) / n <= 12.0), FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-DUPWORDS',
+                     'QUALITY_DUPLICATE_WORDS', lang
+              FROM w WHERE NOT coalesce(n = 0 OR
+                1.0 - CAST(n_dist AS DOUBLE) / n <= 0.5, FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-SYMBOLS',
+                     'QUALITY_SYMBOL_RATIO', lang
+              FROM w WHERE NOT coalesce(n_chars = 0 OR
+                CAST(symbols AS DOUBLE) / n_chars <= 0.3, FALSE))
+            ORDER BY doc_id, rule_id, error_code, source""",
         "d1_exact_dedup": f"""
             WITH seeded AS ({_SEEDED_DOCS_SQL}),
             fp AS (

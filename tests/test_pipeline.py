@@ -197,3 +197,20 @@ def test_frame_sample(docs):
     per_doc = frames.groupBy("doc_id").count().collect()
     assert per_doc and all(1 <= r["count"] <= 4 for r in per_doc)
     assert frames.where(F.col("frame_n_bytes") > 64).count() == 0
+
+
+def test_gopher_quality_rules(spark, docs):
+    """Quality-filter presets run through the engine like any rule set."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.pipeline.presets import \
+        gopher_quality_ruleset
+    res = ValidationEngine(gopher_quality_ruleset(),
+                           config=EngineConfig(key_col="doc_id",
+                                               group_col="lang")
+                           ).validate(docs)
+    by_rule = {r["rule_id"]: r["n"] for r in
+               res.violations.groupBy("rule_id").count()
+               .withColumnRenamed("count", "n").collect()}
+    # synthetic word-soup docs: duplicate-word rule fires, wordcount doesn't
+    assert by_rule.get("QF-DUPWORDS", 0) > 0
+    assert "QF-WORDCOUNT" not in by_rule
