@@ -7,15 +7,20 @@ dataflow over tables of pre-tokenized training sequences
 See SURVEY.md for the full semantic mapping.
 """
 
+from . import skew, stats  # noqa: F401  (operator namespaces)
 from .compiler import EngineConfig, compile_ruleset
 from .engine import ValidationEngine, ValidationResult, validate
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
+from .lineage import LineageStore, ResumableRun
 from .model import InstanceScope, RuleDefinition, RuleSet
+from .report import QualityReport, quality_report
 
 __all__ = [
-    "EngineConfig", "ErrorCode", "InstanceScope", "RuleConfigurationError",
+    "EngineConfig", "ErrorCode", "InstanceScope", "LineageStore",
+    "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
-    "ValidationEngine", "ValidationResult", "compile_ruleset", "validate",
+    "ValidationEngine", "ValidationResult", "compile_ruleset",
+    "quality_report", "skew", "stats", "validate",
 ]
 
 __version__ = "0.1.0"
