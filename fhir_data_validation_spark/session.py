@@ -31,6 +31,10 @@ def get_spark(app_name: str = "fhir-data-validation-spark",
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # FAIR job scheduling: concurrent submitters (ResumableRun batch
+        # threads, overlapping dataset passes) share executors instead of
+        # queueing whole jobs FIFO behind each other
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -53,6 +53,11 @@ def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
             "dataset-scoped / first-scope rules not supported in the "
             "stateful streaming lane")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    if not plan.predicates:
+        raise RuleConfigurationError(
+            "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,
+            "stateful streaming lane needs at least one per-row predicate "
+            "rule (ruleset compiled to zero predicates)")
     any_cond = plan.predicates[0].condition
     for p in plan.predicates[1:]:
         any_cond = any_cond | p.condition

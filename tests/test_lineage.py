@@ -91,6 +91,30 @@ def test_interrupted_batch_overwrites_not_duplicates(spark, dirty, tmp_path):
     assert run.violations(spark).count() == n1
 
 
+def test_shared_output_root_isolates_runs(spark, dirty, tmp_path):
+    """Two runs sharing an output root must not leak each other's rows into
+    violations()/verdicts() — the pass/fail gate reads only this run_id."""
+    out = str(tmp_path / "out")
+    run_a = ResumableRun(_ruleset(), out, run_id="ra")
+    run_a.run(dirty)
+    n_a = run_a.violations(spark).count()
+    run_b = ResumableRun(_ruleset(), out, run_id="rb")
+    run_b.run(dirty)
+    assert run_a.violations(spark).count() == n_a
+    assert run_b.violations(spark).count() == n_a
+    assert run_b.verdicts(spark).count() == run_a.verdicts(spark).count()
+    # lineage read failure on a corrupt file must propagate, not silently
+    # restart the run (only path-not-found means "first run")
+    import os
+    lineage_dir = f"{out}/lineage"
+    for f in os.listdir(lineage_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(lineage_dir, f), "wb") as fh:
+                fh.write(b"not parquet")
+    with pytest.raises(Exception):
+        LineageStore(lineage_dir).read(spark).collect()
+
+
 def test_dims_flow_through(spark, dirty, tmp_path):
     run = ResumableRun(default_token_ruleset(), str(tmp_path / "out"),
                        dims={"sources_dim": sources_dim(spark)}, run_id="r5")

@@ -78,7 +78,57 @@ def test_exact_duplicates(seeded):
     assert len(groups) == 5
     for g in groups:
         assert g["n_docs"] == 2
-        assert g["keep"] == g["doc_ids"][0] == min(g["doc_ids"])
+        assert g["keep"] == g["example_ids"][0] == min(g["example_ids"])
+
+
+def test_exact_duplicates_bounded_examples(spark):
+    """A pathological duplicate group yields count + min-id + capped
+    examples, never an unbounded id list (scale contract)."""
+    df = spark.createDataFrame([(i, "same text") for i in range(100)],
+                               "doc_id long, text string")
+    out = dedup.exact_duplicates(df, max_examples=5).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["n_docs"] == 100 and g["keep"] == 0
+    assert g["example_ids"] == [0, 1, 2, 3, 4]
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops a boilerplate shingle from candidate generation
+    (quadratic blowup from one posting list) without changing the Jaccard
+    value of pairs that also share normal shingles."""
+    boiler = "click here now to subscribe and get our free daily newsletter"
+    rows = [(i, f"{boiler} unique{i} filler{i} trailing{i}")
+            for i in range(50)]
+    # one genuine near-dup pair sharing real content beyond the boilerplate
+    rows += [(100, f"{boiler} alpha beta gamma delta epsilon"),
+             (101, f"{boiler} alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.jaccard_pairs(df, threshold=0.3, max_shingle_df=10)
+    got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in capped.collect()}
+    # the 50 boilerplate-only docs share ONLY >cap shingles → no pairs
+    assert all(a >= 100 for a, _ in got), got
+    # uncapped, the boilerplate swamp floods the pair space (50·49/2 pairs)
+    uncapped = {(p["id_a"], p["id_b"]): p["jaccard"]
+                for p in dedup.jaccard_pairs(
+                    df, threshold=0.3, max_shingle_df=None).collect()}
+    assert len(uncapped) > 1000
+    # the real pair survives, with jaccard computed over FULL shingle sets
+    assert got[(100, 101)] == uncapped[(100, 101)]
+
+
+def test_lsh_bucket_cap_drops_giant_cliques(spark):
+    """max_bucket_size: a giant identical-text clique is excluded from LSH
+    pair generation (exact_duplicates handles it at linear cost); distinct
+    near-dup pairs outside the clique are still found."""
+    clique = [(i, "identical boilerplate page content here") for i in range(30)]
+    pair = [(100, "alpha beta gamma delta epsilon zeta eta"),
+            (101, "alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(clique + pair, "doc_id long, text string")
+    out = dedup.minhash_dedup(df, threshold=0.3, max_bucket_size=10).collect()
+    got = {(p["id_a"], p["id_b"]) for p in out}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), got
 
 
 def test_jaccard_pairs_finds_near_dups(seeded):

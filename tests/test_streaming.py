@@ -160,3 +160,15 @@ def test_stateful_running_totals(spark, tmp_path):
     total_viol = sum(v["violations_total"] for v in final.values())
     assert total_viol == 20  # 1% of 2000 empty-tokens rows
     assert max(v["batches_seen"] for v in final.values()) >= 2
+
+
+def test_stateful_rejects_empty_predicate_ruleset(spark):
+    """A ruleset that compiles to zero per-row predicates is a configuration
+    error, not an IndexError (ADVICE r1)."""
+    import pytest
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.streaming import running_violation_totals
+    df = spark.createDataFrame([("d1", "web")], "doc_id string, source string")
+    with pytest.raises(RuleConfigurationError):
+        running_violation_totals(df, RuleSet(rules=()))

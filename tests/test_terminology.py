@@ -172,6 +172,39 @@ def test_per_element_violations(spark):
     assert got == {("d1", "1", "99999"), ("d1", "3", "88888")}
 
 
+def test_null_array_elements_fixed_value(spark):
+    """Null elements are mismatches in BOTH lanes: the native has_bad
+    (array_remove retains nulls) and the lambda-built detail/elements must
+    agree, otherwise perElement fan-out silently drops the violation."""
+    df = spark.createDataFrame(
+        [("d1", ["x", None, "x"], "web"),     # null-only mismatch
+         ("d2", ["x", "y", None], "web"),     # mixed
+         ("d3", ["x", "x"], "web")],          # clean
+        "doc_id string, vals array<string>, source string")
+    res = _run(spark, df,
+               [{"id": "FIX-N", "type": "FixedValue", "column": "vals",
+                 "params": {"value": "x"}}])
+    rows = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d1"]["badCount"] == "1"      # the null element is counted
+    assert rows["d2"]["badCount"] == "2"
+
+
+def test_null_array_elements_per_element(spark):
+    """perElement with a null-only mismatch must still emit a violation
+    (regression: empty elements array made the row vanish in the fan-out)."""
+    df = spark.createDataFrame(
+        [("d1", ["a", None], "web")],
+        "doc_id string, vals array<string>, source string")
+    res = _run(spark, df,
+               [{"id": "ALW-N", "type": "AllowedValues", "column": "vals",
+                 "params": {"values": ["a", "b"], "perElement": True}}])
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "d1" and rows[0]["detail"]["index"] == "1"
+    assert rows[0]["detail"]["value"] is None
+
+
 def test_per_element_off_by_default(spark):
     df = spark.createDataFrame(
         [("d1", [1, 99999, 2, 88888], "web")],
