@@ -114,6 +114,30 @@ def q_p3_first_scope(spark: SparkSession, sf: str) -> DataFrame:
     return res.violations.select("doc_id", "source").orderBy("source")
 
 
+def q_p5_nested_elements(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 array-of-struct element paths: lineitems rolled up per order into
+    a sorted array<struct>, then a perElement Range rule on
+    ``items[*].l_quantity`` — one violation per bad element with its index
+    (native GetArrayStructFields extraction, no higher-order function in
+    the full-scan filter)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                       "l_linenumber", "l_quantity", "l_returnflag")))
+                   .alias("items"),
+                   F.min("l_returnflag").alias("rflag")))
+    res = _validate(spark, orders,
+                    [{"id": "NST-1", "type": "Range",
+                      "column": "items[*].l_quantity",
+                      "params": {"min": 1, "max": 45, "perElement": True}}],
+                    key_col="l_orderkey", group_col="rflag")
+    return (res.violations.select(
+                "doc_id", "rule_id", "error_code",
+                F.col("detail")["index"].alias("idx"),
+                F.col("detail")["value"].alias("value"))
+            .orderBy("doc_id", "idx"))
+
+
 def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """RequiredResources-style closed-world cardinality: nations per region
     (A1) — broadcast join + conditional aggregation."""
@@ -414,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_range": q_r5_range,
         "r7_custom_expr": q_r7_custom_expr,
         "p3_first_scope": q_p3_first_scope,
+        "p5_nested_elements": q_p5_nested_elements,
         "a1_group_cardinality": q_a1_group_cardinality,
         "a4_summary": q_a4_summary,
         "a5_dedup": q_a5_dedup,
@@ -488,6 +513,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(o_orderkey) AS VARCHAR) AS doc_id,
                    o_orderstatus AS source
             FROM orders GROUP BY o_orderstatus ORDER BY source""",
+        "p5_nested_elements": """
+            WITH it AS (
+              SELECT l_orderkey, l_quantity,
+                     row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_quantity, l_returnflag) - 1
+                       AS i
+              FROM lineitem)
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   'NST-1' AS rule_id, 'ANSWER_OUT_OF_RANGE' AS error_code,
+                   CAST(i AS VARCHAR) AS idx,
+                   CAST(l_quantity AS VARCHAR) AS value
+            FROM it WHERE l_quantity < 1 OR l_quantity > 45
+            ORDER BY doc_id, idx""",
         "a1_group_cardinality": """
             SELECT r.r_name, count(n.n_nationkey) AS n_nations,
                    count(n.n_nationkey) >= 5 AS passed

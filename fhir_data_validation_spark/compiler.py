@@ -201,15 +201,26 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
     """Resolve a (possibly dotted) field path against the schema — the
     compile-time analog of the reference's path pre-flight
     (``Services/FieldPathValidator.cs:81ff``, P5 dot-path navigation).
-    Struct descent only; arrays are terminal (element rules use the array
-    rule family)."""
+
+    ``segment[*]`` marks array traversal (the reference's repeated-element
+    navigation, ``RuleEngines/FhirPathRuleEngine.cs:648-723``): the path
+    continues into the array's struct elements and the resolved type is the
+    derived ``array<leaf>``. One ``[*]`` per path (nested repetition has no
+    single-index error model). Arrays without ``[*]`` stay terminal."""
     node: DataType = schema
-    for i, part in enumerate(name.split(".")):
+    parts = name.split(".")
+    seen_array = False
+    for i, part in enumerate(parts):
+        want_elements = part.endswith("[*]")
+        if want_elements:
+            part = part[:-3]
         if not isinstance(node, StructType):
             raise RuleConfigurationError(
                 rule.id, ErrorCode.INVALID_FIELD_PATH,
-                f"path {name!r}: {'.'.join(name.split('.')[:i])!r} is "
-                f"{node.simpleString()}, cannot descend further")
+                f"path {name!r}: {'.'.join(parts[:i])!r} is "
+                f"{node.simpleString()}, cannot descend further"
+                + (" (use 'segment[*]' to traverse arrays)"
+                   if isinstance(node, ArrayType) else ""))
         match = next((f_ for f_ in node.fields if f_.name == part), None)
         if match is None:
             raise RuleConfigurationError(
@@ -217,7 +228,37 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
                 f"column {name!r} not in schema: {part!r} missing from "
                 f"{[f_.name for f_ in node.fields]}")
         node = match.dataType
+        if want_elements:
+            if not isinstance(node, ArrayType):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.INVALID_FIELD_PATH,
+                    f"path {name!r}: {part!r} is {node.simpleString()}, "
+                    "not an array — '[*]' traverses arrays only")
+            if seen_array:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.INVALID_FIELD_PATH,
+                    f"path {name!r}: only one '[*]' per path is supported")
+            seen_array = True
+            if i < len(parts) - 1:
+                node = node.elementType
+    if seen_array and not isinstance(node, ArrayType):
+        # a[*].b.c — the physical value is the derived array of leaves
+        # (Spark's GetArrayStructFields: a.b.c over array<struct> extracts
+        # array<c> natively, inside codegen — no higher-order function)
+        node = ArrayType(node, containsNull=True)
     return node
+
+
+def _is_element_path(name: str) -> bool:
+    """True when the path traverses an array with ``[*]`` into per-element
+    leaves (P5)."""
+    return "[*]" in name and not name.endswith("[*]")
+
+
+def _spark_path(name: str) -> str:
+    """Physical column path: ``a[*].b`` → ``a.b`` (array-of-struct field
+    extraction is plain dot access in Spark SQL)."""
+    return name.replace("[*]", "")
 
 
 def _smap(*pairs: tuple[str, Column | str]) -> Column:
@@ -411,9 +452,28 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     col_name = rule.require_column()
     dtype = _field_type(schema, col_name, rule)
-    col = F.col(col_name)
+    col = F.col(_spark_path(col_name))
+    # a[*].b element path: `col` is the natively-derived array of leaves;
+    # scalar rule families switch to per-element lanes below (index-aware
+    # details, FhirPathRuleEngine.cs:648-723 NavigateToPathInSourceNodeAll)
+    elementwise = _is_element_path(col_name)
 
     if t == "Required":
+        if elementwise:
+            # every element must carry the leaf (null/whitespace = missing);
+            # an empty outer array is vacuously fine — Required on the array
+            # itself covers that
+            leaf = dtype.elementType if isinstance(dtype, ArrayType) else dtype
+            is_str = isinstance(leaf, StringType)
+            is_bad = (lambda v: v.isNull() | (F.trim(v) == "")) if is_str \
+                else (lambda v: v.isNull())
+            has_bad, bad_count, examples, bad_els = _bad_elements(
+                col, is_bad, config.max_examples,
+                has_bad=F.exists(col, is_bad))
+            cond = col.isNotNull() & has_bad
+            return (cond, _smap(("badCount", bad_count),
+                                ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         # missing OR all-empty (FhirPathRuleEngine.cs:971-1033:
         # empty string / whitespace counts as missing)
         return ~_nonempty(col, dtype), _smap()
@@ -463,6 +523,19 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     if t == "Regex":
         pattern = rule.require_pattern()
+        if elementwise:
+            # no native array regex exists — the exists() probe is the one
+            # interpreted subexpression in the scan; details stay lazy
+            is_bad = (lambda v: v.isNotNull() & (F.trim(v) != "")
+                      & ~v.cast("string").rlike(pattern))
+            has_bad, bad_count, examples, bad_els = _bad_elements(
+                col, is_bad, config.max_examples,
+                has_bad=F.exists(col, is_bad))
+            cond = _nonempty(col, dtype) & has_bad
+            return (cond,
+                    _smap(("pattern", pattern), ("badCount", bad_count),
+                          ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         cond = _nonempty(col, dtype) & ~col.cast("string").rlike(pattern)
         return cond, _smap(("pattern", pattern), ("actual", col))
 
@@ -511,6 +584,29 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "Range requires params.min and/or params.max")
+        if elementwise:
+            # native full-scan check: interval bound ⇒ array_min/array_max
+            # decide (nulls skipped, matching the scalar skip-null contract)
+            def _bad(v):
+                c = F.lit(False)
+                if lo is not None:
+                    c = c | (v < F.lit(lo))
+                if hi is not None:
+                    c = c | (v > F.lit(hi))
+                return v.isNotNull() & c
+            native = F.lit(False)
+            if lo is not None:
+                native = native | (F.array_min(col) < F.lit(lo))
+            if hi is not None:
+                native = native | (F.array_max(col) > F.lit(hi))
+            has_bad, bad_count, examples, bad_els = _bad_elements(
+                col, _bad, config.max_examples, has_bad=native)
+            cond = _nonempty(col, dtype) & has_bad
+            return (cond,
+                    _smap(("min", "" if lo is None else lo),
+                          ("max", "" if hi is None else hi),
+                          ("badCount", bad_count), ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         cond = F.lit(False)
         if lo is not None:
             cond = cond | (col < lo)
@@ -522,6 +618,17 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     if t == "MaxLength":
         max_len = int(rule.require_param("maxLength"))
+        if elementwise:
+            is_bad = (lambda v: v.isNotNull()
+                      & (F.length(v.cast("string")) > max_len))
+            has_bad, bad_count, examples, bad_els = _bad_elements(
+                col, is_bad, config.max_examples,
+                has_bad=F.exists(col, is_bad))
+            cond = col.isNotNull() & has_bad
+            return (cond,
+                    _smap(("maxLength", max_len), ("badCount", bad_count),
+                          ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         cond = col.isNotNull() & (F.length(col.cast("string")) > max_len)
         return cond, _smap(("maxLength", max_len),
                            ("actual", F.length(col.cast("string"))))
@@ -537,6 +644,23 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     if t == "TypeCheck":
         target = rule.require_param("dataType")
+        if elementwise:
+            try:
+                F.lit("probe").try_cast(target)  # validate the type name
+            except Exception as exc:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"bad dataType {target!r}: {exc}") from exc
+            is_bad = (lambda v: v.isNotNull() & (F.trim(v.cast("string")) != "")
+                      & v.cast("string").try_cast(target).isNull())
+            has_bad, bad_count, examples, bad_els = _bad_elements(
+                col, is_bad, config.max_examples,
+                has_bad=F.exists(col, is_bad))
+            cond = _nonempty(col, dtype) & has_bad
+            return (cond,
+                    _smap(("dataType", target), ("badCount", bad_count),
+                          ("examples", examples)),
+                    bad_els if rule.params.get("perElement") else None)
         try:
             casted = col.cast("string").try_cast(target)
         except Exception as exc:

@@ -153,6 +153,69 @@ def test_nested_path_rejects_bad_segment(spark):
                           "column": "payload.a.b", "params": {"min": 0}}])
 
 
+# ----------------------------------- P5: array-of-struct element paths -----
+
+def _components_df(spark):
+    return spark.createDataFrame(
+        [("d1", [{"code": "A", "value": 5.0}, {"code": "ZZ", "value": 50.0}],
+          "web"),
+         ("d2", [{"code": "B", "value": 7.0}], "web"),
+         ("d3", [], "web"),
+         ("d4", None, "web"),
+         ("d5", [{"code": None, "value": None}], "web")],
+        "doc_id string, components array<struct<code:string,value:double>>, "
+        "source string")
+
+
+def test_element_path_allowed_values(spark):
+    """a[*].b compiles to native GetArrayStructFields + the array lanes:
+    one violation per doc with index-aware detail."""
+    res = _run(spark, _components_df(spark),
+               [{"id": "NP-1", "type": "AllowedValues",
+                 "column": "components[*].code",
+                 "params": {"values": ["A", "B", "C"]}}])
+    rows = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert set(rows) == {"d1", "d5"}          # ZZ and the null leaf
+    assert rows["d1"]["badCount"] == "1"
+    assert rows["d1"]["examples"] == '[{"i":1,"v":"ZZ"}]'
+
+
+def test_element_path_range_per_element(spark):
+    res = _run(spark, _components_df(spark),
+               [{"id": "NP-2", "type": "Range",
+                 "column": "components[*].value",
+                 "params": {"min": 0, "max": 10, "perElement": True}}])
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_id"], rows[0]["detail"]["index"],
+            rows[0]["detail"]["value"]) == ("d1", "1", "50.0")
+    assert rows[0]["column"] == "components[*].value"
+
+
+def test_element_path_required_and_regex(spark):
+    res = _run(spark, _components_df(spark),
+               [{"id": "NP-3", "type": "Required",
+                 "column": "components[*].code"},
+                {"id": "NP-4", "type": "Regex",
+                 "column": "components[*].code",
+                 "params": {"pattern": "^[A-Z]$"}}])
+    got = {(r["rule_id"], r["doc_id"]) for r in res.violations.collect()}
+    # d5's null code → Required; d1's 'ZZ' fails the single-letter grammar;
+    # empty/missing arrays and null leaves are skipped by Regex
+    assert got == {("NP-3", "d5"), ("NP-4", "d1")}
+
+
+def test_element_path_bad_configs(spark):
+    df = _components_df(spark)
+    for col in ("components.code",            # array traversal needs [*]
+                "components[*].nope",         # unknown leaf
+                "doc_id[*]",                  # [*] on a non-array
+                "components[*].code[*]"):     # two markers
+        with pytest.raises(RuleConfigurationError):
+            _run(spark, df, [{"id": "NP-X", "type": "Required",
+                              "column": col}])
+
+
 # --------------------------------------------- per-element fan-out (R2/R3) --
 
 def test_per_element_violations(spark):
