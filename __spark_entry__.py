@@ -265,6 +265,26 @@ def q_r6_membership(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_r6b_codesystem_pair(spark: SparkSession, sf: str) -> DataFrame:
+    """(system, code) pair lane (R6b): rows whose system column deviates
+    from the expected system get CODESYSTEM_MISMATCH (code unchecked);
+    rows on the expected system with a code outside the CodeSet get
+    CODE_NOT_IN_VALUESET — two distinct codes from one broadcast join
+    (FhirPathRuleEngine.cs:1527-1698 re-expressed)."""
+    df = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation").where(F.col("n_nationkey") < 20)
+    res = _validate(spark, df,
+                    [{"id": "CS-1", "type": "CodeSystem",
+                      "column": "c_nationkey",
+                      "params": {"system": "BUILDING",
+                                 "systemColumn": "c_mktsegment",
+                                 "dim": "nation", "on": "n_nationkey"}}],
+                    key_col="c_custkey", group_col="c_mktsegment",
+                    dims={"nation": nation})
+    return (res.violations.select("doc_id", "rule_id", "error_code", "source")
+            .orderBy("doc_id", "error_code"))
+
+
 def q_j4_codemaster(spark: SparkSession, sf: str) -> DataFrame:
     """CodeMaster constraint dim (J4/J5): per-status allowed order
     priorities; violations are per-value INVALID_ANSWER_VALUE plus
@@ -449,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
         "r6_membership": q_r6_membership,
+        "r6b_codesystem_pair": q_r6b_codesystem_pair,
         "j4_codemaster": q_j4_codemaster,
         "t1_token_count": q_t1_token_count,
         "t2_quality": q_t2_quality,
@@ -600,6 +621,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN (
               SELECT n_nationkey FROM nation WHERE n_nationkey < 20)
             ORDER BY doc_id""",
+        "r6b_codesystem_pair": """
+            SELECT * FROM (
+              SELECT CAST(c_custkey AS VARCHAR) AS doc_id, 'CS-1' AS rule_id,
+                     'CODESYSTEM_MISMATCH' AS error_code,
+                     c_mktsegment AS source
+              FROM customer WHERE c_mktsegment IS DISTINCT FROM 'BUILDING'
+              UNION ALL
+              SELECT CAST(c_custkey AS VARCHAR), 'CS-1',
+                     'CODE_NOT_IN_VALUESET', c_mktsegment
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+                AND c_nationkey NOT IN (
+                  SELECT n_nationkey FROM nation WHERE n_nationkey < 20))
+            ORDER BY doc_id, error_code""",
         "j4_codemaster": """
             SELECT * FROM (
               SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,

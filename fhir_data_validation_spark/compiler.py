@@ -164,6 +164,7 @@ DEFAULT_ERROR_CODES = {
     "Unique": ErrorCode.DUPLICATE_KEY,
     "Reference": ErrorCode.REFERENCE_NOT_FOUND,
     "Membership": ErrorCode.CODE_NOT_IN_VALUESET,
+    "CodeSystem": ErrorCode.CODE_NOT_IN_VALUESET,
     "CodeMaster": ErrorCode.INVALID_ANSWER_VALUE,
     "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
@@ -187,14 +188,15 @@ RULE_STAGES = {
     "Unique": Stage.DATASET,
     "Reference": Stage.REFERENCE,
     "Membership": Stage.BUSINESS,
+    "CodeSystem": Stage.BUSINESS,
     "CodeMaster": Stage.CONSTRAINT,
     "RequiredResources": Stage.DATASET,
     "Drift": Stage.DRIFT,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
-DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeMaster",
-                      "RequiredResources", "Drift")
+DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
+                      "CodeMaster", "RequiredResources", "Drift")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

@@ -74,12 +74,22 @@ class ValidationEngine:
         self.dims = dict(dims or {})
         self.config = config or EngineConfig()
         self._plan: CompiledPlan | None = None
+        self._plan_schema: str | None = None
 
     def compile(self, df: DataFrame) -> CompiledPlan:
         """Compile against the input schema (pre-flight; raises
-        RuleConfigurationError on any malformed rule)."""
-        self._plan = compile_ruleset(self.ruleset, df.schema, self.config,
-                                     self.dims)
+        RuleConfigurationError on any malformed rule).
+
+        Cached per schema: compiled predicates are unresolved Column
+        expression trees, reusable against any DataFrame with the same
+        schema. Plan construction is driver-side py4j work (~1 s for a
+        full rule set) that would otherwise repeat per batch in
+        ResumableRun / streaming foreachBatch loops."""
+        key = df.schema.json()
+        if self._plan is None or self._plan_schema != key:
+            self._plan = compile_ruleset(self.ruleset, df.schema, self.config,
+                                         self.dims)
+            self._plan_schema = key
         return self._plan
 
     def validate(self, df: DataFrame) -> ValidationResult:

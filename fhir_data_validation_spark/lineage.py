@@ -139,6 +139,14 @@ class ResumableRun:
                                   rules=tuple(per_row))
         self._global_rules = RuleSet(version=self.ruleset.version,
                                      rules=tuple(global_))
+        # one engine per rule subset, shared by every batch: the compiled
+        # plan is schema-keyed and reused, so per-batch driver-side plan
+        # construction happens once per run, not once per batch
+        self._row_engine = ValidationEngine(self._row_rules, dims=self.dims,
+                                            config=self.config)
+        self._global_engine = ValidationEngine(self._global_rules,
+                                               dims=self.dims,
+                                               config=self.config)
 
     # -- public API ---------------------------------------------------------
 
@@ -214,10 +222,8 @@ class ResumableRun:
         # on a source-partitioned Iceberg/parquet table this filter prunes
         # files — a resumed run never re-scans completed partitions
         sub = df.where(group.isin(batch))
-        engine = ValidationEngine(self._row_rules, dims=self.dims,
-                                  config=self.config)
         t0 = time.perf_counter()
-        res = engine.validate(sub)
+        res = self._row_engine.validate(sub)
         self._write(res, dataset_level=False)
         wall_ms = int((time.perf_counter() - t0) * 1000)
         self._mark(spark, res, batch, wall_ms, dataset_level=False)
@@ -225,10 +231,8 @@ class ResumableRun:
 
     def _run_global(self, df: DataFrame) -> None:
         spark = df.sparkSession
-        engine = ValidationEngine(self._global_rules, dims=self.dims,
-                                  config=self.config)
         t0 = time.perf_counter()
-        res = engine.validate(df)
+        res = self._global_engine.validate(df)
         self._write(res, dataset_level=True)
         wall_ms = int((time.perf_counter() - t0) * 1000)
         self._mark(spark, res, [_DATASET_KEY], wall_ms, dataset_level=True)

@@ -68,6 +68,14 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         _require_dim(rule, plan)
         rule.require_param("on")
         exec_fn = lambda df, p: membership_plan(df, rule, stage, p)
+    elif t == "CodeSystem":
+        rule.require_column()
+        _require_dim(rule, plan)
+        rule.require_param("system")
+        rule.require_param("systemColumn")
+        codes = (ErrorCode.CODESYSTEM_MISMATCH,
+                 ErrorCode.CODE_NOT_IN_VALUESET)
+        exec_fn = lambda df, p: codesystem_plan(df, rule, stage, p)
     elif t == "CodeMaster":
         rule.require_column()
         _require_dim(rule, plan)
@@ -249,6 +257,105 @@ def membership_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         F.col("_g").cast("string").alias("source"),
         F.create_map(F.lit("value"), F.col("_v").cast("string"))
          .alias("detail"))
+
+
+# -------------------------------------- CodeSystem (R6 (system, code) pairs)
+
+def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                    plan) -> DataFrame:
+    """(system, code) pair validation (``FhirPathRuleEngine.cs:1527-1698``):
+
+    * element system ≠ ``params.system`` ⇒ ``CODESYSTEM_MISMATCH`` with
+      {expectedSystem, actualSystem, index} (``.cs:1645-1667``) — the code
+      is NOT checked for a foreign system;
+    * system matches but code ∉ the CodeSet resolved for that system ⇒
+      ``CODE_NOT_IN_VALUESET`` with {system, code, valueSet, index}
+      (``.cs:1668-1693``).
+
+    ``column``/``params.systemColumn`` name the aligned code/system values
+    — either two scalar columns or two ``a[*].leaf`` element paths over the
+    same array (indexes align by construction: both are native
+    GetArrayStructFields extractions of one array<struct>). The CodeSet dim
+    is optionally filtered by ``params.dimSystemColumn == params.system``,
+    mirroring the reference's resolve-CodeSet-by-system-URL, then broadcast
+    for the anti-join."""
+    from ..compiler import _field_type, _is_element_path, _spark_path
+    from pyspark.sql.types import ArrayType
+    code_path, sys_path = rule.column, rule.params["systemColumn"]
+    expected = rule.params["system"]
+    dim = plan.dims[rule.params["dim"]]
+    on = rule.params.get("on", "code")
+    if on not in dim.columns:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dim has no column {on!r} (have {dim.columns})")
+    dim_sys = rule.params.get("dimSystemColumn")
+    if dim_sys and dim_sys not in dim.columns:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dim has no column {dim_sys!r} (have {dim.columns})")
+    code_el, sys_el = _is_element_path(code_path), _is_element_path(sys_path)
+    if code_el != sys_el:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "column and systemColumn must both be scalar or both be "
+            "[*] element paths over the same array")
+    code_t = _field_type(df.schema, code_path, rule)
+    _field_type(df.schema, sys_path, rule)
+    code_c = F.col(_spark_path(code_path))
+    sys_c = F.col(_spark_path(sys_path))
+
+    key = F.col(plan.config.key_col).alias("_k")
+    grp = F.col(plan.config.group_col).alias("_g")
+    if code_el or isinstance(code_t, ArrayType):
+        # aligned element pairs with their index; posexplode keeps the
+        # reference's arrayIndex hint (.cs:1622, ExtractArrayIndexFromLocation)
+        pairs = (df.select(key, grp, F.posexplode(
+                     F.arrays_zip(sys_c.alias("system"),
+                                  code_c.alias("code"))).alias("_i", "_p"))
+                 .select("_k", "_g", "_i",
+                         F.col("_p.system").alias("_sys"),
+                         F.col("_p.code").alias("_code")))
+    else:
+        pairs = (df.where(sys_c.isNotNull() | code_c.isNotNull())
+                 .select(key, grp, F.lit(0).alias("_i"),
+                         sys_c.alias("_sys"), code_c.alias("_code")))
+
+    base = [F.col("_k").cast("string").alias("doc_id")]
+    tail = [F.col("_g").cast("string").alias("source")]
+    # null system ≠ expected ⇒ mismatch, matching the reference's C# `!=`
+    mismatch = (pairs.where(~F.col("_sys").eqNullSafe(expected))
+                .select(*base,
+                        *_viol_cols(rule, stage,
+                                    ErrorCode.CODESYSTEM_MISMATCH),
+                        *tail,
+                        F.create_map(
+                            F.lit("expectedSystem"), F.lit(expected),
+                            F.lit("actualSystem"),
+                            F.col("_sys").cast("string"),
+                            F.lit("index"), F.col("_i").cast("string"))
+                         .alias("detail")))
+    codes_dim = dim
+    if dim_sys:
+        codes_dim = codes_dim.where(F.col(dim_sys) == expected)
+    keys = codes_dim.select(F.col(on).alias("_refkey")).dropDuplicates()
+    if rule.params.get("broadcast", True):
+        keys = F.broadcast(keys)
+    not_in_set = (pairs.where(F.col("_sys").eqNullSafe(expected))
+                  .join(keys, on=F.col("_code") == F.col("_refkey"),
+                        how="left_anti")
+                  .select(*base,
+                          *_viol_cols(rule, stage,
+                                      ErrorCode.CODE_NOT_IN_VALUESET),
+                          *tail,
+                          F.create_map(
+                              F.lit("system"), F.lit(expected),
+                              F.lit("code"), F.col("_code").cast("string"),
+                              F.lit("valueSet"),
+                              F.lit(rule.params.get("dim")),
+                              F.lit("index"), F.col("_i").cast("string"))
+                           .alias("detail")))
+    return mismatch.unionByName(not_in_set)
 
 
 # ------------------------------------------- CodeMaster (J4/J5 constraint dim)

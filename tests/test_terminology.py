@@ -153,6 +153,83 @@ def test_nested_path_rejects_bad_segment(spark):
                           "column": "payload.a.b", "params": {"min": 0}}])
 
 
+# ------------------------------- CodeSystem (system, code) pair lane (R6) --
+
+def _codeset_dim(spark):
+    return spark.createDataFrame(
+        [("http://loinc", "A"), ("http://loinc", "B"),
+         ("http://snomed", "Z")],
+        "sys string, code string")
+
+
+def test_codesystem_scalar_pair(spark):
+    """system ≠ expected ⇒ CODESYSTEM_MISMATCH (code unchecked); system
+    matches but code outside the system's CodeSet ⇒ CODE_NOT_IN_VALUESET
+    (FhirPathRuleEngine.cs:1645-1693)."""
+    df = spark.createDataFrame(
+        [("d1", "http://loinc", "A", "web"),     # clean
+         ("d2", "http://snomed", "Q", "web"),    # wrong system, bad code
+         ("d3", "http://loinc", "Z", "web"),     # right system, foreign code
+         ("d4", None, "A", "web")],              # null system
+        "doc_id string, sys string, code string, source string")
+    res = _run(spark, df,
+               [{"id": "CS-1", "type": "CodeSystem", "column": "code",
+                 "params": {"system": "http://loinc", "systemColumn": "sys",
+                            "dim": "codes", "on": "code",
+                            "dimSystemColumn": "sys"}}],
+               dims={"codes": _codeset_dim(spark)})
+    got = {(r["doc_id"], r["error_code"]) for r in res.violations.collect()}
+    assert got == {("d2", "CODESYSTEM_MISMATCH"),
+                   ("d4", "CODESYSTEM_MISMATCH"),
+                   ("d3", "CODE_NOT_IN_VALUESET")}
+    details = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert details["d2"]["actualSystem"] == "http://snomed"
+    assert details["d2"]["expectedSystem"] == "http://loinc"
+    assert details["d3"]["code"] == "Z"
+
+
+def test_codesystem_element_pairs(spark):
+    """codings[*].system / codings[*].code element paths: per-element
+    verdicts with the arrayIndex hint, indexes aligned by construction."""
+    df = spark.createDataFrame(
+        [("d1", [{"system": "http://loinc", "code": "A"},
+                 {"system": "http://other", "code": "A"},
+                 {"system": "http://loinc", "code": "QQ"}], "web")],
+        "doc_id string, "
+        "codings array<struct<system:string,code:string>>, source string")
+    res = _run(spark, df,
+               [{"id": "CS-2", "type": "CodeSystem",
+                 "column": "codings[*].code",
+                 "params": {"system": "http://loinc",
+                            "systemColumn": "codings[*].system",
+                            "dim": "codes", "on": "code",
+                            "dimSystemColumn": "sys"}}],
+               dims={"codes": _codeset_dim(spark)})
+    got = {(r["error_code"], r["detail"]["index"])
+           for r in res.violations.collect()}
+    assert got == {("CODESYSTEM_MISMATCH", "1"),
+                   ("CODE_NOT_IN_VALUESET", "2")}
+
+
+def test_codesystem_config_errors(spark):
+    df = spark.createDataFrame([("d1", "s", "c", "g")],
+                               "doc_id string, sys string, code string, "
+                               "source string")
+    dim = _codeset_dim(spark)
+    with pytest.raises(RuleConfigurationError):  # missing systemColumn
+        _run(spark, df, [{"id": "CS-X", "type": "CodeSystem",
+                          "column": "code",
+                          "params": {"system": "s", "dim": "codes"}}],
+             dims={"codes": dim})
+    with pytest.raises(RuleConfigurationError):  # mixed scalar/element paths
+        _run(spark, df, [{"id": "CS-Y", "type": "CodeSystem",
+                          "column": "code",
+                          "params": {"system": "s",
+                                     "systemColumn": "sys[*].x",
+                                     "dim": "codes"}}],
+             dims={"codes": dim})
+
+
 # ----------------------------------- P5: array-of-struct element paths -----
 
 def _components_df(spark):

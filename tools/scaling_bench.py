@@ -136,9 +136,14 @@ def main() -> int:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("corpus", nargs="?")
     ap.add_argument("rows_pos", nargs="?", type=int)
+    # 12.8M rows ≈ 140 s at 2 cores: large enough that per-run fixed costs
+    # (driver-side plan construction ~1.5 s, AQE stage scheduling, the
+    # verdicts job) amortize below ~2% — the regime a real cluster job at
+    # 10^12 rows lives in. At 3.2M rows those fixed costs are ~15% of the
+    # 8-core wall and dominate the measured ratio instead of the engine.
     ap.add_argument("--rows", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_ROWS",
-                                               "3200000")))
+                                               "12800000")))
     ap.add_argument("--out", default="BENCH_SCALING.md")
     args = ap.parse_args()
 
