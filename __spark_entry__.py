@@ -285,6 +285,27 @@ def q_r6b_codesystem_pair(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "error_code"))
 
 
+def q_q1_question_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1: questions[] dim ingest → per-answerType generated Contract rules
+    (QuestionAnswerValidator.cs:458-490 dispatch re-expressed as driver-time
+    rule generation; the generated set fuses into the one-scan pass)."""
+    from fhir_data_validation_spark import question_rules
+    df = load_table(spark, sf, "part")
+    rs = question_rules([
+        {"id": "Q-SIZE", "column": "p_size", "answerType": "integer",
+         "required": True, "constraints": {"min": 1, "max": 40}},
+        {"id": "Q-NAME", "column": "p_name", "answerType": "string",
+         "constraints": {"maxLength": 25}},
+        {"id": "Q-BRAND", "column": "p_brand", "answerType": "code",
+         "valueSet": ["Brand#11", "Brand#12", "Brand#13", "Brand#21",
+                      "Brand#22", "Brand#23"]},
+    ])
+    engine = ValidationEngine(rs, config=EngineConfig(
+        key_col="p_partkey", group_col="p_type"))
+    res = engine.validate(df)
+    return _viol(res)
+
+
 def q_j4_codemaster(spark: SparkSession, sf: str) -> DataFrame:
     """CodeMaster constraint dim (J4/J5): per-status allowed order
     priorities; violations are per-value INVALID_ANSWER_VALUE plus
@@ -471,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_membership": q_r6_membership,
         "r6b_codesystem_pair": q_r6b_codesystem_pair,
         "j4_codemaster": q_j4_codemaster,
+        "q1_question_rules": q_q1_question_rules,
         "t1_token_count": q_t1_token_count,
         "t2_quality": q_t2_quality,
         "t3_lang_id": q_t3_lang_id,
@@ -647,6 +669,24 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderstatus = 'F'
                 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
             ORDER BY doc_id, error_code""",
+        "q1_question_rules": """
+            SELECT * FROM (
+              SELECT CAST(p_partkey AS VARCHAR) AS doc_id,
+                     'Q-SIZE-RNG' AS rule_id,
+                     'ANSWER_OUT_OF_RANGE' AS error_code, p_type AS source
+              FROM part WHERE p_size IS NOT NULL
+                AND (p_size < 1 OR p_size > 40)
+              UNION ALL
+              SELECT CAST(p_partkey AS VARCHAR), 'Q-NAME-LEN',
+                     'MAX_LENGTH_EXCEEDED', p_type
+              FROM part WHERE p_name IS NOT NULL AND length(p_name) > 25
+              UNION ALL
+              SELECT CAST(p_partkey AS VARCHAR), 'Q-BRAND-VS',
+                     'ANSWER_NOT_IN_VALUESET', p_type
+              FROM part WHERE p_brand IS NOT NULL AND trim(p_brand) <> ''
+                AND p_brand NOT IN ('Brand#11', 'Brand#12', 'Brand#13',
+                                    'Brand#21', 'Brand#22', 'Brand#23'))
+            ORDER BY doc_id, rule_id, error_code, source""",
         "t1_token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -13,6 +13,7 @@ from .engine import ValidationEngine, ValidationResult, validate
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
 from .lineage import LineageStore, ResumableRun
 from .model import InstanceScope, RuleDefinition, RuleSet
+from .questions import question_rules, question_rules_from_json
 from .report import QualityReport, quality_report
 
 __all__ = [
@@ -20,7 +21,8 @@ __all__ = [
     "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",
-    "quality_report", "skew", "stats", "validate",
+    "quality_report", "question_rules", "question_rules_from_json",
+    "skew", "stats", "validate",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,98 @@
+"""Questions-dim ingest → per-answerType rule generation (Q1).
+
+The generator is the tabular analog of the reference's AnswerType dispatch
+(QuestionAnswerValidator.cs:458-490) with QuestionConstraints
+(QuestionConstraints.cs) — each question compiles to Contract-class rules
+that fuse into the ordinary one-scan pass.
+"""
+
+import json
+
+import pytest
+
+from fhir_data_validation_spark import (EngineConfig, RuleConfigurationError,
+                                        ValidationEngine, question_rules,
+                                        question_rules_from_json)
+
+QUESTIONS = [
+    {"id": "Q-HR", "column": "hr", "answerType": "integer",
+     "required": True, "constraints": {"min": 20, "max": 250}},
+    {"id": "Q-TEMP", "column": "temp", "answerType": "decimal",
+     "constraints": {"min": 30, "max": 45, "precision": 1}},
+    {"id": "Q-SMOKER", "column": "smoker", "answerType": "boolean"},
+    {"id": "Q-NOTE", "column": "note", "answerType": "string",
+     "constraints": {"maxLength": 10, "regex": "^[a-z ]*$"}},
+    {"id": "Q-SEX", "column": "sex", "answerType": "code",
+     "valueSet": ["m", "f", "x"]},
+]
+
+
+def test_generated_rule_shapes():
+    rs = question_rules(QUESTIONS)
+    by_id = {r.id: r for r in rs.rules}
+    assert set(by_id) == {"Q-HR-REQ", "Q-HR-TYPE", "Q-HR-RNG",
+                          "Q-TEMP-TYPE", "Q-TEMP-RNG", "Q-TEMP-PRC",
+                          "Q-SMOKER-TYPE",
+                          "Q-NOTE-LEN", "Q-NOTE-RGX",
+                          "Q-SEX-VS"}
+    # Contract class everywhere — governance can't downgrade these
+    assert all(r.validation_class == "Contract" for r in rs.rules)
+    assert by_id["Q-HR-REQ"].error_code == "ANSWER_REQUIRED"
+    assert by_id["Q-SEX-VS"].error_code == "ANSWER_NOT_IN_VALUESET"
+    assert by_id["Q-HR-TYPE"].error_code == "INVALID_ANSWER_TYPE"
+    assert by_id["Q-TEMP-PRC"].params == {"precision": 1}
+
+
+def test_generated_rules_validate_answers(spark):
+    df = spark.createDataFrame(
+        [("p1", "72", 36.6, "false", "ok", "m", "web"),
+         ("p2", "999", 36.66, "maybe", "WAY TOO LONG NOTE", "q", "web"),
+         ("p3", None, None, None, None, None, "web")],
+        "doc_id string, hr string, temp double, smoker string, "
+        "note string, sex string, source string")
+    engine = ValidationEngine(question_rules(QUESTIONS))
+    res = engine.validate(df)
+    got = {(r["rule_id"], r["doc_id"]) for r in res.violations.collect()}
+    assert got == {
+        ("Q-HR-RNG", "p2"),          # 999 out of [20, 250]
+        ("Q-TEMP-PRC", "p2"),        # 36.66 exceeds precision 1
+        ("Q-SMOKER-TYPE", "p2"),     # 'maybe' is not boolean-castable
+        ("Q-NOTE-LEN", "p2"), ("Q-NOTE-RGX", "p2"),
+        ("Q-SEX-VS", "p2"),
+        ("Q-HR-REQ", "p3"),          # required answer missing
+    }
+
+
+def test_generated_rules_refuse_downgrade(spark):
+    df = spark.createDataFrame([("p1", "72", "web")],
+                               "doc_id string, hr string, source string")
+    rs = question_rules([QUESTIONS[0]])
+    with pytest.raises(RuleConfigurationError):
+        ValidationEngine(rs, config=EngineConfig(
+            severity_overrides=(("Q-HR-REQ", "warning"),))).validate(df)
+
+
+@pytest.mark.parametrize("bad", [
+    {"id": "Qx", "answerType": "integer"},                      # no column
+    {"id": "Qx", "column": "c", "answerType": "wavelength"},    # bad type
+    {"id": "Qx", "column": "c", "answerType": "string",
+     "constraints": {"min": 1}},                                # min on string
+    {"id": "Qx", "column": "c", "answerType": "integer",
+     "constraints": {"precision": 2}},                          # precision on int
+    {"id": "Qx", "column": "c", "answerType": "code",
+     "valueSet": []},                                           # empty set
+])
+def test_malformed_questions_rejected(bad):
+    with pytest.raises(RuleConfigurationError):
+        question_rules([bad])
+
+
+def test_duplicate_question_id_rejected():
+    with pytest.raises(RuleConfigurationError):
+        question_rules([QUESTIONS[0], QUESTIONS[0]])
+
+
+def test_from_json(tmp_path):
+    p = tmp_path / "questions.json"
+    p.write_text(json.dumps({"questions": QUESTIONS}))
+    assert len(question_rules_from_json(str(p)).rules) == 10
