@@ -413,10 +413,13 @@ def q_d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash hamming ≤ 3 pairs — signature bit algebra is not
-    SQL-expressible in the oracle dialect: rows-only check (exact pairs
-    are unit-tested in tests/test_pipeline.py)."""
-    out = dedup.simhash_pairs(_seeded_docs(spark, sf), max_distance=3)
+    """SimHash hamming ≤ 3 pairs with the md5_60 word hash — bit-for-bit
+    reproducible in the oracle dialect (64 conditional-sum bit votes, sign
+    reassembly, bit_count(xor) distance), so the full signature pipeline is
+    oracle-checked, not just row counts. Production keeps the faster
+    xxhash64 default; only the hash primitive differs."""
+    out = dedup.simhash_pairs(_seeded_docs(spark, sf), max_distance=3,
+                              hash_fn="md5_60")
     return (out.select(F.col("id_a").cast("long").alias("id_a"),
                        F.col("id_b").cast("long").alias("id_b"), "hamming")
             .orderBy("id_a", "id_b"))
@@ -785,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_jaccard_pairs": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+        "d4_simhash": _simhash_sql(),
         "d3_minhash_lsh": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
@@ -829,6 +833,45 @@ def _lang_hits_sql() -> str:
     return ",\n                ".join(
         f"len(list_filter(ws, x -> x IN ({_sql_list(lex)}))) AS h_{lang}"
         for lang, lex in text.LANG_LEXICON.items())
+
+
+def _simhash_sql() -> str:
+    """SimHash oracle: 64 bit-vote sums per doc, sign reassembly into the
+    signature, brute-force hamming ≤ 3 pairs (equivalent to the engine's
+    pigeonhole buckets: distance ≤ 3 over 4 chunks guarantees ≥1 equal
+    chunk, so the candidate sets coincide). Word hash = top-60-bit md5 on
+    both sides."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64))
+    sig = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(64))
+    return f"""
+            WITH seeded AS ({_SEEDED_DOCS_SQL}),
+            w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS word
+              FROM seeded),
+            h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+                       AS hw
+              FROM w),
+            v AS (
+              SELECT doc_id,
+               {votes}
+              FROM h GROUP BY doc_id),
+            sigs AS (
+              SELECT doc_id,
+                 {sig} AS sig
+              FROM v)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.sig, b.sig)) AS hamming
+              FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
 
 # seeded duplicate construction — the SQL twin of _seeded_docs()

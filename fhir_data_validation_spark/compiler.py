@@ -351,6 +351,7 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
                 "severity override targets unknown rule id")
 
     for rule in ruleset.rules:
+        downgraded_from: str | None = None
         if rule.id in overrides:
             new_sev = overrides[rule.id]
             if new_sev not in Severity.ALL:
@@ -364,6 +365,8 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
                     rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                     "Contract-class rules cannot be severity-downgraded")
             from dataclasses import replace
+            if new_sev != rule.severity:
+                downgraded_from = rule.severity
             rule = replace(rule, severity=new_sev)
         stage = RULE_STAGES.get(rule.type)
         if stage is None:
@@ -371,17 +374,36 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"unknown rule type {rule.type!r}")
         if rule.type in DATASET_RULE_TYPES:
-            plan.dataset_plans.append(dataset_plans.build(rule, stage, plan))
+            dp = dataset_plans.build(rule, stage, plan)
+            if downgraded_from is not None:
+                dp.execute = _with_downgrade_provenance(dp.execute,
+                                                        downgraded_from)
+            plan.dataset_plans.append(dp)
             continue
 
         scope = _scope_condition(rule, schema, config, plan)
         out = _compile_predicate(rule, schema, config)
         cond, detail = out[0], out[1]
         elements = out[2] if len(out) == 3 else None
+        if downgraded_from is not None:
+            # provenance of the governance downgrade rides the detail map —
+            # the reference records the original severity on downgraded
+            # errors (Models/ValidationError.cs:20-47)
+            detail = F.map_concat(detail, F.create_map(
+                F.lit("downgradedFrom"), F.lit(downgraded_from)))
         plan.predicates.append(PredicateEntry(
             rule=rule, condition=scope & cond, detail=detail, stage=stage,
             elements=elements))
     return plan
+
+
+def _with_downgrade_provenance(execute: Callable, downgraded_from: str
+                               ) -> Callable:
+    def wrapped(df: DataFrame, plan: "CompiledPlan") -> DataFrame:
+        return execute(df, plan).withColumn(
+            "detail", F.map_concat(F.col("detail"), F.create_map(
+                F.lit("downgradedFrom"), F.lit(downgraded_from))))
+    return wrapped
 
 
 def _scope_condition(rule: RuleDefinition, schema: StructType,

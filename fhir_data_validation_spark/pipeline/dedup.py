@@ -263,8 +263,23 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
 
 # ---------------------------------------------------------------- SimHash ---
 
+def _word_hash(col: Column, hash_fn: str) -> Column:
+    """64-bit word hash for SimHash. ``xxhash64`` is the production default
+    (fastest JVM-side hash). ``md5_60`` takes the top 60 bits of md5 as an
+    integer — slower, but bit-for-bit reproducible in DuckDB
+    (``CAST('0x'||substr(md5(w),1,15) AS BIGINT)``), which is what makes an
+    exact SQL oracle for the SimHash pipeline possible."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} "
+                     "(expected 'xxhash64' or 'md5_60')")
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+            id_col: str = "doc_id", bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: (_id, simhash bigint).
 
     Explode words, hash each once, then ``bits`` conditional-sum aggregates
@@ -272,7 +287,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     of O(docs × bits) partials."""
     posts = (df.select(F.col(id_col).alias("_id"),
                        F.explode(words(F.col(text_col))).alias("w"))
-             .withColumn("h", F.xxhash64("w")))
+             .withColumn("h", _word_hash(F.col("w"), hash_fn)))
     aggs = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                          1).otherwise(-1)).alias(f"b{i}")
             for i in range(bits)]
@@ -287,13 +302,14 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, max_distance: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_bucket_size: int | None = 1000) -> DataFrame:
+                  max_bucket_size: int | None = 1000,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash near-duplicate pairs with hamming distance ≤ max_distance:
     (id_a, id_b, hamming). Pigeonhole: with 4 16-bit chunks, distance ≤ 3
     guarantees ≥1 equal chunk — candidates come from 4 bucket self-joins,
     then ``bit_count(a XOR b)`` re-ranks exactly. ``max_bucket_size`` caps
     a chunk bucket's quadratic blowup (see :func:`lsh_candidates`)."""
-    sigs = simhash(df, text_col, id_col)
+    sigs = simhash(df, text_col, id_col, hash_fn=hash_fn)
     chunks = (sigs.select(
         "_id", "simhash",
         F.explode(F.array(*[

@@ -83,6 +83,26 @@ def test_severity_override_business_rule(spark):
            res.violations.select("severity").distinct().collect()]
     assert sev == ["warning"]
     assert res.passed() is True  # warnings never block
+    # downgrade provenance rides the detail map
+    # (Models/ValidationError.cs:20-47 original-severity record)
+    rows = res.violations.limit(3).collect()
+    assert all(r["detail"]["downgradedFrom"] == "error" for r in rows)
+
+
+def test_severity_override_provenance_dataset_rule(spark):
+    """Dataset-plan violations carry downgradedFrom too."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    df = dirty_token_table(spark, 1000).drop("_row_id")
+    rs = RuleSet.parse({"rules": [
+        {"id": "UNQ-X", "type": "Unique", "column": "doc_id"}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        severity_overrides=(("UNQ-X", "warning"),))).validate(df)
+    rows = res.violations.collect()
+    assert rows and all(r["severity"] == "warning"
+                        and r["detail"]["downgradedFrom"] == "error"
+                        for r in rows)
 
 
 def test_severity_override_contract_rule_refused(spark):
