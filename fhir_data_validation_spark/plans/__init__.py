@@ -58,7 +58,10 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         rule.require_column()
         exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
     elif t == "Reference":
-        rule.require_column()
+        if not rule.column and not rule.params.get("columns"):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "Reference needs 'column' or params.columns")
         _require_dim(rule, plan)
         if rule.params.get("expectedTypes"):
             codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
@@ -138,20 +141,52 @@ def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
 
 # ----------------------------------------------------- Reference (J1/J2 anti-join)
 
+def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
+                     plan) -> DataFrame:
+    """J3 extraction sweep: (_k, _g, _col, _val) reference occurrences from
+    every configured column in ONE scan — scalar columns, dotted struct
+    paths, raw array columns and ``a[*].b`` element paths all contribute
+    (``ReferenceResolver.cs:175-311`` multi-path extraction re-keyed to a
+    fixed schema). Per-row values are de-duplicated before the join (A6,
+    ``ReferenceResolver.cs:89-103``)."""
+    from pyspark.sql.types import ArrayType
+    from ..compiler import _field_type, _spark_path
+    structs = []
+    for c in cols:
+        dtype = _field_type(df.schema, c, rule)
+        sc = F.col(_spark_path(c))
+        vals = (F.array_distinct(sc.cast("array<string>"))
+                if isinstance(dtype, ArrayType)
+                else F.array(sc.cast("string")))
+        structs.append(F.struct(F.lit(c).alias("col"),
+                                F.coalesce(vals, F.array().cast(
+                                    "array<string>")).alias("vals")))
+    return (df.select(F.col(plan.config.key_col).alias("_k"),
+                      F.col(plan.config.group_col).alias("_g"),
+                      F.explode(F.array(*structs)).alias("_p"))
+            .select("_k", "_g", F.col("_p.col").alias("_col"),
+                    F.explode("_p.vals").alias("_val"))
+            .where(F.col("_val").isNotNull()))
+
+
 def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                    plan) -> DataFrame:
     """Referential integrity via broadcast anti-join (``ReferenceResolver.cs:22-46``),
     plus the J2 target-type check (``ReferenceResolver.cs:143-169``) when
     ``params.expectedTypes`` + ``params.typeColumn`` are configured.
 
+    ``params.columns`` sweeps several reference-bearing columns (scalar,
+    nested struct path, array, or ``a[*].b``) through one extraction pass
+    and ONE join — the violation's ``column`` names the offending column.
+
     Dim side is broadcast when small (the common case for closed-world
     dimensions); for large dims, drop the hint and let AQE pick sort-merge —
     controlled by params.broadcast (default true). ``allowExternal`` policy
     downgrades severity to warning (``ReferenceResolver.cs:116-126``).
     """
-    col = rule.column
+    cols = rule.params.get("columns") or [rule.column]
     dim = plan.dims[rule.params["dim"]]
-    on = rule.params.get("on", col)
+    on = rule.params.get("on", cols[0])
     if on not in dim.columns:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -169,46 +204,48 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             f"dim has no typeColumn {type_col!r} (have {dim.columns})")
     severity = (Severity.WARNING if rule.params.get("allowExternal")
                 else rule.severity)
-    base = [F.col(plan.config.key_col).cast("string").alias("doc_id"),
-            F.col(plan.config.group_col).cast("string").alias("source")]
+    pairs = _reference_pairs(df, cols, rule, plan)
+    base = [F.col("_k").cast("string").alias("doc_id")]
+    tail = [F.col("_g").cast("string").alias("source")]
+
+    def viol_cols(code):
+        # like _viol_cols but the column field names the swept column
+        out = _viol_cols(rule, stage, code, severity)
+        out[4] = F.col("_col").alias("column")
+        return out
 
     if not expected_types:
-        keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
+        keys = (dim.select(F.col(on).cast("string").alias("_refkey"))
+                .dropDuplicates())
         if rule.params.get("broadcast", True):
             keys = F.broadcast(keys)
-        missing = (df.where(F.col(col).isNotNull())
-                   .join(keys, on=F.col(col) == F.col("_refkey"),
-                         how="left_anti"))
+        missing = pairs.join(keys, on=F.col("_val") == F.col("_refkey"),
+                             how="left_anti")
         return missing.select(
-            base[0],
-            *_viol_cols(rule, stage,
-                        rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
-                        severity),
-            base[1],
-            F.create_map(F.lit("value"),
-                         F.col(col).cast("string")).alias("detail"))
+            *base,
+            *viol_cols(rule.error_code or ErrorCode.REFERENCE_NOT_FOUND),
+            *tail,
+            F.create_map(F.lit("value"), F.col("_val")).alias("detail"))
 
     # J2 lane: one broadcast LEFT join yields both misses and type mismatches
-    keys = (dim.select(F.col(on).alias("_refkey"),
+    keys = (dim.select(F.col(on).cast("string").alias("_refkey"),
                        F.col(type_col).alias("_reftype")).dropDuplicates())
     if rule.params.get("broadcast", True):
         keys = F.broadcast(keys)
-    joined = (df.where(F.col(col).isNotNull())
-              .join(keys, on=F.col(col) == F.col("_refkey"), how="left"))
+    joined = pairs.join(keys, on=F.col("_val") == F.col("_refkey"),
+                        how="left")
     missing = joined.where(F.col("_refkey").isNull()).select(
-        base[0],
-        *_viol_cols(rule, stage,
-                    rule.error_code or ErrorCode.REFERENCE_NOT_FOUND,
-                    severity),
-        base[1],
-        F.create_map(F.lit("value"), F.col(col).cast("string")).alias("detail"))
+        *base,
+        *viol_cols(rule.error_code or ErrorCode.REFERENCE_NOT_FOUND),
+        *tail,
+        F.create_map(F.lit("value"), F.col("_val")).alias("detail"))
     mismatch = (joined.where(F.col("_refkey").isNotNull()
                              & ~F.col("_reftype").isin(expected_types))
                 .select(
-        base[0],
-        *_viol_cols(rule, stage, ErrorCode.REFERENCE_TYPE_MISMATCH, severity),
-        base[1],
-        F.create_map(F.lit("value"), F.col(col).cast("string"),
+        *base,
+        *viol_cols(ErrorCode.REFERENCE_TYPE_MISMATCH),
+        *tail,
+        F.create_map(F.lit("value"), F.col("_val"),
                      F.lit("actualType"), F.col("_reftype").cast("string"),
                      F.lit("expectedTypes"), F.lit(json.dumps(expected_types)))
          .alias("detail")))

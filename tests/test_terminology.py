@@ -153,6 +153,29 @@ def test_nested_path_rejects_bad_segment(spark):
                           "column": "payload.a.b", "params": {"min": 0}}])
 
 
+# -------------------------------- J3: multi-column reference extraction ----
+
+def test_reference_multi_column_sweep(spark):
+    """params.columns sweeps scalar + array + nested element paths through
+    one extraction pass; the violation's column names the offender."""
+    df = spark.createDataFrame(
+        [("d1", "u1", ["u2", "u9"],
+          [{"ref": "u3"}, {"ref": "u8"}], "web"),
+         ("d2", "u7", None, None, "web")],
+        "doc_id string, owner string, members array<string>, "
+        "links array<struct<ref:string>>, source string")
+    dim = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "uid string")
+    res = _run(spark, df,
+               [{"id": "REF-M", "type": "Reference",
+                 "params": {"columns": ["owner", "members", "links[*].ref"],
+                            "dim": "users", "on": "uid"}}],
+               dims={"users": dim})
+    got = {(r["doc_id"], r["column"], r["detail"]["value"])
+           for r in res.violations.collect()}
+    assert got == {("d1", "members", "u9"), ("d1", "links[*].ref", "u8"),
+                   ("d2", "owner", "u7")}
+
+
 # ------------------------------- CodeSystem (system, code) pair lane (R6) --
 
 def _codeset_dim(spark):
