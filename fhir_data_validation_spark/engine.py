@@ -222,11 +222,12 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
     are never deduped against each other across rules.
 
     Implemented as ``min_by`` over a lexicographic (stage, rule_id) struct
-    — a hash aggregation with map-side partial combine — rather than a
-    ``row_number`` window: the window needs a full shuffle + per-partition
-    sort of every violation; the aggregate pre-collapses duplicates before
-    the exchange and never sorts (measured ~1.7 s saved on a 200k-violation
-    pass at 32 cores)."""
+    — an aggregation with map-side partial combine (SortAggregate: struct
+    buffers aren't hash-aggregable) — rather than a ``row_number`` window:
+    the window shuffles every violation at full width and sorts each
+    partition; the aggregate pre-collapses duplicates before the exchange
+    (measured: dedup cost ≈ 0 on a 200k-violation pass vs ~+1 s for the
+    window)."""
     cols = violations.columns
     row_level = violations.where(F.col("doc_id").isNotNull())
     dataset_level = violations.where(F.col("doc_id").isNull())

@@ -105,6 +105,81 @@ def test_stats_partial_aggregation(spark, corpus):
                if "ReadSchema" in ln)
 
 
+def test_element_path_range_native_scan_filter(spark):
+    """P5: a Range rule on a[*].b keeps the FULL-SCAN filter native —
+    array_min/array_max over the GetArrayStructFields extraction, no
+    higher-order-function (lambda) probe in the pre-exchange stage."""
+    from fhir_data_validation_spark import RuleSet
+    df = spark.createDataFrame(
+        [("d1", [{"v": 1.0}], "g")],
+        "doc_id string, items array<struct<v:double>>, source string")
+    engine = ValidationEngine(RuleSet.parse({"rules": [
+        {"id": "NPR", "type": "Range", "column": "items[*].v",
+         "params": {"min": 0, "max": 10}}]}))
+    plan = engine.compile(df)
+    s = explain_str(predicate_violations(df, plan))
+    cond = s[s.index("(2) Filter"):s.index("(3) Exchange")]
+    assert "array_min" in cond and "array_max" in cond
+    assert "lambdafunction" not in cond.lower()
+    assert ".v" in cond  # GetArrayStructFields extraction, not a transform
+
+
+def test_codesystem_plan_broadcasts_codeset(spark):
+    from fhir_data_validation_spark import RuleSet
+    df = spark.createDataFrame(
+        [("d1", "sysA", "c1", "g")],
+        "doc_id string, sys string, code string, source string")
+    dim = spark.createDataFrame([("sysA", "c1")], "s string, code string")
+    engine = ValidationEngine(RuleSet.parse({"rules": [
+        {"id": "CSP", "type": "CodeSystem", "column": "code",
+         "params": {"system": "sysA", "systemColumn": "sys",
+                    "dim": "codes", "dimSystemColumn": "s"}}]}),
+        dims={"codes": dim})
+    plan = engine.compile(df)
+    s = explain_str(plan.dataset_plans[0].execute(df, plan))
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_multi_column_reference_single_scan(spark):
+    """J3 sweep: one scan feeds the whole extraction — the plan contains
+    exactly one parquet scan regardless of how many columns are swept."""
+    import tempfile
+    out = tempfile.mkdtemp() + "/refs"
+    spark.createDataFrame(
+        [("d1", "u1", ["u2"], "g")],
+        "doc_id string, owner string, members array<string>, source string"
+    ).write.parquet(out)
+    df = spark.read.parquet(out)
+    from fhir_data_validation_spark import RuleSet
+    dim = spark.createDataFrame([("u1",)], "uid string")
+    engine = ValidationEngine(RuleSet.parse({"rules": [
+        {"id": "REFM", "type": "Reference",
+         "params": {"columns": ["owner", "members"], "dim": "users",
+                    "on": "uid"}}]}), dims={"users": dim})
+    plan = engine.compile(df)
+    s = explain_str(plan.dataset_plans[0].execute(df, plan), mode="simple")
+    assert s.count("FileScan parquet") == 1
+
+
+def test_dedupe_is_aggregate_not_window(spark, corpus):
+    """A5 dedup compiles to a min_by aggregation with map-side partial
+    combine (SortAggregate — struct buffers aren't hash-aggregable) — no
+    Window, whose full-width shuffle + sort it replaces."""
+    from fhir_data_validation_spark import RuleSet
+    from fhir_data_validation_spark.engine import dedupe_violations
+    engine = ValidationEngine(RuleSet.parse({"rules": [
+        {"id": "A", "type": "Required", "column": "tokens"},
+        {"id": "B", "type": "Required", "column": "tokens",
+         "errorCode": "FIELD_REQUIRED"}]}))
+    plan = engine.compile(corpus)
+    s = explain_str(dedupe_violations(predicate_violations(corpus, plan)),
+                    mode="simple")
+    assert "Window" not in s
+    # partial + final aggregation around the exchange
+    assert s.count("Aggregate") >= 2
+
+
 def test_parquet_filter_pushdown(spark, corpus):
     s = explain_str(corpus.where(F.col("n_tok") > 100).select("doc_id"))
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
