@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         "rows instead of reading --input")
     p.add_argument("--rules", default=None,
                    help="rules.json path (default: built-in token rule set)")
+    p.add_argument("--questions", default=None,
+                   help="questions.json path — per-answerType Contract "
+                        "rules generated from the questions dim are ADDED "
+                        "to the rule set")
     p.add_argument("--output", required=True,
                    help="output root: violations/, verdicts/, lineage/")
     p.add_argument("--dim", action="append", default=[],
@@ -100,6 +104,12 @@ def main(argv=None) -> int:
 
     ruleset = (RuleSet.from_json(args.rules) if args.rules
                else default_token_ruleset())
+    if args.questions:
+        from fhir_data_validation_spark.questions import \
+            question_rules_from_json
+        qrs = question_rules_from_json(args.questions)
+        ruleset = RuleSet(version=ruleset.version,
+                          rules=ruleset.rules + qrs.rules)
     dims = {}
     for binding in args.dim:
         name, _, path = binding.partition("=")
