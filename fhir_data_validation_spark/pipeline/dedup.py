@@ -42,6 +42,19 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster's parallelism — a handful of input files would pin
+    the (CPU-heavy, interpreted-HOF) shingling/signature stages to a
+    handful of cores (measured 6× on a 3-file union at 32 cores). At
+    corpus scale the input has orders of magnitude more partitions than
+    cores and this is a no-op — no shuffle of raw text ever happens."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _anti_join_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop rows whose key appears more than ``cap`` times.
 
@@ -128,8 +141,9 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str,
                    n: int) -> DataFrame:
-    return (df.select(F.col(id_col).alias("_id"),
-                      shingle_hashes(F.col(text_col), n).alias("_sh"))
+    return (_widen(df)
+            .select(F.col(id_col).alias("_id"),
+                    shingle_hashes(F.col(text_col), n).alias("_sh"))
             .where(F.size("_sh") > 0))
 
 
@@ -285,8 +299,9 @@ def simhash(df: DataFrame, text_col: str = "text",
     Explode words, hash each once, then ``bits`` conditional-sum aggregates
     (+1/-1 per bit) and a sign-vector reassembly — all codegen, one shuffle
     of O(docs × bits) partials."""
-    posts = (df.select(F.col(id_col).alias("_id"),
-                       F.explode(words(F.col(text_col))).alias("w"))
+    posts = (_widen(df)
+             .select(F.col(id_col).alias("_id"),
+                     F.explode(words(F.col(text_col))).alias("w"))
              .withColumn("h", _word_hash(F.col("w"), hash_fn)))
     aggs = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                          1).otherwise(-1)).alias(f"b{i}")

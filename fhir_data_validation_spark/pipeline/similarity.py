@@ -174,7 +174,8 @@ def srp_signatures(df: DataFrame, n_bits: int = 8, n_tables: int = 16,
                 "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
                 "bucket": buckets.ravel()})
 
-    return df.select(id_col, vec_col).mapInPandas(_sig, out_schema)
+    from .dedup import _widen
+    return _widen(df.select(id_col, vec_col)).mapInPandas(_sig, out_schema)
 
 
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
