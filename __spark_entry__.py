@@ -457,6 +457,20 @@ def q_s1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_s2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (KMeans cells + probe-and-rerank). Probing
+    every cell makes the candidate set the full corpus, so the result is
+    exactly the brute-force top-k — which is the oracle; partial-probe
+    recall is covered by unit tests (the approximate regime has no SQL
+    twin)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.ivf_topk(emb.where(F.col("vec_id") >= 10),
+                              emb.where(F.col("vec_id") < 3), k=5,
+                              n_cells=8, n_probe=8)
+    return (out.select("query_id", "vec_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_m1_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload metadata pass over the synthesized multimodal table
     (modality omitted: it derives from xxhash64, which the oracle dialect
@@ -507,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
+        "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
     }
 
@@ -804,6 +819,19 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
             ORDER BY id_a, id_b""",
         "s1_cosine_topk": """
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cos
+              FROM (SELECT * FROM embeddings WHERE vec_id < 3) q,
+                   (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+            SELECT query_id, vec_id, "rank" FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC)
+                       AS "rank"
+              FROM s)
+            WHERE "rank" <= 5 ORDER BY query_id, "rank" """,
+        "s2_ivf_topk": """
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id,
                      list_cosine_similarity(q.embedding, c.embedding) AS cos

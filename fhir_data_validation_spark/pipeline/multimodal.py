@@ -100,6 +100,59 @@ def decode(df: DataFrame,
             .mapInPandas(_decode, DECODE_SCHEMA))
 
 
+RESIZE_SCHEMA = ("doc_id string, modality string, payload binary, "
+                 "meta map<string,string>")
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resizer: truncates/cycles the
+    payload to exactly width×height×3 bytes (the raw-RGB size a PIL adapter
+    would produce)."""
+    target = width * height * 3
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize(df: DataFrame, width: int, height: int,
+           resizer: Callable[[bytes, int, int], bytes] | None = None
+           ) -> DataFrame:
+    """Arrow-batched image resize over ``mapInPandas``.
+
+    STUB: raises ``NotImplementedError`` without an explicit ``resizer``
+    (no PIL/opencv in this container); pass :func:`fake_resizer` to
+    exercise the dataflow. Production shape: only image rows are
+    transformed (others pass through untouched), the output payload
+    replaces the input in place, and the meta map records the target
+    dimensions — batch memory stays bounded because payloads stream
+    batch-at-a-time through Arrow."""
+    if resizer is None:
+        raise NotImplementedError(
+            "no image libraries in this environment - pass resizer= "
+            "(e.g. multimodal.fake_resizer) to run the resize dataflow")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for m, p, meta in zip(pdf["modality"], pdf["payload"],
+                                  pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                if m == "image":
+                    p = resizer(bytes(p), width, height)
+                    meta.update({"resized_w": str(width),
+                                 "resized_h": str(height)})
+                out_payload.append(p)
+                out_meta.append(meta)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "modality": pdf["modality"],
+                                "payload": out_payload,
+                                "meta": out_meta})
+
+    return (df.select("doc_id", "modality", "payload", "meta")
+            .mapInPandas(_resize, RESIZE_SCHEMA))
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024,
                  max_frames: int = 8) -> DataFrame:
     """Video-frame sampling plumbing: slice each payload into fixed-stride

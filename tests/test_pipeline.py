@@ -214,6 +214,22 @@ def test_ann_topk_recall(embs):
     assert recall >= 0.6  # multiprobe SRP at 8 bits on 64-dim data
 
 
+def test_ivf_topk_recall_and_exactness_at_full_probe(embs):
+    queries = embs.where(F.col("vec_id") < 10)
+    corpus = embs.where(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    exact_s = {(r["query_id"], r["vec_id"]) for r in exact}
+    # probing every cell ⇒ candidate set = corpus ⇒ exact result
+    full = similarity.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8)
+    full_s = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert full_s == exact_s
+    # partial probing: sublinear work, bounded recall loss
+    approx = similarity.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3)
+    approx_s = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_s & approx_s) / len(exact_s)
+    assert recall >= 0.5  # uniform random vectors are the worst case
+
+
 # -------------------------------------------------------------- multimodal --
 
 def test_multimodal_meta(docs):
@@ -264,3 +280,19 @@ def test_gopher_quality_rules(spark, docs):
     # synthetic word-soup docs: duplicate-word rule fires, wordcount doesn't
     assert by_rule.get("QF-DUPWORDS", 0) > 0
     assert "QF-WORDCOUNT" not in by_rule
+
+
+def test_resize_stub_and_fake_resizer(docs, spark):
+    mm = multimodal.synth_multimodal(docs)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize(mm, 32, 32).collect()
+    out = multimodal.resize(mm, 8, 8, resizer=multimodal.fake_resizer)
+    rows = out.collect()
+    assert len(rows) == mm.count()
+    for r in rows:
+        if r["modality"] == "image":
+            assert len(r["payload"]) == 8 * 8 * 3
+            assert r["meta"]["resized_w"] == "8"
+        else:
+            assert "resized_w" not in r["meta"]
