@@ -139,7 +139,10 @@ class CompiledPlan:
         for p in self.predicates:
             keys.append((p._error_code(), p.rule.column or ""))
         for d in self.dataset_plans:
-            keys.extend((c, d.rule.column or "") for c in d.codes)
+            # a multi-column Reference sweep emits violations under EACH
+            # swept column name, so every (code, column) pair can collide
+            cols = d.rule.params.get("columns") or [d.rule.column or ""]
+            keys.extend((c, col) for c in d.codes for col in cols)
         for k in keys:
             if k in seen:
                 return True

@@ -229,17 +229,25 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
     (measured: dedup cost ≈ 0 on a 200k-violation pass vs ~+1 s for the
     window)."""
     cols = violations.columns
-    row_level = violations.where(F.col("doc_id").isNotNull())
-    dataset_level = violations.where(F.col("doc_id").isNull())
-    best = (row_level
+    # ONE aggregation pass over the union — splitting into isNull/isNotNull
+    # branches would re-execute every upstream subplan (a second full scan
+    # per broadcast-join dataset plan). Dataset-level rows (doc_id null)
+    # must never dedupe across rules, so the grouping key gains rule_id for
+    # exactly those rows (null constant for doc-level rows); source is in
+    # the key to keep per-source dataset rows (Drift) apart — for doc-level
+    # rows it is functionally dependent on doc_id, so no group changes.
+    best = (violations
             .groupBy(F.col("doc_id"), F.col("error_code"), F.col("column"),
                      F.col("detail")["value"].alias("_val"),
-                     F.col("detail")["index"].alias("_idx"))
+                     F.col("detail")["index"].alias("_idx"),
+                     F.col("source").alias("_src"),
+                     F.when(F.col("doc_id").isNull(), F.col("rule_id"))
+                      .alias("_dsrule"))
             .agg(F.min_by(F.struct(*cols),
                           F.struct(F.col("stage"), F.col("rule_id")))
                  .alias("_v"))
             .select("_v.*"))
-    return best.unionByName(dataset_level)
+    return best
 
 
 def build_verdicts(df: DataFrame, violations: DataFrame,

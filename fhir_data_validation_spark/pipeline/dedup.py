@@ -38,8 +38,31 @@ def _materialize(df: DataFrame) -> DataFrame:
     ``persist(MEMORY_AND_DISK)`` rather than ``localCheckpoint``: a
     checkpoint block dies with its executor — on a cluster a lost executor
     fails the whole job — while persisted blocks are recomputed from
-    lineage. Spills to disk when the partition outgrows executor memory."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    lineage. Spills to disk when the partition outgrows executor memory.
+
+    The cached blocks live until the caller releases them: a driver loop
+    deduplicating many corpora in one session should ``unpersist_all()``
+    (or ``spark.catalog.clearCache()``) between corpora, or storage memory
+    accumulates one shingle table per call."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _MATERIALIZED.append(df)
+    return df
+
+
+_MATERIALIZED: list[DataFrame] = []
+
+
+def unpersist_all() -> int:
+    """Release every intermediate this module persisted (shingle tables).
+    Returns the number of DataFrames unpersisted."""
+    n = 0
+    while _MATERIALIZED:
+        try:
+            _MATERIALIZED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
 
 
 def _widen(df: DataFrame) -> DataFrame:

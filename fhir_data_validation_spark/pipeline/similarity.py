@@ -264,7 +264,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         for cell in np.argsort(-sims)[:n_probe]:
             probe_rows.append((r["qid"], int(cell)))
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    id_type = queries.schema[id_col].dataType  # ids keep their native type
+    probes = spark.createDataFrame(
+        probe_rows, StructType([StructField("query_id", id_type),
+                                StructField("cell", IntegerType())]))
 
     cand = (assigned.join(F.broadcast(probes), "cell")
             .select("query_id", "cand_id"))

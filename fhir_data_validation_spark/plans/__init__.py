@@ -148,22 +148,40 @@ def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
     paths, raw array columns and ``a[*].b`` element paths all contribute
     (``ReferenceResolver.cs:175-311`` multi-path extraction re-keyed to a
     fixed schema). Per-row values are de-duplicated before the join (A6,
-    ``ReferenceResolver.cs:89-103``)."""
+    ``ReferenceResolver.cs:89-103``).
+
+    ``_val`` keeps the columns' NATIVE leaf type so the dim join compares
+    with Spark's own coercion rules (a string-normalized join would break
+    numerically-equal keys of different widths, e.g. double 42.0 vs bigint
+    42). Mixed leaf types across the sweep therefore need a common
+    Catalyst type — enforced at compile with a clear error rather than
+    silently string-ified."""
     from pyspark.sql.types import ArrayType
     from ..compiler import _field_type, _spark_path
+    leaf_types = set()
     structs = []
     for c in cols:
         dtype = _field_type(df.schema, c, rule)
+        leaf = dtype.elementType if isinstance(dtype, ArrayType) else dtype
+        leaf_types.add(leaf.simpleString())
         sc = F.col(_spark_path(c))
-        vals = (F.array_distinct(sc.cast("array<string>"))
-                if isinstance(dtype, ArrayType)
-                else F.array(sc.cast("string")))
-        structs.append(F.struct(F.lit(c).alias("col"),
-                                F.coalesce(vals, F.array().cast(
-                                    "array<string>")).alias("vals")))
+        vals = (F.array_distinct(sc) if isinstance(dtype, ArrayType)
+                else F.array(sc))
+        structs.append((c, vals, leaf))
+    if len(leaf_types) > 1:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"swept reference columns have mixed leaf types {sorted(leaf_types)}"
+            " — split into one Reference rule per type so the dim join stays"
+            " natively typed")
+    arr_type = f"array<{leaf_types.pop()}>"
+    arr = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.coalesce(vals, F.array().cast(arr_type)).alias("vals"))
+        for c, vals, _ in structs])
     return (df.select(F.col(plan.config.key_col).alias("_k"),
                       F.col(plan.config.group_col).alias("_g"),
-                      F.explode(F.array(*structs)).alias("_p"))
+                      F.explode(arr).alias("_p"))
             .select("_k", "_g", F.col("_p.col").alias("_col"),
                     F.explode("_p.vals").alias("_val"))
             .where(F.col("_val").isNotNull()))
@@ -215,8 +233,9 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         return out
 
     if not expected_types:
-        keys = (dim.select(F.col(on).cast("string").alias("_refkey"))
-                .dropDuplicates())
+        # dim key stays natively typed: the join condition compares with
+        # Spark's coercion (double 42.0 == bigint 42 matches, as pre-sweep)
+        keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
         if rule.params.get("broadcast", True):
             keys = F.broadcast(keys)
         missing = pairs.join(keys, on=F.col("_val") == F.col("_refkey"),
@@ -225,10 +244,12 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             *base,
             *viol_cols(rule.error_code or ErrorCode.REFERENCE_NOT_FOUND),
             *tail,
-            F.create_map(F.lit("value"), F.col("_val")).alias("detail"))
+            F.create_map(F.lit("value"),
+                         F.col("_val").cast("string"))
+             .alias("detail"))
 
     # J2 lane: one broadcast LEFT join yields both misses and type mismatches
-    keys = (dim.select(F.col(on).cast("string").alias("_refkey"),
+    keys = (dim.select(F.col(on).alias("_refkey"),
                        F.col(type_col).alias("_reftype")).dropDuplicates())
     if rule.params.get("broadcast", True):
         keys = F.broadcast(keys)
@@ -238,14 +259,16 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         *base,
         *viol_cols(rule.error_code or ErrorCode.REFERENCE_NOT_FOUND),
         *tail,
-        F.create_map(F.lit("value"), F.col("_val")).alias("detail"))
+        F.create_map(F.lit("value"),
+                         F.col("_val").cast("string"))
+             .alias("detail"))
     mismatch = (joined.where(F.col("_refkey").isNotNull()
                              & ~F.col("_reftype").isin(expected_types))
                 .select(
         *base,
         *viol_cols(ErrorCode.REFERENCE_TYPE_MISMATCH),
         *tail,
-        F.create_map(F.lit("value"), F.col("_val"),
+        F.create_map(F.lit("value"), F.col("_val").cast("string"),
                      F.lit("actualType"), F.col("_reftype").cast("string"),
                      F.lit("expectedTypes"), F.lit(json.dumps(expected_types)))
          .alias("detail")))
@@ -337,14 +360,31 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             "column and systemColumn must both be scalar or both be "
             "[*] element paths over the same array")
+    if code_el:
+        # the zip aligns by position — only lawful when both paths
+        # traverse the SAME base array (different arrays would zip-pad and
+        # pair unrelated elements)
+        base_code = code_path.split("[*]")[0]
+        base_sys = sys_path.split("[*]")[0]
+        if base_code != base_sys:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"element paths must traverse the same array: "
+                f"{base_code!r} vs {base_sys!r}")
     code_t = _field_type(df.schema, code_path, rule)
-    _field_type(df.schema, sys_path, rule)
+    sys_t = _field_type(df.schema, sys_path, rule)
+    if isinstance(code_t, ArrayType) != isinstance(sys_t, ArrayType):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"column resolves to {code_t.simpleString()} but systemColumn "
+            f"to {sys_t.simpleString()} — both must be arrays (aligned) or "
+            "both scalars")
     code_c = F.col(_spark_path(code_path))
     sys_c = F.col(_spark_path(sys_path))
 
     key = F.col(plan.config.key_col).alias("_k")
     grp = F.col(plan.config.group_col).alias("_g")
-    if code_el or isinstance(code_t, ArrayType):
+    if isinstance(code_t, ArrayType):
         # aligned element pairs with their index; posexplode keeps the
         # reference's arrayIndex hint (.cs:1622, ExtractArrayIndexFromLocation)
         pairs = (df.select(key, grp, F.posexplode(
@@ -378,6 +418,9 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     keys = codes_dim.select(F.col(on).alias("_refkey")).dropDuplicates()
     if rule.params.get("broadcast", True):
         keys = F.broadcast(keys)
+    # a NULL code on the expected system IS flagged — the reference's
+    # validCodes.Contains(coding.Code) is false for null
+    # (FhirPathRuleEngine.cs:1669-1675, detail code ?? "")
     not_in_set = (pairs.where(F.col("_sys").eqNullSafe(expected))
                   .join(keys, on=F.col("_code") == F.col("_refkey"),
                         how="left_anti")

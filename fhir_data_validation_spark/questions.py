@@ -148,5 +148,11 @@ def question_rules_from_json(path: str, source: str = "*") -> RuleSet:
     """Load ``{"questions": [...]}`` (or a bare list) from a JSON file."""
     with open(path, encoding="utf-8") as fh:
         raw = json.load(fh)
-    qs = raw["questions"] if isinstance(raw, dict) else raw
-    return question_rules(qs, source=source)
+    if isinstance(raw, dict):
+        if "questions" not in raw:
+            raise RuleConfigurationError(
+                path, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"questions file has no 'questions' key "
+                f"(top-level keys: {sorted(raw)})")
+        raw = raw["questions"]
+    return question_rules(raw, source=source)

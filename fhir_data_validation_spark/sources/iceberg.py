@@ -143,14 +143,21 @@ class IcebergLineageStore:
         self.ensure(spark)
         src = spark.createDataFrame(
             records, LINEAGE_DDL.strip("()").replace(" bigint", " long"))
-        src.createOrReplaceTempView("_lineage_src")
-        spark.sql(f"""
-            MERGE INTO {self.table} t
-            USING _lineage_src s
-            ON t.run_id = s.run_id AND t.partition_key = s.partition_key
-               AND t.rule_id <=> s.rule_id
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *""")
+        # unique per-call view name: concurrent batch threads must not
+        # replace each other's source view between registration and MERGE
+        import uuid as _uuid
+        view = f"_lineage_src_{_uuid.uuid4().hex}"
+        src.createOrReplaceTempView(view)
+        try:
+            spark.sql(f"""
+                MERGE INTO {self.table} t
+                USING {view} s
+                ON t.run_id = s.run_id AND t.partition_key = s.partition_key
+                   AND t.rule_id <=> s.rule_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+        finally:
+            spark.catalog.dropTempView(view)
 
     def metrics(self, spark: SparkSession, run_id: str) -> DataFrame:
         from pyspark.sql import functions as F

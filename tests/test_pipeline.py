@@ -296,3 +296,21 @@ def test_resize_stub_and_fake_resizer(docs, spark):
             assert r["meta"]["resized_w"] == "8"
         else:
             assert "resized_w" not in r["meta"]
+
+
+def test_ivf_topk_string_ids(spark):
+    """ids keep their native type through the probe table (regression:
+    hardcoded long schema broke string ids)."""
+    rows = [(f"v{i}", [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = similarity.ivf_topk(df.where(F.col("vec_id") != "v0"),
+                              df.where(F.col("vec_id") == "v0"),
+                              k=3, n_cells=2, n_probe=2)
+    got = out.collect()
+    assert len(got) == 3 and all(r["query_id"] == "v0" for r in got)
+
+
+def test_dedup_unpersist_all(spark, seeded):
+    dedup.jaccard_pairs(seeded, threshold=0.6).count()
+    assert dedup.unpersist_all() >= 1
+    assert dedup.unpersist_all() == 0

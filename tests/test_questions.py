@@ -96,3 +96,10 @@ def test_from_json(tmp_path):
     p = tmp_path / "questions.json"
     p.write_text(json.dumps({"questions": QUESTIONS}))
     assert len(question_rules_from_json(str(p)).rules) == 10
+
+
+def test_from_json_missing_key_is_config_error(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('{"items": []}')
+    with pytest.raises(RuleConfigurationError):
+        question_rules_from_json(str(p))

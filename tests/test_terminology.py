@@ -176,6 +176,46 @@ def test_reference_multi_column_sweep(spark):
                    ("d2", "owner", "u7")}
 
 
+def test_reference_join_keeps_native_types(spark):
+    """Numerically-equal keys of different widths must match (double 42.0
+    vs bigint 42) — the join compares natively, never through strings."""
+    df = spark.createDataFrame([("d1", 42.0, "g"), ("d2", 7.5, "g")],
+                               "doc_id string, ref double, source string")
+    dim = spark.createDataFrame([(42,)], "k long")
+    res = _run(spark, df,
+               [{"id": "REF-T", "type": "Reference", "column": "ref",
+                 "params": {"dim": "d", "on": "k"}}], dims={"d": dim})
+    assert [r["doc_id"] for r in res.violations.collect()] == ["d2"]
+
+
+def test_reference_mixed_leaf_types_rejected(spark):
+    df = spark.createDataFrame([("d1", 1, "x", "g")],
+                               "doc_id string, a long, b string, source string")
+    dim = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df, [{"id": "REF-MIX", "type": "Reference",
+                          "params": {"columns": ["a", "b"],
+                                     "dim": "d", "on": "k"}}],
+             dims={"d": dim})
+
+
+def test_dedupe_triggered_by_swept_column_collision(spark):
+    """needs_dedupe must see each swept column of a multi-column Reference:
+    a scalar rule on 'owner' and a sweep including 'owner' collide."""
+    df = spark.createDataFrame([("d1", "u9", "g")],
+                               "doc_id string, owner string, source string")
+    dim = spark.createDataFrame([("u1",)], "uid string")
+    res = _run(spark, df, [
+        {"id": "REF-A", "type": "Reference", "column": "owner",
+         "params": {"dim": "users", "on": "uid"}},
+        {"id": "REF-B", "type": "Reference",
+         "params": {"columns": ["owner"], "dim": "users", "on": "uid"}},
+    ], dims={"users": dim})
+    rows = res.violations.collect()
+    # one violation survives (earlier rule id wins), not two duplicates
+    assert len(rows) == 1 and rows[0]["rule_id"] == "REF-A"
+
+
 # ------------------------------- CodeSystem (system, code) pair lane (R6) --
 
 def _codeset_dim(spark):
@@ -250,6 +290,29 @@ def test_codesystem_config_errors(spark):
                           "params": {"system": "s",
                                      "systemColumn": "sys[*].x",
                                      "dim": "codes"}}],
+             dims={"codes": dim})
+    # element paths over DIFFERENT base arrays: the zip would pad and pair
+    # unrelated elements — rejected at compile
+    df2 = spark.createDataFrame(
+        [("d1", [{"code": "A"}], [{"system": "s"}], "g")],
+        "doc_id string, codings array<struct<code:string>>, "
+        "idents array<struct<system:string>>, source string")
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df2, [{"id": "CS-Z", "type": "CodeSystem",
+                           "column": "codings[*].code",
+                           "params": {"system": "s",
+                                      "systemColumn": "idents[*].system",
+                                      "dim": "codes"}}],
+             dims={"codes": dim})
+    # raw array column + scalar system: no silent zip-pad — rejected
+    df3 = spark.createDataFrame(
+        [("d1", ["A"], "s", "g")],
+        "doc_id string, codes array<string>, sys string, source string")
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df3, [{"id": "CS-W", "type": "CodeSystem",
+                           "column": "codes",
+                           "params": {"system": "s", "systemColumn": "sys",
+                                      "dim": "codes"}}],
              dims={"codes": dim})
 
 
