@@ -640,13 +640,34 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     width = float(rule.params.get("bucketWidth", 64))
     psi_max = float(rule.params.get("psiMax", 0.2))
     ks_alpha = float(rule.params.get("ksAlpha", 0.01))
+    mode = rule.params.get("mode", "numeric")
     group = plan.config.group_col
 
-    current = (df.where(F.col(col).isNotNull())
-                 .groupBy(F.col(group).alias("source"),
-                          F.floor(F.col(col) / width).cast("int").alias("bucket"))
-                 .agg(F.count(F.lit(1)).alias("cnt"))
-                 .withColumn("side", F.lit("cur")))
+    if mode == "tokenFrequency":
+        # north-star token-frequency drift: the histogram key is the token
+        # id itself (explode + partial-agg count — at 10^12 sequences the
+        # explode is the big shuffle; params.sampleFraction computes RATES
+        # on a deterministic row sample instead). KS over token-id order is
+        # meaningless (ids are categorical) — only PSI gates violations.
+        frac = rule.params.get("sampleFraction")
+        cur_src = df.sample(fraction=float(frac), seed=42) if frac else df
+        current = (cur_src.where(F.col(col).isNotNull())
+                   .select(F.col(group).alias("source"),
+                           F.explode(F.col(col)).alias("bucket"))
+                   .groupBy("source", F.col("bucket").cast("int"))
+                   .agg(F.count(F.lit(1)).alias("cnt"))
+                   .withColumn("side", F.lit("cur")))
+    elif mode == "numeric":
+        current = (df.where(F.col(col).isNotNull())
+                   .groupBy(F.col(group).alias("source"),
+                            F.floor(F.col(col) / width).cast("int")
+                            .alias("bucket"))
+                   .agg(F.count(F.lit(1)).alias("cnt"))
+                   .withColumn("side", F.lit("cur")))
+    else:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown drift mode {mode!r} (numeric | tokenFrequency)")
     baseline = (plan.dims[rule.params["baseline"]]
                 .where(F.col("column_name") == col)
                 .select(F.col("source"), F.col("bucket").cast("int"),
@@ -679,7 +700,10 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                               "n_baseline": int(n_base)}])
 
     stats = merged.groupBy("source").applyInPandas(_drift, DRIFT_RESULT_SCHEMA)
-    bad = stats.where((F.col("psi") > psi_max) | (F.col("ks") > F.col("ks_crit")))
+    viol_cond = F.col("psi") > psi_max
+    if mode != "tokenFrequency":  # KS needs an ordered support
+        viol_cond = viol_cond | (F.col("ks") > F.col("ks_crit"))
+    bad = stats.where(viol_cond)
     return bad.select(
         F.lit(None).cast("string").alias("doc_id"),
         *_viol_cols(rule, stage, rule.error_code or ErrorCode.DISTRIBUTION_DRIFT),

@@ -68,6 +68,27 @@ def histogram(df: DataFrame, column: str, bucket_width: float,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def quantiles(df: DataFrame, column: str,
+              probs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+              accuracy: int = 10_000,
+              group_col: str | None = None) -> DataFrame:
+    """C1b: per-group approximate quantiles in one aggregation pass
+    (``approx_percentile`` — mergeable KLL-style sketch state, shuffle
+    proportional to groups, not rows). Output: (group, p, value) long form
+    so downstream drift checks can diff quantile vectors."""
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string")).alias("group")
+    qs = (df.where(F.col(column).isNotNull())
+          .groupBy(group)
+          .agg(F.percentile_approx(column, list(probs), accuracy)
+               .alias("_qs")))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in probs]).alias("p"),
+                         F.col("_qs").alias("value"))
+    return (qs.select("group", F.explode(pairs).alias("_e"))
+            .select("group", F.col("_e.p").alias("p"),
+                    F.col("_e.value").cast("double").alias("value")))
+
+
 def token_frequencies(df: DataFrame, tokens_col: str = "tokens",
                       sample_fraction: float | None = None,
                       seed: int = 42) -> DataFrame:

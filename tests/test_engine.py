@@ -155,6 +155,31 @@ def test_drift_detects_shift(spark):
         float(row["detail"]["ks"]) > float(row["detail"]["ksCrit"])
 
 
+def test_drift_token_frequency_mode(spark):
+    """North-star token-frequency drift: PSI over per-token histograms
+    (KS is skipped — token ids are categorical, their order means
+    nothing)."""
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import \
+        token_frequency_baseline
+    clean = token_table(spark, 5000, vocab=256)
+    base = token_frequency_baseline(clean)
+    rs = RuleSet.parse({"rules": [
+        {"id": "DRF-T", "type": "Drift", "column": "tokens",
+         "params": {"baseline": "tok_base", "mode": "tokenFrequency",
+                    "psiMax": 0.2}}]})
+    # same generator, different seed → same token distribution → no drift
+    same = token_table(spark, 5000, seed=9, vocab=256)
+    res = ValidationEngine(rs, dims={"tok_base": base}).validate(same)
+    assert res.violations.count() == 0
+    # vocabulary collapse (all mass on 16 ids) → PSI fires per source
+    shifted = clean.withColumn(
+        "tokens", F.transform("tokens", lambda t: F.pmod(t, F.lit(16))))
+    res2 = ValidationEngine(rs, dims={"tok_base": base}).validate(shifted)
+    rows = res2.violations.collect()
+    assert rows and all(float(r["detail"]["psi"]) > 0.2 for r in rows)
+
+
 def test_first_scope(spark):
     """InstanceScope 'first' (P3): rule applies only to the first row per
     group (ResourceSelector.cs:80-89)."""

@@ -84,3 +84,17 @@ def test_salted_examples_bounded_and_deterministic(spark, tokens):
     assert ex1 == ex2  # deterministic under repartitioning
     for v in ex1.values():
         assert len(v) == 3 and v == sorted(v)
+
+
+def test_quantiles_long_form(spark):
+    from fhir_data_validation_spark import stats
+    from fhir_data_validation_spark.sources.synth import token_table
+    df = token_table(spark, 2000)
+    out = stats.quantiles(df, "n_tok", probs=(0.5,), group_col="source")
+    rows = out.collect()
+    groups = {r["group"] for r in rows}
+    assert groups == {r["source"] for r in
+                      df.select("source").distinct().collect()}
+    # the median sits inside the observed range, one row per (group, p)
+    lo, hi = df.agg(F.min("n_tok"), F.max("n_tok")).first()
+    assert all(r["p"] == 0.5 and lo <= r["value"] <= hi for r in rows)

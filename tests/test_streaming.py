@@ -172,3 +172,30 @@ def test_stateful_rejects_empty_predicate_ruleset(spark):
     df = spark.createDataFrame([("d1", "web")], "doc_id string, source string")
     with pytest.raises(RuleConfigurationError):
         running_violation_totals(df, RuleSet(rules=()))
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark lane: duplicates inside the watermark
+    window are suppressed, first-seen rows survive."""
+    import datetime as dt
+    from fhir_data_validation_spark.streaming import dedup_stream
+    src = str(tmp_path / "docs")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(1, "alpha beta gamma", t0),
+            (2, "ALPHA  beta\tgamma", t0 + dt.timedelta(seconds=30)),  # dup
+            (3, "totally different text", t0 + dt.timedelta(seconds=40)),
+            (4, "alpha beta gamma", t0 + dt.timedelta(seconds=50))]    # dup
+    (spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .parquet(src))
+    q = (dedup_stream(stream, "ts", delay="10 minutes")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in
+                 spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 3]
