@@ -137,11 +137,13 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state — reproducible
     across drivers/retries, like everything else in the engine)."""
     idx = np.arange(dim * n_bits, dtype=np.uint64).reshape(n_bits, dim)
-    # splitmix64-style integer mix, mapped to [-0.5, 0.5)
-    z = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    # splitmix64-style integer mix, mapped to [-0.5, 0.5); the uint64
+    # multiply overflow IS the mix (mod-2^64 wraparound by design)
+    with np.errstate(over="ignore"):
+        z = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
     return (z.astype(np.float64) / 2.0 ** 64) - 0.5
 
 
