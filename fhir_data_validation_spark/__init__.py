@@ -11,6 +11,7 @@ from . import skew, stats  # noqa: F401  (operator namespaces)
 from .compiler import EngineConfig, compile_ruleset
 from .engine import ValidationEngine, ValidationResult, validate
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
+from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
 from .lineage import LineageStore, ResumableRun
 from .model import InstanceScope, RuleDefinition, RuleSet
 from .questions import question_rules, question_rules_from_json
@@ -18,6 +19,7 @@ from .report import QualityReport, quality_report
 
 __all__ = [
     "EngineConfig", "ErrorCode", "InstanceScope", "LineageStore",
+    "PRIMITIVE_GRAMMARS", "grammar_rule", "grammar_ruleset",
     "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",

@@ -72,6 +72,8 @@ class ErrorCode:
     DISTRIBUTION_DRIFT = "DISTRIBUTION_DRIFT"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
+    UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"
+    MISSING_QUESTION_CODE = "MISSING_QUESTION_CODE"
     INVALID_QUESTION_CODE = "INVALID_QUESTION_CODE"
     INVALID_ANSWER_VALUE = "INVALID_ANSWER_VALUE"
     MULTIPLE_VALUES_NOT_ALLOWED = "MULTIPLE_VALUES_NOT_ALLOWED"

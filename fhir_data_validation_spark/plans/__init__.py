@@ -88,6 +88,9 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         codes = (ErrorCode.INVALID_QUESTION_CODE,
                  ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
                  ErrorCode.INVALID_ANSWER_VALUE)
+        if rule.params.get("screeningColumn"):
+            codes = codes + (ErrorCode.UNKNOWN_SCREENING_TYPE,
+                             ErrorCode.MISSING_QUESTION_CODE)
         exec_fn = lambda df, p: codemaster_plan(df, rule, stage, p)
     elif t == "RequiredResources":
         reqs = rule.require_param("requirements")
@@ -453,43 +456,115 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
       ``INVALID_ANSWER_VALUE`` — ``array_except`` against the joined allowed
       array, one violation per offending element.
 
-    Dim schema: (dimKey, allowedColumn array, [multiValueColumn bool]).
+    Two-level mode (``params.screeningColumn`` + ``params.dimScreening``
+    naming the dim's screening column) mirrors the reference's full
+    dispatch (``CodeMasterEngine.cs:22-143``):
+
+    * row's screening value NULL ⇒ skipped entirely (``GetScreeningType``
+      null ⇒ continue),
+    * screening ∉ dim's screening set ⇒ ``UNKNOWN_SCREENING_TYPE`` (one per
+      row, components unchecked),
+    * screening known, key column NULL ⇒ ``MISSING_QUESTION_CODE``,
+    * (screening, key) pair unknown ⇒ ``INVALID_QUESTION_CODE`` with
+      {questionCode, screeningType}.
+
+    Dim schema: (dimKey, allowedColumn array, [multiValueColumn bool,
+    dimScreening]).
     """
     from pyspark.sql.types import ArrayType
     val_col, key_col = rule.column, rule.params["keyColumn"]
     dim = plan.dims[rule.params["dim"]]
     dim_key, allowed_col = rule.params["dimKey"], rule.params["allowedColumn"]
     multi_col = rule.params.get("multiValueColumn")
-    for c, where in ((dim_key, "dim"), (allowed_col, "dim")):
+    screening_col = rule.params.get("screeningColumn")
+    dim_screening = rule.params.get("dimScreening")
+    if screening_col and not dim_screening:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "screeningColumn requires params.dimScreening naming the dim's "
+            "screening column")
+    check_cols = [(dim_key, "dim"), (allowed_col, "dim")]
+    if dim_screening:
+        check_cols.append((dim_screening, "dim"))
+    for c, where in check_cols:
         if c not in dim.columns:
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"{where} has no column {c!r} (have {dim.columns})")
     is_array = isinstance(df.schema[val_col].dataType, ArrayType)
 
-    dim_sel = [F.col(dim_key).alias("_dkey"),
-               F.col(allowed_col).alias("_allowed")]
-    dim_sel.append((F.col(multi_col) if multi_col else F.lit(True))
-                   .alias("_multi"))
-    joined = (df.where(F.col(key_col).isNotNull())
-              .select(F.col(plan.config.key_col).alias("_k"),
-                      F.col(plan.config.group_col).alias("_g"),
-                      F.col(key_col).alias("_qkey"),
-                      (F.col(val_col) if is_array
-                       else F.array(F.col(val_col))).alias("_vals"))
-              .join(F.broadcast(dim.select(*dim_sel).dropDuplicates(["_dkey"])),
-                    on=F.col("_qkey") == F.col("_dkey"), how="left"))
-
     base = [F.col("_k").cast("string").alias("doc_id")]
     tail = [F.col("_g").cast("string").alias("source")]
+    dim_sel = [F.col(dim_key).alias("_dkey"),
+               F.col(allowed_col).alias("_allowed"),
+               (F.col(multi_col) if multi_col else F.lit(True))
+               .alias("_multi")]
+
+    extra_lanes = []
+    rows = df
+    if screening_col:
+        # rows with null screening are skipped (GetScreeningType → continue)
+        rows = df.where(F.col(screening_col).isNotNull())
+        known_s = (dim.select(F.col(dim_screening).alias("_s"))
+                   .dropDuplicates())
+        unknown_screening = (
+            rows.join(F.broadcast(known_s),
+                      on=F.col(screening_col) == F.col("_s"),
+                      how="left_anti")
+            .select(F.col(plan.config.key_col).alias("_k"),
+                    F.col(plan.config.group_col).alias("_g"),
+                    F.col(screening_col).alias("_scr"))
+            .select(*base,
+                    *_viol_cols(rule, stage, "UNKNOWN_SCREENING_TYPE"),
+                    *tail,
+                    F.create_map(F.lit("screeningType"),
+                                 F.col("_scr").cast("string"))
+                     .alias("detail")))
+        in_screening = rows.join(
+            F.broadcast(known_s), on=F.col(screening_col) == F.col("_s"),
+            how="left_semi")
+        missing_key = (in_screening.where(F.col(key_col).isNull())
+                       .select(F.col(plan.config.key_col).alias("_k"),
+                               F.col(plan.config.group_col).alias("_g"))
+                       .select(*base,
+                               *_viol_cols(rule, stage,
+                                           "MISSING_QUESTION_CODE"),
+                               *tail,
+                               F.create_map().cast("map<string,string>")
+                                .alias("detail")))
+        extra_lanes = [unknown_screening, missing_key]
+        rows = in_screening
+        dim_sel.append(F.col(dim_screening).alias("_dscr"))
+
+    sel = [F.col(plan.config.key_col).alias("_k"),
+           F.col(plan.config.group_col).alias("_g"),
+           F.col(key_col).alias("_qkey"),
+           (F.col(val_col) if is_array
+            else F.array(F.col(val_col))).alias("_vals")]
+    if screening_col:
+        sel.append(F.col(screening_col).alias("_scr"))
+        dedup_keys = ["_dkey", "_dscr"]
+        join_cond = ((F.col("_qkey") == F.col("_dkey"))
+                     & (F.col("_scr") == F.col("_dscr")))
+    else:
+        dedup_keys = ["_dkey"]
+        join_cond = F.col("_qkey") == F.col("_dkey")
+    joined = (rows.where(F.col(key_col).isNotNull())
+              .select(*sel)
+              .join(F.broadcast(dim.select(*dim_sel)
+                                .dropDuplicates(dedup_keys)),
+                    on=join_cond, how="left"))
+
+    unknown_detail = [F.lit("key"), F.col("_qkey").cast("string")]
+    if screening_col:
+        unknown_detail += [F.lit("screeningType"),
+                           F.col("_scr").cast("string")]
     unknown = (joined.where(F.col("_dkey").isNull())
                .select(*base,
                        *_viol_cols(rule, stage,
                                    ErrorCode.INVALID_QUESTION_CODE),
                        *tail,
-                       F.create_map(F.lit("key"),
-                                    F.col("_qkey").cast("string"))
-                        .alias("detail")))
+                       F.create_map(*unknown_detail).alias("detail")))
     multi = (joined.where(F.col("_dkey").isNotNull() & ~F.col("_multi")
                           & (F.size("_vals") > 1))
              .select(*base,
@@ -512,7 +587,10 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
                      F.lit("value"), F.col("_bad").cast("string"))
          .alias("detail"))
-    return unknown.unionByName(multi).unionByName(invalid)
+    out = unknown.unionByName(multi).unionByName(invalid)
+    for lane in extra_lanes:
+        out = out.unionByName(lane)
+    return out
 
 
 # ------------------------------------------- RequiredResources (A1 cardinality)

@@ -316,6 +316,42 @@ def test_codesystem_config_errors(spark):
              dims={"codes": dim})
 
 
+def test_codemaster_two_level_screening(spark):
+    """Two-level dispatch (CodeMasterEngine.cs:22-143): null screening
+    skipped, unknown screening → UNKNOWN_SCREENING_TYPE, known screening +
+    null question key → MISSING_QUESTION_CODE, unknown (screening, key)
+    pair → INVALID_QUESTION_CODE, plus the usual answer lanes."""
+    df = spark.createDataFrame(
+        [("d1", "bp", "sys", "high", "web"),      # clean
+         ("d2", "bp", "dia", "purple", "web"),    # bad answer value
+         ("d3", "xx", "sys", "high", "web"),      # unknown screening
+         ("d4", "bp", None, "high", "web"),       # missing question code
+         ("d5", None, "sys", "high", "web"),      # null screening → skipped
+         ("d6", "bp", "zz", "high", "web")],      # unknown question in bp
+        "doc_id string, screening string, q string, answer string, "
+        "source string")
+    dim = spark.createDataFrame(
+        [("bp", "sys", ["high", "low"], True),
+         ("bp", "dia", ["high", "low"], True),
+         ("hr", "sys", ["x"], True)],
+        "scr string, q string, allowed array<string>, multi boolean")
+    res = _run(spark, df,
+               [{"id": "CM-2", "type": "CodeMaster", "column": "answer",
+                 "params": {"dim": "cm", "keyColumn": "q",
+                            "dimKey": "q", "allowedColumn": "allowed",
+                            "multiValueColumn": "multi",
+                            "screeningColumn": "screening",
+                            "dimScreening": "scr"}}],
+               dims={"cm": dim})
+    got = {(r["doc_id"], r["error_code"]) for r in res.violations.collect()}
+    assert got == {("d2", "INVALID_ANSWER_VALUE"),
+                   ("d3", "UNKNOWN_SCREENING_TYPE"),
+                   ("d4", "MISSING_QUESTION_CODE"),
+                   ("d6", "INVALID_QUESTION_CODE")}
+    d6 = {r["doc_id"]: r["detail"] for r in res.violations.collect()}["d6"]
+    assert d6["screeningType"] == "bp" and d6["key"] == "zz"
+
+
 # ----------------------------------- P5: array-of-struct element paths -----
 
 def _components_df(spark):
