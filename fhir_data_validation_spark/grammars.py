@@ -9,7 +9,10 @@ into the ordinary one-scan pass at STRUCTURE stage severity.
 Grammar fidelity notes (vs the C# validators):
 
 * ``boolean`` — exactly ``true``/``false`` (not Spark's permissive cast).
-* ``integer``/``decimal`` — ``try_cast`` probes (the TryParse analog).
+* ``integer`` — ``try_cast(int)``: 32-bit like C# ``int.TryParse``
+  (``try_cast(bigint)`` would wave through values that overflow int32).
+* ``decimal`` — digit grammar with optional sign/point: ``decimal.TryParse``
+  rejects ``NaN``/``Infinity``/exponent forms that a double cast accepts.
 * ``date`` — ``^\\d{4}(-\\d{2}(-\\d{2})?)?$`` (``:741``).
 * ``dateTime`` — ISO-8601 parseable ⇒ ``try_cast(timestamp)``.
 * ``id`` — ``^[A-Za-z0-9\\-\\.]{1,64}$`` (``:100-101``).
@@ -34,8 +37,9 @@ _SCHEME = r"[a-zA-Z][a-zA-Z0-9+.\-]*"
 
 PRIMITIVE_GRAMMARS: dict[str, dict] = {
     "boolean": {"type": "Regex", "pattern": r"^(true|false)$"},
-    "integer": {"type": "TypeCheck", "dataType": "bigint"},
-    "decimal": {"type": "TypeCheck", "dataType": "double"},
+    "integer": {"type": "TypeCheck", "dataType": "int"},
+    "decimal": {"type": "Regex",
+                "pattern": r"^[+-]?(\d+(\.\d+)?|\.\d+)$"},
     "date": {"type": "Regex", "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?$"},
     "dateTime": {"type": "TypeCheck", "dataType": "timestamp"},
     "id": {"type": "Regex", "pattern": r"^[A-Za-z0-9\-\.]{1,64}$"},

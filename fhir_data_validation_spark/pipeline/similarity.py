@@ -240,9 +240,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # L2-normalize BEFORE clustering (spherical k-means): cells and probes
+    # must share the cosine metric — Euclidean cells over unnormalized
+    # vectors would partition partly by magnitude and strand a query's
+    # true cosine neighbors in cells whose centroid direction never ranks
+    # in the query's top-n_probe
+    unit = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x / F.greatest(
+            F.sqrt(F.aggregate(
+                F.transform(F.col(vec_col).cast("array<double>"),
+                            lambda y: y * y),
+                F.lit(0.0), lambda a, b: a + b)),
+            F.lit(1e-12)))
     vecs = corpus.select(F.col(id_col),
-                         array_to_vector(F.col(vec_col).cast("array<double>"))
-                         .alias("_features"))
+                         array_to_vector(unit).alias("_features"))
     fit_input = (vecs.sample(fraction=fit_fraction, seed=seed)
                  if fit_fraction < 1.0 else vecs)
     model = (KMeans(k=n_cells, seed=seed, maxIter=max_iter,

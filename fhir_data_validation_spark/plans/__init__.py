@@ -478,11 +478,12 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     multi_col = rule.params.get("multiValueColumn")
     screening_col = rule.params.get("screeningColumn")
     dim_screening = rule.params.get("dimScreening")
-    if screening_col and not dim_screening:
+    if bool(screening_col) != bool(dim_screening):
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-            "screeningColumn requires params.dimScreening naming the dim's "
-            "screening column")
+            "screeningColumn and dimScreening come together: a two-level "
+            "dim without the row-side screening binding (or vice versa) "
+            "would validate answers against an arbitrary screening's row")
     check_cols = [(dim_key, "dim"), (allowed_col, "dim")]
     if dim_screening:
         check_cols.append((dim_screening, "dim"))
@@ -500,81 +501,87 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                (F.col(multi_col) if multi_col else F.lit(True))
                .alias("_multi")]
 
-    extra_lanes = []
-    rows = df
-    if screening_col:
-        # rows with null screening are skipped (GetScreeningType → continue)
-        rows = df.where(F.col(screening_col).isNotNull())
-        known_s = (dim.select(F.col(dim_screening).alias("_s"))
-                   .dropDuplicates())
-        unknown_screening = (
-            rows.join(F.broadcast(known_s),
-                      on=F.col(screening_col) == F.col("_s"),
-                      how="left_anti")
-            .select(F.col(plan.config.key_col).alias("_k"),
-                    F.col(plan.config.group_col).alias("_g"),
-                    F.col(screening_col).alias("_scr"))
-            .select(*base,
-                    *_viol_cols(rule, stage, "UNKNOWN_SCREENING_TYPE"),
-                    *tail,
-                    F.create_map(F.lit("screeningType"),
-                                 F.col("_scr").cast("string"))
-                     .alias("detail")))
-        in_screening = rows.join(
-            F.broadcast(known_s), on=F.col(screening_col) == F.col("_s"),
-            how="left_semi")
-        missing_key = (in_screening.where(F.col(key_col).isNull())
-                       .select(F.col(plan.config.key_col).alias("_k"),
-                               F.col(plan.config.group_col).alias("_g"))
-                       .select(*base,
-                               *_viol_cols(rule, stage,
-                                           "MISSING_QUESTION_CODE"),
-                               *tail,
-                               F.create_map().cast("map<string,string>")
-                                .alias("detail")))
-        extra_lanes = [unknown_screening, missing_key]
-        rows = in_screening
-        dim_sel.append(F.col(dim_screening).alias("_dscr"))
-
     sel = [F.col(plan.config.key_col).alias("_k"),
            F.col(plan.config.group_col).alias("_g"),
            F.col(key_col).alias("_qkey"),
            (F.col(val_col) if is_array
             else F.array(F.col(val_col))).alias("_vals")]
     if screening_col:
+        # rows with null screening are skipped (GetScreeningType → continue)
+        rows = df.where(F.col(screening_col).isNotNull())
         sel.append(F.col(screening_col).alias("_scr"))
+        dim_sel.append(F.col(dim_screening).alias("_dscr"))
         dedup_keys = ["_dkey", "_dscr"]
         join_cond = ((F.col("_qkey") == F.col("_dkey"))
                      & (F.col("_scr") == F.col("_dscr")))
     else:
+        # single-level: null question keys are simply skipped
+        rows = df.where(F.col(key_col).isNotNull())
         dedup_keys = ["_dkey"]
         join_cond = F.col("_qkey") == F.col("_dkey")
-    joined = (rows.where(F.col(key_col).isNotNull())
-              .select(*sel)
-              .join(F.broadcast(dim.select(*dim_sel)
-                                .dropDuplicates(dedup_keys)),
-                    on=join_cond, how="left"))
+
+    joined = rows.select(*sel)
+    if screening_col:
+        # screening-set membership rides the same pass as the dim join:
+        # one chained broadcast left join, no separate anti/semi scans
+        known_s = (dim.select(F.col(dim_screening).alias("_s"))
+                   .dropDuplicates())
+        joined = joined.join(F.broadcast(known_s),
+                             on=F.col("_scr") == F.col("_s"), how="left")
+        screening_known = F.col("_s").isNotNull()
+    else:
+        screening_known = F.lit(True)
+    joined = joined.join(
+        F.broadcast(dim.select(*dim_sel).dropDuplicates(dedup_keys)),
+        on=join_cond, how="left")
+
+    # fused per-row lanes (the predicate-pass pattern): conditions build
+    # (code, detail) structs, array_compact + explode emits the fired ones
+    # — ONE pass over the input serves every scalar error code
+    def _lane(cond, code, detail):
+        return F.when(cond, F.struct(
+            F.lit(code).alias("code"),
+            detail.cast("map<string,string>").alias("detail")))
 
     unknown_detail = [F.lit("key"), F.col("_qkey").cast("string")]
     if screening_col:
         unknown_detail += [F.lit("screeningType"),
                            F.col("_scr").cast("string")]
-    unknown = (joined.where(F.col("_dkey").isNull())
-               .select(*base,
-                       *_viol_cols(rule, stage,
-                                   ErrorCode.INVALID_QUESTION_CODE),
-                       *tail,
-                       F.create_map(*unknown_detail).alias("detail")))
-    multi = (joined.where(F.col("_dkey").isNotNull() & ~F.col("_multi")
-                          & (F.size("_vals") > 1))
-             .select(*base,
-                     *_viol_cols(rule, stage,
-                                 ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED),
-                     *tail,
-                     F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
-                                  F.lit("count"),
-                                  F.size("_vals").cast("string"))
-                      .alias("detail")))
+    lanes = []
+    if screening_col:
+        lanes.append(_lane(
+            ~screening_known, "UNKNOWN_SCREENING_TYPE",
+            F.create_map(F.lit("screeningType"),
+                         F.col("_scr").cast("string"))))
+        lanes.append(_lane(
+            screening_known & F.col("_qkey").isNull(),
+            "MISSING_QUESTION_CODE",
+            F.create_map().cast("map<string,string>")))
+    lanes.append(_lane(
+        screening_known & F.col("_qkey").isNotNull()
+        & F.col("_dkey").isNull(),
+        ErrorCode.INVALID_QUESTION_CODE, F.create_map(*unknown_detail)))
+    lanes.append(_lane(
+        F.col("_dkey").isNotNull() & ~F.col("_multi")
+        & (F.size("_vals") > 1),
+        ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
+        F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
+                     F.lit("count"), F.size("_vals").cast("string"))))
+    scalar = (joined
+              .select("_k", "_g",
+                      F.explode(F.array_compact(F.array(*lanes)))
+                       .alias("_v"))
+              .select(*base,
+                      F.lit(rule.id).alias("rule_id"),
+                      F.lit(rule.type).alias("rule_type"),
+                      F.col("_v.code").alias("error_code"),
+                      F.lit(rule.severity).alias("severity"),
+                      F.lit(rule.column or "").alias("column"),
+                      F.lit(stage).alias("stage"),
+                      *tail,
+                      F.col("_v.detail").alias("detail")))
+
+    # per-element answer lane keeps its own explode (A6 distinct first)
     bad_vals = (joined.where(F.col("_dkey").isNotNull())
                 .select(*base[:1], F.col("_g"), F.col("_qkey"),
                         F.explode(F.array_except(
@@ -587,10 +594,7 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
                      F.lit("value"), F.col("_bad").cast("string"))
          .alias("detail"))
-    out = unknown.unionByName(multi).unionByName(invalid)
-    for lane in extra_lanes:
-        out = out.unionByName(lane)
-    return out
+    return scalar.unionByName(invalid)
 
 
 # ------------------------------------------- RequiredResources (A1 cardinality)
@@ -727,13 +731,12 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         # explode is the big shuffle; params.sampleFraction computes RATES
         # on a deterministic row sample instead). KS over token-id order is
         # meaningless (ids are categorical) — only PSI gates violations.
+        from ..stats import grouped_token_counts
         frac = rule.params.get("sampleFraction")
-        cur_src = df.sample(fraction=float(frac), seed=42) if frac else df
-        current = (cur_src.where(F.col(col).isNotNull())
-                   .select(F.col(group).alias("source"),
-                           F.explode(F.col(col)).alias("bucket"))
-                   .groupBy("source", F.col("bucket").cast("int"))
-                   .agg(F.count(F.lit(1)).alias("cnt"))
+        current = (grouped_token_counts(
+                       df, col, group_col=group,
+                       sample_fraction=float(frac) if frac else None)
+                   .withColumnRenamed("group", "source")
                    .withColumn("side", F.lit("cur")))
     elif mode == "numeric":
         current = (df.where(F.col(col).isNotNull())

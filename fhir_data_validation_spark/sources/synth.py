@@ -130,14 +130,13 @@ def vocab_dim(spark: SparkSession, vocab: int = VOCAB_SIZE) -> DataFrame:
 def token_frequency_baseline(clean_df: DataFrame, column: str = "tokens",
                              group_col: str = "source") -> DataFrame:
     """F6b: persisted token-frequency baseline for the drift rule's
-    ``tokenFrequency`` mode — per-(source, token-id) counts."""
-    return (clean_df.where(F.col(column).isNotNull())
-            .select(F.col(group_col).alias("source"),
-                    F.explode(F.col(column)).alias("bucket"))
-            .groupBy("source", F.col("bucket").cast("int").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .withColumn("column_name", F.lit(column))
-            .select("source", "column_name", "bucket", "count"))
+    ``tokenFrequency`` mode — per-(source, token-id) counts, computed by
+    the same core the drift current side uses."""
+    from ..stats import grouped_token_counts
+    return (grouped_token_counts(clean_df, column, group_col=group_col)
+            .select(F.col("group").alias("source"),
+                    F.lit(column).alias("column_name"),
+                    "bucket", F.col("cnt").alias("count")))
 
 
 def stats_baseline(clean_df: DataFrame, column: str = "n_tok",

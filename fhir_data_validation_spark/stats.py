@@ -89,21 +89,36 @@ def quantiles(df: DataFrame, column: str,
                     F.col("_e.value").cast("double").alias("value")))
 
 
+def grouped_token_counts(df: DataFrame, tokens_col: str = "tokens",
+                         group_col: str | None = None,
+                         sample_fraction: float | None = None,
+                         seed: int = 42) -> DataFrame:
+    """The one token-histogram core: (group, bucket=token-id, cnt).
+
+    Shared by :func:`token_frequencies`, the drift rule's
+    ``tokenFrequency`` mode and the synth baseline fixture — sampling
+    semantics, null filtering and bucket typing live HERE only. At 10^12
+    sequences the global explode is the single biggest shuffle in the
+    system; ``sample_fraction`` computes frequencies on a deterministic
+    row sample (rates, not counts, are what drift checks need). Partial
+    aggregation combines per-partition before the shuffle either way."""
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string")).alias("group")
+    return (df.where(F.col(tokens_col).isNotNull())
+            .select(group, F.explode(tokens_col).alias("bucket"))
+            .groupBy("group", F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def token_frequencies(df: DataFrame, tokens_col: str = "tokens",
                       sample_fraction: float | None = None,
                       seed: int = 42) -> DataFrame:
-    """C4b: corpus token-frequency table via explode + count.
-
-    At 10^12 sequences an exact global explode is the single biggest shuffle
-    in the system; ``sample_fraction`` computes frequencies on a deterministic
-    row sample (rates, not counts, are what drift checks need). Partial
-    aggregation combines per-partition before the shuffle either way.
-    """
-    if sample_fraction:
-        df = df.sample(fraction=sample_fraction, seed=seed)
-    return (df.select(F.explode(tokens_col).alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+    """C4b: corpus token-frequency table (token, cnt) — see
+    :func:`grouped_token_counts` for the scale notes."""
+    return (grouped_token_counts(df, tokens_col, None, sample_fraction, seed)
+            .select(F.col("bucket").alias("token"), "cnt"))
 
 
 def hll_sketches(df: DataFrame, columns: list[str],
