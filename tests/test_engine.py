@@ -191,3 +191,32 @@ def test_first_scope(spark):
     res = ValidationEngine(rs).validate(df)
     n_groups = df.select("source").distinct().count()
     assert res.violations.count() == n_groups
+
+
+def test_concurrent_validates_share_one_engine(spark):
+    """ResumableRun submits batches from threads against ONE engine: the
+    schema-keyed plan cache and validate() must be thread-safe and produce
+    identical results per thread."""
+    from concurrent.futures import ThreadPoolExecutor
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    df = dirty_token_table(spark, 2000).drop("_row_id")
+    rs = RuleSet.parse({"rules": [
+        {"id": "REQ-C", "type": "Required", "column": "tokens"},
+        {"id": "DOM-C", "type": "TokenDomain", "column": "tokens",
+         "params": {"min": 0, "maxExclusive": 50257}}]})
+    engine = ValidationEngine(rs)
+
+    def one(i):
+        sub = df.where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
+        res = engine.validate(sub)
+        n = res.violations.count()
+        res.unpersist()
+        return n
+
+    with ThreadPoolExecutor(4) as ex:
+        counts = list(ex.map(one, range(4)))
+    # the four disjoint slices cover the whole input exactly once
+    full = engine.validate(df)
+    assert sum(counts) == full.violations.count()
+    full.unpersist()
