@@ -464,9 +464,11 @@ def q_s2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     recall is covered by unit tests (the approximate regime has no SQL
     twin)."""
     emb = load_table(spark, sf, "embeddings")
+    # maxIter=5: at full probe the cell partition is irrelevant to the
+    # result (all cells rerank), so converged centroids buy nothing here
     out = similarity.ivf_topk(emb.where(F.col("vec_id") >= 10),
                               emb.where(F.col("vec_id") < 3), k=5,
-                              n_cells=8, n_probe=8)
+                              n_cells=8, n_probe=8, max_iter=5)
     return (out.select("query_id", "vec_id", "rank")
             .orderBy("query_id", "rank"))
 
