@@ -561,12 +561,24 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         screening_known & F.col("_qkey").isNotNull()
         & F.col("_dkey").isNull(),
         ErrorCode.INVALID_QUESTION_CODE, F.create_map(*unknown_detail)))
+    # the reference extracts only non-empty answer values
+    # (CodeMasterEngine.cs:155-180 IsNullOrEmpty guards) — null/empty
+    # elements are neither counted for multiplicity nor flagged as
+    # invalid. Multiplicity counts DUPLICATES (answerValues is a list);
+    # only the invalid-value lane dedups per row (A6).
+    from pyspark.sql.types import StringType
+    leaf = (df.schema[val_col].dataType.elementType if is_array
+            else df.schema[val_col].dataType)
+    vals_nonempty = F.array_compact(F.col("_vals"))
+    if isinstance(leaf, StringType):
+        vals_nonempty = F.array_remove(vals_nonempty, "")
+    vals_clean = F.array_distinct(vals_nonempty)
     lanes.append(_lane(
         F.col("_dkey").isNotNull() & ~F.col("_multi")
-        & (F.size("_vals") > 1),
+        & (F.size(vals_nonempty) > 1),
         ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
         F.create_map(F.lit("key"), F.col("_qkey").cast("string"),
-                     F.lit("count"), F.size("_vals").cast("string"))))
+                     F.lit("count"), F.size(vals_nonempty).cast("string"))))
     scalar = (joined
               .select("_k", "_g",
                       F.explode(F.array_compact(F.array(*lanes)))
@@ -584,8 +596,7 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     # per-element answer lane keeps its own explode (A6 distinct first)
     bad_vals = (joined.where(F.col("_dkey").isNotNull())
                 .select(*base[:1], F.col("_g"), F.col("_qkey"),
-                        F.explode(F.array_except(
-                            F.array_distinct("_vals"), "_allowed"))
+                        F.explode(F.array_except(vals_clean, "_allowed"))
                          .alias("_bad")))
     invalid = bad_vals.select(
         F.col("doc_id"),

@@ -316,6 +316,27 @@ def test_codesystem_config_errors(spark):
              dims={"codes": dim})
 
 
+def test_codemaster_skips_null_and_empty_answers(spark):
+    """Null/empty answer elements are neither flagged invalid nor counted
+    for multiplicity (CodeMasterEngine.cs IsNullOrEmpty extraction); the
+    multiplicity count keeps duplicates (it is a list, not a set)."""
+    df = spark.createDataFrame(
+        [("d1", "q1", [None, "", "ok"], "web"),    # one real value → clean
+         ("d2", "q1", ["ok", "ok"], "web"),        # dup values → MULTI
+         ("d3", "q1", [None, None], "web")],       # nothing extracted
+        "doc_id string, q string, ans array<string>, source string")
+    dim = spark.createDataFrame([("q1", ["ok"], False)],
+                                "k string, allowed array<string>, m boolean")
+    res = _run(spark, df,
+               [{"id": "CM-N", "type": "CodeMaster", "column": "ans",
+                 "params": {"dim": "cm", "keyColumn": "q", "dimKey": "k",
+                            "allowedColumn": "allowed",
+                            "multiValueColumn": "m"}}],
+               dims={"cm": dim})
+    got = {(r["doc_id"], r["error_code"]) for r in res.violations.collect()}
+    assert got == {("d2", "MULTIPLE_VALUES_NOT_ALLOWED")}
+
+
 def test_codemaster_two_level_screening(spark):
     """Two-level dispatch (CodeMasterEngine.cs:22-143): null screening
     skipped, unknown screening → UNKNOWN_SCREENING_TYPE, known screening +
