@@ -18,7 +18,8 @@ rule_types = st.sampled_from(
     ["Required", "FixedValue", "AllowedValues", "Enum", "Regex",
      "ArrayLength", "TokenDomain", "CustomExpr", "Range", "MaxLength",
      "Precision", "TypeCheck", "ValueExclusivity", "Unique", "Reference",
-     "Membership", "CodeMaster", "RequiredResources", "Drift", "Bogus"])
+     "Membership", "CodeSystem", "CodeMaster", "RequiredResources",
+     "Drift", "Bogus"])
 
 param_values = st.one_of(
     st.none(), st.integers(-10, 10**6), st.text(max_size=8),
@@ -36,7 +37,10 @@ rules = st.fixed_dictionaries(
     {"id": st.text(min_size=1, max_size=6),
      "type": rule_types},
     optional={
-        "column": st.sampled_from(SCHEMA_COLS + ["nope", ""]),
+        "column": st.sampled_from(SCHEMA_COLS + ["nope", "",
+                                                 "tokens[*]", "tokens[*].x",
+                                                 "n_tok[*]", "a[*].b[*]",
+                                                 "source.x[*]"]),
         "expr": st.sampled_from(["n_tok > 0", "size(tokens) = n_tok",
                                  "this is )( not sql", ""]),
         "severity": st.sampled_from(["error", "warning", "info", "fatal"]),
@@ -84,3 +88,29 @@ def test_regex_rule_compile_total(spark, schema, pattern):
         assert plan.rule_ids == ["R"]
     except RuleConfigurationError:
         pass
+
+
+@given(arrays=st.lists(
+    st.lists(st.one_of(st.none(), st.sampled_from(["a", "b", "c", "z", ""])),
+             max_size=5),
+    min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_element_path_allowed_values_model(spark, arrays):
+    """P5 element-lane AllowedValues agrees with a direct Python model:
+    a row fires iff any element of a[*].v is null or outside the allowed
+    set (null-aware on both the native and lambda lanes)."""
+    from fhir_data_validation_spark import ValidationEngine
+    allowed = {"a", "b"}
+    rows = [(str(i), [{"v": v} for v in arr], "g")
+            for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, items array<struct<v:string>>, source string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "P", "type": "AllowedValues", "column": "items[*].v",
+         "params": {"values": sorted(allowed)}}]})
+    res = ValidationEngine(rs).validate(df)
+    got = {r["doc_id"] for r in res.violations.collect()}
+    want = {str(i) for i, arr in enumerate(arrays)
+            if arr and any(v is None or v not in allowed for v in arr)}
+    assert got == want
