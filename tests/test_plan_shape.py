@@ -180,6 +180,33 @@ def test_dedupe_is_aggregate_not_window(spark, corpus):
     assert s.count("Aggregate") >= 2
 
 
+def test_codemaster_two_level_fused_scan_count(spark):
+    """Two-level CodeMaster compiles to TWO input scans total (fused
+    scalar lanes + the per-element answer lane) — not one scan per error
+    code — and every dim join is broadcast."""
+    import tempfile
+    out = tempfile.mkdtemp() + "/cm"
+    spark.createDataFrame(
+        [("d1", "bp", "sys", "high", "g")],
+        "doc_id string, scr string, q string, ans string, source string"
+    ).write.parquet(out)
+    df = spark.read.parquet(out)
+    from fhir_data_validation_spark import RuleSet
+    dim = spark.createDataFrame([("bp", "sys", ["high"], True)],
+                                "s string, q string, a array<string>, "
+                                "m boolean")
+    engine = ValidationEngine(RuleSet.parse({"rules": [
+        {"id": "CMP", "type": "CodeMaster", "column": "ans",
+         "params": {"dim": "cm", "keyColumn": "q", "dimKey": "q",
+                    "allowedColumn": "a", "multiValueColumn": "m",
+                    "screeningColumn": "scr", "dimScreening": "s"}}]}),
+        dims={"cm": dim})
+    plan = engine.compile(df)
+    s = explain_str(plan.dataset_plans[0].execute(df, plan), mode="simple")
+    assert s.count("FileScan parquet") <= 2, s
+    assert "SortMergeJoin" not in s
+
+
 def test_parquet_filter_pushdown(spark, corpus):
     s = explain_str(corpus.where(F.col("n_tok") > 100).select("doc_id"))
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
