@@ -376,16 +376,26 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"unknown rule type {rule.type!r}")
-        if rule.type in DATASET_RULE_TYPES:
-            dp = dataset_plans.build(rule, stage, plan)
-            if downgraded_from is not None:
-                dp.execute = _with_downgrade_provenance(dp.execute,
-                                                        downgraded_from)
-            plan.dataset_plans.append(dp)
-            continue
+        # the pre-flight contract is total: ANY malformed parameter is a
+        # RuleConfigurationError, never a raw ValueError/TypeError from an
+        # int()/float() coercion deep in a rule builder
+        try:
+            if rule.type in DATASET_RULE_TYPES:
+                dp = dataset_plans.build(rule, stage, plan)
+                if downgraded_from is not None:
+                    dp.execute = _with_downgrade_provenance(dp.execute,
+                                                            downgraded_from)
+                plan.dataset_plans.append(dp)
+                continue
 
-        scope = _scope_condition(rule, schema, config, plan)
-        out = _compile_predicate(rule, schema, config)
+            scope = _scope_condition(rule, schema, config, plan)
+            out = _compile_predicate(rule, schema, config)
+        except RuleConfigurationError:
+            raise
+        except (ValueError, TypeError) as exc:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"invalid rule parameters: {exc}") from exc
         cond, detail = out[0], out[1]
         elements = out[2] if len(out) == 3 else None
         if downgraded_from is not None:

@@ -111,6 +111,23 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"Drift rule needs baseline dim {baseline!r} in engine dims")
+        # numeric knobs validate at COMPILE (pre-flight contract), not at
+        # the first execute
+        for p, dv in (("bucketWidth", 64), ("psiMax", 0.2),
+                      ("ksAlpha", 0.01), ("sampleFraction", 0.0)):
+            try:
+                float(rule.params.get(p) if rule.params.get(p) is not None
+                      else dv)
+            except (TypeError, ValueError) as exc:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"params.{p} must be numeric: {exc}") from exc
+        if rule.params.get("mode", "numeric") not in ("numeric",
+                                                      "tokenFrequency"):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"unknown drift mode {rule.params.get('mode')!r} "
+                "(numeric | tokenFrequency)")
         exec_fn = lambda df, p: drift_plan(df, rule, stage, p)
     else:
         raise RuleConfigurationError(

@@ -130,3 +130,23 @@ def test_severity_override_unknown_rule_refused(spark):
     with pytest.raises(RuleConfigurationError):
         ValidationEngine(rs, config=EngineConfig(
             severity_overrides=(("NOPE", "warning"),))).validate(df)
+
+
+@pytest.mark.parametrize("rule", [
+    {"id": "B1", "type": "MaxLength", "column": "doc_id",
+     "params": {"maxLength": "xy"}},
+    {"id": "B2", "type": "Precision", "column": "n_tok",
+     "params": {"precision": "zz"}},
+    {"id": "B3", "type": "Drift", "column": "n_tok",
+     "params": {"baseline": "b", "bucketWidth": "wide"}},
+    {"id": "B4", "type": "Drift", "column": "n_tok",
+     "params": {"baseline": "b", "mode": "sideways"}},
+])
+def test_non_numeric_params_are_config_errors(spark, schema, rule):
+    """The pre-flight contract is total: int()/float() coercion failures
+    surface as RuleConfigurationError, never raw ValueError/TypeError."""
+    dims = {"b": spark.createDataFrame(
+        [("w", "n_tok", 1, 1)],
+        "source string, column_name string, bucket int, count long")}
+    with pytest.raises(RuleConfigurationError):
+        compile_ruleset(RuleSet.parse({"rules": [rule]}), schema, dims=dims)
