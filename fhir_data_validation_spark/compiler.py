@@ -280,6 +280,18 @@ def _smap(*pairs: tuple[str, Column | str]) -> Column:
     return F.create_map(*args)
 
 
+def _require_numeric_bound(rule: RuleDefinition, name: str, value) -> None:
+    """Bounds that reach `<`/`>` against numeric columns must be numeric at
+    COMPILE time — under ANSI mode a string bound would compile fine and
+    then fail the cast per-row at runtime, aborting the scan (the exact
+    failure mode the never-abort contract forbids)."""
+    if value is not None and (isinstance(value, bool)
+                              or not isinstance(value, (int, float))):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"params.{name} must be numeric, got {value!r}")
+
+
 def _nonempty(col: Column, dtype: DataType) -> Column:
     """Value is present and non-empty (the reference's skip-empty contract
     for AllowedValues/Regex/FixedValue, ``FhirPathRuleEngine.cs:1184,1264``)."""
@@ -586,6 +598,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"ArrayLength column {col_name!r} is {dtype.simpleString()}, not array")
+        _require_numeric_bound(rule, "min", lo)
+        _require_numeric_bound(rule, "max", hi)
         size = F.size(col)
         cond = F.lit(False)
         if lo is not None:
@@ -599,6 +613,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
     if t == "TokenDomain":
         lo = rule.require_param("min")
         hi = rule.require_param("maxExclusive")
+        _require_numeric_bound(rule, "min", lo)
+        _require_numeric_bound(rule, "maxExclusive", hi)
         if not isinstance(dtype, ArrayType):
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -621,6 +637,13 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "Range requires params.min and/or params.max")
+        leaf_t = dtype.elementType if isinstance(dtype, ArrayType) else dtype
+        if isinstance(leaf_t, NumericType):
+            # string bounds on numeric columns would fail the ANSI cast
+            # per-row at runtime; string columns may keep string bounds
+            # (lexicographic ranges, e.g. ISO dates)
+            _require_numeric_bound(rule, "min", lo)
+            _require_numeric_bound(rule, "max", hi)
         if elementwise:
             # native full-scan check: interval bound ⇒ array_min/array_max
             # decide (nulls skipped, matching the scalar skip-null contract)

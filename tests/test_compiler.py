@@ -133,6 +133,12 @@ def test_severity_override_unknown_rule_refused(spark):
 
 
 @pytest.mark.parametrize("rule", [
+    {"id": "B0a", "type": "Range", "column": "n_tok",
+     "params": {"min": "abc"}},                   # string bound, numeric col
+    {"id": "B0b", "type": "ArrayLength", "column": "tokens",
+     "params": {"min": "abc"}},
+    {"id": "B0c", "type": "TokenDomain", "column": "tokens",
+     "params": {"min": 0, "maxExclusive": "big"}},
     {"id": "B1", "type": "MaxLength", "column": "doc_id",
      "params": {"maxLength": "xy"}},
     {"id": "B2", "type": "Precision", "column": "n_tok",
