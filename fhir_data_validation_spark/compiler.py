@@ -292,6 +292,29 @@ def _require_numeric_bound(rule: RuleDefinition, name: str, value) -> None:
             f"params.{name} must be numeric, got {value!r}")
 
 
+def _require_comparable_value(rule: RuleDefinition, leaf: DataType,
+                              value, pname: str) -> None:
+    """Literals compared against a column must match its type family at
+    COMPILE time — under ANSI a mismatched literal coerces the column and
+    fails per-row at runtime (never-abort contract)."""
+    from pyspark.sql.types import BooleanType
+    bad = None
+    if isinstance(leaf, NumericType):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            bad = "numeric"
+    elif isinstance(leaf, StringType):
+        if not isinstance(value, str):
+            bad = "string"
+    elif isinstance(leaf, BooleanType):
+        if not isinstance(value, bool):
+            bad = "boolean"
+    if bad:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"params.{pname} value {value!r} does not match the {bad} "
+            f"column {rule.column!r} ({leaf.simpleString()})")
+
+
 def _nonempty(col: Column, dtype: DataType) -> Column:
     """Value is present and non-empty (the reference's skip-empty contract
     for AllowedValues/Regex/FixedValue, ``FhirPathRuleEngine.cs:1184,1264``)."""
@@ -529,6 +552,9 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     if t == "FixedValue":
         expected = rule.require_param("value")
+        _require_comparable_value(
+            rule, dtype.elementType if isinstance(dtype, ArrayType)
+            else dtype, expected, "value")
         if isinstance(dtype, ArrayType):
             # native path: any element ≠ expected ⇔ something survives
             # array_remove(col, expected). array_remove retains null
@@ -552,6 +578,10 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"{t} requires non-empty params.values")
+        leaf_av = (dtype.elementType if isinstance(dtype, ArrayType)
+                   else dtype)
+        for v in values:
+            _require_comparable_value(rule, leaf_av, v, "values")
         allowed = json.dumps(values)
         if isinstance(dtype, ArrayType):
             lit_vals = F.array(*[F.lit(v) for v in values])

@@ -139,6 +139,12 @@ def test_severity_override_unknown_rule_refused(spark):
      "params": {"min": "abc"}},
     {"id": "B0c", "type": "TokenDomain", "column": "tokens",
      "params": {"min": 0, "maxExclusive": "big"}},
+    {"id": "B0d", "type": "FixedValue", "column": "n_tok",
+     "params": {"value": "abc"}},                 # string literal, int col
+    {"id": "B0e", "type": "AllowedValues", "column": "tokens",
+     "params": {"values": ["x", "y"]}},           # string values, int array
+    {"id": "B0f", "type": "AllowedValues", "column": "source",
+     "params": {"values": [1, 2]}},               # int values, string col
     {"id": "B1", "type": "MaxLength", "column": "doc_id",
      "params": {"maxLength": "xy"}},
     {"id": "B2", "type": "Precision", "column": "n_tok",
