@@ -505,7 +505,12 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "CustomExpr requires 'expr'")
         # violation when the expression is not strictly true (null ⇒ violation),
-        # matching "must return all-true non-empty" (FhirPathRuleEngine.cs:1714-1768)
+        # matching "must return all-true non-empty" (FhirPathRuleEngine.cs:1714-1768).
+        # NOTE: under ANSI mode a fallible sub-expression (1/0, cast('x' as
+        # int)) errors at runtime and aborts the scan — authors of CustomExpr
+        # rules should use the try_* function family (try_divide, try_cast,
+        # try_add …) for arithmetic that can fail; the engine's own lanes
+        # never emit fallible expressions.
         cond = ~F.coalesce(_safe_expr(rule, rule.expr), F.lit(False))
         return cond, _smap(("expression", rule.expr))
 
