@@ -425,6 +425,19 @@ def q_d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_d6_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster, keep):
+    iterative min-label propagation (O(diameter) joins over pair data).
+    Oracle: DuckDB recursive transitive closure with the same min-id
+    cluster convention."""
+    pairs = dedup.jaccard_pairs(_seeded_docs(spark, sf), threshold=0.6)
+    out = dedup.duplicate_clusters(pairs)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("cluster").cast("long").alias("cluster"),
+                       "keep")
+            .orderBy("doc_id"))
+
+
 def _seeded_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     dup = (emb.where(F.col("vec_id") < 5)
@@ -521,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_jaccard_pairs": q_d2_jaccard_pairs,
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
+        "d6_duplicate_clusters": q_d6_duplicate_clusters,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
@@ -806,6 +820,21 @@ def oracle_sql() -> dict[str, str]:
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
         "d4_simhash": _simhash_sql(),
+        "d6_duplicate_clusters": f"""
+            WITH RECURSIVE p AS (
+              {_JACCARD_SQL}
+              WHERE jaccard >= 0.6),
+            e AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT w.id, e.d FROM walk w JOIN e ON w.reach = e.s)
+            SELECT id AS doc_id,
+                   least(id, min(reach)) AS cluster,
+                   id = least(id, min(reach)) AS keep
+            FROM walk GROUP BY id ORDER BY doc_id""",
         "d3_minhash_lsh": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",

@@ -366,3 +366,55 @@ def simhash_pairs(df: DataFrame, max_distance: int = 3,
                      .alias("hamming"))
             .distinct()
             .where(F.col("hamming") <= max_distance))
+
+
+# ------------------------------------------------------ duplicate clusters --
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster,
+    keep): the artifact a dedup pipeline actually consumes (drop every row
+    where ``not keep``).
+
+    Iterative min-label propagation: every doc starts as its own cluster
+    label; each round joins the (symmetrized) edge list and takes the min
+    label over neighbors — labels converge to the component's minimum id in
+    O(component diameter) rounds, each round one broadcast-free join + one
+    partial-aggregated groupBy over the PAIRS (reduced data: near-dup
+    pairs, not the corpus). Early-exits when a round changes nothing.
+    ``keep`` marks the component minimum (the canonical survivor — the
+    same min-id convention as :func:`exact_duplicates`).
+
+    At 10^9-doc scale near-dup components are tiny (diameter ≲ 5 for
+    boilerplate families), so the loop is a handful of shuffles over edge
+    data; pathological giant components are already bounded by the
+    hot-key caps upstream."""
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    edges = _materialize(edges)
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster", F.col("id")))
+    for _ in range(max_iter):
+        # neighbor minimum in one join + one aggregation
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("id", "dst")
+                              .withColumnRenamed("cluster", "_nc"), "dst")
+                        .groupBy(F.col("src").alias("id"))
+                        .agg(F.min("_nc").alias("_nmin")))
+        updated = (labels.join(neighbor_min, "id", "left")
+                   .select("id",
+                           F.least("cluster", F.coalesce("_nmin", "cluster"))
+                            .alias("cluster")))
+        updated = _materialize(updated)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .where(F.col("u.cluster") != F.col("l.cluster"))
+                   .limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster",
+                         (F.col("id") == F.col("cluster")).alias("keep"))

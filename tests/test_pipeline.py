@@ -314,3 +314,38 @@ def test_dedup_unpersist_all(spark, seeded):
     dedup.jaccard_pairs(seeded, threshold=0.6).count()
     assert dedup.unpersist_all() >= 1
     assert dedup.unpersist_all() == 0
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over pairs: chains collapse to one cluster,
+    keep marks the minimum id of each component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain → component {1,2,3,4}
+         (10, 11),                       # pair → {10,11}
+         (20, 21), (21, 22), (20, 22)],  # triangle → {20,21,22}
+        "id_a long, id_b long")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert {d for d, (_, k) in out.items() if k} == {1, 10, 20}
+    dedup.unpersist_all()
+
+
+def test_duplicate_clusters_end_to_end(spark, seeded):
+    """minhash pairs → clusters: each seeded trio collapses to one keeper."""
+    pairs = dedup.minhash_dedup(seeded, threshold=0.6)
+    out = dedup.duplicate_clusters(pairs).collect()
+    label = {r["doc_id"]: r["cluster"] for r in out}
+    # every seeded trio lands in ONE component (which may also absorb
+    # natural near-dups present in the corpus)
+    for base in range(5):
+        assert label[base] == label[base + 10000] == label[base + 20000]
+    # exactly one keeper per component: its minimum id
+    comp = {}
+    for r in out:
+        comp.setdefault(r["cluster"], []).append(r)
+    for c, members in comp.items():
+        keepers = [m["doc_id"] for m in members if m["keep"]]
+        assert keepers == [min(m["doc_id"] for m in members)] == [c]
+    dedup.unpersist_all()
