@@ -145,14 +145,19 @@ def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     One shuffle on the key with map-side partial aggregation; emits one
     violation per *duplicated key* (detail carries the count) rather than one
     per row, so violation volume is bounded by the number of bad keys.
+
+    Grouping is on the RAW column — casting the key before the groupBy
+    would defeat bucketed-table exchange elimination (a table bucketed by
+    the key aggregates with NO shuffle at all; the cast happens after the
+    aggregation, on the reduced duplicates).
     """
     col = rule.column
-    dups = (df.groupBy(F.col(col).cast("string").alias("_key"))
+    dups = (df.groupBy(F.col(col).alias("_key"))
               .agg(F.count(F.lit(1)).alias("_cnt"),
                    F.min(plan.config.group_col).alias("_src"))
               .where(F.col("_cnt") > 1))
     return dups.select(
-        F.col("_key").alias("doc_id"),
+        F.col("_key").cast("string").alias("doc_id"),
         *_viol_cols(rule, stage, rule.error_code or ErrorCode.DUPLICATE_KEY),
         F.col("_src").alias("source"),
         F.create_map(F.lit("count"), F.col("_cnt").cast("string")).alias("detail"),

@@ -207,6 +207,30 @@ def test_codemaster_two_level_fused_scan_count(spark):
     assert "SortMergeJoin" not in s
 
 
+def test_bucketed_table_unique_has_no_exchange(spark):
+    """Co-located aggregation: a table bucketed by the PK aggregates with
+    ZERO shuffle (Exchange absent) — the bucketing story for 100-TB
+    uniqueness checks, and why unique_plan groups on the raw column
+    (casting first would discard the bucketing)."""
+    from fhir_data_validation_spark import RuleSet, ValidationEngine
+    from fhir_data_validation_spark.sources.synth import token_table
+    tbl = "bt_unique_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (token_table(spark, 500).write
+     .bucketBy(4, "doc_id").sortBy("doc_id")
+     .mode("overwrite").saveAsTable(tbl))
+    try:
+        df = spark.table(tbl)
+        engine = ValidationEngine(RuleSet.parse({"rules": [
+            {"id": "U", "type": "Unique", "column": "doc_id"}]}))
+        plan = engine.compile(df)
+        s = explain_str(plan.dataset_plans[0].execute(df, plan),
+                        mode="simple")
+        assert "Exchange" not in s, s
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_parquet_filter_pushdown(spark, corpus):
     s = explain_str(corpus.where(F.col("n_tok") > 100).select("doc_id"))
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
