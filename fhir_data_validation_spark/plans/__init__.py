@@ -193,6 +193,18 @@ def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
         vals = (F.array_distinct(sc) if isinstance(dtype, ArrayType)
                 else F.array(sc))
         structs.append((c, vals, leaf))
+    if len(cols) == 1 and not isinstance(
+            _field_type(df.schema, cols[0], rule), ArrayType):
+        # single scalar column: no explode — a plain aliased projection
+        # keeps the column's physical properties visible to the planner,
+        # so a table BUCKETED on the reference column joins its (bucketed)
+        # dim without any fact-side exchange
+        sc = F.col(_spark_path(cols[0]))
+        return (df.where(sc.isNotNull())
+                .select(F.col(plan.config.key_col).alias("_k"),
+                        F.col(plan.config.group_col).alias("_g"),
+                        F.lit(cols[0]).alias("_col"),
+                        sc.alias("_val")))
     if len(leaf_types) > 1:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,

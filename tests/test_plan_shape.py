@@ -231,6 +231,43 @@ def test_bucketed_table_unique_has_no_exchange(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_bucketed_reference_join_no_fact_exchange(spark):
+    """Co-located referential integrity: fact table bucketed on the
+    reference column joins its bucketed dim with NO fact-side exchange
+    (broadcast disabled to expose the shuffle join path)."""
+    from fhir_data_validation_spark import RuleSet, ValidationEngine
+    from fhir_data_validation_spark.sources.synth import token_table
+    from pyspark.sql import functions as F2
+    for t in ("bt_fact_probe", "bt_dim_probe"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (token_table(spark, 500).write.bucketBy(4, "source").sortBy("source")
+     .mode("overwrite").saveAsTable("bt_fact_probe"))
+    (token_table(spark, 100).select("source").distinct()
+     .write.bucketBy(4, "source").sortBy("source")
+     .mode("overwrite").saveAsTable("bt_dim_probe"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.table("bt_fact_probe")
+        engine = ValidationEngine(RuleSet.parse({"rules": [
+            {"id": "R", "type": "Reference", "column": "source",
+             "params": {"dim": "d", "on": "source", "broadcast": False}}]}),
+            dims={"d": spark.table("bt_dim_probe")})
+        plan = engine.compile(df)
+        s = explain_str(plan.dataset_plans[0].execute(df, plan),
+                        mode="simple")
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s, s
+        # the fact-side subtree (above the scan of bt_fact_probe) carries
+        # no Exchange; only the (reduced) dim side may shuffle
+        fact_part = s[:s.index("bt_fact_probe")]
+        left_subtree = fact_part[fact_part.index("Join"):]
+        assert "Exchange" not in left_subtree, s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("bt_fact_probe", "bt_dim_probe"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_parquet_filter_pushdown(spark, corpus):
     s = explain_str(corpus.where(F.col("n_tok") > 100).select("doc_id"))
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
