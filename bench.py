@@ -47,6 +47,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     # ~9% in /proc/stat, spikes far higher) — a single sample mixes engine
     # speed with neighbor noise; the faster of two identical runs is the
     # engine's actual capability (same protocol as tools/scaling_bench).
+    from fhir_data_validation_spark.pipeline import dedup as _dedup
     out = {}
     for name, fn in entry_mod.queries().items():
         walls = []
@@ -55,6 +56,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             fn(spark, sf_dir).count()
             walls.append(time.perf_counter() - t0)
         out[name] = round(min(walls), 3)
+        # release the dedup family's persisted intermediates between
+        # queries — 2× runs would otherwise accumulate shingle/label
+        # caches and distort later timings via eviction/spill
+        _dedup.unpersist_all()
     return out
 
 

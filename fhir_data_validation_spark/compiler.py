@@ -675,10 +675,19 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         leaf_t = dtype.elementType if isinstance(dtype, ArrayType) else dtype
         if isinstance(leaf_t, NumericType):
             # string bounds on numeric columns would fail the ANSI cast
-            # per-row at runtime; string columns may keep string bounds
-            # (lexicographic ranges, e.g. ISO dates)
+            # per-row at runtime
             _require_numeric_bound(rule, "min", lo)
             _require_numeric_bound(rule, "max", hi)
+        elif isinstance(leaf_t, StringType):
+            # ...and numeric bounds on STRING columns coerce the column —
+            # same per-row ANSI abort; string columns take string bounds
+            # (lexicographic ranges, e.g. ISO dates)
+            for nm, b in (("min", lo), ("max", hi)):
+                if b is not None and not isinstance(b, str):
+                    raise RuleConfigurationError(
+                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                        f"params.{nm} must be a string for string column "
+                        f"{rule.column!r}, got {b!r}")
         if elementwise:
             # native full-scan check: interval bound ⇒ array_min/array_max
             # decide (nulls skipped, matching the scalar skip-null contract)

@@ -38,8 +38,11 @@ _SCHEME = r"[a-zA-Z][a-zA-Z0-9+.\-]*"
 PRIMITIVE_GRAMMARS: dict[str, dict] = {
     "boolean": {"type": "Regex", "pattern": r"^(true|false)$"},
     "integer": {"type": "TypeCheck", "dataType": "int"},
+    # decimal.TryParse trims whitespace and accepts a trailing point
+    # ("7."); it rejects NaN/Infinity/exponent forms. (Simplification vs
+    # C#: thousands separators are rejected here.)
     "decimal": {"type": "Regex",
-                "pattern": r"^[+-]?(\d+(\.\d+)?|\.\d+)$"},
+                "pattern": r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*$"},
     "date": {"type": "Regex", "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?$"},
     "dateTime": {"type": "TypeCheck", "dataType": "timestamp"},
     "id": {"type": "Regex", "pattern": r"^[A-Za-z0-9\-\.]{1,64}$"},

@@ -397,6 +397,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
+    converged = False
+    prev = None
     for _ in range(max_iter):
         # neighbor minimum in one join + one aggregation
         neighbor_min = (edges
@@ -413,8 +415,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .join(labels.alias("l"), "id")
                    .where(F.col("u.cluster") != F.col("l.cluster"))
                    .limit(1).count())
-        labels = updated
+        if prev is not None:
+            prev.unpersist()  # only the latest two generations stay cached
+        prev, labels = labels, updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would emit inconsistent clusters AND more
+        # than one keep=true per component — a consumer dropping non-keep
+        # rows would retain duplicates
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "a component has diameter > max_iter; raise max_iter")
     return labels.select(F.col("id").alias("doc_id"), "cluster",
                          (F.col("id") == F.col("cluster")).alias("keep"))

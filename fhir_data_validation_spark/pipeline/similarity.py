@@ -245,16 +245,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # vectors would partition partly by magnitude and strand a query's
     # true cosine neighbors in cells whose centroid direction never ranks
     # in the query's top-n_probe
-    unit = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / F.greatest(
-            F.sqrt(F.aggregate(
-                F.transform(F.col(vec_col).cast("array<double>"),
-                            lambda y: y * y),
-                F.lit(0.0), lambda a, b: a + b)),
-            F.lit(1e-12)))
-    vecs = corpus.select(F.col(id_col),
-                         array_to_vector(unit).alias("_features"))
+    # norm computed ONCE per row in its own column — inlining it in the
+    # transform lambda would re-evaluate the O(d) aggregate per element
+    # (O(d²) interpreted work per row)
+    dvec = F.col(vec_col).cast("array<double>")
+    vecs = (corpus
+            .withColumn("_norm", F.greatest(
+                F.sqrt(F.aggregate(F.transform(dvec, lambda y: y * y),
+                                   F.lit(0.0), lambda a, b: a + b)),
+                F.lit(1e-12)))
+            .select(F.col(id_col),
+                    array_to_vector(
+                        F.transform(dvec, lambda x: x / F.col("_norm")))
+                    .alias("_features")))
     fit_input = (vecs.sample(fraction=fit_fraction, seed=seed)
                  if fit_fraction < 1.0 else vecs)
     model = (KMeans(k=n_cells, seed=seed, maxIter=max_iter,

@@ -55,7 +55,17 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     t = rule.type
     codes: tuple[str, ...] = (rule.error_code or DEFAULT_ERROR_CODES[t],)
     if t == "Unique":
-        rule.require_column()
+        from pyspark.sql.types import MapType
+        from ..compiler import _field_type
+        utype = _field_type(plan.schema, rule.require_column(), rule)
+        if isinstance(utype, MapType):
+            # maps are not groupable — the raw-column groupBy (kept raw
+            # for bucketed exchange elimination) would AnalysisException
+            # at execute, breaking pre-flight totality
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Unique key column {rule.column!r} is "
+                f"{utype.simpleString()} — map types are not groupable")
         exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
     elif t == "Reference":
         if not rule.column and not rule.params.get("columns"):
@@ -782,6 +792,7 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                        df, col, group_col=group,
                        sample_fraction=float(frac) if frac else None)
                    .withColumnRenamed("group", "source")
+                   .withColumn("bucket", F.col("bucket").cast("int"))
                    .withColumn("side", F.lit("cur")))
     elif mode == "numeric":
         current = (df.where(F.col(col).isNotNull())

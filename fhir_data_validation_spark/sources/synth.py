@@ -136,7 +136,8 @@ def token_frequency_baseline(clean_df: DataFrame, column: str = "tokens",
     return (grouped_token_counts(clean_df, column, group_col=group_col)
             .select(F.col("group").alias("source"),
                     F.lit(column).alias("column_name"),
-                    "bucket", F.col("cnt").alias("count")))
+                    F.col("bucket").cast("int").alias("bucket"),
+                    F.col("cnt").alias("count")))
 
 
 def stats_baseline(clean_df: DataFrame, column: str = "n_tok",

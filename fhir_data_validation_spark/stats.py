@@ -106,9 +106,12 @@ def grouped_token_counts(df: DataFrame, tokens_col: str = "tokens",
         df = df.sample(fraction=sample_fraction, seed=seed)
     group = (F.lit(GROUP_ALL) if group_col is None
              else F.col(group_col).cast("string")).alias("group")
+    # token ids keep their native width — an int cast here would ANSI-abort
+    # on bigint ids; callers needing a narrower bucket type cast the
+    # (reduced) histogram, not the exploded stream
     return (df.where(F.col(tokens_col).isNotNull())
             .select(group, F.explode(tokens_col).alias("bucket"))
-            .groupBy("group", F.col("bucket").cast("int").alias("bucket"))
+            .groupBy("group", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 

@@ -15,9 +15,10 @@ CASES = [
     ("boolean", ["true", "false"], ["True", "yes", "1"]),
     # int32 like C# int.TryParse: 3_000_000_000 overflows and must fire
     ("integer", ["0", "-17", "42"], ["4.2", "x", "1e3", "3000000000"]),
-    # decimal.TryParse rejects NaN/Infinity/exponent notation
-    ("decimal", ["4.2", "-0.1", "7", ".5", "+3.25"],
-     ["x", "1,5", "NaN", "Infinity", "1e3"]),
+    # decimal.TryParse rejects NaN/Infinity/exponent notation but trims
+    # whitespace and accepts trailing points
+    ("decimal", ["4.2", "-0.1", "7", ".5", "+3.25", "7.", " 4.2 "],
+     ["x", "1,5", "NaN", "Infinity", "1e3", "."]),
     ("date", ["2024", "2024-01", "2024-01-31"], ["2024-1-3", "24-01-01",
                                                  "2024/01/01"]),
     ("dateTime", ["2024-01-31T10:00:00Z", "2024-01-31"], ["not a date"]),

@@ -349,3 +349,13 @@ def test_duplicate_clusters_end_to_end(spark, seeded):
         keepers = [m["doc_id"] for m in members if m["keep"]]
         assert keepers == [min(m["doc_id"] for m in members)] == [c]
     dedup.unpersist_all()
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """Silent non-convergence would leave multiple keepers per component —
+    the operator refuses instead."""
+    chain = [(i, i + 1) for i in range(30)]  # diameter 30 > max_iter
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=3).collect()
+    dedup.unpersist_all()
