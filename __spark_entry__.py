@@ -388,6 +388,16 @@ def q_t5_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return _viol(res)
 
 
+def q_t6_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cleaning heuristics through the engine's CustomExpr lane
+    (document-level adaptation of the public C4 line filters)."""
+    from fhir_data_validation_spark.pipeline.presets import c4_quality_rules
+    df = load_table(spark, sf, "documents")
+    res = _validate(spark, df, c4_quality_rules()["rules"],
+                    key_col="doc_id", group_col="lang")
+    return _viol(res)
+
+
 def q_d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     out = dedup.exact_duplicates(_seeded_docs(spark, sf))
     return (out.select("fingerprint", "n_docs",
@@ -530,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_id": q_t3_lang_id,
         "t4_fingerprint": q_t4_fingerprint,
         "t5_quality_filter": q_t5_quality_filter,
+        "t6_c4_filter": q_t6_c4_filter,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_jaccard_pairs": q_d2_jaccard_pairs,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -805,6 +816,33 @@ def oracle_sql() -> dict[str, str]:
                      'QUALITY_SYMBOL_RATIO', lang
               FROM w WHERE NOT coalesce(n_chars = 0 OR
                 CAST(symbols AS DOUBLE) / n_chars <= 0.3, FALSE))
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "t6_c4_filter": """
+            SELECT * FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'QF-C4-SENTENCES' AS rule_id,
+                     'QUALITY_SENTENCE_COUNT' AS error_code, lang AS source
+              FROM documents
+              WHERE NOT coalesce(len(list_filter(
+                regexp_split_to_array(text, '[.!?]'),
+                s -> trim(s) <> '')) >= 3, FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-C4-LOREM',
+                     'QUALITY_PLACEHOLDER_TEXT', lang
+              FROM documents
+              WHERE NOT coalesce(NOT contains(lower(text), 'lorem ipsum'),
+                                 FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-C4-BRACE',
+                     'QUALITY_CODE_MARKUP', lang
+              FROM documents
+              WHERE NOT coalesce(NOT contains(text, '{'), FALSE)
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'QF-C4-JS',
+                     'QUALITY_JS_BOILERPLATE', lang
+              FROM documents
+              WHERE NOT coalesce(NOT contains(lower(text), 'javascript'),
+                                 FALSE))
             ORDER BY doc_id, rule_id, error_code, source""",
         "d1_exact_dedup": f"""
             WITH seeded AS ({_SEEDED_DOCS_SQL}),

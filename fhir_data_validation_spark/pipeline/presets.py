@@ -54,3 +54,34 @@ def gopher_quality_rules(text_col: str = "text",
 
 def gopher_quality_ruleset(**kwargs) -> RuleSet:
     return RuleSet.parse(gopher_quality_rules(**kwargs))
+
+
+def c4_quality_rules(text_col: str = "text",
+                     min_sentences: int = 3) -> dict:
+    """C4-style cleaning heuristics (Raffel et al., public) adapted from
+    line-level to document-level rules: minimum sentence count, boilerplate
+    markers (lorem ipsum), code markers (curly braces), and the
+    'javascript' cookie/enable-JS boilerplate signal. Like the Gopher set,
+    every predicate is a native Catalyst expression fused into the one-scan
+    pass."""
+    sentences = (f"size(filter(split({text_col}, '[.!?]'), "
+                 "s -> length(trim(s)) > 0))")
+    rules = [
+        {"id": "QF-C4-SENTENCES", "type": "CustomExpr",
+         "errorCode": "QUALITY_SENTENCE_COUNT",
+         "expr": f"{sentences} >= {min_sentences}"},
+        {"id": "QF-C4-LOREM", "type": "CustomExpr",
+         "errorCode": "QUALITY_PLACEHOLDER_TEXT",
+         "expr": f"NOT contains(lower({text_col}), 'lorem ipsum')"},
+        {"id": "QF-C4-BRACE", "type": "CustomExpr",
+         "errorCode": "QUALITY_CODE_MARKUP",
+         "expr": f"NOT contains({text_col}, '{{')"},
+        {"id": "QF-C4-JS", "type": "CustomExpr",
+         "errorCode": "QUALITY_JS_BOILERPLATE",
+         "expr": f"NOT contains(lower({text_col}), 'javascript')"},
+    ]
+    return {"version": "1.0", "rules": rules}
+
+
+def c4_quality_ruleset(**kwargs) -> RuleSet:
+    return RuleSet.parse(c4_quality_rules(**kwargs))

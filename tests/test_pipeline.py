@@ -359,3 +359,21 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pairs, max_iter=3).collect()
     dedup.unpersist_all()
+
+
+def test_c4_quality_rules(spark):
+    from fhir_data_validation_spark import ValidationEngine
+    from fhir_data_validation_spark.pipeline.presets import c4_quality_ruleset
+    df = spark.createDataFrame(
+        [("d1", "One sentence. Two here! A third one? Done.", "en"),
+         ("d2", "Too short.", "en"),
+         ("d3", "Please enable JavaScript to view. More text. And more.", "en"),
+         ("d4", "Lorem ipsum dolor sit amet. Filler here. More filler.", "en"),
+         ("d5", "function f() { return 1; }. Yes code. Three sentences.", "en")],
+        "doc_id string, text string, source string")
+    res = ValidationEngine(c4_quality_ruleset()).validate(df)
+    got = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert got == {("d2", "QF-C4-SENTENCES"),
+                   ("d3", "QF-C4-JS"),
+                   ("d4", "QF-C4-LOREM"),
+                   ("d5", "QF-C4-BRACE")}
