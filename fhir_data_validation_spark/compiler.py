@@ -673,36 +673,51 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "Range requires params.min and/or params.max")
         leaf_t = dtype.elementType if isinstance(dtype, ArrayType) else dtype
+        numeric_bounds = any(not isinstance(b, bool)
+                             and isinstance(b, (int, float))
+                             for b in (lo, hi) if b is not None)
+        string_bounds = any(isinstance(b, str)
+                            for b in (lo, hi) if b is not None)
+        if numeric_bounds and string_bounds:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "params.min/max mix numeric and string bounds")
         if isinstance(leaf_t, NumericType):
             # string bounds on numeric columns would fail the ANSI cast
             # per-row at runtime
             _require_numeric_bound(rule, "min", lo)
             _require_numeric_bound(rule, "max", hi)
-        elif isinstance(leaf_t, StringType):
-            # ...and numeric bounds on STRING columns coerce the column —
-            # same per-row ANSI abort; string columns take string bounds
-            # (lexicographic ranges, e.g. ISO dates)
-            for nm, b in (("min", lo), ("max", hi)):
-                if b is not None and not isinstance(b, str):
-                    raise RuleConfigurationError(
-                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                        f"params.{nm} must be a string for string column "
-                        f"{rule.column!r}, got {b!r}")
+        # numeric range over a string-typed answer column (the
+        # questions-dim pattern): compare through try_cast so a non-numeric
+        # value yields NULL — no violation from Range (TypeCheck's lane
+        # flags it) and, crucially, no per-row ANSI abort from implicit
+        # column coercion. String bounds keep the lexicographic comparison
+        # (e.g. ISO-date ranges).
+        str_numeric = isinstance(leaf_t, StringType) and numeric_bounds
+        if str_numeric and not elementwise:
+            col = col.try_cast("double")
         if elementwise:
-            # native full-scan check: interval bound ⇒ array_min/array_max
-            # decide (nulls skipped, matching the scalar skip-null contract)
+            conv = ((lambda v: v.try_cast("double")) if str_numeric
+                    else (lambda v: v))
+
             def _bad(v):
+                cv = conv(v)
                 c = F.lit(False)
                 if lo is not None:
-                    c = c | (v < F.lit(lo))
+                    c = c | (cv < F.lit(lo))
                 if hi is not None:
-                    c = c | (v > F.lit(hi))
-                return v.isNotNull() & c
-            native = F.lit(False)
-            if lo is not None:
-                native = native | (F.array_min(col) < F.lit(lo))
-            if hi is not None:
-                native = native | (F.array_max(col) > F.lit(hi))
+                    c = c | (cv > F.lit(hi))
+                return cv.isNotNull() & c
+            if str_numeric:
+                # lexicographic array_min/max would be wrong for numeric
+                # bounds — the exists() probe is the full-scan check here
+                native = F.exists(col, _bad)
+            else:
+                native = F.lit(False)
+                if lo is not None:
+                    native = native | (F.array_min(col) < F.lit(lo))
+                if hi is not None:
+                    native = native | (F.array_max(col) > F.lit(hi))
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, _bad, config.max_examples, has_bad=native)
             cond = _nonempty(col, dtype) & has_bad

@@ -103,3 +103,19 @@ def test_from_json_missing_key_is_config_error(tmp_path):
     p.write_text('{"items": []}')
     with pytest.raises(RuleConfigurationError):
         question_rules_from_json(str(p))
+
+
+def test_range_on_string_answer_never_aborts(spark):
+    """Numeric Range on a string answer column compares through try_cast:
+    non-numeric values neither fire Range (TypeCheck's lane) nor abort the
+    scan under ANSI."""
+    df = spark.createDataFrame(
+        [("p1", "72", "web"), ("p2", "999", "web"),
+         ("p3", "not-a-number", "web"), ("p4", None, "web")],
+        "doc_id string, hr string, source string")
+    engine = ValidationEngine(question_rules([
+        {"id": "Q-HR", "column": "hr", "answerType": "integer",
+         "constraints": {"min": 20, "max": 250}}]))
+    res = engine.validate(df)
+    got = {(r["rule_id"], r["doc_id"]) for r in res.violations.collect()}
+    assert got == {("Q-HR-RNG", "p2"), ("Q-HR-TYPE", "p3")}
