@@ -66,6 +66,48 @@ class ValidationResult:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy("severity", "rule_id"))
 
+    def response(self, max_errors: int = 100,
+                 rules_version: str | None = None,
+                 processing_time_ms: int | None = None) -> dict:
+        """S5 response assembly: the reference's ``ValidationResponse``
+        payload (``Models/ValidationResponse.cs:9-85``) — error list
+        (bounded by ``max_errors``; total counts stay exact), severity +
+        stage summary, metadata — computed in ONE aggregation pass plus one
+        bounded collect. At corpus scale the full violations table stays in
+        the violations DataFrame/sink; this is the API-shaped digest."""
+        counts = (self.violations
+                  .groupBy("severity", "rule_type")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .collect())
+        by_sev: dict[str, int] = {}
+        by_type: dict[str, int] = {}
+        for r in counts:
+            by_sev[r["severity"]] = by_sev.get(r["severity"], 0) + r["n"]
+            by_type[r["rule_type"]] = by_type.get(r["rule_type"], 0) + r["n"]
+        errors = [
+            {"resourceId": r["doc_id"], "ruleId": r["rule_id"],
+             "ruleType": r["rule_type"], "errorCode": r["error_code"],
+             "severity": r["severity"], "source": r["source"],
+             "fieldPath": r["column"], "details": dict(r["detail"] or {})}
+            for r in self.violations.limit(max_errors).collect()]
+        total = sum(by_sev.values())
+        summary = {
+            "totalErrors": total,
+            "errorCount": by_sev.get(Severity.ERROR, 0),
+            "warningCount": by_sev.get(Severity.WARNING, 0),
+            "infoCount": by_sev.get(Severity.INFO, 0),
+            "businessErrorCount": sum(
+                n for t, n in by_type.items()
+                if t not in ("Reference", "CodeMaster")),
+            "codeMasterErrorCount": by_type.get("CodeMaster", 0),
+            "referenceErrorCount": by_type.get("Reference", 0),
+        }
+        meta = {"rulesVersion": rules_version,
+                "processingTimeMs": processing_time_ms}
+        return {"isValid": by_sev.get(Severity.ERROR, 0) == 0,
+                "errors": errors, "errorsTruncated": total > max_errors,
+                "summary": summary, "metadata": meta}
+
 
 class ValidationEngine:
     def __init__(self, ruleset: RuleSet, dims: dict[str, DataFrame] | None = None,

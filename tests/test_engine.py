@@ -220,3 +220,23 @@ def test_concurrent_validates_share_one_engine(spark):
     full = engine.validate(df)
     assert sum(counts) == full.violations.count()
     full.unpersist()
+
+
+def test_response_assembly(result):
+    """S5: the reference's ValidationResponse payload shape
+    (Models/ValidationResponse.cs:9-85) — bounded error list, exact
+    summary counts, metadata."""
+    resp = result.response(max_errors=7, rules_version="1.0",
+                           processing_time_ms=42)
+    assert resp["isValid"] is False
+    assert len(resp["errors"]) == 7 and resp["errorsTruncated"] is True
+    s = resp["summary"]
+    assert s["totalErrors"] == s["errorCount"] + s["warningCount"] + \
+        s["infoCount"]
+    assert s["totalErrors"] == result.violations.count()
+    assert s["referenceErrorCount"] > 0  # REF-001 fires on junk rows
+    e = resp["errors"][0]
+    assert {"resourceId", "ruleId", "ruleType", "errorCode", "severity",
+            "source", "fieldPath", "details"} <= set(e)
+    assert resp["metadata"] == {"rulesVersion": "1.0",
+                                "processingTimeMs": 42}
