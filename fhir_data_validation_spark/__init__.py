@@ -16,6 +16,7 @@ from .lineage import LineageStore, ResumableRun
 from .model import InstanceScope, RuleDefinition, RuleSet
 from .questions import question_rules, question_rules_from_json
 from .report import QualityReport, quality_report
+from .suggestions import suggest_rules
 
 __all__ = [
     "EngineConfig", "ErrorCode", "InstanceScope", "LineageStore",
@@ -24,6 +25,7 @@ __all__ = [
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",
     "quality_report", "question_rules", "question_rules_from_json",
+    "suggest_rules",
     "skew", "stats", "validate",
 ]
 
