@@ -678,6 +678,14 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                              for b in (lo, hi) if b is not None)
         string_bounds = any(isinstance(b, str)
                             for b in (lo, hi) if b is not None)
+        for nm, b in (("min", lo), ("max", hi)):
+            # bool/list/dict bounds are never lawful on ANY column type —
+            # they'd abort the scan (ANSI cast) or fail literal conversion
+            if b is not None and not isinstance(b, str) and (
+                    isinstance(b, bool) or not isinstance(b, (int, float))):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"params.{nm} must be numeric or string, got {b!r}")
         if numeric_bounds and string_bounds:
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -694,6 +702,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         # column coercion. String bounds keep the lexicographic comparison
         # (e.g. ISO-date ranges).
         str_numeric = isinstance(leaf_t, StringType) and numeric_bounds
+        display_col = col  # detail 'actual' reports the RAW stored value
         if str_numeric and not elementwise:
             col = col.try_cast("double")
         if elementwise:
@@ -733,7 +742,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             cond = cond | (col > hi)
         cond = col.isNotNull() & cond
         return cond, _smap(("min", "" if lo is None else lo),
-                           ("max", "" if hi is None else hi), ("actual", col))
+                           ("max", "" if hi is None else hi),
+                           ("actual", display_col))
 
     if t == "MaxLength":
         max_len = int(rule.require_param("maxLength"))

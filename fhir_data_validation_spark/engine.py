@@ -84,12 +84,20 @@ class ValidationResult:
         for r in counts:
             by_sev[r["severity"]] = by_sev.get(r["severity"], 0) + r["n"]
             by_type[r["rule_type"]] = by_type.get(r["rule_type"], 0) + r["n"]
+        # deterministic digest, errors first — a bare limit() would return
+        # an arbitrary subset that can omit every ERROR row while isValid
+        # is false
+        sev_rank = (F.when(F.col("severity") == Severity.ERROR, 0)
+                    .when(F.col("severity") == Severity.WARNING, 1)
+                    .otherwise(2))
         errors = [
             {"resourceId": r["doc_id"], "ruleId": r["rule_id"],
              "ruleType": r["rule_type"], "errorCode": r["error_code"],
              "severity": r["severity"], "source": r["source"],
              "fieldPath": r["column"], "details": dict(r["detail"] or {})}
-            for r in self.violations.limit(max_errors).collect()]
+            for r in (self.violations
+                      .orderBy(sev_rank, "rule_id", "doc_id")
+                      .limit(max_errors).collect())]
         total = sum(by_sev.values())
         summary = {
             "totalErrors": total,

@@ -80,13 +80,19 @@ def suggest_rules(df: DataFrame, columns: list[str] | None = None,
     aggs2 = []
     set_cols, rx_cols = [], []
     for f in fields:
-        if p1[f"{f.name}__n"] >= min_samples \
-                and p1[f"{f.name}__ad"] <= max_set_size:
+        eligible_set = (p1[f"{f.name}__n"] >= min_samples
+                        and p1[f"{f.name}__ad"] <= max_set_size)
+        if eligible_set:
             set_cols.append(f.name)
+            # NATIVE-typed values: the suggested params must compile
+            # against the column's type family, so numeric columns keep
+            # numeric value sets
             aggs2.append(F.slice(F.sort_array(F.collect_set(
-                F.col(f.name).cast("string"))), 1, max_set_size + 1)
+                F.col(f.name))), 1, max_set_size + 1)
                 .alias(f"{f.name}__set"))
-        if isinstance(f.dataType, StringType) \
+        # closed-set columns get AllowedValues/FixedValue — their regex
+        # counts would be gated out anyway, skip the per-row rlike work
+        if isinstance(f.dataType, StringType) and not eligible_set \
                 and p1[f"{f.name}__n"] >= min_samples:
             rx_cols.append(f.name)
             for rx_name, rx in REGEX_REGISTRY.items():
@@ -127,7 +133,8 @@ def suggest_rules(df: DataFrame, columns: list[str] | None = None,
                 {"id": f"SUG-FIX-{name}", "type": "FixedValue",
                  "column": name, "params": {"value": values[0]}},
                 0.85,
-                f"all {n} observed values identical (:136-160 contract)", n)
+                f"all {n} observed values identical — appears to be a "
+                "fixed/constant field", n)
         elif values is not None and 2 <= len(values) <= max_set_size:
             add("AllowedValuesDetector",
                 {"id": f"SUG-ALW-{name}", "type": "AllowedValues",

@@ -162,3 +162,14 @@ def test_non_numeric_params_are_config_errors(spark, schema, rule):
         "source string, column_name string, bucket int, count long")}
     with pytest.raises(RuleConfigurationError):
         compile_ruleset(RuleSet.parse({"rules": [rule]}), schema, dims=dims)
+
+
+def test_range_bool_bound_rejected_on_string_column(spark, schema):
+    """bool/list bounds on ANY column type are compile errors, not runtime
+    scan aborts (regression: the numeric/string classification let them
+    through on string columns)."""
+    for bad in (True, [1, 2]):
+        with pytest.raises(RuleConfigurationError):
+            _compile_one(schema, {"id": "RB", "type": "Range",
+                                  "column": "source",
+                                  "params": {"min": bad}})

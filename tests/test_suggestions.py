@@ -11,11 +11,12 @@ def test_detectors_over_synthetic_profile(spark):
              ["a", "b", "c"][i % 3],                # small closed set
              float(10 + i % 50),                    # numeric envelope
              f"2024-01-{(i % 28) + 1:02d}",         # ISO dates
-             None if i % 4 == 0 else "x")           # nullable
+             None if i % 4 == 0 else "x",           # nullable
+             [1, 2, 3][i % 3])                      # numeric closed set
             for i in range(200)]
     df = spark.createDataFrame(
         rows, "key string, const string, cat string, score double, "
-              "day string, sparse string")
+              "day string, sparse string, status int")
     sugg = suggest_rules(df, min_samples=20)
     by = {}
     for s in sugg:
@@ -27,6 +28,10 @@ def test_detectors_over_synthetic_profile(spark):
     assert ("AllowedValuesDetector", "cat") in by
     assert sorted(by[("AllowedValuesDetector", "cat")]
                   ["rule"]["params"]["values"]) == ["a", "b", "c"]
+    # numeric closed sets keep NATIVE-typed values (a stringified set
+    # would fail the type-family compile check)
+    assert by[("AllowedValuesDetector", "status")]["rule"]["params"] == \
+        {"values": [1, 2, 3]}
     assert ("UniqueDetector", "key") in by
     assert ("RegexDetector", "key") in by      # id grammar
     assert ("RegexDetector", "day") in by      # isoDate beats id grammar
