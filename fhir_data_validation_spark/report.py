@@ -28,6 +28,7 @@ class QualityReport:
     profile: DataFrame              # per-group column profiles (stats.profile)
     duplicate_keys: DataFrame       # (key, cnt) with cnt > 1
     summary: dict                   # driver-side scalars
+    suggestions: list | None = None  # draft rules (full-analysis mode)
 
     def passed(self) -> bool:
         return self.summary["passed"]
@@ -36,12 +37,15 @@ class QualityReport:
 def quality_report(df: DataFrame, ruleset: RuleSet,
                    dims: dict[str, DataFrame] | None = None,
                    config: EngineConfig | None = None,
-                   profile_columns: list[str] | None = None) -> QualityReport:
+                   profile_columns: list[str] | None = None,
+                   suggest: bool = False) -> QualityReport:
     """Validate + profile + dedup-count one snapshot.
 
     ``summary`` keys: rows, violations, errors, warnings, duplicate_keys,
     groups, passed — everything a pipeline gate needs without touching the
-    big DataFrames.
+    big DataFrames. ``suggest=True`` adds draft rules from the profiler
+    (the reference's full-analysis ``suggestions`` response field,
+    ``Models/ValidationResponse.cs:29-33``).
     """
     config = config or EngineConfig()
     engine = ValidationEngine(ruleset, dims=dims, config=config)
@@ -68,5 +72,9 @@ def quality_report(df: DataFrame, ruleset: RuleSet,
                        if r["partition_key"] != "<dataset>"}),
         "passed": sev.get("error", 0) == 0,
     }
+    suggestions = None
+    if suggest:
+        from .suggestions import suggest_rules
+        suggestions = suggest_rules(df)
     return QualityReport(result=res, profile=prof, duplicate_keys=dups,
-                         summary=summary)
+                         summary=summary, suggestions=suggestions)

@@ -28,3 +28,18 @@ def test_quality_report_clean(spark):
     assert rep.passed()
     assert rep.summary["violations"] == 0
     assert rep.summary["rows"] == 500
+
+
+def test_quality_report_with_suggestions(spark):
+    from fhir_data_validation_spark import quality_report
+    from fhir_data_validation_spark.model import RuleSet
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    df = dirty_token_table(spark, 200).drop("_row_id")
+    rs = RuleSet.parse({"rules": [
+        {"id": "REQ-1", "type": "Required", "column": "tokens"}]})
+    rep = quality_report(df, rs, suggest=True)
+    assert rep.suggestions is not None and len(rep.suggestions) > 0
+    assert all({"rule", "detector", "confidence", "rationale"}
+               <= set(s) for s in rep.suggestions)
+    # default stays off — no profiler pass unless asked
+    assert quality_report(df, rs).suggestions is None
