@@ -139,17 +139,24 @@ def q_p5_nested_elements(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
-    """RequiredResources-style closed-world cardinality: nations per region
-    (A1) — broadcast join + conditional aggregation."""
+    """RequiredResources closed-world cardinality: nations per region (A1),
+    routed through the engine's ``group_cardinality_counts`` (the shared
+    ``_requirement_counts`` conditional-aggregation core of
+    ``required_resources_plan``)."""
+    from fhir_data_validation_spark.plans import group_cardinality_counts
     region = load_table(spark, sf, "region")
     nation = load_table(spark, sf, "nation")
-    counts = (region.join(F.broadcast(nation),
+    joined = (region.join(F.broadcast(nation),
                           region.r_regionkey == nation.n_regionkey, "left")
-              .groupBy("r_name")
-              .agg(F.count("n_nationkey").alias("n_nations"))
-              .withColumn("passed", F.col("n_nations") >= 5)
-              .orderBy("r_name"))
-    return counts
+              .withColumn("has_nation", F.col("n_nationkey").isNotNull()))
+    reqs = [{"source": r, "min": 5,
+             "where": [{"column": "has_nation", "op": "=", "value": True}]}
+            for r in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")]
+    return (group_cardinality_counts(joined, "r_name", reqs)
+            .select(F.col("source").alias("r_name"),
+                    F.col("actual").alias("n_nations"),
+                    "passed")
+            .orderBy("r_name"))
 
 
 def q_c3_unique(spark: SparkSession, sf: str) -> DataFrame:
@@ -187,34 +194,44 @@ def q_j1_reference_seeded(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_c1_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group column stats in one aggregation pass (C1/C2). Exact distinct
-    here for oracle parity; at scale swap to approx_count_distinct/HLL."""
+    """Per-group column stats via the library's one-pass profiler
+    (``stats.profile`` — C1 min/max/mean/null-rate + C2 cardinality).
+    Exact distinct for oracle parity; at scale pass
+    ``exact_distinct=False`` for HLL."""
+    from fhir_data_validation_spark import stats
     df = load_table(spark, sf, "lineitem")
-    return (df.groupBy("l_returnflag")
-            .agg(F.round(F.min("l_quantity"), 4).alias("min_qty"),
-                 F.round(F.max("l_quantity"), 4).alias("max_qty"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg(F.col("l_quantity").isNull().cast("int")), 4)
-                  .alias("null_rate_qty"),
-                 F.countDistinct("l_partkey").alias("n_parts"),
-                 F.count(F.lit(1)).alias("n_rows"))
+    prof = stats.profile(df, ["l_quantity", "l_partkey"],
+                         group_col="l_returnflag", exact_distinct=True)
+    return (prof.select(
+                F.col("group").alias("l_returnflag"),
+                F.round(F.col("l_quantity.min"), 4).alias("min_qty"),
+                F.round(F.col("l_quantity.max"), 4).alias("max_qty"),
+                F.round(F.col("l_quantity.mean"), 4).alias("avg_qty"),
+                F.round(F.col("l_quantity.null_rate"), 4)
+                 .alias("null_rate_qty"),
+                F.col("l_partkey.n_distinct").alias("n_parts"),
+                "n_rows")
             .orderBy("l_returnflag"))
 
 
 def q_c2_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group cardinality via ``stats.profile`` (C2)."""
+    from fhir_data_validation_spark import stats
     df = load_table(spark, sf, "customer")
-    return (df.groupBy("c_mktsegment")
-            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
-                 F.count(F.lit(1)).alias("n_customers"))
+    prof = stats.profile(df, ["c_nationkey"], group_col="c_mktsegment",
+                         exact_distinct=True)
+    return (prof.select(F.col("group").alias("c_mktsegment"),
+                        F.col("c_nationkey.n_distinct").alias("n_nations"),
+                        F.col("n_rows").alias("n_customers"))
             .orderBy("c_mktsegment"))
 
 
 def q_c4_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Width-bucketed histogram (C4): quantity in width-5 buckets."""
+    """Width-bucketed histogram via ``stats.histogram`` (C4)."""
+    from fhir_data_validation_spark import stats
     df = load_table(spark, sf, "lineitem")
-    return (df.groupBy(F.floor(F.col("l_quantity") / 5).cast("int")
-                       .alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    return (stats.histogram(df, "l_quantity", 5.0)
+            .select("bucket", "cnt")
             .orderBy("bucket"))
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .compiler import CompiledPlan, EngineConfig, compile_ruleset
-from .errors import Severity
+from .errors import Severity, Stage
 from .model import RuleSet
 
 CHUNK = 40  # max fused rules per projection — caps codegen size (SURVEY §7.3a)
@@ -84,6 +84,19 @@ class ValidationResult:
         for r in counts:
             by_sev[r["severity"]] = by_sev.get(r["severity"], 0) + r["n"]
             by_type[r["rule_type"]] = by_type.get(r["rule_type"], 0) + r["n"]
+        # Stage buckets mirroring ValidationSummary (ValidationResponse.cs:53-66):
+        #   lintErrorCount — raw-ingest JSON lint findings (rule_type "Ingest",
+        #     the PERMISSIVE corrupt-record lane: the analog of the reference's
+        #     JSON lint stage);
+        #   fhirErrorCount — STRUCTURE-stage findings (TypeCheck/Enum/Regex/
+        #     ValueExclusivity grammar+type conformance: the analog of the
+        #     reference's FHIR structural stage);
+        #   businessErrorCount — everything else except Reference/CodeMaster,
+        #     which keep their dedicated keys.
+        from .compiler import RULE_STAGES
+        lint_n = by_type.get("Ingest", 0)
+        fhir_n = sum(n for t, n in by_type.items()
+                     if RULE_STAGES.get(t) == Stage.STRUCTURE)
         # deterministic digest, errors first — a bare limit() would return
         # an arbitrary subset that can omit every ERROR row while isValid
         # is false
@@ -104,9 +117,12 @@ class ValidationResult:
             "errorCount": by_sev.get(Severity.ERROR, 0),
             "warningCount": by_sev.get(Severity.WARNING, 0),
             "infoCount": by_sev.get(Severity.INFO, 0),
+            "lintErrorCount": lint_n,
+            "fhirErrorCount": fhir_n,
             "businessErrorCount": sum(
                 n for t, n in by_type.items()
-                if t not in ("Reference", "CodeMaster")),
+                if t not in ("Reference", "CodeMaster", "Ingest")
+                and RULE_STAGES.get(t) != Stage.STRUCTURE),
             "codeMasterErrorCount": by_type.get("CodeMaster", 0),
             "referenceErrorCount": by_type.get("Reference", 0),
         }
@@ -213,8 +229,14 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
     # width, not a bare repartition(): AQE would coalesce the small-bytes
     # violation set onto too few tasks for the interpreted detail builders,
     # which are compute-bound, not size-bound)
-    width = cfg.violation_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # the conf may hold a non-numeric value ("auto" under AQE-auto on some
+    # platforms) — fall back to the cluster's default parallelism, not a crash
+    try:
+        conf_width = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        conf_width = df.sparkSession.sparkContext.defaultParallelism or 200
+    width = cfg.violation_partitions or conf_width
     chunks = [plan.predicates[i:i + CHUNK]
               for i in range(0, len(plan.predicates), CHUNK)]
     parts = []

@@ -173,8 +173,12 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str,
 def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_shingle_df: int | None = 1000) -> DataFrame:
-    """Exact n-gram-Jaccard near-duplicate pairs ≥ threshold:
-    (id_a, id_b, jaccard).
+    """N-gram-Jaccard near-duplicate pairs ≥ threshold:
+    (id_a, id_b, jaccard). Emitted values are EXACT (full-set verify);
+    candidate *recall* is capped by default — ``max_shingle_df=1000``
+    skips pairs whose entire overlap is ultra-high-DF boilerplate
+    shingles. Pass ``max_shingle_df=None`` for exhaustive discovery
+    (quadratic blowup on hot shingles — small corpora only).
 
     Discovery/verify split: candidate pairs come from the shingle posting
     lists (pairs with zero overlap are never materialized), but the Jaccard

@@ -385,7 +385,15 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     GetArrayStructFields extractions of one array<struct>). The CodeSet dim
     is optionally filtered by ``params.dimSystemColumn == params.system``,
     mirroring the reference's resolve-CodeSet-by-system-URL, then broadcast
-    for the anti-join."""
+    for the anti-join.
+
+    Null convention (intentional scalar/array asymmetry): a SCALAR row with
+    both system and code null means "no coding present" and is skipped —
+    there is no element to judge. An ARRAY element with both fields null is
+    a present-but-empty coding entry (the author wrote a slot), so it emits
+    ``CODESYSTEM_MISMATCH`` (null system ≠ expected), matching the
+    reference's null-system handling for materialized elements
+    (``.cs:1645-1667``)."""
     from ..compiler import _field_type, _is_element_path, _spark_path
     from pyspark.sql.types import ArrayType
     code_path, sys_path = rule.column, rule.params["systemColumn"]
@@ -654,6 +662,60 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
 
 # ------------------------------------------- RequiredResources (A1 cardinality)
 
+def _requirement_counts(df: DataFrame, group_col: str,
+                        reqs: list[dict[str, Any]],
+                        rule: RuleDefinition | None = None) -> DataFrame:
+    """The A1/A2/A3 aggregation core: ONE conditional hash-aggregation pass
+    reducing the input to a row per group — ``_total`` plus a
+    ``count(when(where, 1))`` per requirement (map-side combine; shuffle =
+    O(groups)). Shared by :func:`required_resources_plan` and the public
+    :func:`group_cardinality_counts`."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, req in enumerate(reqs):
+        cond = F.lit(True)
+        for w in req.get("where", []):
+            cond = cond & _where_predicate(rule, w)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"_req_{i}"))
+    return (df.groupBy(F.col(group_col).cast("string").alias("_grp"))
+            .agg(*aggs))
+
+
+def group_cardinality_counts(df: DataFrame, group_col: str,
+                             requirements: list[dict[str, Any]]) -> DataFrame:
+    """Public per-requirement observability for RequiredResources (A1–A3):
+    one row per declared requirement with its observed count and pass flag —
+    ``(source, actual, expected_min, expected_max, passed)``.
+
+    Same dataflow as :func:`required_resources_plan` (shared
+    :func:`_requirement_counts` stage + single-row rollup, fully lazy); this
+    is the dashboard/contract-query face of the rule, where the plan emits
+    the consolidated 0-or-1-row violation."""
+    counts = _requirement_counts(df, group_col, requirements)
+    roll = []
+    for i, req in enumerate(requirements):
+        roll.append(F.coalesce(
+            F.max(F.when(F.col("_grp") == req["source"],
+                         F.col(f"_req_{i}"))),
+            F.lit(0)).alias(f"_n_{i}"))
+    rolled = counts.agg(*roll)
+    entries = []
+    for i, req in enumerate(requirements):
+        n = F.col(f"_n_{i}")
+        lo, hi, exact = req["min"], req.get("max"), req.get("exact", False)
+        ok = n >= F.lit(lo)
+        if exact:
+            ok = ok & (n == F.lit(lo))
+        if hi is not None:
+            ok = ok & (n <= F.lit(hi))
+        entries.append(F.struct(
+            F.lit(req["source"]).alias("source"),
+            n.alias("actual"),
+            F.lit(lo).cast("long").alias("expected_min"),
+            F.lit(hi).cast("long").alias("expected_max"),
+            ok.alias("passed")))
+    return rolled.select(F.inline(F.array(*entries)))
+
+
 def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                             plan) -> DataFrame:
     """Group-cardinality, closed world (``FhirPathRuleEngine.cs:1794-2152``).
@@ -668,14 +730,7 @@ def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     """
     group = plan.config.group_col
     reqs: list[dict[str, Any]] = rule.params["requirements"]
-    aggs = [F.count(F.lit(1)).alias("_total")]
-    for i, req in enumerate(reqs):
-        cond = F.lit(True)
-        for w in req.get("where", []):
-            cond = cond & _where_predicate(rule, w)
-        aggs.append(F.count(F.when(cond, 1)).alias(f"_req_{i}"))
-    counts = (df.groupBy(F.col(group).cast("string").alias("_grp"))
-              .agg(*aggs))
+    counts = _requirement_counts(df, group, reqs, rule)
 
     declared = sorted({r["source"] for r in reqs})
     # single-row rollup: per-requirement observed count + observed-group map
@@ -731,13 +786,15 @@ def required_resources_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                     detail.alias("detail")))
 
 
-def _where_predicate(rule: RuleDefinition, w: dict[str, Any]):
+def _where_predicate(rule: RuleDefinition | None, w: dict[str, Any]):
     """Requirement where-filter ops ``= != contains in``
-    (``FhirPathRuleEngine.cs:1888-1923``)."""
+    (``FhirPathRuleEngine.cs:1888-1923``). ``rule=None`` for the ad-hoc
+    :func:`group_cardinality_counts` entry point."""
+    rid = rule.id if rule is not None else "<adhoc>"
     col, op, val = w.get("column"), w.get("op", "="), w.get("value")
     if not col:
         raise RuleConfigurationError(
-            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            rid, ErrorCode.RULE_CONFIGURATION_ERROR,
             "where-filter needs 'column'")
     c = F.col(col)
     if op == "=":
@@ -749,7 +806,7 @@ def _where_predicate(rule: RuleDefinition, w: dict[str, Any]):
     if op == "in":
         return c.isin(val if isinstance(val, list) else [val])
     raise RuleConfigurationError(
-        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+        rid, ErrorCode.RULE_CONFIGURATION_ERROR,
         f"unknown where op {op!r} (expected = != contains in)")
 
 
@@ -788,16 +845,20 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         # meaningless (ids are categorical) — only PSI gates violations.
         from ..stats import grouped_token_counts
         frac = rule.params.get("sampleFraction")
+        # keep the token-id bucket at its native width (grouped_token_counts
+        # emits bigint); narrowing to int would abort under ANSI (or wrap and
+        # merge buckets off-ANSI) for ids >= 2^31 — the baseline dim is
+        # widened to bigint below instead
         current = (grouped_token_counts(
                        df, col, group_col=group,
                        sample_fraction=float(frac) if frac else None)
                    .withColumnRenamed("group", "source")
-                   .withColumn("bucket", F.col("bucket").cast("int"))
+                   .withColumn("bucket", F.col("bucket").cast("bigint"))
                    .withColumn("side", F.lit("cur")))
     elif mode == "numeric":
         current = (df.where(F.col(col).isNotNull())
                    .groupBy(F.col(group).alias("source"),
-                            F.floor(F.col(col) / width).cast("int")
+                            F.floor(F.col(col) / width).cast("bigint")
                             .alias("bucket"))
                    .agg(F.count(F.lit(1)).alias("cnt"))
                    .withColumn("side", F.lit("cur")))
@@ -807,7 +868,7 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             f"unknown drift mode {mode!r} (numeric | tokenFrequency)")
     baseline = (plan.dims[rule.params["baseline"]]
                 .where(F.col("column_name") == col)
-                .select(F.col("source"), F.col("bucket").cast("int"),
+                .select(F.col("source"), F.col("bucket").cast("bigint"),
                         F.col("count").alias("cnt"))
                 .withColumn("side", F.lit("base")))
     merged = current.unionByName(baseline)

@@ -26,7 +26,7 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     """One-pass per-column profile: C1 (min/max/null-rate) + C2 (cardinality).
 
     Returns one row per group with a struct per column:
-    ``<col>: {min, max, null_rate, n_distinct}``. ``approx_count_distinct``
+    ``<col>: {min, max, mean, null_rate, n_distinct}``. ``approx_count_distinct``
     (HLL, relative error ``rsd``) by default — exact distinct shuffles the
     full value set and is only for small-scale oracle parity.
     """
@@ -43,10 +43,14 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         # types may differ; each struct is its own output column)
         lo = F.min(val).cast("double" if numeric else "string")
         hi = F.max(val).cast("double" if numeric else "string")
+        # mean only where it is defined — avg over a string column would
+        # ANSI-abort; non-numeric columns carry a typed null
+        mean = (F.avg(val) if numeric
+                else F.lit(None).cast("double")).alias("mean")
         distinct = (F.countDistinct(val) if exact_distinct
                     else F.approx_count_distinct(val, rsd))
         aggs.append(F.struct(
-            lo.alias("min"), hi.alias("max"),
+            lo.alias("min"), hi.alias("max"), mean,
             F.avg(col.isNull().cast("int")).alias("null_rate"),
             distinct.alias("n_distinct"),
         ).alias(c))

@@ -235,6 +235,13 @@ def test_response_assembly(result):
         s["infoCount"]
     assert s["totalErrors"] == result.violations.count()
     assert s["referenceErrorCount"] > 0  # REF-001 fires on junk rows
+    # stage buckets (ValidationResponse.cs:53-66): lint (Ingest), fhir
+    # (STRUCTURE-stage rule types) and business partition totalErrors
+    # together with the dedicated Reference/CodeMaster keys
+    assert {"lintErrorCount", "fhirErrorCount"} <= set(s)
+    assert (s["lintErrorCount"] + s["fhirErrorCount"]
+            + s["businessErrorCount"] + s["referenceErrorCount"]
+            + s["codeMasterErrorCount"]) == s["totalErrors"]
     e = resp["errors"][0]
     assert {"resourceId", "ruleId", "ruleType", "errorCode", "severity",
             "source", "fieldPath", "details"} <= set(e)
