@@ -22,6 +22,7 @@ expressions.
 
 from __future__ import annotations
 
+import threading
 from functools import reduce
 
 from pyspark import StorageLevel
@@ -45,23 +46,33 @@ def _materialize(df: DataFrame) -> DataFrame:
     (or ``spark.catalog.clearCache()``) between corpora, or storage memory
     accumulates one shingle table per call."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _MATERIALIZED.append(df)
+    _MATERIALIZED.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
-_MATERIALIZED: list[DataFrame] = []
+# keyed by driver thread id: concurrent dedup jobs (FAIR-pool driver
+# threads) must not unpersist each other's live intermediates
+_MATERIALIZED: dict[int, list[DataFrame]] = {}
 
 
-def unpersist_all() -> int:
-    """Release every intermediate this module persisted (shingle tables).
+def unpersist_all(all_threads: bool = False) -> int:
+    """Release the intermediates this module persisted (shingle tables) on
+    the CURRENT driver thread — each concurrent dedup thread owns its own
+    registry. ``all_threads=True`` sweeps every thread's leftovers (end-of-
+    session cleanup only; unsafe while other dedup threads are running).
     Returns the number of DataFrames unpersisted."""
+    keys = (list(_MATERIALIZED) if all_threads
+            else [threading.get_ident()])
     n = 0
-    while _MATERIALIZED:
-        try:
-            _MATERIALIZED.pop().unpersist()
-            n += 1
-        except Exception:  # session already stopped
-            pass
+    for k in keys:
+        lst = _MATERIALIZED.get(k, [])
+        while lst:
+            try:
+                lst.pop().unpersist()
+                n += 1
+            except Exception:  # session already stopped
+                pass
+        _MATERIALIZED.pop(k, None)
     return n
 
 
@@ -374,7 +385,9 @@ def simhash_pairs(df: DataFrame, max_distance: int = 3,
 
 # ------------------------------------------------------ duplicate clusters --
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
+                       truncate_every: int = 5,
+                       scratch_dir: str | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster,
     keep): the artifact a dedup pipeline actually consumes (drop every row
     where ``not keep``).
@@ -387,6 +400,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     pairs, not the corpus). Early-exits when a round changes nothing.
     ``keep`` marks the component minimum (the canonical survivor — the
     same min-id convention as :func:`exact_duplicates`).
+
+    Every ``truncate_every`` rounds the label table is written to
+    ``scratch_dir`` (default: ``<spark.sql.warehouse.dir>/_dedup_scratch/…``
+    — pass a shared path on a real cluster) and re-read, truncating the
+    logical plan: without this, a diameter-D component chains D joins into
+    one plan, so a late-round lost-executor recompute replays every prior
+    round and >15-round plans stress the optimizer. Persisted blocks keep
+    the common case fast; the scratch file is the recompute root. Older
+    generations are deleted on exit; the final one survives while the
+    returned DataFrame is live. ``truncate_every=0`` disables truncation.
 
     At 10^9-doc scale near-dup components are tiny (diameter ≲ 5 for
     boilerplate families), so the loop is a handful of shuffles over edge
@@ -401,9 +424,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
+    spark = pairs.sparkSession
+    scratch_base = None
+    scratch_paths: list[str] = []
     converged = False
     prev = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # neighbor minimum in one join + one aggregation
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("id", "dst")
@@ -414,6 +440,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .select("id",
                            F.least("cluster", F.coalesce("_nmin", "cluster"))
                             .alias("cluster")))
+        if truncate_every and (i + 1) % truncate_every == 0:
+            if scratch_base is None:
+                scratch_base = _scratch_base(spark, scratch_dir)
+            path = f"{scratch_base}/gen_{i}"
+            updated.write.mode("overwrite").parquet(path)
+            scratch_paths.append(path)
+            updated = spark.read.parquet(path)
         updated = _materialize(updated)
         changed = (updated.alias("u")
                    .join(labels.alias("l"), "id")
@@ -425,6 +458,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    # superseded scratch generations are dead weight; the newest one stays
+    # on disk as the recompute root of the returned (lazy) DataFrame
+    for path in scratch_paths[:-1]:
+        _delete_path(spark, path)
     if not converged:
         # silent non-convergence would emit inconsistent clusters AND more
         # than one keep=true per component — a consumer dropping non-keep
@@ -434,3 +471,25 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "a component has diameter > max_iter; raise max_iter")
     return labels.select(F.col("id").alias("doc_id"), "cluster",
                          (F.col("id") == F.col("cluster")).alias("keep"))
+
+
+def _scratch_base(spark, scratch_dir: str | None) -> str:
+    """Scratch root for lineage-truncation files: caller-supplied (shared
+    storage on a real cluster) or a uuid dir under the warehouse path."""
+    import uuid
+    if scratch_dir is not None:
+        return scratch_dir.rstrip("/")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{wh}/_dedup_scratch/{uuid.uuid4().hex}"
+
+
+def _delete_path(spark, path: str) -> None:
+    """Best-effort recursive delete via the Hadoop FileSystem API (works
+    for any scheme Spark can write — local, HDFS, s3a)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass

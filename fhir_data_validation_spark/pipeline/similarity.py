@@ -103,7 +103,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qm = np.asarray([r["v"] for r in qrows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
-    out_schema = "query_id long, vec_id long, cosine double"
+    # ids keep their native types (hardcoding long here crashed the Arrow
+    # serializer on string-keyed corpora)
+    qid_t = queries.schema[qid].dataType.simpleString()
+    vid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {vid_t}, cosine double"
 
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -273,13 +277,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     qrows = queries.select(F.col(id_col).alias("qid"),
                            F.col(vec_col).alias("v")).collect()
-    probe_rows = []
-    for r in qrows:
-        q = np.asarray(r["v"], dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        sims = centroids @ q
-        for cell in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((r["qid"], int(cell)))
+    # probe assignment is ONE vectorized matmul + argpartition over the
+    # whole query batch (a per-query Python loop is a driver stall at 10^5
+    # queries); queries must be broadcastable, same contract as cosine_topk
+    if qrows:
+        qids = [r["qid"] for r in qrows]
+        Q = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        sims = Q @ centroids.T                  # (n_queries, n_cells)
+        npb = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        probe_rows = [(qid, int(cell))
+                      for qid, cells in zip(qids, top) for cell in cells]
+    else:
+        probe_rows = []
     spark = corpus.sparkSession
     from pyspark.sql.types import IntegerType, StructField, StructType
     id_type = queries.schema[id_col].dataType  # ids keep their native type

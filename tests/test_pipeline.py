@@ -185,6 +185,18 @@ def test_embedding_near_dup_lsh_matches_exact(spark, embs):
     assert lsh == exact == {(i, i + 100000) for i in range(5)}
 
 
+def test_cosine_topk_string_ids(spark):
+    """Ids keep their native type through the Arrow stage — a hardcoded
+    long output schema used to crash on string-keyed corpora."""
+    rows = [(f"v{i}", [float(i == j) for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = similarity.cosine_topk(df.where(F.col("vec_id") != "v0"),
+                                 df.where(F.col("vec_id") == "v0"), k=2)
+    out = got.collect()
+    assert len(out) == 2 and all(r["query_id"] == "v0" for r in out)
+
+
 def test_cosine_topk_matches_numpy(embs):
     queries = embs.where(F.col("vec_id") < 3)
     got = similarity.cosine_topk(embs.where(F.col("vec_id") >= 3),
@@ -349,6 +361,43 @@ def test_duplicate_clusters_end_to_end(spark, seeded):
         keepers = [m["doc_id"] for m in members if m["keep"]]
         assert keepers == [min(m["doc_id"] for m in members)] == [c]
     dedup.unpersist_all()
+
+
+def test_duplicate_clusters_deep_chain_truncates_lineage(spark, tmp_path):
+    """A diameter-12 chain forces >2 lineage truncations (truncate_every=2):
+    labels stay correct across the write/re-read roots, and superseded
+    scratch generations are deleted (only the newest survives)."""
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    scratch = str(tmp_path / "scratch")
+    out = dedup.duplicate_clusters(pairs, max_iter=20, truncate_every=2,
+                                   scratch_dir=scratch).collect()
+    assert {r["doc_id"] for r in out} == set(range(13))
+    assert all(r["cluster"] == 0 for r in out)
+    assert [r["doc_id"] for r in out if r["keep"]] == [0]
+    import os
+    gens = [d for d in os.listdir(scratch) if d.startswith("gen_")]
+    assert len(gens) == 1  # older generations deleted, recompute root kept
+    dedup.unpersist_all()
+
+
+def test_unpersist_all_is_thread_scoped(spark, seeded):
+    """Concurrent dedup driver threads own separate registries: one
+    thread's unpersist_all() must not release the other's intermediates."""
+    import threading
+    results = {}
+
+    def worker():
+        dedup.jaccard_pairs(seeded, threshold=0.6).count()
+        results["worker_released"] = dedup.unpersist_all()
+
+    dedup.jaccard_pairs(seeded, threshold=0.9).count()  # main-thread persist
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert results["worker_released"] >= 1
+    assert dedup.unpersist_all() >= 1          # main thread's still live
+    assert dedup.unpersist_all(all_threads=True) == 0
 
 
 def test_duplicate_clusters_nonconvergence_raises(spark):
