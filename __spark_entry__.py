@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -524,6 +525,44 @@ def q_m1_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode through the multimodal dataflow: deterministic PNGs
+    are encoded per document (pixels = utf-8 text bytes cycled to
+    w·h·3, dimensions derived from the byte length), then
+    ``multimodal.decode`` with the default stdlib codec parses them back.
+    The oracle recomputes the dimensions from octet lengths — the row only
+    matches if the decoder really parsed the PNG we encoded."""
+    from fhir_data_validation_spark.pipeline import codecs
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200)
+            .select(F.col("doc_id").cast("string"), "text"))
+
+    def _to_png(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                w, h = 4 + len(raw) % 13, 3 + len(raw) % 7
+                reps = (w * h * 3 // max(len(raw), 1)) + 1
+                payloads.append(codecs.encode_png(
+                    (raw * reps)[:w * h * 3], w, h, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "modality": "image",
+                                "payload": payloads,
+                                "meta": [{}] * len(pdf)})
+
+    mm = docs.mapInPandas(_to_png, multimodal.MULTIMODAL_SCHEMA)
+    out = multimodal.decode(mm)  # default stdlib decoder
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("feature")["format"].alias("format"),
+                       F.col("feature")["width"].cast("int").alias("width"),
+                       F.col("feature")["height"].cast("int").alias("height"),
+                       F.col("feature")["channels"].cast("int")
+                        .alias("channels"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -567,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
+        "m2_png_decode": q_m2_png_decode,
     }
 
 
@@ -936,6 +976,14 @@ def oracle_sql() -> dict[str, str]:
                    lower(hex(encode(substr(text, 1, 4)))) AS header,
                    md5(text) AS content_md5
             FROM documents ORDER BY doc_id""",
+        "m2_png_decode": """
+            SELECT doc_id, 'png' AS format,
+                   CAST(4 + octet_length(encode(text)) % 13 AS INTEGER)
+                     AS width,
+                   CAST(3 + octet_length(encode(text)) % 7 AS INTEGER)
+                     AS height,
+                   CAST(3 AS INTEGER) AS channels
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
     }
 
 

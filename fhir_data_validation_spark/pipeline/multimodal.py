@@ -3,11 +3,11 @@
 Images/audio/video ride as ``binary`` columns next to a ``modality``
 discriminator and a ``meta map<string,string>``. The Spark-side plumbing —
 schema, partition-preserving Arrow batches, UDF signatures, per-modality
-dispatch — is real and tested; the actual codec step is STUBBED (decode
-libraries are not in this container): :func:`decode` raises
-``NotImplementedError`` unless a decoder callable is supplied, and
-:func:`fake_decoder` provides a deterministic stand-in so the dataflow can
-be exercised end-to-end.
+dispatch — is real and tested. The codec step decodes PNG and WAV for real
+with the pure-stdlib adapters in :mod:`.codecs` (the default ``decoder``/
+``resizer``); other formats raise ``NotImplementedError`` unless the caller
+supplies a codec callable (PIL/ffmpeg adapters in a full container), and
+:func:`fake_decoder` remains a deterministic stand-in for dataflow tests.
 """
 
 from __future__ import annotations
@@ -74,16 +74,18 @@ def decode(df: DataFrame,
            decoder: Callable[[str, bytes], dict] | None = None) -> DataFrame:
     """Arrow-batched decode/feature-extract over ``mapInPandas``.
 
-    STUB: raises ``NotImplementedError`` without an explicit ``decoder``
-    (image/audio codecs are not installed here); pass
-    :func:`fake_decoder` to exercise the full dataflow. The plumbing is the
-    production shape: per-batch dispatch on modality, bounded batch memory
-    (payloads stream batch-at-a-time), map-typed feature output.
+    The default decoder is :func:`codecs.stdlib_decoder` — REAL decode for
+    PNG (zlib + filter reconstruction) and WAV (RIFF parse) payloads, no
+    external libraries; other formats raise ``NotImplementedError`` inside
+    the job unless a caller-supplied ``decoder`` handles them (PIL/ffmpeg
+    adapters in a full container; :func:`fake_decoder` for dataflow tests).
+    The plumbing is the production shape either way: per-batch dispatch,
+    bounded batch memory (payloads stream batch-at-a-time through Arrow),
+    map-typed feature output.
     """
     if decoder is None:
-        raise NotImplementedError(
-            "no media codecs in this environment - pass decoder= "
-            "(e.g. multimodal.fake_decoder) to run the decode dataflow")
+        from .codecs import stdlib_decoder
+        decoder = stdlib_decoder
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,17 +122,18 @@ def resize(df: DataFrame, width: int, height: int,
            ) -> DataFrame:
     """Arrow-batched image resize over ``mapInPandas``.
 
-    STUB: raises ``NotImplementedError`` without an explicit ``resizer``
-    (no PIL/opencv in this container); pass :func:`fake_resizer` to
-    exercise the dataflow. Production shape: only image rows are
+    The default resizer is :func:`codecs.stdlib_resizer` — REAL
+    PNG-to-PNG nearest-neighbor resampling with no external libraries;
+    other image formats raise ``NotImplementedError`` inside the job
+    unless a caller-supplied ``resizer`` handles them (:func:`fake_resizer`
+    for dataflow tests). Production shape: only image rows are
     transformed (others pass through untouched), the output payload
     replaces the input in place, and the meta map records the target
     dimensions — batch memory stays bounded because payloads stream
     batch-at-a-time through Arrow."""
     if resizer is None:
-        raise NotImplementedError(
-            "no image libraries in this environment - pass resizer= "
-            "(e.g. multimodal.fake_resizer) to run the resize dataflow")
+        from .codecs import stdlib_resizer
+        resizer = stdlib_resizer
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

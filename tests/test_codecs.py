@@ -1,0 +1,142 @@
+"""Stdlib PNG/WAV codecs: roundtrip + cross-implementation conformance
+against the JDK's javax.imageio (through the Spark JVM bridge) — a real
+second implementation, not a self-roundtrip."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark.pipeline import codecs, multimodal
+
+
+def _random_pixels(w, h, c, seed=1):
+    rnd = random.Random(seed)
+    return bytes(rnd.randrange(256) for _ in range(w * h * c))
+
+
+# ------------------------------------------------------------- roundtrips --
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    w, h = 9, 7  # odd sizes catch stride bugs
+    px = _random_pixels(w, h, channels, seed=channels)
+    img = codecs.decode_png(codecs.encode_png(px, w, h, channels))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == px
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError, match="bad signature"):
+        codecs.decode_png(b"not a png at all")
+    # corrupt a CRC byte
+    good = bytearray(codecs.encode_png(_random_pixels(4, 4, 3), 4, 4, 3))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(good))
+
+
+def test_wav_roundtrip():
+    frames = bytes(range(200)) * 2  # 200 16-bit mono samples
+    wav = codecs.encode_wav(frames, sample_rate=8000, n_channels=1,
+                            sample_width=2)
+    meta = codecs.decode_wav(wav)
+    assert meta == {"sample_rate": 8000, "n_channels": 1, "sample_width": 2,
+                    "n_samples": 200, "duration_s": 0.025}
+
+
+def test_resize_nearest_identity_and_downscale():
+    w, h = 8, 6
+    px = _random_pixels(w, h, 3)
+    assert codecs.resize_nearest(px, w, h, 3, w, h) == px
+    half = codecs.resize_nearest(px, w, h, 3, 4, 3)
+    assert len(half) == 4 * 3 * 3
+    assert half[0:3] == px[0:3]  # top-left pixel preserved
+
+
+# ---------------------------------------- JDK ImageIO cross-conformance ----
+
+def _java_encode_png(spark, px, w, h):
+    """Encode RGB pixels with javax.imageio — its adaptive filter choice
+    exercises the Sub/Up/Average/Paeth reconstruction paths."""
+    jvm = spark._jvm
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            rgb = (px[i] << 16) | (px[i + 1] << 8) | px[i + 2]
+            bi.setRGB(x, y, rgb)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    return bytes(baos.toByteArray())
+
+
+def _java_decode_png(spark, data):
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    w, h = img.getWidth(), img.getHeight()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb = img.getRGB(x, y)
+            px += bytes(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF))
+    return w, h, bytes(px)
+
+
+def test_python_decodes_java_png(spark):
+    w, h = 12, 10
+    px = _random_pixels(w, h, 3, seed=42)
+    img = codecs.decode_png(_java_encode_png(spark, px, w, h))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == px
+
+
+def test_java_decodes_python_png(spark):
+    w, h = 11, 5
+    px = _random_pixels(w, h, 3, seed=7)
+    jw, jh, jpx = _java_decode_png(spark, codecs.encode_png(px, w, h, 3))
+    assert (jw, jh) == (w, h)
+    assert jpx == px
+
+
+# ---------------------------------------------------- Spark dataflow path --
+
+def test_decode_dataflow_with_stdlib_codecs(spark):
+    png = codecs.encode_png(_random_pixels(6, 4, 3, seed=3), 6, 4, 3)
+    wav = codecs.encode_wav(b"\x00\x01" * 100, sample_rate=16000)
+    df = spark.createDataFrame(
+        [("img1", "image", bytearray(png), {"k": "v"}),
+         ("aud1", "audio", bytearray(wav), {})],
+        multimodal.MULTIMODAL_SCHEMA)
+    out = {r["doc_id"]: dict(r["feature"])
+           for r in multimodal.decode(df).collect()}
+    assert out["img1"]["format"] == "png"
+    assert (out["img1"]["width"], out["img1"]["height"]) == ("6", "4")
+    assert out["aud1"]["format"] == "wav"
+    assert out["aud1"]["n_samples"] == "100"
+
+
+def test_decode_dataflow_unsupported_format_raises(spark):
+    df = spark.createDataFrame(
+        [("d1", "image", bytearray(b"GIF89a....."), {})],
+        multimodal.MULTIMODAL_SCHEMA)
+    with pytest.raises(Exception, match="no built-in codec"):
+        multimodal.decode(df).collect()
+
+
+def test_resize_dataflow_png(spark):
+    png = codecs.encode_png(_random_pixels(8, 8, 3, seed=9), 8, 8, 3)
+    df = spark.createDataFrame(
+        [("img1", "image", bytearray(png), {}),
+         ("aud1", "audio", bytearray(b"RIFFxxxxWAVE"), {})],
+        multimodal.MULTIMODAL_SCHEMA)
+    rows = {r["doc_id"]: r for r in
+            multimodal.resize(df, 4, 4).collect()}
+    resized = codecs.decode_png(bytes(rows["img1"]["payload"]))
+    assert (resized["width"], resized["height"]) == (4, 4)
+    assert dict(rows["img1"]["meta"])["resized_w"] == "4"
+    # non-image rows pass through untouched
+    assert bytes(rows["aud1"]["payload"]) == b"RIFFxxxxWAVE"

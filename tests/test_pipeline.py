@@ -254,10 +254,13 @@ def test_multimodal_meta(docs):
         multimodal.MODALITIES)
 
 
-def test_decode_stub_raises_without_decoder(docs):
+def test_decode_default_rejects_unknown_formats(docs):
+    """The default (stdlib) decoder handles PNG/WAV; synthetic text-byte
+    payloads are neither, so the job fails with the explicit codec error
+    (full codec coverage: tests/test_codecs.py)."""
     mm = multimodal.synth_multimodal(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode(mm)
+    with pytest.raises(Exception, match="no built-in codec"):
+        multimodal.decode(mm).collect()
 
 
 def test_decode_with_fake_decoder(docs):
@@ -294,10 +297,10 @@ def test_gopher_quality_rules(spark, docs):
     assert "QF-WORDCOUNT" not in by_rule
 
 
-def test_resize_stub_and_fake_resizer(docs, spark):
+def test_resize_default_rejects_non_png_and_fake_resizer(docs, spark):
     mm = multimodal.synth_multimodal(docs)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(Exception, match="stdlib resizer handles PNG only"):
         multimodal.resize(mm, 32, 32).collect()
     out = multimodal.resize(mm, 8, 8, resizer=multimodal.fake_resizer)
     rows = out.collect()
