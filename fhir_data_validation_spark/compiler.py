@@ -63,7 +63,7 @@ class EngineConfig:
     severity_overrides: tuple[tuple[str, str], ...] = ()
 
 
-ELEMENTS_TYPE = "array<struct<i:int,v:string>>"
+ELEMENTS_TYPE = "array<struct<i:int,j:int,v:string>>"
 
 
 @dataclass
@@ -81,7 +81,7 @@ class PredicateEntry:
     condition: Column           # True ⇒ violation (already includes scope)
     detail: Column              # map<string,string>
     stage: int = Stage.BUSINESS
-    elements: Column | None = None  # array<struct<i,v>> of bad elements
+    elements: Column | None = None  # array<struct<i,j,v>> of bad elements
 
     def violation_struct(self) -> Column:
         r = self.rule
@@ -210,11 +210,13 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
     ``segment[*]`` marks array traversal (the reference's repeated-element
     navigation, ``RuleEngines/FhirPathRuleEngine.cs:648-723``): the path
     continues into the array's struct elements and the resolved type is the
-    derived ``array<leaf>``. One ``[*]`` per path (nested repetition has no
-    single-index error model). Arrays without ``[*]`` stay terminal."""
+    derived ``array<leaf>`` — a FLATTENED view when the path repeats twice
+    (``a[*].b[*].c``; per-element details then carry the composite
+    ``(i, j)`` index). At most two ``[*]`` per path (a deeper error model
+    has no reference analog). Arrays without ``[*]`` stay terminal."""
     node: DataType = schema
     parts = name.split(".")
-    seen_array = False
+    stars = 0
     for i, part in enumerate(parts):
         want_elements = part.endswith("[*]")
         if want_elements:
@@ -239,17 +241,19 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
                     rule.id, ErrorCode.INVALID_FIELD_PATH,
                     f"path {name!r}: {part!r} is {node.simpleString()}, "
                     "not an array — '[*]' traverses arrays only")
-            if seen_array:
+            stars += 1
+            if stars > 2:
                 raise RuleConfigurationError(
                     rule.id, ErrorCode.INVALID_FIELD_PATH,
-                    f"path {name!r}: only one '[*]' per path is supported")
-            seen_array = True
+                    f"path {name!r}: at most two '[*]' per path are "
+                    "supported (composite (i, j) index detail)")
             if i < len(parts) - 1:
                 node = node.elementType
-    if seen_array and not isinstance(node, ArrayType):
+    if stars and not isinstance(node, ArrayType):
         # a[*].b.c — the physical value is the derived array of leaves
         # (Spark's GetArrayStructFields: a.b.c over array<struct> extracts
-        # array<c> natively, inside codegen — no higher-order function)
+        # array<c> natively, inside codegen — no higher-order function);
+        # a[*].b[*].c flattens the two levels into one leaf array
         node = ArrayType(node, containsNull=True)
     return node
 
@@ -264,6 +268,60 @@ def _spark_path(name: str) -> str:
     """Physical column path: ``a[*].b`` → ``a.b`` (array-of-struct field
     extraction is plain dot access in Spark SQL)."""
     return name.replace("[*]", "")
+
+
+def _split_nested(name: str) -> tuple[str, str, str]:
+    """``a[*].b.c[*].d.e`` → ("a", "b.c", "d.e") — outer path, inner path
+    between the two stars, leaf path after the second star."""
+    first, rest = name.split("[*]", 1)
+    mid, post = rest.lstrip(".").split("[*]", 1)
+    return first, mid, post.lstrip(".")
+
+
+def _getfields(col: Column, dotted: str) -> Column:
+    for seg in dotted.split("."):
+        if seg:
+            col = col.getField(seg)
+    return col
+
+
+def _leaf_column(name: str) -> Column:
+    """Physical leaf-array column for a (possibly repeated) element path.
+
+    ``a[*].b.c`` stays a plain ``F.col("a.b.c")`` (native
+    GetArrayStructFields chain, codegen). ``a[*].b[*].c`` needs one
+    ``flatten``: the second extraction yields ``array<array<…>>``, which
+    dot access cannot descend. Null inner arrays are filtered before the
+    flatten — ``flatten`` returns NULL when any element is NULL, which
+    would silently drop the whole row from every elementwise lane."""
+    if name.count("[*]") <= 1:
+        return F.col(_spark_path(name))
+    first, mid, post = _split_nested(name)
+    col = _getfields(F.col(first), mid)          # array<array<…>>
+    col = F.flatten(F.filter(col, lambda a: a.isNotNull()))
+    return _getfields(col, post)
+
+
+def _nested_indexed(name: str) -> Column:
+    """Composite-index element view of an ``a[*].b[*].c`` path:
+    ``array<struct{i, j, v}>`` where ``i`` is the outer index, ``j`` the
+    index within the inner array, ``v`` the (native-typed) leaf — the
+    two-level analog of the reference's arbitrary-depth repeated-element
+    navigation (``FhirPathRuleEngine.cs:648-723``). Null inner arrays
+    contribute no elements; outer indices are preserved."""
+    first, mid, post = _split_nested(name)
+    pairs = F.transform(
+        F.col(first),
+        lambda s, i: F.struct(i.alias("i"),
+                              _getfields(s, mid).alias("arr")))
+    nonnull = F.filter(pairs, lambda p: p["arr"].isNotNull())
+    return F.flatten(F.transform(
+        nonnull,
+        lambda p: F.transform(
+            p["arr"],
+            lambda t, j: F.struct(p["i"].cast("int").alias("i"),
+                                  j.cast("int").alias("j"),
+                                  _getfields(t, post).alias("v")))))
 
 
 def _smap(*pairs: tuple[str, Column | str]) -> Column:
@@ -327,10 +385,17 @@ def _nonempty(col: Column, dtype: DataType) -> Column:
 
 def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
                   max_examples: int,
-                  has_bad: Column | None = None
+                  has_bad: Column | None = None,
+                  indexed: Column | None = None
                   ) -> tuple[Column, Column, Column, Column]:
     """(has_bad, bad_count, examples-as-json, bad_elements) over an array
     column.
+
+    ``indexed`` (nested ``a[*].b[*].c`` paths): a pre-built
+    ``array<struct{i, j, v}>`` from :func:`_nested_indexed` — the bad
+    elements then carry the composite outer/inner index. Single-level
+    paths derive their own ``(i, null, v)`` view, so the element struct
+    type is uniform across a fused rule chunk.
 
     ``is_bad`` must be **null-aware** (never return SQL NULL for a null
     element): ``F.filter`` drops NULL predicate results, so a three-valued
@@ -355,12 +420,21 @@ def _bad_elements(col: Column, is_bad: Callable[[Column], Column],
     """
     if has_bad is None:
         has_bad = F.exists(col, is_bad)
-    bad_count = F.size(F.filter(col, is_bad))
-    indexed = F.transform(col, lambda x, i: F.struct(i.alias("i"), x.alias("v")))
-    bad_raw = F.filter(indexed, lambda s: is_bad(s["v"]))
+    if indexed is None:
+        bad_count = F.size(F.filter(col, is_bad))
+        indexed = F.transform(col, lambda x, i: F.struct(
+            i.alias("i"), F.lit(None).cast("int").alias("j"),
+            x.alias("v")))
+        bad_raw = F.filter(indexed, lambda s: is_bad(s["v"]))
+    else:
+        bad_raw = F.filter(indexed, lambda s: is_bad(s["v"]))
+        bad_count = F.size(bad_raw)
+    # to_json drops null fields by default, so the single-level examples
+    # JSON stays {"i":…,"v":…} — no j key unless the path is nested
     examples = F.to_json(F.slice(bad_raw, 1, max_examples))
     bad_elements = F.transform(bad_raw, lambda s: F.struct(
-        s["i"].cast("int").alias("i"), s["v"].cast("string").alias("v")))
+        s["i"].cast("int").alias("i"), s["j"].cast("int").alias("j"),
+        s["v"].cast("string").alias("v")))
     return has_bad, bad_count, examples, bad_elements
 
 
@@ -529,11 +603,14 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     col_name = rule.require_column()
     dtype = _field_type(schema, col_name, rule)
-    col = F.col(_spark_path(col_name))
-    # a[*].b element path: `col` is the natively-derived array of leaves;
-    # scalar rule families switch to per-element lanes below (index-aware
-    # details, FhirPathRuleEngine.cs:648-723 NavigateToPathInSourceNodeAll)
+    col = _leaf_column(col_name)
+    # a[*].b element path: `col` is the natively-derived array of leaves
+    # (flattened for nested a[*].b[*].c repetition); scalar rule families
+    # switch to per-element lanes below (index-aware details,
+    # FhirPathRuleEngine.cs:648-723 NavigateToPathInSourceNodeAll)
     elementwise = _is_element_path(col_name)
+    indexed = (_nested_indexed(col_name)
+               if elementwise and col_name.count("[*]") >= 2 else None)
 
     if t == "Required":
         if elementwise:
@@ -546,7 +623,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 else (lambda v: v.isNull())
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, is_bad, config.max_examples,
-                has_bad=F.exists(col, is_bad))
+                has_bad=F.exists(col, is_bad), indexed=indexed)
             cond = col.isNotNull() & has_bad
             return (cond, _smap(("badCount", bad_count),
                                 ("examples", examples)),
@@ -568,7 +645,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, lambda v: v.isNull() | (v != F.lit(expected)),
                 config.max_examples,
-                has_bad=F.size(F.array_remove(col, expected)) > 0)
+                has_bad=F.size(F.array_remove(col, expected)) > 0,
+                indexed=indexed)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
                     _smap(("expected", expected), ("badCount", bad_count),
@@ -596,7 +674,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, lambda v: v.isNull() | ~F.array_contains(lit_vals, v),
                 config.max_examples,
-                has_bad=F.size(F.array_except(col, lit_vals)) > 0)
+                has_bad=F.size(F.array_except(col, lit_vals)) > 0,
+                indexed=indexed)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
                     _smap(("allowed", allowed), ("badCount", bad_count),
@@ -614,7 +693,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                       & ~v.cast("string").rlike(pattern))
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, is_bad, config.max_examples,
-                has_bad=F.exists(col, is_bad))
+                has_bad=F.exists(col, is_bad), indexed=indexed)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
                     _smap(("pattern", pattern), ("badCount", bad_count),
@@ -659,7 +738,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             col, lambda v: (v < F.lit(lo)) | (v >= F.lit(hi)),
             config.max_examples,
             has_bad=(F.array_min(col) < F.lit(lo))
-                    | (F.array_max(col) >= F.lit(hi)))
+                    | (F.array_max(col) >= F.lit(hi)),
+            indexed=indexed)
         cond = _nonempty(col, dtype) & has_bad
         return (cond,
                 _smap(("min", lo), ("maxExclusive", hi),
@@ -728,7 +808,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 if hi is not None:
                     native = native | (F.array_max(col) > F.lit(hi))
             has_bad, bad_count, examples, bad_els = _bad_elements(
-                col, _bad, config.max_examples, has_bad=native)
+                col, _bad, config.max_examples, has_bad=native, indexed=indexed)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
                     _smap(("min", "" if lo is None else lo),
@@ -752,7 +832,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                       & (F.length(v.cast("string")) > max_len))
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, is_bad, config.max_examples,
-                has_bad=F.exists(col, is_bad))
+                has_bad=F.exists(col, is_bad), indexed=indexed)
             cond = col.isNotNull() & has_bad
             return (cond,
                     _smap(("maxLength", max_len), ("badCount", bad_count),
@@ -784,7 +864,7 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                       & v.cast("string").try_cast(target).isNull())
             has_bad, bad_count, examples, bad_els = _bad_elements(
                 col, is_bad, config.max_examples,
-                has_bad=F.exists(col, is_bad))
+                has_bad=F.exists(col, is_bad), indexed=indexed)
             cond = _nonempty(col, dtype) & has_bad
             return (cond,
                     _smap(("dataType", target), ("badCount", bad_count),

@@ -274,7 +274,16 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
                                   F.create_map(
                                       F.lit("index"),
                                       F.col("e.i").cast("string"),
-                                      F.lit("value"), F.col("e.v")))
+                                      F.lit("value"), F.col("e.v")),
+                                  # innerIndex only for nested a[*].b[*].c
+                                  # paths (composite (i, j) element
+                                  # addressing); single-level details keep
+                                  # their exact shape
+                                  F.map_filter(
+                                      F.create_map(
+                                          F.lit("innerIndex"),
+                                          F.col("e.j").cast("string")),
+                                      lambda _k, v: v.isNotNull()))
                                .alias("detail"),
                               "stage"))
             parts.append(per_el)

@@ -192,14 +192,14 @@ def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
     Catalyst type — enforced at compile with a clear error rather than
     silently string-ified."""
     from pyspark.sql.types import ArrayType
-    from ..compiler import _field_type, _spark_path
+    from ..compiler import _field_type, _leaf_column
     leaf_types = set()
     structs = []
     for c in cols:
         dtype = _field_type(df.schema, c, rule)
         leaf = dtype.elementType if isinstance(dtype, ArrayType) else dtype
         leaf_types.add(leaf.simpleString())
-        sc = F.col(_spark_path(c))
+        sc = _leaf_column(c)
         vals = (F.array_distinct(sc) if isinstance(dtype, ArrayType)
                 else F.array(sc))
         structs.append((c, vals, leaf))
@@ -209,7 +209,7 @@ def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
         # keeps the column's physical properties visible to the planner,
         # so a table BUCKETED on the reference column joins its (bucketed)
         # dim without any fact-side exchange
-        sc = F.col(_spark_path(cols[0]))
+        sc = _leaf_column(cols[0])
         return (df.where(sc.isNotNull())
                 .select(F.col(plan.config.key_col).alias("_k"),
                         F.col(plan.config.group_col).alias("_g"),
@@ -409,6 +409,12 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"dim has no column {dim_sys!r} (have {dim.columns})")
+    for pth in (code_path, sys_path):
+        if pth.count("[*]") > 1:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"nested [*] repetition ({pth!r}) is not supported for "
+                "CodeSystem — the (system, code) zip aligns one array level")
     code_el, sys_el = _is_element_path(code_path), _is_element_path(sys_path)
     if code_el != sys_el:
         raise RuleConfigurationError(

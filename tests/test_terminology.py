@@ -436,6 +436,86 @@ def test_element_path_bad_configs(spark):
                               "column": col}])
 
 
+# ------------------------------------- nested repetition a[*].b[*].c (P5b) --
+
+def _nested_df(spark):
+    return spark.createDataFrame(
+        [("d1", [{"name": "g0",
+                  "items": [{"code": "A", "qty": 5.0},
+                            {"code": "ZZ", "qty": 50.0}]},
+                 {"name": "g1",
+                  "items": [{"code": "B", "qty": 7.0}]}], "web"),
+         ("d2", [{"name": "g0", "items": []},
+                 {"name": "g1", "items": None},          # null inner array
+                 {"name": "g2",
+                  "items": [{"code": "C", "qty": 1.0}]}], "web"),
+         ("d3", None, "web"),
+         ("d4", [{"name": "g0",
+                  "items": [{"code": None, "qty": None}]}], "web")],
+        "doc_id string, groups array<struct<name:string,"
+        "items:array<struct<code:string,qty:double>>>>, source string")
+
+
+def test_nested_element_path_allowed_values(spark):
+    """a[*].b[*].c flattens through both array levels; examples carry the
+    composite (i, j) index (FhirPathRuleEngine.cs:648-723 arbitrary-depth
+    repeated-element navigation, two levels)."""
+    res = _run(spark, _nested_df(spark),
+               [{"id": "NN-1", "type": "AllowedValues",
+                 "column": "groups[*].items[*].code",
+                 "params": {"values": ["A", "B", "C"]}}])
+    rows = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert set(rows) == {"d1", "d4"}          # ZZ and the null leaf
+    assert rows["d1"]["badCount"] == "1"
+    assert rows["d1"]["examples"] == '[{"i":0,"j":1,"v":"ZZ"}]'
+    assert rows["d4"]["examples"] == '[{"i":0,"j":0}]'  # null leaf v omitted
+
+
+def test_nested_element_path_per_element(spark):
+    """perElement over a nested path: one violation per bad (i, j) element
+    with index + innerIndex detail."""
+    res = _run(spark, _nested_df(spark),
+               [{"id": "NN-2", "type": "Range",
+                 "column": "groups[*].items[*].qty",
+                 "params": {"min": 0, "max": 10, "perElement": True}}])
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    d = rows[0]["detail"]
+    assert (rows[0]["doc_id"], d["index"], d["innerIndex"],
+            d["value"]) == ("d1", "0", "1", "50.0")
+
+
+def test_nested_element_path_null_inner_arrays(spark):
+    """Null/empty inner arrays contribute no elements AND do not null out
+    the whole row's lane (flatten(NULL-element) returns NULL — guarded)."""
+    res = _run(spark, _nested_df(spark),
+               [{"id": "NN-3", "type": "Regex",
+                 "column": "groups[*].items[*].code",
+                 "params": {"pattern": "^[A-Z]$"}}])
+    got = {r["doc_id"] for r in res.violations.collect()}
+    assert got == {"d1"}                       # d2's C passes, null inner ok
+
+
+def test_nested_single_level_detail_unchanged(spark):
+    """Single-level paths keep their exact example shape (no j key)."""
+    res = _run(spark, _components_df(spark),
+               [{"id": "NN-4", "type": "AllowedValues",
+                 "column": "components[*].code",
+                 "params": {"values": ["A", "B", "C"]}}])
+    rows = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert rows["d1"]["examples"] == '[{"i":1,"v":"ZZ"}]'
+
+
+def test_nested_three_stars_rejected(spark):
+    df = spark.createDataFrame(
+        [("d1", [{"a": [{"b": [1]}]}], "web")],
+        "doc_id string, x array<struct<a:array<struct<b:array<int>>>>>, "
+        "source string")
+    with pytest.raises(RuleConfigurationError, match="at most two"):
+        _run(spark, df, [{"id": "NN-X", "type": "Required",
+                          "column": "x[*].a[*].b[*]"}])
+
+
 # --------------------------------------------- per-element fan-out (R2/R3) --
 
 def test_per_element_violations(spark):
