@@ -160,7 +160,9 @@ def srp_signatures(df: DataFrame, n_bits: int = 8, n_tables: int = 16,
     each table packs its sign bits into one bucket id. L independent tables
     turn per-table collision probability p^b into recall 1-(1-p^b)^L —
     the standard SRP-LSH recall/pruning dial."""
-    out_schema = f"{id_col} long, table int, bucket long"
+    # ids keep their native type through the Arrow stage
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, table int, bucket long"
     weights = np.power(2.0, np.arange(n_bits)).astype(np.float64)
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,97 +222,227 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 # ---------------------------------------------------------------- IVF -------
 
+class IvfIndex:
+    """Persistent IVF (inverted-file) index: normalized centroids + the
+    cell-assigned corpus (with its vectors — the inverted lists are
+    self-contained). Build ONCE over the corpus, :meth:`save` to shared
+    storage, :meth:`load` in any later job and serve many query batches —
+    the shape a 100-TB pipeline needs (re-fitting KMeans per query batch
+    would re-scan the corpus every time).
+
+    On-disk layout (all Spark-native parquet, any scheme Spark can write):
+    ``<path>/cells`` (id, cell, vector), ``<path>/centroids``
+    (cell, centroid), ``<path>/meta`` (one row of parameters).
+    """
+
+    def __init__(self, centroids: np.ndarray, cells: DataFrame,
+                 id_col: str, vec_col: str):
+        self.centroids = centroids          # (n_cells, dim), L2-normalized
+        self.cells = cells                  # (cand_id, cell, _cv)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, corpus: DataFrame, n_cells: int = 64, seed: int = 42,
+              max_iter: int = 20, fit_fraction: float = 1.0,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> "IvfIndex":
+        """Fit the coarse quantizer and assign every corpus vector to its
+        cell. KMeans trains on ``fit_fraction`` of the corpus (sample at
+        100 TB — centroids are all that is kept); assignment is one Spark
+        ML ``transform`` (JVM-side)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # L2-normalize BEFORE clustering (spherical k-means): cells and
+        # probes must share the cosine metric — Euclidean cells over
+        # unnormalized vectors would partition partly by magnitude and
+        # strand a query's true cosine neighbors in cells whose centroid
+        # direction never ranks in the query's top-n_probe
+        # norm computed ONCE per row in its own column — inlining it in the
+        # transform lambda would re-evaluate the O(d) aggregate per element
+        # (O(d²) interpreted work per row)
+        dvec = F.col(vec_col).cast("array<double>")
+        vecs = (corpus
+                .withColumn("_norm", F.greatest(
+                    F.sqrt(F.aggregate(F.transform(dvec, lambda y: y * y),
+                                       F.lit(0.0), lambda a, b: a + b)),
+                    F.lit(1e-12)))
+                .select(F.col(id_col), F.col(vec_col),
+                        array_to_vector(
+                            F.transform(dvec, lambda x: x / F.col("_norm")))
+                        .alias("_features")))
+        fit_input = (vecs.sample(fraction=fit_fraction, seed=seed)
+                     if fit_fraction < 1.0 else vecs)
+        model = (KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                        featuresCol="_features", predictionCol="_cell")
+                 .fit(fit_input))
+        # inverted lists carry the ORIGINAL vectors: rerank after load
+        # needs no corpus join
+        cells = (model.transform(vecs)
+                 .select(F.col(id_col).alias("cand_id"),
+                         F.col("_cell").alias("cell"),
+                         F.col(vec_col).alias("_cv")))
+        centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        return cls(centroids, cells, id_col, vec_col)
+
+    def search(self, queries: DataFrame, k: int = 10,
+               n_probe: int = 8) -> DataFrame:
+        """Top-k per query: probe the ``n_probe`` nearest cells, rerank
+        those inverted lists exactly. Work per query ≈ corpus × n_probe /
+        n_cells; ``n_probe = n_cells`` ⇒ exact. Query set must be
+        broadcastable (collected once, like :func:`cosine_topk`)."""
+        id_col, vec_col = self.id_col, self.vec_col
+        qrows = queries.select(F.col(id_col).alias("qid"),
+                               F.col(vec_col).alias("v")).collect()
+        # probe assignment is ONE vectorized matmul + argpartition over the
+        # whole query batch (a per-query Python loop is a driver stall at
+        # 10^5 queries)
+        if qrows:
+            qids = [r["qid"] for r in qrows]
+            Q = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
+                               1e-12)
+            sims = Q @ self.centroids.T         # (n_queries, n_cells)
+            npb = min(n_probe, sims.shape[1])
+            top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            probe_rows = [(qid, int(cell))
+                          for qid, cs in zip(qids, top) for cell in cs]
+        else:
+            probe_rows = []
+        spark = queries.sparkSession
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        id_type = queries.schema[id_col].dataType  # native id type
+        probes = spark.createDataFrame(
+            probe_rows, StructType([StructField("query_id", id_type),
+                                    StructField("cell", IntegerType())]))
+
+        cand = (self.cells.join(F.broadcast(probes), "cell")
+                .select("query_id", "cand_id", "_cv"))
+        qv = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("_qv"))
+        # rank on the UNROUNDED cosine (rounding first would let display
+        # precision flip near-ties vs an exact oracle), round for output
+        scored = (cand.join(F.broadcast(qv), "query_id")
+                  .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv"))))
+        w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
+                                                   F.asc("cand_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", F.col("cand_id").alias("vec_id"),
+                        F.round("_cos", 4).alias("cosine"), "rank"))
+
+    def save(self, path: str) -> None:
+        spark = self.cells.sparkSession
+        self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+        cent = [(int(i), [float(x) for x in row])
+                for i, row in enumerate(self.centroids)]
+        (spark.createDataFrame(cent, "cell int, centroid array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+        (spark.createDataFrame([(self.id_col, self.vec_col)],
+                               "id_col string, vec_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        rows = (spark.read.parquet(f"{path}/centroids")
+                .orderBy("cell").collect())
+        centroids = np.asarray([r["centroid"] for r in rows],
+                               dtype=np.float64)
+        cells = spark.read.parquet(f"{path}/cells")
+        return cls(centroids, cells, meta["id_col"], meta["vec_col"])
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 64, n_probe: int = 8, seed: int = 42,
              max_iter: int = 20, fit_fraction: float = 1.0,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
-    (query_id, vec_id, cosine, rank).
-
-    The scale path complementary to :func:`ann_topk`'s SRP-LSH: a KMeans
-    coarse quantizer (Spark ML, trained on ``fit_fraction`` of the corpus —
-    sample at 100 TB, centroids are all that's kept) partitions the corpus
-    into ``n_cells`` inverted lists; each query probes its ``n_probe``
-    nearest centroids and reranks only those cells exactly. Work per query
-    ≈ corpus × n_probe / n_cells; recall grows with n_probe (n_probe =
-    n_cells ⇒ exact). Clustered corpora — the realistic case for
+    """One-shot IVF approximate top-k — ``IvfIndex.build(...).search(...)``:
+    (query_id, vec_id, cosine, rank). The scale path complementary to
+    :func:`ann_topk`'s SRP-LSH: clustered corpora — the realistic case for
     embeddings — concentrate true neighbors in few cells, so IVF prunes
-    harder than LSH there.
+    harder than LSH there. For repeated query batches build the index once
+    and :meth:`IvfIndex.save` it."""
+    return (IvfIndex.build(corpus, n_cells=n_cells, seed=seed,
+                           max_iter=max_iter, fit_fraction=fit_fraction,
+                           id_col=id_col, vec_col=vec_col)
+            .search(queries, k=k, n_probe=n_probe))
 
-    Query set must be broadcastable (collected once, like
-    :func:`cosine_topk`); cell assignment of the corpus is one Spark ML
-    ``transform`` (JVM-side), candidate selection one broadcast join.
+
+# ------------------------------------------------- persistent SRP index -----
+
+class SrpIndex:
+    """Persistent multi-table SRP-LSH index: the corpus bucket signatures
+    plus the (deterministic) hyperplane parameters. Hyperplanes derive from
+    ``(dim, n_bits × n_tables, seed)`` alone (:func:`_hyperplanes`), so the
+    index stores parameters + signatures + vectors — query-side signatures
+    are recomputed identically at search time.
+
+    Layout: ``<path>/sigs`` (id, table, bucket), ``<path>/vecs``
+    (id, vector), ``<path>/meta`` (one parameter row).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    # L2-normalize BEFORE clustering (spherical k-means): cells and probes
-    # must share the cosine metric — Euclidean cells over unnormalized
-    # vectors would partition partly by magnitude and strand a query's
-    # true cosine neighbors in cells whose centroid direction never ranks
-    # in the query's top-n_probe
-    # norm computed ONCE per row in its own column — inlining it in the
-    # transform lambda would re-evaluate the O(d) aggregate per element
-    # (O(d²) interpreted work per row)
-    dvec = F.col(vec_col).cast("array<double>")
-    vecs = (corpus
-            .withColumn("_norm", F.greatest(
-                F.sqrt(F.aggregate(F.transform(dvec, lambda y: y * y),
-                                   F.lit(0.0), lambda a, b: a + b)),
-                F.lit(1e-12)))
-            .select(F.col(id_col),
-                    array_to_vector(
-                        F.transform(dvec, lambda x: x / F.col("_norm")))
-                    .alias("_features")))
-    fit_input = (vecs.sample(fraction=fit_fraction, seed=seed)
-                 if fit_fraction < 1.0 else vecs)
-    model = (KMeans(k=n_cells, seed=seed, maxIter=max_iter,
-                    featuresCol="_features", predictionCol="_cell")
-             .fit(fit_input))
-    assigned = (model.transform(vecs)
-                .select(F.col(id_col).alias("cand_id"),
-                        F.col("_cell").alias("cell")))
+    def __init__(self, sigs: DataFrame, vecs: DataFrame, n_bits: int,
+                 n_tables: int, seed: int, id_col: str, vec_col: str):
+        self.sigs = sigs                    # (id_col, table, bucket)
+        self.vecs = vecs                    # (id_col, vec_col)
+        self.n_bits, self.n_tables, self.seed = n_bits, n_tables, seed
+        self.id_col, self.vec_col = id_col, vec_col
 
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    centroids = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    @classmethod
+    def build(cls, corpus: DataFrame, n_bits: int = 8, n_tables: int = 16,
+              seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "SrpIndex":
+        sigs = srp_signatures(corpus, n_bits, n_tables, seed, id_col,
+                              vec_col)
+        return cls(sigs, corpus.select(id_col, vec_col), n_bits, n_tables,
+                   seed, id_col, vec_col)
 
-    qrows = queries.select(F.col(id_col).alias("qid"),
-                           F.col(vec_col).alias("v")).collect()
-    # probe assignment is ONE vectorized matmul + argpartition over the
-    # whole query batch (a per-query Python loop is a driver stall at 10^5
-    # queries); queries must be broadcastable, same contract as cosine_topk
-    if qrows:
-        qids = [r["qid"] for r in qrows]
-        Q = np.asarray([r["v"] for r in qrows], dtype=np.float64)
-        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        sims = Q @ centroids.T                  # (n_queries, n_cells)
-        npb = min(n_probe, sims.shape[1])
-        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
-        probe_rows = [(qid, int(cell))
-                      for qid, cells in zip(qids, top) for cell in cells]
-    else:
-        probe_rows = []
-    spark = corpus.sparkSession
-    from pyspark.sql.types import IntegerType, StructField, StructType
-    id_type = queries.schema[id_col].dataType  # ids keep their native type
-    probes = spark.createDataFrame(
-        probe_rows, StructType([StructField("query_id", id_type),
-                                StructField("cell", IntegerType())]))
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Same contract as :func:`ann_topk`, served from the stored
+        signatures: query signatures are recomputed with the SAME seeded
+        hyperplanes, candidates come from any-table bucket equality, exact
+        cosine reranks."""
+        id_col, vec_col = self.id_col, self.vec_col
+        q_sig = (srp_signatures(queries, self.n_bits, self.n_tables,
+                                self.seed, id_col, vec_col)
+                 .withColumnRenamed(id_col, "query_id"))
+        cand = (q_sig.join(self.sigs.withColumnRenamed(id_col, "cand_id"),
+                           ["table", "bucket"])
+                .select("query_id", "cand_id").distinct())
+        qv = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("_qv"))
+        cv = self.vecs.select(F.col(id_col).alias("cand_id"),
+                              F.col(vec_col).alias("_cv"))
+        scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
+                  .withColumn("cosine",
+                              F.round(cosine(F.col("_qv"), F.col("_cv")),
+                                      4)))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                   F.asc("cand_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", F.col("cand_id").alias("vec_id"),
+                        "cosine", "rank"))
 
-    cand = (assigned.join(F.broadcast(probes), "cell")
-            .select("query_id", "cand_id"))
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("cand_id"),
-                       F.col(vec_col).alias("_cv"))
-    # rank on the UNROUNDED cosine (rounding first would let display
-    # precision flip near-ties vs an exact oracle), round for output only
-    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
-              .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
-                                               F.asc("cand_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("cand_id").alias("vec_id"),
-                    F.round("_cos", 4).alias("cosine"), "rank"))
+    def save(self, path: str) -> None:
+        spark = self.vecs.sparkSession
+        self.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+        self.vecs.write.mode("overwrite").parquet(f"{path}/vecs")
+        (spark.createDataFrame(
+            [(self.n_bits, self.n_tables, self.seed, self.id_col,
+              self.vec_col)],
+            "n_bits int, n_tables int, seed int, id_col string, "
+            "vec_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SrpIndex":
+        m = spark.read.parquet(f"{path}/meta").first()
+        return cls(spark.read.parquet(f"{path}/sigs"),
+                   spark.read.parquet(f"{path}/vecs"),
+                   m["n_bits"], m["n_tables"], m["seed"],
+                   m["id_col"], m["vec_col"])

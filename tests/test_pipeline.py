@@ -325,6 +325,44 @@ def test_ivf_topk_string_ids(spark):
     assert len(got) == 3 and all(r["query_id"] == "v0" for r in got)
 
 
+def test_ivf_index_save_load_roundtrip(spark, embs, tmp_path):
+    """Build once, save, load in a 'later job': identical top-k — the
+    corpus index serves many query batches without re-fitting KMeans."""
+    queries = embs.where(F.col("vec_id") < 3)
+    corpus = embs.where(F.col("vec_id") >= 3)
+    idx = similarity.IvfIndex.build(corpus, n_cells=4, seed=42)
+    before = [tuple(r) for r in
+              idx.search(queries, k=5, n_probe=2)
+              .orderBy("query_id", "rank").collect()]
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    after = [tuple(r) for r in
+             loaded.search(queries, k=5, n_probe=2)
+             .orderBy("query_id", "rank").collect()]
+    assert before == after and len(before) > 0
+    assert (loaded.centroids == idx.centroids).all()
+
+
+def test_srp_index_save_load_matches_ann_topk(spark, embs, tmp_path):
+    """SRP index round-trip: loaded index reproduces ann_topk exactly
+    (hyperplanes re-derive from the persisted seed)."""
+    queries = embs.where(F.col("vec_id") < 3)
+    corpus = embs.where(F.col("vec_id") >= 3)
+    direct = [tuple(r) for r in
+              similarity.ann_topk(corpus, queries, k=5, n_bits=4,
+                                  n_tables=8, seed=7)
+              .orderBy("query_id", "rank").collect()]
+    idx = similarity.SrpIndex.build(corpus, n_bits=4, n_tables=8, seed=7)
+    path = str(tmp_path / "srp_index")
+    idx.save(path)
+    loaded = similarity.SrpIndex.load(spark, path)
+    via_index = [tuple(r) for r in
+                 loaded.search(queries, k=5)
+                 .orderBy("query_id", "rank").collect()]
+    assert via_index == direct and len(direct) > 0
+
+
 def test_dedup_unpersist_all(spark, seeded):
     dedup.jaccard_pairs(seeded, threshold=0.6).count()
     assert dedup.unpersist_all() >= 1
