@@ -598,6 +598,33 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 executed: documents flow through the pure-Python Iceberg v2 table
+    (``sources/iceberg_py.py`` — real metadata JSON + Avro manifests) in
+    two append snapshots; the query returns the INCREMENTAL read between
+    them (the changelog a delta validation consumes). The oracle recomputes
+    the second batch straight from parquet — values match only if the
+    snapshot log, manifests and file-level change tracking are all
+    correct."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_ice_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema, partition_by="source")
+    s1 = t.append(docs.where(F.col("doc_id") < 250))
+    t.append(docs.where(F.col("doc_id") >= 250))
+    out = (t.incremental(s1)
+           .select("doc_id", "lang", "source", "n_chars")
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -643,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
+        "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
     }
 
 
@@ -1035,6 +1063,10 @@ def oracle_sql() -> dict[str, str]:
                      AS height,
                    CAST(3 AS INTEGER) AS channels
             FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+        "i1_iceberg_roundtrip": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents WHERE doc_id >= 250 AND doc_id < 500
+            ORDER BY doc_id""",
     }
 
 

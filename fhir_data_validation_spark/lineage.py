@@ -120,6 +120,11 @@ class ResumableRun:
     # partition_key values — so the only serialization left is the lineage
     # marker append (guarded by a lock). 1 = the old serial behavior.
     max_concurrent_batches: int = 4
+    # alternate lineage backend (duck-typed LineageStore contract), e.g.
+    # sources.iceberg_py.PyIcebergLineageStore for MERGE-upsert markers or
+    # sources.iceberg.IcebergLineageStore on a cluster with the runtime
+    # jar; None = parquet LineageStore under output_root/lineage
+    lineage_store: object | None = None
 
     def __post_init__(self):
         import threading
@@ -128,7 +133,8 @@ class ResumableRun:
         # concurrent writers (the batch data writes ARE safe — dynamic
         # partition overwrite stages under a per-job unique directory)
         self._lineage_lock = threading.Lock()
-        self.lineage = LineageStore(f"{self.output_root}/lineage")
+        self.lineage = (self.lineage_store
+                        or LineageStore(f"{self.output_root}/lineage"))
         self._violations_path = f"{self.output_root}/violations"
         self._verdicts_path = f"{self.output_root}/verdicts"
         per_row = [r for r in self.ruleset.rules

@@ -12,7 +12,10 @@ Everything here uses only the public Iceberg-Spark runtime surface
 option, the ``<table>.snapshots`` metadata table, SQL ``MERGE INTO``).
 The container this repo is built in has no Iceberg runtime jar, so every
 entry point probes :func:`iceberg_available` first and the integration
-test self-skips; on a cluster, submit with
+test self-skips — the snapshot contract still runs for real here through
+:mod:`.iceberg_py`, a pure-Python implementation of the Iceberg v2 table
+format (same layout on disk, executed in ``tests/test_iceberg_py.py``).
+On a cluster, submit with
 
     spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
         --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \\

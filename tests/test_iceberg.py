@@ -1,10 +1,14 @@
-"""Iceberg snapshot-scan + MERGE-lineage integration (S1 executed path).
+"""Iceberg snapshot-scan + MERGE-lineage integration (jar-backed path).
 
 Self-skips when the Iceberg-Spark runtime jar is absent — this build
-container ships no Iceberg jar and has no network to fetch one, so here
-the suite records the gap explicitly instead of silently not testing it
-(see README "Iceberg integration"). On any cluster/CI image with
-``iceberg-spark-runtime`` on the classpath the full test executes.
+container ships no Iceberg jar and has no network to fetch one (DNS to
+Maven Central fails), so the jar path records the gap explicitly instead
+of silently not testing it. **The snapshot-ingest contract still executes
+in this container**: ``tests/test_iceberg_py.py`` runs the pure-Python
+Iceberg v2 table format (``sources/iceberg_py.py``) end-to-end —
+snapshot-pinned reads, incremental changelog, MERGE-semantics lineage,
+Java-Avro manifest conformance. On any cluster/CI image with
+``iceberg-spark-runtime`` on the classpath the full jar test executes too.
 """
 
 import pytest
