@@ -41,11 +41,21 @@ def parse_args(argv=None):
     p.add_argument("--input", help="parquet path or catalog table of "
                    "(doc_id, tokens, n_tok, source) sequences")
     p.add_argument("--input-format", default="parquet",
-                   choices=["parquet", "table"],
+                   choices=["parquet", "table", "pyiceberg"],
                    help="'table' reads an Iceberg/HMS catalog table "
-                        "(snapshot scan); 'parquet' a path")
+                        "(snapshot scan, needs the runtime jar); "
+                        "'pyiceberg' a path-based Iceberg table via the "
+                        "built-in pure-Python v2 reader; 'parquet' a path")
     p.add_argument("--snapshot-id", default=None,
                    help="Iceberg snapshot id to validate (VERSION AS OF)")
+    p.add_argument("--since-snapshot", default=None,
+                   help="pyiceberg only: validate ONLY data appended after "
+                        "this snapshot id (incremental/delta validation, "
+                        "up to --snapshot-id or the current snapshot)")
+    p.add_argument("--iceberg-lineage", action="store_true",
+                   help="store lineage markers in a pyiceberg table with "
+                        "MERGE-upsert semantics (under <output>/lineage_ice)"
+                        " instead of parquet append")
     p.add_argument("--synth", type=int, default=0,
                    help="generate a seeded synthetic dirty token table of N "
                         "rows instead of reading --input")
@@ -99,6 +109,16 @@ def main(argv=None) -> int:
         if args.snapshot_id:
             reader = reader.option("snapshot-id", args.snapshot_id)
         df = reader.table(args.input)
+    elif args.input_format == "pyiceberg":
+        from fhir_data_validation_spark.sources.iceberg_py import \
+            PyIcebergTable
+        t = PyIcebergTable(spark, args.input)
+        snap = int(args.snapshot_id) if args.snapshot_id else None
+        if args.since_snapshot:
+            # delta validation: only files appended after --since-snapshot
+            df = t.incremental(int(args.since_snapshot), snap)
+        else:
+            df = t.read(snap)
     else:
         df = spark.read.parquet(args.input)
 
@@ -131,6 +151,11 @@ def main(argv=None) -> int:
                       groups_per_batch=args.groups_per_batch)
         if args.run_id:
             kwargs["run_id"] = args.run_id
+        if args.iceberg_lineage:
+            from fhir_data_validation_spark.sources.iceberg_py import \
+                PyIcebergLineageStore
+            kwargs["lineage_store"] = PyIcebergLineageStore(
+                f"{args.output}/lineage_ice")
         run = ResumableRun(ruleset, args.output, **kwargs)
         metrics = run.run(df)
         verdicts = run.verdicts(spark)

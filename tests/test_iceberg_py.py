@@ -234,6 +234,45 @@ def test_resumable_run_on_iceberg_lineage(spark, tmp_path):
     assert metrics.where(F.col("partition_key") == "books").count() > 0
 
 
+def test_run_validation_cli_pyiceberg(spark, tmp_path):
+    """spark-submit entry point over the pure-Python Iceberg input: full
+    run on snapshot 1, then an INCREMENTAL run (--since-snapshot) whose
+    lineage shows only the appended partition's rows were validated."""
+    import json as _json
+    from jobs.run_validation import main
+
+    loc = str(tmp_path / "tok")
+    t = PyIcebergTable.create(spark, loc, TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("d1", [1, 2], 2, "web"),
+                           ("d2", [], 0, "book")]))
+    s1 = t.current_snapshot_id()
+    rules = str(tmp_path / "rules.json")
+    with open(rules, "w") as f:
+        _json.dump({"rules": [{"id": "LEN-1", "type": "ArrayLength",
+                               "column": "tokens",
+                               "params": {"min": 1}}]}, f)
+    out1 = str(tmp_path / "out1")
+    rc = main(["--input", loc, "--input-format", "pyiceberg",
+               "--rules", rules, "--output", out1, "--run-id", "runA",
+               "--iceberg-lineage", "--groups-per-batch", "8"])
+    assert rc == 1                                 # d2's empty tokens fail
+    lin = PyIcebergLineageStore(f"{out1}/lineage_ice")
+    assert {"web", "book"} <= lin.completed_partitions(spark, "runA")
+
+    t.append(_rows(spark, [("d3", [], 0, "chat")]))
+    out2 = str(tmp_path / "out2")
+    rc2 = main(["--input", loc, "--input-format", "pyiceberg",
+                "--since-snapshot", str(s1),
+                "--rules", rules, "--output", out2, "--run-id", "runB",
+                "--iceberg-lineage", "--groups-per-batch", "8"])
+    assert rc2 == 1                                # d3 fails too
+    lin2 = PyIcebergLineageStore(f"{out2}/lineage_ice")
+    parts = lin2.completed_partitions(spark, "runB")
+    # the delta run saw ONLY the appended partition (+ dataset batch)
+    assert "chat" in parts and "web" not in parts and "book" not in parts
+
+
 # --------------------------------------- incremental (delta) validation ----
 
 def test_incremental_validation_touches_only_new_data(spark, table):
