@@ -571,15 +571,19 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 200)
+            .where(F.col("text").isNotNull())
             .select(F.col("doc_id").cast("string"), "text"))
 
     def _to_png(batches):
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode("utf-8")
-                w, h = 4 + len(raw) % 13, 3 + len(raw) % 7
-                reps = (w * h * 3 // max(len(raw), 1)) + 1
+                orig = t.encode("utf-8")
+                # dimensions derive from the ORIGINAL byte length (what the
+                # oracle recomputes); empty text pads with one zero byte
+                w, h = 4 + len(orig) % 13, 3 + len(orig) % 7
+                raw = orig or b"\x00"
+                reps = (w * h * 3 // len(raw)) + 1
                 payloads.append(codecs.encode_png(
                     (raw * reps)[:w * h * 3], w, h, 3))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
@@ -1062,7 +1066,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + octet_length(encode(text)) % 7 AS INTEGER)
                      AS height,
                    CAST(3 AS INTEGER) AS channels
-            FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            ORDER BY doc_id""",
         "i1_iceberg_roundtrip": """
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500

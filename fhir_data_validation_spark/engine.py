@@ -321,6 +321,10 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_id"), F.col("error_code"), F.col("column"),
                      F.col("detail")["value"].alias("_val"),
                      F.col("detail")["index"].alias("_idx"),
+                     # nested a[*].b[*].c elements: (index, innerIndex) is
+                     # the location — without innerIndex two same-valued
+                     # bad elements in one outer group would collapse
+                     F.col("detail")["innerIndex"].alias("_idx2"),
                      F.col("source").alias("_src"),
                      F.when(F.col("doc_id").isNull(), F.col("rule_id"))
                       .alias("_dsrule"))

@@ -96,8 +96,20 @@ def decode_png(data: bytes) -> dict:
     Returns ``{width, height, channels, pixels}`` where ``pixels`` is
     ``height*width*channels`` bytes (palette images are expanded to RGB,
     so channels ∈ {1, 2, 3, 4}). Raises ``ValueError`` on malformed or
-    unsupported (16-bit / interlaced) input.
+    unsupported (16-bit / interlaced) input — ALWAYS ValueError, so
+    callers can route bad payloads to a violation lane with one except
+    (truncated chunks and corrupt IDAT streams are normalized from
+    struct/zlib errors).
     """
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, EOFError, IndexError) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> dict:
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     pos = 8

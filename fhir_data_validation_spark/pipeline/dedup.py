@@ -58,11 +58,19 @@ _MATERIALIZED: dict[int, list[DataFrame]] = {}
 def unpersist_all(all_threads: bool = False) -> int:
     """Release the intermediates this module persisted (shingle tables) on
     the CURRENT driver thread — each concurrent dedup thread owns its own
-    registry. ``all_threads=True`` sweeps every thread's leftovers (end-of-
-    session cleanup only; unsafe while other dedup threads are running).
-    Returns the number of DataFrames unpersisted."""
-    keys = (list(_MATERIALIZED) if all_threads
-            else [threading.get_ident()])
+    registry — plus any leftovers of threads that have since EXITED
+    (worker threads that returned without cleaning up must not strand
+    cached blocks until session end; this also prevents a recycled thread
+    id from inheriting a dead thread's entries). ``all_threads=True``
+    additionally sweeps live threads' registries (end-of-session cleanup
+    only; unsafe while other dedup threads are running). Returns the
+    number of DataFrames unpersisted."""
+    if all_threads:
+        keys = list(_MATERIALIZED)
+    else:
+        alive = {t.ident for t in threading.enumerate()}
+        me = threading.get_ident()
+        keys = [k for k in _MATERIALIZED if k == me or k not in alive]
     n = 0
     for k in keys:
         lst = _MATERIALIZED.get(k, [])
@@ -474,22 +482,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
 
 
 def _scratch_base(spark, scratch_dir: str | None) -> str:
-    """Scratch root for lineage-truncation files: caller-supplied (shared
-    storage on a real cluster) or a uuid dir under the warehouse path."""
+    """Scratch root for lineage-truncation files: a fresh uuid subdir of
+    either the caller-supplied root (shared storage on a real cluster) or
+    the warehouse path. ALWAYS uuid-suffixed — with deterministic names,
+    two concurrent/consecutive calls sharing a scratch root would
+    overwrite and then delete each other's recompute roots."""
     import uuid
-    if scratch_dir is not None:
-        return scratch_dir.rstrip("/")
-    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    return f"{wh}/_dedup_scratch/{uuid.uuid4().hex}"
+    root = (scratch_dir.rstrip("/") if scratch_dir is not None
+            else spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            + "/_dedup_scratch")
+    return f"{root}/{uuid.uuid4().hex}"
 
 
 def _delete_path(spark, path: str) -> None:
-    """Best-effort recursive delete via the Hadoop FileSystem API (works
-    for any scheme Spark can write — local, HDFS, s3a)."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-    except Exception:
-        pass
+    """Best-effort recursive delete (cleanup must never mask the result)."""
+    from ..fsutil import delete
+    delete(spark, path, best_effort=True)

@@ -197,27 +197,12 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     n_tables × corpus / 2^n_bits per query; recall at angle θ is
     1-(1-(1-θ/π)^n_bits)^n_tables. Uniform random vectors are the
     worst case (no cluster structure) — real embedding corpora cluster, so
-    the same parameters prune far harder there."""
-    c_sig = srp_signatures(corpus, n_bits, n_tables, seed, id_col, vec_col)
-    q_sig = (srp_signatures(queries, n_bits, n_tables, seed, id_col, vec_col)
-             .withColumnRenamed(id_col, "query_id"))
+    the same parameters prune far harder there.
 
-    cand = (q_sig.join(c_sig.withColumnRenamed(id_col, "cand_id"),
-                       ["table", "bucket"])
-            .select("query_id", "cand_id").distinct())
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("cand_id"),
-                       F.col(vec_col).alias("_cv"))
-    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
-              .withColumn("cosine",
-                          F.round(cosine(F.col("_qv"), F.col("_cv")), 4)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("cand_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("cand_id").alias("vec_id"),
-                    "cosine", "rank"))
+    One-shot form of ``SrpIndex.build(...).search(...)`` — build the index
+    once and :meth:`SrpIndex.save` it for repeated query batches."""
+    return (SrpIndex.build(corpus, n_bits, n_tables, seed, id_col, vec_col)
+            .search(queries, k=k))
 
 
 # ---------------------------------------------------------------- IVF -------
@@ -417,16 +402,16 @@ class SrpIndex:
                             F.col(vec_col).alias("_qv"))
         cv = self.vecs.select(F.col(id_col).alias("cand_id"),
                               F.col(vec_col).alias("_cv"))
+        # rank on the UNROUNDED cosine (rounding first lets display
+        # precision flip near-ties), round for output only
         scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "cand_id")
-                  .withColumn("cosine",
-                              F.round(cosine(F.col("_qv"), F.col("_cv")),
-                                      4)))
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                  .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv"))))
+        w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
                                                    F.asc("cand_id"))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", F.col("cand_id").alias("vec_id"),
-                        "cosine", "rank"))
+                        F.round("_cos", 4).alias("cosine"), "rank"))
 
     def save(self, path: str) -> None:
         spark = self.vecs.sparkSession

@@ -46,46 +46,9 @@ FORMAT_VERSION = 2
 
 # ----------------------------------------------------------- FS utilities --
 
-def _jfs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
-
-
-def _write_bytes(spark: SparkSession, path: str, data: bytes,
-                 overwrite: bool = True) -> None:
-    fs, hpath, _ = _jfs(spark, path)
-    out = fs.create(hpath, overwrite)
-    out.write(bytearray(data))
-    out.close()
-
-
-def _read_bytes(spark: SparkSession, path: str) -> bytes:
-    fs, hpath, jvm = _jfs(spark, path)
-    stream = fs.open(hpath)
-    try:
-        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    fs, hpath, _ = _jfs(spark, path)
-    return fs.exists(hpath)
-
-
-def _list_files(spark: SparkSession, path: str, suffix: str) -> list[dict]:
-    """Recursive file listing → [{path, length}] (any Hadoop scheme)."""
-    fs, hpath, _ = _jfs(spark, path)
-    out = []
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if p.endswith(suffix):
-            out.append({"path": p, "length": st.getLen()})
-    return out
+from ..fsutil import (delete as _fs_delete, exists as _exists,  # noqa: E402
+                      jfs as _jfs, list_files as _list_files,
+                      read_bytes as _read_bytes, write_bytes as _write_bytes)
 
 
 # --------------------------------------------------- Iceberg schema (JSON) --
@@ -239,9 +202,18 @@ class PyIcebergTable:
         return int(_read_bytes(self.spark, hint).decode().strip())
 
     def _load_meta(self) -> dict:
+        return self._load_meta_versioned()[0]
+
+    def _load_meta_versioned(self) -> tuple[dict, int]:
+        """(metadata, the version it was read at) — commits must build on
+        the version they actually LOADED: re-reading the hint at commit
+        time could observe a concurrent writer's newer version and pass the
+        write-if-absent CAS with stale snapshot state, silently dropping
+        the other writer's snapshot."""
         v = self._current_version()
-        return json.loads(_read_bytes(
+        meta = json.loads(_read_bytes(
             self.spark, f"{self._meta_dir}/v{v}.metadata.json").decode())
+        return meta, v
 
     def _commit_meta(self, meta: dict, old_version: int) -> None:
         new_v = old_version + 1
@@ -329,8 +301,7 @@ class PyIcebergTable:
         return self._commit(df, operation="overwrite")
 
     def _commit(self, df: DataFrame, operation: str) -> int:
-        meta = self._load_meta()
-        old_version = self._current_version()
+        meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         spec_fields = meta["partition-specs"][0]["fields"]
@@ -446,6 +417,11 @@ class PyIcebergTable:
                           part_col: str | None,
                           schema: T.StructType) -> list[dict]:
         files = _list_files(self.spark, files_dir, ".parquet")
+        if not files:
+            # empty input (a routine no-new-data delta batch): commit an
+            # empty snapshot — the parquet re-read below would fail with an
+            # obscure 'Unable to infer schema' on the file-less staging dir
+            return []
         # per-file row counts from the parquet footers via ONE Spark job
         # (works on any filesystem; basePath keeps partition columns)
         reader = self.spark.read
@@ -526,13 +502,21 @@ class PyIcebergTable:
         return self._read_files(meta, files)
 
     def _read_files(self, meta: dict, files: list[str]) -> DataFrame:
-        reader = self.spark.read
+        # pin the reader to the DECLARED table schema: without it Spark
+        # infers partition-directory values (source=123 would come back as
+        # int, 2024-01-01 as date) and the result type could contradict
+        # schema() — real Iceberg resolves partition values from metadata
+        reader = self.spark.read.schema(_spark_schema(meta["schemas"][0]))
         if meta["partition-specs"][0]["fields"]:
             reader = reader.option("basePath", f"{self.location}/data")
         if not files:
-            # typed empty DF from the table schema
+            # typed empty DF from the table schema — all-nullable to match
+            # what a real parquet scan returns, so empty and non-empty
+            # snapshots union cleanly
             return self.spark.createDataFrame(
-                [], _spark_schema(meta["schemas"][0]))
+                [], T.StructType([T.StructField(f.name, f.dataType, True)
+                                  for f in
+                                  _spark_schema(meta["schemas"][0]).fields]))
         return reader.parquet(*files)
 
     def incremental(self, from_snapshot_id: int,

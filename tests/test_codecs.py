@@ -37,6 +37,21 @@ def test_png_rejects_garbage():
         codecs.decode_png(bytes(good))
 
 
+def test_png_truncated_and_corrupt_idat_raise_valueerror():
+    """The documented contract is ValueError for ANY malformed input —
+    truncation (struct.error) and corrupt IDAT (zlib.error) included."""
+    full = codecs.encode_png(_random_pixels(6, 6, 3), 6, 6, 3)
+    with pytest.raises(ValueError):
+        codecs.decode_png(full[: len(full) // 2])          # mid-chunk cut
+    blown = bytearray(full)
+    # flip bytes inside the IDAT payload (after the 8-byte sig + IHDR);
+    # recompute nothing — CRC check or inflate must fail as ValueError
+    for i in range(45, 55):
+        blown[i] ^= 0xA5
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(blown))
+
+
 def test_wav_roundtrip():
     frames = bytes(range(200)) * 2  # 200 16-bit mono samples
     wav = codecs.encode_wav(frames, sample_rate=8000, n_channels=1,

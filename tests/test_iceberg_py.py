@@ -180,6 +180,39 @@ def test_unpartitioned_table_and_schema_roundtrip(spark, tmp_path):
                               TOKENS_SCHEMA).read()
 
 
+def test_empty_append_commits_empty_snapshot(spark, table):
+    """A no-new-data delta batch is routine: it must commit an empty
+    snapshot, not crash on the file-less staging dir."""
+    before = table.read().count()
+    s_prev = table.current_snapshot_id()
+    sid = table.append(_rows(spark, []))
+    assert table.current_snapshot_id() == sid
+    assert table.read().count() == before
+    inc = table.incremental(s_prev)
+    assert inc.count() == 0
+    assert inc.schema == table.read().schema
+
+
+def test_partition_values_keep_declared_types(spark, tmp_path):
+    """Reads are pinned to the DECLARED schema: numeric-looking string
+    partition values must not come back as ints (Spark dir inference)."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "p1"), TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("d1", [1], 1, "123"), ("d2", [2], 1, "007")]))
+    df = t.read()
+    assert dict(df.dtypes)["source"] == "string"
+    assert {r["source"] for r in df.collect()} == {"123", "007"}
+    # long partition column round-trips as long
+    schema2 = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), True)])
+    t2 = PyIcebergTable.create(spark, str(tmp_path / "p2"), schema2,
+                               partition_by="bucket")
+    t2.append(spark.createDataFrame([("a", 5), ("b", 7)], schema2))
+    assert dict(t2.read().dtypes)["bucket"] == "bigint"
+    assert {r["bucket"] for r in t2.read().collect()} == {5, 7}
+
+
 def test_create_twice_and_concurrent_commit_guard(spark, tmp_path):
     loc = str(tmp_path / "dup")
     PyIcebergTable.create(spark, loc, TOKENS_SCHEMA)

@@ -417,7 +417,10 @@ def test_duplicate_clusters_deep_chain_truncates_lineage(spark, tmp_path):
     assert all(r["cluster"] == 0 for r in out)
     assert [r["doc_id"] for r in out if r["keep"]] == [0]
     import os
-    gens = [d for d in os.listdir(scratch) if d.startswith("gen_")]
+    runs = os.listdir(scratch)            # one uuid dir per call
+    assert len(runs) == 1
+    gens = [d for d in os.listdir(os.path.join(scratch, runs[0]))
+            if d.startswith("gen_")]
     assert len(gens) == 1  # older generations deleted, recompute root kept
     dedup.unpersist_all()
 

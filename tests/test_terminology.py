@@ -506,6 +506,26 @@ def test_nested_single_level_detail_unchanged(spark):
     assert rows["d1"]["examples"] == '[{"i":1,"v":"ZZ"}]'
 
 
+def test_nested_same_value_elements_survive_dedup(spark):
+    """A5 dedup keys on (index, innerIndex): two same-VALUE bad elements at
+    different nested positions are distinct locations, not duplicates
+    (regression: the dedup key ignored innerIndex and collapsed them)."""
+    df = spark.createDataFrame(
+        [("d1", [{"items": [{"v": 50.0}, {"v": 50.0}]}], "web")],
+        "doc_id string, groups array<struct<items:array<struct<v:double>>>>,"
+        " source string")
+    # two rules sharing (error_code, column) force the dedup pass to run
+    rules = [{"id": rid, "type": "Range",
+              "column": "groups[*].items[*].v",
+              "params": {"min": 0, "max": 10, "perElement": True}}
+             for rid in ("RNG-A", "RNG-B")]
+    rows = _run(spark, df, rules).violations.collect()
+    locs = {(r["detail"]["index"], r["detail"]["innerIndex"]) for r in rows}
+    assert locs == {("0", "0"), ("0", "1")}
+    assert len(rows) == 2                      # one per element, deduped
+    assert {r["rule_id"] for r in rows} == {"RNG-A"}   # earlier id wins
+
+
 def test_nested_three_stars_rejected(spark):
     df = spark.createDataFrame(
         [("d1", [{"a": [{"b": [1]}]}], "web")],
