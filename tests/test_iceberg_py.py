@@ -159,6 +159,19 @@ def test_incremental_reads_only_appended_files(spark, table):
     assert files < all_files and len(files) < len(all_files)
 
 
+def test_partition_filter_prunes_at_manifest_level(spark, table):
+    """partition_filter selects files from the manifests — non-matching
+    partitions never reach Spark's planner."""
+    table.append(_rows(spark, [("d4", [7], 1, "chat")]))
+    web = table.read(partition_filter={"source": "web"})
+    assert sorted(r["doc_id"] for r in web.collect()) == ["d1", "d2"]
+    assert len(web.inputFiles()) < len(table.read().inputFiles())
+    multi = table.read(partition_filter={"source": ["web", "chat"]})
+    assert sorted(r["doc_id"] for r in multi.collect()) == ["d1", "d2", "d4"]
+    with pytest.raises(ValueError, match="non-partition columns"):
+        table.read(partition_filter={"n_tok": 1})
+
+
 def test_overwrite_and_time_travel(spark, table):
     s1 = table.current_snapshot_id()
     table.overwrite(_rows(spark, [("x", [1], 1, "web")]))
