@@ -320,6 +320,16 @@ class PyIcebergTable:
         entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
                                          part_col, df.schema)
         self._promote_files(tmp_dir, entries)
+        # engine-level skip index (per-file column bounds) — a sidecar
+        # JSON, deliberately NOT part of the Iceberg layout so the Avro
+        # manifests stay strictly spec-shaped; the real-runtime analog is
+        # data_file.lower_bounds/upper_bounds (spec field-ids 125/128)
+        skip_index = {e["data_file"]["file_path"]: e.pop("_bounds")
+                      for e in entries}
+        if skip_index:
+            _write_bytes(self.spark,
+                         f"{self._meta_dir}/skipidx-{snapshot_id}.json",
+                         json.dumps(skip_index).encode())
         manifest_path = (f"{self._meta_dir}/"
                          f"{uuid.uuid4().hex}-m0.avro")
         manifest_bytes = avro_io.write_container(
@@ -422,17 +432,29 @@ class PyIcebergTable:
             # empty snapshot — the parquet re-read below would fail with an
             # obscure 'Unable to infer schema' on the file-less staging dir
             return []
-        # per-file row counts from the parquet footers via ONE Spark job
-        # (works on any filesystem; basePath keeps partition columns)
+        # per-file row counts AND column bounds in ONE Spark job (works on
+        # any filesystem; basePath keeps partition columns). Bounds cover
+        # the top-level atomic columns and feed the skip index — the
+        # engine-level analog of Iceberg's lower_bounds/upper_bounds.
         reader = self.spark.read
         if part_col:
             reader = reader.option("basePath", files_dir)
-        counts = {r["f"]: r["n"] for r in
-                  (reader.parquet(files_dir)
-                   .groupBy(F.element_at(
-                       F.split(F.input_file_name(), "/"), -1).alias("f"))
-                   .agg(F.count(F.lit(1)).alias("n"))
-                   .collect())}
+        bound_cols = [f.name for f in schema.fields
+                      if isinstance(f.dataType, (T.NumericType,
+                                                 T.StringType))]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in bound_cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        stats_rows = (reader.parquet(files_dir)
+                      .groupBy(F.element_at(
+                          F.split(F.input_file_name(), "/"), -1).alias("f"))
+                      .agg(*aggs)
+                      .collect())
+        counts = {r["f"]: r["n"] for r in stats_rows}
+        bounds = {r["f"]: {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
+                           for c in bound_cols
+                           if r[f"_lo_{c}"] is not None}
+                  for r in stats_rows}
         entries = []
         for fi in sorted(files, key=lambda x: x["path"]):
             base = fi["path"].rsplit("/", 1)[1]
@@ -452,6 +474,9 @@ class PyIcebergTable:
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
+                # engine-side skip stats, NOT written into the (spec-shaped)
+                # manifest Avro — popped before serialization
+                "_bounds": bounds.get(base, {}),
                 "data_file": {
                     "content": 0,                  # DATA
                     "file_path": fi["path"],
@@ -496,7 +521,8 @@ class PyIcebergTable:
 
     def _data_files(self, meta: dict, snapshot_id: int | None,
                     partition_filter: dict[str, Any] | None = None
-                    ) -> list[str]:
+                    ) -> list[tuple[str, int]]:
+        """[(file path, added_snapshot_id)] for a snapshot's live files."""
         snap = self._snapshot(meta, snapshot_id)
         paths = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
@@ -504,13 +530,46 @@ class PyIcebergTable:
                 continue
             _, _, entries = avro_io.read_container(
                 _read_bytes(self.spark, mf["manifest_path"]))
-            paths += [e["data_file"]["file_path"] for e in entries
+            paths += [(e["data_file"]["file_path"],
+                       mf["added_snapshot_id"]) for e in entries
                       if e["status"] != 2          # not DELETED
                       and self._partition_match(e, partition_filter)]
         return paths
 
+    def _stats_skip(self, pairs: list[tuple[str, int]],
+                    stats_filter: dict[str, tuple] | None) -> list[str]:
+        """Drop files whose skip-index [min, max] cannot intersect the
+        requested range; files without recorded bounds are kept."""
+        if not stats_filter:
+            return [p for p, _ in pairs]
+        idx: dict[str, dict] = {}
+        for sid in {s for _, s in pairs}:
+            path = f"{self._meta_dir}/skipidx-{sid}.json"
+            if _exists(self.spark, path):
+                idx.update(json.loads(
+                    _read_bytes(self.spark, path).decode()))
+        keep = []
+        for p, _ in pairs:
+            bounds = idx.get(p) or {}
+            ok = True
+            for col, rng in stats_filter.items():
+                lo, hi = rng
+                if col not in bounds:
+                    continue
+                fmin, fmax = bounds[col]
+                if fmin is None or fmax is None:
+                    continue
+                if ((hi is not None and fmin > hi)
+                        or (lo is not None and fmax < lo)):
+                    ok = False
+                    break
+            if ok:
+                keep.append(p)
+        return keep
+
     def read(self, snapshot_id: int | None = None,
-             partition_filter: dict[str, Any] | None = None) -> DataFrame:
+             partition_filter: dict[str, Any] | None = None,
+             stats_filter: dict[str, tuple] | None = None) -> DataFrame:
         """Snapshot-pinned scan — the immutable input of one validation
         run. Defaults to the current snapshot.
 
@@ -518,9 +577,17 @@ class PyIcebergTable:
         prunes at the MANIFEST level, the real Iceberg mechanism: files of
         non-matching partitions are never handed to Spark's planner at all
         — at 10^12 rows that is the difference between planning thousands
-        of files and planning one partition's worth. (Predicates on
-        non-partition columns still push down to parquet row groups via
-        Catalyst as usual.)"""
+        of files and planning one partition's worth.
+
+        ``stats_filter`` (``{col: (lo, hi)}``, either bound ``None`` for
+        open) additionally skips files whose recorded per-file column
+        bounds cannot intersect the range — the engine-level analog of
+        Iceberg's ``lower_bounds``/``upper_bounds`` file skipping (the
+        bounds live in a sidecar skip index so the Avro manifests stay
+        strictly spec-shaped). NOTE: a pruning hint only — matching files
+        may still contain non-matching rows, so apply the real predicate
+        with ``.where`` too (Catalyst then pushes it to parquet row
+        groups)."""
         meta = self._load_meta()
         if partition_filter:
             spec_cols = {f["name"]
@@ -530,7 +597,8 @@ class PyIcebergTable:
                 raise ValueError(
                     f"partition_filter on non-partition columns "
                     f"{sorted(unknown)} (spec: {sorted(spec_cols)})")
-        files = self._data_files(meta, snapshot_id, partition_filter)
+        pairs = self._data_files(meta, snapshot_id, partition_filter)
+        files = self._stats_skip(pairs, stats_filter)
         return self._read_files(meta, files)
 
     def _read_files(self, meta: dict, files: list[str]) -> DataFrame:
@@ -583,6 +651,29 @@ class PyIcebergTable:
         return self.spark.createDataFrame(
             rows, "committed_at long, snapshot_id long, parent_id long, "
                   "operation string, manifest_list string")
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.files`` metadata view: one row per live data file
+        of a snapshot — (file_path, partition, record_count,
+        file_size_in_bytes, added_snapshot_id)."""
+        meta = self._load_meta()
+        snap = self._snapshot(meta, snapshot_id)
+        rows = []
+        for mf in self._manifest_list(meta, snap["snapshot-id"]):
+            if mf["content"] != 0:
+                continue
+            _, _, entries = avro_io.read_container(
+                _read_bytes(self.spark, mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                rows.append((d["file_path"], json.dumps(d["partition"]),
+                             d["record_count"], d["file_size_in_bytes"],
+                             mf["added_snapshot_id"]))
+        return self.spark.createDataFrame(
+            rows, "file_path string, partition string, record_count long, "
+                  "file_size_in_bytes long, added_snapshot_id long")
 
     def current_snapshot_id(self) -> int:
         sid = self._load_meta()["current-snapshot-id"]

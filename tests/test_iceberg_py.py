@@ -172,6 +172,38 @@ def test_partition_filter_prunes_at_manifest_level(spark, table):
         table.read(partition_filter={"n_tok": 1})
 
 
+def test_stats_filter_skips_files_by_column_bounds(spark, tmp_path):
+    """The skip index prunes files whose [min, max] cannot intersect the
+    requested range — Iceberg's lower/upper-bounds skipping, engine-side."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "sb"), TOKENS_SCHEMA)
+    # two commits with disjoint n_tok ranges → disjoint file sets
+    t.append(_rows(spark, [(f"lo{i}", [1], i, "web")
+                           for i in range(1, 4)]).coalesce(1))
+    t.append(_rows(spark, [(f"hi{i}", [1], i, "web")
+                           for i in range(100, 103)]).coalesce(1))
+    all_files = t.read().inputFiles()
+    hi = t.read(stats_filter={"n_tok": (50, None)})
+    assert len(hi.inputFiles()) < len(all_files)
+    assert sorted(r["doc_id"] for r in hi.collect()) == ["hi100", "hi101",
+                                                         "hi102"]
+    lo = t.read(stats_filter={"n_tok": (None, 10)})
+    assert sorted(r["doc_id"] for r in lo.collect()) == ["lo1", "lo2", "lo3"]
+    # no-intersection range → typed empty result
+    none = t.read(stats_filter={"n_tok": (50, 60)})
+    assert none.count() == 0
+    # string bounds work too
+    assert t.read(stats_filter={"doc_id": ("hi", "hj")}).count() == 3
+
+
+def test_files_metadata_view(spark, table):
+    f = table.files()
+    rows = f.collect()
+    assert sum(r["record_count"] for r in rows) == 3
+    assert all(r["file_path"].endswith(".parquet") for r in rows)
+    parts = {json.loads(r["partition"])["source"] for r in rows}
+    assert parts == {"web", "book"}
+
+
 def test_overwrite_and_time_travel(spark, table):
     s1 = table.current_snapshot_id()
     table.overwrite(_rows(spark, [("x", [1], 1, "web")]))
