@@ -2,3 +2,4 @@ from .validate import validate_stream, validate_stream_foreach_batch  # noqa: F4
 from .monitor import violation_rates  # noqa: F401
 from .stateful import running_violation_totals  # noqa: F401
 from .dedupe import dedup_stream  # noqa: F401
+from .snapshot_poll import SnapshotMonitor  # noqa: F401

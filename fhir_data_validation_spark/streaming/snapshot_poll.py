@@ -1,0 +1,96 @@
+"""Continuous validation over an Iceberg table: poll → delta → validate.
+
+Structured Streaming cannot source from the pure-Python Iceberg reader
+(that needs the runtime jar's streaming source), but the semantics a
+continuous validation pipeline needs are exactly incremental processing
+with a durable cursor — which the snapshot log already provides.
+:class:`SnapshotMonitor` polls the table's current snapshot; when it
+advances, it validates ONLY the appended files
+(:meth:`~..sources.iceberg_py.PyIcebergTable.incremental`) and advances a
+durable cursor, so a restarted monitor resumes where it left off without
+re-validating history — the micro-batch loop of a streaming job, with the
+snapshot log as the offset log.
+
+Cite: the reference validates one immutable bundle per request
+(``Core/ValidationPipeline.cs:486-604``); this is that contract applied
+repeatedly to a growing table, each batch pinned to a snapshot range.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Iterator
+
+from ..engine import ValidationEngine, ValidationResult
+from ..fsutil import exists, read_bytes, write_bytes
+from ..sources.iceberg_py import PyIcebergTable
+
+
+class SnapshotMonitor:
+    """Incremental validation driver over a :class:`PyIcebergTable`.
+
+    ``cursor_path`` (any Spark-writable scheme) persists the last
+    validated snapshot id; omit it for an in-memory cursor (starts from
+    the table's CURRENT snapshot — history is not re-validated by
+    default; pass ``from_snapshot=0``-style explicit ids to backfill).
+    """
+
+    def __init__(self, table: PyIcebergTable, engine: ValidationEngine,
+                 cursor_path: str | None = None,
+                 from_snapshot: int | None = None):
+        self.table = table
+        self.engine = engine
+        self.cursor_path = cursor_path
+        self._cursor = from_snapshot
+        if self._cursor is None and cursor_path is not None \
+                and exists(table.spark, cursor_path):
+            self._cursor = json.loads(
+                read_bytes(table.spark, cursor_path).decode())["snapshot_id"]
+
+    @property
+    def cursor(self) -> int | None:
+        return self._cursor
+
+    def _save_cursor(self) -> None:
+        if self.cursor_path is not None:
+            write_bytes(self.table.spark, self.cursor_path,
+                        json.dumps({"snapshot_id": self._cursor}).encode())
+
+    def poll_once(self) -> tuple[int, ValidationResult] | None:
+        """One micro-batch: validate data appended since the cursor.
+
+        Returns ``(new_snapshot_id, result)``, or ``None`` when the table
+        has not advanced. The cursor moves (and persists) only AFTER the
+        validation plan is materialized — a crash mid-batch re-validates
+        the same delta on restart (at-least-once, idempotent because the
+        input snapshot range is immutable)."""
+        try:
+            current = self.table.current_snapshot_id()
+        except ValueError:                      # table has no snapshots yet
+            return None
+        if self._cursor is None:
+            # first contact: adopt the current snapshot as the baseline
+            self._cursor = current
+            self._save_cursor()
+            return None
+        if current == self._cursor:
+            return None
+        delta = self.table.incremental(self._cursor, current)
+        result = self.engine.validate(delta)
+        # materialize before the cursor moves (see docstring)
+        result.violations.count()
+        self._cursor = current
+        self._save_cursor()
+        return current, result
+
+    def run(self, max_polls: int, interval_s: float = 0.0
+            ) -> Iterator[tuple[int, ValidationResult]]:
+        """Bounded poll loop (a driver-side micro-batch trigger): yields
+        each non-empty batch's (snapshot_id, result)."""
+        for i in range(max_polls):
+            out = self.poll_once()
+            if out is not None:
+                yield out
+            if interval_s and i + 1 < max_polls:
+                time.sleep(interval_s)

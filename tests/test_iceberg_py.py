@@ -351,6 +351,43 @@ def test_run_validation_cli_pyiceberg(spark, tmp_path):
     assert "chat" in parts and "web" not in parts and "book" not in parts
 
 
+def test_snapshot_monitor_continuous_validation(spark, tmp_path):
+    """Poll → delta → validate loop with a durable cursor: each append
+    becomes one validated micro-batch; a NEW monitor resumes from the
+    persisted cursor without re-validating history."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    t = PyIcebergTable.create(spark, str(tmp_path / "mon"), TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("seed", [1, 2], 2, "web")]))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [{"id": "LEN-1", "type": "ArrayLength",
+                                  "column": "tokens",
+                                  "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    cursor = str(tmp_path / "cursor.json")
+    mon = SnapshotMonitor(t, engine, cursor_path=cursor)
+
+    assert mon.poll_once() is None          # adopts baseline, validates 0
+    assert mon.poll_once() is None          # no new data
+    t.append(_rows(spark, [("bad1", [], 0, "web"),
+                           ("ok1", [5], 1, "web")]))
+    sid, res = mon.poll_once()
+    assert sid == t.current_snapshot_id()
+    assert {r["doc_id"] for r in res.violations.collect()} == {"bad1"}
+    assert mon.poll_once() is None
+
+    # restart: a fresh monitor picks up the durable cursor
+    t.append(_rows(spark, [("bad2", [], 0, "chat")]))
+    mon2 = SnapshotMonitor(t, engine, cursor_path=cursor)
+    batches = list(mon2.run(max_polls=3))
+    assert len(batches) == 1
+    _, res2 = batches[0]
+    assert {r["doc_id"] for r in res2.violations.collect()} == {"bad2"}
+
+
 # --------------------------------------- incremental (delta) validation ----
 
 def test_incremental_validation_touches_only_new_data(spark, table):
