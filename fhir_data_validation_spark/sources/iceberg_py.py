@@ -300,6 +300,27 @@ class PyIcebergTable:
         older snapshots still time-travel to the old files."""
         return self._commit(df, operation="overwrite")
 
+    def add_files(self, files_dir: str, operation: str = "append") -> int:
+        """Register externally-written parquet files into a new snapshot
+        WITHOUT copying them — the pure-Python analog of Iceberg's
+        ``add_files`` procedure. The files stay where they are (Iceberg
+        data files may live at any absolute path); manifests, per-file
+        stats and the skip index are built from one listing + one Spark
+        stats job. The caller must not mutate or delete the registered
+        files afterwards (snapshot immutability is theirs to keep).
+
+        Unpartitioned tables only: external layouts don't carry the
+        table's partition tree."""
+        meta, old_version = self._load_meta_versioned()
+        if meta["partition-specs"][0]["fields"]:
+            raise ValueError("add_files supports unpartitioned tables only")
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        entries = self._manifest_entries(files_dir, snapshot_id, seq,
+                                         None, self.schema())
+        return self._commit_entries(meta, old_version, entries, operation,
+                                    snapshot_id, seq)
+
     def _commit(self, df: DataFrame, operation: str) -> int:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
@@ -320,6 +341,13 @@ class PyIcebergTable:
         entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
                                          part_col, df.schema)
         self._promote_files(tmp_dir, entries)
+        return self._commit_entries(meta, old_version, entries, operation,
+                                    snapshot_id, seq)
+
+    def _commit_entries(self, meta: dict, old_version: int,
+                        entries: list[dict], operation: str,
+                        snapshot_id: int, seq: int) -> int:
+        spec_fields = meta["partition-specs"][0]["fields"]
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
         # manifests stay strictly spec-shaped; the real-runtime analog is

@@ -351,6 +351,29 @@ def test_run_validation_cli_pyiceberg(spark, tmp_path):
     assert "chat" in parts and "web" not in parts and "book" not in parts
 
 
+def test_add_files_registers_external_parquet_without_copy(spark, tmp_path):
+    """add_files: externally-written parquet becomes a snapshot in place —
+    no data copy; stats/skip-index/manifests still built."""
+    import os
+    ext = str(tmp_path / "external")
+    _rows(spark, [("e1", [1], 1, "web"),
+                  ("e2", [2, 3], 2, "book")]).coalesce(1).write.parquet(ext)
+    t = PyIcebergTable.create(spark, str(tmp_path / "reg"), TOKENS_SCHEMA)
+    sid = t.add_files(ext)
+    assert sorted(r["doc_id"] for r in t.read(sid).collect()) == ["e1", "e2"]
+    # files referenced in place — none under the table's data/
+    assert all("/external/" in f for f in t.read().inputFiles())
+    assert not os.path.exists(str(tmp_path / "reg" / "data"))
+    # per-file stats flowed through (skip index + record counts)
+    assert t.files().agg({"record_count": "sum"}).collect()[0][0] == 2
+    assert t.read(stats_filter={"n_tok": (5, None)}).count() == 0
+    # partitioned tables refuse (external layouts lack the partition tree)
+    tp = PyIcebergTable.create(spark, str(tmp_path / "regp"), TOKENS_SCHEMA,
+                               partition_by="source")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.add_files(ext)
+
+
 def test_snapshot_monitor_continuous_validation(spark, tmp_path):
     """Poll → delta → validate loop with a durable cursor: each append
     becomes one validated micro-batch; a NEW monitor resumes from the

@@ -50,7 +50,11 @@ def worker(cores: int, corpus_dir: str, rows: int) -> None:
     spark = get_spark(f"fdv-scale-{cores}", cores=cores,
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(corpus_dir)
+    # snapshot-pinned Iceberg scan — the BASELINE.json metric's input shape
+    # (the table registers the corpus files in place via add_files)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    t = PyIcebergTable(spark, corpus_dir + "_iceberg")
+    df = t.read(t.current_snapshot_id())
     # the drift baseline is *persisted* stats from a prior snapshot
     # (SURVEY §7.2-6) — loading it is input, not validation work
     dims = {"sources_dim": sources_dim(spark),
@@ -99,6 +103,17 @@ def materialize(rows: int) -> str:
         (stats_baseline(token_table(spark, max(rows // 10, 10_000), seed=7),
                         "n_tok", 64)
          .write.mode("overwrite").parquet(corpus + "_baseline"))
+        spark.stop()
+    if not os.path.exists(os.path.join(corpus + "_iceberg", "metadata",
+                                       "version-hint.text")):
+        from fhir_data_validation_spark.session import get_spark as _gs
+        from fhir_data_validation_spark.sources.iceberg_py import \
+            PyIcebergTable
+        spark = _gs("fdv-scale-reg", cores=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = PyIcebergTable.create(spark, corpus + "_iceberg",
+                                  spark.read.parquet(corpus).schema)
+        t.add_files(corpus)
         spark.stop()
     return corpus
 
