@@ -105,8 +105,11 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
     warm.violations.count()
     warm.verdicts.count()
     warm.unpersist()
+    # best-of-3 for the headline metric: this host's CPU-steal bursts can
+    # inflate a single sample 5-7x (measured); two samples still leave a
+    # ~minutes-long burst able to taint both
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         res = engine.validate(df)
         n_viol = res.violations.count()
