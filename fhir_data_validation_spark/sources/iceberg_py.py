@@ -473,19 +473,27 @@ class PyIcebergTable:
         aggs = [F.count(F.lit(1)).alias("n")]
         for c in bound_cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        # key by the LAST TWO path segments, not the basename: partitionBy
+        # writes the SAME part-file basename into every partition dir, so
+        # basename keys collide across partitions (each file would get the
+        # summed count of its namesakes)
+        segs = F.split(F.input_file_name(), "/")
+        fkey = F.concat_ws("/", F.element_at(segs, -2),
+                           F.element_at(segs, -1))
         stats_rows = (reader.parquet(files_dir)
-                      .groupBy(F.element_at(
-                          F.split(F.input_file_name(), "/"), -1).alias("f"))
+                      .groupBy(fkey.alias("f"))
                       .agg(*aggs)
                       .collect())
-        counts = {r["f"]: r["n"] for r in stats_rows}
-        bounds = {r["f"]: {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
-                           for c in bound_cols
-                           if r[f"_lo_{c}"] is not None}
+        # input_file_name() returns a percent-encoded URI; the FS listing
+        # does not encode — normalize through unquote
+        counts = {_url_decode(r["f"]): r["n"] for r in stats_rows}
+        bounds = {_url_decode(r["f"]): {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
+                                        for c in bound_cols
+                                        if r[f"_lo_{c}"] is not None}
                   for r in stats_rows}
         entries = []
         for fi in sorted(files, key=lambda x: x["path"]):
-            base = fi["path"].rsplit("/", 1)[1]
+            base = "/".join(fi["path"].rsplit("/", 2)[-2:])
             partition: dict[str, Any] = {}
             if part_col:
                 seg = next(s for s in fi["path"].split("/")

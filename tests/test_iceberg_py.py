@@ -52,6 +52,45 @@ def test_avro_roundtrip_unions_arrays_maps():
         assert out == recs
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _AVRO_PROP_SCHEMA = {
+        "type": "record", "name": "fz", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"], "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}}]}
+
+    _rec = st.fixed_dictionaries({
+        "s": st.text(max_size=40),
+        "n": st.one_of(st.none(),
+                       st.integers(-(2 ** 63), 2 ** 63 - 1)),
+        "d": st.floats(allow_nan=False, allow_infinity=False),
+        "b": st.booleans(),
+        "raw": st.binary(max_size=30),
+        "xs": st.lists(st.integers(-(2 ** 63), 2 ** 63 - 1), max_size=8),
+        "m": st.dictionaries(st.text(max_size=10),
+                             st.integers(-(2 ** 31), 2 ** 31), max_size=5),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=st.lists(_rec, max_size=12),
+           codec=st.sampled_from(["deflate", "null"]))
+    def test_avro_property_roundtrip(recs, codec):
+        """Fuzzed write→read identity over the full supported type surface
+        (full-width longs, empty strings/maps/arrays, null unions)."""
+        data = avro_io.write_container(_AVRO_PROP_SCHEMA, recs, codec=codec)
+        _, _, out = avro_io.read_container(data)
+        assert out == recs
+except ImportError:                                    # pragma: no cover
+    pass
+
+
 def test_java_avro_reads_our_manifest_files(spark, table):
     """The REAL artifacts — this table's manifest list and manifest Avro
     files — must parse in the official Java Avro implementation."""
@@ -193,6 +232,20 @@ def test_stats_filter_skips_files_by_column_bounds(spark, tmp_path):
     assert none.count() == 0
     # string bounds work too
     assert t.read(stats_filter={"doc_id": ("hi", "hj")}).count() == 3
+
+
+def test_partitioned_file_counts_not_keyed_by_basename(spark, tmp_path):
+    """One task writing two partition values produces the SAME part-file
+    basename in both dirs — per-file stats must key on the partition
+    subpath too (regression: basename keys summed counts across dirs)."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "bn"), TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("a", [1], 1, "web"), ("b", [1], 1, "web"),
+                           ("c", [1], 1, "book")]).coalesce(1))
+    per_part = {json.loads(r["partition"])["source"]: r["record_count"]
+                for r in t.files().collect()}
+    assert per_part == {"web": 2, "book": 1}
+    assert t.files().agg({"record_count": "sum"}).collect()[0][0] == 3
 
 
 def test_files_metadata_view(spark, table):
