@@ -84,7 +84,10 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
         (dirty_token_table(spark, n_rows, partitions=cores * 2)
          .drop("_row_id")
          .write.mode("overwrite").parquet(corpus_dir))
-    table_loc = f"{corpus_dir}_iceberg"
+    # table location keyed by the corpus marker's mtime: a regenerated
+    # corpus (new uniquely-named part files) gets a FRESH registration —
+    # a stale table would plan deleted file paths
+    table_loc = f"{corpus_dir}_iceberg_{int(os.path.getmtime(marker))}"
     if not PyIcebergTable.exists(spark, table_loc):
         schema = spark.read.parquet(corpus_dir).schema
         t = PyIcebergTable.create(spark, table_loc, schema)

@@ -46,41 +46,59 @@ def _materialize(df: DataFrame) -> DataFrame:
     (or ``spark.catalog.clearCache()``) between corpora, or storage memory
     accumulates one shingle table per call."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _MATERIALIZED.setdefault(threading.get_ident(), []).append(df)
+    with _REG_LOCK:
+        _MATERIALIZED.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
 # keyed by driver thread id: concurrent dedup jobs (FAIR-pool driver
-# threads) must not unpersist each other's live intermediates
+# threads) must not unpersist each other's live intermediates. All
+# registry access goes through _REG_LOCK — unsynchronized key iteration
+# would race a concurrent thread's first insert.
 _MATERIALIZED: dict[int, list[DataFrame]] = {}
+# scratch roots created for lineage truncation, released with their
+# thread's intermediates (the kept final generation is the recompute root
+# of that thread's returned cluster DataFrames — gone after release)
+_SCRATCH: dict[int, list[str]] = {}
+_REG_LOCK = threading.Lock()
 
 
 def unpersist_all(all_threads: bool = False) -> int:
-    """Release the intermediates this module persisted (shingle tables) on
-    the CURRENT driver thread — each concurrent dedup thread owns its own
-    registry — plus any leftovers of threads that have since EXITED
-    (worker threads that returned without cleaning up must not strand
-    cached blocks until session end; this also prevents a recycled thread
-    id from inheriting a dead thread's entries). ``all_threads=True``
-    additionally sweeps live threads' registries (end-of-session cleanup
-    only; unsafe while other dedup threads are running). Returns the
-    number of DataFrames unpersisted."""
-    if all_threads:
-        keys = list(_MATERIALIZED)
-    else:
-        alive = {t.ident for t in threading.enumerate()}
-        me = threading.get_ident()
-        keys = [k for k in _MATERIALIZED if k == me or k not in alive]
+    """Release the intermediates this module persisted (shingle tables,
+    cluster-label scratch dirs) on the CURRENT driver thread — each
+    concurrent dedup thread owns its own registry — plus any leftovers of
+    threads that have since EXITED (worker threads that returned without
+    cleaning up must not strand cached blocks until session end; this
+    also prevents a recycled thread id from inheriting a dead thread's
+    entries). ``all_threads=True`` additionally sweeps live threads'
+    registries (end-of-session cleanup only; unsafe while other dedup
+    threads are running). DataFrames returned by this thread's earlier
+    dedup calls are invalid afterwards (their recompute roots are
+    released). Returns the number of DataFrames unpersisted."""
+    with _REG_LOCK:
+        if all_threads:
+            keys = list(_MATERIALIZED) + [k for k in _SCRATCH
+                                          if k not in _MATERIALIZED]
+        else:
+            alive = {t.ident for t in threading.enumerate()}
+            me = threading.get_ident()
+            keys = [k for k in set(_MATERIALIZED) | set(_SCRATCH)
+                    if k == me or k not in alive]
+        claimed = [(k, _MATERIALIZED.pop(k, []), _SCRATCH.pop(k, []))
+                   for k in keys]
+    from pyspark.sql import SparkSession
     n = 0
-    for k in keys:
-        lst = _MATERIALIZED.get(k, [])
-        while lst:
+    for _k, dfs, scratches in claimed:
+        for df in dfs:
             try:
-                lst.pop().unpersist()
+                df.unpersist()
                 n += 1
             except Exception:  # session already stopped
                 pass
-        _MATERIALIZED.pop(k, None)
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for path in scratches:
+                _delete_path(spark, path)    # best-effort inside
     return n
 
 
@@ -417,7 +435,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     round and >15-round plans stress the optimizer. Persisted blocks keep
     the common case fast; the scratch file is the recompute root. Older
     generations are deleted on exit; the final one survives while the
-    returned DataFrame is live. ``truncate_every=0`` disables truncation.
+    returned DataFrame is live and is released by this thread's
+    :func:`unpersist_all`. ``truncate_every=0`` disables truncation.
 
     At 10^9-doc scale near-dup components are tiny (diameter ≲ 5 for
     boilerplate families), so the loop is a handful of shuffles over edge
@@ -451,6 +470,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
         if truncate_every and (i + 1) % truncate_every == 0:
             if scratch_base is None:
                 scratch_base = _scratch_base(spark, scratch_dir)
+                with _REG_LOCK:
+                    _SCRATCH.setdefault(threading.get_ident(),
+                                        []).append(scratch_base)
             path = f"{scratch_base}/gen_{i}"
             updated.write.mode("overwrite").parquet(path)
             scratch_paths.append(path)

@@ -46,8 +46,8 @@ FORMAT_VERSION = 2
 
 # ----------------------------------------------------------- FS utilities --
 
-from ..fsutil import (delete as _fs_delete, exists as _exists,  # noqa: E402
-                      jfs as _jfs, list_files as _list_files,
+from ..fsutil import (exists as _exists, jfs as _jfs,  # noqa: E402
+                      list_files as _list_files,
                       read_bytes as _read_bytes, write_bytes as _write_bytes)
 
 
@@ -595,10 +595,16 @@ class PyIcebergTable:
                 fmin, fmax = bounds[col]
                 if fmin is None or fmax is None:
                     continue
-                if ((hi is not None and fmin > hi)
-                        or (lo is not None and fmax < lo)):
-                    ok = False
-                    break
+                try:
+                    if ((hi is not None and fmin > hi)
+                            or (lo is not None and fmax < lo)):
+                        ok = False
+                        break
+                except TypeError as exc:
+                    raise ValueError(
+                        f"stats_filter[{col!r}] bounds {rng!r} are not "
+                        f"comparable with the column's recorded "
+                        f"{type(fmin).__name__} bounds") from exc
             if ok:
                 keep.append(p)
         return keep

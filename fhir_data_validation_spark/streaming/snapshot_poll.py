@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Callable, Iterator
+from typing import Iterator
 
 from ..engine import ValidationEngine, ValidationResult
 from ..fsutil import exists, read_bytes, write_bytes
@@ -31,10 +31,19 @@ class SnapshotMonitor:
     """Incremental validation driver over a :class:`PyIcebergTable`.
 
     ``cursor_path`` (any Spark-writable scheme) persists the last
-    validated snapshot id; omit it for an in-memory cursor (starts from
-    the table's CURRENT snapshot — history is not re-validated by
-    default; pass ``from_snapshot=0``-style explicit ids to backfill).
+    validated snapshot id; omit it for an in-memory cursor.
+
+    Baseline semantics: attached to a table that ALREADY has snapshots,
+    the monitor adopts the current snapshot as the baseline (monitor-
+    from-now; pass ``from_snapshot=SnapshotMonitor.GENESIS`` to backfill
+    the whole table, or an explicit snapshot id to start after it).
+    Attached to an EMPTY table, the baseline is genesis: the table's
+    first snapshot is validated in full when it appears — a monitor set
+    up before the pipeline's first write must not silently skip it.
     """
+
+    #: cursor sentinel: validate everything from the table's first snapshot
+    GENESIS = -1
 
     def __init__(self, table: PyIcebergTable, engine: ValidationEngine,
                  cursor_path: str | None = None,
@@ -68,15 +77,24 @@ class SnapshotMonitor:
         try:
             current = self.table.current_snapshot_id()
         except ValueError:                      # table has no snapshots yet
+            if self._cursor is None:
+                # first contact with an EMPTY table: baseline = genesis,
+                # so the first snapshot gets validated when it appears
+                self._cursor = self.GENESIS
+                self._save_cursor()
             return None
         if self._cursor is None:
-            # first contact: adopt the current snapshot as the baseline
+            # first contact with existing data: adopt current (monitor-
+            # from-now; see class docstring for the backfill options)
             self._cursor = current
             self._save_cursor()
             return None
         if current == self._cursor:
             return None
-        delta = self.table.incremental(self._cursor, current)
+        if self._cursor == self.GENESIS:
+            delta = self.table.read(current)    # full backfill batch
+        else:
+            delta = self.table.incremental(self._cursor, current)
         result = self.engine.validate(delta)
         # materialize before the cursor moves (see docstring)
         result.violations.count()

@@ -464,6 +464,35 @@ def test_snapshot_monitor_continuous_validation(spark, tmp_path):
     assert {r["doc_id"] for r in res2.violations.collect()} == {"bad2"}
 
 
+def test_snapshot_monitor_empty_table_validates_first_snapshot(spark,
+                                                               tmp_path):
+    """A monitor attached BEFORE the pipeline's first write must validate
+    the table's first snapshot when it appears (regression: it was
+    silently adopted as the baseline), and GENESIS backfills history."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    t = PyIcebergTable.create(spark, str(tmp_path / "mt"), TOKENS_SCHEMA)
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [{"id": "LEN-1", "type": "ArrayLength",
+                                  "column": "tokens",
+                                  "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    mon = SnapshotMonitor(t, engine)
+    assert mon.poll_once() is None          # empty table → genesis baseline
+    t.append(_rows(spark, [("bad", [], 0, "web")]))
+    sid, res = mon.poll_once()
+    assert {r["doc_id"] for r in res.violations.collect()} == {"bad"}
+
+    # explicit GENESIS on a table WITH history backfills everything
+    mon2 = SnapshotMonitor(t, engine,
+                           from_snapshot=SnapshotMonitor.GENESIS)
+    sid2, res2 = mon2.poll_once()
+    assert sid2 == sid
+    assert res2.violations.count() == 1
+
+
 # --------------------------------------- incremental (delta) validation ----
 
 def test_incremental_validation_touches_only_new_data(spark, table):

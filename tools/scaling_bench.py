@@ -53,7 +53,7 @@ def worker(cores: int, corpus_dir: str, rows: int) -> None:
     # snapshot-pinned Iceberg scan — the BASELINE.json metric's input shape
     # (the table registers the corpus files in place via add_files)
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
-    t = PyIcebergTable(spark, corpus_dir + "_iceberg")
+    t = PyIcebergTable(spark, _iceberg_loc(corpus_dir))
     df = t.read(t.current_snapshot_id())
     # the drift baseline is *persisted* stats from a prior snapshot
     # (SURVEY §7.2-6) — loading it is input, not validation work
@@ -89,6 +89,14 @@ def worker(cores: int, corpus_dir: str, rows: int) -> None:
                       "violations": n_viol, "verdicts": n_verd}))
 
 
+def _iceberg_loc(corpus_dir: str) -> str:
+    """Registration keyed by the corpus marker's mtime — a regenerated
+    corpus gets a fresh Iceberg table (stale manifests would plan deleted
+    file paths)."""
+    mtime = int(os.path.getmtime(os.path.join(corpus_dir, "_SUCCESS")))
+    return f"{corpus_dir}_iceberg_{mtime}"
+
+
 def materialize(rows: int) -> str:
     from fhir_data_validation_spark.session import get_spark
     from fhir_data_validation_spark.sources.synth import (dirty_token_table,
@@ -104,14 +112,14 @@ def materialize(rows: int) -> str:
                         "n_tok", 64)
          .write.mode("overwrite").parquet(corpus + "_baseline"))
         spark.stop()
-    if not os.path.exists(os.path.join(corpus + "_iceberg", "metadata",
+    if not os.path.exists(os.path.join(_iceberg_loc(corpus), "metadata",
                                        "version-hint.text")):
         from fhir_data_validation_spark.session import get_spark as _gs
         from fhir_data_validation_spark.sources.iceberg_py import \
             PyIcebergTable
         spark = _gs("fdv-scale-reg", cores=8)
         spark.sparkContext.setLogLevel("ERROR")
-        t = PyIcebergTable.create(spark, corpus + "_iceberg",
+        t = PyIcebergTable.create(spark, _iceberg_loc(corpus),
                                   spark.read.parquet(corpus).schema)
         t.add_files(corpus)
         spark.stop()
