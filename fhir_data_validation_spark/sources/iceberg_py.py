@@ -300,6 +300,19 @@ class PyIcebergTable:
         older snapshots still time-travel to the old files."""
         return self._commit(df, operation="overwrite")
 
+    def compact(self, target_files: int | None = None) -> int:
+        """Small-files compaction: rewrite the current snapshot's data into
+        ``target_files`` files (default: the session's shuffle sizing) via
+        an overwrite commit — same rows, fewer files. Time travel to
+        pre-compaction snapshots still works (their manifests reference
+        the old files, which stay on disk). The operational fix for the
+        many-small-appends pattern (a 10^12-row table accreting thousands
+        of tiny commit files plans and opens millions of parquet footers
+        without this)."""
+        df = self.read()
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        return self.overwrite(df.repartition(n))
+
     def add_files(self, files_dir: str, operation: str = "append") -> int:
         """Register externally-written parquet files into a new snapshot
         WITHOUT copying them — the pure-Python analog of Iceberg's

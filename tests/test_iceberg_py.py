@@ -404,6 +404,25 @@ def test_run_validation_cli_pyiceberg(spark, tmp_path):
     assert "chat" in parts and "web" not in parts and "book" not in parts
 
 
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Many tiny appends → one compaction commit: same rows, fewer files;
+    pre-compaction snapshots still time-travel."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "cp"), TOKENS_SCHEMA)
+    for i in range(4):
+        t.append(_rows(spark, [(f"d{i}", [i], 1, "web")]).repartition(2))
+    before_files = len(t.read().inputFiles())
+    s_before = t.current_snapshot_id()
+    t.compact(target_files=1)
+    after = t.read()
+    assert len(after.inputFiles()) < before_files
+    assert sorted(r["doc_id"] for r in after.collect()) == \
+        ["d0", "d1", "d2", "d3"]
+    assert len(t.read(s_before).inputFiles()) == before_files  # time travel
+    ops = [r["operation"] for r in
+           t.snapshots().orderBy("committed_at").collect()]
+    assert ops[-1] == "overwrite"
+
+
 def test_add_files_registers_external_parquet_without_copy(spark, tmp_path):
     """add_files: externally-written parquet becomes a snapshot in place —
     no data copy; stats/skip-index/manifests still built."""
