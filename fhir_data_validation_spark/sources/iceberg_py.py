@@ -313,6 +313,65 @@ class PyIcebergTable:
         n = target_files or self.spark.sparkContext.defaultParallelism
         return self.overwrite(df.repartition(n))
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        the files only they referenced — the storage-reclaim half of the
+        compaction lifecycle (append → compact → expire), mirroring
+        Iceberg's ``expire_snapshots``. Data files still referenced by a
+        KEPT snapshot are never touched; the expired snapshots' manifest
+        lists, no-longer-referenced manifests, skip indexes and orphaned
+        data files are removed. Time travel to expired ids stops working
+        (that is the point). Returns counts of what was deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta, old_version = self._load_meta_versioned()
+        snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        if len(snaps) <= keep_last:
+            return {"snapshots": 0, "manifests": 0, "data_files": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+
+        def manifest_info(snap_list):
+            mfs = {}
+            for s in snap_list:
+                for mf in self._manifest_list(meta, s["snapshot-id"]):
+                    mfs[mf["manifest_path"]] = mf
+            return mfs
+
+        kept_mfs = manifest_info(kept)
+        expired_mfs = manifest_info(expired)
+        live_files: set[str] = set()
+        for mf in kept_mfs.values():
+            _, _, entries = avro_io.read_container(
+                _read_bytes(self.spark, mf["manifest_path"]))
+            live_files |= {e["data_file"]["file_path"] for e in entries}
+        dead_manifests = set(expired_mfs) - set(kept_mfs)
+        dead_files: set[str] = set()
+        for mp in dead_manifests:
+            _, _, entries = avro_io.read_container(
+                _read_bytes(self.spark, mp))
+            dead_files |= {e["data_file"]["file_path"] for e in entries
+                           if e["data_file"]["file_path"] not in live_files}
+
+        # metadata first (a crash after this point leaks files, never
+        # corrupts the table: readers only follow the new metadata)
+        meta["snapshots"] = kept
+        kept_ids = {s["snapshot-id"] for s in kept}
+        meta["snapshot-log"] = [e for e in meta["snapshot-log"]
+                                if e["snapshot-id"] in kept_ids]
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+
+        from ..fsutil import delete as _fs_delete
+        for p in dead_files | dead_manifests:
+            _fs_delete(self.spark, p, best_effort=True)
+        for s in expired:
+            _fs_delete(self.spark, s["manifest-list"], best_effort=True)
+            _fs_delete(self.spark,
+                       f"{self._meta_dir}/skipidx-{s['snapshot-id']}.json",
+                       best_effort=True)
+        return {"snapshots": len(expired), "manifests": len(dead_manifests),
+                "data_files": len(dead_files)}
+
     def add_files(self, files_dir: str, operation: str = "append") -> int:
         """Register externally-written parquet files into a new snapshot
         WITHOUT copying them — the pure-Python analog of Iceberg's

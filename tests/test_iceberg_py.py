@@ -423,6 +423,34 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert ops[-1] == "overwrite"
 
 
+def test_expire_snapshots_reclaims_only_orphaned_files(spark, tmp_path):
+    """append → compact → expire: old snapshots' exclusive files are
+    deleted, files shared with kept snapshots survive, and the current
+    read is untouched."""
+    import os
+    t = PyIcebergTable.create(spark, str(tmp_path / "ex"), TOKENS_SCHEMA)
+    for i in range(3):
+        t.append(_rows(spark, [(f"d{i}", [i], 1, "web")]).coalesce(1))
+    s_old = t.current_snapshot_id()
+    t.compact(target_files=1)
+    before = sorted(r["doc_id"] for r in t.read().collect())
+    old_files = set(t.read(s_old).inputFiles())
+    out = t.expire_snapshots(keep_last=1)
+    assert out["snapshots"] == 3 and out["data_files"] == 3
+    assert sorted(r["doc_id"] for r in t.read().collect()) == before
+    assert len(t.snapshots().collect()) == 1
+    # expired data files really gone; kept snapshot's files intact
+    gone = [f for f in old_files
+            if not os.path.exists(f.replace("file:", ""))]
+    assert len(gone) == 3
+    assert all(os.path.exists(f.replace("file:", ""))
+               for f in t.read().inputFiles())
+    with pytest.raises(ValueError, match="not found"):
+        t.read(s_old)
+    # keeping everything is a no-op
+    assert t.expire_snapshots(keep_last=5)["snapshots"] == 0
+
+
 def test_add_files_registers_external_parquet_without_copy(spark, tmp_path):
     """add_files: externally-written parquet becomes a snapshot in place —
     no data copy; stats/skip-index/manifests still built."""
