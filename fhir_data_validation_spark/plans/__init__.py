@@ -822,6 +822,48 @@ DRIFT_RESULT_SCHEMA = ("source string, psi double, ks double, ks_crit double, "
                        "n_current long, n_baseline long")
 
 
+def drift_compare(current: DataFrame, baseline: DataFrame,
+                  ks_alpha: float = 0.01) -> DataFrame:
+    """PSI + two-sample KS between two reduced histograms (each
+    ``(source, bucket, cnt)``): one Arrow ``applyInPandas`` pass per
+    source over already-aggregated data — no per-row Python anywhere.
+    Output: ``(source, psi, ks, ks_crit, n_current, n_baseline)``.
+
+    The shared comparison core of the Drift rule (C5) and
+    :func:`~..stats.snapshot_drift`."""
+    merged = (current.select("source", F.col("bucket").cast("bigint"),
+                             "cnt").withColumn("side", F.lit("cur"))
+              .unionByName(
+                  baseline.select("source", F.col("bucket").cast("bigint"),
+                                  "cnt").withColumn("side", F.lit("base"))))
+    ks_c = math.sqrt(-0.5 * math.log(ks_alpha / 2.0))
+
+    def _drift(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        piv = (pdf.pivot_table(index="bucket", columns="side", values="cnt",
+                               aggfunc="sum", fill_value=0)
+                  .sort_index())
+        cur = piv["cur"].to_numpy(dtype=np.float64) if "cur" in piv else np.zeros(len(piv))
+        base = piv["base"].to_numpy(dtype=np.float64) if "base" in piv else np.zeros(len(piv))
+        n_cur, n_base = cur.sum(), base.sum()
+        if n_cur == 0 or n_base == 0:
+            return pd.DataFrame([{"source": src, "psi": float("nan"),
+                                  "ks": float("nan"), "ks_crit": float("nan"),
+                                  "n_current": int(n_cur), "n_baseline": int(n_base)}])
+        eps = 1e-6
+        p = np.maximum(cur / n_cur, eps)
+        q = np.maximum(base / n_base, eps)
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        ks = float(np.max(np.abs(np.cumsum(cur) / n_cur - np.cumsum(base) / n_base)))
+        crit = ks_c * math.sqrt((n_cur + n_base) / (n_cur * n_base))
+        return pd.DataFrame([{"source": src, "psi": psi, "ks": ks,
+                              "ks_crit": crit, "n_current": int(n_cur),
+                              "n_baseline": int(n_base)}])
+
+    return merged.groupBy("source").applyInPandas(_drift,
+                                                  DRIFT_RESULT_SCHEMA)
+
+
 def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                plan) -> DataFrame:
     """Distribution drift vs a persisted baseline histogram (SURVEY §2.8 C5).
@@ -877,33 +919,8 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                 .select(F.col("source"), F.col("bucket").cast("bigint"),
                         F.col("count").alias("cnt"))
                 .withColumn("side", F.lit("base")))
-    merged = current.unionByName(baseline)
-
-    ks_c = math.sqrt(-0.5 * math.log(ks_alpha / 2.0))
-
-    def _drift(pdf: pd.DataFrame) -> pd.DataFrame:
-        src = pdf["source"].iloc[0]
-        piv = (pdf.pivot_table(index="bucket", columns="side", values="cnt",
-                               aggfunc="sum", fill_value=0)
-                  .sort_index())
-        cur = piv["cur"].to_numpy(dtype=np.float64) if "cur" in piv else np.zeros(len(piv))
-        base = piv["base"].to_numpy(dtype=np.float64) if "base" in piv else np.zeros(len(piv))
-        n_cur, n_base = cur.sum(), base.sum()
-        if n_cur == 0 or n_base == 0:
-            return pd.DataFrame([{"source": src, "psi": float("nan"),
-                                  "ks": float("nan"), "ks_crit": float("nan"),
-                                  "n_current": int(n_cur), "n_baseline": int(n_base)}])
-        eps = 1e-6
-        p = np.maximum(cur / n_cur, eps)
-        q = np.maximum(base / n_base, eps)
-        psi = float(np.sum((p - q) * np.log(p / q)))
-        ks = float(np.max(np.abs(np.cumsum(cur) / n_cur - np.cumsum(base) / n_base)))
-        crit = ks_c * math.sqrt((n_cur + n_base) / (n_cur * n_base))
-        return pd.DataFrame([{"source": src, "psi": psi, "ks": ks,
-                              "ks_crit": crit, "n_current": int(n_cur),
-                              "n_baseline": int(n_base)}])
-
-    stats = merged.groupBy("source").applyInPandas(_drift, DRIFT_RESULT_SCHEMA)
+    stats = drift_compare(current.drop("side"), baseline.drop("side"),
+                          ks_alpha=ks_alpha)
     viol_cond = F.col("psi") > psi_max
     if mode != "tokenFrequency":  # KS needs an ordered support
         viol_cond = viol_cond | (F.col("ks") > F.col("ks_crit"))

@@ -150,6 +150,37 @@ def merge_hll(sketches: DataFrame, columns: list[str]) -> DataFrame:
     return sketches.agg(*aggs)
 
 
+def snapshot_drift(table, column: str, from_snapshot: int,
+                   to_snapshot: int | None = None,
+                   bucket_width: float = 64.0,
+                   group_col: str | None = None,
+                   mode: str = "numeric",
+                   ks_alpha: float = 0.01) -> DataFrame:
+    """C5 over the snapshot log: distribution drift of ``column`` between
+    two snapshots of a :class:`~.sources.iceberg_py.PyIcebergTable` —
+    the north-star "drift checks over Iceberg snapshots" in one call.
+
+    ``mode="numeric"`` buckets by ``bucket_width``; ``mode="tokenFrequency"``
+    drifts per-token-id histograms of an array column (PSI only — token ids
+    are categorical, KS needs an ordered support; gate on ``psi``).
+    Each side is one JVM histogram reduction over its pinned snapshot, the
+    comparison one Arrow pass over the reduced data
+    (:func:`~.plans.drift_compare`). Output:
+    ``(source, psi, ks, ks_crit, n_current, n_baseline)``."""
+    from .plans import drift_compare
+
+    def hist(snapshot_id):
+        df = table.read(snapshot_id)
+        if mode == "tokenFrequency":
+            h = grouped_token_counts(df, column, group_col=group_col)
+            return h.select(F.col("group").alias("source"), "bucket", "cnt")
+        return (histogram(df, column, bucket_width, group_col=group_col)
+                .select(F.col("group").alias("source"), "bucket", "cnt"))
+
+    return drift_compare(hist(to_snapshot), hist(from_snapshot),
+                         ks_alpha=ks_alpha)
+
+
 def pk_duplicates(df: DataFrame, key_col: str) -> DataFrame:
     """C3: primary-key uniqueness via hash-partitioned distinct counts —
     the standalone form of the engine's Unique rule. Returns duplicated keys

@@ -542,6 +542,30 @@ def test_snapshot_monitor_empty_table_validates_first_snapshot(spark,
 
 # --------------------------------------- incremental (delta) validation ----
 
+def test_snapshot_drift_between_two_snapshots(spark, tmp_path):
+    """stats.snapshot_drift: a shifted n_tok distribution between two
+    snapshots shows large PSI; an identical one shows ~0."""
+    from fhir_data_validation_spark import stats
+
+    t = PyIcebergTable.create(spark, str(tmp_path / "dr"), TOKENS_SCHEMA)
+    base = [(f"a{i}", [1], 10 + i % 5, "web") for i in range(200)]
+    t.append(_rows(spark, base))
+    s1 = t.current_snapshot_id()
+    t.overwrite(_rows(spark, [(f"b{i}", [1], 500 + i % 5, "web")
+                              for i in range(200)]))
+    s2 = t.current_snapshot_id()
+    shifted = stats.snapshot_drift(t, "n_tok", s1, s2,
+                                   bucket_width=16).collect()[0]
+    assert shifted["psi"] > 1.0 and shifted["ks"] > shifted["ks_crit"]
+    same = stats.snapshot_drift(t, "n_tok", s1, s1,
+                                bucket_width=16).collect()[0]
+    assert abs(same["psi"]) < 1e-9 and same["ks"] == 0.0
+    # token-frequency mode over the array column (PSI-only gate)
+    tok = stats.snapshot_drift(t, "tokens", s1, s2,
+                               mode="tokenFrequency").collect()[0]
+    assert tok["n_current"] == 200 and tok["n_baseline"] == 200
+
+
 def test_incremental_validation_touches_only_new_data(spark, table):
     """The north-star resume story: validate snapshot 1, append, then
     validate ONLY the delta — the second engine pass plans none of the
