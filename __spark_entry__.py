@@ -602,6 +602,33 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_c5_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """C5 value-oracled: PSI + two-sample KS per returnflag between the
+    early-linenumber and late-linenumber quantity distributions, via the
+    engine's ``drift_compare`` (JVM histogram reduce → Arrow pass). The
+    oracle recomputes both statistics in SQL (full-outer bucket join,
+    eps-clamped PSI, windowed-cumsum KS)."""
+    from fhir_data_validation_spark.plans import drift_compare
+    li = load_table(spark, sf, "lineitem")
+
+    def hist(cond):
+        return (li.where(cond)
+                .groupBy(F.col("l_returnflag").alias("source"),
+                         F.floor(F.col("l_quantity") / 8).cast("bigint")
+                         .alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    cur = hist(F.col("l_linenumber") > 3)
+    base = hist(F.col("l_linenumber") <= 3)
+    return (drift_compare(cur, base, ks_alpha=0.01)
+            .select("source",
+                    F.round("psi", 4).alias("psi"),
+                    F.round("ks", 4).alias("ks"),
+                    F.round("ks_crit", 4).alias("ks_crit"),
+                    "n_current", "n_baseline")
+            .orderBy("source"))
+
+
 def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S1 executed: documents flow through the pure-Python Iceberg v2 table
     (``sources/iceberg_py.py`` — real metadata JSON + Avro manifests) in
@@ -674,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
+        "c5_drift": q_c5_drift,
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
     }
 
@@ -1072,6 +1100,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500
             ORDER BY doc_id""",
+        "c5_drift": """
+            WITH cur AS (
+              SELECT l_returnflag AS source,
+                     CAST(floor(l_quantity/8) AS BIGINT) AS bucket,
+                     count(*) AS c
+              FROM lineitem WHERE l_linenumber > 3 GROUP BY 1, 2),
+            base AS (
+              SELECT l_returnflag AS source,
+                     CAST(floor(l_quantity/8) AS BIGINT) AS bucket,
+                     count(*) AS c
+              FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1, 2),
+            merged AS (
+              SELECT COALESCE(cur.source, base.source) AS source,
+                     COALESCE(cur.bucket, base.bucket) AS bucket,
+                     COALESCE(cur.c, 0) AS cc, COALESCE(base.c, 0) AS bc
+              FROM cur FULL OUTER JOIN base
+                ON cur.source = base.source AND cur.bucket = base.bucket),
+            tot AS (SELECT source, CAST(sum(cc) AS DOUBLE) AS nc,
+                           CAST(sum(bc) AS DOUBLE) AS nb
+                    FROM merged GROUP BY source),
+            terms AS (
+              SELECT m.source,
+                     greatest(m.cc / t.nc, 1e-6) AS p,
+                     greatest(m.bc / t.nb, 1e-6) AS q,
+                     sum(m.cc) OVER (PARTITION BY m.source
+                                     ORDER BY m.bucket) / t.nc AS cum_c,
+                     sum(m.bc) OVER (PARTITION BY m.source
+                                     ORDER BY m.bucket) / t.nb AS cum_b,
+                     t.nc, t.nb
+              FROM merged m JOIN tot t ON m.source = t.source)
+            SELECT source,
+                   round(sum((p - q) * ln(p / q)), 4) AS psi,
+                   round(max(abs(cum_c - cum_b)), 4) AS ks,
+                   round(sqrt(-0.5 * ln(0.01/2))
+                         * sqrt((nc + nb) / (nc * nb)), 4) AS ks_crit,
+                   CAST(nc AS BIGINT) AS n_current,
+                   CAST(nb AS BIGINT) AS n_baseline
+            FROM terms GROUP BY source, nc, nb ORDER BY source""",
     }
 
 
