@@ -602,6 +602,47 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_j2_reference_type(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 target-type check: the reference EXISTS but its target's type is
+    outside expectedTypes — one left join emits both miss and mismatch
+    lanes; here every order whose customer sits in a non-allowed market
+    segment is a REFERENCE_TYPE_MISMATCH with the actual type named."""
+    df = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    res = _validate(spark, df,
+                    [{"id": "REF-T", "type": "Reference",
+                      "column": "o_custkey",
+                      "params": {"dim": "customer", "on": "c_custkey",
+                                 "typeColumn": "c_mktsegment",
+                                 "expectedTypes": ["BUILDING",
+                                                   "AUTOMOBILE"]}}],
+                    key_col="o_orderkey", group_col="o_orderstatus",
+                    dims={"customer": customer})
+    return (res.violations.select(
+                "doc_id", "rule_id", "error_code",
+                F.col("detail")["actualType"].alias("actual_type"))
+            .orderBy("doc_id"))
+
+
+def q_a3_where_counting(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 where-filtered requirement counting through the library's
+    ``group_cardinality_counts``: nations-per-region counted under a
+    `contains` where-filter (only names containing 'A' count toward the
+    minimum)."""
+    from fhir_data_validation_spark.plans import group_cardinality_counts
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    joined = region.join(F.broadcast(nation),
+                         region.r_regionkey == nation.n_regionkey, "left")
+    reqs = [{"source": r, "min": 2,
+             "where": [{"column": "n_name", "op": "contains",
+                        "value": "A"}]}
+            for r in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")]
+    return (group_cardinality_counts(joined, "r_name", reqs)
+            .select("source", "actual", "expected_min", "passed")
+            .orderBy("source"))
+
+
 def q_c5_drift(spark: SparkSession, sf: str) -> DataFrame:
     """C5 value-oracled: PSI + two-sample KS per returnflag between the
     early-linenumber and late-linenumber quantity distributions, via the
@@ -701,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
+        "j2_reference_type": q_j2_reference_type,
+        "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
     }
@@ -1100,6 +1143,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500
             ORDER BY doc_id""",
+        "j2_reference_type": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   'REF-T' AS rule_id,
+                   'REFERENCE_TYPE_MISMATCH' AS error_code,
+                   c_mktsegment AS actual_type
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+            ORDER BY doc_id""",
+        "a3_where_counting": """
+            SELECT r.r_name AS source,
+                   count(CASE WHEN n.n_name LIKE '%A%' THEN 1 END)
+                     AS actual,
+                   CAST(2 AS BIGINT) AS expected_min,
+                   count(CASE WHEN n.n_name LIKE '%A%' THEN 1 END) >= 2
+                     AS passed
+            FROM region r LEFT JOIN nation n ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name ORDER BY source""",
         "c5_drift": """
             WITH cur AS (
               SELECT l_returnflag AS source,
