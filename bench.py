@@ -86,8 +86,14 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
          .write.mode("overwrite").parquet(corpus_dir))
     # table location keyed by the corpus marker's mtime: a regenerated
     # corpus (new uniquely-named part files) gets a FRESH registration —
-    # a stale table would plan deleted file paths
+    # a stale table would plan deleted file paths. Superseded
+    # registrations are swept so /tmp does not accrete one per corpus.
+    import glob as _glob
+    import shutil as _shutil
     table_loc = f"{corpus_dir}_iceberg_{int(os.path.getmtime(marker))}"
+    for stale in _glob.glob(f"{corpus_dir}_iceberg_*"):
+        if stale != table_loc:
+            _shutil.rmtree(stale, ignore_errors=True)
     if not PyIcebergTable.exists(spark, table_loc):
         schema = spark.read.parquet(corpus_dir).schema
         t = PyIcebergTable.create(spark, table_loc, schema)

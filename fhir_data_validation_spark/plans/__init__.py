@@ -901,15 +901,13 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                        df, col, group_col=group,
                        sample_fraction=float(frac) if frac else None)
                    .withColumnRenamed("group", "source")
-                   .withColumn("bucket", F.col("bucket").cast("bigint"))
-                   .withColumn("side", F.lit("cur")))
+                   .withColumn("bucket", F.col("bucket").cast("bigint")))
     elif mode == "numeric":
         current = (df.where(F.col(col).isNotNull())
                    .groupBy(F.col(group).alias("source"),
                             F.floor(F.col(col) / width).cast("bigint")
                             .alias("bucket"))
-                   .agg(F.count(F.lit(1)).alias("cnt"))
-                   .withColumn("side", F.lit("cur")))
+                   .agg(F.count(F.lit(1)).alias("cnt")))
     else:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -917,10 +915,8 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     baseline = (plan.dims[rule.params["baseline"]]
                 .where(F.col("column_name") == col)
                 .select(F.col("source"), F.col("bucket").cast("bigint"),
-                        F.col("count").alias("cnt"))
-                .withColumn("side", F.lit("base")))
-    stats = drift_compare(current.drop("side"), baseline.drop("side"),
-                          ks_alpha=ks_alpha)
+                        F.col("count").alias("cnt")))
+    stats = drift_compare(current, baseline, ks_alpha=ks_alpha)
     viol_cond = F.col("psi") > psi_max
     if mode != "tokenFrequency":  # KS needs an ordered support
         viol_cond = viol_cond | (F.col("ks") > F.col("ks_crit"))

@@ -46,8 +46,8 @@ FORMAT_VERSION = 2
 
 # ----------------------------------------------------------- FS utilities --
 
-from ..fsutil import (exists as _exists, jfs as _jfs,  # noqa: E402
-                      list_files as _list_files,
+from ..fsutil import (delete as _fs_delete, exists as _exists,  # noqa: E402
+                      jfs as _jfs, list_files as _list_files,
                       read_bytes as _read_bytes, write_bytes as _write_bytes)
 
 
@@ -302,16 +302,31 @@ class PyIcebergTable:
 
     def compact(self, target_files: int | None = None) -> int:
         """Small-files compaction: rewrite the current snapshot's data into
-        ``target_files`` files (default: the session's shuffle sizing) via
-        an overwrite commit — same rows, fewer files. Time travel to
-        pre-compaction snapshots still works (their manifests reference
-        the old files, which stay on disk). The operational fix for the
-        many-small-appends pattern (a 10^12-row table accreting thousands
-        of tiny commit files plans and opens millions of parquet footers
-        without this)."""
+        at most ``target_files`` write tasks (default: the smaller of the
+        cluster parallelism and the CURRENT live file count — compaction
+        must never increase the file count) via an overwrite commit. On a
+        partitioned table the shuffle hashes on the partition column, so
+        each partition value lands in exactly one task → one file per
+        partition. Time travel to pre-compaction snapshots still works
+        (their manifests reference the old files, which stay on disk;
+        reclaim them with :meth:`expire_snapshots`). The operational fix
+        for the many-small-appends pattern (a 10^12-row table accreting
+        thousands of tiny commit files plans and opens millions of parquet
+        footers without this)."""
+        if target_files is not None and target_files < 1:
+            raise ValueError("target_files must be >= 1")
+        meta = self._load_meta()
+        n_live = len(self._data_files(meta, None))
+        n = min(target_files
+                or self.spark.sparkContext.defaultParallelism,
+                max(n_live, 1))
         df = self.read()
-        n = target_files or self.spark.sparkContext.defaultParallelism
-        return self.overwrite(df.repartition(n))
+        spec_fields = meta["partition-specs"][0]["fields"]
+        if spec_fields:
+            df = df.repartition(n, spec_fields[0]["name"])
+        else:
+            df = df.repartition(n)
+        return self.overwrite(df)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete
@@ -361,14 +376,20 @@ class PyIcebergTable:
         meta["last-updated-ms"] = _now_ms()
         self._commit_meta(meta, old_version)
 
-        from ..fsutil import delete as _fs_delete
         for p in dead_files | dead_manifests:
             _fs_delete(self.spark, p, best_effort=True)
+        # a kept snapshot's manifest list may still reference manifests
+        # ADDED by an expired snapshot (append chains) — their files are
+        # live and stats-skipping must keep working for them, so only the
+        # skip indexes of snapshot ids referenced by NO kept manifest die
+        live_adders = {mf["added_snapshot_id"] for mf in kept_mfs.values()}
         for s in expired:
             _fs_delete(self.spark, s["manifest-list"], best_effort=True)
-            _fs_delete(self.spark,
-                       f"{self._meta_dir}/skipidx-{s['snapshot-id']}.json",
-                       best_effort=True)
+            if s["snapshot-id"] not in live_adders:
+                _fs_delete(
+                    self.spark,
+                    f"{self._meta_dir}/skipidx-{s['snapshot-id']}.json",
+                    best_effort=True)
         return {"snapshots": len(expired), "manifests": len(dead_manifests),
                 "data_files": len(dead_files)}
 

@@ -94,7 +94,15 @@ class SnapshotMonitor:
         if self._cursor == self.GENESIS:
             delta = self.table.read(current)    # full backfill batch
         else:
-            delta = self.table.incremental(self._cursor, current)
+            try:
+                delta = self.table.incremental(self._cursor, current)
+            except ValueError:
+                # the cursor's snapshot was expired (expire_snapshots) —
+                # the incremental range is gone, so fall back to a full
+                # validation of the current snapshot rather than wedging
+                # the monitor forever (at-least-once: rows validated
+                # before expiry are validated again, never skipped)
+                delta = self.table.read(current)
         result = self.engine.validate(delta)
         # materialize before the cursor moves (see docstring)
         result.violations.count()

@@ -451,6 +451,67 @@ def test_expire_snapshots_reclaims_only_orphaned_files(spark, tmp_path):
     assert t.expire_snapshots(keep_last=5)["snapshots"] == 0
 
 
+def test_compact_partitioned_never_increases_files(spark, tmp_path):
+    """Partitioned compaction hashes on the partition column: one file per
+    partition value, never more files than before (regression: round-robin
+    repartition exploded to tasks × partitions files)."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "cpp"), TOKENS_SCHEMA,
+                              partition_by="source")
+    for i in range(3):
+        t.append(_rows(spark, [(f"w{i}", [1], 1, "web"),
+                               (f"b{i}", [1], 1, "book")]).repartition(2))
+    before = len(t.read().inputFiles())
+    t.compact()
+    after = t.read()
+    assert len(after.inputFiles()) == 2          # one per partition value
+    assert len(after.inputFiles()) < before
+    assert after.count() == 6
+    with pytest.raises(ValueError, match="target_files"):
+        t.compact(target_files=0)
+
+
+def test_expire_keeps_skip_index_of_live_append_chain(spark, tmp_path):
+    """Expiring an old snapshot whose FILES remain live (append chains
+    re-reference its manifest) must keep its skip index — stats pruning
+    for surviving files must not silently stop working."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "sk"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [(f"lo{i}", [1], i, "web")
+                           for i in range(1, 4)]).coalesce(1))
+    t.append(_rows(spark, [(f"hi{i}", [1], i, "web")
+                           for i in range(100, 103)]).coalesce(1))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["data_files"] == 0                # append chain: all live
+    hi = t.read(stats_filter={"n_tok": (50, None)})
+    assert len(hi.inputFiles()) < len(t.read().inputFiles())  # still prunes
+    assert sorted(r["doc_id"] for r in hi.collect()) == ["hi100", "hi101",
+                                                         "hi102"]
+
+
+def test_monitor_recovers_after_cursor_snapshot_expired(spark, tmp_path):
+    """expire_snapshots removing the monitor's cursor snapshot must not
+    wedge the loop: the next batch falls back to a full validation of the
+    current snapshot (at-least-once, never skipped)."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+    t = PyIcebergTable.create(spark, str(tmp_path / "me"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("seed", [1], 1, "web")]))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [{"id": "LEN-1", "type": "ArrayLength",
+                                  "column": "tokens",
+                                  "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    mon = SnapshotMonitor(t, engine)
+    mon.poll_once()                              # baseline = seed snapshot
+    t.append(_rows(spark, [("bad", [], 0, "web")]))
+    t.expire_snapshots(keep_last=1)              # cursor snapshot gone
+    sid, res = mon.poll_once()
+    assert sid == t.current_snapshot_id()
+    # full revalidation of the current snapshot (seed re-checked too)
+    assert {r["doc_id"] for r in res.violations.collect()} == {"bad"}
+    assert mon.poll_once() is None               # cursor healthy again
+
+
 def test_add_files_registers_external_parquet_without_copy(spark, tmp_path):
     """add_files: externally-written parquet becomes a snapshot in place —
     no data copy; stats/skip-index/manifests still built."""

@@ -94,7 +94,12 @@ def _iceberg_loc(corpus_dir: str) -> str:
     corpus gets a fresh Iceberg table (stale manifests would plan deleted
     file paths)."""
     mtime = int(os.path.getmtime(os.path.join(corpus_dir, "_SUCCESS")))
-    return f"{corpus_dir}_iceberg_{mtime}"
+    loc = f"{corpus_dir}_iceberg_{mtime}"
+    import glob, shutil
+    for stale in glob.glob(f"{corpus_dir}_iceberg_*"):
+        if stale != loc:
+            shutil.rmtree(stale, ignore_errors=True)
+    return loc
 
 
 def materialize(rows: int) -> str:
