@@ -6,8 +6,6 @@ import random
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from fhir_data_validation_spark.pipeline import codecs, multimodal
 
 

@@ -12,7 +12,6 @@ Java-Avro manifest conformance. On any cluster/CI image with
 """
 
 import pytest
-from pyspark.sql import functions as F
 
 from fhir_data_validation_spark.sources import iceberg as ice
 from fhir_data_validation_spark.sources.synth import dirty_token_table

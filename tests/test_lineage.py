@@ -5,7 +5,6 @@ partitions and produces identical final output."""
 import pytest
 from pyspark.sql import functions as F
 
-from fhir_data_validation_spark.compiler import EngineConfig
 from fhir_data_validation_spark.lineage import (LineageStore, ResumableRun,
                                                 _DATASET_KEY)
 from fhir_data_validation_spark.model import RuleSet

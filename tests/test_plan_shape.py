@@ -237,7 +237,6 @@ def test_bucketed_reference_join_no_fact_exchange(spark):
     (broadcast disabled to expose the shuffle join path)."""
     from fhir_data_validation_spark import RuleSet, ValidationEngine
     from fhir_data_validation_spark.sources.synth import token_table
-    from pyspark.sql import functions as F2
     for t in ("bt_fact_probe", "bt_dim_probe"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     (token_table(spark, 500).write.bucketBy(4, "source").sortBy("source")

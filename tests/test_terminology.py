@@ -2,7 +2,6 @@
 check (J2), CodeMaster (J4/J5), nested-path navigation (P5)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
 from fhir_data_validation_spark.errors import RuleConfigurationError
