@@ -11,8 +11,11 @@ from . import skew, stats  # noqa: F401  (operator namespaces)
 from .compiler import EngineConfig, compile_ruleset
 from .engine import ValidationEngine, ValidationResult, validate
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
+from .governance import (ReviewIssue, RuleReviewResult, review_report,
+                         review_rule, review_ruleset)
 from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
 from .lineage import LineageStore, ResumableRun
+from .lint import LintFinding, lint_dataset, lint_report
 from .model import InstanceScope, RuleDefinition, RuleSet
 from .questions import question_rules, question_rules_from_json
 from .report import QualityReport, quality_report
@@ -20,12 +23,14 @@ from .suggestions import suggest_rules
 
 __all__ = [
     "EngineConfig", "ErrorCode", "InstanceScope", "LineageStore",
-    "PRIMITIVE_GRAMMARS", "grammar_rule", "grammar_ruleset",
+    "LintFinding", "PRIMITIVE_GRAMMARS", "ReviewIssue",
+    "RuleReviewResult", "grammar_rule", "grammar_ruleset",
     "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",
-    "quality_report", "question_rules", "question_rules_from_json",
-    "suggest_rules",
+    "lint_dataset", "lint_report", "quality_report", "question_rules",
+    "question_rules_from_json", "review_report", "review_rule",
+    "review_ruleset", "suggest_rules",
     "skew", "stats", "validate",
 ]
 

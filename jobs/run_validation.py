@@ -77,6 +77,14 @@ def parse_args(argv=None):
     p.add_argument("--groups-per-batch", type=int, default=4)
     p.add_argument("--no-resume", action="store_true",
                    help="single-shot validate (no lineage/checkpointing)")
+    p.add_argument("--review", action="store_true",
+                   help="governance pre-flight: review the rule set against "
+                        "the input schema and refuse to run on BLOCKED "
+                        "findings (RuleReviewEngine.cs analog)")
+    p.add_argument("--lint", action="store_true",
+                   help="advisory dataset lint before validating "
+                        "(LintValidationService.cs analog); findings print "
+                        "to stderr, never block")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] master for smoke runs; on a cluster the "
                         "master comes from spark-submit")
@@ -137,6 +145,21 @@ def main(argv=None) -> int:
                       else spark.read.table(path))
     if not dims and not args.rules:
         dims["sources_dim"] = sources_dim(spark)  # built-in rule set default
+
+    if args.review:
+        from fhir_data_validation_spark.governance import (review_report,
+                                                           review_ruleset)
+        report = review_report(review_ruleset(ruleset, schema=df.schema))
+        print(json.dumps(report, default=str), file=sys.stderr)
+        if not report["canExport"]:
+            print(f"governance review BLOCKED "
+                  f"{report['blocked']} rule(s); refusing to run",
+                  file=sys.stderr)
+            return 2
+    if args.lint:
+        from fhir_data_validation_spark.lint import lint_dataset, lint_report
+        print(json.dumps(lint_report(lint_dataset(df, ruleset)),
+                         default=str), file=sys.stderr)
 
     config = EngineConfig(key_col=args.key_col, group_col=args.group_col)
     if args.no_resume:
