@@ -174,6 +174,46 @@ def q_p5b_nested_repetition(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "idx", "inner_idx"))
 
 
+def q_p5c_deep_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """P5c arbitrary-depth repetition ``a[*].b[*].c[*].d``: three array
+    levels (groups → items → per-item leaf array, empty for even line
+    numbers) with a perElement Range rule on
+    ``groups[*].items[*].q[*].v``. The composite detail is (index =
+    outermost group, innerIndex = ordinal within the flattened remainder
+    under that group) — the reference's arbitrary-depth navigation
+    (``FhirPathRuleEngine.cs:648-723``) beyond the two-level case."""
+    li = load_table(spark, sf, "lineitem")
+    leaf = F.when(F.col("l_linenumber") % 2 == 1,
+                  F.array(F.struct(F.col("l_quantity").alias("v")))) \
+            .otherwise(F.array().cast("array<struct<v:double>>"))
+    item = F.struct("l_linenumber", "l_quantity", leaf.alias("q"))
+    orders = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(
+                       F.when(F.col("l_linenumber") <= 3, item)))
+                   .alias("_lo"),
+                   F.sort_array(F.collect_list(
+                       F.when(F.col("l_linenumber") > 3, item)))
+                   .alias("_hi"),
+                   F.min("l_returnflag").alias("rflag"))
+              .select("l_orderkey", "rflag",
+                      F.array(F.struct(F.lit("lo").alias("name"),
+                                       F.col("_lo").alias("items")),
+                              F.struct(F.lit("hi").alias("name"),
+                                       F.col("_hi").alias("items")))
+                      .alias("groups")))
+    res = _validate(spark, orders,
+                    [{"id": "NST-3", "type": "Range",
+                      "column": "groups[*].items[*].q[*].v",
+                      "params": {"min": 1, "max": 45, "perElement": True}}],
+                    key_col="l_orderkey", group_col="rflag")
+    return (res.violations.select(
+                "doc_id", "rule_id", "error_code",
+                F.col("detail")["index"].alias("idx"),
+                F.col("detail")["innerIndex"].alias("inner_idx"),
+                F.col("detail")["value"].alias("value"))
+            .orderBy("doc_id", "idx", "inner_idx"))
+
+
 def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """RequiredResources closed-world cardinality: nations per region (A1),
     routed through the engine's ``group_cardinality_counts`` (the shared
@@ -713,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_first_scope": q_p3_first_scope,
         "p5_nested_elements": q_p5_nested_elements,
         "p5b_nested_repetition": q_p5b_nested_repetition,
+        "p5c_deep_repetition": q_p5c_deep_repetition,
         "a1_group_cardinality": q_a1_group_cardinality,
         "a4_summary": q_a4_summary,
         "a5_dedup": q_a5_dedup,
@@ -821,6 +862,26 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem)
             SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
                    'NST-2' AS rule_id, 'ANSWER_OUT_OF_RANGE' AS error_code,
+                   CAST(gi AS VARCHAR) AS idx,
+                   CAST(j AS VARCHAR) AS inner_idx,
+                   CAST(l_quantity AS VARCHAR) AS value
+            FROM it WHERE l_quantity < 1 OR l_quantity > 45
+            ORDER BY doc_id, idx, inner_idx""",
+        # p5c: only odd line numbers carry a depth-3 leaf; innerIndex is
+        # the ordinal within the group's FLATTENED leaf sequence, i.e.
+        # rank among leaf-carrying items in (linenumber, quantity) order
+        # (ties are value-identical, so ordering among them is immaterial)
+        "p5c_deep_repetition": """
+            WITH it AS (
+              SELECT l_orderkey, l_quantity,
+                     CASE WHEN l_linenumber <= 3 THEN 0 ELSE 1 END AS gi,
+                     row_number() OVER (
+                       PARTITION BY l_orderkey, (l_linenumber <= 3)
+                       ORDER BY l_linenumber, l_quantity) - 1 AS j
+              FROM lineitem
+              WHERE l_linenumber % 2 = 1)
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   'NST-3' AS rule_id, 'ANSWER_OUT_OF_RANGE' AS error_code,
                    CAST(gi AS VARCHAR) AS idx,
                    CAST(j AS VARCHAR) AS inner_idx,
                    CAST(l_quantity AS VARCHAR) AS value

@@ -208,12 +208,15 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
     (``Services/FieldPathValidator.cs:81ff``, P5 dot-path navigation).
 
     ``segment[*]`` marks array traversal (the reference's repeated-element
-    navigation, ``RuleEngines/FhirPathRuleEngine.cs:648-723``): the path
-    continues into the array's struct elements and the resolved type is the
-    derived ``array<leaf>`` — a FLATTENED view when the path repeats twice
-    (``a[*].b[*].c``; per-element details then carry the composite
-    ``(i, j)`` index). At most two ``[*]`` per path (a deeper error model
-    has no reference analog). Arrays without ``[*]`` stay terminal."""
+    navigation, ``RuleEngines/FhirPathRuleEngine.cs:648-723``, which
+    descends ARBITRARY repeated depth — so does this): the path continues
+    into the array's struct elements and the resolved type is the derived
+    ``array<leaf>`` — a FLATTENED view when the path repeats
+    (``a[*].b[*].c``, ``a[*].b[*].c[*].d``, …). Per-element details carry
+    the composite index ``(i, j)``: ``i`` the outermost array index, ``j``
+    the element's ordinal within the flattened remainder under ``i``
+    (for two-level paths ``j`` IS the inner-array index). Arrays without
+    ``[*]`` stay terminal."""
     node: DataType = schema
     parts = name.split(".")
     stars = 0
@@ -242,18 +245,13 @@ def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType
                     f"path {name!r}: {part!r} is {node.simpleString()}, "
                     "not an array — '[*]' traverses arrays only")
             stars += 1
-            if stars > 2:
-                raise RuleConfigurationError(
-                    rule.id, ErrorCode.INVALID_FIELD_PATH,
-                    f"path {name!r}: at most two '[*]' per path are "
-                    "supported (composite (i, j) index detail)")
             if i < len(parts) - 1:
                 node = node.elementType
     if stars and not isinstance(node, ArrayType):
         # a[*].b.c — the physical value is the derived array of leaves
         # (Spark's GetArrayStructFields: a.b.c over array<struct> extracts
         # array<c> natively, inside codegen — no higher-order function);
-        # a[*].b[*].c flattens the two levels into one leaf array
+        # repeated stars flatten every level into one leaf array
         node = ArrayType(node, containsNull=True)
     return node
 
@@ -270,12 +268,11 @@ def _spark_path(name: str) -> str:
     return name.replace("[*]", "")
 
 
-def _split_nested(name: str) -> tuple[str, str, str]:
-    """``a[*].b.c[*].d.e`` → ("a", "b.c", "d.e") — outer path, inner path
-    between the two stars, leaf path after the second star."""
-    first, rest = name.split("[*]", 1)
-    mid, post = rest.lstrip(".").split("[*]", 1)
-    return first, mid, post.lstrip(".")
+def _star_segments(name: str) -> list[str]:
+    """``a[*].b.c[*].d.e[*].f`` → ["a", "b.c", "d.e", "f"] — the dotted
+    sub-paths between consecutive ``[*]`` markers (first = outer array
+    path, last = leaf path, middles = one per additional array level)."""
+    return [s.strip(".") for s in name.split("[*]")]
 
 
 def _getfields(col: Column, dotted: str) -> Column:
@@ -285,35 +282,62 @@ def _getfields(col: Column, dotted: str) -> Column:
     return col
 
 
+def _flatten_levels(col: Column, mids: list[str]) -> Column:
+    """Descend ``mids`` array levels below an ``array<struct>`` column,
+    flattening each: ``col`` elements' ``mid`` sub-arrays are extracted,
+    null sub-arrays dropped, and the result flattened to one array of the
+    next level's elements. Null filtering must precede every ``flatten``
+    — ``flatten`` returns NULL when ANY element is NULL, which would
+    silently drop the whole row from every elementwise lane."""
+    for k, mid in enumerate(mids):
+        if k == 0:
+            # first level: native GetArrayStructFields dot-chain
+            col = _getfields(col, mid)
+        else:
+            col = F.transform(col, _getfields_fn(mid))
+        col = F.flatten(F.filter(col, lambda a: a.isNotNull()))
+    return col
+
+
+def _getfields_fn(dotted: str):
+    """Closure factory for HOF lambdas (a bare ``lambda t: _getfields(t,
+    mid)`` would capture the loop variable by reference — and pyspark
+    introspects lambda arity, so default-arg capture is unsafe too)."""
+    return lambda t: _getfields(t, dotted)
+
+
 def _leaf_column(name: str) -> Column:
     """Physical leaf-array column for a (possibly repeated) element path.
 
     ``a[*].b.c`` stays a plain ``F.col("a.b.c")`` (native
-    GetArrayStructFields chain, codegen). ``a[*].b[*].c`` needs one
-    ``flatten``: the second extraction yields ``array<array<…>>``, which
-    dot access cannot descend. Null inner arrays are filtered before the
-    flatten — ``flatten`` returns NULL when any element is NULL, which
-    would silently drop the whole row from every elementwise lane."""
+    GetArrayStructFields chain, codegen). Each additional ``[*]`` level
+    (``a[*].b[*].c``, ``a[*].b[*].c[*].d``, …) adds one null-guarded
+    ``flatten``: array extraction below the first level yields
+    ``array<array<…>>``, which dot access cannot descend."""
     if name.count("[*]") <= 1:
         return F.col(_spark_path(name))
-    first, mid, post = _split_nested(name)
-    col = _getfields(F.col(first), mid)          # array<array<…>>
-    col = F.flatten(F.filter(col, lambda a: a.isNotNull()))
-    return _getfields(col, post)
+    segs = _star_segments(name)
+    col = _flatten_levels(F.col(segs[0]), segs[1:-1])
+    return _getfields(col, segs[-1])
 
 
 def _nested_indexed(name: str) -> Column:
-    """Composite-index element view of an ``a[*].b[*].c`` path:
-    ``array<struct{i, j, v}>`` where ``i`` is the outer index, ``j`` the
-    index within the inner array, ``v`` the (native-typed) leaf — the
-    two-level analog of the reference's arbitrary-depth repeated-element
-    navigation (``FhirPathRuleEngine.cs:648-723``). Null inner arrays
-    contribute no elements; outer indices are preserved."""
-    first, mid, post = _split_nested(name)
+    """Composite-index element view of a repeated path (``a[*].b[*].c``,
+    deeper): ``array<struct{i, j, v}>`` where ``i`` is the OUTERMOST array
+    index, ``j`` the element's ordinal within the flattened remainder
+    under ``i`` (for two-level paths: the inner-array index), ``v`` the
+    (native-typed) leaf — the analog of the reference's arbitrary-depth
+    repeated-element navigation (``FhirPathRuleEngine.cs:648-723``).
+    ``(i, j)`` uniquely locates an element within its row at any depth.
+    Null inner arrays contribute no elements; outer indices are
+    preserved."""
+    segs = _star_segments(name)
+    first, mids, post = segs[0], segs[1:-1], segs[-1]
     pairs = F.transform(
         F.col(first),
-        lambda s, i: F.struct(i.alias("i"),
-                              _getfields(s, mid).alias("arr")))
+        lambda s, i: F.struct(
+            i.alias("i"),
+            _flatten_levels_struct(s, mids).alias("arr")))
     nonnull = F.filter(pairs, lambda p: p["arr"].isNotNull())
     return F.flatten(F.transform(
         nonnull,
@@ -322,6 +346,19 @@ def _nested_indexed(name: str) -> Column:
             lambda t, j: F.struct(p["i"].cast("int").alias("i"),
                                   j.cast("int").alias("j"),
                                   _getfields(t, post).alias("v")))))
+
+
+def _flatten_levels_struct(s: Column, mids: list[str]) -> Column:
+    """Like :func:`_flatten_levels` but rooted at a single struct element
+    ``s`` (inside a HOF lambda): returns the flattened array of the
+    deepest level's elements under ``s``, or null if the first-level
+    array is null."""
+    col = _getfields(s, mids[0])
+    for mid in mids[1:]:
+        col = F.flatten(F.filter(
+            F.transform(col, _getfields_fn(mid)),
+            lambda a: a.isNotNull()))
+    return col
 
 
 def _smap(*pairs: tuple[str, Column | str]) -> Column:

@@ -525,14 +525,44 @@ def test_nested_same_value_elements_survive_dedup(spark):
     assert {r["rule_id"] for r in rows} == {"RNG-A"}   # earlier id wins
 
 
-def test_nested_three_stars_rejected(spark):
+def test_nested_three_level_paths(spark):
+    """Three [*] levels flatten like the reference's arbitrary-depth
+    navigation (FhirPathRuleEngine.cs:648-723): i = outermost index,
+    j = ordinal within the flattened remainder under i."""
     df = spark.createDataFrame(
-        [("d1", [{"a": [{"b": [1]}]}], "web")],
-        "doc_id string, x array<struct<a:array<struct<b:array<int>>>>>, "
-        "source string")
-    with pytest.raises(RuleConfigurationError, match="at most two"):
-        _run(spark, df, [{"id": "NN-X", "type": "Required",
-                          "column": "x[*].a[*].b[*]"}])
+        [("d1", [{"a": [{"b": [{"v": 1}, {"v": 99999}]},  # (i=0,j=0),(0,1)
+                        {"b": [{"v": 2}]}]},              # (0,2)
+                 {"a": [{"b": None},                      # contributes none
+                        {"b": [{"v": 88888}]}]}], "web"),  # (i=1, j=0)
+         ("d2", [{"a": None}], "web"),
+         ("d3", None, "web")],
+        "doc_id string, x array<struct<a:array<struct<"
+        "b:array<struct<v:int>>>>>>, source string")
+    res = _run(spark, df, [{"id": "NN-5", "type": "Range",
+                            "column": "x[*].a[*].b[*].v",
+                            "params": {"min": 0, "max": 1000,
+                                       "perElement": True}}])
+    rows = res.violations.collect()
+    locs = {(r["doc_id"], r["detail"]["index"], r["detail"]["innerIndex"],
+             r["detail"]["value"]) for r in rows}
+    assert locs == {("d1", "0", "1", "99999"), ("d1", "1", "0", "88888")}
+
+
+def test_nested_terminal_star_flattens_to_leaf_array(spark):
+    """A TERMINAL [*] after earlier stars yields the fully-flattened leaf
+    array as a plain array value (array-family rules see one array per
+    row; element indices are flat ordinals)."""
+    df = spark.createDataFrame(
+        [("d1", [{"b": [1, 99999]}, {"b": [2]}], "web"),
+         ("d2", [{"b": None}], "web")],
+        "doc_id string, x array<struct<b:array<int>>>, source string")
+    res = _run(spark, df, [{"id": "NN-6", "type": "TokenDomain",
+                            "column": "x[*].b[*]",
+                            "params": {"min": 0, "maxExclusive": 1000}}])
+    rows = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert set(rows) == {"d1"}
+    assert rows["d1"]["badCount"] == "1"
+    assert rows["d1"]["examples"] == '[{"i":1,"v":99999}]'
 
 
 # --------------------------------------------- per-element fan-out (R2/R3) --

@@ -13,7 +13,13 @@ import __spark_entry__ as entry_mod
 from fhir_data_validation_spark.session import get_spark
 from fhir_data_validation_spark.sources.tables import TABLES
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ARGS = sys.argv[1:]
+ONLY: list[str] = []
+if "--only" in ARGS:
+    i = ARGS.index("--only")
+    ONLY = ARGS[i + 1].split(",")
+    ARGS = ARGS[:i] + ARGS[i + 2:]
+SF = ARGS[0] if ARGS else "/root/testdata/sf0.01"
 
 
 def normalize(rows, cols):
@@ -41,6 +47,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
         sdf = fn(spark, SF).toPandas()
         s_rows = normalize(sdf.itertuples(index=False, name=None),
                            list(sdf.columns))
