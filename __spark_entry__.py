@@ -642,6 +642,38 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _md5_token_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic (doc_id, tokens, n_tok, source) token table derived
+    from documents: each word hashes to a 0..49999 token id via the md5_60
+    trick (top-60 md5 bits mod 50000), bit-for-bit reproducible in the
+    oracle dialect. The production pipeline would carry real tokenizer
+    output; the packing arithmetic is identical."""
+    from fhir_data_validation_spark.pipeline.text import words
+    docs = load_table(spark, sf, "documents")
+    w = words(F.col("text"))
+    toks = F.transform(w, lambda x: F.pmod(
+        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+        F.lit(50000)).cast("int"))
+    return docs.select("doc_id", "source", toks.alias("tokens"),
+                       F.size(w).alias("n_tok"))
+
+
+def q_k1_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipeline/packing.py): doc→
+    sequence piece mapping at seq_len=32, sharded by source, ordered by
+    doc_id. piece_sum (sum of the sliced token values) value-checks the
+    actual token slices, not just the offsets."""
+    from fhir_data_validation_spark.pipeline import packing
+    pieces = packing.pack_sequences(_md5_token_table(spark, sf), seq_len=32,
+                                    shard_col="source", id_col="doc_id")
+    return (pieces.select("shard", "seq",
+                          F.col("doc_id").cast("long").alias("doc_id"),
+                          "doc_offset", "seq_offset", "piece_len",
+                          F.aggregate("piece", F.lit(0).cast("long"),
+                                      lambda a, x: a + x).alias("piece_sum"))
+            .orderBy("shard", "seq", "seq_offset"))
+
+
 def q_j2_reference_type(spark: SparkSession, sf: str) -> DataFrame:
     """J2 target-type check: the reference EXISTS but its target's type is
     outside expectedTypes — one left join emits both miss and mismatch
@@ -783,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ivf_topk": q_s2_ivf_topk,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
+        "k1_pack_sequences": q_k1_pack_sequences,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1204,6 +1237,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500
             ORDER BY doc_id""",
+        # k1: concat-and-chunk packing restated as pure window arithmetic —
+        # e/s are the doc's [start, end) offsets in the per-source token
+        # stream (doc_id order); each doc overlaps seqs s//32 .. (e-1)//32
+        "k1_pack_sequences": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id, source,
+                     [CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                           % 50000 AS INTEGER) FOR x IN ws] AS tokens,
+                     len(ws) AS n_tok
+              FROM w),
+            sp AS (
+              SELECT source AS shard, doc_id, tokens, n_tok,
+                     CAST(sum(n_tok) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM tok WHERE n_tok > 0),
+            pc AS (
+              SELECT shard, doc_id, tokens, e - n_tok AS s, e,
+                     unnest(generate_series((e - n_tok) // 32,
+                                            (e - 1) // 32)) AS seq
+              FROM sp)
+            SELECT shard, seq, doc_id,
+                   greatest(s, seq * 32) - s AS doc_offset,
+                   greatest(s, seq * 32) - seq * 32 AS seq_offset,
+                   least(e, (seq + 1) * 32) - greatest(s, seq * 32)
+                     AS piece_len,
+                   CAST(list_sum(list_slice(
+                          tokens,
+                          CAST(greatest(s, seq * 32) - s + 1 AS BIGINT),
+                          CAST(least(e, (seq + 1) * 32) - s AS BIGINT)))
+                        AS BIGINT) AS piece_sum
+            FROM pc ORDER BY shard, seq, seq_offset""",
         "j2_reference_type": """
             SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
                    'REF-T' AS rule_id,

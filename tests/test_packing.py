@@ -1,0 +1,88 @@
+"""Sequence packing (concat-and-chunk): mapping invariants + assembly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark.pipeline.packing import (assemble_sequences,
+                                                         pack_sequences,
+                                                         with_shards)
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    rows = [
+        ("a", "d1", list(range(0, 5)), 5),     # stream a: 5+7+3+9 = 24 tokens
+        ("a", "d2", list(range(10, 17)), 7),
+        ("a", "d3", [99, 98, 97], 3),
+        ("a", "d4", list(range(20, 29)), 9),
+        ("a", "d0", [], 0),                    # zero-token doc: dropped
+        ("b", "d5", list(range(50, 63)), 13),  # stream b: 13 tokens
+    ]
+    return spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>, n_tok int")
+
+
+def test_pieces_tile_sequences_exactly(spark, token_df):
+    pieces = pack_sequences(token_df, seq_len=8).collect()
+    # shard a: 24 tokens -> seqs 0,1,2 all full; shard b: 13 -> seq0 full,
+    # seq1 has 5
+    by_seq = {}
+    for p in pieces:
+        by_seq.setdefault((p["shard"], p["seq"]), []).append(p)
+    lens = {k: sum(p["piece_len"] for p in v) for k, v in by_seq.items()}
+    assert lens == {("a", 0): 8, ("a", 1): 8, ("a", 2): 8,
+                    ("b", 0): 8, ("b", 1): 5}
+    for (shard, seq), v in by_seq.items():
+        offs = sorted((p["seq_offset"], p["piece_len"]) for p in v)
+        pos = 0
+        for o, ln in offs:     # pieces tile [0, total) with no gap/overlap
+            assert o == pos
+            pos += ln
+    # no zero-token doc appears
+    assert all(p["doc_id"] != "d0" for p in pieces)
+
+
+def test_straddling_doc_offsets(spark, token_df):
+    pieces = {(p["doc_id"], p["seq"]): p
+              for p in pack_sequences(token_df, seq_len=8).collect()
+              if p["shard"] == "a"}
+    # order within shard a: d1(5) d2(7) d3(3) d4(9) -> d2 occupies [5,12):
+    # straddles seqs 0/1 at the 8-boundary
+    p0, p1 = pieces[("d2", 0)], pieces[("d2", 1)]
+    assert (p0["doc_offset"], p0["seq_offset"], p0["piece_len"]) == (0, 5, 3)
+    assert (p1["doc_offset"], p1["seq_offset"], p1["piece_len"]) == (3, 0, 4)
+    assert p0["piece"] == [10, 11, 12] and p1["piece"] == [13, 14, 15, 16]
+
+
+def test_assemble_round_trip(spark, token_df):
+    pieces = pack_sequences(token_df, seq_len=8)
+    seqs = {(r["shard"], r["seq"]): r
+            for r in assemble_sequences(pieces).collect()}
+    # concat order within shard = doc_id order; re-concatenating the
+    # assembled sequences in seq order must reproduce the doc streams
+    stream_a = (list(range(0, 5)) + list(range(10, 17)) + [99, 98, 97]
+                + list(range(20, 29)))
+    got_a = sum((seqs[("a", i)]["tokens"] for i in range(3)), [])
+    assert got_a == stream_a
+    got_b = seqs[("b", 0)]["tokens"] + seqs[("b", 1)]["tokens"]
+    assert got_b == list(range(50, 63))
+    assert seqs[("a", 0)]["n_tok"] == 8 and seqs[("b", 1)]["n_tok"] == 5
+    # d2 straddle -> seq a/0 holds pieces of d1 and d2
+    assert seqs[("a", 0)]["n_docs"] == 2
+
+
+def test_custom_order_and_validation(spark, token_df):
+    ordered = pack_sequences(token_df, seq_len=8,
+                             order_cols=("n_tok", "doc_id")).collect()
+    first = min((p for p in ordered if p["shard"] == "a"),
+                key=lambda p: (p["seq"], p["seq_offset"]))
+    assert first["doc_id"] == "d3"         # shortest doc packs first
+    with pytest.raises(ValueError):
+        pack_sequences(token_df, seq_len=0)
+
+
+def test_with_shards_deterministic(spark, token_df):
+    a = with_shards(token_df, 4).select("doc_id", "shard").collect()
+    b = with_shards(token_df, 4).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r["shard"] < 4 for r in a)
