@@ -674,6 +674,30 @@ def q_k1_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("shard", "seq", "seq_offset"))
 
 
+def q_sm1_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Target domain mixing (pipeline/selection.py): largest feasible
+    subset at weights en:de:fr = 2:1:1 over the lang strata (weights are
+    exact binary fractions so driver float arithmetic and the oracle's
+    double SQL agree bit-for-bit), then exact md5_60-ranked quotas."""
+    from fhir_data_validation_spark.pipeline import selection
+    docs = load_table(spark, sf, "documents")
+    out, _ = selection.domain_mix(docs, {"en": 2, "de": 1, "fr": 1},
+                                  by="lang", key_col="doc_id")
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def q_sm2_rate_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free deterministic Bernoulli-by-key sampling: per-stratum
+    rates (en 0.5, zh all, others dropped); the md5_60 unit makes the
+    selection reproducible in the oracle dialect. The plan is a bare
+    filter (pinned by test_selection.py)."""
+    from fhir_data_validation_spark.pipeline import selection
+    docs = load_table(spark, sf, "documents")
+    out = selection.sample_by_rate(docs, {"en": 0.5, "zh": 1.0}, by="lang",
+                                   key_col="doc_id")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_j2_reference_type(spark: SparkSession, sf: str) -> DataFrame:
     """J2 target-type check: the reference EXISTS but its target's type is
     outside expectedTypes — one left join emits both miss and mismatch
@@ -816,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
         "k1_pack_sequences": q_k1_pack_sequences,
+        "sm1_domain_mix": q_sm1_domain_mix,
+        "sm2_rate_sample": q_sm2_rate_sample,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1275,6 +1301,40 @@ def oracle_sql() -> dict[str, str]:
                           CAST(least(e, (seq + 1) * 32) - s AS BIGINT)))
                         AS BIGINT) AS piece_sum
             FROM pc ORDER BY shard, seq, seq_offset""",
+        # sm1/sm2: the md5_60 unit is CAST('0x'||substr(md5(key||'#salt'),
+        # 1,15) AS BIGINT) / 2^60 — identical IEEE double on both engines
+        "sm1_domain_mix": """
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents
+              WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+            w AS (SELECT * FROM (VALUES ('en', CAST(0.5 AS DOUBLE)),
+                                        ('de', CAST(0.25 AS DOUBLE)),
+                                        ('fr', CAST(0.25 AS DOUBLE)))
+                  AS t(lang, wt)),
+            nm AS (SELECT min(CAST(floor(n / wt) AS BIGINT)) AS N
+                   FROM c JOIN w USING (lang)),
+            q AS (SELECT w.lang, CAST(floor(wt * N) AS BIGINT) AS quota
+                  FROM w, nm),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(
+                                  md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                  1, 15) AS BIGINT)
+                                / 1152921504606846976.0,
+                                doc_id) AS rn
+              FROM documents WHERE lang IN ('en', 'de', 'fr'))
+            SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+            WHERE rn <= quota ORDER BY r.lang, r.doc_id""",
+        "sm2_rate_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                      1, 15) AS BIGINT)
+                  / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'zh' THEN 1.0 ELSE 0.0 END
+            ORDER BY doc_id""",
         "j2_reference_type": """
             SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
                    'REF-T' AS rule_id,

@@ -1,0 +1,121 @@
+"""Deterministic corpus selection: Bernoulli-by-key sampling, exact
+per-stratum quotas, and target domain mixing.
+
+Sampling in a training-data pipeline must be deterministic (re-runs and
+resumed runs select the same rows), key-stable (a document keeps its fate
+when the corpus is re-partitioned or appended to), and cheap at 100 TB.
+The primitive here is a uniform in [0, 1) derived from the row KEY —
+``hash_unit`` — so:
+
+- rate sampling is a pure FILTER (no shuffle, no state, pushes past the
+  scan) — this is the 100-TB path;
+- quota sampling is a per-stratum top-``n`` by the same unit, so the
+  quota-``n`` sample is a PREFIX of the rate sample — growing a quota only
+  adds documents, never swaps them;
+- mixing re-weights strata by solving for the largest feasible total and
+  delegating to quotas.
+
+The hash is the md5_60 trick (top 60 bits of md5, exactly reproducible in
+the DuckDB oracle dialect — ``pipeline/dedup.py`` d4 precedent). xxhash64
+would be marginally faster but unverifiable; one md5 per row is noise next
+to the scan.
+
+No reference analog (the reference validates, it does not sample); this is
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO_60 = float(1 << 60)
+
+
+def hash_unit(key: Column, salt: int | str = 0) -> Column:
+    """Deterministic uniform in [0, 1) from a key: top-60 md5 bits of
+    ``"<key>#<salt>"`` divided by 2^60. Change ``salt`` to draw an
+    independent sample from the same corpus."""
+    s = F.concat(key.cast("string"), F.lit(f"#{salt}"))
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long").cast("double") / F.lit(_TWO_60))
+
+
+def _per_stratum(values: Mapping[str, float], by: str,
+                 default: float) -> Column:
+    out: Column = F.lit(float(default))
+    for k, v in values.items():
+        out = F.when(F.col(by) == k, F.lit(float(v))).otherwise(out)
+    return out
+
+
+def sample_by_rate(df: DataFrame, rates: float | Mapping[str, float],
+                   by: str = "source", key_col: str = "doc_id",
+                   salt: int | str = 0) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keep rows with
+    ``hash_unit(key) < rate``. ``rates`` is one rate or a per-``by``-
+    stratum mapping (strata absent from the mapping are dropped).
+
+    Shuffle-free: compiles to a single filter predicate, so Catalyst keeps
+    it against the scan — the 100-TB selection path."""
+    rate = (_per_stratum(rates, by, 0.0)
+            if isinstance(rates, Mapping) else F.lit(float(rates)))
+    return df.where(hash_unit(F.col(key_col), salt) < rate)
+
+
+def sample_quota(df: DataFrame, quotas: Mapping[str, int],
+                 by: str = "source", key_col: str = "doc_id",
+                 salt: int | str = 0,
+                 prefilter_rates: Mapping[str, float] | None = None
+                 ) -> DataFrame:
+    """Exact per-stratum quotas: rank each stratum by ``hash_unit`` (ties
+    broken by key) and keep the first ``quotas[stratum]`` rows. Strata
+    absent from ``quotas`` are dropped.
+
+    The rank is over the same unit as :func:`sample_by_rate`, so the
+    quota-``n`` rows are the ``n`` smallest units — a prefix of any rate
+    sample with the same salt.
+
+    One shuffle, partitioned by stratum; each stratum ranks in one task.
+    For heavy strata at 100-TB scale pass ``prefilter_rates`` (e.g.
+    ``2 × quota / stratum_count``): the shuffle then carries only the rate
+    survivors, and the exact trim is unchanged as long as the prefilter
+    rate keeps ≥ quota rows (asserting that is the caller's margin
+    choice)."""
+    base = (sample_by_rate(df, prefilter_rates, by, key_col, salt)
+            if prefilter_rates is not None else df)
+    w = (Window.partitionBy(by)
+         .orderBy(hash_unit(F.col(key_col), salt), F.col(key_col)))
+    quota = _per_stratum({k: float(v) for k, v in quotas.items()}, by, 0.0)
+    return (base.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= quota).drop("_rn"))
+
+
+def domain_mix(df: DataFrame, weights: Mapping[str, float],
+               by: str = "source", key_col: str = "doc_id",
+               salt: int | str = 0, total: int | None = None
+               ) -> tuple[DataFrame, dict[str, int]]:
+    """Select the largest corpus subset matching a target domain mixture.
+
+    ``weights`` are relative stratum proportions (normalized internally).
+    The feasible total is ``N = min_s floor(count_s / w_s)`` — the point
+    where the scarcest stratum is exhausted — optionally capped by
+    ``total``; each stratum then contributes ``floor(w_s · N)`` documents
+    via :func:`sample_quota`. Returns ``(sampled_df, quotas)``.
+
+    The stratum-count aggregation collects |strata| rows to the driver —
+    constant-size at any corpus scale."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: v / wsum for k, v in weights.items() if v > 0}
+    counts = {r[0]: r[1] for r in
+              (df.where(F.col(by).isin(list(norm)))
+               .groupBy(by).agg(F.count("*").alias("n")).collect())}
+    n_max = min(math.floor(counts.get(k, 0) / w) for k, w in norm.items())
+    n = min(n_max, total) if total is not None else n_max
+    quotas = {k: math.floor(w * n) for k, w in norm.items()}
+    return sample_quota(df, quotas, by, key_col, salt), quotas

@@ -1,0 +1,96 @@
+"""Deterministic sampling / quota / domain-mix selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark.pipeline.selection import (domain_mix,
+                                                           hash_unit,
+                                                           sample_by_rate,
+                                                           sample_quota)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 8 else "fr"),
+             f"text {i}") for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_rate_sample_deterministic_and_unbiased(spark, corpus):
+    a = {r["doc_id"] for r in
+         sample_by_rate(corpus, 0.3, by="lang").select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sample_by_rate(corpus, 0.3, by="lang").select("doc_id").collect()}
+    assert a == b                      # deterministic
+    assert 0.2 < len(a) / 1000 < 0.4   # roughly the rate
+    c = {r["doc_id"] for r in
+         sample_by_rate(corpus, 0.3, by="lang", salt=1)
+         .select("doc_id").collect()}
+    assert c != a                      # independent draw under a new salt
+
+
+def test_rate_sample_key_stable_under_repartition(spark, corpus):
+    a = {r["doc_id"] for r in sample_by_rate(corpus, 0.25).collect()}
+    b = {r["doc_id"] for r in
+         sample_by_rate(corpus.repartition(13), 0.25).collect()}
+    assert a == b
+
+
+def test_per_stratum_rates_drop_unlisted(spark, corpus):
+    out = sample_by_rate(corpus, {"en": 0.5, "de": 1.0}, by="lang")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en", "de"}
+    assert out.where(F.col("lang") == "de").count() == 200  # rate 1 = all
+
+
+def test_quota_exact_counts_and_prefix_property(spark, corpus):
+    q = sample_quota(corpus, {"en": 100, "de": 50}, by="lang")
+    counts = {r["lang"]: r["n"] for r in
+              q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 100, "de": 50}
+    # growing a quota only ADDS documents (same salt -> same ranking)
+    q2 = sample_quota(corpus, {"en": 150, "de": 50}, by="lang")
+    ids, ids2 = ({r["doc_id"] for r in x.select("doc_id").collect()}
+                 for x in (q, q2))
+    assert ids < ids2
+    # and the quota sample is a prefix of the rate sample's stratum subset:
+    # every quota pick with unit < r is in the rate sample
+    r = sample_by_rate(corpus, {"en": 0.2}, by="lang")
+    rate_ids = {x["doc_id"] for x in r.select("doc_id").collect()}
+    en_units = (corpus.where(F.col("lang") == "en")
+                .select("doc_id", hash_unit(F.col("doc_id")).alias("u"))
+                .orderBy("u").limit(len(rate_ids)).collect())
+    assert {x["doc_id"] for x in en_units} == rate_ids
+
+
+def test_quota_prefilter_equivalence(spark, corpus):
+    plain = sample_quota(corpus, {"en": 40}, by="lang")
+    pre = sample_quota(corpus, {"en": 40}, by="lang",
+                       prefilter_rates={"en": 0.5})  # 300 survivors >= 40
+    assert ({r["doc_id"] for r in plain.collect()}
+            == {r["doc_id"] for r in pre.collect()})
+
+
+def test_domain_mix_largest_feasible(spark, corpus):
+    # counts: en 600, de 200, fr 200; weights 50/25/25 -> N = min(1200,
+    # 800, 800) = 800 -> quotas en 400, de 200, fr 200
+    out, quotas = domain_mix(corpus, {"en": 2, "de": 1, "fr": 1}, by="lang")
+    assert quotas == {"en": 400, "de": 200, "fr": 200}
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == quotas
+
+
+def test_domain_mix_total_cap_and_bad_weights(spark, corpus):
+    out, quotas = domain_mix(corpus, {"en": 1, "de": 1}, by="lang",
+                             total=100)
+    assert quotas == {"en": 50, "de": 50}
+    assert out.count() == 100
+    with pytest.raises(ValueError):
+        domain_mix(corpus, {"en": 0.0}, by="lang")
+
+
+def test_rate_filter_is_shuffle_free(spark, corpus):
+    plan = sample_by_rate(corpus, 0.5)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
