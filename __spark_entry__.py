@@ -698,6 +698,23 @@ def q_sm2_rate_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark contamination (pipeline/contamination.py): 13-gram
+    overlap of the seeded corpus against a 'benchmark' of documents
+    doc_id < 5 — the seeded near/exact copies (and the benchmark docs
+    themselves) are the contaminated set. md5_60 shingle hashes so the
+    oracle reproduces the hash pipeline bit-for-bit; the xxhash64
+    production default is unit-tested equal."""
+    from fhir_data_validation_spark.pipeline import contamination
+    docs = _seeded_docs(spark, sf)
+    bench = load_table(spark, sf, "documents").where(F.col("doc_id") < 5)
+    out = contamination.benchmark_contamination(docs, bench, n=13,
+                                                hash_fn="md5_60")
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "n_shingles", "n_overlap", "ratio")
+            .orderBy("doc_id"))
+
+
 def q_j2_reference_type(spark: SparkSession, sf: str) -> DataFrame:
     """J2 target-type check: the reference EXISTS but its target's type is
     outside expectedTypes — one left join emits both miss and mismatch
@@ -842,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_pack_sequences": q_k1_pack_sequences,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
+        "x1_contamination": q_x1_contamination,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1327,6 +1345,43 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang IN ('en', 'de', 'fr'))
             SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
             WHERE rn <= quota ORDER BY r.lang, r.doc_id""",
+        # x1: 13-gram shingles hashed with md5_60 on both sides; benchmark
+        # = original docs < 5 (present verbatim inside the seeded corpus)
+        "x1_contamination": f"""
+            WITH seeded AS ({_SEEDED_DOCS_SQL}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM seeded),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(ws) >= 13 THEN
+                              [CAST('0x' || substr(md5(
+                                 array_to_string(ws[i:i+12], ' ')), 1, 15)
+                                AS BIGINT)
+                               FOR i IN range(1, len(ws) - 11)]
+                            WHEN len(ws) > 0 THEN
+                              [CAST('0x' || substr(md5(
+                                 array_to_string(ws, ' ')), 1, 15)
+                                AS BIGINT)]
+                            ELSE [] END) AS shs
+              FROM w),
+            b AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+                  WHERE doc_id < 5),
+            p AS (SELECT doc_id, len(shs) AS n_shingles,
+                         unnest(shs) AS sh
+                  FROM sh WHERE len(shs) > 0)
+            SELECT p.doc_id,
+                   CAST(any_value(p.n_shingles) AS INTEGER) AS n_shingles,
+                   CAST(count(*) AS BIGINT) AS n_overlap,
+                   round(count(*)
+                         / CAST(any_value(p.n_shingles) AS DOUBLE), 4)
+                     AS ratio
+            FROM p JOIN b ON p.sh = b.sh
+            GROUP BY p.doc_id ORDER BY p.doc_id""",
         "sm2_rate_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'),

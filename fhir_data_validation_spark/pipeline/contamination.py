@@ -1,0 +1,87 @@
+"""Benchmark contamination detection: n-gram overlap between a training
+corpus and an evaluation/benchmark set.
+
+The standard pre-training hygiene check (GPT-3 §C / PaLM-style): a training
+document is contaminated when it shares long word n-grams (conventionally
+13-grams) with a benchmark document. Shape at 100 TB:
+
+- the BENCHMARK side is small (eval sets are ~10^4–10^6 documents), so its
+  distinct shingle-hash set broadcasts;
+- the corpus side is ONE scan: shingle → explode → broadcast-hash join
+  keeps only the hitting shingles, so the (tiny) aggregation shuffle
+  carries hits, never the corpus's full shingle stream;
+- per-doc state is two counters — no collected sets.
+
+Hashes default to ``xxhash64`` (fixed-width JVM hash, no string shuffle
+keys); ``md5_60`` mirrors bit-for-bit into the DuckDB oracle
+(``pipeline/dedup.py`` d4 precedent).
+
+No reference analog; training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _word_hash, shingle_hashes, word_shingles
+
+
+def _shingle_set(col: Column, n: int, hash_fn: str) -> Column:
+    """Distinct n-word shingle hashes under the chosen hash primitive."""
+    if hash_fn == "xxhash64":
+        return shingle_hashes(col, n)
+    return F.transform(word_shingles(col, n),
+                       lambda s: _word_hash(s, hash_fn))
+
+
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            n: int = 13, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            bench_text_col: str | None = None,
+                            min_overlap: int = 1,
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-document contamination against a benchmark set.
+
+    Returns ``(doc_id, n_shingles, n_overlap, ratio)`` for corpus documents
+    sharing ≥ ``min_overlap`` distinct n-gram shingles with ANY benchmark
+    document; ``ratio = n_overlap / n_shingles`` in [0, 1]. Documents
+    shorter than ``n`` words contribute their whole word sequence as one
+    shingle (same convention as the dedup family), so exact short
+    duplicates of benchmark text are still caught.
+    """
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    bench_sh = (benchmark
+                .select(F.explode(_shingle_set(
+                    F.col(bench_text_col or text_col), n, hash_fn))
+                    .alias("sh"))
+                .distinct())
+    doc_sh = (docs.select(F.col(id_col),
+                          _shingle_set(F.col(text_col), n, hash_fn)
+                          .alias("_shs"))
+              .withColumn("n_shingles", F.size("_shs"))
+              .where(F.col("n_shingles") > 0)
+              .select(id_col, "n_shingles", F.explode("_shs").alias("sh")))
+    hits = doc_sh.join(F.broadcast(bench_sh), "sh")
+    return (hits.groupBy(id_col)
+            .agg(F.first("n_shingles").alias("n_shingles"),
+                 F.count("*").cast("long").alias("n_overlap"))
+            .where(F.col("n_overlap") >= min_overlap)
+            .withColumn("ratio", F.round(F.col("n_overlap")
+                                         / F.col("n_shingles"), 4)))
+
+
+def remove_contaminated(docs: DataFrame, benchmark: DataFrame,
+                        threshold: float = 0.5, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Corpus minus documents whose contamination ``ratio ≥ threshold`` —
+    a broadcast anti-join against the (small) flagged-id set, preserving
+    the corpus schema and partitioning."""
+    flagged = (benchmark_contamination(docs, benchmark, n, text_col, id_col,
+                                       bench_text_col, hash_fn=hash_fn)
+               .where(F.col("ratio") >= threshold)
+               .select(id_col))
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")
