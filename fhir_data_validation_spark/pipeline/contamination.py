@@ -35,12 +35,31 @@ def _shingle_set(col: Column, n: int, hash_fn: str) -> Column:
                        lambda s: _word_hash(s, hash_fn))
 
 
+def token_shingles(tokens: Column, n: int = 13) -> Column:
+    """Distinct hashes of n-TOKEN windows over an ``array<int>`` token
+    sequence (the token-native analog of :func:`_shingle_set` for corpora
+    that carry tokenizer output instead of text). Sequences shorter than
+    ``n`` tokens yield their whole sequence as one shingle; empty/null
+    sequences yield an empty set."""
+    k = F.size(tokens)
+    shingled = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(",", F.slice(tokens, i, n))))
+    return F.array_distinct(
+        F.when(k >= n, shingled)
+         .when(k > 0, F.array(F.xxhash64(F.concat_ws(",", tokens))))
+         .otherwise(F.array().cast("array<long>")))
+
+
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             n: int = 13, text_col: str = "text",
                             id_col: str = "doc_id",
                             bench_text_col: str | None = None,
                             min_overlap: int = 1,
-                            hash_fn: str = "xxhash64") -> DataFrame:
+                            hash_fn: str = "xxhash64",
+                            tokens_col: str | None = None,
+                            bench_tokens_col: str | None = None
+                            ) -> DataFrame:
     """Per-document contamination against a benchmark set.
 
     Returns ``(doc_id, n_shingles, n_overlap, ratio)`` for corpus documents
@@ -49,16 +68,29 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     shorter than ``n`` words contribute their whole word sequence as one
     shingle (same convention as the dedup family), so exact short
     duplicates of benchmark text are still caught.
+
+    Pass ``tokens_col`` (an ``array<int>`` column) to shingle n-TOKEN
+    windows via :func:`token_shingles` instead of word n-grams — the
+    token-native path for pre-tokenized corpora (both sides must be
+    tokenized by the same tokenizer for overlap to be meaningful).
     """
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
+
+    def shingles(col: Column, token_side: bool) -> Column:
+        if token_side:
+            return token_shingles(col, n)
+        return _shingle_set(col, n, hash_fn)
+
+    bench_col = (F.col(bench_tokens_col or tokens_col)
+                 if tokens_col else F.col(bench_text_col or text_col))
     bench_sh = (benchmark
-                .select(F.explode(_shingle_set(
-                    F.col(bench_text_col or text_col), n, hash_fn))
-                    .alias("sh"))
+                .select(F.explode(shingles(bench_col, tokens_col is not None))
+                        .alias("sh"))
                 .distinct())
+    doc_col = F.col(tokens_col) if tokens_col else F.col(text_col)
     doc_sh = (docs.select(F.col(id_col),
-                          _shingle_set(F.col(text_col), n, hash_fn)
+                          shingles(doc_col, tokens_col is not None)
                           .alias("_shs"))
               .withColumn("n_shingles", F.size("_shs"))
               .where(F.col("n_shingles") > 0)

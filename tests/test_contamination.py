@@ -83,3 +83,24 @@ def test_benchmark_side_is_broadcast(spark, corpus, bench_set):
     plan = benchmark_contamination(corpus, bench_set)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_native_contamination(spark):
+    from fhir_data_validation_spark.pipeline.contamination import \
+        benchmark_contamination
+    seq = list(range(100, 140))          # 40 tokens
+    docs = spark.createDataFrame(
+        [("hit", seq), ("part", [0] * 10 + seq[:20]),
+         ("clean", list(range(500, 540))), ("tiny", [1, 2]),
+         ("empty", [])],
+        "doc_id string, tokens array<int>")
+    bench = spark.createDataFrame([("b1", seq), ("b2", [1, 2])],
+                                  "qid string, tokens array<int>")
+    out = {r["doc_id"]: r for r in benchmark_contamination(
+        docs, bench, n=13, tokens_col="tokens").collect()}
+    assert set(out) == {"hit", "part", "tiny"}
+    assert out["hit"]["ratio"] == 1.0
+    # part: 30 tokens -> 18 shingles, 8 of which (windows fully inside
+    # seq[:20]) overlap b1's shingle set
+    assert out["part"]["n_overlap"] == 8
+    assert out["tiny"]["ratio"] == 1.0   # whole-sequence shingle matches b2
