@@ -63,7 +63,10 @@ def pack_sequences(df: DataFrame, seq_len: int, shard_col: str = "source",
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    order = [F.col(c) for c in (order_cols or (id_col,))]
+    # id_col always tie-breaks so a non-unique custom order still packs
+    # deterministically
+    order = [F.col(c) for c in (*order_cols, id_col)
+             ] if order_cols else [F.col(id_col)]
     w = (Window.partitionBy(shard_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     n = F.col(n_tok_col).cast("long")

@@ -108,6 +108,8 @@ def domain_mix(df: DataFrame, weights: Mapping[str, float],
 
     The stratum-count aggregation collects |strata| rows to the driver —
     constant-size at any corpus scale."""
+    if any(v < 0 for v in weights.values()):
+        raise ValueError("weights must be non-negative")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
