@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _word_hash, shingle_hashes, word_shingles
+from .dedup import _widen, _word_hash, shingle_hashes, word_shingles
 
 
 def _shingle_set(col: Column, n: int, hash_fn: str) -> Column:
@@ -89,11 +89,17 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                         .alias("sh"))
                 .distinct())
     doc_col = F.col(tokens_col) if tokens_col else F.col(text_col)
-    doc_sh = (docs.select(F.col(id_col),
-                          shingles(doc_col, tokens_col is not None)
-                          .alias("_shs"))
+    # _widen: shingling is interpreted-HOF CPU; a few input files would pin
+    # it to a few cores (measured 6× on this host's 3-file seeded union)
+    # No size()>0 pre-filter: explode of an empty set emits nothing anyway,
+    # and the predicate would be PUSHED BELOW the widen exchange, where it
+    # re-evaluates the whole interpreted shingle expression per row on the
+    # narrow input partitions (measured 2× the query's entire cost)
+    doc_sh = (_widen(docs)
+              .select(F.col(id_col),
+                      shingles(doc_col, tokens_col is not None)
+                      .alias("_shs"))
               .withColumn("n_shingles", F.size("_shs"))
-              .where(F.col("n_shingles") > 0)
               .select(id_col, "n_shingles", F.explode("_shs").alias("sh")))
     hits = doc_sh.join(F.broadcast(bench_sh), "sh")
     return (hits.groupBy(id_col)

@@ -42,6 +42,16 @@ def get_spark(app_name: str = "fhir-data-validation-spark",
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # InferFiltersFromGenerate synthesizes size(child)>0 under every
+        # explode; predicate pushdown then drags the generator's WHOLE
+        # child expression below exchanges onto the (often narrow) scan
+        # partitions, re-evaluating interpreted HOF chains per row — a
+        # measured 2× on shingle pipelines. Its benefit (skipping rows
+        # that generate nothing) is ~zero: explode of an empty array
+        # already emits no output. Excluded globally.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # array-heavy rows: halve the columnar batch so per-task decode
         # memory stays bounded regardless of tokens-array length
         .config("spark.sql.parquet.columnarReaderBatchSize", "2048")
