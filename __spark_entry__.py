@@ -698,6 +698,19 @@ def q_sm2_rate_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_sm3_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: hash-unit interval
+    carved at exact-binary boundaries (0.75 / 0.875 / 1.0 — weights 6:1:1
+    — so driver-side float accumulation and the oracle's SQL literals are
+    the same doubles). Shuffle-free one-CASE plan, pinned by
+    test_selection.py."""
+    from fhir_data_validation_spark.pipeline import selection
+    docs = load_table(spark, sf, "documents")
+    out = selection.assign_splits(docs, {"train": 6, "val": 1, "test": 1},
+                                  key_col="doc_id")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -779,6 +792,8 @@ def q_c5_drift(spark: SparkSession, sf: str) -> DataFrame:
                     F.round("psi", 4).alias("psi"),
                     F.round("ks", 4).alias("ks"),
                     F.round("ks_crit", 4).alias("ks_crit"),
+                    F.round("jsd", 4).alias("jsd"),
+                    F.round("chi2", 4).alias("chi2"),
                     "n_current", "n_baseline")
             .orderBy("source"))
 
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_pack_sequences": q_k1_pack_sequences,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
+        "sm3_split_assign": q_sm3_split_assign,
         "x1_contamination": q_x1_contamination,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
@@ -1345,6 +1361,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang IN ('en', 'de', 'fr'))
             SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
             WHERE rn <= quota ORDER BY r.lang, r.doc_id""",
+        "sm3_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                1, 15) AS BIGINT)
+                         / 1152921504606846976.0 AS u
+                  FROM documents)
+            ORDER BY doc_id""",
         # x1: 13-gram shingles hashed with md5_60 on both sides; benchmark
         # = original docs < 5 (present verbatim inside the seeded corpus)
         "x1_contamination": f"""
@@ -1428,7 +1456,8 @@ def oracle_sql() -> dict[str, str]:
                            CAST(sum(bc) AS DOUBLE) AS nb
                     FROM merged GROUP BY source),
             terms AS (
-              SELECT m.source,
+              SELECT m.source, m.cc, m.bc,
+                     m.cc / t.nc AS p0, m.bc / t.nb AS q0,
                      greatest(m.cc / t.nc, 1e-6) AS p,
                      greatest(m.bc / t.nb, 1e-6) AS q,
                      sum(m.cc) OVER (PARTITION BY m.source
@@ -1442,6 +1471,17 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(cum_c - cum_b)), 4) AS ks,
                    round(sqrt(-0.5 * ln(0.01/2))
                          * sqrt((nc + nb) / (nc * nb)), 4) AS ks_crit,
+                   round(sum(
+                     CASE WHEN p0 > 0 THEN
+                       0.5 * p0 * ln(p0 / ((p0 + q0) / 2)) / ln(2)
+                     ELSE 0 END
+                     + CASE WHEN q0 > 0 THEN
+                         0.5 * q0 * ln(q0 / ((p0 + q0) / 2)) / ln(2)
+                       ELSE 0 END), 4) AS jsd,
+                   round(sum(
+                     CASE WHEN bc > 0 THEN
+                       (cc - q0 * nc) * (cc - q0 * nc) / (q0 * nc)
+                     ELSE 0 END), 4) AS chi2,
                    CAST(nc AS BIGINT) AS n_current,
                    CAST(nb AS BIGINT) AS n_baseline
             FROM terms GROUP BY source, nc, nb ORDER BY source""",

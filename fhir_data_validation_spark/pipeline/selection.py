@@ -94,6 +94,37 @@ def sample_quota(df: DataFrame, quotas: Mapping[str, int],
             .where(F.col("_rn") <= quota).drop("_rn"))
 
 
+def assign_splits(df: DataFrame, splits: Mapping[str, float],
+                  key_col: str = "doc_id", salt: int | str = 0,
+                  split_col: str = "split") -> DataFrame:
+    """Deterministic disjoint train/validation/test assignment: the
+    ``hash_unit`` interval [0, 1) is carved into consecutive ranges sized
+    by the (normalized) ``splits`` weights, in the mapping's iteration
+    order; every row lands in exactly one split, keyed by ``key_col``
+    alone — stable under repartitioning, appends, and re-runs.
+
+    Shuffle-free: one CASE expression over the scan."""
+    if not splits or any(v < 0 for v in splits.values()):
+        raise ValueError("splits must be non-empty and non-negative")
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError("splits must sum to a positive value")
+    u = hash_unit(F.col(key_col), salt)
+    out: Column = F.lit(None).cast("string")
+    acc = 0.0
+    bounds = []
+    for name, wt in splits.items():
+        acc += wt / total
+        bounds.append((name, acc))
+    # build the CASE from the last range backwards; the final upper bound
+    # is forced to 1.0 so float accumulation error can't leave a row
+    # unassigned
+    bounds[-1] = (bounds[-1][0], 1.0)
+    for name, hi in reversed(bounds):
+        out = F.when(u < F.lit(hi), F.lit(name)).otherwise(out)
+    return df.withColumn(split_col, out)
+
+
 def domain_mix(df: DataFrame, weights: Mapping[str, float],
                by: str = "source", key_col: str = "doc_id",
                salt: int | str = 0, total: int | None = None

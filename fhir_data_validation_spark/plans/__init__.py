@@ -819,15 +819,25 @@ def _where_predicate(rule: RuleDefinition | None, w: dict[str, Any]):
 # ----------------------------------------------------------- Drift (C5 KS/PSI)
 
 DRIFT_RESULT_SCHEMA = ("source string, psi double, ks double, ks_crit double, "
+                       "jsd double, chi2 double, "
                        "n_current long, n_baseline long")
 
 
 def drift_compare(current: DataFrame, baseline: DataFrame,
                   ks_alpha: float = 0.01) -> DataFrame:
-    """PSI + two-sample KS between two reduced histograms (each
-    ``(source, bucket, cnt)``): one Arrow ``applyInPandas`` pass per
-    source over already-aggregated data — no per-row Python anywhere.
-    Output: ``(source, psi, ks, ks_crit, n_current, n_baseline)``.
+    """PSI, two-sample KS, Jensen-Shannon divergence, and chi-square
+    between two reduced histograms (each ``(source, bucket, cnt)``): one
+    Arrow ``applyInPandas`` pass per source over already-aggregated data —
+    no per-row Python anywhere. Output: ``(source, psi, ks, ks_crit, jsd,
+    chi2, n_current, n_baseline)``.
+
+    Statistic conventions: PSI over eps-clamped rates (industry form —
+    sensitive to mass appearing in empty buckets); JSD in bits (base 2,
+    bounded [0, 1], zero-rate terms contribute 0 — no clamping needed);
+    chi-square of current counts against baseline-rate expectations over
+    buckets WITH baseline support (mass in baseline-empty buckets is
+    PSI/JSD's job — the classical statistic is undefined there); KS on the
+    bucket-ordered CDFs (meaningful only for ordered supports).
 
     The shared comparison core of the Drift rule (C5) and
     :func:`~..stats.snapshot_drift`."""
@@ -847,17 +857,29 @@ def drift_compare(current: DataFrame, baseline: DataFrame,
         base = piv["base"].to_numpy(dtype=np.float64) if "base" in piv else np.zeros(len(piv))
         n_cur, n_base = cur.sum(), base.sum()
         if n_cur == 0 or n_base == 0:
-            return pd.DataFrame([{"source": src, "psi": float("nan"),
-                                  "ks": float("nan"), "ks_crit": float("nan"),
+            nan = float("nan")
+            return pd.DataFrame([{"source": src, "psi": nan, "ks": nan,
+                                  "ks_crit": nan, "jsd": nan, "chi2": nan,
                                   "n_current": int(n_cur), "n_baseline": int(n_base)}])
         eps = 1e-6
-        p = np.maximum(cur / n_cur, eps)
-        q = np.maximum(base / n_base, eps)
+        p0, q0 = cur / n_cur, base / n_base
+        p = np.maximum(p0, eps)
+        q = np.maximum(q0, eps)
         psi = float(np.sum((p - q) * np.log(p / q)))
         ks = float(np.max(np.abs(np.cumsum(cur) / n_cur - np.cumsum(base) / n_base)))
         crit = ks_c * math.sqrt((n_cur + n_base) / (n_cur * n_base))
+        m = 0.5 * (p0 + q0)
+        jsd = float(
+            0.5 * np.sum(np.where(p0 > 0, p0 * np.log2(
+                np.where(p0 > 0, p0, 1.0) / np.where(m > 0, m, 1.0)), 0.0))
+            + 0.5 * np.sum(np.where(q0 > 0, q0 * np.log2(
+                np.where(q0 > 0, q0, 1.0) / np.where(m > 0, m, 1.0)), 0.0)))
+        supported = base > 0
+        expected = q0[supported] * n_cur
+        chi2 = float(np.sum((cur[supported] - expected) ** 2 / expected))
         return pd.DataFrame([{"source": src, "psi": psi, "ks": ks,
-                              "ks_crit": crit, "n_current": int(n_cur),
+                              "ks_crit": crit, "jsd": jsd, "chi2": chi2,
+                              "n_current": int(n_cur),
                               "n_baseline": int(n_base)}])
 
     return merged.groupBy("source").applyInPandas(_drift,
@@ -916,10 +938,13 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                 .where(F.col("column_name") == col)
                 .select(F.col("source"), F.col("bucket").cast("bigint"),
                         F.col("count").alias("cnt")))
+    jsd_max = rule.params.get("jsdMax")
     stats = drift_compare(current, baseline, ks_alpha=ks_alpha)
     viol_cond = F.col("psi") > psi_max
     if mode != "tokenFrequency":  # KS needs an ordered support
         viol_cond = viol_cond | (F.col("ks") > F.col("ks_crit"))
+    if jsd_max is not None:  # JSD is support-order-free: valid in any mode
+        viol_cond = viol_cond | (F.col("jsd") > float(jsd_max))
     bad = stats.where(viol_cond)
     return bad.select(
         F.lit(None).cast("string").alias("doc_id"),
@@ -930,6 +955,8 @@ def drift_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             F.lit("psiMax"), F.lit(str(psi_max)),
             F.lit("ks"), F.round("ks", 6).cast("string"),
             F.lit("ksCrit"), F.round("ks_crit", 6).cast("string"),
+            F.lit("jsd"), F.round("jsd", 6).cast("string"),
+            F.lit("chi2"), F.round("chi2", 6).cast("string"),
             F.lit("nCurrent"), F.col("n_current").cast("string"),
             F.lit("nBaseline"), F.col("n_baseline").cast("string"),
         ).alias("detail"),

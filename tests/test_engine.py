@@ -247,3 +247,31 @@ def test_response_assembly(result):
             "source", "fieldPath", "details"} <= set(e)
     assert resp["metadata"] == {"rulesVersion": "1.0",
                                 "processingTimeMs": 42}
+
+
+def test_drift_jsd_chi2_statistics_and_gate(spark):
+    """JSD (bits, bounded [0,1]) and chi-square ride the same reduced
+    histograms; jsdMax is an order-free gate that fires even when the
+    eps-clamped PSI stays under its threshold."""
+    from fhir_data_validation_spark.model import RuleSet
+    clean = token_table(spark, 20000, seed=42)
+    base = stats_baseline(clean, "n_tok", 512)
+    shifted = clean.withColumn("n_tok",
+                               F.least(F.col("n_tok") * 4, F.lit(8192)))
+    # psiMax set unreachably high: only the jsdMax gate can fire
+    rs = RuleSet.parse({"rules": [
+        {"id": "DRF-J", "type": "Drift", "column": "n_tok",
+         "params": {"baseline": "stats_baseline", "psiMax": 1e9,
+                    "ksAlpha": 1e-12, "bucketWidth": 512,
+                    "jsdMax": 0.05}}]})
+    res = ValidationEngine(rs, dims={"stats_baseline": base}).validate(shifted)
+    rows = res.violations.collect()
+    assert rows
+    for r in rows:
+        jsd = float(r["detail"]["jsd"])
+        assert 0.05 < jsd <= 1.0
+        assert float(r["detail"]["chi2"]) > 0.0
+    # identical distribution: jsd ~ 0 → no violation under the same gate
+    same = token_table(spark, 20000, seed=777)
+    res2 = ValidationEngine(rs, dims={"stats_baseline": base}).validate(same)
+    assert res2.violations.count() == 0

@@ -94,3 +94,36 @@ def test_rate_filter_is_shuffle_free(spark, corpus):
     plan = sample_by_rate(corpus, 0.5)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_assign_splits_disjoint_stable(spark, corpus):
+    from fhir_data_validation_spark.pipeline.selection import assign_splits
+    out = assign_splits(corpus, {"train": 98, "val": 1, "test": 1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 1000 and None not in rows.values()
+    counts = {s: list(rows.values()).count(s)
+              for s in ("train", "val", "test")}
+    assert counts["train"] > 900 and counts["val"] + counts["test"] > 0
+    # key-stable: same assignment after repartition
+    rows2 = {r["doc_id"]: r["split"]
+             for r in assign_splits(corpus.repartition(7),
+                                    {"train": 98, "val": 1, "test": 1})
+             .collect()}
+    assert rows == rows2
+    # growing train at test's expense never moves a train row out
+    rows3 = {r["doc_id"]: r["split"]
+             for r in assign_splits(corpus, {"train": 99, "val": 1})
+             .collect()}
+    assert all(rows3[k] == "train" for k, v in rows.items()
+               if v == "train")
+    with pytest.raises(ValueError):
+        assign_splits(corpus, {})
+    with pytest.raises(ValueError):
+        assign_splits(corpus, {"a": -1, "b": 2})
+
+
+def test_assign_splits_shuffle_free(spark, corpus):
+    from fhir_data_validation_spark.pipeline.selection import assign_splits
+    plan = assign_splits(corpus, {"train": 3, "val": 1})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
