@@ -1,0 +1,106 @@
+"""End-to-end training-data curation pipeline (runnable demo).
+
+    python examples/training_data_pipeline.py
+
+The full corpus-to-training-sequences loop over the driver testdata:
+
+1. quality filtering — Gopher-style heuristics through the engine's rule
+   pass (violating docs dropped);
+2. near-duplicate removal — MinHash+LSH pairs → connected components →
+   keep one doc per cluster;
+3. decontamination — 13-gram overlap against a held-out "benchmark" set;
+4. domain mixing — largest feasible subset at target lang weights;
+5. train/val/test split assignment (deterministic, key-stable);
+6. tokenize (demo hash tokenizer) and pack into fixed-length training
+   sequences (concat-and-chunk);
+7. final verdict: validate the packed output's shape with the engine.
+
+Every stage is the same operator a 100-TB run would use — deterministic,
+shuffle-lean, no per-row Python.
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fhir_data_validation_spark import (EngineConfig, RuleSet,  # noqa: E402
+                                        ValidationEngine)
+from fhir_data_validation_spark.pipeline import (contamination,  # noqa: E402
+                                                 dedup, packing, selection)
+from fhir_data_validation_spark.pipeline.presets import \
+    gopher_quality_rules  # noqa: E402
+from fhir_data_validation_spark.pipeline.text import words  # noqa: E402
+from fhir_data_validation_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+SEQ_LEN = 64
+
+spark = get_spark("training-data-pipeline", cores=8, shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f"{SF}/documents.parquet")
+print(f"corpus: {docs.count()} docs")
+
+# 1. quality filter via the engine (same one-scan pass as any rule set)
+res = ValidationEngine(
+    RuleSet.parse(gopher_quality_rules()),
+    config=EngineConfig(key_col="doc_id", group_col="lang")).validate(docs)
+bad = res.violations.select(F.col("doc_id").cast("long")).distinct()
+docs = docs.join(F.broadcast(bad), "doc_id", "left_anti")
+print(f"after quality filter: {docs.count()}")
+
+# 2. near-dup removal (MinHash+LSH -> clusters -> keep min-id per cluster)
+pairs = dedup.minhash_dedup(docs, threshold=0.6)
+drops = (dedup.duplicate_clusters(pairs)
+         .where(~F.col("keep")).select(F.col("doc_id").cast("long")))
+docs = docs.join(F.broadcast(drops), "doc_id", "left_anti")
+print(f"after near-dup removal: {docs.count()}")
+
+# 3. decontaminate against a held-out benchmark (here: doc_id < 10)
+bench = spark.read.parquet(f"{SF}/documents.parquet") \
+    .where(F.col("doc_id") < 10)
+docs = contamination.remove_contaminated(docs, bench, threshold=0.5, n=13)
+print(f"after decontamination: {docs.count()}")
+
+# 4. domain mixing at target lang weights (exact-binary fractions)
+docs, quotas = selection.domain_mix(docs, {"en": 2, "de": 1, "fr": 1},
+                                    by="lang")
+print(f"after domain mix: quotas={quotas}")
+
+# 5. deterministic splits
+docs = selection.assign_splits(docs, {"train": 6, "val": 1, "test": 1})
+print("split counts:", dict(docs.groupBy("split").count().collect()))
+
+# 6. tokenize (demo: hash words to ids) and pack the train split
+tokens = F.transform(words(F.col("text")),
+                     lambda w: F.pmod(F.xxhash64(w), F.lit(50257))
+                     .cast("int"))
+token_df = (docs.where(F.col("split") == "train")
+            .select("doc_id", "source", tokens.alias("tokens"))
+            .withColumn("n_tok", F.size("tokens")))
+pieces = packing.pack_sequences(token_df, seq_len=SEQ_LEN,
+                                shard_col="source")
+seqs = packing.assemble_sequences(pieces).persist()
+n_seq = seqs.count()
+print(f"packed {n_seq} sequences of <= {SEQ_LEN} tokens")
+
+# 7. validate the packed output with the engine: every sequence except a
+# shard's last must be exactly SEQ_LEN
+last = seqs.groupBy("shard").agg(F.max("seq").alias("_last"))
+packed = (seqs.join(last, "shard")
+          .withColumn("is_last", F.col("seq") == F.col("_last"))
+          .withColumn("seq_id", F.concat_ws("/", "shard", "seq")))
+res = ValidationEngine(
+    RuleSet.parse({"rules": [
+        {"id": "PACK-LEN", "type": "CustomExpr",
+         "expr": f"is_last OR n_tok = {SEQ_LEN}"},
+        {"id": "PACK-POS", "type": "Range", "column": "n_tok",
+         "params": {"min": 1, "max": SEQ_LEN}}]}),
+    config=EngineConfig(key_col="seq_id", group_col="shard")).validate(packed)
+print(f"packed-output validation: passed={res.passed()} "
+      f"({res.violations.count()} errors over {n_seq} sequences)")
+assert res.passed()
+seqs.unpersist()
+dedup.unpersist_all()
+print("OK")

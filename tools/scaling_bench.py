@@ -202,7 +202,9 @@ Same job (full default rule set incl. drift, `ValidationEngine.validate`),
 same materialized seeded-corruption corpus ({args.rows:,} rows of
 `(doc_id, tokens array<int>, n_tok, source)`), each parallelism level in a
 fresh warmed JVM. `local[N]` stands in for an N-executor cluster (no real
-cluster in this sandbox).
+cluster in this sandbox). Since round 3 the measured job reads a
+snapshot-pinned **Iceberg** scan of the corpus (registered in place via
+`PyIcebergTable.add_files`) — the BASELINE.json metric's input shape.
 
 | cores | wall sec | rows/sec | violations |
 |---|---|---|---|
