@@ -728,6 +728,88 @@ def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_x2_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (pipeline/redaction.py): documents with
+    deterministically injected emails/IPs/phones/SSNs, redacted in one
+    codegen projection. Counts use the sequential (redact-as-you-count)
+    semantics; red_md5 value-checks the full redacted text against the
+    oracle's RE2 replacements."""
+    from fhir_data_validation_spark.pipeline import redaction
+    docs = load_table(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com or 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7")))
+             .when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" call +65912345"),
+                            (F.col("doc_id") % 90 + 10).cast("string"),
+                            F.lit(" ssn 123-45-6789")))
+             .otherwise(F.lit(""))).alias("text"))
+    out = redaction.redact_docs(injected)
+    return (out.select(
+                "doc_id",
+                *(F.col(f"n_pii_{k}").cast("long").alias(f"n_pii_{k}")
+                  for k in redaction.PII_PATTERNS),
+                F.md5(F.col("text").cast("binary")).alias("red_md5"))
+            .orderBy("doc_id"))
+
+
+def _lined_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents reshaped into multi-line text (one word per line) so the
+    line operators have real repetition to chew on; the oracle states the
+    identical replace."""
+    return (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " ", "\n").alias("text")))
+
+
+def q_x3_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document line dedup (pipeline/cleaning.py): keep-first
+    distinct lines as a pure projection; clean_md5 value-checks the whole
+    reconstructed text, n_lines/n_kept the counts."""
+    from fhir_data_validation_spark.pipeline import cleaning
+    docs = (_lined_docs(spark, sf)
+            .withColumn("n_lines",
+                        F.size(cleaning.doc_lines(F.col("text")))
+                         .cast("long")))
+    out = cleaning.dedup_lines_docs(docs)
+    return (out.select(
+                "doc_id", "n_lines",
+                F.size(cleaning.doc_lines(F.col("text"))).cast("long")
+                 .alias("n_kept"),
+                F.md5(F.col("text").cast("binary")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def q_x4_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate removal (pipeline/cleaning.py): a footer
+    line injected into every third document (plus any naturally recurring
+    line of >= 10 chars in >= 5 docs) is flagged by the corpus-frequency
+    pass and stripped; per-doc clean_md5 value-checks the rebuilt text."""
+    from fhir_data_validation_spark.pipeline import cleaning
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    F.concat(
+                        F.regexp_replace("text", " value ", "\n"),
+                        F.when(F.col("doc_id") % 3 == 0,
+                               F.lit("\ncopyright footer boilerplate "
+                                     "line"))
+                         .otherwise(F.lit(""))).alias("text")))
+    out = cleaning.remove_boilerplate(docs, min_docs=5, min_len=10)
+    return (out.select("doc_id",
+                       F.col("n_removed_lines").cast("long")
+                        .alias("n_removed_lines"),
+                       F.md5(F.col("text").cast("binary"))
+                        .alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 def q_j2_reference_type(spark: SparkSession, sf: str) -> DataFrame:
     """J2 target-type check: the reference EXISTS but its target's type is
     outside expectedTypes — one left join emits both miss and mismatch
@@ -876,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
         "x1_contamination": q_x1_contamination,
+        "x2_pii_redaction": q_x2_pii_redaction,
+        "x3_line_dedup": q_x3_line_dedup,
+        "x4_boilerplate": q_x4_boilerplate,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1410,6 +1495,107 @@ def oracle_sql() -> dict[str, str]:
                      AS ratio
             FROM p JOIN b ON p.sh = b.sh
             GROUP BY p.doc_id ORDER BY p.doc_id""",
+        # x2: sequential PII redaction — each kind counts and replaces on
+        # the text as redacted by the previous kinds (RE2 == Java regex on
+        # this pattern subset)
+        "x2_pii_redaction": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN
+                         ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       WHEN doc_id % 7 = 0 THEN
+                         ' call +65912345'
+                         || CAST(doc_id % 90 + 10 AS VARCHAR)
+                         || ' ssn 123-45-6789'
+                       ELSE '' END AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1 FROM inj),
+            s2 AS (SELECT *, regexp_replace(t1,
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                       '<SSN>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT *, regexp_replace(t2,
+                       '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b',
+                       '<PHONE>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT *, regexp_replace(t3,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g') AS t4 FROM s3)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_pii_email,
+                   CAST(len(regexp_extract_all(t1,
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT)
+                     AS n_pii_ssn,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+                     AS BIGINT) AS n_pii_phone,
+                   CAST(len(regexp_extract_all(t3,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                     AS BIGINT) AS n_pii_ipv4,
+                   md5(t4) AS red_md5
+            FROM s4 ORDER BY doc_id""",
+        # x3: keep-first within-doc line dedup over one-word-per-line text
+        "x3_line_dedup": """
+            WITH l AS (
+              SELECT doc_id, replace(text, ' ', chr(10)) AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                       AS pos
+              FROM l),
+            f AS (SELECT doc_id, line, min(pos) AS fp
+                  FROM e GROUP BY doc_id, line),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY fp) AS clean
+                    FROM f GROUP BY doc_id)
+            SELECT l.doc_id,
+                   CAST(len(string_split(l.t, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   agg.n_kept, md5(agg.clean) AS clean_md5
+            FROM l JOIN agg USING (doc_id) ORDER BY doc_id""",
+        # x4: corpus-frequency boilerplate removal (footer injected into
+        # every third doc; any natural >=10-char line in >=5 docs is
+        # likewise flagged — the oracle replicates the frequency pass)
+        "x4_boilerplate": """
+            WITH l AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' value ', chr(10), 'g')
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          chr(10) || 'copyright footer boilerplate line'
+                        ELSE '' END AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                       AS pos
+              FROM l),
+            freq AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM e WHERE len(line) >= 10 GROUP BY line)
+              WHERE nd >= 5),
+            kept AS (
+              SELECT e.* FROM e
+              WHERE e.line NOT IN (SELECT line FROM freq)),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean
+                    FROM kept GROUP BY doc_id)
+            SELECT l.doc_id,
+                   CAST(len(string_split(l.t, chr(10))) AS BIGINT)
+                     - coalesce(agg.n_kept, 0) AS n_removed_lines,
+                   md5(coalesce(agg.clean, '')) AS clean_md5
+            FROM l LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
         "sm2_rate_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'),

@@ -1,0 +1,131 @@
+"""Line-level corpus cleaning: within-document line dedup and
+corpus-level boilerplate removal.
+
+The two line-granularity passes of a C4-style cleanup:
+
+- :func:`dedup_lines` — drop repeated lines *within* a document, keeping
+  the first occurrence. A pure projection (``array_distinct`` preserves
+  first-occurrence order), zero shuffle — a 100 TB corpus cleans in one
+  codegen pass.
+- :func:`remove_boilerplate` — drop lines that recur across *many*
+  documents (nav bars, footers, cookie banners). Two passes: a line-hash
+  frequency aggregation (map-side combined, fixed-width ``xxhash64``
+  shuffle keys), then explode → broadcast anti-join against the (small,
+  capped) flagged set → positional rebuild. The only full shuffle carries
+  the surviving line stream once.
+
+Lines are ``\\n``-separated (:func:`doc_lines`); lines shorter than
+``min_len`` characters are never treated as boilerplate and, for
+:func:`dedup_lines`, are always kept (blank separator lines survive).
+
+No reference analog; training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tag separator for the short-line keep-alive trick — NUL never occurs in
+# sane text and is stripped back out after the distinct
+_TAG = "\x00"
+
+
+def doc_lines(col: Column) -> Column:
+    """Text split into lines (trailing empties kept)."""
+    return F.split(col, "\n", -1)
+
+
+def dedup_lines(col: Column, min_len: int = 0) -> Column:
+    """Text with repeated lines removed, first occurrence kept.
+
+    Lines shorter than ``min_len`` characters are always kept (so blank
+    lines and short separators don't collapse): they are tagged with their
+    position before the distinct and untagged after — all inside one
+    projection, no shuffle.
+    """
+    lines = doc_lines(col)
+    if min_len > 0:
+        lines = F.transform(
+            lines,
+            lambda x, i: F.when(F.length(x) >= min_len, x)
+                          .otherwise(F.concat(x, F.lit(_TAG),
+                                              i.cast("string"))))
+    kept = F.array_distinct(lines)
+    if min_len > 0:
+        kept = F.transform(
+            kept, lambda x: F.element_at(F.split(x, _TAG, 2), 1))
+    return F.array_join(kept, "\n")
+
+
+def dedup_lines_docs(df: DataFrame, text_col: str = "text",
+                     min_len: int = 0) -> DataFrame:
+    """Corpus with ``text_col`` line-deduped in place (pure projection)."""
+    return df.withColumn(text_col, dedup_lines(F.col(text_col), min_len))
+
+
+def line_frequencies(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_len: int = 10) -> DataFrame:
+    """``(line_hash, line, n_docs)`` — in how many distinct documents each
+    line of ≥ ``min_len`` characters occurs. Lines are de-duplicated per
+    document first (``array_distinct``), so ``count(*)`` after the
+    explode IS the distinct-document count — no ``count_distinct`` state.
+    The shuffle key is the fixed-width 64-bit hash, not the string."""
+    lines = (df.select(F.explode(F.filter(
+                 F.array_distinct(doc_lines(F.col(text_col))),
+                 lambda x: F.length(x) >= min_len)).alias("line")))
+    return (lines.groupBy(F.xxhash64("line").alias("line_hash"))
+            .agg(F.first("line").alias("line"),
+                 F.count("*").cast("long").alias("n_docs")))
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 2,
+                      min_len: int = 10, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_lines: int = 1_000_000) -> DataFrame:
+    """The flagged set: lines occurring in ≥ ``min_docs`` documents,
+    capped at the ``max_lines`` most frequent (deterministic hash
+    tiebreak) so the set stays broadcastable at any corpus size."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 — at 1 every line "
+                         "is boilerplate")
+    return (line_frequencies(df, text_col, id_col, min_len)
+            .where(F.col("n_docs") >= min_docs)
+            .orderBy(F.col("n_docs").desc(), F.col("line_hash"))
+            .limit(max_lines))
+
+
+def remove_boilerplate(df: DataFrame, min_docs: int = 2, min_len: int = 10,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_lines: int = 1_000_000) -> DataFrame:
+    """Corpus with cross-document boilerplate lines removed.
+
+    Returns ``df`` with ``text_col`` rebuilt (original line order, flagged
+    lines dropped) plus ``n_removed_lines``. Documents reduced to nothing
+    keep an empty string. The per-document ``collect_list`` state is
+    bounded by the document's own line count — the same order as holding
+    the text itself.
+    """
+    flagged = boilerplate_lines(df, min_docs, min_len, text_col, id_col,
+                                max_lines).select("line_hash")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(doc_lines(F.col(text_col))).alias("pos", "line"))
+    kept = lines.join(F.broadcast(flagged),
+                      F.xxhash64(lines["line"]) == flagged["line_hash"],
+                      "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("_clean"),
+                    F.count("*").cast("long").alias("_n_kept")))
+    n_lines = F.size(doc_lines(F.col(text_col)))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn("n_removed_lines",
+                        n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+            .drop("_clean", "_n_kept"))

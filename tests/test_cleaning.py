@@ -1,0 +1,149 @@
+"""PII redaction + line-level cleaning (redaction.py / cleaning.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_data_validation_spark.pipeline import cleaning, redaction
+
+PII_TEXT = ("mail bob.smith+x@ex-ample.co.uk here 10.0.255.7 call "
+            "+6591234567 or 555-123-4567 ssn 123-45-6789 not1.2.3.4.5 "
+            "v1.2.3")
+
+
+# ---------------------------------------------------------------- redaction
+
+def test_redact_all_kinds(spark):
+    df = spark.createDataFrame([(1, PII_TEXT)], "doc_id long, text string")
+    row = redaction.redact_docs(df).collect()[0]
+    assert row["text"] == ("mail <EMAIL> here <IPV4> call <PHONE> or "
+                           "<PHONE> ssn <SSN> not1.<IPV4> v1.2.3")
+    assert (row["n_pii_email"], row["n_pii_ssn"],
+            row["n_pii_phone"], row["n_pii_ipv4"]) == (1, 1, 2, 2)
+
+
+def test_redact_matches_duckdb_re2(spark):
+    """The whole point of the pattern subset: DuckDB's RE2 engine applied
+    sequentially produces the identical redacted string and counts."""
+    df = spark.createDataFrame([(1, PII_TEXT)], "doc_id long, text string")
+    row = redaction.redact_docs(df).collect()[0]
+    con = duckdb.connect()
+    cur, counts = PII_TEXT, {}
+    for kind, pat in redaction.PII_PATTERNS.items():
+        counts[kind] = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [cur, pat]).fetchone()[0]
+        cur = con.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')",
+            [cur, pat, redaction.redaction_token(kind)]).fetchone()[0]
+    assert row["text"] == cur
+    assert {k: row[f"n_pii_{k}"] for k in counts} == counts
+
+
+def test_redact_sequential_no_double_count(spark):
+    # the digits in an email local part must not also count as a phone
+    df = spark.createDataFrame([(1, "reach +6591234567@relay.example.org")],
+                               "doc_id long, text string")
+    row = redaction.redact_docs(df).collect()[0]
+    assert row["n_pii_email"] == 1 and row["n_pii_phone"] == 0
+    assert row["text"] == "reach <EMAIL>"
+
+
+def test_redact_kind_subset_and_unknown(spark):
+    df = spark.createDataFrame([(1, PII_TEXT)], "doc_id long, text string")
+    row = redaction.redact_docs(df, kinds=["ipv4"]).collect()[0]
+    assert "<EMAIL>" not in row["text"] and "<IPV4>" in row["text"]
+    assert "n_pii_email" not in row.asDict()
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        redaction.redact(F.col("text"), kinds=["email", "nope"])
+
+
+def test_redact_is_single_projection(spark):
+    df = spark.createDataFrame([(1, PII_TEXT)], "doc_id long, text string")
+    plan = (redaction.redact_docs(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------------- line dedup
+
+def test_dedup_lines_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa long line\n\nbbb\naaa long line\n\nbbb\nccc"), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in cleaning.dedup_lines_docs(df).collect()}
+    assert out[1] == "aaa long line\n\nbbb\nccc"
+    assert out[2] == ""
+
+
+def test_dedup_lines_min_len_keeps_short_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa long line\n\nbbb\naaa long line\n\nbbb\nccc")],
+        "doc_id long, text string")
+    out = cleaning.dedup_lines_docs(df, min_len=5).collect()[0]["text"]
+    # blank lines and the short 'bbb' survive; the long duplicate goes
+    assert out == "aaa long line\n\nbbb\n\nbbb\nccc"
+
+
+def test_dedup_lines_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = (cleaning.dedup_lines_docs(df, min_len=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- boilerplate
+
+@pytest.fixture(scope="module")
+def footered(spark):
+    rows = [(i, f"body text number {i} here\nfooter common line x")
+            for i in range(5)]
+    rows.append((9, "only unique body text\nshort"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_flagged(spark, footered):
+    flagged = cleaning.boilerplate_lines(footered, min_docs=3).collect()
+    assert [(r["line"], r["n_docs"]) for r in flagged] == \
+        [("footer common line x", 5)]
+
+
+def test_remove_boilerplate(spark, footered):
+    out = {r["doc_id"]: r for r in
+           cleaning.remove_boilerplate(footered, min_docs=3)
+           .orderBy("doc_id").collect()}
+    for i in range(5):
+        assert out[i]["text"] == f"body text number {i} here"
+        assert out[i]["n_removed_lines"] == 1
+    assert out[9]["text"] == "only unique body text\nshort"
+    assert out[9]["n_removed_lines"] == 0
+
+
+def test_remove_boilerplate_doc_fully_removed(spark):
+    rows = [(i, "the repeated footer") for i in range(3)]
+    rows.append((7, "the repeated footer\nplus some real content"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cleaning.remove_boilerplate(df, min_docs=3).collect()}
+    assert out[0]["text"] == "" and out[0]["n_removed_lines"] == 1
+    assert out[7]["text"] == "plus some real content"
+
+
+def test_remove_boilerplate_short_lines_never_flagged(spark):
+    df = spark.createDataFrame([(i, "hey\nhey\nhey") for i in range(4)],
+                               "doc_id long, text string")
+    out = cleaning.remove_boilerplate(df, min_docs=2, min_len=10).collect()
+    assert all(r["text"] == "hey\nhey\nhey" for r in out)
+
+
+def test_boilerplate_min_docs_guard(spark, footered):
+    with pytest.raises(ValueError, match="min_docs"):
+        cleaning.boilerplate_lines(footered, min_docs=1)
+
+
+def test_remove_boilerplate_broadcast_plan(spark, footered):
+    """The flagged set must reach the anti-join as a broadcast — no
+    sort-merge over the line stream."""
+    plan = (cleaning.remove_boilerplate(footered, min_docs=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
