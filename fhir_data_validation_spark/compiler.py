@@ -83,12 +83,16 @@ class PredicateEntry:
     stage: int = Stage.BUSINESS
     elements: Column | None = None  # array<struct<i,j,v>> of bad elements
 
-    def violation_struct(self) -> Column:
+    def violation_struct(self, fired: Column | None = None) -> Column:
+        """The violation struct, guarded by ``fired`` when given (the
+        engine's pre-computed fired-rule bitmask test — a cheap bit check
+        on the interpreted post-exchange side) or by re-evaluating
+        ``condition`` otherwise."""
         r = self.rule
         elements = (self.elements if self.elements is not None
                     else F.lit(None).cast(ELEMENTS_TYPE))
         return F.when(
-            self.condition,
+            self.condition if fired is None else fired,
             F.struct(
                 F.lit(r.id).alias("rule_id"),
                 F.lit(r.type).alias("rule_type"),

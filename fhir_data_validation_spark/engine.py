@@ -241,12 +241,28 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
               for i in range(0, len(plan.predicates), CHUNK)]
     parts = []
     for chunk in chunks:
+        # the full-input stage keeps the plain OR filter (short-circuiting,
+        # codegen); the surviving (violating) rows then get a fired-rule
+        # bitmask — still in the codegen scan stage, but over O(bad rows)
+        # only — so the post-exchange interpreted side guards each struct
+        # with a bit test instead of re-evaluating the rule conditions
+        # (CHUNK=40 < 63 bits)
         any_cond = chunk[0].condition
         for p in chunk[1:]:
             any_cond = any_cond | p.condition
+        fired_bits = F.lit(0).cast("long")
+        for b, p in enumerate(chunk):
+            fired_bits = fired_bits.bitwiseOR(
+                F.when(p.condition, F.lit(1 << b).cast("long"))
+                 .otherwise(F.lit(0).cast("long")))
         violating = (df.where(any_cond)
+                       .withColumn("_fdv_fired", fired_bits)
                        .repartition(width))
-        arr = F.array_compact(F.array(*[p.violation_struct() for p in chunk]))
+        arr = F.array_compact(F.array(*[
+            p.violation_struct(
+                F.col("_fdv_fired")
+                 .bitwiseAND(F.lit(1 << b).cast("long")) != 0)
+            for b, p in enumerate(chunk)]))
         fired = (violating
                  .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
                          F.col(cfg.group_col).cast("string").alias("source"),

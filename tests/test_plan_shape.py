@@ -56,13 +56,17 @@ def test_fused_pass_filter_before_exchange(spark, corpus, plan):
     i_generate = s.index("Generate")
     assert i_generate < i_exchange < i_filter
     # the full-input Filter condition is pure native functions (codegen-able)
-    # — the CASE WHEN violation structs live only in Generate's arguments,
-    # after the exchange
-    cond = s[s.index("(2) Filter"):s.index("(3) Exchange")]
+    # — no CASE WHEN: the fired-rule bitmask project runs AFTER the filter,
+    # over violating rows only, and the violation structs live only in
+    # Generate's arguments, after the exchange
+    cond = s[s.index("(2) Filter"):s.index("(3) Project")]
     assert "CASE WHEN" not in cond
     assert "array_min" in cond and "array_max" in cond  # native token-domain
-    gen = s[s.index("(4) Generate"):]
-    assert "CASE WHEN" in gen
+    proj = s[s.index("(3) Project"):s.index("(4) Exchange")]
+    assert "_fdv_fired" in proj          # bitmask on violating rows
+    assert "rule_id" not in proj         # ... but no violation structs yet
+    gen = s[s.index("(5) Generate"):]
+    assert "CASE WHEN" in gen and "_fdv_fired" in gen
 
 
 def test_dataset_plans_prune_tokens_column(spark, corpus, plan):
@@ -118,10 +122,14 @@ def test_element_path_range_native_scan_filter(spark):
          "params": {"min": 0, "max": 10}}]}))
     plan = engine.compile(df)
     s = explain_str(predicate_violations(df, plan))
-    cond = s[s.index("(2) Filter"):s.index("(3) Exchange")]
+    cond = s[s.index("(2) Filter"):s.index("(3) Project")]
     assert "array_min" in cond and "array_max" in cond
     assert "lambdafunction" not in cond.lower()
     assert ".v" in cond  # GetArrayStructFields extraction, not a transform
+    # the bitmask project between filter and exchange stays lambda-free too
+    # (per-element detail lambdas live after the exchange)
+    proj = s[s.index("(3) Project"):s.index("(4) Exchange")]
+    assert "lambdafunction" not in proj.lower()
 
 
 def test_codesystem_plan_broadcasts_codeset(spark):
