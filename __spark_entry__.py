@@ -711,6 +711,18 @@ def q_sm3_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_sm4_shuffle_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-shuffle permutation rank
+    (pipeline/selection.shuffle_ranks): sharded two-pass global rank —
+    no single-task sort over the corpus — value-checked against the
+    oracle's naive ``row_number() OVER (ORDER BY u, key)``."""
+    from fhir_data_validation_spark.pipeline import selection
+    docs = load_table(spark, sf, "documents")
+    out = selection.shuffle_ranks(docs, key_col="doc_id", salt=0,
+                                  shards=64)
+    return out.select("doc_id", "shuffle_rank").orderBy("doc_id")
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -957,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
+        "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
@@ -1495,6 +1508,17 @@ def oracle_sql() -> dict[str, str]:
                      AS ratio
             FROM p JOIN b ON p.sh = b.sh
             GROUP BY p.doc_id ORDER BY p.doc_id""",
+        "sm4_shuffle_ranks": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY u, doc_id) - 1
+                        AS BIGINT) AS shuffle_rank
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR) || '#0'),
+                                1, 15) AS BIGINT)
+                         / 1152921504606846976.0 AS u
+                  FROM documents)
+            ORDER BY doc_id""",
         # x2: sequential PII redaction — each kind counts and replaces on
         # the text as redacted by the previous kinds (RE2 == Java regex on
         # this pattern subset)

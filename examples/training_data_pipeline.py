@@ -4,16 +4,18 @@
 
 The full corpus-to-training-sequences loop over the driver testdata:
 
-1. quality filtering — Gopher-style heuristics through the engine's rule
+1. cleaning — PII redaction + within-doc line dedup (pure projections);
+2. quality filtering — Gopher-style heuristics through the engine's rule
    pass (violating docs dropped);
-2. near-duplicate removal — MinHash+LSH pairs → connected components →
+3. near-duplicate removal — MinHash+LSH pairs → connected components →
    keep one doc per cluster;
-3. decontamination — 13-gram overlap against a held-out "benchmark" set;
-4. domain mixing — largest feasible subset at target lang weights;
-5. train/val/test split assignment (deterministic, key-stable);
-6. tokenize (demo hash tokenizer) and pack into fixed-length training
+4. decontamination — 13-gram overlap against a held-out "benchmark" set;
+5. domain mixing — largest feasible subset at target lang weights;
+6. train/val/test split assignment (deterministic, key-stable);
+7. epoch shuffle — deterministic global permutation rank (salt = epoch);
+8. tokenize (demo hash tokenizer) and pack into fixed-length training
    sequences (concat-and-chunk);
-7. final verdict: validate the packed output's shape with the engine.
+9. final verdict: validate the packed output's shape with the engine.
 
 Every stage is the same operator a 100-TB run would use — deterministic,
 shuffle-lean, no per-row Python.
@@ -27,8 +29,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from fhir_data_validation_spark import (EngineConfig, RuleSet,  # noqa: E402
                                         ValidationEngine)
-from fhir_data_validation_spark.pipeline import (contamination,  # noqa: E402
-                                                 dedup, packing, selection)
+from fhir_data_validation_spark.pipeline import (cleaning,  # noqa: E402
+                                                 contamination, dedup,
+                                                 packing, redaction,
+                                                 selection)
 from fhir_data_validation_spark.pipeline.presets import \
     gopher_quality_rules  # noqa: E402
 from fhir_data_validation_spark.pipeline.text import words  # noqa: E402
@@ -41,6 +45,9 @@ spark = get_spark("training-data-pipeline", cores=8, shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{SF}/documents.parquet")
 print(f"corpus: {docs.count()} docs")
+
+# 0. clean: redact PII, dedup repeated lines — one projection, no shuffle
+docs = cleaning.dedup_lines_docs(redaction.redact_docs(docs, counts=False))
 
 # 1. quality filter via the engine (same one-scan pass as any rule set)
 res = ValidationEngine(
@@ -72,11 +79,18 @@ print(f"after domain mix: quotas={quotas}")
 docs = selection.assign_splits(docs, {"train": 6, "val": 1, "test": 1})
 print("split counts:", dict(docs.groupBy("split").count().collect()))
 
-# 6. tokenize (demo: hash words to ids) and pack the train split
+# 6. epoch shuffle: deterministic permutation rank, salt = epoch number
+train = selection.shuffle_ranks(docs.where(F.col("split") == "train"),
+                                salt="epoch0", shards=16)
+print("epoch-0 shuffle head:",
+      [r["doc_id"] for r in
+       train.orderBy("shuffle_rank").limit(5).collect()])
+
+# 7. tokenize (demo: hash words to ids) and pack the train split
 tokens = F.transform(words(F.col("text")),
                      lambda w: F.pmod(F.xxhash64(w), F.lit(50257))
                      .cast("int"))
-token_df = (docs.where(F.col("split") == "train")
+token_df = (train
             .select("doc_id", "source", tokens.alias("tokens"))
             .withColumn("n_tok", F.size("tokens")))
 pieces = packing.pack_sequences(token_df, seq_len=SEQ_LEN,

@@ -152,3 +152,43 @@ def domain_mix(df: DataFrame, weights: Mapping[str, float],
     n = min(n_max, total) if total is not None else n_max
     quotas = {k: math.floor(w * n) for k, w in norm.items()}
     return sample_quota(df, quotas, by, key_col, salt), quotas
+
+
+def shuffle_ranks(df: DataFrame, key_col: str = "doc_id",
+                  salt: int | str = 0, shards: int = 1024,
+                  rank_col: str = "shuffle_rank") -> DataFrame:
+    """Deterministic global permutation rank for epoch shuffling.
+
+    Adds ``rank_col`` = the row's 0-based position when the corpus is
+    ordered by ``(hash_unit(key, salt), key)`` — a pseudo-random but fully
+    reproducible permutation; change ``salt`` (e.g. to the epoch number)
+    for an independent shuffle of the same corpus. ``key_col`` must be
+    unique for the rank to be a permutation.
+
+    A naive ``row_number() OVER (ORDER BY u)`` is a single-task global
+    sort — dead at 100 TB. Here the unit interval is cut into ``shards``
+    ranges (shard id is monotone in the unit, so shard order == global
+    order): rows rank inside their shard in parallel, a |shards|-row
+    count aggregate yields each shard's exclusive prefix offset, and the
+    final rank is ``offset + within-shard rank``. One shuffle of the data
+    (by shard) plus one broadcast of the tiny offset table.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    u = hash_unit(F.col(key_col), salt)
+    # u*shards can round UP to exactly `shards` for u just below 1.0 —
+    # clamp; the top shard simply absorbs the boundary rows
+    shard = F.least(F.floor(u * shards).cast("int"), F.lit(shards - 1))
+    base = df.withColumn("_u", u).withColumn("_shard", shard)
+    counts = base.groupBy("_shard").agg(F.count("*").alias("_c"))
+    w_off = (Window.orderBy("_shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+        .drop("_c"))
+    w_rn = Window.partitionBy("_shard").orderBy("_u", F.col(key_col))
+    return (base.withColumn("_rn", F.row_number().over(w_rn))
+            .join(F.broadcast(offsets), "_shard")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.col("_rn") - 1).cast("long"))
+            .drop("_u", "_shard", "_rn", "_off"))

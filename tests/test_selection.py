@@ -127,3 +127,46 @@ def test_assign_splits_shuffle_free(spark, corpus):
     plan = assign_splits(corpus, {"train": 3, "val": 1})._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_ranks_is_global_permutation(spark, corpus):
+    from pyspark.sql import Window
+    from fhir_data_validation_spark.pipeline.selection import shuffle_ranks
+    out = shuffle_ranks(corpus, shards=16)
+    rows = {r["doc_id"]: r["shuffle_rank"] for r in out.collect()}
+    # complete 0..n-1 permutation
+    assert sorted(rows.values()) == list(range(1000))
+    # equals the naive single-window global rank
+    w = Window.orderBy(hash_unit(F.col("doc_id"), 0), F.col("doc_id"))
+    naive = {r["doc_id"]: r["rk"] for r in
+             corpus.withColumn("rk", F.row_number().over(w) - 1).collect()}
+    assert rows == naive
+    # stable under repartitioning
+    rows2 = {r["doc_id"]: r["shuffle_rank"]
+             for r in shuffle_ranks(corpus.repartition(7), shards=16)
+             .collect()}
+    assert rows == rows2
+    # a different salt (epoch) gives a different permutation
+    rows3 = {r["doc_id"]: r["shuffle_rank"]
+             for r in shuffle_ranks(corpus, salt=1, shards=16).collect()}
+    assert rows3 != rows
+    assert sorted(rows3.values()) == list(range(1000))
+
+
+def test_shuffle_ranks_no_global_sort_on_data(spark, corpus):
+    """The corpus-side plan must not contain a single-partition global
+    sort: data exchanges hash by shard; only the tiny offset table may
+    use a SinglePartition window."""
+    from fhir_data_validation_spark.pipeline.selection import shuffle_ranks
+    plan = (shuffle_ranks(corpus, shards=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the offsets side is one SinglePartition exchange over <= shards rows;
+    # the data side must partition by _shard, not collapse to one task
+    assert "hashpartitioning(_shard" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_ranks_guards(spark, corpus):
+    from fhir_data_validation_spark.pipeline.selection import shuffle_ranks
+    with pytest.raises(ValueError, match="shards"):
+        shuffle_ranks(corpus, shards=0)
