@@ -711,6 +711,19 @@ def q_sm3_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_t7_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition signals (pipeline/text.repetition_profile):
+    duplicate line/word/n-gram fractions over multi-line-shaped documents
+    — one codegen projection, value-checked to 4 decimals."""
+    from fhir_data_validation_spark.pipeline.text import repetition_profile
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " value ", "\n")
+                     .alias("text")))
+    return (repetition_profile(docs, ngram_ns=(2, 3))
+            .orderBy("doc_id"))
+
+
 def q_sm4_shuffle_ranks(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic epoch-shuffle permutation rank
     (pipeline/selection.shuffle_ranks): sharded two-pass global rank —
@@ -955,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint": q_t4_fingerprint,
         "t5_quality_filter": q_t5_quality_filter,
         "t6_c4_filter": q_t6_c4_filter,
+        "t7_repetition": q_t7_repetition,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_jaccard_pairs": q_d2_jaccard_pairs,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -1508,6 +1522,49 @@ def oracle_sql() -> dict[str, str]:
                      AS ratio
             FROM p JOIN b ON p.sh = b.sh
             GROUP BY p.doc_id ORDER BY p.doc_id""",
+        # t7: duplicate fractions — (n - n_distinct)/n over lines, words,
+        # and raw (multiplicity-keeping) word n-grams
+        "t7_repetition": """
+            WITH l AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' value ', chr(10), 'g') AS t
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     string_split(t, chr(10)) AS lines,
+                     list_filter(regexp_split_to_array(lower(t),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM l),
+            g AS (
+              SELECT doc_id, lines, ws,
+                     CASE WHEN len(ws) >= 2 THEN
+                       [array_to_string(ws[i:i+1], ' ')
+                        FOR i IN range(1, len(ws))]
+                     ELSE [] END AS g2,
+                     CASE WHEN len(ws) >= 3 THEN
+                       [array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, len(ws) - 1)]
+                     ELSE [] END AS g3
+              FROM w)
+            SELECT doc_id,
+                   round(CASE WHEN len(lines) > 0 THEN
+                     (len(lines) - len(list_distinct(lines)))
+                     / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 4)
+                     AS dup_line_frac,
+                   round(CASE WHEN len(ws) > 0 THEN
+                     (len(ws) - len(list_distinct(ws)))
+                     / CAST(len(ws) AS DOUBLE) ELSE 0.0 END, 4)
+                     AS dup_word_frac,
+                   round(CASE WHEN len(g2) > 0 THEN
+                     (len(g2) - len(list_distinct(g2)))
+                     / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 4)
+                     AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) > 0 THEN
+                     (len(g3) - len(list_distinct(g3)))
+                     / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 4)
+                     AS dup_3gram_frac
+            FROM g ORDER BY doc_id""",
         "sm4_shuffle_ranks": """
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY u, doc_id) - 1

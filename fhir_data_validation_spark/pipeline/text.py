@@ -95,6 +95,47 @@ def fingerprint(col: Column) -> Column:
                  .cast("binary"))
 
 
+def _raw_ngrams(ws: Column, n: int) -> Column:
+    """ALL n-word shingles, duplicates kept (unlike the dedup family's
+    distinct sets — repetition metrics need the multiplicities). Documents
+    shorter than ``n`` words yield no shingles (nothing can repeat)."""
+    k = F.size(ws)
+    return F.when(
+        k >= n,
+        F.transform(F.sequence(F.lit(1), k - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    ``(n - n_distinct) / n``, 0.0 for empty arrays."""
+    n = F.size(arr).cast("double")
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(arr))) / n)
+         .otherwise(F.lit(0.0)), 4)
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram_ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style repetition signals, one codegen projection per corpus:
+    duplicate-line, duplicate-word and duplicate-n-gram fractions (the
+    "repetitious text" filters of Gopher §A.1.1, simplified to the
+    duplicate-fraction family). High values ⇒ boilerplate loops, keyboard
+    mash, template spam. Feed thresholds into a Range/CustomExpr rule or
+    filter directly."""
+    c = F.col(text_col)
+    ws = words(c)
+    out = [F.col(id_col),
+           dup_fraction(F.split(c, "\n", -1)).alias("dup_line_frac"),
+           dup_fraction(ws).alias("dup_word_frac")]
+    for n in ngram_ns:
+        out.append(dup_fraction(_raw_ngrams(ws, n))
+                   .alias(f"dup_{n}gram_frac"))
+    return df.select(*out)
+
+
 def analyze(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: id, token counts, quality, language,

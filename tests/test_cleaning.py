@@ -147,3 +147,30 @@ def test_remove_boilerplate_broadcast_plan(spark, footered):
     plan = (cleaning.remove_boilerplate(footered, min_docs=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ------------------------------------------------------- repetition stats
+
+def test_repetition_profile(spark):
+    from fhir_data_validation_spark.pipeline.text import repetition_profile
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),          # 3/4 dup words, 2/3 dup 2-grams
+         (2, "all words are different here"),
+         (3, "a\nb\na\nb"),                   # 2/4 dup lines
+         (4, ""), (5, "one")],                # degenerate: no repeats
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["dup_2gram_frac"] == round(2 / 3, 4)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.5
+    assert out[4]["dup_word_frac"] == 0.0 and out[4]["dup_line_frac"] == 0.0
+    assert out[5]["dup_2gram_frac"] == 0.0    # shorter than n: no shingles
+
+
+def test_repetition_profile_single_projection(spark):
+    from fhir_data_validation_spark.pipeline.text import repetition_profile
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = (repetition_profile(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
