@@ -711,6 +711,25 @@ def q_sm3_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_x5_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level keep-first line dedup (pipeline/cleaning.
+    dedup_lines_corpus): every >= 10-char line survives only at its
+    earliest (doc_id, pos); clean_md5 value-checks every rebuilt
+    document against the oracle's window-rank formulation."""
+    from fhir_data_validation_spark.pipeline import cleaning
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " value ", "\n")
+                     .alias("text")))
+    out = cleaning.dedup_lines_corpus(docs, min_len=10)
+    return (out.select("doc_id",
+                       F.col("n_removed_lines").cast("long")
+                        .alias("n_removed_lines"),
+                       F.md5(F.col("text").cast("binary"))
+                        .alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 def q_t7_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition signals (pipeline/text.repetition_profile):
     duplicate line/word/n-gram fractions over multi-line-shaped documents
@@ -988,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
         "x4_boilerplate": q_x4_boilerplate,
+        "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1522,6 +1542,35 @@ def oracle_sql() -> dict[str, str]:
                      AS ratio
             FROM p JOIN b ON p.sh = b.sh
             GROUP BY p.doc_id ORDER BY p.doc_id""",
+        # x5: corpus-level keep-first line dedup — rank occurrences of each
+        # >=10-char line by (doc_id, pos); only rank 1 survives
+        "x5_corpus_line_dedup": """
+            WITH l AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' value ', chr(10), 'g') AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                       AS pos
+              FROM l),
+            r AS (
+              SELECT doc_id, line, pos,
+                     CASE WHEN len(line) >= 10 THEN
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos)
+                     ELSE 1 END AS rn
+              FROM e),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean
+                    FROM r WHERE rn = 1 GROUP BY doc_id)
+            SELECT l.doc_id,
+                   CAST(len(string_split(l.t, chr(10))) AS BIGINT)
+                     - coalesce(agg.n_kept, 0) AS n_removed_lines,
+                   md5(coalesce(agg.clean, '')) AS clean_md5
+            FROM l LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
         # t7: duplicate fractions — (n - n_distinct)/n over lines, words,
         # and raw (multiplicity-keeping) word n-grams
         "t7_repetition": """

@@ -96,25 +96,20 @@ def boilerplate_lines(df: DataFrame, min_docs: int = 2,
             .limit(max_lines))
 
 
-def remove_boilerplate(df: DataFrame, min_docs: int = 2, min_len: int = 10,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       max_lines: int = 1_000_000) -> DataFrame:
-    """Corpus with cross-document boilerplate lines removed.
-
-    Returns ``df`` with ``text_col`` rebuilt (original line order, flagged
-    lines dropped) plus ``n_removed_lines``. Documents reduced to nothing
-    keep an empty string. The per-document ``collect_list`` state is
-    bounded by the document's own line count — the same order as holding
-    the text itself.
-    """
-    flagged = boilerplate_lines(df, min_docs, min_len, text_col, id_col,
-                                max_lines).select("line_hash")
-    lines = df.select(
+def _exploded_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, pos, line)`` — one row per line, position preserved."""
+    return df.select(
         F.col(id_col),
         F.posexplode(doc_lines(F.col(text_col))).alias("pos", "line"))
-    kept = lines.join(F.broadcast(flagged),
-                      F.xxhash64(lines["line"]) == flagged["line_hash"],
-                      "left_anti")
+
+
+def _rebuild_docs(df: DataFrame, kept: DataFrame, text_col: str,
+                  id_col: str) -> DataFrame:
+    """``df`` with ``text_col`` rebuilt from the surviving ``(id, pos,
+    line)`` rows (original order) plus ``n_removed_lines``. Documents
+    reduced to nothing keep an empty string. The per-document
+    ``collect_list`` state is bounded by the document's own line count —
+    the same order as holding the text itself."""
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                         F.transform(
@@ -129,3 +124,53 @@ def remove_boilerplate(df: DataFrame, min_docs: int = 2, min_len: int = 10,
                         n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
             .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
             .drop("_clean", "_n_kept"))
+
+
+def remove_boilerplate(df: DataFrame, min_docs: int = 2, min_len: int = 10,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_lines: int = 1_000_000) -> DataFrame:
+    """Corpus with cross-document boilerplate lines removed (lines in ≥
+    ``min_docs`` documents — see :func:`boilerplate_lines`); ``text_col``
+    is rebuilt in original order plus ``n_removed_lines``."""
+    flagged = boilerplate_lines(df, min_docs, min_len, text_col, id_col,
+                                max_lines).select("line_hash")
+    lines = _exploded_lines(df, text_col, id_col)
+    kept = lines.join(F.broadcast(flagged),
+                      F.xxhash64(lines["line"]) == flagged["line_hash"],
+                      "left_anti")
+    return _rebuild_docs(df, kept, text_col, id_col)
+
+
+def dedup_lines_corpus(df: DataFrame, min_len: int = 10,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CORPUS-level exact line dedup, keep-first (C4's repeated-span
+    removal at line granularity): every line of ≥ ``min_len`` characters
+    survives only at its earliest ``(id, pos)`` occurrence in the whole
+    corpus; later repeats are dropped. Lines shorter than ``min_len``
+    (blank separators etc.) are always kept.
+
+    Unlike :func:`remove_boilerplate` (which drops EVERY copy of a
+    frequent line) the first occurrence is preserved, and a single repeat
+    is already removed — no frequency threshold.
+
+    Scale shape: the line stream shuffles twice on the fixed-width 64-bit
+    line hash (a ``min``-reduce for the keeper ``(id, pos)``, map-side
+    combined, then the join back) plus the positional rebuild — O(total
+    lines), no per-line state beyond the keeper struct. Grouping is by
+    hash: distinct lines colliding in 64 bits (≈ n²/2^64) would be
+    over-dropped.
+    """
+    lines = _exploded_lines(df, text_col, id_col)
+    elig = (lines.where(F.length("line") >= min_len)
+            .withColumn("_h", F.xxhash64("line")))
+    keepers = (elig.groupBy("_h")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("pos").alias("p"))).alias("_k")))
+    kept_elig = (elig.join(keepers, "_h")
+                 .where((F.col(id_col) == F.col("_k.i"))
+                        & (F.col("pos") == F.col("_k.p")))
+                 .drop("_h", "_k"))
+    kept = kept_elig.unionByName(
+        lines.where(F.length("line") < min_len))
+    return _rebuild_docs(df, kept, text_col, id_col)

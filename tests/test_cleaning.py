@@ -174,3 +174,46 @@ def test_repetition_profile_single_projection(spark):
     plan = (repetition_profile(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------- corpus-level line dedup
+
+def test_dedup_lines_corpus_keep_first(spark):
+    rows = [(1, "unique opening line one\nshared repeated line x"),
+            (2, "shared repeated line x\nunique second body line"),
+            (3, "shared repeated line x\nshort\nunique third body line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cleaning.dedup_lines_corpus(df, min_len=10).collect()}
+    # first occurrence (doc 1) keeps the shared line; later docs lose it
+    assert out[1]["text"] == ("unique opening line one\n"
+                              "shared repeated line x")
+    assert out[1]["n_removed_lines"] == 0
+    assert out[2]["text"] == "unique second body line"
+    assert out[2]["n_removed_lines"] == 1
+    # the short line is never eligible and survives in place
+    assert out[3]["text"] == "short\nunique third body line"
+
+
+def test_dedup_lines_corpus_stable_under_repartition(spark):
+    rows = [(i, f"body {i} asdf qwer\ncommon repeated tail line")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["text"]
+         for r in cleaning.dedup_lines_corpus(df).collect()}
+    b = {r["doc_id"]: r["text"]
+         for r in cleaning.dedup_lines_corpus(df.repartition(5)).collect()}
+    assert a == b
+    assert "common repeated tail line" in a[0]
+    assert all("common repeated tail line" not in a[i] for i in range(1, 6))
+
+
+def test_dedup_lines_corpus_within_doc_repeat(spark):
+    # a repeat INSIDE one document is also a later occurrence
+    df = spark.createDataFrame(
+        [(1, "repeated inside doc line\nmiddle unique content\n"
+             "repeated inside doc line")],
+        "doc_id long, text string")
+    out = cleaning.dedup_lines_corpus(df).collect()[0]
+    assert out["text"] == "repeated inside doc line\nmiddle unique content"
+    assert out["n_removed_lines"] == 1
