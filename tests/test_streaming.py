@@ -199,3 +199,34 @@ def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
     got = sorted(r["doc_id"] for r in
                  spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 3]
+
+
+def test_streaming_redaction_and_line_dedup_parity(spark, tmp_path):
+    """redact_docs and dedup_lines_docs are stateless projections, so they
+    apply unchanged to a streaming DataFrame; the streamed output must
+    equal the batch output row-for-row."""
+    from fhir_data_validation_spark.pipeline import cleaning, redaction
+    src = str(tmp_path / "docs")
+    rows = [(i, f"line one of doc {i}\nmail a{i}@example.com\n"
+                f"line one of doc {i}") for i in range(40)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.repartition(4).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    def transform(df):
+        return cleaning.dedup_lines_docs(
+            redaction.redact_docs(df, counts=False))
+
+    stream = (spark.readStream.schema(stored.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (transform(stream).writeStream.format("memory")
+         .queryName("clean_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"]
+           for r in spark.sql("SELECT * FROM clean_out").collect()}
+    want = {r["doc_id"]: r["text"] for r in transform(stored).collect()}
+    assert got == want and len(got) == 40
+    assert all("<EMAIL>" in t for t in got.values())
+    assert all(t.count("line one") == 1 for t in got.values())
