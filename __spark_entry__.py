@@ -730,6 +730,25 @@ def q_x5_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_x6_token_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level duplicate token-SPAN removal (pipeline/dedup.
+    dedup_token_spans): the token-native ExactSubstr dedup — every
+    13-token window survives only at its earliest (doc_id, start); later
+    occurrences are cut out of the token arrays. hash_fn='exact' keys
+    windows by the joined token string itself so the oracle's
+    window-rank formulation matches bit-for-bit; clean_md5 value-checks
+    every rebuilt token sequence."""
+    from fhir_data_validation_spark.pipeline import dedup
+    out = dedup.dedup_token_spans(_md5_token_table(spark, sf), k=13,
+                                  hash_fn="exact")
+    return (out.select("doc_id",
+                       "n_removed_tokens",
+                       F.col("n_tok").cast("long").alias("n_tok_clean"),
+                       F.md5(F.concat_ws(",", "tokens").cast("binary"))
+                        .alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 def q_t7_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition signals (pipeline/text.repetition_profile):
     duplicate line/word/n-gram fractions over multi-line-shaped documents
@@ -1008,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_line_dedup": q_x3_line_dedup,
         "x4_boilerplate": q_x4_boilerplate,
         "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
+        "x6_token_span_dedup": q_x6_token_span_dedup,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1571,6 +1591,51 @@ def oracle_sql() -> dict[str, str]:
                      - coalesce(agg.n_kept, 0) AS n_removed_lines,
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM l LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+        # x6: corpus-level duplicate token-span removal — rank each
+        # 13-token window by (doc_id, start); positions covered by a
+        # rank>1 window are cut; rebuild = string_agg over survivors
+        "x6_token_span_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     [CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                           % 50000 AS INTEGER) FOR x IN ws] AS tokens,
+                     len(ws) AS n_tok
+              FROM w),
+            o AS (
+              SELECT doc_id, unnest(range(1, n_tok - 13 + 2)) AS s, tokens
+              FROM tok WHERE n_tok >= 13),
+            r AS (
+              SELECT doc_id, s,
+                     row_number() OVER (
+                       PARTITION BY array_to_string(tokens[s:s+12], ',')
+                       ORDER BY doc_id, s) AS rn
+              FROM o),
+            rm AS (SELECT doc_id, s FROM r WHERE rn > 1),
+            pos AS (
+              SELECT doc_id, unnest(range(1, n_tok + 1)) AS p, tokens
+              FROM tok WHERE n_tok > 0),
+            kept AS (
+              SELECT pos.doc_id, p, tokens[p] AS t
+              FROM pos
+              WHERE NOT EXISTS (SELECT 1 FROM rm
+                                WHERE rm.doc_id = pos.doc_id
+                                  AND rm.s <= p AND p < rm.s + 13)),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(t, ',' ORDER BY p) AS clean
+                    FROM kept GROUP BY doc_id)
+            SELECT tok.doc_id,
+                   CAST(tok.n_tok - coalesce(agg.n_kept, 0) AS BIGINT)
+                     AS n_removed_tokens,
+                   coalesce(agg.n_kept, 0) AS n_tok_clean,
+                   md5(coalesce(agg.clean, '')) AS clean_md5
+            FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
         # t7: duplicate fractions — (n - n_distinct)/n over lines, words,
         # and raw (multiplicity-keeping) word n-grams
         "t7_repetition": """

@@ -503,6 +503,105 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
                          (F.col("id") == F.col("cluster")).alias("keep"))
 
 
+def _span_key(col: Column, hash_fn: str) -> Column:
+    """Window key for :func:`dedup_token_spans`: the comma-joined token
+    slice itself (``exact`` — collision-free, string shuffle keys) or a
+    64-bit hash of it (fixed-width keys; see :func:`_word_hash`)."""
+    if hash_fn == "exact":
+        return col
+    return _word_hash(col, hash_fn)
+
+
+def token_span_occurrences(df: DataFrame, k: int,
+                           tokens_col: str = "tokens",
+                           id_col: str = "doc_id",
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """``(id, s, key)`` — one row per k-token window (1-based start ``s``)
+    of each document's ``array<int>`` token sequence; documents shorter
+    than ``k`` tokens emit no windows. The window key is built inside the
+    shingling lambda so only ``(id, int, long)`` rows ever shuffle."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    spans = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda s: F.struct(
+            s.alias("s"),
+            _span_key(F.concat_ws(",", F.slice(toks, s, k)),
+                      hash_fn).alias("key"))))
+    # when() without otherwise → null for short docs; explode drops them
+    return (_widen(df.select(id_col, tokens_col))
+            .select(F.col(id_col), F.explode(spans).alias("_o"))
+            .select(id_col, F.col("_o.s").alias("s"),
+                    F.col("_o.key").alias("key")))
+
+
+def dedup_token_spans(df: DataFrame, k: int = 50,
+                      tokens_col: str = "tokens",
+                      id_col: str = "doc_id",
+                      len_col: str | None = "n_tok",
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """CORPUS-level exact duplicate-span removal over pre-tokenized
+    sequences, keep-first — the token-native ExactSubstr dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as distributed windowed-shingle dedup instead of a
+    single-node suffix array.
+
+    Every k-token window that occurred earlier in the corpus (occurrences
+    totally ordered by ``(id, start)``) is removed at its later positions:
+    a token survives iff no removed window covers it. A span of L ≥ k
+    duplicated tokens is removed in full at every non-first site (its
+    L-k+1 windows all repeat), while the first site keeps every window and
+    is untouched — the reference behavior of ExactSubstr with the suffix
+    array replaced by k-window hashing.
+
+    Returns ``df`` with ``tokens_col`` rebuilt (``len_col`` updated when
+    present) plus ``n_removed_tokens``. Documents shorter than ``k``
+    tokens are never touched.
+
+    Scale shape: the window stream is O(total corpus tokens) rows of
+    ``(id, int32, int64)`` — never the token arrays themselves. It
+    shuffles twice on the window key (a count + min-``(id,s)`` reduce,
+    map-side combined, then the join back against the count>1 index,
+    which AQE broadcasts when small); removed starts fold back per
+    document (state bounded by the doc's own window count) and the
+    rebuild is one projection. Grouping is by ``hash_fn`` key: 64-bit
+    variants can over-drop on collisions (≈ n²/2^64); ``exact`` uses the
+    joined token string itself (collision-free, heavier shuffle keys).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 — at 1 every repeated token "
+                         "is a duplicate span")
+    occ = token_span_occurrences(df, k, tokens_col, id_col, hash_fn)
+    dups = (occ.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_c"),
+                 F.min(F.struct(F.col(id_col).alias("i"),
+                                F.col("s").alias("p"))).alias("_k"))
+            .where(F.col("_c") > 1)
+            .select("key", "_k"))
+    removed = (occ.join(dups, "key")
+               .where((F.col(id_col) != F.col("_k.i"))
+                      | (F.col("s") != F.col("_k.p")))
+               .select(id_col, "s"))
+    rm = (removed.groupBy(id_col)
+          .agg(F.array_sort(F.collect_list("s")).alias("_rm")))
+    toks = F.col(tokens_col)
+    cov = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    clean = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            cov, lambda st: (st <= i + 1) & (i + 1 <= st + (k - 1))))
+    out = (df.join(rm, id_col, "left")
+           .withColumn("n_removed_tokens",
+                       (F.size(toks) - F.size(clean)).cast("long"))
+           .withColumn(tokens_col, clean)
+           .drop("_rm"))
+    if len_col and len_col in df.columns:
+        out = out.withColumn(len_col,
+                             F.size(tokens_col).cast(
+                                 dict(df.dtypes)[len_col]))
+    return out
+
+
 def _scratch_base(spark, scratch_dir: str | None) -> str:
     """Scratch root for lineage-truncation files: a fresh uuid subdir of
     either the caller-supplied root (shared storage on a real cluster) or

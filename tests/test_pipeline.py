@@ -470,3 +470,46 @@ def test_c4_quality_rules(spark):
                    ("d3", "QF-C4-JS"),
                    ("d4", "QF-C4-LOREM"),
                    ("d5", "QF-C4-BRACE")}
+
+
+def test_dedup_token_spans_keep_first(spark):
+    """Later occurrences of a duplicated k-token span are cut in full;
+    the first (ordered by doc_id, start) keeps every token. Docs shorter
+    than k are never touched."""
+    span = list(range(100, 108))                      # 8 tokens, dup span
+    rows = [
+        ("a", [1, 2] + span + [3, 4]),                # first occurrence
+        ("b", [5] + span + [6, 7, 8]),                # later -> span cut
+        ("c", span[:3]),                              # shorter than k
+        ("d", [9, 10, 11, 12]),                       # no dup windows
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t), "s") for i, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_token_spans(df, k=4, hash_fn="exact").collect()}
+    assert out["a"]["tokens"] == [1, 2] + span + [3, 4]
+    assert out["a"]["n_removed_tokens"] == 0
+    assert out["b"]["tokens"] == [5, 6, 7, 8]         # whole span removed
+    assert out["b"]["n_removed_tokens"] == 8
+    assert out["b"]["n_tok"] == 4                     # len_col updated
+    assert out["c"]["tokens"] == span[:3]             # < k: untouched
+    assert out["d"]["n_removed_tokens"] == 0
+
+
+def test_dedup_token_spans_within_doc_and_hash_parity(spark):
+    """A repeat WITHIN one document is removed at its later start, and the
+    production xxhash64 keys decide identically to exact string keys."""
+    rows = [("a", [1, 2, 3, 4, 9, 1, 2, 3, 4]),       # self-repeat at s=6
+            ("b", [7, 7, 7, 7])]
+    df = spark.createDataFrame(
+        [(i, t, len(t), "s") for i, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    exact = {r["doc_id"]: r["tokens"] for r in
+             dedup.dedup_token_spans(df, k=4, hash_fn="exact").collect()}
+    assert exact["a"] == [1, 2, 3, 4, 9]
+    hashed = {r["doc_id"]: r["tokens"] for r in
+              dedup.dedup_token_spans(df, k=4).collect()}
+    assert hashed == exact
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.dedup_token_spans(df, k=1)
