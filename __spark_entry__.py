@@ -749,6 +749,38 @@ def q_x6_token_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_e1_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-level statistical expectations (plans.expectation_report —
+    the Deequ/Great-Expectations analog, one map-side-combined aggregation
+    pass): row count, null fraction, mean/stddev/min/max/sum bounds, exact
+    distinct counts over the token table; one check (mean ≤ 10) fails so
+    both verdict polarities are value-checked."""
+    from fhir_data_validation_spark import expectation_report
+    checks = [
+        {"metric": "row_count", "min": 100},
+        {"metric": "null_fraction", "column": "n_tok", "max": 0.0},
+        {"metric": "mean", "column": "n_tok", "min": 5, "max": 10},
+        {"metric": "stddev", "column": "n_tok", "min": 0},
+        {"metric": "min", "column": "n_tok", "min": 0},
+        {"metric": "max", "column": "n_tok", "max": 100000},
+        {"metric": "sum", "column": "n_tok", "min": 1},
+        {"metric": "distinct_count", "column": "source", "min": 2,
+         "max": 10},
+        {"metric": "distinct_count", "column": "doc_id", "min": 1},
+    ]
+    rep = expectation_report(_md5_token_table(spark, sf), checks)
+    # absent bounds → -1.0 sentinel: NULL doubles become NaN through the
+    # Arrow/pandas hop and would hash-mismatch the oracle's NULLs
+    return (rep.select("metric", "column",
+                       F.round("observed", 4).alias("observed"),
+                       F.coalesce("expected_min", F.lit(-1.0))
+                        .alias("expected_min"),
+                       F.coalesce("expected_max", F.lit(-1.0))
+                        .alias("expected_max"),
+                       "passed")
+            .orderBy("metric", "column"))
+
+
 def q_t7_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition signals (pipeline/text.repetition_profile):
     duplicate line/word/n-gram fractions over multi-line-shaped documents
@@ -1028,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_boilerplate": q_x4_boilerplate,
         "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
         "x6_token_span_dedup": q_x6_token_span_dedup,
+        "e1_expectations": q_e1_expectations,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1636,6 +1669,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0) AS n_tok_clean,
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
+        # e1: dataset-level expectations — independent SQL aggregates
+        # compared against the same declared bounds
+        "e1_expectations": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, source, len(ws) AS n_tok FROM w),
+            a AS (
+              SELECT CAST(count(*) AS DOUBLE) AS rc,
+                     sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE) AS nf,
+                     avg(CAST(n_tok AS DOUBLE)) AS mu,
+                     stddev(CAST(n_tok AS DOUBLE)) AS sd,
+                     CAST(min(n_tok) AS DOUBLE) AS mn,
+                     CAST(max(n_tok) AS DOUBLE) AS mx,
+                     CAST(sum(n_tok) AS DOUBLE) AS sm,
+                     CAST(count(DISTINCT source) AS DOUBLE) AS ds,
+                     CAST(count(DISTINCT doc_id) AS DOUBLE) AS dd
+              FROM tok)
+            SELECT * FROM (
+              SELECT 'row_count' AS metric, CAST(NULL AS VARCHAR) AS "column",
+                     round(rc, 4) AS observed,
+                     CAST(100 AS DOUBLE) AS expected_min,
+                     CAST(-1.0 AS DOUBLE) AS expected_max,
+                     rc >= 100 AS passed FROM a
+              UNION ALL
+              SELECT 'null_fraction', 'n_tok', round(nf, 4),
+                     -1.0, 0.0, nf <= 0.0 FROM a
+              UNION ALL
+              SELECT 'mean', 'n_tok', round(mu, 4),
+                     5.0, 10.0, mu >= 5.0 AND mu <= 10.0 FROM a
+              UNION ALL
+              SELECT 'stddev', 'n_tok', round(sd, 4),
+                     0.0, -1.0, sd >= 0.0 FROM a
+              UNION ALL
+              SELECT 'min', 'n_tok', round(mn, 4),
+                     0.0, -1.0, mn >= 0.0 FROM a
+              UNION ALL
+              SELECT 'max', 'n_tok', round(mx, 4),
+                     -1.0, 100000.0, mx <= 100000.0 FROM a
+              UNION ALL
+              SELECT 'sum', 'n_tok', round(sm, 4),
+                     1.0, -1.0, sm >= 1.0 FROM a
+              UNION ALL
+              SELECT 'distinct_count', 'source', round(ds, 4),
+                     2.0, 10.0, ds >= 2.0 AND ds <= 10.0 FROM a
+              UNION ALL
+              SELECT 'distinct_count', 'doc_id', round(dd, 4),
+                     1.0, -1.0, dd >= 1.0 FROM a)
+            ORDER BY metric, "column" """,
         # t7: duplicate fractions — (n - n_distinct)/n over lines, words,
         # and raw (multiplicity-keeping) word n-grams
         "t7_repetition": """

@@ -17,6 +17,7 @@ from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
 from .lineage import LineageStore, ResumableRun
 from .lint import LintFinding, lint_dataset, lint_report
 from .model import InstanceScope, RuleDefinition, RuleSet
+from .plans import expectation_report, group_cardinality_counts
 from .questions import question_rules, question_rules_from_json
 from .report import QualityReport, quality_report
 from .suggestions import suggest_rules
@@ -28,6 +29,7 @@ __all__ = [
     "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",
+    "expectation_report", "group_cardinality_counts",
     "lint_dataset", "lint_report", "quality_report", "question_rules",
     "question_rules_from_json", "review_report", "review_rule",
     "review_ruleset", "suggest_rules",

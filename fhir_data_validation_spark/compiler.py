@@ -175,6 +175,7 @@ DEFAULT_ERROR_CODES = {
     "CodeMaster": ErrorCode.INVALID_ANSWER_VALUE,
     "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
+    "Expectation": ErrorCode.EXPECTATION_VIOLATION,
 }
 
 # Rule type → pipeline stage (dedup authority ordering, ValidationPipeline.cs:783-827)
@@ -199,11 +200,13 @@ RULE_STAGES = {
     "CodeMaster": Stage.CONSTRAINT,
     "RequiredResources": Stage.DATASET,
     "Drift": Stage.DRIFT,
+    "Expectation": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
-                      "CodeMaster", "RequiredResources", "Drift")
+                      "CodeMaster", "RequiredResources", "Drift",
+                      "Expectation")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

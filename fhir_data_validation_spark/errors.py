@@ -70,6 +70,7 @@ class ErrorCode:
     RESOURCE_REQUIREMENT_VIOLATION = "RESOURCE_REQUIREMENT_VIOLATION"
     UNEXPECTED_RESOURCE = "UNEXPECTED_RESOURCE"
     DISTRIBUTION_DRIFT = "DISTRIBUTION_DRIFT"
+    EXPECTATION_VIOLATION = "EXPECTATION_VIOLATION"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

@@ -139,6 +139,10 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                 f"unknown drift mode {rule.params.get('mode')!r} "
                 "(numeric | tokenFrequency)")
         exec_fn = lambda df, p: drift_plan(df, rule, stage, p)
+    elif t == "Expectation":
+        checks = rule.require_param("checks")
+        _validate_expectation_checks(rule, checks, plan.schema)
+        exec_fn = lambda df, p: expectation_plan(df, rule, stage, p)
     else:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -814,6 +818,177 @@ def _where_predicate(rule: RuleDefinition | None, w: dict[str, Any]):
     raise RuleConfigurationError(
         rid, ErrorCode.RULE_CONFIGURATION_ERROR,
         f"unknown where op {op!r} (expected = != contains in)")
+
+
+# ------------------------------------------- Expectation (dataset-level stats)
+
+# metric → (needs a column, requires numeric column type)
+_EXPECTATION_METRICS: dict[str, tuple[bool, bool]] = {
+    "row_count": (False, False),
+    "null_count": (True, False),
+    "null_fraction": (True, False),
+    "distinct_count": (True, False),
+    "approx_distinct_count": (True, False),
+    "min": (True, True),
+    "max": (True, True),
+    "mean": (True, True),
+    "stddev": (True, True),
+    "sum": (True, True),
+}
+
+
+def _validate_expectation_checks(rule: RuleDefinition, checks: Any,
+                                 schema) -> None:
+    """Pre-flight totality for Expectation rules: every malformed check is
+    a compile-time RuleConfigurationError, never a failed job."""
+    from pyspark.sql.types import NumericType
+
+    from ..compiler import _field_type
+    if not isinstance(checks, list) or not checks:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "Expectation needs non-empty params.checks")
+    for c in checks:
+        metric = c.get("metric")
+        if metric not in _EXPECTATION_METRICS:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"unknown expectation metric {metric!r} "
+                f"(expected one of {sorted(_EXPECTATION_METRICS)})")
+        needs_col, needs_numeric = _EXPECTATION_METRICS[metric]
+        if needs_col:
+            col = c.get("column")
+            if not col:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"expectation metric {metric!r} needs 'column'")
+            ftype = _field_type(schema, col, rule)
+            if needs_numeric and not isinstance(ftype, NumericType):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"expectation metric {metric!r} needs a numeric "
+                    f"column; {col!r} is {ftype.simpleString()}")
+        if c.get("min") is None and c.get("max") is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"expectation check on {metric!r} needs 'min' and/or 'max'")
+        for bound in ("min", "max"):
+            if c.get(bound) is not None:
+                try:
+                    float(c[bound])
+                except (TypeError, ValueError) as exc:
+                    raise RuleConfigurationError(
+                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                        f"expectation {bound} must be numeric: {exc}") from exc
+
+
+def _expectation_rollup(df: DataFrame,
+                        checks: list[dict[str, Any]]) -> DataFrame:
+    """ONE hash-aggregation pass reducing the input to a single row of
+    observed metric values (double ``_obs_i`` per check), deduplicated
+    across checks sharing a (metric, column) pair. All aggregates are
+    map-side combined; exact ``distinct_count`` over k distinct columns
+    plans an Expand (input ×(k+1)) — prefer ``approx_distinct_count``
+    (HLL, mergeable, no Expand) at corpus scale."""
+    aggs: dict[str, Any] = {"row_count:": F.count(F.lit(1)).cast("double")}
+    for c in checks:
+        metric, col = c["metric"], c.get("column")
+        key = f"{metric}:{col or ''}"
+        if key in aggs:
+            continue
+        if metric == "null_count":
+            aggs[key] = F.count(F.when(F.col(col).isNull(),
+                                       1)).cast("double")
+        elif metric == "null_fraction":
+            nulls = F.count(F.when(F.col(col).isNull(), 1))
+            total = F.count(F.lit(1))
+            # 0 rows → null observed (fails closed-world), never 0/0
+            aggs[key] = F.when(total > 0, nulls / total).cast("double")
+        elif metric == "distinct_count":
+            aggs[key] = F.count_distinct(F.col(col)).cast("double")
+        elif metric == "approx_distinct_count":
+            aggs[key] = F.approx_count_distinct(F.col(col)).cast("double")
+        elif metric == "min":
+            aggs[key] = F.min(F.col(col)).cast("double")
+        elif metric == "max":
+            aggs[key] = F.max(F.col(col)).cast("double")
+        elif metric == "mean":
+            aggs[key] = F.avg(F.col(col)).cast("double")
+        elif metric == "stddev":
+            aggs[key] = F.stddev(F.col(col)).cast("double")
+        elif metric == "sum":
+            aggs[key] = F.sum(F.col(col)).cast("double")
+    keyed = {k: v.alias(f"_m{i}") for i, (k, v) in enumerate(aggs.items())}
+    rolled = df.agg(*keyed.values())
+    name = {k: f"_m{i}" for i, k in enumerate(keyed)}
+    entries = []
+    for i, c in enumerate(checks):
+        metric, col = c["metric"], c.get("column")
+        obs = F.col(name[f"{metric}:{col or ''}"])
+        lo = (F.lit(float(c["min"])) if c.get("min") is not None
+              else F.lit(None).cast("double"))
+        hi = (F.lit(float(c["max"])) if c.get("max") is not None
+              else F.lit(None).cast("double"))
+        # null observed (empty input, stddev of <2 rows, …) FAILS —
+        # closed world, same convention as RequiredResources
+        ok = (obs.isNotNull()
+              & (lo.isNull() | (obs >= lo)) & (hi.isNull() | (obs <= hi)))
+        entries.append(F.struct(
+            F.lit(metric).alias("metric"),
+            F.lit(col).cast("string").alias("column"),
+            obs.alias("observed"),
+            lo.alias("expected_min"),
+            hi.alias("expected_max"),
+            ok.alias("passed")))
+    return rolled.select(F.array(*entries).alias("_checks"))
+
+
+def expectation_report(df: DataFrame,
+                       checks: list[dict[str, Any]]) -> DataFrame:
+    """Public observability face of the Expectation rule (Deequ /
+    Great-Expectations-style dataset constraints re-expressed as one
+    Catalyst aggregation): one row per declared check —
+    ``(metric, column, observed, expected_min, expected_max, passed)``.
+
+    Checks are ``{"metric": ..., "column": ..., "min": ..., "max": ...}``
+    with metrics ``row_count · null_count · null_fraction · distinct_count
+    · approx_distinct_count · min · max · mean · stddev · sum`` (sample
+    stddev; at least one bound required). Same dataflow as
+    :func:`expectation_plan` — one map-side-combined aggregation pass over
+    the scan, a single-row rollup, O(checks) output."""
+    rule = RuleDefinition(id="<adhoc>", type="Expectation")
+    _validate_expectation_checks(rule, checks, df.schema)
+    return _expectation_rollup(df, checks).select(F.inline("_checks"))
+
+
+def expectation_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                     plan) -> DataFrame:
+    """Dataset-level statistical expectations as a rule: violation volume
+    is 0 or 1 rows — a consolidated entry listing every failed check with
+    its observed value, mirroring the RequiredResources detail shape.
+    ``source`` scopes the pass to one group value (``"*"`` = whole
+    dataset)."""
+    checks: list[dict[str, Any]] = rule.params["checks"]
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(plan.config.group_col).cast("string") == rule.source)
+    rolled = _expectation_rollup(scoped, checks)
+    failed = F.filter("_checks", lambda c: ~c["passed"])
+    json_opts = {"ignoreNullFields": "false"}
+    detail = F.create_map(
+        F.lit("checks"), F.lit(json.dumps(checks, sort_keys=True)),
+        F.lit("failed"), F.to_json(failed, json_opts),
+        F.lit("observed"), F.to_json(F.col("_checks"), json_opts),
+    )
+    return (rolled.where(F.size(failed) > 0)
+            .select(F.lit(None).cast("string").alias("doc_id"),
+                    *_viol_cols(rule, stage,
+                                rule.error_code
+                                or ErrorCode.EXPECTATION_VIOLATION),
+                    F.lit(None if rule.source == "*" else rule.source)
+                     .cast("string").alias("source"),
+                    detail.alias("detail")))
 
 
 # ----------------------------------------------------------- Drift (C5 KS/PSI)

@@ -275,3 +275,87 @@ def test_drift_jsd_chi2_statistics_and_gate(spark):
     same = token_table(spark, 20000, seed=777)
     res2 = ValidationEngine(rs, dims={"stats_baseline": base}).validate(same)
     assert res2.violations.count() == 0
+
+
+def test_expectation_rule_end_to_end(spark):
+    """Failing checks consolidate into ONE violation row keyed <dataset>;
+    group-scoped rules aggregate only their group; passing rules emit
+    nothing."""
+    import json
+
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", 5, "web"), ("b", 10, "web"), ("c", None, "api")],
+        "doc_id string, n_tok int, source string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "EXP-1", "type": "Expectation",
+         "params": {"checks": [
+             {"metric": "row_count", "min": 2},
+             {"metric": "null_fraction", "column": "n_tok", "max": 0.2},
+             {"metric": "mean", "column": "n_tok", "min": 5, "max": 9}]}},
+        {"id": "EXP-2", "type": "Expectation", "source": "web",
+         "params": {"checks": [{"metric": "row_count", "min": 3}]}},
+        {"id": "EXP-3", "type": "Expectation",
+         "params": {"checks": [{"metric": "distinct_count",
+                                "column": "doc_id", "min": 3}]}},
+    ]})
+    res = ValidationEngine(rs).validate(df)
+    viol = {r["rule_id"]: r for r in res.violations.collect()}
+    assert set(viol) == {"EXP-1", "EXP-2"}          # EXP-3 passes
+    failed = json.loads(viol["EXP-1"]["detail"]["failed"])
+    assert [f["metric"] for f in failed] == ["null_fraction"]
+    assert abs(failed[0]["observed"] - 1 / 3) < 1e-9
+    assert viol["EXP-1"]["error_code"] == "EXPECTATION_VIOLATION"
+    # scoped rule observed only the 2 web rows
+    f2 = json.loads(viol["EXP-2"]["detail"]["failed"])
+    assert f2[0]["observed"] == 2.0 and viol["EXP-2"]["source"] == "web"
+    verdicts = {(r["partition_key"], r["rule_id"]): r["passed"]
+                for r in res.verdicts.collect()}
+    assert verdicts[("<dataset>", "EXP-1")] is False
+    # passing dataset rules verdict per group — no <dataset> row
+    assert ("<dataset>", "EXP-3") not in verdicts
+    assert verdicts[("web", "EXP-3")] is True
+
+
+def test_expectation_closed_world_on_empty_input(spark):
+    """0 rows → null observed for value metrics → the check FAILS
+    (closed world, RequiredResources convention); the engine must not
+    crash."""
+    import json
+
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [], "doc_id string, n_tok int, source string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "EXP-E", "type": "Expectation",
+         "params": {"checks": [
+             {"metric": "mean", "column": "n_tok", "min": 0},
+             {"metric": "row_count", "min": 0}]}}]})
+    res = ValidationEngine(rs).validate(df)
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    failed = json.loads(rows[0]["detail"]["failed"])
+    assert [f["metric"] for f in failed] == ["mean"]
+    assert failed[0]["observed"] is None
+
+
+def test_expectation_compile_rejections(spark):
+    from fhir_data_validation_spark import RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame([("a", 1, "s")],
+                               "doc_id string, n_tok int, source string")
+    bad_checks = [
+        [{"metric": "median", "column": "n_tok", "min": 1}],   # unknown
+        [{"metric": "mean", "column": "doc_id", "min": 1}],    # non-numeric
+        [{"metric": "mean", "column": "missing", "min": 1}],   # no column
+        [{"metric": "null_count", "min": 0}],                  # col required
+        [{"metric": "mean", "column": "n_tok"}],               # no bounds
+        [{"metric": "mean", "column": "n_tok", "min": "x"}],   # non-numeric
+        [],
+    ]
+    for checks in bad_checks:
+        rs = RuleSet.parse({"rules": [
+            {"id": "EXP-B", "type": "Expectation",
+             "params": {"checks": checks}}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs).validate(df)
