@@ -749,6 +749,27 @@ def q_x6_token_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical outlier rule (plans.outlier_plan, via ValidationEngine):
+    per-source z-score fences (μ ± 1.5σ) over n_tok, rows outside the fences
+    become violations. Two-pass: one fence aggregation, broadcast join
+    back. Output value-checks observed value, side, and the fences."""
+    from fhir_data_validation_spark import ValidationEngine
+    from fhir_data_validation_spark.model import RuleSet
+    rs = RuleSet.parse({"rules": [
+        {"id": "OUT-1", "type": "Outlier", "column": "n_tok",
+         "params": {"method": "zscore", "k": 1.5}}]})
+    v = ValidationEngine(rs).validate(_md5_token_table(spark, sf)).violations
+    d = F.col("detail")
+    return (v.select("doc_id", "source", "rule_id", "error_code",
+                     d["observed"].cast("double").cast("long")
+                      .alias("n_tok"),
+                     d["side"].alias("side"),
+                     F.round(d["lo"].cast("double"), 4).alias("lo"),
+                     F.round(d["hi"].cast("double"), 4).alias("hi"))
+             .orderBy("doc_id"))
+
+
 def q_e1_expectations(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-level statistical expectations (plans.expectation_report —
     the Deequ/Great-Expectations analog, one map-side-combined aggregation
@@ -1061,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
         "x6_token_span_dedup": q_x6_token_span_dedup,
         "e1_expectations": q_e1_expectations,
+        "o1_outliers": q_o1_outliers,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1669,6 +1691,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0) AS n_tok_clean,
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
+        # o1: z-score outlier fences recomputed independently per source
+        "o1_outliers": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z0-9]+'),
+                                     x -> x <> '')) AS n_tok
+              FROM documents),
+            f AS (
+              SELECT source,
+                     avg(CAST(n_tok AS DOUBLE))
+                       - 1.5 * stddev(CAST(n_tok AS DOUBLE)) AS lo,
+                     avg(CAST(n_tok AS DOUBLE))
+                       + 1.5 * stddev(CAST(n_tok AS DOUBLE)) AS hi,
+                     count(*) AS n
+              FROM w GROUP BY source)
+            SELECT w.doc_id, w.source,
+                   'OUT-1' AS rule_id, 'OUTLIER_VALUE' AS error_code,
+                   CAST(w.n_tok AS BIGINT) AS n_tok,
+                   CASE WHEN w.n_tok < f.lo THEN 'below'
+                        ELSE 'above' END AS side,
+                   round(f.lo, 4) AS lo, round(f.hi, 4) AS hi
+            FROM w JOIN f USING (source)
+            WHERE f.n >= 2 AND (w.n_tok < f.lo OR w.n_tok > f.hi)
+            ORDER BY w.doc_id""",
         # e1: dataset-level expectations — independent SQL aggregates
         # compared against the same declared bounds
         "e1_expectations": """

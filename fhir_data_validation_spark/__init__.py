@@ -17,7 +17,8 @@ from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
 from .lineage import LineageStore, ResumableRun
 from .lint import LintFinding, lint_dataset, lint_report
 from .model import InstanceScope, RuleDefinition, RuleSet
-from .plans import expectation_report, group_cardinality_counts
+from .plans import (expectation_report, group_cardinality_counts,
+                    outlier_bounds)
 from .questions import question_rules, question_rules_from_json
 from .report import QualityReport, quality_report
 from .suggestions import suggest_rules
@@ -29,7 +30,7 @@ __all__ = [
     "QualityReport", "ResumableRun", "RuleConfigurationError",
     "RuleDefinition", "RuleSet", "Severity", "ValidationClass",
     "ValidationEngine", "ValidationResult", "compile_ruleset",
-    "expectation_report", "group_cardinality_counts",
+    "expectation_report", "group_cardinality_counts", "outlier_bounds",
     "lint_dataset", "lint_report", "quality_report", "question_rules",
     "question_rules_from_json", "review_report", "review_rule",
     "review_ruleset", "suggest_rules",

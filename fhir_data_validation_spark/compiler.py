@@ -176,6 +176,7 @@ DEFAULT_ERROR_CODES = {
     "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
     "Expectation": ErrorCode.EXPECTATION_VIOLATION,
+    "Outlier": ErrorCode.OUTLIER_VALUE,
 }
 
 # Rule type → pipeline stage (dedup authority ordering, ValidationPipeline.cs:783-827)
@@ -201,12 +202,13 @@ RULE_STAGES = {
     "RequiredResources": Stage.DATASET,
     "Drift": Stage.DRIFT,
     "Expectation": Stage.DATASET,
+    "Outlier": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
-                      "Expectation")
+                      "Expectation", "Outlier")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

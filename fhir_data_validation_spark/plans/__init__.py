@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ErrorCode, RuleConfigurationError, Severity
 from ..model import RuleDefinition
+from ..stats import GROUP_ALL
 
 VIOLATION_SCHEMA = (
     "doc_id string, rule_id string, rule_type string, error_code string, "
@@ -143,6 +144,9 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         checks = rule.require_param("checks")
         _validate_expectation_checks(rule, checks, plan.schema)
         exec_fn = lambda df, p: expectation_plan(df, rule, stage, p)
+    elif t == "Outlier":
+        _validate_outlier_params(rule, plan.schema)
+        exec_fn = lambda df, p: outlier_plan(df, rule, stage, p)
     else:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -989,6 +993,156 @@ def expectation_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                     F.lit(None if rule.source == "*" else rule.source)
                      .cast("string").alias("source"),
                     detail.alias("detail")))
+
+
+# ------------------------------------------------- Outlier (stat-driven rows)
+
+_OUTLIER_METHODS = ("zscore", "iqr", "quantile")
+
+
+def _validate_outlier_params(rule: RuleDefinition, schema) -> None:
+    """Compile-time totality for Outlier rules (pre-flight contract)."""
+    from pyspark.sql.types import NumericType
+
+    from ..compiler import _field_type
+    col = rule.require_column()
+    ftype = _field_type(schema, col, rule)
+    if not isinstance(ftype, NumericType):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"Outlier needs a numeric column; {col!r} is "
+            f"{ftype.simpleString()}")
+    method = rule.params.get("method", "zscore")
+    if method not in _OUTLIER_METHODS:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown outlier method {method!r} "
+            f"(expected one of {_OUTLIER_METHODS})")
+    if method == "quantile":
+        lo = rule.params.get("lower", 0.001)
+        hi = rule.params.get("upper", 0.999)
+        try:
+            lo, hi = float(lo), float(hi)
+        except (TypeError, ValueError) as exc:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"quantile lower/upper must be numeric: {exc}") from exc
+        if not (0.0 < lo < hi < 1.0):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"quantile bounds need 0 < lower < upper < 1 "
+                f"(got {lo}, {hi})")
+    else:
+        try:
+            k = float(rule.params.get("k", 3.0 if method == "zscore"
+                                       else 1.5))
+        except (TypeError, ValueError) as exc:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.k must be numeric: {exc}") from exc
+        if k <= 0:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.k must be > 0 (got {k})")
+
+
+def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
+                   k: float | None = None,
+                   lower: float = 0.001, upper: float = 0.999,
+                   accuracy: int = 10_000,
+                   group_col: str | None = None) -> DataFrame:
+    """Pass 1 of the Outlier rule, exposed for observability: one
+    aggregation reducing the input to ``(group, lo, hi, n)`` fences.
+
+    Methods — ``zscore`` (μ ± k·σ, default k=3; exact, deterministic),
+    ``iqr`` (Tukey fences q1−k·IQR / q3+k·IQR, default k=1.5; EXACT
+    percentile — sort-based, use only when the per-group row count fits a
+    single aggregation buffer) and ``quantile`` (fences directly at the
+    lower/upper ``approx_percentile`` — the mergeable-sketch 100-TB path;
+    approximate, so not oracle-comparable). Output is one row per group
+    (or one row total): broadcast-sized by construction."""
+    if method not in _OUTLIER_METHODS:
+        raise ValueError(f"unknown outlier method {method!r}")
+    kk = float(k if k is not None else (3.0 if method == "zscore" else 1.5))
+    c = F.col(column).cast("double")
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string")).alias("_grp")
+    if method == "zscore":
+        aggs = [F.avg(c).alias("_mu"), F.stddev(c).alias("_sd"),
+                F.count(c).alias("n")]
+        lo = F.col("_mu") - F.lit(kk) * F.col("_sd")
+        hi = F.col("_mu") + F.lit(kk) * F.col("_sd")
+    elif method == "iqr":
+        aggs = [F.percentile(c, F.lit([0.25, 0.75])).alias("_q"),
+                F.count(c).alias("n")]
+        iqr = F.col("_q")[1] - F.col("_q")[0]
+        lo = F.col("_q")[0] - F.lit(kk) * iqr
+        hi = F.col("_q")[1] + F.lit(kk) * iqr
+    else:  # quantile
+        aggs = [F.percentile_approx(c, F.lit([float(lower), float(upper)]),
+                                    F.lit(int(accuracy))).alias("_q"),
+                F.count(c).alias("n")]
+        lo, hi = F.col("_q")[0], F.col("_q")[1]
+    return (df.groupBy(group).agg(*aggs)
+            .select(F.col("_grp").alias("group"), lo.alias("lo"),
+                    hi.alias("hi"), "n"))
+
+
+def outlier_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                 plan) -> DataFrame:
+    """Statistical outlier detection as a rule: two-pass — ONE aggregation
+    computes per-group (or dataset-wide) fences, then the fence row(s)
+    BROADCAST back onto the scan and rows outside [lo, hi] become
+    violations (detail: observed/lo/hi/side/method). Shuffle cost is pass
+    1's partial agg only; pass 2 is a map-side broadcast join, so the plan
+    scales with input size, never with fence cardinality.
+
+    ``perGroup: true`` (default) fences each ``group_col`` value
+    separately — per-source length anomalies, robust to mixture corpora.
+    Fewer than 2 observed rows in a group → no fences → no violations
+    (open world: too little data to call anything anomalous, unlike the
+    Expectation rule's closed-world convention, because an outlier claim
+    is about a DISTRIBUTION, which two rows don't establish).
+    """
+    col, params = rule.column, rule.params
+    method = params.get("method", "zscore")
+    per_group = bool(params.get("perGroup", True))
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(plan.config.group_col).cast("string") == rule.source)
+    fences = outlier_bounds(
+        scoped, col, method=method, k=params.get("k"),
+        lower=float(params.get("lower", 0.001)),
+        upper=float(params.get("upper", 0.999)),
+        accuracy=int(params.get("accuracy", 10_000)),
+        group_col=plan.config.group_col if per_group else None)
+    fences = (fences.where(F.col("lo").isNotNull() & (F.col("n") >= 2))
+              # rename before joining back: fences derive from `scoped`'s
+              # own lineage, so an unrenamed self-join condition resolves
+              # both sides to the fence plan and matches nothing
+              .select(F.col("group").alias("_fence_grp"), "lo", "hi"))
+    if per_group:
+        joined = (scoped
+                  .withColumn("_fence_grp",
+                              F.col(plan.config.group_col).cast("string"))
+                  .join(F.broadcast(fences), "_fence_grp"))
+    else:
+        joined = scoped.crossJoin(F.broadcast(fences.drop("_fence_grp")))
+    c = F.col(col).cast("double")
+    bad = joined.where(c.isNotNull() & ((c < F.col("lo")) | (c > F.col("hi"))))
+    detail = F.create_map(
+        F.lit("observed"), c.cast("string"),
+        F.lit("lo"), F.col("lo").cast("string"),
+        F.lit("hi"), F.col("hi").cast("string"),
+        F.lit("side"), F.when(c < F.col("lo"), "below").otherwise("above"),
+        F.lit("method"), F.lit(method))
+    return bad.select(
+        F.col(plan.config.key_col).cast("string").alias("doc_id"),
+        *_viol_cols(rule, stage,
+                    rule.error_code or ErrorCode.OUTLIER_VALUE),
+        F.col(plan.config.group_col).cast("string").alias("source"),
+        detail.alias("detail"))
 
 
 # ----------------------------------------------------------- Drift (C5 KS/PSI)

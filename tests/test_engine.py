@@ -359,3 +359,79 @@ def test_expectation_compile_rejections(spark):
              "params": {"checks": checks}}]})
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs).validate(df)
+
+
+def test_outlier_rule_zscore_and_iqr(spark):
+    """Two-pass fences: per-group z-score flags only the planted anomaly;
+    dataset-wide IQR with Tukey fences agrees; details carry
+    observed/lo/hi/side."""
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([("w%d" % i, 100 + (i % 5), "web") for i in range(40)]
+            + [("spike", 10_000, "web")]
+            + [("a%d" % i, 50 + (i % 3), "api") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    # two rulesets: both rules hit the same (doc, column), so in one set
+    # A5 dedup would — correctly — keep only one of them
+    rs = RuleSet.parse({"rules": [
+        {"id": "OUT-Z", "type": "Outlier", "column": "n_tok",
+         "params": {"method": "zscore", "k": 3}}]})
+    rs_iqr = RuleSet.parse({"rules": [
+        {"id": "OUT-I", "type": "Outlier", "column": "n_tok",
+         "params": {"method": "iqr", "perGroup": False}}]})
+    res = ValidationEngine(rs).validate(df)
+    by_rule = {"OUT-I": ValidationEngine(rs_iqr).validate(df)
+                                                .violations.collect()}
+    by_rule["OUT-Z"] = res.violations.collect()
+    assert [r["doc_id"] for r in by_rule["OUT-Z"]] == ["spike"]
+    z = by_rule["OUT-Z"][0]
+    assert z["error_code"] == "OUTLIER_VALUE" and z["source"] == "web"
+    assert z["detail"]["side"] == "above"
+    assert float(z["detail"]["observed"]) == 10000.0
+    assert float(z["detail"]["lo"]) < 110 < 10000
+    # dataset-wide IQR also catches the spike (api lows stay inside fences)
+    assert "spike" in [r["doc_id"] for r in by_rule["OUT-I"]]
+    verdicts = {(r["partition_key"], r["rule_id"]): r["passed"]
+                for r in res.verdicts.collect()}
+    assert verdicts[("web", "OUT-Z")] is False
+    assert verdicts[("api", "OUT-Z")] is True
+
+
+def test_outlier_quantile_and_small_groups(spark):
+    """quantile method fences at approx percentiles; groups with <2 rows
+    emit nothing (open world); NULL values are never outliers."""
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([("d%d" % i, i, "web") for i in range(1000)]
+            + [("solo", 999_999, "lonely"), ("nul", None, "web")])
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "OUT-Q", "type": "Outlier", "column": "n_tok",
+         "params": {"method": "quantile", "lower": 0.01, "upper": 0.99}}]})
+    viol = ValidationEngine(rs).validate(df).violations.collect()
+    ids = {r["doc_id"] for r in viol}
+    assert "solo" not in ids and "nul" not in ids
+    # ~1% tails of the web uniform ramp get flagged, small count both sides
+    assert 0 < len(ids) < 60
+    sides = {r["detail"]["side"] for r in viol}
+    assert sides == {"below", "above"}
+
+
+def test_outlier_compile_rejections(spark):
+    from fhir_data_validation_spark import RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame([("a", 1, "s")],
+                               "doc_id string, n_tok int, source string")
+    bad = [
+        {"column": "doc_id", "params": {}},                       # non-numeric
+        {"column": "missing", "params": {}},                      # no column
+        {"params": {}},                                           # col required
+        {"column": "n_tok", "params": {"method": "mad"}},         # unknown
+        {"column": "n_tok", "params": {"k": -1}},                 # k <= 0
+        {"column": "n_tok", "params": {"k": "x"}},                # non-numeric
+        {"column": "n_tok", "params": {"method": "quantile",
+                                       "lower": 0.9, "upper": 0.1}},
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "OUT-B", "type": "Outlier", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs).validate(df)
