@@ -749,6 +749,20 @@ def q_x6_token_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_t8_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary build + per-doc OOV profile (pipeline/text.vocabulary /
+    oov_profile): min_count=5, max_size=2000 vocab (count desc, token asc
+    tiebreak), then occurrence-counting OOV rates via broadcast join +
+    doc re-aggregation (shuffle O(docs), not O(tokens))."""
+    from fhir_data_validation_spark.pipeline import text
+    tok = _md5_token_table(spark, sf)
+    vocab = text.vocabulary(tok, min_count=5, max_size=2000)
+    prof = text.oov_profile(tok, vocab)
+    return (prof.select(F.col("id").alias("doc_id"), "n_tok", "n_oov",
+                        F.round("oov_rate", 6).alias("oov_rate"))
+            .orderBy("doc_id"))
+
+
 def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical outlier rule (plans.outlier_plan, via ValidationEngine):
     per-source z-score fences (μ ± 1.5σ) over n_tok, rows outside the fences
@@ -1083,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_token_span_dedup": q_x6_token_span_dedup,
         "e1_expectations": q_e1_expectations,
         "o1_outliers": q_o1_outliers,
+        "t8_vocab_oov": q_t8_vocab_oov,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1691,6 +1706,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0) AS n_tok_clean,
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
+        # t8: vocab (min_count/max_size, deterministic tiebreak) + per-doc
+        # OOV occurrence counts via an independent join-based recompute
+        "t8_vocab_oov": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     [CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                           % 50000 AS INTEGER) FOR x IN ws] AS tokens
+              FROM w),
+            ex AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+            vc AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token
+                   HAVING count(*) >= 5),
+            vocab AS (SELECT token FROM vc
+                      ORDER BY cnt DESC, token ASC LIMIT 2000),
+            agg AS (
+              SELECT ex.doc_id, count(*) AS n_tok,
+                     CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM ex LEFT JOIN vocab v USING (token)
+              GROUP BY ex.doc_id)
+            SELECT tok.doc_id,
+                   coalesce(agg.n_tok, 0) AS n_tok,
+                   coalesce(agg.n_oov, 0) AS n_oov,
+                   CASE WHEN coalesce(agg.n_tok, 0) > 0
+                        THEN round(CAST(agg.n_oov AS DOUBLE) / agg.n_tok, 6)
+                   END AS oov_rate
+            FROM tok LEFT JOIN agg USING (doc_id)
+            ORDER BY tok.doc_id""",
         # o1: z-score outlier fences recomputed independently per source
         "o1_outliers": """
             WITH w AS (

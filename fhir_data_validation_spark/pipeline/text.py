@@ -149,3 +149,67 @@ def analyze(df: DataFrame, text_col: str = "text",
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------ vocabulary / OOV (t8)
+
+def vocabulary(df: DataFrame, tokens_col: str = "tokens",
+               min_count: int = 2, max_size: int | None = None) -> DataFrame:
+    """Corpus vocabulary from a pre-tokenized table: ``(token, count)`` for
+    every token id occurring at least ``min_count`` times, optionally
+    truncated to the ``max_size`` most frequent (count desc, token asc —
+    deterministic tiebreak).
+
+    Scale shape: explode → hash aggregation on the token id. Map-side
+    partial aggregation reduces each input partition to its distinct-token
+    partials before the exchange, so hot token ids (Zipf head) never
+    concentrate raw rows on one reducer — the shuffle carries at most
+    |vocab| rows per input partition. ``max_size`` ranks with ONE total
+    sort over the already-reduced vocab table, not over the corpus.
+    """
+    counts = (df.select(F.explode(tokens_col).alias("token"))
+                .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+                .where(F.col("count") >= int(min_count)))
+    if max_size is not None:
+        # rank over the reduced table; window without partition is fine
+        # here because |vocab| rows fit one stage's sort at any corpus
+        # size (vocab cardinality is bounded by the id space, not rows)
+        from pyspark.sql import Window
+        w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+        counts = (counts.withColumn("_rk", F.row_number().over(w))
+                        .where(F.col("_rk") <= int(max_size)).drop("_rk"))
+    return counts
+
+
+def oov_profile(df: DataFrame, vocab: DataFrame,
+                tokens_col: str = "tokens", id_col: str = "doc_id",
+                broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document out-of-vocabulary profile against a vocabulary table
+    (one ``token`` column): ``(id, n_tok, n_oov, oov_rate)`` counting
+    token OCCURRENCES (multiplicity kept — ``array_except`` semantics
+    would undercount repeated OOV tokens).
+
+    Dataflow: explode → broadcast left join with the vocab (set
+    ``broadcast_vocab=False`` for a vocabulary too large to broadcast —
+    falls back to a shuffle hash join) → re-aggregate by document. A
+    document's tokens live in ONE input row, so map-side partial
+    aggregation collapses the exploded stream back to one partial row per
+    document before the exchange: the shuffle carries O(documents), never
+    O(tokens). Empty documents keep ``n_tok = 0`` with ``oov_rate`` null.
+    """
+    v = vocab.select(F.col("token").alias("_v_tok"),
+                     F.lit(True).alias("_in_vocab")).distinct()
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    exploded = df.select(F.col(id_col).alias("id"),
+                         F.explode_outer(tokens_col).alias("_tok"))
+    joined = exploded.join(v, exploded["_tok"] == v["_v_tok"], "left")
+    return (joined.groupBy("id")
+            .agg(F.count("_tok").alias("n_tok"),
+                 F.count(F.when(F.col("_tok").isNotNull()
+                                & F.col("_in_vocab").isNull(), 1))
+                  .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.when(F.col("n_tok") > 0,
+                               F.col("n_oov") / F.col("n_tok"))
+                         .cast("double")))

@@ -513,3 +513,33 @@ def test_dedup_token_spans_within_doc_and_hash_parity(spark):
     assert hashed == exact
     with pytest.raises(ValueError, match="k must be"):
         dedup.dedup_token_spans(df, k=1)
+
+
+def test_vocabulary_and_oov_profile(spark):
+    """Vocab respects min_count + max_size deterministic tiebreak; OOV
+    counts occurrences (multiplicity), empty docs keep null rate."""
+    from fhir_data_validation_spark.pipeline import text
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2, 3]),     # 1 ×2
+         ("b", [1, 2, 2, 9]),     # 2 ×3 total, 9 once → OOV
+         ("c", [9, 9, 3]),        # 9 ×3 total… see min_count
+         ("d", [])],
+        "doc_id string, tokens array<int>")
+    vocab = text.vocabulary(df, min_count=2)
+    counts = {r["token"]: r["count"] for r in vocab.collect()}
+    assert counts == {1: 3, 2: 3, 3: 2, 9: 3}
+    top = text.vocabulary(df, min_count=2, max_size=2)
+    # count desc, token asc: 1(3), 2(3) beat 9(3)? no — tie on 3 keeps
+    # token asc order: 1, 2 (9 drops), 3(2) drops
+    assert sorted(r["token"] for r in top.collect()) == [1, 2]
+    prof = {r["id"]: r for r in
+            text.oov_profile(df, top, broadcast_vocab=True).collect()}
+    assert prof["a"]["n_tok"] == 4 and prof["a"]["n_oov"] == 1  # the 3
+    assert prof["b"]["n_oov"] == 1                              # the 9
+    assert prof["c"]["n_oov"] == 3                              # 9,9,3
+    assert abs(prof["c"]["oov_rate"] - 1.0) < 1e-12
+    assert prof["d"]["n_tok"] == 0 and prof["d"]["oov_rate"] is None
+    # shuffle-join fallback agrees
+    prof2 = {r["id"]: (r["n_tok"], r["n_oov"]) for r in
+             text.oov_profile(df, top, broadcast_vocab=False).collect()}
+    assert prof2 == {k: (v["n_tok"], v["n_oov"]) for k, v in prof.items()}
