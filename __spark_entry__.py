@@ -749,6 +749,45 @@ def q_x6_token_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_v1_vector_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column conformance (VectorCheck rule via ValidationEngine
+    rebound onto the embeddings table): dim/finite lanes are native
+    codegen expressions; the L2-norm lane (HOF) is isolated in its own
+    fused chunk. The view seeds deterministic corruption — ×3-scaled
+    (norm), 32-dim truncated (dim) and NaN-tail (finite) vectors."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.model import RuleSet
+    emb = load_table(spark, sf, "embeddings")
+    vid = F.col("vec_id")
+    corrupted = (
+        F.when(vid % 50 == 0,
+               F.transform("embedding",
+                           lambda x: (x * F.lit(3.0)).cast("float")))
+        .when(vid % 97 == 0, F.slice("embedding", 1, 32))
+        .when(vid % 83 == 0,
+              F.concat(F.slice("embedding", 1, 63),
+                       F.array(F.lit(float("nan")).cast("float"))))
+        .otherwise(F.col("embedding")))
+    df = emb.select("vec_id", "label", corrupted.alias("embedding"))
+    rs = RuleSet.parse({"rules": [
+        {"id": "VEC-1", "type": "VectorCheck", "column": "embedding",
+         "params": {"dim": 64, "normMin": 0.5, "normMax": 2.0}}]})
+    v = ValidationEngine(rs, config=EngineConfig(
+        key_col="vec_id", group_col="label")).validate(df).violations
+    d = F.col("detail")
+    return (v.select(F.col("doc_id").cast("long").alias("vec_id"),
+                     "source", "error_code",
+                     d["check"].alias("check"),
+                     d["size"].cast("int").alias("size"),
+                     # NULL doubles become NaN through the Arrow/pandas
+                     # hop (same sentinel convention as e1)
+                     F.coalesce(
+                         F.when(d["check"] == "norm",
+                                F.round(d["norm"].cast("double"), 4)),
+                         F.lit(-1.0)).alias("norm"))
+             .orderBy("vec_id"))
+
+
 def q_t8_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary build + per-doc OOV profile (pipeline/text.vocabulary /
     oov_profile): min_count=5, max_size=2000 vocab (count desc, token asc
@@ -1098,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_expectations": q_e1_expectations,
         "o1_outliers": q_o1_outliers,
         "t8_vocab_oov": q_t8_vocab_oov,
+        "v1_vector_check": q_v1_vector_check,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -1706,6 +1746,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0) AS n_tok_clean,
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
+        # v1: the same seeded corruption + lane logic recomputed with
+        # DuckDB list functions (lane priority dim > finite > norm)
+        "v1_vector_check": """
+            WITH e AS (
+              SELECT vec_id, CAST(label AS VARCHAR) AS source,
+                     CASE WHEN vec_id % 50 = 0 THEN
+                            list_transform(embedding,
+                                           x -> CAST(x * 3.0 AS FLOAT))
+                          WHEN vec_id % 97 = 0 THEN embedding[1:32]
+                          WHEN vec_id % 83 = 0 THEN
+                            list_append(embedding[1:63],
+                                        CAST('NaN' AS FLOAT))
+                          ELSE embedding END AS v
+              FROM embeddings),
+            lanes AS (
+              SELECT vec_id, source, len(v) AS sz,
+                     len(v) <> 64 AS bad_dim,
+                     len(list_filter(v, x -> x IS NULL OR isnan(x)
+                                             OR isinf(x))) > 0 AS bad_fin,
+                     sqrt(list_sum(list_transform(
+                          v, x -> CAST(x AS DOUBLE) * x))) AS nrm
+              FROM e)
+            SELECT vec_id, source,
+                   'VECTOR_CHECK_FAILED' AS error_code,
+                   CASE WHEN bad_dim THEN 'dim'
+                        WHEN bad_fin THEN 'finite'
+                        ELSE 'norm' END AS "check",
+                   CAST(sz AS INTEGER) AS size,
+                   coalesce(CASE WHEN NOT bad_dim AND NOT bad_fin
+                                 THEN round(nrm, 4) END, -1.0) AS norm
+            FROM lanes
+            WHERE bad_dim OR bad_fin
+               OR (NOT isnan(nrm) AND (nrm < 0.5 OR nrm > 2.0))
+            ORDER BY vec_id""",
         # t8: vocab (min_count/max_size, deterministic tiebreak) + per-doc
         # OOV occurrence counts via an independent join-based recompute
         "t8_vocab_oov": """

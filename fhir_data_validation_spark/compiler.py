@@ -82,6 +82,10 @@ class PredicateEntry:
     detail: Column              # map<string,string>
     stage: int = Stage.BUSINESS
     elements: Column | None = None  # array<struct<i,j,v>> of bad elements
+    # condition contains a higher-order function (CodegenFallback): the
+    # engine isolates these into their own fused chunk so they can't knock
+    # the other rules' shared scan out of whole-stage codegen
+    hof: bool = False
 
     def violation_struct(self, fired: Column | None = None) -> Column:
         """The violation struct, guarded by ``fired`` when given (the
@@ -177,11 +181,13 @@ DEFAULT_ERROR_CODES = {
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
     "Expectation": ErrorCode.EXPECTATION_VIOLATION,
     "Outlier": ErrorCode.OUTLIER_VALUE,
+    "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
 
 # Rule type → pipeline stage (dedup authority ordering, ValidationPipeline.cs:783-827)
 RULE_STAGES = {
     "TypeCheck": Stage.STRUCTURE,
+    "VectorCheck": Stage.STRUCTURE,
     "Enum": Stage.STRUCTURE,
     "ValueExclusivity": Stage.STRUCTURE,
     "Regex": Stage.STRUCTURE,
@@ -552,7 +558,8 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"invalid rule parameters: {exc}") from exc
         cond, detail = out[0], out[1]
-        elements = out[2] if len(out) == 3 else None
+        elements = out[2] if len(out) > 2 else None
+        hof = out[3] if len(out) > 3 else False
         if downgraded_from is not None:
             # provenance of the governance downgrade rides the detail map —
             # the reference records the original severity on downgraded
@@ -561,7 +568,7 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
                 F.lit("downgradedFrom"), F.lit(downgraded_from)))
         plan.predicates.append(PredicateEntry(
             rule=rule, condition=scope & cond, detail=detail, stage=stage,
-            elements=elements))
+            elements=elements, hof=hof))
     return plan
 
 
@@ -657,6 +664,86 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
     elementwise = _is_element_path(col_name)
     indexed = (_nested_indexed(col_name)
                if elementwise and col_name.count("[*]") >= 2 else None)
+
+    if t == "VectorCheck":
+        # embedding-column conformance: dimension / finiteness lanes are
+        # native array expressions (array_max NaN-propagation, array_compact
+        # null probe) and fuse into the codegen scan; the optional L2-norm
+        # lane needs an `aggregate` HOF (CodegenFallback), so the predicate
+        # is flagged `hof` and the engine gives it its own fused chunk —
+        # the other rules' shared scan stays in whole-stage codegen.
+        if elementwise:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "VectorCheck takes a plain array column, not an element "
+                "path")
+        if not isinstance(dtype, ArrayType) \
+                or not isinstance(dtype.elementType, NumericType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"VectorCheck needs an array<numeric> column; "
+                f"{col_name!r} is {dtype.simpleString()}")
+        dim = rule.params.get("dim")
+        require_finite = bool(rule.params.get("requireFinite", True))
+        norm_min = rule.params.get("normMin")
+        norm_max = rule.params.get("normMax")
+        for name, v in (("dim", dim), ("normMin", norm_min),
+                        ("normMax", norm_max)):
+            if v is not None:
+                try:
+                    float(v)
+                except (TypeError, ValueError) as exc:
+                    raise RuleConfigurationError(
+                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                        f"params.{name} must be numeric: {exc}") from exc
+        if dim is None and not require_finite and norm_min is None \
+                and norm_max is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "VectorCheck needs at least one of params.dim / "
+                "requireFinite / normMin / normMax")
+        sz = F.size(col)
+        lanes: list[tuple[str, Column]] = []
+        if dim is not None:
+            lanes.append(("dim", sz != F.lit(int(dim))))
+        if require_finite:
+            mx = F.array_max(col).cast("double")
+            mn = F.array_min(col).cast("double")
+            # NaN sorts greatest in Spark, so array_max propagates it; ±Inf
+            # compare by plain float equality; null ELEMENTS surface as a
+            # compacted-size mismatch. All native — no HOF in this lane.
+            lanes.append(("finite", F.coalesce(
+                F.isnan(mx) | (mx == F.lit(float("inf")))
+                | (mn == F.lit(float("-inf")))
+                | (sz != F.size(F.array_compact(col))),
+                F.lit(False))))
+        norm: Column | None = None
+        hof = False
+        if norm_min is not None or norm_max is not None:
+            hof = True
+            norm = F.sqrt(F.aggregate(
+                F.array_compact(col), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double")))
+            bad_norm = F.lit(False)
+            if norm_min is not None:
+                bad_norm = bad_norm | (norm < F.lit(float(norm_min)))
+            if norm_max is not None:
+                bad_norm = bad_norm | (norm > F.lit(float(norm_max)))
+            lanes.append(("norm", bad_norm))
+        any_bad = lanes[0][1]
+        for _, c in lanes[1:]:
+            any_bad = any_bad | c
+        cond = col.isNotNull() & any_bad
+        check = F.lit(None).cast("string")
+        for name, c in reversed(lanes):
+            check = F.when(c, F.lit(name)).otherwise(check)
+        pairs: list[tuple[str, Column | str]] = [("check", check),
+                                                 ("size", sz)]
+        if dim is not None:
+            pairs.append(("dim", str(int(dim))))
+        if norm is not None:
+            pairs.append(("norm", F.round(norm, 6)))
+        return cond, _smap(*pairs), None, hof
 
     if t == "Required":
         if elementwise:

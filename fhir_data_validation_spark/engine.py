@@ -237,8 +237,15 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
     except ValueError:
         conf_width = df.sparkSession.sparkContext.defaultParallelism or 200
     width = cfg.violation_partitions or conf_width
-    chunks = [plan.predicates[i:i + CHUNK]
-              for i in range(0, len(plan.predicates), CHUNK)]
+    # HOF-bearing predicates (VectorCheck norm lane, …) are CodegenFallback:
+    # chunk them separately so the main rules' shared scan filter stays
+    # inside whole-stage codegen
+    friendly = [p for p in plan.predicates if not p.hof]
+    fallback = [p for p in plan.predicates if p.hof]
+    chunks = ([friendly[i:i + CHUNK]
+               for i in range(0, len(friendly), CHUNK)]
+              + [fallback[i:i + CHUNK]
+                 for i in range(0, len(fallback), CHUNK)])
     parts = []
     for chunk in chunks:
         # the full-input stage keeps the plain OR filter (short-circuiting,

@@ -72,6 +72,7 @@ class ErrorCode:
     DISTRIBUTION_DRIFT = "DISTRIBUTION_DRIFT"
     EXPECTATION_VIOLATION = "EXPECTATION_VIOLATION"
     OUTLIER_VALUE = "OUTLIER_VALUE"
+    VECTOR_CHECK_FAILED = "VECTOR_CHECK_FAILED"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

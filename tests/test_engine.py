@@ -435,3 +435,69 @@ def test_outlier_compile_rejections(spark):
             {"id": "OUT-B", "type": "Outlier", **spec}]})
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs).validate(df)
+
+
+def test_vector_check_lanes(spark):
+    """VectorCheck: dim / finite / norm lanes with lane priority in the
+    detail, null vectors skipped, NaN/±Inf/null-element all caught by
+    native expressions, empty vector norm = 0."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [
+        ("ok", "g", [1.0, 2.0, 2.0]),            # norm 3 — clean
+        ("short", "g", [1.0, 2.0]),              # dim lane
+        ("nan", "g", [float("nan"), 0.0, 1.0]),  # finite lane
+        ("inf", "g", [float("inf"), 0.0, 1.0]),
+        ("ninf", "g", [float("-inf"), 0.0, 1.0]),
+        ("nullel", "g", [1.0, None, 1.0]),
+        ("zero", "g", [0.0, 0.0, 0.0]),          # norm 0 < normMin
+        ("big", "g", [100.0, 0.0, 0.0]),         # norm 100 > normMax
+        ("absent", "g", None),                   # null vector — skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, grp string, vec array<double>")
+    rs = RuleSet.parse({"rules": [
+        {"id": "VC-1", "type": "VectorCheck", "column": "vec",
+         "params": {"dim": 3, "normMin": 0.5, "normMax": 50}}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    viol = {r["doc_id"]: r for r in res.violations.collect()}
+    lanes = {k: v["detail"]["check"] for k, v in viol.items()}
+    assert lanes == {"short": "dim", "nan": "finite", "inf": "finite",
+                     "ninf": "finite", "nullel": "finite",
+                     "zero": "norm", "big": "norm"}
+    assert viol["big"]["error_code"] == "VECTOR_CHECK_FAILED"
+    assert float(viol["big"]["detail"]["norm"]) == 100.0
+    assert viol["short"]["detail"]["size"] == "2"
+    # norm-less VectorCheck has no HOF and stays codegen-friendly
+    from fhir_data_validation_spark.compiler import compile_ruleset
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "VC-2", "type": "VectorCheck", "column": "vec",
+         "params": {"dim": 3}}]})
+    plan2 = compile_ruleset(rs2, df.schema,
+                            EngineConfig(key_col="id", group_col="grp"), {})
+    assert plan2.predicates[0].hof is False
+    plan1 = compile_ruleset(rs, df.schema,
+                            EngineConfig(key_col="id", group_col="grp"), {})
+    assert plan1.predicates[0].hof is True
+
+
+def test_vector_check_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", "g", [1.0], "x")],
+        "id string, grp string, vec array<double>, s string")
+    bad = [
+        {"column": "s", "params": {"dim": 3}},           # not an array
+        {"column": "missing", "params": {"dim": 3}},     # no column
+        {"column": "vec", "params": {"dim": "x"}},       # non-numeric dim
+        {"column": "vec", "params": {"requireFinite": False}},  # no lane
+        {"column": "vec", "params": {"normMin": "x"}},
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "VC-B", "type": "VectorCheck", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=EngineConfig(
+                key_col="id", group_col="grp")).validate(df)
