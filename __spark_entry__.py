@@ -880,6 +880,49 @@ def q_sm4_shuffle_ranks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank").orderBy("doc_id")
 
 
+def q_k2_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (pipeline/packing.chunk_windows): overlapped
+    32-token windows every 24 tokens over the word-tokenized documents —
+    the RAG/context-window chunk layout. Pure codegen projection, zero
+    shuffle; value oracle checks starts, lengths and the chunk text."""
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", text.words(F.col("text")).alias("tokens"))
+    out = chunk_windows(toks, window=32, stride=24)
+    return (out.select("doc_id", "chunk", "chunk_start", "chunk_len",
+                       F.array_join("chunk_tokens", " ").alias("chunk_text"))
+            .orderBy("doc_id", "chunk"))
+
+
+def q_sm5_quantile_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum quantile gating (pipeline/selection.select_above_quantile):
+    keep documents at or above their language's 0.8 length quantile —
+    exact R-7 interpolated percentile (DuckDB quantile_cont twin), fences
+    broadcast back onto the unshuffled scan."""
+    from fhir_data_validation_spark.pipeline.selection import \
+        select_above_quantile
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "lang",
+                    text.token_count_ws(F.col("text")).alias("n_tok")))
+    out = select_above_quantile(docs, "n_tok", "lang", 0.8,
+                                keep_threshold=True)
+    return (out.select("doc_id", "lang", "n_tok",
+                       F.round("threshold", 4).alias("threshold"))
+            .orderBy("doc_id"))
+
+
+def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (pipeline/text.tfidf_topk):
+    smoothed idf, deterministic (score desc, term asc) ranking; the
+    corpus-size scalar is an aggregated 1-row cross join, never a driver
+    action. Scores value-checked to 4 decimals."""
+    out = text.tfidf_topk(load_table(spark, sf, "documents"), k=3)
+    return (out.select("doc_id", "rank", "term", "tf",
+                       F.col("df").alias("doc_freq"),
+                       F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "rank"))
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -1124,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
         "k1_pack_sequences": q_k1_pack_sequences,
+        "k2_chunk_overlap": q_k2_chunk_overlap,
+        "sm5_quantile_select": q_sm5_quantile_select,
+        "t9_tfidf_topk": q_t9_tfidf_topk,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
@@ -1934,6 +1980,81 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 4)
                      AS dup_3gram_frac
             FROM g ORDER BY doc_id""",
+        # k2: sliding-window chunking — same start/count arithmetic as
+        # chunk_windows (ceil via integer div); list_slice is 1-based
+        # inclusive on both ends
+        "k2_chunk_overlap": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            n AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) <= 32 THEN 1
+                          ELSE 1 + (len(ws) - 32 + 24 - 1) // 24
+                     END AS n_chunks
+              FROM w WHERE len(ws) > 0),
+            c AS (
+              SELECT doc_id, ws, n,
+                     unnest(range(n_chunks)) AS chunk
+              FROM n)
+            SELECT doc_id, chunk,
+                   chunk * 24 AS chunk_start,
+                   least(32, n - chunk * 24) AS chunk_len,
+                   array_to_string(
+                     list_slice(ws, chunk * 24 + 1,
+                                chunk * 24 + least(32, n - chunk * 24)),
+                     ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk""",
+        # sm5: per-language 0.8 quantile fence — quantile_cont is the same
+        # R-7 interpolation as Spark's exact percentile; the metric is
+        # integer-valued so the >= comparison cannot sit on a rounding
+        # boundary unless the fence is itself exact
+        "sm5_quantile_select": """
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '[ \t\n]+'))
+                     END AS n_tok
+              FROM documents),
+            q AS (
+              SELECT lang, quantile_cont(n_tok, 0.8) AS thr
+              FROM m GROUP BY lang)
+            SELECT m.doc_id, m.lang, m.n_tok,
+                   round(q.thr, 4) AS threshold
+            FROM m JOIN q ON m.lang = q.lang
+            WHERE m.n_tok >= q.thr
+            ORDER BY m.doc_id""",
+        # t9: smoothed tf-idf (sklearn smooth_idf convention), top 3 per
+        # document by (score desc, term asc)
+        "t9_tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM e GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+                     tf.tf * (ln((nn.n + 1.0) / (dfq.doc_freq + 1.0))
+                              + 1.0) AS score
+              FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rank
+              FROM s)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, doc_freq,
+                   round(score, 4) AS score
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
         "sm4_shuffle_ranks": """
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY u, doc_id) - 1

@@ -95,6 +95,57 @@ def pack_sequences(df: DataFrame, seq_len: int, shard_col: str = "source",
                 (piece_end - piece_start).cast("int")).alias("piece"))
 
 
+def chunk_windows(df: DataFrame, window: int, stride: int | None = None,
+                  id_col: str = "doc_id",
+                  tokens_col: str = "tokens") -> DataFrame:
+    """Sliding-window chunking: cut each document's token array into
+    (optionally overlapping) windows of ``window`` tokens every ``stride``
+    tokens — the RAG / long-context-eval chunk layout, the overlap-keeping
+    dual of :func:`pack_sequences`' exact tiling.
+
+    Chunk starts are ``0, stride, 2·stride, …``; the last chunk is the
+    first one whose end reaches the document end (it may be shorter than
+    ``window``), so no chunk is a pure suffix of its predecessor and —
+    whenever ``stride <= window`` — every token is covered. A ``stride``
+    larger than ``window`` is allowed and samples disjoint windows with
+    gaps (frame-sampling layout). One output row per (document, chunk):
+    ``(id, chunk, chunk_start, chunk_len, chunk_tokens)`` with ``chunk``
+    0-based. Zero-token documents yield no chunks.
+
+    Scale shape: ``sequence`` + ``posexplode`` + ``slice`` — one
+    whole-stage-codegen projection, no shuffle, no Python; output size is
+    bounded by ``ceil(n/stride)`` rows per document. Chunks inherit the
+    scan's partitioning, so a downstream embed/index stage starts without
+    an exchange.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    stride = window if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    n = F.size(F.col(tokens_col)).cast("long")
+    W = F.lit(int(window)).cast("long")
+    S = F.lit(int(stride)).cast("long")
+    # chunks = 1 if n <= window else 1 + ceil((n - window) / stride);
+    # integer ceil via (a + S - 1) div S keeps the arithmetic exact past
+    # 2^53 (same rationale as pack_sequences' `div`)
+    n_chunks = (F.when(n <= W, F.lit(1).cast("long"))
+                .otherwise(F.expr(
+                    f"1 + (size({tokens_col}) - {int(window)}"
+                    f" + {int(stride)} - 1) div {int(stride)}")))
+    out = (df.where(n > 0)
+             .select(F.col(id_col), F.col(tokens_col).alias("_toks"),
+                     F.explode(F.sequence(F.lit(0).cast("long"),
+                                          n_chunks - 1)).alias("_i")))
+    start = F.col("_i") * S
+    chunk_len = F.least(W, F.size("_toks").cast("long") - start)
+    return out.select(
+        id_col, F.col("_i").alias("chunk"),
+        start.alias("chunk_start"), chunk_len.alias("chunk_len"),
+        F.slice(F.col("_toks"), (start + 1).cast("int"),
+                chunk_len.cast("int")).alias("chunk_tokens"))
+
+
 def assemble_sequences(pieces: DataFrame) -> DataFrame:
     """Materialize packed sequences from :func:`pack_sequences` output:
     ``(shard, seq, tokens, n_tok, n_docs)``. Per-group state is ≤

@@ -192,3 +192,48 @@ def shuffle_ranks(df: DataFrame, key_col: str = "doc_id",
             .withColumn(rank_col,
                         (F.col("_off") + F.col("_rn") - 1).cast("long"))
             .drop("_u", "_shard", "_rn", "_off"))
+
+
+def quantile_thresholds(df: DataFrame, metric_col: str, by: str,
+                        p: float, exact: bool = True,
+                        accuracy: int = 10000) -> DataFrame:
+    """Per-stratum ``p``-quantile of ``metric_col``: one row per ``by``
+    value with a ``threshold`` column.
+
+    ``exact=True`` uses the exact interpolated percentile (R-7, the same
+    definition as DuckDB's ``quantile_cont``) — its aggregation buffer
+    holds the group's distinct metric values with frequencies, fine for
+    bounded-cardinality metrics (token counts, scores) but NOT for
+    continuous high-cardinality metrics at 100 TB. ``exact=False`` uses
+    ``approx_percentile`` (mergeable KLL-style sketch, map-side combined,
+    bounded memory) — the scale path; ``accuracy`` trades sketch size for
+    error. Either way the result is |strata| rows — broadcastable.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("p must be in [0, 1]")
+    m = F.col(metric_col).cast("double")
+    agg = (F.percentile(m, F.lit(float(p))) if exact
+           else F.approx_percentile(m, F.lit(float(p)), F.lit(accuracy)))
+    return df.groupBy(by).agg(agg.alias("threshold"))
+
+
+def select_above_quantile(df: DataFrame, metric_col: str, by: str,
+                          p: float, exact: bool = True,
+                          keep_threshold: bool = False) -> DataFrame:
+    """Per-stratum quantile gating: keep rows whose ``metric_col`` is >=
+    their stratum's ``p``-quantile — "top (1-p) of each language by
+    quality" without a global constant that over-prunes low-resource
+    strata.
+
+    Two passes, zero data-side shuffle: a groupBy reduces the corpus to
+    |strata| thresholds (map-side combined), which broadcast-join back
+    onto the unshuffled scan as a filter. Threshold semantics (not exact
+    top-N): every row tied at the fence is kept, so the selection is
+    deterministic and append-stable under repartitioning. Use
+    ``exact=False`` for continuous metrics at scale (see
+    :func:`quantile_thresholds`).
+    """
+    thr = quantile_thresholds(df, metric_col, by, p, exact=exact)
+    out = (df.join(F.broadcast(thr), on=by, how="inner")
+             .where(F.col(metric_col).cast("double") >= F.col("threshold")))
+    return out if keep_threshold else out.drop("threshold")

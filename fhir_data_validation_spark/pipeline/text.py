@@ -213,3 +213,51 @@ def oov_profile(df: DataFrame, vocab: DataFrame,
                         F.when(F.col("n_tok") > 0,
                                F.col("n_oov") / F.col("n_tok"))
                          .cast("double")))
+
+
+# ----------------------------------------------------------- TF-IDF (t9)
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id",
+               broadcast_idf: bool = True) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword-extraction
+    / relevance-feature operator: ``score = tf · (ln((N+1)/(df+1)) + 1)``
+    (smoothed idf, sklearn's ``smooth_idf`` convention) where ``N`` is the
+    number of documents with at least one word.
+
+    Output: ``(id, rank, term, tf, df, score)`` with ``rank`` 1-based by
+    (score desc, term asc) — ties deterministic.
+
+    Scale shape: explode → one map-side-combined hash agg to ``(doc,
+    term, tf)`` → term-level agg to the document-frequency table (|vocab|
+    rows; ``N`` is a 1-row agg cross-joined in, never a driver action) →
+    join idf back (broadcast by default; ``broadcast_idf=False`` falls
+    back to a shuffle hash join for vocabularies too large to broadcast)
+    → per-document top-k window. The window partitions by document id —
+    max partition size is the document's distinct-term count, so there is
+    no skew at any corpus size.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(words(F.col(text_col))).alias("term"))
+            .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = tf.agg(F.countDistinct("id").alias("_n"))
+    docfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+                 .crossJoin(F.broadcast(n_docs))
+                 .withColumn("idf",
+                             F.log((F.col("_n") + F.lit(1.0))
+                                   / (F.col("df") + F.lit(1.0)))
+                             + F.lit(1.0))
+                 .drop("_n"))
+    if broadcast_idf:
+        docfreq = F.broadcast(docfreq)
+    scored = (tf.join(docfreq, "term")
+                .withColumn("score", F.col("tf") * F.col("idf")))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(F.col("id").alias(id_col), "rank", "term", "tf", "df",
+                    "score"))

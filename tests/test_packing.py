@@ -86,3 +86,57 @@ def test_with_shards_deterministic(spark, token_df):
     b = with_shards(token_df, 4).select("doc_id", "shard").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r["shard"] < 4 for r in a)
+
+
+# ---------------------------------------------------------- chunk_windows
+
+def test_chunk_windows_overlap_coverage(spark):
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    df = spark.createDataFrame(
+        [("d1", [f"t{i}" for i in range(10)]),   # 10 toks, W4 S2 -> 4 chunks
+         ("d2", ["a", "b", "c"]),                # n < W -> one short chunk
+         ("d3", [])],                            # empty -> dropped
+        "doc_id string, tokens array<string>")
+    out = {(r["doc_id"], r["chunk"]): r
+           for r in chunk_windows(df, window=4, stride=2).collect()}
+    assert {k[0] for k in out} == {"d1", "d2"}
+    d1 = [out[("d1", i)] for i in range(4)]
+    assert [r["chunk_start"] for r in d1] == [0, 2, 4, 6]
+    assert [r["chunk_len"] for r in d1] == [4, 4, 4, 4]
+    assert d1[3]["chunk_tokens"] == ["t6", "t7", "t8", "t9"]
+    # sliding windows overlap by window - stride tokens
+    assert d1[0]["chunk_tokens"][2:] == d1[1]["chunk_tokens"][:2]
+    # every token covered (stride <= window)
+    covered = sorted({t for r in d1 for t in r["chunk_tokens"]})
+    assert covered == sorted(f"t{i}" for i in range(10))
+    assert out[("d2", 0)]["chunk_tokens"] == ["a", "b", "c"]
+    assert out[("d2", 0)]["chunk_len"] == 3
+    assert ("d1", 4) not in out           # no pure-suffix trailing chunk
+
+
+def test_chunk_windows_short_tail_and_guards(spark):
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    df = spark.createDataFrame([("d", [str(i) for i in range(7)])],
+                               "doc_id string, tokens array<string>")
+    rows = sorted(chunk_windows(df, window=4, stride=3).collect(),
+                  key=lambda r: r["chunk"])
+    # starts 0, 3 -> last chunk reaches the end and is full; n=7
+    assert [(r["chunk_start"], r["chunk_len"]) for r in rows] == [(0, 4), (3, 4)]
+    rows = sorted(chunk_windows(df, window=3, stride=3).collect(),
+                  key=lambda r: r["chunk"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in rows] == [
+        (0, 3), (3, 3), (6, 1)]           # exact tiling w/ short tail
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_windows(df, window=0)
+    with _pt.raises(ValueError):
+        chunk_windows(df, window=4, stride=-1)
+
+
+def test_chunk_windows_no_shuffle(spark):
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    df = spark.createDataFrame([("d", ["a", "b"])],
+                               "doc_id string, tokens array<string>")
+    plan = chunk_windows(df, window=2, stride=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan         # pure projection + generate

@@ -543,3 +543,40 @@ def test_vocabulary_and_oov_profile(spark):
     prof2 = {r["id"]: (r["n_tok"], r["n_oov"]) for r in
              text.oov_profile(df, top, broadcast_vocab=False).collect()}
     assert prof2 == {k: (v["n_tok"], v["n_oov"]) for k, v in prof.items()}
+
+
+def test_tfidf_topk_hand_values(spark):
+    import math
+    df = spark.createDataFrame(
+        [("d1", "apple banana apple"), ("d2", "banana cherry"),
+         ("d3", "durian"), ("d4", "")],
+        "doc_id string, text string")
+    out = {(r["doc_id"], r["rank"]): r
+           for r in text.tfidf_topk(df, k=2).collect()}
+    # N = 3 docs with >= 1 word (d4 excluded); smooth idf = ln((N+1)/(df+1))+1
+    ln2 = math.log(2.0)
+    assert out[("d1", 1)]["term"] == "apple"
+    assert abs(out[("d1", 1)]["score"] - 2 * (ln2 + 1)) < 1e-12
+    assert out[("d1", 2)]["term"] == "banana"
+    assert abs(out[("d1", 2)]["score"] - (math.log(4 / 3) + 1)) < 1e-12
+    assert out[("d1", 1)]["tf"] == 2 and out[("d1", 1)]["df"] == 1
+    # d2: banana and cherry tf=1; cherry idf higher (df 1 vs 2)
+    assert out[("d2", 1)]["term"] == "cherry"
+    assert out[("d2", 2)]["term"] == "banana"
+    assert ("d3", 2) not in out            # only one term exists
+    assert ("d4", 1) not in out            # empty doc emits nothing
+    # shuffle-join fallback identical
+    alt = {(r["doc_id"], r["rank"]): r["term"] for r in
+           text.tfidf_topk(df, k=2, broadcast_idf=False).collect()}
+    assert alt == {k: v["term"] for k, v in out.items()}
+
+
+def test_tfidf_topk_tie_breaks_by_term(spark):
+    df = spark.createDataFrame([("d", "zeta alpha")],
+                               "doc_id string, text string")
+    rows = sorted(text.tfidf_topk(df, k=5).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["term"] for r in rows] == ["alpha", "zeta"]  # equal scores
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text.tfidf_topk(df, k=0)

@@ -170,3 +170,67 @@ def test_shuffle_ranks_guards(spark, corpus):
     from fhir_data_validation_spark.pipeline.selection import shuffle_ranks
     with pytest.raises(ValueError, match="shards"):
         shuffle_ranks(corpus, shards=0)
+
+
+# --------------------------------------------------- select_above_quantile
+
+@pytest.fixture(scope="module")
+def metric_corpus(spark):
+    rows = [(i, ("en", "de", "fr")[i % 3], (i * 37) % 101)
+            for i in range(300)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long")
+
+
+def _r7(vals, p):
+    vals = sorted(vals)
+    h = (len(vals) - 1) * p
+    lo = int(h)
+    if lo == h:
+        return float(vals[lo])
+    return vals[lo] + (h - lo) * (vals[lo + 1] - vals[lo])
+
+
+def test_select_above_quantile_matches_r7(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import (
+        quantile_thresholds, select_above_quantile)
+    data = metric_corpus.collect()
+    for p in (0.8, 0.5, 0.25):
+        thr = {r["lang"]: r["threshold"] for r in
+               quantile_thresholds(metric_corpus, "n_tok", "lang",
+                                   p).collect()}
+        for lang in ("en", "de", "fr"):
+            want = _r7([r["n_tok"] for r in data if r["lang"] == lang], p)
+            assert abs(thr[lang] - want) < 1e-9
+        kept = {r["doc_id"] for r in
+                select_above_quantile(metric_corpus, "n_tok", "lang",
+                                      p).collect()}
+        want_kept = {r["doc_id"] for r in data
+                     if r["n_tok"] >= thr[r["lang"]]}
+        assert kept == want_kept
+
+
+def test_select_above_quantile_approx_and_threshold_col(spark,
+                                                        metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        select_above_quantile
+    out = select_above_quantile(metric_corpus, "n_tok", "lang", 0.9,
+                                exact=False, keep_threshold=True)
+    rows = out.collect()
+    assert rows and "threshold" in out.columns
+    # high-accuracy sketch on 100 ints/stratum is exact: ~top decile kept
+    assert len(rows) <= 0.2 * 300
+    again = {r["doc_id"] for r in
+             select_above_quantile(metric_corpus, "n_tok", "lang", 0.9,
+                                   exact=False).collect()}
+    assert again == {r["doc_id"] for r in rows}   # deterministic
+    with pytest.raises(ValueError):
+        select_above_quantile(metric_corpus, "n_tok", "lang", 1.5)
+
+
+def test_select_above_quantile_broadcasts_fences(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        select_above_quantile
+    plan = (select_above_quantile(metric_corpus, "n_tok", "lang", 0.8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan   # data side joins unshuffled
