@@ -911,6 +911,20 @@ def q_sm5_quantile_select(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_sm6_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (pipeline/selection.sample_weighted, Efraimidis–Spirakis A-Res):
+    15 docs per language with inclusion probability ∝ n_chars — the
+    quality-weighted corpus-selection primitive. Oracle re-derives the
+    u^(1/w) keys from the same md5_60 hash."""
+    from fhir_data_validation_spark.pipeline.selection import \
+        sample_weighted
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang",
+                                                     "n_chars")
+    return (sample_weighted(docs, 15, "n_chars", by="lang")
+            .orderBy("doc_id"))
+
+
 def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (pipeline/text.tfidf_topk):
     smoothed idf, deterministic (score desc, term asc) ranking; the
@@ -1169,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_pack_sequences": q_k1_pack_sequences,
         "k2_chunk_overlap": q_k2_chunk_overlap,
         "sm5_quantile_select": q_sm5_quantile_select,
+        "sm6_weighted_sample": q_sm6_weighted_sample,
         "t9_tfidf_topk": q_t9_tfidf_topk,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
@@ -2028,6 +2043,28 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN q ON m.lang = q.lang
             WHERE m.n_tok >= q.thr
             ORDER BY m.doc_id""",
+        # sm6: A-Res weighted sample — top-15 per language by u^(1/w),
+        # u = md5_60 hash unit (same formula as sm4); rank gaps are ~1e-4
+        # at this scale so cross-library pow() ulp noise cannot flip them
+        "sm6_weighted_sample": """
+            WITH u AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR) || '#0'),
+                            1, 15) AS BIGINT)
+                     / 1152921504606846976.0 AS u
+              FROM documents WHERE n_chars > 0),
+            k AS (
+              SELECT doc_id, lang, n_chars,
+                     pow(u, 1.0 / n_chars) AS wk
+              FROM u),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY wk DESC, doc_id) AS rn
+              FROM k)
+            SELECT doc_id, lang, n_chars
+            FROM r WHERE rn <= 15 ORDER BY doc_id""",
         # t9: smoothed tf-idf (sklearn smooth_idf convention), top 3 per
         # document by (score desc, term asc)
         "t9_tfidf_topk": """

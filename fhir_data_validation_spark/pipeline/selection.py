@@ -237,3 +237,45 @@ def select_above_quantile(df: DataFrame, metric_col: str, by: str,
     out = (df.join(F.broadcast(thr), on=by, how="inner")
              .where(F.col(metric_col).cast("double") >= F.col("threshold")))
     return out if keep_threshold else out.drop("threshold")
+
+
+def weighted_key(key: Column, weight: Column, salt: int | str = 0) -> Column:
+    """Efraimidis–Spirakis A-Res sampling key ``u^(1/w)`` with
+    ``u = hash_unit(key, salt)``: taking the ``n`` LARGEST keys is an
+    exact weight-proportional sample without replacement. Deterministic
+    in (key, salt), so re-runs, repartitions and appends never swap a
+    row's fate. Non-positive or null weights yield a null key
+    (zero inclusion probability)."""
+    w = weight.cast("double")
+    return F.when(w > 0, F.pow(hash_unit(key, salt), F.lit(1.0) / w))
+
+
+def sample_weighted(df: DataFrame, n: int, weight_col: str,
+                    by: str | None = None, key_col: str = "doc_id",
+                    salt: int | str = 0) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the ``n``
+    rows with the largest :func:`weighted_key` — inclusion probability
+    proportional to ``weight_col`` (Efraimidis & Spirakis 2006, A-Res),
+    e.g. quality-score-weighted corpus selection. Rows with null or
+    non-positive weight are never selected. Ties (possible only for
+    duplicate keys) break by ``key_col``.
+
+    ``by=None`` draws one global sample: compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its local top-``n``
+    and only those merge, no global sort, no single-task stage. With
+    ``by``, each stratum draws its own ``n`` via a per-stratum window
+    (one shuffle; same heavy-stratum caveat and prefilter remedy as
+    :func:`sample_quota`)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    wk = weighted_key(F.col(key_col), F.col(weight_col), salt)
+    base = df.where(wk.isNotNull()).withColumn("_wk", wk)
+    if by is None:
+        out = (base.orderBy(F.col("_wk").desc(), F.col(key_col))
+               .limit(int(n)))
+    else:
+        w = Window.partitionBy(by).orderBy(F.col("_wk").desc(),
+                                           F.col(key_col))
+        out = (base.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= int(n)).drop("_rn"))
+    return out.drop("_wk")

@@ -234,3 +234,66 @@ def test_select_above_quantile_broadcasts_fences(spark, metric_corpus):
     plan = (select_above_quantile(metric_corpus, "n_tok", "lang", 0.8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan   # data side joins unshuffled
+
+
+# -------------------------------------------------------- sample_weighted
+
+def _py_unit(key, salt=0):
+    import hashlib
+    h = hashlib.md5(f"{key}#{salt}".encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
+
+
+def test_sample_weighted_matches_ares_reference(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        sample_weighted
+    data = [(r["doc_id"], r["lang"], r["n_tok"])
+            for r in metric_corpus.collect()]
+    # independent A-Res reference: top-n by u^(1/w) per stratum
+    def ref(n, by_lang):
+        keyed = [(d, lang, _py_unit(d) ** (1.0 / w))
+                 for d, lang, w in data if w > 0]
+        if not by_lang:
+            keyed.sort(key=lambda t: (-t[2], t[0]))
+            return {t[0] for t in keyed[:n]}
+        out = set()
+        for lang in {t[1] for t in keyed}:
+            grp = sorted((t for t in keyed if t[1] == lang),
+                         key=lambda t: (-t[2], t[0]))
+            out |= {t[0] for t in grp[:n]}
+        return out
+    got_global = {r["doc_id"] for r in
+                  sample_weighted(metric_corpus, 25, "n_tok").collect()}
+    assert got_global == ref(25, by_lang=False)
+    got_strat = {r["doc_id"] for r in
+                 sample_weighted(metric_corpus, 10, "n_tok",
+                                 by="lang").collect()}
+    assert got_strat == ref(10, by_lang=True)
+
+
+def test_sample_weighted_skips_nonpositive_and_biases_heavy(spark):
+    from fhir_data_validation_spark.pipeline.selection import \
+        sample_weighted
+    rows = ([(i, 1000.0) for i in range(50)]          # heavy
+            + [(i, 1.0) for i in range(50, 500)]      # light
+            + [(900, 0.0), (901, -3.0), (902, None)])  # never selected
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = [  # union over salts to make the bias statistical
+        r["doc_id"]
+        for s in range(5)
+        for r in sample_weighted(df, 20, "w", salt=s).collect()]
+    assert not {900, 901, 902} & set(picked)
+    heavy = sum(1 for d in picked if d < 50)
+    assert heavy / len(picked) > 0.6   # 50 heavy docs dominate 450 light
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_weighted(df, 0, "w")
+
+
+def test_sample_weighted_global_avoids_single_task_sort(spark,
+                                                        metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        sample_weighted
+    plan = (sample_weighted(metric_corpus, 5, "n_tok")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
