@@ -230,3 +230,29 @@ def test_streaming_redaction_and_line_dedup_parity(spark, tmp_path):
     assert got == want and len(got) == 40
     assert all("<EMAIL>" in t for t in got.values())
     assert all(t.count("line one") == 1 for t in got.values())
+
+
+def test_streaming_chunk_windows_parity(spark, tmp_path):
+    """chunk_windows is a stateless generate+projection, so it applies
+    unchanged to a streaming DataFrame — the chunk stream of an arriving
+    corpus equals the batch chunking of the same files."""
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    src = str(tmp_path / "toks")
+    rows = [(i, [f"w{i}_{j}" for j in range(5 + (i * 7) % 40)])
+            for i in range(30)]
+    batch = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    batch.repartition(3).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    stream = (spark.readStream.schema(stored.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (chunk_windows(stream, window=16, stride=8)
+         .writeStream.format("memory").queryName("chunk_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["chunk"]): tuple(r["chunk_tokens"])
+           for r in spark.sql("SELECT * FROM chunk_out").collect()}
+    want = {(r["doc_id"], r["chunk"]): tuple(r["chunk_tokens"])
+            for r in chunk_windows(stored, window=16, stride=8).collect()}
+    assert got == want and len(got) > 30
