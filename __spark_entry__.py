@@ -541,6 +541,25 @@ def q_d6_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_d7_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup (pipeline/dedup.exact_duplicates_incremental):
+    docs with id < 3 are the indexed history; everything else (including
+    the seeded copies) arrives as the delta batch. New docs dedup against
+    the index plus earlier batch rows — per-batch work O(delta), the
+    historical corpus never re-scanned."""
+    seeded = _seeded_docs(spark, sf)
+    hist = seeded.where(F.col("doc_id") < 3)
+    index = hist.select(
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        F.col("doc_id").alias("keep"))
+    new = seeded.where(F.col("doc_id") >= 3)
+    verdicts, _delta = dedup.exact_duplicates_incremental(new, index)
+    return (verdicts.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            "fingerprint", F.col("keep").cast("long")
+                            .alias("keep"), "dup")
+            .orderBy("doc_id"))
+
+
 def _seeded_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     dup = (emb.where(F.col("vec_id") < 5)
@@ -1175,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
         "d6_duplicate_clusters": q_d6_duplicate_clusters,
+        "d7_incremental_dedup": q_d7_incremental_dedup,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
@@ -1542,6 +1562,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
             ORDER BY keep""",
+        "d7_incremental_dedup": f"""
+            WITH seeded AS ({_SEEDED_DOCS_SQL}),
+            fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
+                         'g')) AS fingerprint
+              FROM seeded),
+            idx AS (
+              SELECT fingerprint, min(doc_id) AS ikeep
+              FROM fp WHERE doc_id < 3 GROUP BY fingerprint),
+            newb AS (SELECT * FROM fp WHERE doc_id >= 3),
+            bmin AS (
+              SELECT fingerprint, min(doc_id) AS bkeep
+              FROM newb GROUP BY fingerprint)
+            SELECT n.doc_id, n.fingerprint,
+                   coalesce(i.ikeep, b.bkeep) AS keep,
+                   n.doc_id <> coalesce(i.ikeep, b.bkeep) AS dup
+            FROM newb n
+            JOIN bmin b ON n.fingerprint = b.fingerprint
+            LEFT JOIN idx i ON n.fingerprint = i.fingerprint
+            ORDER BY n.doc_id""",
         "d2_jaccard_pairs": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",

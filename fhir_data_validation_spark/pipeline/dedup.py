@@ -162,6 +162,50 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
             .where(F.col("n_docs") > 1))
 
 
+
+def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id"
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: classify only the NEW documents of a
+    snapshot delta against a persisted fingerprint index — the historical
+    corpus is never re-scanned. ``index`` has columns ``(fingerprint,
+    keep)`` with ``keep`` = the canonical keeper id (build the first one
+    from :func:`exact_duplicates` output or start empty).
+
+    Returns ``(verdicts, index_delta)``:
+
+    - ``verdicts`` — one row per new doc: ``(doc_id, fingerprint, keep,
+      dup)``; ``dup`` is true when the fingerprint is already indexed or
+      an earlier (smaller-id) doc in the same batch owns it.
+    - ``index_delta`` — ``(fingerprint, keep)`` rows for fingerprints NEW
+      to the index (keeper = smallest batch id): append them to the index
+      table (e.g. a PyIcebergTable; pair with ``incremental()`` for the
+      delta input) and the next batch dedups against them.
+
+    Scale shape: one map-side-combined fingerprint agg over the DELTA
+    (O(new docs)) and one hash join against the index keyed by
+    fingerprint. Per-batch work is O(delta + matched index rows) — a
+    daily 0.1% append to a 100-TB corpus costs 0.1% of a full dedup.
+    Bucket both the index table and the batch by ``fingerprint`` to make
+    the join exchange-free on the index side.
+    """
+    fps = new_docs.select(F.col(id_col).alias("doc_id"),
+                          fingerprint(F.col(text_col)).alias("fingerprint"))
+    batch_min = (fps.groupBy("fingerprint")
+                 .agg(F.min("doc_id").alias("_batch_keep")))
+    idx = index.select("fingerprint", F.col("keep").alias("_idx_keep"))
+    keepers = (batch_min.join(idx, "fingerprint", "left")
+               .select("fingerprint",
+                       F.coalesce("_idx_keep", "_batch_keep").alias("keep"),
+                       F.col("_idx_keep").isNull().alias("_new_fp")))
+    verdicts = (fps.join(keepers, "fingerprint")
+                .select("doc_id", "fingerprint", "keep",
+                        (F.col("doc_id") != F.col("keep")).alias("dup")))
+    index_delta = keepers.where("_new_fp").select("fingerprint", "keep")
+    return verdicts, index_delta
+
+
 # -------------------------------------------------------- n-gram Jaccard ----
 
 def word_shingles(col: Column, n: int = 3) -> Column:

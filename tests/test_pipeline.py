@@ -580,3 +580,37 @@ def test_tfidf_topk_tie_breaks_by_term(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         text.tfidf_topk(df, k=0)
+
+
+def test_exact_duplicates_incremental(spark):
+    idx0 = spark.createDataFrame(
+        [("fp-not-seen", 999)], "fingerprint string, keep long")
+    hist = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string")
+    # bootstrap an index from the historical corpus (all fingerprints,
+    # including singletons, so future collisions resolve to history)
+    from fhir_data_validation_spark.pipeline.text import fingerprint as fp
+    boot = hist.select(fp(F.col("text")).alias("fingerprint"),
+                       F.col("doc_id").alias("keep"))
+    index = idx0.unionByName(boot)
+
+    new = spark.createDataFrame(
+        [(10, "alpha text"),      # dup of history (keep=1)
+         (11, "gamma text"),      # new fp, batch keeper
+         (12, "gamma text"),      # dup within batch (keep=11)
+         (13, "delta text")],     # new fp, unique
+        "doc_id long, text string")
+    verdicts, delta = dedup.exact_duplicates_incremental(new, index)
+    got = {r["doc_id"]: (r["keep"], r["dup"]) for r in verdicts.collect()}
+    assert got == {10: (1, True), 11: (11, False),
+                   12: (11, True), 13: (13, False)}
+    d = {r["fingerprint"]: r["keep"] for r in delta.collect()}
+    assert set(d.values()) == {11, 13}    # only fps new to the index
+    assert len(d) == 2
+    # appending the delta makes the next batch see batch-11 as history
+    next_batch = spark.createDataFrame([(20, "gamma text")],
+                                       "doc_id long, text string")
+    v2, d2 = dedup.exact_duplicates_incremental(
+        next_batch, index.unionByName(delta))
+    assert [(r["keep"], r["dup"]) for r in v2.collect()] == [(11, True)]
+    assert d2.count() == 0
