@@ -114,11 +114,13 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
     warm.violations.count()
     warm.verdicts.count()
     warm.unpersist()
-    # best-of-3 for the headline metric: this host's CPU-steal bursts can
-    # inflate a single sample 5-7x (measured); two samples still leave a
-    # ~minutes-long burst able to taint both
+    # best-of-5 for the headline metric: this host's CPU-steal bursts can
+    # inflate a single sample 5-10x (measured: an interleaved A/B saw
+    # {6.5, 28.9, 70.3} s for the identical job), and a burst can span
+    # several consecutive samples — five draws make at least one
+    # burst-free sample very likely
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         res = engine.validate(df)
         n_viol = res.violations.count()

@@ -6,16 +6,19 @@ The full corpus-to-training-sequences loop over the driver testdata:
 
 1. cleaning — PII redaction + within-doc line dedup (pure projections);
 2. quality filtering — Gopher-style heuristics through the engine's rule
-   pass (violating docs dropped);
+   pass (violating docs dropped), then a per-language length-quantile
+   gate (broadcast fences over the unshuffled scan);
 3. near-duplicate removal — MinHash+LSH pairs → connected components →
    keep one doc per cluster;
 4. decontamination — 13-gram overlap against a held-out "benchmark" set;
 5. domain mixing — largest feasible subset at target lang weights;
 6. train/val/test split assignment (deterministic, key-stable);
 7. epoch shuffle — deterministic global permutation rank (salt = epoch);
-8. tokenize (demo hash tokenizer) and pack into fixed-length training
+8. val-split side products — weighted eval sample (A-Res), sliding-window
+   RAG chunks, TF-IDF keywords;
+9. tokenize (demo hash tokenizer) and pack into fixed-length training
    sequences (concat-and-chunk);
-9. final verdict: validate the packed output's shape with the engine.
+10. final verdict: validate the packed output's shape with the engine.
 
 Every stage is the same operator a 100-TB run would use — deterministic,
 shuffle-lean, no per-row Python.
@@ -35,6 +38,7 @@ from fhir_data_validation_spark.pipeline import (cleaning,  # noqa: E402
                                                  selection)
 from fhir_data_validation_spark.pipeline.presets import \
     gopher_quality_rules  # noqa: E402
+from fhir_data_validation_spark.pipeline import text as text_ops  # noqa: E402
 from fhir_data_validation_spark.pipeline.text import words  # noqa: E402
 from fhir_data_validation_spark.session import get_spark  # noqa: E402
 
@@ -57,6 +61,11 @@ bad = res.violations.select(F.col("doc_id").cast("long")).distinct()
 docs = docs.join(F.broadcast(bad), "doc_id", "left_anti")
 print(f"after quality filter: {docs.count()}")
 
+# 1b. prune each language's short tail: keep docs at or above their
+# language's 0.2 length quantile (per-stratum fence, broadcast join-back)
+docs = selection.select_above_quantile(docs, "n_chars", "lang", 0.2)
+print(f"after per-lang length-quantile gate: {docs.count()}")
+
 # 2. near-dup removal (MinHash+LSH -> clusters -> keep min-id per cluster)
 pairs = dedup.minhash_dedup(docs, threshold=0.6)
 drops = (dedup.duplicate_clusters(pairs)
@@ -75,8 +84,17 @@ docs, quotas = selection.domain_mix(docs, {"en": 2, "de": 1, "fr": 1},
                                     by="lang")
 print(f"after domain mix: quotas={quotas}")
 
-# 5. deterministic splits
+# 5. deterministic splits, then MATERIALIZE the curated corpus. At
+# corpus scale the curated set is written back to the lake anyway; here
+# it is also the lineage cut that keeps downstream plans sane — without
+# it every rule chunk of the final validation clones the whole
+# quality→dedup→decontaminate→mix plan tree (persist() alone keeps the
+# plan: measured >15 GB of driver heap in plan objects at 500 docs).
 docs = selection.assign_splits(docs, {"train": 6, "val": 1, "test": 1})
+import tempfile  # noqa: E402
+scratch = tempfile.mkdtemp(prefix="fdv_example_curated_")
+docs.write.mode("overwrite").parquet(scratch)
+docs = spark.read.parquet(scratch)
 print("split counts:", dict(docs.groupBy("split").count().collect()))
 
 # 6. epoch shuffle: deterministic permutation rank, salt = epoch number
@@ -85,6 +103,18 @@ train = selection.shuffle_ranks(docs.where(F.col("split") == "train"),
 print("epoch-0 shuffle head:",
       [r["doc_id"] for r in
        train.orderBy("shuffle_rank").limit(5).collect()])
+
+# 6b. side products from the val split: a weighted eval sample
+# (inclusion ∝ length — A-Res, reproducible) and a RAG chunk index with
+# TF-IDF keywords per doc
+val = docs.where(F.col("split") == "val")
+eval_pool = selection.sample_weighted(val, 20, "n_chars")
+chunks = packing.chunk_windows(
+    val.select("doc_id", words(F.col("text")).alias("tokens")),
+    window=64, stride=48)
+keywords = text_ops.tfidf_topk(val, k=3)
+print(f"val side products: eval_pool={eval_pool.count()} "
+      f"chunks={chunks.count()} keyword rows={keywords.count()}")
 
 # 7. tokenize (demo: hash words to ids) and pack the train split
 tokens = F.transform(words(F.col("text")),
@@ -117,4 +147,6 @@ print(f"packed-output validation: passed={res.passed()} "
 assert res.passed()
 seqs.unpersist()
 dedup.unpersist_all()
+import shutil  # noqa: E402
+shutil.rmtree(scratch, ignore_errors=True)
 print("OK")
