@@ -541,6 +541,29 @@ def q_d6_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_d8_incremental_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SimHash near-dedup (pipeline/dedup.simhash_incremental):
+    docs < 5 are the indexed survivor corpus (signatures only — no
+    historical text); the rest of the seeded set arrives as the delta.
+    md5_60 word hashes so the oracle rebuilds identical signatures; the
+    oracle's brute-force distance scan equals the engine's pigeonhole
+    candidates for hamming <= 3."""
+    seeded = _seeded_docs(spark, sf)
+    hist = seeded.where(F.col("doc_id") < 5)
+    index = (dedup.simhash(hist, hash_fn="md5_60")
+             .withColumnRenamed("_id", "doc_id"))
+    new = seeded.where(F.col("doc_id") >= 5)
+    verdicts, _delta = dedup.simhash_incremental(new, index,
+                                                 hash_fn="md5_60")
+    return (verdicts.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            "simhash", "dup",
+                            F.coalesce(F.col("dup_of"), F.lit(-1))
+                             .cast("long").alias("dup_of"),
+                            F.coalesce(F.col("hamming"), F.lit(-1))
+                             .cast("int").alias("hamming"))
+            .orderBy("doc_id"))
+
+
 def q_d7_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental exact dedup (pipeline/dedup.exact_duplicates_incremental):
     docs with id < 3 are the indexed history; everything else (including
@@ -1195,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "d6_duplicate_clusters": q_d6_duplicate_clusters,
         "d7_incremental_dedup": q_d7_incremental_dedup,
+        "d8_incremental_simhash": q_d8_incremental_simhash,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
@@ -1587,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
         "d4_simhash": _simhash_sql(),
+        "d8_incremental_simhash": _simhash_incremental_sql(),
         "d6_duplicate_clusters": f"""
             WITH RECURSIVE p AS (
               {_JACCARD_SQL}
@@ -2333,20 +2358,16 @@ def _lang_hits_sql() -> str:
         for lang, lex in text.LANG_LEXICON.items())
 
 
-def _simhash_sql() -> str:
-    """SimHash oracle: 64 bit-vote sums per doc, sign reassembly into the
-    signature, brute-force hamming ≤ 3 pairs (equivalent to the engine's
-    pigeonhole buckets: distance ≤ 3 over 4 chunks guarantees ≥1 equal
-    chunk, so the candidate sets coincide). Word hash = top-60-bit md5 on
-    both sides."""
+def _simhash_sigs_cte() -> str:
+    """Shared oracle CTE chain: seeded docs → md5_60 word hashes → 64
+    bit-vote sums → sign reassembly into per-doc signatures (``sigs``)."""
     votes = ",\n               ".join(
         f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(64))
     sig = "\n                 + ".join(
         f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
         for i in range(64))
-    return f"""
-            WITH seeded AS ({_SEEDED_DOCS_SQL}),
+    return f"""seeded AS ({_SEEDED_DOCS_SQL}),
             w AS (
               SELECT doc_id,
                      unnest(list_filter(regexp_split_to_array(lower(text),
@@ -2364,12 +2385,49 @@ def _simhash_sql() -> str:
             sigs AS (
               SELECT doc_id,
                  {sig} AS sig
-              FROM v)
+              FROM v)"""
+
+
+def _simhash_sql() -> str:
+    """SimHash oracle: brute-force hamming ≤ 3 pairs over the shared sigs
+    CTE (equivalent to the engine's pigeonhole buckets: distance ≤ 3 over
+    4 chunks guarantees ≥1 equal chunk, so the candidate sets coincide).
+    Word hash = top-60-bit md5 on both sides."""
+    return f"""
+            WITH {_simhash_sigs_cte()}
             SELECT id_a, id_b, hamming FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      bit_count(xor(a.sig, b.sig)) AS hamming
               FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
             WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+
+def _simhash_incremental_sql() -> str:
+    """d8 oracle: signatures of docs < 5 are the index; every other
+    seeded doc matches brute-force against index ∪ smaller-id batch
+    docs (same candidate completeness argument as :func:`_simhash_sql`);
+    dup_of = smallest matching id, hamming = that match's distance."""
+    return f"""
+            WITH {_simhash_sigs_cte()},
+            idx AS (SELECT doc_id, sig FROM sigs WHERE doc_id < 5),
+            newb AS (SELECT doc_id, sig FROM sigs WHERE doc_id >= 5),
+            m AS (
+              SELECT n.doc_id, x.doc_id AS match_id,
+                     bit_count(xor(n.sig, x.sig)) AS h
+              FROM newb n CROSS JOIN idx x
+              UNION ALL
+              SELECT a.doc_id, b.doc_id, bit_count(xor(a.sig, b.sig))
+              FROM newb a JOIN newb b ON a.doc_id > b.doc_id),
+            mm AS (
+              SELECT doc_id, min(match_id) AS dup_of,
+                     arg_min(h, match_id) AS hamming
+              FROM m WHERE h <= 3 GROUP BY doc_id)
+            SELECT n.doc_id, n.sig AS simhash,
+                   mm.doc_id IS NOT NULL AS dup,
+                   coalesce(mm.dup_of, -1) AS dup_of,
+                   CAST(coalesce(mm.hamming, -1) AS INT) AS hamming
+            FROM newb n LEFT JOIN mm ON n.doc_id = mm.doc_id
+            ORDER BY n.doc_id"""
 
 
 # seeded duplicate construction — the SQL twin of _seeded_docs()

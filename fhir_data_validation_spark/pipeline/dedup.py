@@ -433,14 +433,12 @@ def simhash_pairs(df: DataFrame, max_distance: int = 3,
     then ``bit_count(a XOR b)`` re-ranks exactly. ``max_bucket_size`` caps
     a chunk bucket's quadratic blowup (see :func:`lsh_candidates`)."""
     sigs = simhash(df, text_col, id_col, hash_fn=hash_fn)
-    chunks = (sigs.select(
-        "_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     F.shiftright("simhash", 16 * c)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for c in range(4)])).alias("cc"))
-        .select("_id", "simhash", "cc.c", "cc.chunk"))
+    chunks = _simhash_chunks(sigs)
+    if max_bucket_size is not None:
+        # (was documented but never applied — a 10^6-doc boilerplate
+        # bucket would emit 5*10^11 join rows from one reduce task)
+        chunks = _anti_join_hot_keys(chunks, ["c", "chunk"],
+                                     max_bucket_size)
     return (chunks.alias("a")
             .join(chunks.alias("b"), ["c", "chunk"])
             .where(F.col("a._id") < F.col("b._id"))
@@ -451,6 +449,96 @@ def simhash_pairs(df: DataFrame, max_distance: int = 3,
                      .alias("hamming"))
             .distinct()
             .where(F.col("hamming") <= max_distance))
+
+
+def _simhash_chunks(sigs: DataFrame) -> DataFrame:
+    """(_id, simhash) → one row per 16-bit pigeonhole chunk: (_id,
+    simhash, c, chunk). Shared by :func:`simhash_pairs` and
+    :func:`simhash_incremental`."""
+    return (sigs.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright("simhash", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for c in range(4)])).alias("cc"))
+        .select("_id", "simhash", "cc.c", "cc.chunk"))
+
+
+def simhash_incremental(new_docs: DataFrame, index: DataFrame,
+                        max_distance: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        hash_fn: str = "xxhash64",
+                        max_bucket_size: int | None = 1000
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Incremental SimHash near-dedup: classify a snapshot delta against a
+    persisted signature index WITHOUT the historical text — the index is
+    just ``(doc_id, simhash)`` of the surviving corpus (8 bytes + id per
+    doc), so a 100-TB history dedups from a table the size of its id
+    column. The near-dup analog of :func:`exact_duplicates_incremental`;
+    pair with ``PyIcebergTable.incremental()`` for the delta input.
+
+    Returns ``(verdicts, index_delta)``:
+
+    - ``verdicts`` — one row per new doc: ``(doc_id, simhash, dup,
+      dup_of, hamming)``. ``dup`` is true when some indexed doc or some
+      smaller-id batch doc is within ``max_distance`` bits; ``dup_of`` is
+      the smallest such id and ``hamming`` its distance (nulls when not
+      a dup). Conservative keep-first semantics: a batch doc can be
+      claimed by a batch dup; for exact connected-component semantics run
+      :func:`duplicate_clusters` over the batch pairs instead.
+    - ``index_delta`` — ``(doc_id, simhash)`` of the NON-dup new docs:
+      append to the index so the next delta dedups against them.
+
+    Candidates come from the same 4×16-bit pigeonhole chunk join as
+    :func:`simhash_pairs` (complete for ``max_distance`` ≤ 3), probing
+    new-batch chunks against index ∪ earlier-batch chunks; per-batch work
+    is O(delta × bucket occupancy), never O(history²). ``max_bucket_size``
+    defuses pathological chunk buckets (boilerplate-dominated signatures)
+    exactly as in :func:`lsh_candidates` — capped buckets trade recall on
+    those keys for bounded join fan-out.
+    """
+    if max_distance > 3:
+        raise ValueError("4x16-bit pigeonhole chunks are only complete "
+                         "for max_distance <= 3")
+    sigs = simhash(new_docs, text_col, id_col, hash_fn=hash_fn)
+    idx = index.select(F.col("doc_id").alias("_id"), "simhash")
+    cn, ci = _simhash_chunks(sigs), _simhash_chunks(idx)
+    if max_bucket_size is not None:
+        # a hot bucket in EITHER side explodes the probe join; count over
+        # the union so an index hot key is defused for every future batch
+        hot = (cn.select("c", "chunk").unionAll(ci.select("c", "chunk"))
+               .groupBy("c", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_bucket_size).select("c", "chunk"))
+        cn = cn.join(F.broadcast(hot), ["c", "chunk"], "left_anti")
+        ci = ci.join(F.broadcast(hot), ["c", "chunk"], "left_anti")
+    vs_index = (cn.alias("a").join(ci.alias("b"), ["c", "chunk"])
+                .select(F.col("a._id").alias("doc_id"),
+                        F.col("b._id").alias("match_id"),
+                        F.col("a.simhash").alias("_sa"),
+                        F.col("b.simhash").alias("_sb")))
+    vs_batch = (cn.alias("a").join(cn.alias("b"), ["c", "chunk"])
+                .where(F.col("a._id") > F.col("b._id"))
+                .select(F.col("a._id").alias("doc_id"),
+                        F.col("b._id").alias("match_id"),
+                        F.col("a.simhash").alias("_sa"),
+                        F.col("b.simhash").alias("_sb")))
+    matches = (vs_index.unionAll(vs_batch).distinct()
+               .withColumn("hamming",
+                           F.bit_count(F.col("_sa")
+                                       .bitwiseXOR(F.col("_sb"))))
+               .where(F.col("hamming") <= max_distance)
+               .groupBy("doc_id")
+               .agg(F.min("match_id").alias("dup_of"),
+                    F.min_by("hamming", "match_id").alias("hamming")))
+    verdicts = (sigs.withColumnRenamed("_id", "doc_id")
+                .join(matches, "doc_id", "left")
+                .select("doc_id", "simhash",
+                        F.col("dup_of").isNotNull().alias("dup"),
+                        "dup_of", "hamming"))
+    index_delta = (verdicts.where(~F.col("dup"))
+                   .select("doc_id", "simhash"))
+    return verdicts, index_delta
 
 
 # ------------------------------------------------------ duplicate clusters --

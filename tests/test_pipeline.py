@@ -614,3 +614,48 @@ def test_exact_duplicates_incremental(spark):
         next_batch, index.unionByName(delta))
     assert [(r["keep"], r["dup"]) for r in v2.collect()] == [(11, True)]
     assert d2.count() == 0
+
+
+def test_simhash_incremental(spark):
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id long, text string")
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    other = ("completely different subject matter about spark query "
+             "planning and shuffle exchange reuse semantics")
+    hist = mk([(1, base), (2, other)])
+    index = dedup.simhash(hist).withColumnRenamed("_id", "doc_id")
+
+    # same word multiset as base (punctuation/whitespace noise) ->
+    # identical signature; a one-word swap on a short doc can flip > 3
+    # bits, so the wording-variant case is checked by consistency below
+    near = base.upper() + "!!"
+    new = mk([(10, base),        # exact -> dup of 1, hamming 0
+              (11, near),        # same words -> hamming 0 -> dup of 1
+              (12, "unrelated short text about gardens and rivers"),
+              (13, "unrelated short text about gardens and rivers")])
+    verdicts, delta = dedup.simhash_incremental(new, index)
+    got = {r["doc_id"]: r for r in verdicts.collect()}
+    assert got[10]["dup"] and got[10]["dup_of"] == 1
+    assert got[10]["hamming"] == 0
+    assert got[11]["dup"] and got[11]["dup_of"] == 1
+    # consistency: dup verdicts agree with brute-force signature distance
+    sigs = {r["_id"]: r["simhash"]
+            for r in dedup.simhash(mk([(1, base), (2, other)])
+                                   .unionByName(new)).collect()}
+    for d in (10, 11, 12, 13):
+        brute = min(bin((sigs[d] ^ sigs[o]) & ((1 << 64) - 1)).count("1")
+                    for o in (1, 2, 10, 11, 12, 13) if o < d)
+        assert got[d]["dup"] == (brute <= 3)
+    assert not got[12]["dup"] and got[12]["dup_of"] is None
+    assert got[13]["dup"] and got[13]["dup_of"] == 12   # batch keep-first
+    assert {r["doc_id"] for r in delta.collect()} == {12}
+    # appended delta makes the survivor visible to the next batch
+    v2, d2 = dedup.simhash_incremental(
+        mk([(20, "unrelated short text about gardens and rivers")]),
+        index.unionByName(delta))
+    r20 = v2.collect()[0]
+    assert r20["dup"] and r20["dup_of"] == 12 and d2.count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup.simhash_incremental(new, index, max_distance=4)
