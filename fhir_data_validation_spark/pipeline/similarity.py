@@ -319,6 +319,39 @@ class IvfIndex:
                 .select("query_id", F.col("cand_id").alias("vec_id"),
                         F.round("_cos", 4).alias("cosine"), "rank"))
 
+    def add(self, new_vectors: DataFrame) -> "IvfIndex":
+        """Incremental ingest: assign NEW vectors to the EXISTING
+        centroids (no refit) and append them to the inverted lists —
+        a snapshot delta indexes in O(delta × n_cells) without
+        re-clustering the corpus. Returns a new index sharing the
+        centroids (save it, or keep serving from it).
+
+        Assignment is one Arrow-batched matmul per partition (the
+        centroid matrix rides the closure, n_cells × dim floats).
+        Centroids drift as the corpus grows: the quantizer stays optimal
+        for the OLD distribution, so re-``build`` when recall on fresh
+        data degrades — the standard IVF re-train/append trade-off."""
+        import pandas as pd
+        C = self.centroids
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                   1e-12)
+                yield pd.DataFrame({
+                    "cand_id": pdf[id_col],
+                    "cell": np.argmax(V @ C.T, axis=1).astype("int32"),
+                    "_cv": pdf[vec_col]})
+
+        assigned = (new_vectors.select(id_col, vec_col)
+                    .mapInPandas(assign, schema=self.cells.schema))
+        return IvfIndex(C, self.cells.unionByName(assigned),
+                        id_col, vec_col)
+
     def save(self, path: str) -> None:
         spark = self.cells.sparkSession
         self.cells.write.mode("overwrite").parquet(f"{path}/cells")

@@ -659,3 +659,31 @@ def test_simhash_incremental(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         dedup.simhash_incremental(new, index, max_distance=4)
+
+
+def test_ivf_index_add_incremental(spark, embs, tmp_path):
+    """Appending a delta to an IvfIndex (no refit) makes the new vectors
+    searchable; full-probe search over the grown index equals brute-force
+    cosine top-k over the union corpus."""
+    queries = embs.where(F.col("vec_id") < 3)
+    first = embs.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 30))
+    delta = embs.where(F.col("vec_id") >= 30)
+    idx = similarity.IvfIndex.build(first, n_cells=4, seed=42)
+    grown = idx.add(delta)
+    assert grown.cells.count() == first.count() + delta.count()
+    n_cells = idx.centroids.shape[0]
+    got = [(r["query_id"], r["vec_id"], r["rank"]) for r in
+           grown.search(queries, k=5, n_probe=n_cells)
+           .orderBy("query_id", "rank").collect()]
+    want = [(r["query_id"], r["vec_id"], r["rank"]) for r in
+            similarity.cosine_topk(first.unionByName(delta), queries, k=5)
+            .orderBy("query_id", "rank").collect()]
+    assert got == want and len(got) > 0
+    # save/load of the grown index keeps serving identically
+    path = str(tmp_path / "ivf_grown")
+    grown.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    again = [(r["query_id"], r["vec_id"], r["rank"]) for r in
+             loaded.search(queries, k=5, n_probe=n_cells)
+             .orderBy("query_id", "rank").collect()]
+    assert again == got
