@@ -446,6 +446,22 @@ class SrpIndex:
                 .select("query_id", F.col("cand_id").alias("vec_id"),
                         F.round("_cos", 4).alias("cosine"), "rank"))
 
+    def add(self, new_vectors: DataFrame) -> "SrpIndex":
+        """Incremental ingest: sign the delta with the SAME seeded
+        hyperplanes and append. Because SRP hyperplanes are
+        data-independent, the grown index is EXACTLY ``build()`` over the
+        union — no quantizer drift, no re-train trade-off (the advantage
+        over :meth:`IvfIndex.add`); work is O(delta × n_bits ×
+        n_tables)."""
+        delta_sigs = srp_signatures(new_vectors, self.n_bits,
+                                    self.n_tables, self.seed,
+                                    self.id_col, self.vec_col)
+        return SrpIndex(self.sigs.unionByName(delta_sigs),
+                        self.vecs.unionByName(
+                            new_vectors.select(self.id_col, self.vec_col)),
+                        self.n_bits, self.n_tables, self.seed,
+                        self.id_col, self.vec_col)
+
     def save(self, path: str) -> None:
         spark = self.vecs.sparkSession
         self.sigs.write.mode("overwrite").parquet(f"{path}/sigs")

@@ -687,3 +687,21 @@ def test_ivf_index_add_incremental(spark, embs, tmp_path):
              loaded.search(queries, k=5, n_probe=n_cells)
              .orderBy("query_id", "rank").collect()]
     assert again == got
+
+
+def test_srp_index_add_equals_rebuild(spark, embs):
+    """SRP hyperplanes are data-independent, so an appended index is
+    EXACTLY build() over the union — identical search results, no
+    quantizer drift."""
+    queries = embs.where(F.col("vec_id") < 3)
+    first = embs.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 30))
+    delta = embs.where(F.col("vec_id") >= 30)
+    grown = similarity.SrpIndex.build(first, n_bits=4, n_tables=8,
+                                      seed=7).add(delta)
+    rebuilt = similarity.SrpIndex.build(first.unionByName(delta),
+                                        n_bits=4, n_tables=8, seed=7)
+    a = [tuple(r) for r in grown.search(queries, k=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in rebuilt.search(queries, k=5)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) > 0
