@@ -979,6 +979,36 @@ def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "rank"))
 
 
+def q_w1_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event sessionization (pipeline/events.session_stats): 30-minute
+    inactivity gap per user over the events table, one stats row per
+    session — the batch twin of the streaming monitor's session windows.
+    Gap logic is exact integer microsecond arithmetic, mirrored by the
+    oracle's epoch_us comparison."""
+    from fhir_data_validation_spark.pipeline import events
+    df = load_table(spark, sf, "events")
+    out = events.session_stats(df, gap_minutes=30, value_col="value",
+                               order_cols=("event_id",))
+    # duration_sec is derived (end_us - start_us)/1e6 — exact micros are
+    # already value-checked, and rounding a 5-decimal half-way value
+    # splits between JVM HALF_UP and C round-on-double
+    return (out.select("user_id", "session_seq", "n_events", "start_us",
+                       "end_us", "total_value")
+            .orderBy("user_id", "session_seq"))
+
+
+def q_w2_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time windows (pipeline/events.tumbling_agg): daily
+    buckets × event_type via Spark's native window() bucketing; the
+    oracle states the equivalent date_trunc grouping (whole-day windows
+    align to midnight UTC on both sides)."""
+    from fhir_data_validation_spark.pipeline import events
+    df = load_table(spark, sf, "events")
+    out = events.tumbling_agg(df, "1 day", keys=("event_type",),
+                              value_col="value")
+    return out.orderBy("window_start_us", "event_type")
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -1233,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
+        "w1_sessions": q_w1_sessions,
+        "w2_tumbling": q_w2_tumbling,
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
@@ -2061,6 +2093,37 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 4)
                      AS dup_3gram_frac
             FROM g ORDER BY doc_id""",
+        # w1: 30-minute-gap sessionization — lag + running sum of
+        # session-break flags, exact integer microsecond gap comparison
+        "w1_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev)
+                                 > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+              FROM o)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us,
+                   max(epoch_us(ts)) AS end_us,
+                   round(sum(value), 4) AS total_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq""",
+        # w2: daily tumbling windows — whole-day window() buckets align
+        # to midnight UTC = date_trunc('day')
+        "w2_tumbling": """
+            SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         # k2: sliding-window chunking — same start/count arithmetic as
         # chunk_windows (ceil via integer div); list_slice is 1-based
         # inclusive on both ends
