@@ -60,3 +60,23 @@ def test_tumbling_agg_daily_and_keys(spark):
     d2 = int(datetime(2024, 1, 2).timestamp() * 1e6)
     assert got == {(d1, "a"): (2, 3.0), (d2, "a"): (1, 4.0),
                    (d2, "b"): (1, 8.0)}
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Cross-check against Spark's own session_window: same gap semantics
+    (a new event within `gap` of the previous extends the session), so
+    per-user session event-counts and start times must coincide."""
+    df = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts")))
+    mine = {(r["user_id"], r["start_us"]): r["n_events"] for r in
+            events.session_stats(df, gap_minutes=30,
+                                 order_cols=("event_id",)).collect()}
+    native = {(r["user_id"], r["start_us"]): r["n"] for r in
+              df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select("user_id", "n",
+                      F.unix_micros(F.col("session_window.start"))
+                      .alias("start_us"))
+              .collect()}
+    assert mine == native and len(mine) > 100
