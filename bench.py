@@ -55,6 +55,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             walls.append(time.perf_counter() - t0)
+            # a sub-0.5s first sample is already proof the query is cheap
+            # AND that no steal burst hit it — skip the retry; anything
+            # slower gets the second draw (that's where a burst can hide)
+            if walls[0] < 0.5:
+                break
         out[name] = round(min(walls), 3)
         # release the dedup family's persisted intermediates between
         # queries — 2× runs would otherwise accumulate shingle/label
