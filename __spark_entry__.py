@@ -1009,6 +1009,18 @@ def q_w2_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("window_start_us", "event_type")
 
 
+def q_w3_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping event-time windows (pipeline/events.tumbling_agg with
+    slide): 1-day windows every 12 hours — each event lands in two
+    overlapping buckets; the oracle enumerates the slide-aligned starts
+    covering each event with generate_series."""
+    from fhir_data_validation_spark.pipeline import events
+    df = load_table(spark, sf, "events")
+    out = events.tumbling_agg(df, "1 day", keys=("event_type",),
+                              value_col="value", slide="12 hours")
+    return out.orderBy("window_start_us", "event_type")
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -1265,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
+        "w3_hopping": q_w3_hopping,
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
@@ -2124,6 +2137,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # w3: hopping windows — starts are the slide-aligned values in
+        # (t - window, t]; window divisible by slide means all
+        # window/slide candidates ending at floor(t/slide)*slide qualify
+        "w3_hopping": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t, event_type, value FROM events),
+            w AS (
+              SELECT event_type, value,
+                     unnest(generate_series(
+                       (t // 43200000000) * 43200000000
+                         - 86400000000 + 43200000000,
+                       (t // 43200000000) * 43200000000,
+                       43200000000)) AS window_start_us
+              FROM e)
+            SELECT window_start_us, event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM w GROUP BY window_start_us, event_type
+            ORDER BY window_start_us, event_type""",
         # k2: sliding-window chunking — same start/count arithmetic as
         # chunk_windows (ceil via integer div); list_slice is 1-based
         # inclusive on both ends

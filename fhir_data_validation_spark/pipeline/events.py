@@ -84,15 +84,19 @@ def session_stats(df: DataFrame, gap_minutes: float = 30.0,
 
 def tumbling_agg(df: DataFrame, window_duration: str = "1 day",
                  keys: tuple[str, ...] = (), ts_col: str = "ts",
-                 value_col: str | None = None) -> DataFrame:
-    """Fixed (tumbling) event-time windows: ``(window_start_us, *keys,
-    n_events[, total_value])`` via Spark's native ``window()`` bucketing —
-    the batch twin of the streaming monitor's watermarked windows. One
-    map-side-combined groupBy; windows align to the epoch (midnight UTC
-    for day-multiples), matching ``date_trunc`` for whole-unit durations.
+                 value_col: str | None = None,
+                 slide: str | None = None) -> DataFrame:
+    """Fixed (tumbling) or hopping (sliding) event-time windows:
+    ``(window_start_us, *keys, n_events[, total_value])`` via Spark's
+    native ``window()`` bucketing — the batch twin of the streaming
+    monitor's watermarked windows. With ``slide`` (must divide the
+    window), each event lands in ``window/slide`` overlapping buckets —
+    the moving-average layout. One map-side-combined groupBy; windows
+    align to the epoch (midnight UTC for day-multiples), matching
+    ``date_trunc`` for whole-unit tumbling durations.
     """
     bucket = F.window(F.col(ts_col).cast("timestamp"),
-                      window_duration)
+                      window_duration, slide or window_duration)
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))

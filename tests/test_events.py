@@ -80,3 +80,14 @@ def test_sessionize_agrees_with_native_session_window(spark):
                       .alias("start_us"))
               .collect()}
     assert mine == native and len(mine) > 100
+
+
+def test_hopping_windows(spark):
+    rows = [(1, datetime(2024, 1, 1, 5), 1.0),    # day1 00h + dec31 12h
+            (2, datetime(2024, 1, 1, 14), 2.0)]   # day1 00h + day1 12h
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {r["window_start_us"]: r["n_events"] for r in
+           events.tumbling_agg(df, "1 day", slide="12 hours").collect()}
+    us = lambda *a: int(datetime(*a).timestamp() * 1e6)
+    assert got == {us(2023, 12, 31, 12): 1, us(2024, 1, 1): 2,
+                   us(2024, 1, 1, 12): 1}
