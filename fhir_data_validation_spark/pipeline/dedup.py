@@ -194,7 +194,12 @@ def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
                           fingerprint(F.col(text_col)).alias("fingerprint"))
     batch_min = (fps.groupBy("fingerprint")
                  .agg(F.min("doc_id").alias("_batch_keep")))
-    idx = index.select("fingerprint", F.col("keep").alias("_idx_keep"))
+    # defensive min-reduce: a duplicate fingerprint row in the index
+    # (e.g. a union of overlapping deltas) would otherwise fan out every
+    # matching verdict; map-side combined, same shuffle the join needs
+    idx = (index.select("fingerprint", F.col("keep").alias("_idx_keep"))
+           .groupBy("fingerprint")
+           .agg(F.min("_idx_keep").alias("_idx_keep")))
     keepers = (batch_min.join(idx, "fingerprint", "left")
                .select("fingerprint",
                        F.coalesce("_idx_keep", "_batch_keep").alias("keep"),
