@@ -256,3 +256,36 @@ def test_streaming_chunk_windows_parity(spark, tmp_path):
     want = {(r["doc_id"], r["chunk"]): tuple(r["chunk_tokens"])
             for r in chunk_windows(stored, window=16, stride=8).collect()}
     assert got == want and len(got) > 30
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
+    """The streaming path for sessions is Spark's native session_window
+    (+ watermark); its per-user session counts over a bounded stream must
+    equal the batch pipeline/events.session_stats on the same files."""
+    from fhir_data_validation_spark.pipeline import events as ev
+    src = str(tmp_path / "events")
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .select("event_id", "user_id",
+                     F.col("ts").cast("timestamp").alias("ts")))
+    batch.repartition(4).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    stream = (spark.readStream.schema(stored.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (stream.withWatermark("ts", "1 hour")
+         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select("user_id", "n",
+                 F.unix_micros(F.col("session_window.start"))
+                 .alias("start_us"))
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["start_us"]): r["n"]
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    want = {(r["user_id"], r["start_us"]): r["n_events"] for r in
+            ev.session_stats(stored, gap_minutes=30,
+                             order_cols=("event_id",)).collect()}
+    assert got == want and len(got) > 100
