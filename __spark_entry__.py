@@ -979,6 +979,19 @@ def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "rank"))
 
 
+def q_c6_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical ROLLUP report (stats.rollup_counts): doc counts and
+    total chars per (lang, source), per lang, and grand total — one
+    Expand + hash aggregate, no per-level re-scan. level = grouping_id;
+    rolled-up dims labelled '<all>' so the oracle never compares NULL
+    group keys."""
+    from fhir_data_validation_spark import stats
+    docs = load_table(spark, sf, "documents")
+    out = stats.rollup_counts(docs, ["lang", "source"],
+                              value_col="n_chars")
+    return out.orderBy("level", "lang", "source")
+
+
 def q_w1_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Event sessionization (pipeline/events.session_stats): 30-minute
     inactivity gap per user over the events table, one stats row per
@@ -1275,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
+        "c6_rollup": q_c6_rollup,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
         "w3_hopping": q_w3_hopping,
@@ -2106,6 +2120,17 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 4)
                      AS dup_3gram_frac
             FROM g ORDER BY doc_id""",
+        # c6: ROLLUP — GROUPING(lang, source) is the same bit vector as
+        # Spark's grouping_id (first dim = high bit)
+        "c6_rollup": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS level,
+                   count(*) AS n_rows,
+                   round(sum(n_chars), 4) AS total
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY level, lang, source""",
         # w1: 30-minute-gap sessionization — lag + running sum of
         # session-break flags, exact integer microsecond gap comparison
         "w1_sessions": """

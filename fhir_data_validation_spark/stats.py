@@ -188,3 +188,30 @@ def pk_duplicates(df: DataFrame, key_col: str) -> DataFrame:
     return (df.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > 1))
+
+
+def rollup_counts(df: DataFrame, dims: list[str],
+                  value_col: str | None = None,
+                  all_label: str = "<all>") -> DataFrame:
+    """Hierarchical ROLLUP aggregation: one row per prefix level of
+    ``dims`` — (d1, d2), (d1, <all>), (<all>, <all>) — with ``n_rows``
+    (and ``total`` when ``value_col`` given) plus ``level`` =
+    ``grouping_id`` (0 = finest, bits set right-to-left as dims roll up).
+
+    The OLAP drill-down report in ONE pass: Catalyst expands the rollup
+    into grouping sets inside a single Expand + hash aggregate — map-side
+    combined, one shuffle, no per-level re-scan. Rolled-up dimension
+    values are labelled ``all_label`` so downstream consumers (and the
+    DuckDB oracle) never meet NULL group keys."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        # double regardless of input width: an integer column's exact sum
+        # would come back long here but double from ANSI-SQL round()
+        aggs.append(F.round(F.sum(value_col), 4).cast("double")
+                    .alias("total"))
+    out = (df.rollup(*dims)
+           .agg(F.grouping_id().alias("level"), *aggs))
+    for d in dims:
+        out = out.withColumn(d, F.coalesce(F.col(d).cast("string"),
+                                           F.lit(all_label)))
+    return out

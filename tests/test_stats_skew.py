@@ -98,3 +98,24 @@ def test_quantiles_long_form(spark):
     # the median sits inside the observed range, one row per (group, p)
     lo, hi = df.agg(F.min("n_tok"), F.max("n_tok")).first()
     assert all(r["p"] == 0.5 and lo <= r["value"] <= hi for r in rows)
+
+
+def test_rollup_counts_levels_and_single_pass(spark):
+    from fhir_data_validation_spark import stats
+    df = spark.createDataFrame(
+        [("en", "a", 10), ("en", "a", 20), ("en", "b", 5), ("de", "a", 1)],
+        "lang string, source string, n_chars long")
+    out = stats.rollup_counts(df, ["lang", "source"], value_col="n_chars")
+    got = {(r["lang"], r["source"]): (r["level"], r["n_rows"], r["total"])
+           for r in out.collect()}
+    assert got[("en", "a")] == (0, 2, 30.0)
+    assert got[("en", "<all>")] == (1, 3, 35.0)
+    assert got[("<all>", "<all>")] == (3, 4, 36.0)
+    assert ("de", "b") not in got            # rollup, not cube
+    # one Expand + one aggregation pass: a single shuffle, no per-level
+    # re-scan of the input
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])   # AQE prints both sections
+    assert plan.count("Expand") >= 1
+    assert plan.count("ShuffleQueryStage") == 1   # one shuffle boundary
+    assert plan.count("HashAggregate") == 2       # partial + final
