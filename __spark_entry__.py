@@ -992,6 +992,18 @@ def q_c6_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "lang", "source")
 
 
+def q_c7_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT / crosstab (stats.pivot_counts): doc counts per language ×
+    a fixed source subset as wide columns. The explicit value list keeps
+    it ONE aggregation pass (value-less pivot would first run a blocking
+    distinct job to discover columns) and a static schema."""
+    from fhir_data_validation_spark import stats
+    docs = load_table(spark, sf, "documents")
+    out = stats.pivot_counts(docs, "lang", "source",
+                             ["src0", "src1", "src2", "src3"])
+    return out.orderBy("lang")
+
+
 def q_w1_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Event sessionization (pipeline/events.session_stats): 30-minute
     inactivity gap per user over the events table, one stats row per
@@ -1289,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm3_split_assign": q_sm3_split_assign,
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
         "c6_rollup": q_c6_rollup,
+        "c7_pivot": q_c7_pivot,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
         "w3_hopping": q_w3_hopping,
@@ -2131,6 +2144,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP (lang, source)
             ORDER BY level, lang, source""",
+        # c7: pivot = per-column conditional counts
+        "c7_pivot": """
+            SELECT lang,
+                   count(*) FILTER (WHERE source = 'src0') AS src0,
+                   count(*) FILTER (WHERE source = 'src1') AS src1,
+                   count(*) FILTER (WHERE source = 'src2') AS src2,
+                   count(*) FILTER (WHERE source = 'src3') AS src3
+            FROM documents GROUP BY lang ORDER BY lang""",
         # w1: 30-minute-gap sessionization — lag + running sum of
         # session-break flags, exact integer microsecond gap comparison
         "w1_sessions": """

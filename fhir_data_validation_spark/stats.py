@@ -215,3 +215,23 @@ def rollup_counts(df: DataFrame, dims: list[str],
         out = out.withColumn(d, F.coalesce(F.col(d).cast("string"),
                                            F.lit(all_label)))
     return out
+
+
+def pivot_counts(df: DataFrame, row_dim: str, col_dim: str,
+                 col_values: list[str],
+                 value_col: str | None = None) -> DataFrame:
+    """Crosstab / PIVOT report: one row per ``row_dim`` value, one column
+    per entry of ``col_values`` (counts, or rounded sums of
+    ``value_col``), nulls filled with 0 — the wide report shape BI
+    consumers expect.
+
+    ``col_values`` is required: passing the domain explicitly keeps this
+    ONE aggregation pass (Spark's value-less ``pivot`` first runs a
+    blocking distinct job over the corpus to discover columns) and makes
+    the output schema static — at 100 TB you know your domain; don't pay
+    a full scan to rediscover it.
+    """
+    agg = (F.count(F.lit(1)) if value_col is None
+           else F.round(F.sum(value_col), 4).cast("double"))
+    out = df.groupBy(row_dim).pivot(col_dim, col_values).agg(agg)
+    return out.fillna(0, subset=[str(v) for v in col_values])

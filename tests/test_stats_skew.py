@@ -119,3 +119,21 @@ def test_rollup_counts_levels_and_single_pass(spark):
     assert plan.count("Expand") >= 1
     assert plan.count("ShuffleQueryStage") == 1   # one shuffle boundary
     assert plan.count("HashAggregate") == 2       # partial + final
+
+
+def test_pivot_counts_wide_and_fillna(spark):
+    from fhir_data_validation_spark import stats
+    df = spark.createDataFrame(
+        [("en", "a", 10.0), ("en", "a", 2.5), ("de", "b", 4.0)],
+        "lang string, source string, v double")
+    counts = {r["lang"]: (r["a"], r["b"]) for r in
+              stats.pivot_counts(df, "lang", "source", ["a", "b"])
+              .collect()}
+    assert counts == {"en": (2, 0), "de": (0, 1)}   # nulls -> 0
+    sums = {r["lang"]: (r["a"], r["b"]) for r in
+            stats.pivot_counts(df, "lang", "source", ["a", "b"],
+                               value_col="v").collect()}
+    assert sums == {"en": (12.5, 0.0), "de": (0.0, 4.0)}
+    # unlisted column values never appear as columns
+    out = stats.pivot_counts(df, "lang", "source", ["a"])
+    assert out.columns == ["lang", "a"]
