@@ -652,3 +652,34 @@ def test_incremental_validation_touches_only_new_data(spark, table):
     validated_files = set(delta.inputFiles())
     first_run_files = set(table.read(s1).inputFiles())
     assert validated_files.isdisjoint(first_run_files)
+
+
+def test_incremental_dedup_over_snapshot_deltas(spark, tmp_path):
+    """The full O(delta) curation loop: batch 1 seeds a fingerprint index;
+    batch 2 arrives as an Iceberg snapshot delta and dedups against the
+    index + itself WITHOUT re-reading batch 1's data files."""
+    from fhir_data_validation_spark.pipeline import dedup
+    from fhir_data_validation_spark.pipeline.text import fingerprint
+
+    loc = str(tmp_path / "docs_tbl")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string")
+    t = PyIcebergTable.create(spark, loc, b1.schema)
+    s1 = t.append(b1)
+    # bootstrap index = every batch-1 fingerprint (keeper = its own id)
+    index = (t.read(s1).select(
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.col("doc_id").alias("keep")))
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"),      # dup of snapshot-1 doc 1
+         (11, "gamma text"), (12, "gamma text")],   # batch-internal dup
+        "doc_id long, text string")
+    s2 = t.append(b2)
+    delta = t.incremental(s1, s2)           # ONLY batch-2 files
+    assert delta.count() == 3
+    verdicts, idx_delta = dedup.exact_duplicates_incremental(delta, index)
+    got = {r["doc_id"]: (r["keep"], r["dup"]) for r in verdicts.collect()}
+    assert got == {10: (1, True), 11: (11, False), 12: (11, True)}
+    # appending the index delta closes the loop for batch 3
+    assert {r["keep"] for r in idx_delta.collect()} == {11}
