@@ -1004,6 +1004,26 @@ def q_c7_pivot(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("lang")
 
 
+def q_x7_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (stats.diff_tables): version b removes
+    docs < 5, edits the text of docs 5–9, and adds copies at id+20000;
+    the diff reports exactly those keys as removed/changed/added via one
+    full-outer join with null-safe column comparison."""
+    from fhir_data_validation_spark import stats
+    base = load_table(spark, sf, "documents").select("doc_id", "text",
+                                                     "n_chars")
+    b = (base.where(F.col("doc_id") >= 5)
+         .withColumn("text", F.when(F.col("doc_id") < 10,
+                                    F.concat("text", F.lit(" mod")))
+                     .otherwise(F.col("text"))))
+    added = (base.where(F.col("doc_id") < 3)
+             .select((F.col("doc_id") + 20000).alias("doc_id"), "text",
+                     "n_chars"))
+    out = stats.diff_tables(base, b.unionByName(added), ["doc_id"],
+                            ["text", "n_chars"])
+    return out.orderBy("doc_id")
+
+
 def q_w1_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Event sessionization (pipeline/events.session_stats): 30-minute
     inactivity gap per user over the events table, one stats row per
@@ -1302,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
         "c6_rollup": q_c6_rollup,
         "c7_pivot": q_c7_pivot,
+        "x7_table_diff": q_x7_table_diff,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
         "w3_hopping": q_w3_hopping,
@@ -2152,6 +2173,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE source = 'src2') AS src2,
                    count(*) FILTER (WHERE source = 'src3') AS src3
             FROM documents GROUP BY lang ORDER BY lang""",
+        # x7: snapshot diff — full outer join + IS DISTINCT FROM
+        "x7_table_diff": """
+            WITH a AS (SELECT doc_id, text, n_chars FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id < 10 THEN text || ' mod'
+                          ELSE text END AS text,
+                     n_chars
+              FROM documents WHERE doc_id >= 5
+              UNION ALL
+              SELECT doc_id + 20000, text, n_chars
+              FROM documents WHERE doc_id < 3)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text IS DISTINCT FROM b.text
+                          OR a.n_chars IS DISTINCT FROM b.n_chars
+                          THEN 'changed'
+                   END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.text IS DISTINCT FROM b.text
+                         OR a.n_chars IS DISTINCT FROM b.n_chars
+                         THEN 'changed'
+                  END IS NOT NULL
+            ORDER BY doc_id""",
         # w1: 30-minute-gap sessionization — lag + running sum of
         # session-break flags, exact integer microsecond gap comparison
         "w1_sessions": """

@@ -235,3 +235,33 @@ def pivot_counts(df: DataFrame, row_dim: str, col_dim: str,
            else F.round(F.sum(value_col), 4).cast("double"))
     out = df.groupBy(row_dim).pivot(col_dim, col_values).agg(agg)
     return out.fillna(0, subset=[str(v) for v in col_values])
+
+
+def diff_tables(a: DataFrame, b: DataFrame, key_cols: list[str],
+                compare_cols: list[str]) -> DataFrame:
+    """Key-level reconciliation of two table versions: one row per key
+    whose state differs — ``status`` ∈ ``added`` (in ``b`` only),
+    ``removed`` (in ``a`` only), ``changed`` (present in both with any
+    ``compare_cols`` differing, null-safe). Unchanged keys are absent, so
+    output volume is the CHANGE volume, not the table size.
+
+    One full-outer shuffle join on the key — the canonical snapshot-diff
+    shape; AQE handles skewed keys, and pre-bucketing both versions by
+    the key makes the join exchange-free. Column comparison uses
+    null-safe equality (``IS DISTINCT FROM`` semantics), mirrored exactly
+    by the SQL oracle.
+    """
+    pa = a.select(*key_cols, F.lit(True).alias("_in_a"),
+                  *[F.col(c).alias(f"_a_{c}") for c in compare_cols])
+    pb = b.select(*key_cols, F.lit(True).alias("_in_b"),
+                  *[F.col(c).alias(f"_b_{c}") for c in compare_cols])
+    j = pa.join(pb, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    status = (F.when(F.col("_in_a").isNull(), "added")
+              .when(F.col("_in_b").isNull(), "removed")
+              .when(changed, "changed"))
+    return (j.withColumn("status", status)
+            .where(F.col("status").isNotNull())
+            .select(*key_cols, "status"))

@@ -137,3 +137,19 @@ def test_pivot_counts_wide_and_fillna(spark):
     # unlisted column values never appear as columns
     out = stats.pivot_counts(df, "lang", "source", ["a"])
     assert out.columns == ["lang", "a"]
+
+
+def test_diff_tables_statuses(spark):
+    from fhir_data_validation_spark import stats
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", None), (4, "w", 40)],
+        "id long, t string, v int")
+    b = spark.createDataFrame(
+        [(2, "y", 20),            # unchanged -> absent from output
+         (3, "z", 30),            # null -> value = changed (null-safe)
+         (4, "W", 40),            # string changed
+         (5, "new", 50)],         # added
+        "id long, t string, v int")
+    got = {r["id"]: r["status"] for r in
+           stats.diff_tables(a, b, ["id"], ["t", "v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
