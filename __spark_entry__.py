@@ -967,6 +967,19 @@ def q_sm6_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_sm7_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-stage assignment (pipeline/selection.curriculum_buckets):
+    4 length-quartile stages over the documents — exact R-7 fences then a
+    shuffle-free CASE projection; integer metric so fence comparisons
+    cannot sit on a float boundary."""
+    from fhir_data_validation_spark.pipeline.selection import \
+        curriculum_buckets
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id",
+                    text.token_count_ws(F.col("text")).alias("n_tok")))
+    return curriculum_buckets(docs, "n_tok", 4).orderBy("doc_id")
+
+
 def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (pipeline/text.tfidf_topk):
     smoothed idf, deterministic (score desc, term asc) ranking; the
@@ -1315,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_chunk_overlap": q_k2_chunk_overlap,
         "sm5_quantile_select": q_sm5_quantile_select,
         "sm6_weighted_sample": q_sm6_weighted_sample,
+        "sm7_curriculum": q_sm7_curriculum,
         "t9_tfidf_topk": q_t9_tfidf_topk,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
@@ -2319,6 +2333,24 @@ def oracle_sql() -> dict[str, str]:
               FROM k)
             SELECT doc_id, lang, n_chars
             FROM r WHERE rn <= 15 ORDER BY doc_id""",
+        # sm7: curriculum stages — bucket = number of R-7 quartile fences
+        # the (integer) metric reaches
+        "sm7_curriculum": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '[ \t\n]+'))
+                     END AS n_tok
+              FROM documents),
+            f AS (
+              SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS fences
+              FROM m)
+            SELECT m.doc_id, m.n_tok,
+                   CAST((m.n_tok >= f.fences[1])::INT
+                      + (m.n_tok >= f.fences[2])::INT
+                      + (m.n_tok >= f.fences[3])::INT AS INT) AS bucket
+            FROM m CROSS JOIN f ORDER BY m.doc_id""",
         # t9: smoothed tf-idf (sklearn smooth_idf convention), top 3 per
         # document by (score desc, term asc)
         "t9_tfidf_topk": """

@@ -279,3 +279,36 @@ def sample_weighted(df: DataFrame, n: int, weight_col: str,
         out = (base.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") <= int(n)).drop("_rn"))
     return out.drop("_wk")
+
+
+def curriculum_buckets(df: DataFrame, metric_col: str, n_buckets: int,
+                       exact: bool = True, accuracy: int = 10000,
+                       bucket_col: str = "bucket") -> DataFrame:
+    """Curriculum-stage assignment: bucket ``i`` (0-based) holds rows with
+    ``fence[i-1] <= metric < fence[i]`` where the fences are the
+    ``1/n … (n-1)/n`` quantiles of ``metric_col`` — order a training run
+    easy→hard without a global sort. The top bucket is right-open so the
+    maximum lands in bucket ``n-1``.
+
+    Two passes, zero data-side shuffle: one aggregation reduces the
+    corpus to ``n-1`` fences (exact R-7, or ``approx_percentile``'s
+    mergeable sketch for continuous metrics at 100 TB — the same
+    trade-off as :func:`quantile_thresholds`), then assignment is a pure
+    CASE projection against the unshuffled scan. Ties at a fence all go
+    to the higher bucket, so assignment is deterministic and
+    append-stable; bucket populations are only approximately equal under
+    heavy ties (threshold semantics, not exact count splitting).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    m = F.col(metric_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    agg = (F.percentile(m, F.array(*[F.lit(p) for p in probs])) if exact
+           else F.approx_percentile(m, F.array(*[F.lit(p) for p in probs]),
+                                    F.lit(accuracy)))
+    fences = df.agg(agg.alias("_f")).first()["_f"]
+    bucket = F.lit(n_buckets - 1)
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(m < F.lit(float(fences[i])), F.lit(i)) \
+                  .otherwise(bucket)
+    return df.withColumn(bucket_col, bucket.cast("int"))

@@ -297,3 +297,31 @@ def test_sample_weighted_global_avoids_single_task_sort(spark,
     plan = (sample_weighted(metric_corpus, 5, "n_tok")
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------- curriculum_buckets
+
+def test_curriculum_buckets_match_r7_fences(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        curriculum_buckets
+    data = [r["n_tok"] for r in metric_corpus.collect()]
+    out = curriculum_buckets(metric_corpus, "n_tok", 4)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    fences = [_r7(data, p) for p in (0.25, 0.5, 0.75)]
+    for r in metric_corpus.collect():
+        want = sum(1 for f in fences if r["n_tok"] >= f)
+        assert got[r["doc_id"]] == want
+    # roughly balanced stages on a near-uniform metric
+    sizes = [sum(1 for b in got.values() if b == i) for i in range(4)]
+    assert all(0.15 * 300 < s < 0.35 * 300 for s in sizes)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        curriculum_buckets(metric_corpus, "n_tok", 1)
+
+
+def test_curriculum_buckets_assignment_is_projection(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        curriculum_buckets
+    plan = (curriculum_buckets(metric_corpus, "n_tok", 4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan   # fences resolved; pure CASE projection
