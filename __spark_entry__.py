@@ -1005,6 +1005,16 @@ def q_c6_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "lang", "source")
 
 
+def q_c8_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE report (stats.cube_counts): every (lang × source) subset
+    combination — adds the (source-only) slices ROLLUP lacks; same
+    one-Expand single-aggregation plan."""
+    from fhir_data_validation_spark import stats
+    docs = load_table(spark, sf, "documents")
+    out = stats.cube_counts(docs, ["lang", "source"], value_col="n_chars")
+    return out.orderBy("level", "lang", "source")
+
+
 def q_c7_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT / crosstab (stats.pivot_counts): doc counts per language ×
     a fixed source subset as wide columns. The explicit value list keeps
@@ -1336,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
         "c6_rollup": q_c6_rollup,
         "c7_pivot": q_c7_pivot,
+        "c8_cube": q_c8_cube,
         "x7_table_diff": q_x7_table_diff,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
@@ -2178,6 +2189,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_chars), 4) AS total
             FROM documents
             GROUP BY ROLLUP (lang, source)
+            ORDER BY level, lang, source""",
+        # c8: CUBE — all grouping-set combinations
+        "c8_cube": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS level,
+                   count(*) AS n_rows,
+                   round(sum(n_chars), 4) AS total
+            FROM documents
+            GROUP BY CUBE (lang, source)
             ORDER BY level, lang, source""",
         # c7: pivot = per-column conditional counts
         "c7_pivot": """

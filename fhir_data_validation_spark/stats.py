@@ -209,8 +209,26 @@ def rollup_counts(df: DataFrame, dims: list[str],
         # would come back long here but double from ANSI-SQL round()
         aggs.append(F.round(F.sum(value_col), 4).cast("double")
                     .alias("total"))
-    out = (df.rollup(*dims)
-           .agg(F.grouping_id().alias("level"), *aggs))
+    return _grouping_sets(df.rollup(*dims), dims, aggs, all_label)
+
+
+def cube_counts(df: DataFrame, dims: list[str],
+                value_col: str | None = None,
+                all_label: str = "<all>") -> DataFrame:
+    """CUBE aggregation: every subset combination of ``dims`` — the full
+    cross-dimensional report (:func:`rollup_counts` covers only the
+    hierarchical prefixes). Same single Expand + map-side-combined
+    aggregate plan; output is 2^|dims| grouping sets, so keep ``dims``
+    small (the Expand multiplies the scan by the set count)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).cast("double")
+                    .alias("total"))
+    return _grouping_sets(df.cube(*dims), dims, aggs, all_label)
+
+
+def _grouping_sets(grouped, dims: list[str], aggs, all_label: str):
+    out = grouped.agg(F.grouping_id().alias("level"), *aggs)
     for d in dims:
         out = out.withColumn(d, F.coalesce(F.col(d).cast("string"),
                                            F.lit(all_label)))

@@ -153,3 +153,16 @@ def test_diff_tables_statuses(spark):
     got = {r["id"]: r["status"] for r in
            stats.diff_tables(a, b, ["id"], ["t", "v"]).collect()}
     assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_cube_counts_includes_column_slices(spark):
+    from fhir_data_validation_spark import stats
+    df = spark.createDataFrame(
+        [("en", "a", 10), ("en", "b", 5), ("de", "a", 1)],
+        "lang string, source string, n_chars long")
+    got = {(r["lang"], r["source"]): (r["level"], r["n_rows"])
+           for r in stats.cube_counts(df, ["lang", "source"]).collect()}
+    assert got[("<all>", "a")] == (2, 2)     # the slice rollup lacks
+    assert got[("en", "<all>")] == (1, 2)
+    assert got[("<all>", "<all>")] == (3, 3)
+    assert len(got) == 3 + 2 + 2 + 1   # pairs + lang + source + total
