@@ -967,6 +967,19 @@ def q_sm6_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_sm8_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratum-interleaved dataloader order
+    (pipeline/selection.interleave_ranks): consecutive ranks cycle
+    through the languages — balanced batches without a global sort;
+    per-(stratum, shard) windows so no stratum serializes into one task.
+    Oracle = naive per-stratum window rank × n_strata + stratum index."""
+    from fhir_data_validation_spark.pipeline.selection import \
+        interleave_ranks
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return (interleave_ranks(docs, by="lang", shards=64)
+            .orderBy("doc_id"))
+
+
 def q_sm7_curriculum(spark: SparkSession, sf: str) -> DataFrame:
     """Curriculum-stage assignment (pipeline/selection.curriculum_buckets):
     4 length-quartile stages over the documents — exact R-7 fences then a
@@ -1339,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm5_quantile_select": q_sm5_quantile_select,
         "sm6_weighted_sample": q_sm6_weighted_sample,
         "sm7_curriculum": q_sm7_curriculum,
+        "sm8_interleave": q_sm8_interleave,
         "t9_tfidf_topk": q_t9_tfidf_topk,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
@@ -2354,6 +2368,27 @@ def oracle_sql() -> dict[str, str]:
               FROM k)
             SELECT doc_id, lang, n_chars
             FROM r WHERE rn <= 15 ORDER BY doc_id""",
+        # sm8: stratum interleave — per-lang shuffle position × n_langs
+        # + lang index (same md5_60 unit as sm4)
+        "sm8_interleave": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR) || '#0'),
+                            1, 15) AS BIGINT)
+                     / 1152921504606846976.0 AS u
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY u, doc_id) - 1 AS pos,
+                     dense_rank() OVER (ORDER BY lang) - 1 AS sidx
+              FROM u)
+            SELECT doc_id, lang,
+                   CAST(pos * (SELECT count(DISTINCT lang)
+                               FROM documents) + sidx AS BIGINT)
+                     AS interleave_rank
+            FROM r ORDER BY doc_id""",
         # sm7: curriculum stages — bucket = number of R-7 quartile fences
         # the (integer) metric reaches
         "sm7_curriculum": """

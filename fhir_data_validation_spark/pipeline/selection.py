@@ -312,3 +312,45 @@ def curriculum_buckets(df: DataFrame, metric_col: str, n_buckets: int,
         bucket = F.when(m < F.lit(float(fences[i])), F.lit(i)) \
                   .otherwise(bucket)
     return df.withColumn(bucket_col, bucket.cast("int"))
+
+
+def interleave_ranks(df: DataFrame, by: str, key_col: str = "doc_id",
+                     salt: int | str = 0, shards: int = 1024,
+                     rank_col: str = "interleave_rank") -> DataFrame:
+    """Stratum-interleaved global order: position ``r`` cycles through the
+    strata — rank ``within-stratum-shuffle-rank × n_strata +
+    stratum-index`` — so any contiguous batch of ``n_strata`` rows holds
+    one row per stratum (while strata last; a stratum that runs out
+    leaves gaps, keeping every remaining row's rank stable). The
+    language-balanced dataloader order, deterministic in (key, salt).
+
+    Built on :func:`shuffle_ranks` per stratum (sharded two-pass — no
+    single-task sort) plus one broadcast of the |strata|-row index
+    table; within-stratum order is an independent epoch shuffle.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    idx = (df.select(by).distinct()
+           .withColumn("_stratum_idx",
+                       F.row_number().over(Window.orderBy(by)) - 1))
+    n = idx.count()
+    # the shuffle_ranks sharded two-pass, applied WITHIN each stratum:
+    # a window per (stratum, shard) — never one task per stratum, which
+    # would serialize a language-sized stratum through a single core
+    u = hash_unit(F.col(key_col), salt)
+    shard = F.least(F.floor(u * shards).cast("int"), F.lit(shards - 1))
+    base = df.withColumn("_u", u).withColumn("_shard", shard)
+    counts = base.groupBy(by, "_shard").agg(F.count("*").alias("_c"))
+    w_off = (Window.partitionBy(by).orderBy("_shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
+        .drop("_c"))
+    w_rn = Window.partitionBy(by, "_shard").orderBy("_u", F.col(key_col))
+    return (base.withColumn("_rn", F.row_number().over(w_rn))
+            .join(F.broadcast(offsets), [by, "_shard"])
+            .join(F.broadcast(idx), by)
+            .withColumn(rank_col,
+                        ((F.col("_off") + F.col("_rn") - 1) * F.lit(n)
+                         + F.col("_stratum_idx")).cast("long"))
+            .drop("_u", "_shard", "_rn", "_off", "_stratum_idx"))

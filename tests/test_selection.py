@@ -325,3 +325,38 @@ def test_curriculum_buckets_assignment_is_projection(spark, metric_corpus):
     plan = (curriculum_buckets(metric_corpus, "n_tok", 4)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan   # fences resolved; pure CASE projection
+
+
+# ------------------------------------------------------- interleave_ranks
+
+def test_interleave_ranks_cycles_strata(spark, metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        interleave_ranks
+    out = interleave_ranks(metric_corpus, by="lang", shards=16)
+    rows = sorted(out.collect(), key=lambda r: r["interleave_rank"])
+    # 100 docs per lang, 3 langs: ranks are a complete 0..299 permutation
+    assert [r["interleave_rank"] for r in rows] == list(range(300))
+    # every consecutive block of 3 holds one row per language
+    for i in range(0, 300, 3):
+        assert {r["lang"] for r in rows[i:i + 3]} == {"en", "de", "fr"}
+    # deterministic under repartitioning; new salt = new interleave
+    again = {r["doc_id"]: r["interleave_rank"] for r in
+             interleave_ranks(metric_corpus.repartition(7), by="lang",
+                              shards=16).collect()}
+    assert again == {r["doc_id"]: r["interleave_rank"] for r in rows}
+    other = {r["doc_id"]: r["interleave_rank"] for r in
+             interleave_ranks(metric_corpus, by="lang", salt=1,
+                              shards=16).collect()}
+    assert other != again
+
+
+def test_interleave_ranks_no_single_task_per_stratum(spark,
+                                                     metric_corpus):
+    from fhir_data_validation_spark.pipeline.selection import \
+        interleave_ranks
+    plan = (interleave_ranks(metric_corpus, by="lang", shards=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the data-side sort/window keys on (stratum, shard), never stratum
+    # alone — a language-sized stratum must not serialize into one task
+    assert "partitionBy=[lang#" not in plan.replace(" ", "")
+    assert "_shard" in plan
