@@ -146,16 +146,31 @@ def chunk_windows(df: DataFrame, window: int, stride: int | None = None,
                 chunk_len.cast("int")).alias("chunk_tokens"))
 
 
-def assemble_sequences(pieces: DataFrame) -> DataFrame:
+def assemble_sequences(pieces: DataFrame,
+                       include_spans: bool = False) -> DataFrame:
     """Materialize packed sequences from :func:`pack_sequences` output:
     ``(shard, seq, tokens, n_tok, n_docs)``. Per-group state is ≤
     ``seq_len`` tokens by construction (pieces tile the sequence), so the
     aggregation is safe at any document-size distribution — this is NOT an
-    unbounded ``collect_list`` over raw documents."""
-    return (pieces.groupBy("shard", "seq")
-            .agg(F.flatten(F.array_sort(F.collect_list(
-                     F.struct(F.col("seq_offset").alias("o"),
-                              F.col("piece").alias("p"))))
-                 .getField("p")).alias("tokens"),
-                 F.sum("piece_len").cast("int").alias("n_tok"),
-                 F.count("*").cast("int").alias("n_docs")))
+    unbounded ``collect_list`` over raw documents.
+
+    ``include_spans=True`` adds ``doc_spans`` — ``array<struct<doc_id,
+    start, len>>`` in sequence order, one entry per document piece — the
+    boundaries an attention mask / loss mask needs to stop documents
+    attending across each other inside a packed sequence."""
+    sorted_pieces = F.array_sort(F.collect_list(
+        F.struct(F.col("seq_offset").alias("o"),
+                 F.col("piece").alias("p"),
+                 F.col("doc_id").alias("d"),
+                 F.col("piece_len").alias("l"))))
+    aggs = [F.flatten(sorted_pieces.getField("p")).alias("tokens"),
+            F.sum("piece_len").cast("int").alias("n_tok"),
+            F.count("*").cast("int").alias("n_docs")]
+    if include_spans:
+        aggs.append(F.transform(
+            sorted_pieces,
+            lambda s: F.struct(s["d"].alias("doc_id"),
+                               s["o"].alias("start"),
+                               s["l"].cast("int").alias("len")))
+            .alias("doc_spans"))
+    return pieces.groupBy("shard", "seq").agg(*aggs)

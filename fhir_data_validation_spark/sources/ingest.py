@@ -71,3 +71,46 @@ def clean_rows(df: DataFrame) -> DataFrame:
     """The rows the strict parse accepted, corrupt column dropped — the
     DataFrame downstream validation runs on."""
     return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def schema_diff(actual, expected) -> list[dict]:
+    """Schema-conformance report between an observed schema and the
+    expected contract: a list of ``{column, status, expected, actual}``
+    dicts with ``status`` ∈ ``missing`` (contract column absent),
+    ``unexpected`` (new column arrived), ``type_changed``,
+    ``nullability_relaxed`` (contract says required, data says nullable).
+    Empty list ⇒ conformant.
+
+    Pure metadata — no job runs; call it before validation so a silently
+    evolved upstream schema fails fast with a named diff instead of a
+    mid-scan analysis error. ``actual``/``expected`` accept a DataFrame
+    or a StructType.
+    """
+    from pyspark.sql.types import StructType
+
+    def fields(x):
+        st = x.schema if hasattr(x, "schema") else x
+        if not isinstance(st, StructType):
+            raise TypeError("expected a DataFrame or StructType")
+        return {f.name: f for f in st.fields}
+
+    act, exp = fields(actual), fields(expected)
+    out: list[dict] = []
+    for name, f in exp.items():
+        if name not in act:
+            out.append({"column": name, "status": "missing",
+                        "expected": f.dataType.simpleString(),
+                        "actual": None})
+        elif act[name].dataType != f.dataType:
+            out.append({"column": name, "status": "type_changed",
+                        "expected": f.dataType.simpleString(),
+                        "actual": act[name].dataType.simpleString()})
+        elif act[name].nullable and not f.nullable:
+            out.append({"column": name, "status": "nullability_relaxed",
+                        "expected": "NOT NULL", "actual": "nullable"})
+    for name, f in act.items():
+        if name not in exp:
+            out.append({"column": name, "status": "unexpected",
+                        "expected": None,
+                        "actual": f.dataType.simpleString()})
+    return sorted(out, key=lambda d: (d["status"], d["column"]))

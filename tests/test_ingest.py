@@ -55,3 +55,29 @@ def test_clean_rows_flow_into_engine(spark, tmp_path):
     all_viol = res.violations.unionByName(ingest.drop("stage"))
     got = {(r["rule_id"],) for r in all_viol.collect()}
     assert got == {("LEN-1",), ("INGEST-001",)}
+
+
+def test_schema_diff_reports_all_drift_kinds(spark):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from fhir_data_validation_spark.sources.ingest import schema_diff
+    expected = StructType([
+        StructField("id", LongType(), nullable=False),
+        StructField("text", StringType(), nullable=True),
+        StructField("gone", StringType(), nullable=True)])
+    actual = spark.createDataFrame(
+        [(1, "x", "new")], "id long, text string, extra string")
+    diff = schema_diff(actual, expected)
+    by_col = {d["column"]: d["status"] for d in diff}
+    assert by_col == {"gone": "missing", "extra": "unexpected",
+                      "id": "nullability_relaxed"}
+    # conformant pair -> empty
+    assert schema_diff(expected, expected) == []
+    # type change detected
+    changed = spark.createDataFrame([("1", "x", "y")],
+                                    "id string, text string, gone string")
+    assert any(d["column"] == "id" and d["status"] == "type_changed"
+               for d in schema_diff(changed, expected))
+    import pytest as _pt
+    with _pt.raises(TypeError):
+        schema_diff(42, expected)

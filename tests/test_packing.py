@@ -140,3 +140,18 @@ def test_chunk_windows_no_shuffle(spark):
     plan = chunk_windows(df, window=2, stride=1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan         # pure projection + generate
+
+
+def test_assemble_sequences_doc_spans(spark, token_df):
+    from fhir_data_validation_spark.pipeline.packing import (
+        assemble_sequences, pack_sequences)
+    seqs = assemble_sequences(pack_sequences(token_df, seq_len=8),
+                              include_spans=True).collect()
+    for s in seqs:
+        spans = s["doc_spans"]
+        # spans tile the sequence exactly, in order, one per piece
+        assert spans[0]["start"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["start"] + a["len"] == b["start"]
+        assert spans[-1]["start"] + spans[-1]["len"] == s["n_tok"]
+        assert len(spans) == s["n_docs"]
