@@ -125,7 +125,9 @@ token_df = (train
             .withColumn("n_tok", F.size("tokens")))
 pieces = packing.pack_sequences(token_df, seq_len=SEQ_LEN,
                                 shard_col="source")
-seqs = packing.assemble_sequences(pieces).persist()
+# doc_spans carry the per-sequence document boundaries an attention /
+# loss mask consumes (packed docs must not attend across each other)
+seqs = packing.assemble_sequences(pieces, include_spans=True).persist()
 n_seq = seqs.count()
 print(f"packed {n_seq} sequences of <= {SEQ_LEN} tokens")
 
@@ -140,7 +142,13 @@ res = ValidationEngine(
         {"id": "PACK-LEN", "type": "CustomExpr",
          "expr": f"is_last OR n_tok = {SEQ_LEN}"},
         {"id": "PACK-POS", "type": "Range", "column": "n_tok",
-         "params": {"min": 1, "max": SEQ_LEN}}]}),
+         "params": {"min": 1, "max": SEQ_LEN}},
+        # doc_spans must tile each sequence exactly: the mask boundaries
+        # cover every token with no gaps or overlaps
+        {"id": "PACK-SPANS", "type": "CustomExpr",
+         "expr": ("size(doc_spans) > 0 AND doc_spans[0].start = 0 "
+                  "AND aggregate(doc_spans, 0, (acc, s) -> "
+                  "IF(acc = s.start, acc + s.len, -1)) = n_tok")}]}),
     config=EngineConfig(key_col="seq_id", group_col="shard")).validate(packed)
 print(f"packed-output validation: passed={res.passed()} "
       f"({res.violations.count()} errors over {n_seq} sequences)")
