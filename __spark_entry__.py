@@ -967,6 +967,16 @@ def q_sm6_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_t10_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (pipeline/text.char_cross_entropy):
+    per-doc bits/char under the corpus character unigram model
+    (Laplace-0.5) — the cheap CCNet-style LM-quality stand-in. The model
+    is ≤ |alphabet| rows embedded as a literal map, so scoring is a
+    shuffle-free codegen projection."""
+    docs = load_table(spark, sf, "documents")
+    return text.char_cross_entropy(docs).orderBy("doc_id")
+
+
 def q_sm8_interleave(spark: SparkSession, sf: str) -> DataFrame:
     """Stratum-interleaved dataloader order
     (pipeline/selection.interleave_ranks): consecutive ranks cycle
@@ -1354,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm7_curriculum": q_sm7_curriculum,
         "sm8_interleave": q_sm8_interleave,
         "t9_tfidf_topk": q_t9_tfidf_topk,
+        "t10_char_entropy": q_t10_char_entropy,
         "sm1_domain_mix": q_sm1_domain_mix,
         "sm2_rate_sample": q_sm2_rate_sample,
         "sm3_split_assign": q_sm3_split_assign,
@@ -2368,6 +2379,28 @@ def oracle_sql() -> dict[str, str]:
               FROM k)
             SELECT doc_id, lang, n_chars
             FROM r WHERE rn <= 15 ORDER BY doc_id""",
+        # t10: char-unigram cross-entropy, Laplace-0.5 smoothing
+        "t10_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ''),
+                                        c -> c <> '')) AS ch
+              FROM documents),
+            model AS (SELECT ch, count(*) AS cnt FROM chars GROUP BY ch),
+            tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM model),
+            bits AS (
+              SELECT ch,
+                     -log2((cnt + 0.5) / (total + 0.5 * (v + 1))) AS b
+              FROM model CROSS JOIN tot),
+            doc AS (
+              SELECT c.doc_id, sum(b.b) AS tb, count(*) AS n
+              FROM chars c JOIN bits b ON c.ch = b.ch
+              GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(doc.n, 0) AS INT) AS n_chars_scored,
+                   round(doc.tb / doc.n, 4) AS bits_per_char
+            FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
+            ORDER BY d.doc_id""",
         # sm8: stratum interleave — per-lang shuffle position × n_langs
         # + lang index (same md5_60 unit as sm4)
         "sm8_interleave": """

@@ -261,3 +261,60 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
             .where(F.col("rank") <= int(k))
             .select(F.col("id").alias(id_col), "rank", "term", "tf", "df",
                     "score"))
+
+
+# --------------------------------------- char-model cross-entropy (t10)
+
+def char_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character unigram counts ``(ch, cnt)`` over the lower-cased
+    text — the training pass of the cross-entropy quality model. One
+    explode + map-side-combined aggregation; the result has at most
+    |alphabet| rows."""
+    return (df.select(F.explode(F.split(F.lower(F.col(text_col)), ""))
+                      .alias("ch"))
+            .where(F.col("ch") != "")
+            .groupBy("ch").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def char_cross_entropy(df: DataFrame, char_freq=None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       alpha: float = 0.5) -> DataFrame:
+    """Per-document cross-entropy (bits/char) under a corpus character
+    unigram model — the cheap stand-in for CCNet's LM-perplexity quality
+    signal: gibberish, key-mash and wrong-script text score far above the
+    corpus norm; filter or bucket on it like any other quality metric.
+
+    ``char_freq`` is a :func:`char_frequencies` table (train on a clean
+    reference corpus and score any other); default trains on ``df``
+    itself. Laplace-``alpha`` smoothing covers unseen characters.
+
+    Scale shape: the model is ≤ |alphabet| rows → collected once and
+    embedded as a literal map, so SCORING is a pure codegen projection —
+    ``transform`` + map lookup + ``aggregate`` — zero shuffle, zero
+    Python, no join. Empty documents score null.
+    """
+    if char_freq is None:
+        char_freq = char_frequencies(df, text_col)
+    rows = char_freq.collect()
+    total = sum(r["cnt"] for r in rows)
+    vocab = len(rows) + 1                      # +1 unseen bucket
+    denom = total + alpha * vocab
+    import math
+    # -log2 p(ch), Laplace-smoothed; unseen chars take the alpha-only mass
+    bits = {r["ch"]: -math.log2((r["cnt"] + alpha) / denom) for r in rows}
+    unseen = -math.log2(alpha / denom)
+    pairs = []
+    for ch, b in sorted(bits.items()):
+        pairs.extend([F.lit(ch), F.lit(b)])
+    model = F.create_map(*pairs) if pairs else \
+        F.create_map().cast("map<string,double>")
+    chars = F.filter(F.split(F.lower(F.col(text_col)), ""),
+                     lambda c: c != "")
+    n = F.size(chars)
+    total_bits = F.aggregate(
+        chars, F.lit(0.0),
+        lambda acc, c: acc + F.coalesce(model[c], F.lit(unseen)))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars_scored"),
+        F.when(n > 0, F.round(total_bits / n, 4)).alias("bits_per_char"))

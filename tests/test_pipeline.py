@@ -705,3 +705,34 @@ def test_srp_index_add_equals_rebuild(spark, embs):
     b = [tuple(r) for r in rebuilt.search(queries, k=5)
          .orderBy("query_id", "rank").collect()]
     assert a == b and len(a) > 0
+
+
+def test_char_cross_entropy_flags_gibberish(spark):
+    import math
+    normal = [(i, "the quick brown fox jumps over the lazy dog again")
+              for i in range(20)]
+    df = spark.createDataFrame(
+        normal + [(100, "zzqqxxjj zzqqxxjj qqzzxxjj"),   # rare chars
+                  (101, ""),                              # empty -> null
+                  (102, "±±±±±±±±")],                     # unseen chars
+        "doc_id long, text string")
+    ref = text.char_frequencies(
+        spark.createDataFrame(normal, "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           text.char_cross_entropy(df, ref).collect()}
+    base = out[0]["bits_per_char"]
+    assert out[100]["bits_per_char"] > base + 0.5  # gibberish scores high
+    assert out[102]["bits_per_char"] > out[100]["bits_per_char"]  # unseen worst
+    assert out[101]["bits_per_char"] is None and out[101]["n_chars_scored"] == 0
+    # hand-check one value: doc 0 under the reference model
+    rows = ref.collect()
+    total = sum(r["cnt"] for r in rows)
+    denom = total + 0.5 * (len(rows) + 1)
+    bits = {r["ch"]: -math.log2((r["cnt"] + 0.5) / denom) for r in rows}
+    t = "the quick brown fox jumps over the lazy dog again"
+    want = sum(bits[c] for c in t) / len(t)
+    assert abs(out[0]["bits_per_char"] - round(want, 4)) < 2e-4
+    # scoring is shuffle-free: model embedded as a literal map
+    plan = (text.char_cross_entropy(df, ref)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
