@@ -307,6 +307,9 @@ def curriculum_buckets(df: DataFrame, metric_col: str, n_buckets: int,
            else F.approx_percentile(m, F.array(*[F.lit(p) for p in probs]),
                                     F.lit(accuracy)))
     fences = df.agg(agg.alias("_f")).first()["_f"]
+    if fences is None or any(f is None for f in fences):
+        raise ValueError(
+            f"cannot bucket on {metric_col!r}: no non-null values")
     bucket = F.lit(n_buckets - 1)
     for i in range(n_buckets - 2, -1, -1):
         bucket = F.when(m < F.lit(float(fences[i])), F.lit(i)) \

@@ -360,3 +360,12 @@ def test_interleave_ranks_no_single_task_per_stratum(spark,
     # alone — a language-sized stratum must not serialize into one task
     assert "partitionBy=[lang#" not in plan.replace(" ", "")
     assert "_shard" in plan
+
+
+def test_curriculum_buckets_all_null_metric_raises(spark):
+    from fhir_data_validation_spark.pipeline.selection import \
+        curriculum_buckets
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "doc_id long, m double")
+    with pytest.raises(ValueError, match="non-null"):
+        curriculum_buckets(df, "m", 4)
