@@ -1308,6 +1308,42 @@ def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-sequence framing validation (SequenceShape rule, STRUCTURE
+    stage): BOS at position 0, EOS closing the content, pad only as a
+    trailing run — the structural invariants a dataloader assumes of a
+    pre-tokenized table. Runs over a deterministically framed token table
+    where doc_id mod 7 selects the corruption (0 → BOS dropped, 1 → EOS
+    dropped, 2 → a non-pad token inside the pad run); every lane is a
+    native codegen expression (F.get / slice-vs-array_repeat equality, no
+    HOF)."""
+    base = _md5_token_table(spark, sf)
+    body = F.transform(F.col("tokens"), lambda x: x + F.lit(10))
+    bos, eos = F.array(F.lit(1)), F.array(F.lit(2))
+    m = F.pmod(F.col("doc_id"), F.lit(7))
+    framed = (
+        F.when(m == 0, F.concat(body, eos))
+         .when(m == 1, F.concat(bos, body))
+         .when(m == 2, F.concat(bos, body,
+                                F.array(F.lit(2), F.lit(0), F.lit(42),
+                                        F.lit(0))))
+         .otherwise(F.concat(bos, body, F.array(F.lit(2), F.lit(0),
+                                                F.lit(0)))))
+    df = base.select("doc_id", "source", framed.alias("tokens"))
+    res = _validate(spark, df,
+                    [{"id": "SEQ-1", "type": "SequenceShape",
+                      "column": "tokens",
+                      "params": {"bos": 1, "eos": 2, "pad": 0}}],
+                    key_col="doc_id", group_col="source")
+    return (res.violations
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "error_code",
+                    F.col("detail")["check"].alias("lane"),
+                    F.col("detail")["padStart"].cast("long")
+                     .alias("pad_start"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1386,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_outliers": q_o1_outliers,
         "t8_vocab_oov": q_t8_vocab_oov,
         "v1_vector_check": q_v1_vector_check,
+        "seq1_sequence_shape": q_seq1_sequence_shape,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2017,6 +2054,52 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(agg.clean, '')) AS clean_md5
             FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""",
         # v1: the same seeded corruption + lane logic recomputed with
+        # same framing CASE as the Spark side; lane priority bos > eos > pad;
+        # EOS is judged at the last content position (before the pad run)
+        "seq1_sequence_shape": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     [CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                           % 50000 + 10 AS INTEGER) FOR x IN ws] AS body
+              FROM w),
+            fr AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 7 AS INTEGER)
+                       WHEN 0 THEN body || [2]
+                       WHEN 1 THEN [1] || body
+                       WHEN 2 THEN [1] || body || [2, 0, 42, 0]
+                       ELSE [1] || body || [2, 0, 0]
+                     END AS toks
+              FROM tok),
+            ev AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     coalesce(list_position(toks, 0), 0) AS p
+              FROM fr),
+            lanes AS (
+              SELECT doc_id, p,
+                     (toks[1] IS NULL OR toks[1] <> 1) AS bad_bos,
+                     coalesce(CASE WHEN p > 0
+                                   THEN (CASE WHEN p > 1 THEN toks[p - 1]
+                                         END)
+                                   ELSE toks[n] END <> 2, TRUE) AS bad_eos,
+                     (p > 0 AND len(list_filter(toks[p + 1:n],
+                                                x -> x <> 0)) > 0) AS bad_pad
+              FROM ev)
+            SELECT doc_id,
+                   'SEQUENCE_SHAPE_VIOLATION' AS error_code,
+                   CASE WHEN bad_bos THEN 'bos'
+                        WHEN bad_eos THEN 'eos'
+                        ELSE 'pad' END AS lane,
+                   CAST(p AS BIGINT) AS pad_start
+            FROM lanes
+            WHERE bad_bos OR bad_eos OR bad_pad
+            ORDER BY doc_id""",
         # DuckDB list functions (lane priority dim > finite > norm)
         "v1_vector_check": """
             WITH e AS (

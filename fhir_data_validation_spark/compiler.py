@@ -25,8 +25,8 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, DataType, NumericType, StringType,
-                               StructType)
+from pyspark.sql.types import (ArrayType, DataType, IntegralType, NumericType,
+                               StringType, StructType)
 
 from .errors import ErrorCode, RuleConfigurationError, Severity, Stage
 from .model import RuleDefinition, RuleSet
@@ -166,6 +166,7 @@ DEFAULT_ERROR_CODES = {
     "Regex": ErrorCode.PATTERN_MISMATCH,
     "ArrayLength": ErrorCode.ARRAY_LENGTH_OUT_OF_RANGE,
     "TokenDomain": ErrorCode.VALUE_NOT_ALLOWED,
+    "SequenceShape": ErrorCode.SEQUENCE_SHAPE_VIOLATION,
     "CustomExpr": ErrorCode.CUSTOM_CONDITION_FAILED,
     "Range": ErrorCode.ANSWER_OUT_OF_RANGE,
     "MaxLength": ErrorCode.MAX_LENGTH_EXCEEDED,
@@ -188,6 +189,7 @@ DEFAULT_ERROR_CODES = {
 RULE_STAGES = {
     "TypeCheck": Stage.STRUCTURE,
     "VectorCheck": Stage.STRUCTURE,
+    "SequenceShape": Stage.STRUCTURE,
     "Enum": Stage.STRUCTURE,
     "ValueExclusivity": Stage.STRUCTURE,
     "Regex": Stage.STRUCTURE,
@@ -878,6 +880,92 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 _smap(("min", lo), ("maxExclusive", hi),
                       ("badCount", bad_count), ("examples", examples)),
                 bad_els if rule.params.get("perElement") else None)
+
+    if t == "SequenceShape":
+        # Token-sequence structural markers (the payload-native STRUCTURE
+        # lane a pre-tokenized training table needs): BOS at position 0,
+        # EOS at the end, pad tokens only as a trailing run. The reference's
+        # closest analog is value[x]/cardinality shape checking
+        # (JsonNodeStructuralValidator.cs:858-941) — here the "shape" is
+        # the sequence framing a dataloader assumes.
+        #
+        # Every lane is a native codegen expression: F.get() is the
+        # 0-based, never-ANSI-aborting positional probe (element_at would
+        # throw on an empty array under ANSI), and the trailing-run check
+        # compares slice(col, p..) against array_repeat(pad) — array
+        # equality instead of an exists() HOF, so the predicate fuses into
+        # the shared whole-stage-codegen scan with the other rules.
+        if elementwise:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "SequenceShape takes a plain array column, not an element "
+                "path")
+        if not isinstance(dtype, ArrayType) \
+                or not isinstance(dtype.elementType, IntegralType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"SequenceShape needs an array<integral> column; "
+                f"{col_name!r} is {dtype.simpleString()}")
+        bos = rule.params.get("bos")
+        eos = rule.params.get("eos")
+        pad = rule.params.get("pad")
+        for nm, v in (("bos", bos), ("eos", eos), ("pad", pad)):
+            if v is not None and (isinstance(v, bool)
+                                  or not isinstance(v, int)):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"params.{nm} must be an integer token id, got {v!r}")
+        if bos is None and eos is None and pad is None:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "SequenceShape needs at least one of params.bos / eos / pad")
+        elem_t = dtype.elementType
+        sz = F.size(col)
+        lanes: list[tuple[str, Column]] = []
+        first = F.get(col, 0)
+        pad_pos: Column | None = None
+        if pad is not None:
+            # 1-based index of the FIRST pad (0 = no pad anywhere)
+            pad_pos = F.array_position(col, F.lit(pad).cast(elem_t))
+        if bos is not None:
+            # an empty sequence cannot carry its BOS marker → violation
+            lanes.append(("bos",
+                          first.isNull() | (first != F.lit(bos))))
+        # EOS must close the CONTENT: the last non-pad position when a pad
+        # run exists (a padded sequence ends ... eos pad pad), else the
+        # literal last element. An all-pad sequence has no content slot at
+        # all → the probe indexes -1 → null → violation.
+        last = (F.get(col, F.when(pad_pos > 0, pad_pos - 1)
+                           .otherwise(sz).cast("int") - 1)
+                if pad is not None else F.get(col, sz - 1))
+        if eos is not None:
+            lanes.append(("eos",
+                          last.isNull() | (last != F.lit(eos))))
+        if pad is not None:
+            # the sequence is well-formed iff everything from the first pad
+            # on is pad — i.e. the tail slice equals a pad-filled array of
+            # the same length. Interior pads break the equality.
+            tail_len = (sz - pad_pos + 1).cast("int")
+            tail = F.slice(col, pad_pos.cast("int"), tail_len)
+            run = F.array_repeat(F.lit(pad).cast(elem_t), tail_len)
+            lanes.append(("pad", F.coalesce(
+                (pad_pos > 0) & (tail != run), F.lit(False))))
+        any_bad = lanes[0][1]
+        for _, c in lanes[1:]:
+            any_bad = any_bad | c
+        cond = col.isNotNull() & any_bad
+        check = F.lit(None).cast("string")
+        for name, c in reversed(lanes):
+            check = F.when(c, F.lit(name)).otherwise(check)
+        pairs: list[tuple[str, Column | str]] = [("check", check),
+                                                 ("size", sz)]
+        if bos is not None:
+            pairs += [("bos", str(bos)), ("first", first)]
+        if eos is not None:
+            pairs += [("eos", str(eos)), ("last", last)]
+        if pad is not None:
+            pairs += [("pad", str(pad)), ("padStart", pad_pos)]
+        return cond, _smap(*pairs)
 
     if t == "Range":
         lo, hi = rule.params.get("min"), rule.params.get("max")

@@ -501,3 +501,88 @@ def test_vector_check_compile_rejections(spark):
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=EngineConfig(
                 key_col="id", group_col="grp")).validate(df)
+
+
+def test_sequence_shape_lanes(spark):
+    """SequenceShape: bos / eos / trailing-pad lanes. EOS is judged at the
+    last NON-pad position when a pad id is declared (a padded sequence ends
+    `… eos pad pad`); interior pads break the trailing-run equality; empty
+    and all-pad sequences cannot carry their markers."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [
+        ("ok_pad", "g", [1, 10, 11, 2, 0, 0]),
+        ("ok_nopad", "g", [1, 10, 11, 2]),
+        ("no_bos", "g", [10, 11, 2]),
+        ("no_eos", "g", [1, 10, 11, 7]),
+        ("interior_pad", "g", [1, 10, 0, 11, 2]),
+        ("empty", "g", []),
+        ("absent", "g", None),            # null sequence — skipped
+        ("all_pad", "g", [0, 0, 0]),
+        ("eos_not_last_content", "g", [1, 2, 10, 0]),
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string, tokens array<int>")
+    rs = RuleSet.parse({"rules": [
+        {"id": "SEQ-1", "type": "SequenceShape", "column": "tokens",
+         "params": {"bos": 1, "eos": 2, "pad": 0}}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    viol = {r["doc_id"]: r for r in res.violations.collect()}
+    lanes = {k: v["detail"]["check"] for k, v in viol.items()}
+    assert lanes == {"no_bos": "bos", "no_eos": "eos",
+                     "interior_pad": "eos",   # last content before pad ≠ eos
+                     "empty": "bos", "all_pad": "bos",
+                     "eos_not_last_content": "eos"}
+    assert viol["no_bos"]["error_code"] == "SEQUENCE_SHAPE_VIOLATION"
+    assert viol["no_bos"]["detail"]["first"] == "10"
+    assert viol["interior_pad"]["detail"]["padStart"] == "3"
+    # an interior pad where the content DOES end in eos fires the pad lane
+    df2 = spark.createDataFrame(
+        [("x", "g", [1, 2, 0, 10, 0])], "id string, grp string, tokens array<int>")
+    res2 = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df2)
+    v2 = res2.violations.collect()
+    assert len(v2) == 1 and v2[0]["detail"]["check"] == "pad"
+    # marker lanes are independent: pad-only rule ignores bos/eos framing
+    rs_pad = RuleSet.parse({"rules": [
+        {"id": "SEQ-2", "type": "SequenceShape", "column": "tokens",
+         "params": {"pad": 0}}]})
+    res3 = ValidationEngine(rs_pad, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    assert {r["doc_id"] for r in res3.violations.collect()} == {"interior_pad"}
+
+
+def test_sequence_shape_stays_codegen(spark):
+    """No HOF: SequenceShape predicates fuse into the shared codegen scan."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.compiler import compile_ruleset
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", "g", [1, 2])], "id string, grp string, tokens array<int>")
+    rs = RuleSet.parse({"rules": [
+        {"id": "SEQ-1", "type": "SequenceShape", "column": "tokens",
+         "params": {"bos": 1, "eos": 2, "pad": 0}}]})
+    plan = compile_ruleset(rs, df.schema,
+                           EngineConfig(key_col="id", group_col="grp"), {})
+    assert plan.predicates[0].hof is False
+
+
+def test_sequence_shape_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", "g", [1], "x", [1.5])],
+        "id string, grp string, tokens array<int>, s string, f array<double>")
+    bad = [
+        {"column": "s", "params": {"bos": 1}},       # not an array
+        {"column": "f", "params": {"bos": 1}},       # not integral elements
+        {"column": "tokens", "params": {}},          # no lane at all
+        {"column": "tokens", "params": {"bos": "x"}},   # non-int marker
+        {"column": "tokens", "params": {"pad": True}},  # bool is not a token
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "SEQ-B", "type": "SequenceShape", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=EngineConfig(
+                key_col="id", group_col="grp")).validate(df)
