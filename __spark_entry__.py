@@ -1344,6 +1344,28 @@ def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_jp1_jsonpath(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured validation over Spark 4 VARIANT (JsonPath rule):
+    events.props is parsed ONCE into a variant column (`parse_json` —
+    native binary variant, no schema-inference job over the corpus), then
+    a range probe on $.k runs via `try_variant_get`. Malformed JSON and
+    JSON-null are their own detail lanes; the engine never aborts the
+    scan (S2 strict→lenient contract)."""
+    df = (load_table(spark, sf, "events")
+          .withColumn("props_v", F.parse_json("props")))
+    res = _validate(spark, df,
+                    [{"id": "JP-1", "type": "JsonPath", "column": "props_v",
+                      "params": {"path": "$.k", "op": "range",
+                                 "asType": "long", "min": 10, "max": 80}}],
+                    key_col="event_id", group_col="event_type")
+    return (res.violations
+            .select(F.col("doc_id").cast("long").alias("event_id"),
+                    "error_code",
+                    F.col("detail")["check"].alias("lane"),
+                    F.col("detail")["actual"].cast("long").alias("k"))
+            .orderBy("event_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1423,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_vocab_oov": q_t8_vocab_oov,
         "v1_vector_check": q_v1_vector_check,
         "seq1_sequence_shape": q_seq1_sequence_shape,
+        "jp1_jsonpath": q_jp1_jsonpath,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2100,6 +2123,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lanes
             WHERE bad_bos OR bad_eos OR bad_pad
             ORDER BY doc_id""",
+        # JSON path range probe; JSON null / absent key → 'missing' lane
+        "jp1_jsonpath": """
+            WITH x AS (
+              SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_id,
+                   'JSON_PATH_VIOLATION' AS error_code,
+                   CASE WHEN k IS NULL THEN 'missing' ELSE 'range' END
+                     AS lane,
+                   k
+            FROM x
+            WHERE k IS NULL OR k < 10 OR k > 80
+            ORDER BY event_id""",
         # DuckDB list functions (lane priority dim > finite > norm)
         "v1_vector_check": """
             WITH e AS (

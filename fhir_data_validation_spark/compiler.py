@@ -26,7 +26,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DataType, IntegralType, NumericType,
-                               StringType, StructType)
+                               StringType, StructType, VariantType)
 
 from .errors import ErrorCode, RuleConfigurationError, Severity, Stage
 from .model import RuleDefinition, RuleSet
@@ -142,15 +142,18 @@ class CompiledPlan:
         (error_code, column) location — decidable at compile time, saving a
         full shuffle of the violations otherwise (SURVEY §4.1: skip stages
         whose inputs cannot exist)."""
-        seen: set[tuple[str, str]] = set()
-        keys: list[tuple[str, str]] = []
+        seen: set[tuple[str, str, str]] = set()
+        keys: list[tuple[str, str, str]] = []
         for p in self.predicates:
-            keys.append((p._error_code(), p.rule.column or ""))
+            # JsonPath violations are located by (column, path): rules on
+            # the same JSON column but different paths cannot collide
+            keys.append((p._error_code(), p.rule.column or "",
+                         str(p.rule.params.get("path") or "")))
         for d in self.dataset_plans:
             # a multi-column Reference sweep emits violations under EACH
             # swept column name, so every (code, column) pair can collide
             cols = d.rule.params.get("columns") or [d.rule.column or ""]
-            keys.extend((c, col) for c in d.codes for col in cols)
+            keys.extend((c, col, "") for c in d.codes for col in cols)
         for k in keys:
             if k in seen:
                 return True
@@ -167,6 +170,7 @@ DEFAULT_ERROR_CODES = {
     "ArrayLength": ErrorCode.ARRAY_LENGTH_OUT_OF_RANGE,
     "TokenDomain": ErrorCode.VALUE_NOT_ALLOWED,
     "SequenceShape": ErrorCode.SEQUENCE_SHAPE_VIOLATION,
+    "JsonPath": ErrorCode.JSON_PATH_VIOLATION,
     "CustomExpr": ErrorCode.CUSTOM_CONDITION_FAILED,
     "Range": ErrorCode.ANSWER_OUT_OF_RANGE,
     "MaxLength": ErrorCode.MAX_LENGTH_EXCEEDED,
@@ -190,6 +194,7 @@ RULE_STAGES = {
     "TypeCheck": Stage.STRUCTURE,
     "VectorCheck": Stage.STRUCTURE,
     "SequenceShape": Stage.STRUCTURE,
+    "JsonPath": Stage.BUSINESS,
     "Enum": Stage.STRUCTURE,
     "ValueExclusivity": Stage.STRUCTURE,
     "Regex": Stage.STRUCTURE,
@@ -880,6 +885,119 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 _smap(("min", lo), ("maxExclusive", hi),
                       ("badCount", bad_count), ("examples", examples)),
                 bad_els if rule.params.get("perElement") else None)
+
+    if t == "JsonPath":
+        # Semi-structured validation over a JSON string or VARIANT column —
+        # the Spark-native analog of the reference's FHIRPath probe
+        # (Api/FhirPathController.cs entry point 3.3) and its node-level
+        # structural checks (JsonNodeStructuralValidator.cs): evaluate a
+        # JSON path against each row's payload WITHOUT a pre-declared
+        # schema and assert exists / equals / range / regex / inValues on
+        # the extracted value.
+        #
+        # Execution is Spark 4 VARIANT: `try_parse_json` once per row (a
+        # no-op when the column is already VARIANT — parse upstream to
+        # amortize across many JsonPath rules), `try_variant_get` per rule.
+        # Both are native Catalyst expressions — binary variant access, no
+        # per-row Python, no schema inference pass over the corpus (the
+        # 100-TB reason to use VARIANT instead of from_json: no blocking
+        # schema discovery job, no widest-schema memory blowup).
+        # Malformed JSON is its own lane (never aborts the scan — S2
+        # strict→lenient contract); a JSON null extracts as SQL null and
+        # counts as missing, matching the reference's "present and
+        # non-null" element test.
+        path = str(rule.require_param("path"))
+        if not path.startswith("$"):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.path must be a JSON path starting with '$', "
+                f"got {path!r}")
+        op = rule.params.get("op", "exists")
+        as_type = rule.params.get("asType", "string")
+        if as_type not in ("string", "long", "double", "boolean"):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.asType {as_type!r} not in "
+                "('string', 'long', 'double', 'boolean')")
+        if elementwise:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                "JsonPath takes a plain column, not an element path — "
+                "address array elements inside params.path instead "
+                "($.a[0].b)")
+        if isinstance(dtype, VariantType):
+            v = col
+        elif isinstance(dtype, StringType):
+            v = F.try_parse_json(col)
+        else:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"JsonPath column {col_name!r} is {dtype.simpleString()}; "
+                "need a JSON string or variant column")
+        got = F.try_variant_get(v, path, as_type)
+        malformed = v.isNull() if isinstance(dtype, StringType) \
+            else F.lit(False)
+        pairs: list[tuple[str, Column | str]] = [("path", path), ("op", op)]
+        _OK_VALUES = {"string": str, "long": int, "double": (int, float),
+                      "boolean": bool}
+        if op == "exists":
+            bad = got.isNull()
+        elif op == "equals":
+            expected = rule.require_param("value")
+            if isinstance(expected, bool) != (as_type == "boolean") \
+                    or not isinstance(expected, _OK_VALUES[as_type]):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"params.value {expected!r} does not match "
+                    f"asType {as_type!r}")
+            bad = got.isNull() | (got != F.lit(expected))
+            pairs.append(("expected", expected))
+        elif op == "range":
+            lo, hi = rule.params.get("min"), rule.params.get("max")
+            if lo is None and hi is None:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    "JsonPath op 'range' needs params.min and/or params.max")
+            if as_type == "string":
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    "JsonPath op 'range' needs a numeric asType "
+                    "(long | double)")
+            for nm, b in (("min", lo), ("max", hi)):
+                if b is not None:
+                    _require_numeric_bound(rule, nm, b)
+            bad = got.isNull()
+            if lo is not None:
+                bad = bad | (got < F.lit(lo))
+            if hi is not None:
+                bad = bad | (got > F.lit(hi))
+            pairs += [("min", "" if lo is None else lo),
+                      ("max", "" if hi is None else hi)]
+        elif op == "regex":
+            pattern = rule.require_pattern()
+            bad = got.isNull() | ~got.cast("string").rlike(pattern)
+            pairs.append(("pattern", pattern))
+        elif op == "inValues":
+            values = rule.require_param("values")
+            if not isinstance(values, list) or not values:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    "JsonPath op 'inValues' needs non-empty params.values")
+            bad = got.isNull() | ~got.isin(values)
+            pairs.append(("allowed", json.dumps(values)))
+        else:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"unknown JsonPath op {op!r} (exists | equals | range | "
+                "regex | inValues)")
+        # lane provenance: malformed JSON ≻ path-missing (incl. JSON null —
+        # "present and non-null") ≻ the op's own comparison failing
+        lane = (F.when(malformed, F.lit("malformed"))
+                 .when(got.isNull(), F.lit("missing"))
+                 .otherwise(F.lit(op)))
+        pairs = [("check", lane), ("actual", got)] + pairs
+        cond = col.isNotNull() & (malformed | bad)
+        return cond, _smap(*pairs)
 
     if t == "SequenceShape":
         # Token-sequence structural markers (the payload-native STRUCTURE

@@ -348,6 +348,10 @@ def dedupe_violations(violations: DataFrame) -> DataFrame:
                      # the location — without innerIndex two same-valued
                      # bad elements in one outer group would collapse
                      F.col("detail")["innerIndex"].alias("_idx2"),
+                     # JsonPath: the probed path is the location — two
+                     # rules on the same JSON column but different paths
+                     # are distinct findings, not duplicates
+                     F.col("detail")["path"].alias("_path"),
                      F.col("source").alias("_src"),
                      F.when(F.col("doc_id").isNull(), F.col("rule_id"))
                       .alias("_dsrule"))

@@ -586,3 +586,100 @@ def test_sequence_shape_compile_rejections(spark):
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=EngineConfig(
                 key_col="id", group_col="grp")).validate(df)
+
+
+def test_json_path_ops(spark):
+    """JsonPath: exists / equals / range / regex / inValues over a JSON
+    string column via VARIANT; malformed JSON and JSON-null are their own
+    lanes; rules on the same column but different paths never dedup
+    against each other."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [
+        ("ok", "g", '{"k": 50, "tag": "en", "meta": {"v": 1}}'),
+        ("low", "g", '{"k": 3, "tag": "en", "meta": {"v": 1}}'),
+        ("badtag", "g", '{"k": 50, "tag": "xx", "meta": {"v": 1}}'),
+        ("nometa", "g", '{"k": 50, "tag": "en"}'),
+        ("jnull", "g", '{"k": null, "tag": "en", "meta": {"v": 1}}'),
+        ("malformed", "g", '{not json'),
+        ("absent", "g", None),        # null column — skipped entirely
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string, props string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "JP-RANGE", "type": "JsonPath", "column": "props",
+         "params": {"path": "$.k", "op": "range", "asType": "long",
+                    "min": 10, "max": 80}},
+        {"id": "JP-IN", "type": "JsonPath", "column": "props",
+         "params": {"path": "$.tag", "op": "inValues",
+                    "values": ["en", "de"]}},
+        {"id": "JP-EXISTS", "type": "JsonPath", "column": "props",
+         "params": {"path": "$.meta.v", "op": "exists"}},
+    ]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    got = {(r["doc_id"], r["rule_id"]): r["detail"]["check"]
+           for r in res.violations.collect()}
+    assert got == {
+        ("low", "JP-RANGE"): "range",
+        ("jnull", "JP-RANGE"): "missing",      # JSON null = not present
+        ("badtag", "JP-IN"): "inValues",
+        ("nometa", "JP-EXISTS"): "missing",
+        ("malformed", "JP-RANGE"): "malformed",
+        ("malformed", "JP-IN"): "malformed",
+        ("malformed", "JP-EXISTS"): "malformed",
+    }
+    assert all(r["error_code"] == "JSON_PATH_VIOLATION"
+               for r in res.violations.collect())
+
+
+def test_json_path_variant_column_and_more_ops(spark):
+    """A pre-parsed VARIANT column binds directly (parse once, probe many);
+    equals and regex ops."""
+    from pyspark.sql import functions as F
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [("a", "g", '{"st": "active", "code": "AB-12"}'),
+            ("b", "g", '{"st": "done", "code": "AB-12"}'),
+            ("c", "g", '{"st": "active", "code": "nope"}')]
+    df = (spark.createDataFrame(rows, "id string, grp string, props string")
+          .withColumn("v", F.parse_json("props")).drop("props"))
+    rs = RuleSet.parse({"rules": [
+        {"id": "JP-EQ", "type": "JsonPath", "column": "v",
+         "params": {"path": "$.st", "op": "equals", "value": "active"}},
+        {"id": "JP-RE", "type": "JsonPath", "column": "v",
+         "params": {"path": "$.code", "op": "regex",
+                    "pattern": "^[A-Z]{2}-[0-9]+$"}},
+    ]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    got = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert got == {("b", "JP-EQ"), ("c", "JP-RE")}
+
+
+def test_json_path_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", "g", "{}", 1)], "id string, grp string, props string, n int")
+    bad = [
+        {"column": "n", "params": {"path": "$.k"}},          # not json-able
+        {"column": "props", "params": {"path": "k"}},        # no $ prefix
+        {"column": "props", "params": {}},                   # no path
+        {"column": "props", "params": {"path": "$.k", "op": "nope"}},
+        {"column": "props", "params": {"path": "$.k", "op": "range"}},  # no bounds
+        {"column": "props", "params": {"path": "$.k", "op": "range",
+                                       "min": 1}},           # string asType
+        {"column": "props", "params": {"path": "$.k", "op": "equals",
+                                       "asType": "long", "value": "x"}},
+        {"column": "props", "params": {"path": "$.k", "op": "regex",
+                                       "pattern": "["}},
+        {"column": "props", "params": {"path": "$.k", "op": "inValues",
+                                       "values": []}},
+        {"column": "props", "params": {"path": "$.k", "asType": "date"}},
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "JP-B", "type": "JsonPath", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=EngineConfig(
+                key_col="id", group_col="grp")).validate(df)
