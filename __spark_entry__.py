@@ -1366,6 +1366,34 @@ def q_jp1_jsonpath(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def q_ac1_agg_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (AggConsistency rule): every
+    order's o_totalprice must match sum(l_extendedprice) over its
+    lineitems within a 25% relative band; orders with no lineitems at all
+    violate on the noChildren lane. One map-side-combined child
+    aggregation + one equi-join back — the star-schema consistency gate a
+    denormalized rollup column needs."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    res = _validate(spark, orders,
+                    [{"id": "AGG-1", "type": "AggConsistency",
+                      "column": "o_totalprice",
+                      "params": {"dim": "lineitem", "on": "o_orderkey",
+                                 "dimKey": "l_orderkey", "agg": "sum",
+                                 "valueColumn": "l_extendedprice",
+                                 "tolerance": 0.01, "relTolerance": 0.25,
+                                 "requireChildren": True}}],
+                    key_col="o_orderkey", group_col="o_orderstatus",
+                    dims={"lineitem": lineitem})
+    return (res.violations
+            .select(F.col("doc_id").cast("long").alias("o_orderkey"),
+                    "error_code",
+                    F.col("detail")["check"].alias("lane"),
+                    F.col("detail")["nChildren"].cast("long")
+                     .alias("n_children"))
+            .orderBy("o_orderkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1446,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_vector_check": q_v1_vector_check,
         "seq1_sequence_shape": q_seq1_sequence_shape,
         "jp1_jsonpath": q_jp1_jsonpath,
+        "ac1_agg_consistency": q_ac1_agg_consistency,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2123,6 +2152,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lanes
             WHERE bad_bos OR bad_eos OR bad_pad
             ORDER BY doc_id""",
+        # parent rollup vs child-sum within max(0.01, 0.25·|sum|)
+        "ac1_agg_consistency": """
+            WITH agg AS (
+              SELECT l_orderkey, sum(l_extendedprice) AS s,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey,
+                   'AGGREGATE_MISMATCH' AS error_code,
+                   CASE WHEN n IS NULL THEN 'noChildren'
+                        ELSE 'mismatch' END AS lane,
+                   coalesce(n, 0) AS n_children
+            FROM orders LEFT JOIN agg ON o_orderkey = l_orderkey
+            WHERE n IS NULL
+               OR o_totalprice IS NULL
+               OR abs(o_totalprice - s) > greatest(0.01, 0.25 * abs(s))
+            ORDER BY o_orderkey""",
         # JSON path range probe; JSON null / absent key → 'missing' lane
         "jp1_jsonpath": """
             WITH x AS (

@@ -185,6 +185,7 @@ DEFAULT_ERROR_CODES = {
     "RequiredResources": ErrorCode.RESOURCE_REQUIREMENT_VIOLATION,
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
     "Expectation": ErrorCode.EXPECTATION_VIOLATION,
+    "AggConsistency": ErrorCode.AGGREGATE_MISMATCH,
     "Outlier": ErrorCode.OUTLIER_VALUE,
     "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
@@ -216,12 +217,13 @@ RULE_STAGES = {
     "Drift": Stage.DRIFT,
     "Expectation": Stage.DATASET,
     "Outlier": Stage.DATASET,
+    "AggConsistency": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
-                      "Expectation", "Outlier")
+                      "Expectation", "Outlier", "AggConsistency")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

@@ -75,6 +75,7 @@ class ErrorCode:
     VECTOR_CHECK_FAILED = "VECTOR_CHECK_FAILED"
     SEQUENCE_SHAPE_VIOLATION = "SEQUENCE_SHAPE_VIOLATION"
     JSON_PATH_VIOLATION = "JSON_PATH_VIOLATION"
+    AGGREGATE_MISMATCH = "AGGREGATE_MISMATCH"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

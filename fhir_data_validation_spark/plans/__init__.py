@@ -140,6 +140,27 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                 f"unknown drift mode {rule.params.get('mode')!r} "
                 "(numeric | tokenFrequency)")
         exec_fn = lambda df, p: drift_plan(df, rule, stage, p)
+    elif t == "AggConsistency":
+        _require_dim(rule, plan)
+        _validate_agg_consistency(rule, plan.schema)
+        from pyspark.sql.types import NumericType as _Num
+        child = plan.dims[rule.params["dim"]]
+        agg_name = rule.params.get("agg", "sum")
+        need = [rule.params["dimKey"]] + (
+            [rule.params["valueColumn"]] if agg_name != "count" else [])
+        for c in need:
+            if c not in child.columns:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"dim has no column {c!r} (have {child.columns})")
+        if agg_name != "count":
+            vtype = child.schema[rule.params["valueColumn"]].dataType
+            if not isinstance(vtype, _Num):
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"valueColumn {rule.params['valueColumn']!r} is "
+                    f"{vtype.simpleString()}, not numeric")
+        exec_fn = lambda df, p: agg_consistency_plan(df, rule, stage, p)
     elif t == "Expectation":
         checks = rule.require_param("checks")
         _validate_expectation_checks(rule, checks, plan.schema)
@@ -993,6 +1014,135 @@ def expectation_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                     F.lit(None if rule.source == "*" else rule.source)
                      .cast("string").alias("source"),
                     detail.alias("detail")))
+
+
+# ------------------------------------- AggConsistency (cross-table rollup) --
+
+_AGG_FNS = ("sum", "count", "min", "max", "avg")
+
+
+def _validate_agg_consistency(rule: RuleDefinition, schema) -> None:
+    """Compile-time pre-flight (total: any malformed param raises here)."""
+    from ..compiler import _field_type
+    from pyspark.sql.types import NumericType
+    rule.require_column()
+    ptype = _field_type(schema, rule.column, rule)
+    if not isinstance(ptype, NumericType):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"AggConsistency parent column {rule.column!r} is "
+            f"{ptype.simpleString()}, not numeric")
+    rule.require_param("on")
+    _field_type(schema, rule.params["on"], rule)
+    rule.require_param("dimKey")
+    agg = rule.params.get("agg", "sum")
+    if agg not in _AGG_FNS:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown agg {agg!r} (expected one of {_AGG_FNS})")
+    if agg != "count":
+        rule.require_param("valueColumn")
+    for p in ("tolerance", "relTolerance"):
+        v = rule.params.get(p, 0)
+        try:
+            if float(v) < 0:
+                raise ValueError("must be >= 0")
+        except (TypeError, ValueError) as exc:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.{p} must be a non-negative number: {exc}") from exc
+
+
+def agg_consistency_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                         plan) -> DataFrame:
+    """Cross-table aggregate reconciliation: for every parent row,
+    ``agg(child.valueColumn)`` over the child rows sharing its key must
+    match the parent's stored rollup column within tolerance — the
+    denormalized-total / event-count / balance consistency check a star
+    schema needs (no reference analog; the closest is the resource-count
+    closed world of ``FhirPathRuleEngine.cs:1794-2152`` generalized to
+    value aggregation).
+
+    100-TB plan shape: ONE map-side-combined hash aggregation reduces the
+    child table to |distinct child keys| rows, then ONE equi-join back to
+    the parent. The parent side shuffles at most once (not at all when
+    both tables are bucketed by the key — grouping is on the RAW child
+    key, casts happen after the reduce); ``params.broadcast`` broadcasts
+    the reduced child when the parent domain is small. Violation volume is
+    bounded by bad parents.
+
+    Tolerance: ``max(tolerance, relTolerance × |expected|)`` — absolute
+    floor plus relative band, both default 0 (exact). A parent key with NO
+    child rows is skipped unless ``requireChildren`` (then it violates on
+    the ``noChildren`` lane); ``agg='count'`` never misses (empty = 0).
+    A null parent value with children present can never reconcile →
+    ``mismatch`` lane with actual null.
+    """
+    cfg = plan.config
+    child = plan.dims[rule.params["dim"]]
+    child_key = rule.params["dimKey"]
+    for c in [child_key] + ([rule.params["valueColumn"]]
+                            if rule.params.get("agg", "sum") != "count"
+                            else []):
+        if c not in child.columns:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"dim has no column {c!r} (have {child.columns})")
+    on = rule.params["on"]
+    agg = rule.params.get("agg", "sum")
+    val = rule.params.get("valueColumn")
+    tol_abs = float(rule.params.get("tolerance", 0))
+    tol_rel = float(rule.params.get("relTolerance", 0))
+    require_children = bool(rule.params.get("requireChildren", False))
+
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(cfg.group_col).cast("string") == rule.source)
+
+    if agg == "count":
+        agg_expr = F.count(F.lit(1)).cast("double")
+    else:
+        agg_expr = getattr(F, agg)(F.col(val).cast("double"))
+    agged = (child.groupBy(F.col(child_key).alias("_ck"))
+                  .agg(agg_expr.alias("_exp"),
+                       F.count(F.lit(1)).alias("_n")))
+    if rule.params.get("broadcast", False):
+        agged = F.broadcast(agged)
+    joined = scoped.join(agged, on=F.col(on) == F.col("_ck"), how="left")
+
+    no_children = F.col("_ck").isNull()
+    if agg == "count":
+        expected = F.coalesce(F.col("_exp"), F.lit(0.0))
+        no_children = F.lit(False)
+    else:
+        expected = F.col("_exp")
+    actual = F.col(rule.column).cast("double")
+    tol = F.greatest(F.lit(tol_abs), F.lit(tol_rel) * F.abs(expected))
+    mismatch = ~no_children & (actual.isNull()
+                               | (F.abs(actual - expected) > tol))
+    cond = mismatch | (no_children & F.lit(require_children))
+    lane = F.when(no_children, F.lit("noChildren")).otherwise(F.lit("mismatch"))
+    detail = _smap_plan(
+        ("check", lane), ("agg", agg), ("on", on),
+        ("expected", F.round(expected, 6)), ("actual", F.round(actual, 6)),
+        ("nChildren", F.coalesce(F.col("_n"), F.lit(0))))
+    return joined.where(cond).select(
+        F.col(cfg.key_col).cast("string").alias("doc_id"),
+        *_viol_cols(rule, stage,
+                    rule.error_code or ErrorCode.AGGREGATE_MISMATCH),
+        F.col(cfg.group_col).cast("string").alias("source"),
+        detail.alias("detail"))
+
+
+def _smap_plan(*pairs):
+    """String-ify a detail map (plan-side twin of compiler._smap)."""
+    entries = []
+    for k, v in pairs:
+        entries.append(F.lit(k))
+        entries.append(v.cast("string") if hasattr(v, "cast")
+                       else F.lit(str(v)))
+    return F.create_map(*entries)
 
 
 # ------------------------------------------------- Outlier (stat-driven rows)

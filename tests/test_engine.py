@@ -683,3 +683,94 @@ def test_json_path_compile_rejections(spark):
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=EngineConfig(
                 key_col="id", group_col="grp")).validate(df)
+
+
+def test_agg_consistency_sum_and_lanes(spark):
+    """AggConsistency: child-sum reconciles against the parent's stored
+    rollup; noChildren lane gated by requireChildren; null parent value
+    can never reconcile."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    parent = spark.createDataFrame(
+        [("p1", 60.0, "g"), ("p2", 10.0, "g"), ("p3", 5.0, "g"),
+         ("p4", None, "g"), ("p5", 7.0, "g")],
+        "pid string, total double, grp string")
+    child = spark.createDataFrame(
+        [("p1", 20.0), ("p1", 40.0), ("p2", 5.0), ("p4", 1.0)],
+        "cid string, amt double")
+    rule = {"id": "AGG-1", "type": "AggConsistency", "column": "total",
+            "params": {"dim": "child", "on": "pid", "dimKey": "cid",
+                       "agg": "sum", "valueColumn": "amt",
+                       "tolerance": 0.01, "requireChildren": True,
+                       "broadcast": True}}
+    res = ValidationEngine(
+        RuleSet.parse({"rules": [rule]}), dims={"child": child},
+        config=EngineConfig(key_col="pid", group_col="grp")).validate(parent)
+    got = {r["doc_id"]: r["detail"]["check"] for r in res.violations.collect()}
+    assert got == {"p2": "mismatch", "p3": "noChildren",
+                   "p4": "mismatch", "p5": "noChildren"}
+    # without requireChildren the childless parents are skipped
+    rule2 = {**rule, "params": {**rule["params"], "requireChildren": False}}
+    res2 = ValidationEngine(
+        RuleSet.parse({"rules": [rule2]}), dims={"child": child},
+        config=EngineConfig(key_col="pid", group_col="grp")).validate(parent)
+    assert {r["doc_id"] for r in res2.violations.collect()} == {"p2", "p4"}
+    # relative tolerance: 10 vs 5 is within 100% band
+    rule3 = {**rule2, "params": {**rule2["params"], "tolerance": 0,
+                                 "relTolerance": 1.0}}
+    res3 = ValidationEngine(
+        RuleSet.parse({"rules": [rule3]}), dims={"child": child},
+        config=EngineConfig(key_col="pid", group_col="grp")).validate(parent)
+    assert {r["doc_id"] for r in res3.violations.collect()} == {"p4"}
+
+
+def test_agg_consistency_count_never_misses(spark):
+    """agg='count': an absent child group counts 0 — never a noChildren
+    lane, zero-count parents reconcile against a stored 0."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    parent = spark.createDataFrame(
+        [("p1", 2, "g"), ("p2", 0, "g"), ("p3", 3, "g")],
+        "pid string, n_items int, grp string")
+    child = spark.createDataFrame(
+        [("p1", 1.0), ("p1", 2.0), ("p3", 1.0)], "cid string, amt double")
+    rs = RuleSet.parse({"rules": [
+        {"id": "AGG-C", "type": "AggConsistency", "column": "n_items",
+         "params": {"dim": "child", "on": "pid", "dimKey": "cid",
+                    "agg": "count", "requireChildren": True}}]})
+    res = ValidationEngine(
+        rs, dims={"child": child},
+        config=EngineConfig(key_col="pid", group_col="grp")).validate(parent)
+    got = {r["doc_id"]: r["detail"] for r in res.violations.collect()}
+    assert set(got) == {"p3"}
+    assert got["p3"]["check"] == "mismatch"
+    assert float(got["p3"]["expected"]) == 1.0
+
+
+def test_agg_consistency_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    parent = spark.createDataFrame(
+        [("p1", 1.0, "s", "g")], "pid string, total double, name string, grp string")
+    child = spark.createDataFrame([("p1", 1.0, "x")],
+                                  "cid string, amt double, txt string")
+    base = {"dim": "child", "on": "pid", "dimKey": "cid",
+            "agg": "sum", "valueColumn": "amt"}
+    bad = [
+        {"column": "name", "params": base},                      # non-numeric parent
+        {"column": "total", "params": {**base, "agg": "median"}},
+        {"column": "total", "params": {**base, "valueColumn": "txt"}},
+        {"column": "total", "params": {**base, "dimKey": "nope"}},
+        {"column": "total", "params": {**base, "on": "nope"}},
+        {"column": "total", "params": {**base, "tolerance": -1}},
+        {"column": "total", "params": {**base, "dim": "ghost"}},
+        {"column": "total", "params": {k: v for k, v in base.items()
+                                       if k != "valueColumn"}},  # sum needs value
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "AGG-B", "type": "AggConsistency", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, dims={"child": child},
+                             config=EngineConfig(
+                                 key_col="pid", group_col="grp")).validate(parent)
