@@ -1394,6 +1394,32 @@ def q_ac1_agg_consistency(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+def q_gs1_group_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Mix-balance validation (GroupShare rule): event-type shares must
+    sit inside declared bands — click ≤ 15% and error ≥ 25% both fail at
+    the generator's ~20% uniform mix, the declared-but-absent 'refund'
+    type fails its min (closed world), purchase passes its band. One
+    count aggregation; every band check runs on the |groups|-row reduced
+    frame."""
+    df = load_table(spark, sf, "events")
+    res = _validate(spark, df,
+                    [{"id": "SHR-1", "type": "GroupShare",
+                      "column": "event_type",
+                      "params": {"shares": {
+                          "click": {"max": 0.15},
+                          "error": {"min": 0.25},
+                          "purchase": {"min": 0.15, "max": 0.25},
+                          "refund": {"min": 0.01}}}}],
+                    key_col="event_id", group_col="event_type")
+    return (res.violations
+            .select(F.col("doc_id").alias("event_type"),
+                    "error_code",
+                    F.col("detail")["check"].alias("lane"),
+                    F.col("detail")["n"].cast("long").alias("n"),
+                    F.col("detail")["share"].cast("double").alias("share"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1475,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq1_sequence_shape": q_seq1_sequence_shape,
         "jp1_jsonpath": q_jp1_jsonpath,
         "ac1_agg_consistency": q_ac1_agg_consistency,
+        "gs1_group_share": q_gs1_group_share,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2152,6 +2179,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lanes
             WHERE bad_bos OR bad_eos OR bad_pad
             ORDER BY doc_id""",
+        # declared ∪ observed shares; closed world for declared groups
+        "gs1_group_share": """
+            WITH c AS (
+              SELECT event_type AS g, count(*) AS n FROM events
+              GROUP BY event_type),
+            t AS (SELECT sum(n) AS tot FROM c),
+            d AS (SELECT * FROM (VALUES
+                    ('click', NULL, 0.15),
+                    ('error', 0.25, NULL),
+                    ('purchase', 0.15, 0.25),
+                    ('refund', 0.01, NULL))
+                  AS v(g, mn, mx)),
+            m AS (
+              SELECT coalesce(c.g, d.g) AS g,
+                     coalesce(c.n, 0) AS n,
+                     CAST(coalesce(c.n, 0) AS DOUBLE) / tot AS share,
+                     CAST(mn AS DOUBLE) AS mn, CAST(mx AS DOUBLE) AS mx
+              FROM c FULL JOIN d ON c.g = d.g CROSS JOIN t)
+            SELECT g AS event_type,
+                   'GROUP_SHARE_VIOLATION' AS error_code,
+                   CASE WHEN mn IS NOT NULL AND share < mn
+                        THEN 'belowMin' ELSE 'aboveMax' END AS lane,
+                   n, round(share, 6) AS share
+            FROM m
+            WHERE (mn IS NOT NULL AND share < mn)
+               OR (mx IS NOT NULL AND share > mx)
+            ORDER BY event_type""",
         # parent rollup vs child-sum within max(0.01, 0.25·|sum|)
         "ac1_agg_consistency": """
             WITH agg AS (

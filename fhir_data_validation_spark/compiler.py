@@ -186,6 +186,7 @@ DEFAULT_ERROR_CODES = {
     "Drift": ErrorCode.DISTRIBUTION_DRIFT,
     "Expectation": ErrorCode.EXPECTATION_VIOLATION,
     "AggConsistency": ErrorCode.AGGREGATE_MISMATCH,
+    "GroupShare": ErrorCode.GROUP_SHARE_VIOLATION,
     "Outlier": ErrorCode.OUTLIER_VALUE,
     "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
@@ -218,12 +219,14 @@ RULE_STAGES = {
     "Expectation": Stage.DATASET,
     "Outlier": Stage.DATASET,
     "AggConsistency": Stage.DATASET,
+    "GroupShare": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
-                      "Expectation", "Outlier", "AggConsistency")
+                      "Expectation", "Outlier", "AggConsistency",
+                      "GroupShare")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

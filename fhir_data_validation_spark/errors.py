@@ -76,6 +76,7 @@ class ErrorCode:
     SEQUENCE_SHAPE_VIOLATION = "SEQUENCE_SHAPE_VIOLATION"
     JSON_PATH_VIOLATION = "JSON_PATH_VIOLATION"
     AGGREGATE_MISMATCH = "AGGREGATE_MISMATCH"
+    GROUP_SHARE_VIOLATION = "GROUP_SHARE_VIOLATION"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

@@ -161,6 +161,9 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                     f"valueColumn {rule.params['valueColumn']!r} is "
                     f"{vtype.simpleString()}, not numeric")
         exec_fn = lambda df, p: agg_consistency_plan(df, rule, stage, p)
+    elif t == "GroupShare":
+        _validate_group_share(rule, plan.schema)
+        exec_fn = lambda df, p: group_share_plan(df, rule, stage, p)
     elif t == "Expectation":
         checks = rule.require_param("checks")
         _validate_expectation_checks(rule, checks, plan.schema)
@@ -1143,6 +1146,115 @@ def _smap_plan(*pairs):
         entries.append(v.cast("string") if hasattr(v, "cast")
                        else F.lit(str(v)))
     return F.create_map(*entries)
+
+
+# --------------------------------------------- GroupShare (mix balance) ----
+
+def _validate_group_share(rule: RuleDefinition, schema) -> None:
+    from ..compiler import _field_type
+    rule.require_column()
+    _field_type(schema, rule.column, rule)
+    shares = rule.params.get("shares") or {}
+    if not isinstance(shares, dict):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "params.shares must be a {group: {min?, max?}} mapping")
+    bounds = list(shares.items()) + [
+        ("<default>", {"min": rule.params.get("defaultMin"),
+                       "max": rule.params.get("defaultMax")})]
+    any_bound = False
+    for g, b in bounds:
+        if not isinstance(b, dict):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"shares[{g!r}] must be a dict with min/max")
+        for nm in ("min", "max"):
+            v = b.get(nm)
+            if v is None:
+                continue
+            any_bound = True
+            try:
+                v = float(v)
+            except (TypeError, ValueError) as exc:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"shares[{g!r}].{nm} must be numeric: {exc}") from exc
+            if not 0.0 <= v <= 1.0:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"shares[{g!r}].{nm} must be a fraction in [0, 1]")
+    if not any_bound:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "GroupShare needs at least one min/max bound "
+            "(params.shares / defaultMin / defaultMax)")
+
+
+def group_share_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                     plan) -> DataFrame:
+    """Mix-balance validation: every group's row share must sit inside its
+    declared [min, max] band — the acceptance gate for a mixed training
+    corpus (the validation twin of ``pipeline/selection.domain_mix``).
+    Declared groups with ZERO rows still fail their min bound (closed
+    world, like RequiredResources); undeclared groups are judged by
+    ``defaultMin``/``defaultMax`` when given, else unconstrained.
+
+    100-TB shape: ONE map-side-combined count aggregation reduces the
+    input to |groups| rows; the total, the declared-bounds join (a
+    literal |declared|-row frame) and the band checks all run on that
+    reduced frame — no second pass over the data, no window over a single
+    partition. Violation volume ≤ |groups| + |declared|.
+    """
+    cfg = plan.config
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(cfg.group_col).cast("string") == rule.source)
+    shares: dict = rule.params.get("shares") or {}
+    d_min = rule.params.get("defaultMin")
+    d_max = rule.params.get("defaultMax")
+    min_rows = int(rule.params.get("minRows", 0))
+
+    counts = (scoped.groupBy(F.col(rule.column).cast("string").alias("_g"))
+                    .agg(F.count(F.lit(1)).alias("_n")))
+    spark = df.sparkSession
+    decl = spark.createDataFrame(
+        [(str(g), (None if b.get("min") is None else float(b["min"])),
+          (None if b.get("max") is None else float(b["max"])))
+         for g, b in shares.items()] or [("<none>", None, None)],
+        "_dg string, _min double, _max double")
+    if not shares:
+        decl = decl.where(F.lit(False))
+    # declared ∪ observed on the reduced frame; the total rides in as a
+    # broadcast single-row cross join (computed FROM the counts — no
+    # second scan of the input)
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    merged = (counts.join(decl, on=F.col("_g") == F.col("_dg"), how="full")
+                    .crossJoin(F.broadcast(total)))
+    grp = F.coalesce(F.col("_g"), F.col("_dg"))
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    tot = F.coalesce(F.col("_tot"), F.lit(0))
+    share = F.when(tot > 0, n.cast("double") / tot).otherwise(F.lit(0.0))
+    declared = F.col("_dg").isNotNull()
+    lo = F.when(declared, F.col("_min")).otherwise(
+        F.lit(None if d_min is None else float(d_min)).cast("double"))
+    hi = F.when(declared, F.col("_max")).otherwise(
+        F.lit(None if d_max is None else float(d_max)).cast("double"))
+    too_low = lo.isNotNull() & (share < lo)
+    too_high = hi.isNotNull() & (share > hi)
+    detail = _smap_plan(
+        ("check", F.when(too_low, F.lit("belowMin"))
+                   .otherwise(F.lit("aboveMax"))),
+        ("group", grp), ("n", n), ("total", tot),
+        ("share", F.round(share, 6)), ("min", lo), ("max", hi))
+    return (merged.where((too_low | too_high) & (tot >= min_rows))
+            .select(grp.alias("doc_id"),
+                    *_viol_cols(rule, stage,
+                                rule.error_code
+                                or ErrorCode.GROUP_SHARE_VIOLATION),
+                    F.lit(None if rule.source == "*" else rule.source)
+                     .cast("string").alias("source"),
+                    detail.alias("detail")))
 
 
 # ------------------------------------------------- Outlier (stat-driven rows)

@@ -774,3 +774,57 @@ def test_agg_consistency_compile_rejections(spark):
             ValidationEngine(rs, dims={"child": child},
                              config=EngineConfig(
                                  key_col="pid", group_col="grp")).validate(parent)
+
+
+def test_group_share_bands(spark):
+    """GroupShare: per-group row-share bands; declared-but-absent groups
+    fail their min (closed world); undeclared groups judged by
+    defaultMax; minRows gates the whole check."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([(f"d{i}", "web", "g") for i in range(6)]
+            + [(f"w{i}", "wiki", "g") for i in range(3)]
+            + [(f"f{i}", "forum", "g") for i in range(1)])
+    df = spark.createDataFrame(rows, "doc_id string, src string, grp string")
+    params = {"shares": {"web": {"min": 0.3, "max": 0.5},
+                         "wiki": {"min": 0.25},
+                         "books": {"min": 0.05}},
+              "defaultMax": 0.05}
+    rs = RuleSet.parse({"rules": [
+        {"id": "SHR-1", "type": "GroupShare", "column": "src",
+         "params": params}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="grp")).validate(df)
+    got = {r["doc_id"]: r["detail"]["check"] for r in res.violations.collect()}
+    assert got == {"web": "aboveMax", "books": "belowMin",
+                   "forum": "aboveMax"}
+    web = [r for r in res.violations.collect() if r["doc_id"] == "web"][0]
+    assert float(web["detail"]["share"]) == 0.6
+    assert web["error_code"] == "GROUP_SHARE_VIOLATION"
+    # minRows above the total suppresses everything
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "SHR-2", "type": "GroupShare", "column": "src",
+         "params": {**params, "minRows": 100}}]})
+    res2 = ValidationEngine(rs2, config=EngineConfig(
+        key_col="doc_id", group_col="grp")).validate(df)
+    assert res2.violations.count() == 0
+
+
+def test_group_share_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame([("a", "web", "g")],
+                               "doc_id string, src string, grp string")
+    bad = [
+        {"column": "src", "params": {}},                          # no bounds
+        {"column": "src", "params": {"shares": {"web": {"min": 2}}}},
+        {"column": "src", "params": {"shares": {"web": {"min": "x"}}}},
+        {"column": "src", "params": {"shares": ["web"]}},
+        {"column": "nope", "params": {"defaultMax": 0.5}},
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "SHR-B", "type": "GroupShare", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=EngineConfig(
+                key_col="doc_id", group_col="grp")).validate(df)
