@@ -49,7 +49,10 @@ from .engine import ValidationEngine, ValidationResult
 from .model import RuleSet
 
 # rule types that must see the whole dataset, not one group partition
-_GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift")
+# (GroupShare compares shares ACROSS partitions; AggConsistency would
+# re-aggregate the entire child dim once per batch if run per-partition)
+_GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift", "GroupShare",
+                      "AggConsistency")
 
 LINEAGE_SCHEMA = ("run_id string, partition_key string, rule_id string, "
                   "rows long, violations long, errors long, passed boolean, "
@@ -302,3 +305,75 @@ class ResumableRun:
 def _chunks(seq: list, n: int):
     for i in range(0, len(seq), n):
         yield seq[i:i + n]
+
+
+def regression_report(metrics: DataFrame, current_run: str,
+                      baseline_run: str | None = None,
+                      max_abs_increase: float = 0.0,
+                      max_rel_increase: float = 0.0,
+                      per_partition: bool = False,
+                      min_rows: int = 0) -> DataFrame:
+    """Run-over-run metric regression gate: flag rules whose violation
+    RATE in ``current_run`` exceeds their ``baseline_run`` rate by more
+    than the allowed slack — the continuous-validation alarm that turns
+    the lineage table's per-run metrics into a deploy gate (no reference
+    analog; the reference's single request has no run history).
+
+    ``metrics`` is a lineage-schema DataFrame (``LineageStore.read`` or
+    ``PyIcebergLineageStore`` scan). ``baseline_run`` defaults to the most
+    recently completed run other than ``current_run`` (one tiny-aggregate
+    lookup on the metadata-scale lineage table). Slack per rule:
+    ``base_rate + max(max_abs_increase, base_rate × max_rel_increase)``.
+
+    Lanes: ``rateJump`` (rate above slack), ``newRule`` (rule has no
+    baseline row — flagged informationally so a silently-added rule never
+    hides a regression). Rules with fewer than ``min_rows`` current rows
+    are skipped (cold partitions produce noisy rates). Everything runs on
+    the |runs × partitions × rules|-row lineage frame — metadata scale,
+    never the data.
+
+    Returns (rule_id[, partition_key], base_rate, cur_rate, allowed,
+    rows_base, rows_cur, check) for regressed rules only; empty = gate
+    passes.
+    """
+    m = metrics.where(F.col("rule_id").isNotNull())
+    if baseline_run is None:
+        prev = (m.where(F.col("run_id") != current_run)
+                 .groupBy("run_id").agg(F.max("completed_at").alias("_t"))
+                 .orderBy(F.col("_t").desc()).limit(1).collect())
+        if not prev:
+            raise ValueError(
+                "regression_report: no baseline run in the lineage table")
+        baseline_run = prev[0]["run_id"]
+    keys = ["rule_id"] + (["partition_key"] if per_partition else [])
+
+    def _rates(run_id: str, side: str) -> DataFrame:
+        return (m.where(F.col("run_id") == run_id)
+                 .groupBy(*keys)
+                 .agg(F.sum("rows").alias(f"rows_{side}"),
+                      F.sum("violations").alias(f"viol_{side}")))
+
+    cur = _rates(current_run, "cur")
+    base = _rates(baseline_run, "base")
+    joined = cur.join(base, on=keys, how="left")
+    base_rate = F.when(F.col("rows_base") > 0,
+                       F.col("viol_base") / F.col("rows_base"))
+    cur_rate = F.when(F.col("rows_cur") > 0,
+                      F.col("viol_cur") / F.col("rows_cur")) \
+                .otherwise(F.lit(0.0))
+    allowed = base_rate + F.greatest(
+        F.lit(float(max_abs_increase)),
+        base_rate * F.lit(float(max_rel_increase)))
+    new_rule = F.col("rows_base").isNull()
+    regressed = new_rule | base_rate.isNull() | (cur_rate > allowed)
+    return (joined
+            .where(regressed & (F.col("rows_cur") >= int(min_rows)))
+            .select(*keys,
+                    F.round(base_rate, 6).alias("base_rate"),
+                    F.round(cur_rate, 6).alias("cur_rate"),
+                    F.round(allowed, 6).alias("allowed"),
+                    F.coalesce(F.col("rows_base"), F.lit(0))
+                     .alias("rows_base"),
+                    F.col("rows_cur"),
+                    F.when(new_rule, F.lit("newRule"))
+                     .otherwise(F.lit("rateJump")).alias("check")))

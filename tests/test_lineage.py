@@ -120,3 +120,75 @@ def test_dims_flow_through(spark, dirty, tmp_path):
     metrics = run.run(dirty)
     ref = metrics.where(F.col("rule_id") == "REF-001").collect()
     assert sum(r["violations"] for r in ref) == 5  # junk rows miss the dim
+
+
+def test_regression_report_gate(spark):
+    """regression_report: rate jumps above the slack band are flagged,
+    in-band drift is not, rules without a baseline row flag newRule,
+    min_rows suppresses cold rules; default baseline = latest other run."""
+    from fhir_data_validation_spark.lineage import (LINEAGE_SCHEMA,
+                                                    regression_report)
+    rows = [
+        # baseline run (ts 100): R1 1% rate, R2 10% rate
+        ("base", "web", "R1", 10_000, 100, 100, False, 5, 100.0),
+        ("base", "wiki", "R1", 10_000, 100, 100, False, 5, 100.0),
+        ("base", "web", "R2", 10_000, 1_000, 1_000, False, 5, 100.0),
+        # older run that must NOT be picked as default baseline
+        ("old", "web", "R1", 10_000, 5_000, 5_000, False, 5, 50.0),
+        # current run: R1 jumps to 5%, R2 drifts 10% -> 10.5% (in band),
+        # R3 is new, R4 is new but cold
+        ("cur", "web", "R1", 10_000, 400, 400, False, 5, 200.0),
+        ("cur", "wiki", "R1", 10_000, 600, 600, False, 5, 200.0),
+        ("cur", "web", "R2", 10_000, 1_050, 1_050, False, 5, 200.0),
+        ("cur", "web", "R3", 10_000, 1, 1, False, 5, 200.0),
+        ("cur", "web", "R4", 50, 1, 1, False, 5, 200.0),
+        # zero-row completion markers must not poison the rates
+        ("cur", "empty", None, 0, 0, 0, True, 5, 200.0),
+    ]
+    metrics = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    rep = {r["rule_id"]: r for r in regression_report(
+        metrics, "cur", max_abs_increase=0.002, max_rel_increase=0.2,
+        min_rows=100).collect()}
+    assert set(rep) == {"R1", "R3"}
+    assert rep["R1"]["check"] == "rateJump"
+    assert rep["R1"]["base_rate"] == 0.01 and rep["R1"]["cur_rate"] == 0.05
+    assert rep["R3"]["check"] == "newRule"
+    # per-partition granularity: only web regressed for R1? both did (4x/6x)
+    per = regression_report(metrics, "cur", baseline_run="base",
+                            max_abs_increase=0.002, max_rel_increase=0.2,
+                            per_partition=True, min_rows=100)
+    keys = {(r["rule_id"], r["partition_key"]) for r in per.collect()}
+    assert ("R1", "web") in keys and ("R1", "wiki") in keys
+    assert ("R2", "web") not in keys
+    # no other run at all -> ValueError
+    only_cur = metrics.where(F.col("run_id") == "cur")
+    with pytest.raises(ValueError):
+        regression_report(only_cur, "cur")
+
+
+def test_regression_report_end_to_end(spark, tmp_path):
+    """Two real ResumableRun passes over corpora of different dirtiness:
+    the second run's higher REQ rate trips the gate."""
+    from fhir_data_validation_spark.lineage import regression_report
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    rs = RuleSet.parse({"rules": [
+        {"id": "REQ-T", "type": "Required", "column": "tokens"}]})
+    out = str(tmp_path / "out")
+    clean = dirty_token_table(spark, 2000).drop("_row_id")
+    # dirtier: null out tokens on an extra 5% of rows
+    dirtier = clean.withColumn(
+        "tokens", F.when(F.xxhash64("doc_id") % 20 == 0,
+                         F.lit(None)).otherwise(F.col("tokens")))
+    ResumableRun(rs, out, run_id="r_base").run(clean)
+    ResumableRun(rs, out, run_id="r_cur").run(dirtier)
+    store = LineageStore(f"{out}/lineage")
+    rep = regression_report(store.read(spark), "r_cur",
+                            max_rel_increase=0.5).collect()
+    assert [r["rule_id"] for r in rep] == ["REQ-T"]
+    assert rep[0]["cur_rate"] > rep[0]["base_rate"]
+    # and the clean->clean direction passes the gate
+    ResumableRun(rs, out, run_id="r_cur2").run(clean)
+    rep2 = regression_report(store.read(spark), "r_cur2",
+                             baseline_run="r_base",
+                             max_rel_increase=0.5).collect()
+    assert rep2 == []
