@@ -1420,6 +1420,50 @@ def q_gs1_group_share(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_c3b_unique_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-key uniqueness (Unique params.columns): lineitem's
+    natural (l_orderkey, l_linenumber) key has seeded duplicates; one
+    raw-column groupBy emits one violation per duplicated key pair."""
+    df = load_table(spark, sf, "lineitem")
+    res = _validate(spark, df,
+                    [{"id": "UNQ-C", "type": "Unique",
+                      "params": {"columns": ["l_orderkey",
+                                             "l_linenumber"]}}],
+                    key_col="l_orderkey", group_col="l_returnflag")
+    return (res.violations
+            .select(F.col("doc_id").alias("dup_key"), "error_code",
+                    F.col("detail")["count"].cast("long").alias("n_dup"))
+            .orderBy("dup_key"))
+
+
+def q_sp1_quarantine_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Quarantine split (ValidationResult.split): error rows route to the
+    quarantine side, the clean side flows on — per-status counts of both
+    sides value-check the partition. The bad-key set is reduced data;
+    both sides join against it (AQE broadcast)."""
+    df = load_table(spark, sf, "orders")
+    res = _validate(spark, df,
+                    [{"id": "ALW-1", "type": "AllowedValues",
+                      "column": "o_orderpriority",
+                      "params": {"values": ["1-URGENT", "2-HIGH",
+                                            "3-MEDIUM"]}},
+                     {"id": "RNG-1", "type": "Range",
+                      "column": "o_totalprice",
+                      "params": {"max": 300000}, "severity": "warning"}],
+                    key_col="o_orderkey", group_col="o_orderstatus")
+    clean, quar = res.split(df)   # error severity only: warnings stay clean
+    c = clean.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_clean"))
+    q = quar.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_quarantined"))
+    return (c.join(q, "o_orderstatus", "full")
+             .select("o_orderstatus",
+                     F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+                     F.coalesce("n_quarantined", F.lit(0))
+                      .alias("n_quarantined"))
+             .orderBy("o_orderstatus"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1502,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp1_jsonpath": q_jp1_jsonpath,
         "ac1_agg_consistency": q_ac1_agg_consistency,
         "gs1_group_share": q_gs1_group_share,
+        "c3b_unique_composite": q_c3b_unique_composite,
+        "sp1_quarantine_split": q_sp1_quarantine_split,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2179,6 +2225,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lanes
             WHERE bad_bos OR bad_eos OR bad_pad
             ORDER BY doc_id""",
+        # quarantine = rows with an error-severity violation (warnings stay)
+        "sp1_quarantine_split": """
+            WITH bad AS (
+              SELECT DISTINCT o_orderkey FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND trim(o_orderpriority) <> ''
+                AND o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+            SELECT o_orderstatus,
+                   count(*) FILTER (WHERE bad.o_orderkey IS NULL)
+                     AS n_clean,
+                   count(*) FILTER (WHERE bad.o_orderkey IS NOT NULL)
+                     AS n_quarantined
+            FROM orders o LEFT JOIN bad USING (o_orderkey)
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus""",
+        # doc_id is Spark's to_json(struct(...)) of the composite key
+        "c3b_unique_composite": """
+            SELECT '{"l_orderkey":' || l_orderkey
+                   || ',"l_linenumber":' || l_linenumber || '}' AS dup_key,
+                   'DUPLICATE_KEY' AS error_code,
+                   count(*) AS n_dup
+            FROM lineitem
+            GROUP BY l_orderkey, l_linenumber
+            HAVING count(*) > 1
+            ORDER BY dup_key""",
         # declared ∪ observed shares; closed world for declared groups
         "gs1_group_share": """
             WITH c AS (

@@ -47,6 +47,7 @@ class ValidationResult:
     violations: DataFrame   # unified error model rows (deduped)
     verdicts: DataFrame     # (partition_key, rule_id, rows, violations, errors, passed)
     _persisted: DataFrame | None = None
+    key_col: str | None = None   # the run's EngineConfig.key_col (for split)
 
     def unpersist(self) -> None:
         """Release the cached violations (batch runners call this once a
@@ -58,6 +59,41 @@ class ValidationResult:
         """Run-level pass/fail: no error-severity violations anywhere."""
         return self.violations.where(
             F.col("severity") == Severity.ERROR).limit(1).count() == 0
+
+    def split(self, df: DataFrame,
+              severities: tuple[str, ...] = (Severity.ERROR,),
+              key_col: str | None = None) -> tuple[DataFrame, DataFrame]:
+        """Quarantine split: partition the INPUT rows into
+        ``(clean, quarantined)`` by whether any violation at one of
+        ``severities`` names their key — the badRecordsPath-style sink a
+        curation pipeline routes around (clean rows flow on, quarantined
+        rows land in a review table with their violations joinable by
+        key). The reference returns an issue list and leaves the bundle
+        intact; at corpus scale the split IS the product.
+
+        Dataset-level violations (null ``doc_id`` — RequiredResources /
+        Expectation / Drift / GroupShare rollups) have no row identity:
+        they gate the RUN (``passed()``), not individual rows, and are
+        ignored here.
+
+        Plan shape: the distinct bad-key set is *reduced* data (≤ bad
+        rows); both sides join against it — AQE broadcasts it when small,
+        sort-merge otherwise. ``df`` is scanned once per side; persist it
+        (or write the clean side first) if the upstream is expensive.
+        """
+        kc = key_col or self.key_col
+        if not kc:
+            raise ValueError("split() needs key_col (not recorded on this "
+                             "result — pass it explicitly)")
+        bad = (self.violations
+               .where(F.col("severity").isin(list(severities))
+                      & F.col("doc_id").isNotNull())
+               .select(F.col("doc_id").alias("_bad_key"))
+               .distinct())
+        on = F.col(kc).cast("string") == F.col("_bad_key")
+        clean = df.join(bad, on=on, how="left_anti")
+        quarantined = df.join(bad, on=on, how="left_semi")
+        return clean, quarantined
 
     def summary(self) -> DataFrame:
         """Counts by severity × rule (A4, ``FinalizeSummary``)."""
@@ -176,7 +212,8 @@ class ValidationEngine:
         violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         verdicts = build_verdicts(df, violations, plan)
         return ValidationResult(violations=violations.drop("stage"),
-                                verdicts=verdicts, _persisted=violations)
+                                verdicts=verdicts, _persisted=violations,
+                                key_col=self.config.key_col)
 
     # -- internals ---------------------------------------------------------
 

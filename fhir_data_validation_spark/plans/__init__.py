@@ -58,15 +58,22 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     if t == "Unique":
         from pyspark.sql.types import MapType
         from ..compiler import _field_type
-        utype = _field_type(plan.schema, rule.require_column(), rule)
-        if isinstance(utype, MapType):
-            # maps are not groupable — the raw-column groupBy (kept raw
-            # for bucketed exchange elimination) would AnalysisException
-            # at execute, breaking pre-flight totality
+        ucols = rule.params.get("columns")
+        if ucols is not None and (not isinstance(ucols, list) or not ucols):
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                f"Unique key column {rule.column!r} is "
-                f"{utype.simpleString()} — map types are not groupable")
+                "Unique params.columns must be a non-empty list of "
+                "column names (or use 'column' for a single key)")
+        for c in (ucols or [rule.require_column()]):
+            utype = _field_type(plan.schema, c, rule)
+            if isinstance(utype, MapType):
+                # maps are not groupable — the raw-column groupBy (kept raw
+                # for bucketed exchange elimination) would AnalysisException
+                # at execute, breaking pre-flight totality
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"Unique key column {c!r} is "
+                    f"{utype.simpleString()} — map types are not groupable")
         exec_fn = lambda df, p: unique_plan(df, rule, stage, p)
     elif t == "Reference":
         if not rule.column and not rule.params.get("columns"):
@@ -193,14 +200,21 @@ def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     the key aggregates with NO shuffle at all; the cast happens after the
     aggregation, on the reduced duplicates).
     """
-    col = rule.column
-    dups = (df.groupBy(F.col(col).alias("_key"))
+    cols = rule.params.get("columns") or [rule.column]
+    dups = (df.groupBy(*[F.col(c) for c in cols])
               .agg(F.count(F.lit(1)).alias("_cnt"),
                    F.min(plan.config.group_col).alias("_src"))
               .where(F.col("_cnt") > 1))
+    # composite keys render as a JSON object so the violation names every
+    # key part; a single key keeps the plain casted value (round-1 shape)
+    key_repr = (F.col(cols[0]).cast("string") if len(cols) == 1
+                else F.to_json(F.struct(*[F.col(c) for c in cols])))
+    vcols = _viol_cols(rule, stage, rule.error_code or ErrorCode.DUPLICATE_KEY)
+    if len(cols) > 1:
+        vcols[4] = F.lit(",".join(cols)).alias("column")
     return dups.select(
-        F.col("_key").cast("string").alias("doc_id"),
-        *_viol_cols(rule, stage, rule.error_code or ErrorCode.DUPLICATE_KEY),
+        key_repr.alias("doc_id"),
+        *vcols,
         F.col("_src").alias("source"),
         F.create_map(F.lit("count"), F.col("_cnt").cast("string")).alias("detail"),
     )

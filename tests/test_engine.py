@@ -828,3 +828,65 @@ def test_group_share_compile_rejections(spark):
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=EngineConfig(
                 key_col="doc_id", group_col="grp")).validate(df)
+
+
+def test_unique_composite_key(spark):
+    """Unique params.columns: composite-key uniqueness in one raw-column
+    groupBy; the violation names every key part (JSON doc_id, joined
+    column list); single-column behavior unchanged."""
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [("o1", 1, "g"), ("o1", 2, "g"), ("o1", 2, "g"),
+            ("o2", 1, "g"), ("o2", 1, "g"), ("o2", 1, "g")]
+    df = spark.createDataFrame(rows, "okey string, line int, grp string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "UNQ-C", "type": "Unique",
+         "params": {"columns": ["okey", "line"]}}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="okey", group_col="grp")).validate(df)
+    viol = {r["doc_id"]: r for r in res.violations.collect()}
+    assert set(viol) == {'{"okey":"o1","line":2}', '{"okey":"o2","line":1}'}
+    assert viol['{"okey":"o2","line":1}']["detail"]["count"] == "3"
+    assert viol['{"okey":"o1","line":2}']["column"] == "okey,line"
+    # rejections: empty list, unknown column, map-typed part
+    df2 = df.withColumn("m", F.create_map(F.lit("a"), F.lit(1)))
+    for cols in ([], ["okey", "nope"], ["okey", "m"]):
+        rs_b = RuleSet.parse({"rules": [
+            {"id": "UNQ-B", "type": "Unique", "params": {"columns": cols}}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs_b, config=EngineConfig(
+                key_col="okey", group_col="grp")).validate(df2)
+
+
+def test_split_quarantine(spark):
+    """split(): error-severity violations quarantine their rows; warnings
+    don't; dataset-level rollups (null doc_id) never quarantine anything;
+    clean ∪ quarantined = input exactly."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = [("a", 5, "g"), ("b", -1, "g"), ("c", 200, "g"), ("d", 7, "g")]
+    df = spark.createDataFrame(rows, "id string, v int, grp string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "RNG-E", "type": "Range", "column": "v",
+         "params": {"min": 0}},                          # b errors
+        {"id": "RNG-W", "type": "Range", "column": "v",
+         "params": {"max": 100}, "severity": "warning"},  # c warns
+        {"id": "CRD-D", "type": "RequiredResources",
+         "params": {"requirements": [{"source": "ghost", "min": 1}]}},
+    ]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="id", group_col="grp")).validate(df)
+    clean, quar = res.split(df)
+    assert {r["id"] for r in quar.collect()} == {"b"}
+    assert {r["id"] for r in clean.collect()} == {"a", "c", "d"}
+    # warnings included when asked
+    clean2, quar2 = res.split(df, severities=("error", "warning"))
+    assert {r["id"] for r in quar2.collect()} == {"b", "c"}
+    assert clean2.count() + quar2.count() == df.count()
+    # key_col not recorded (hand-built result) -> explicit required
+    from fhir_data_validation_spark.engine import ValidationResult
+    bare = ValidationResult(violations=res.violations, verdicts=res.verdicts)
+    with pytest.raises(ValueError):
+        bare.split(df)
+    c3, q3 = bare.split(df, key_col="id")
+    assert q3.count() == 1
