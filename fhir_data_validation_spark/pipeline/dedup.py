@@ -506,7 +506,11 @@ def simhash_incremental(new_docs: DataFrame, index: DataFrame,
     if max_distance > 3:
         raise ValueError("4x16-bit pigeonhole chunks are only complete "
                          "for max_distance <= 3")
-    sigs = simhash(new_docs, text_col, id_col, hash_fn=hash_fn)
+    # materialized: the 64-conditional-sum signature projection would
+    # otherwise re-run for each consumer (both sides of the batch
+    # self-join, the verdict join, the index delta) — the signature frame
+    # is one 8-byte hash per delta doc, the text never re-scans
+    sigs = _materialize(simhash(new_docs, text_col, id_col, hash_fn=hash_fn))
     idx = index.select(F.col("doc_id").alias("_id"), "simhash")
     cn, ci = _simhash_chunks(sigs), _simhash_chunks(idx)
     if max_bucket_size is not None:
