@@ -54,6 +54,24 @@ from .model import RuleSet
 _GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift", "GroupShare",
                       "AggConsistency")
 
+
+def _needs_dataset_batch(rule) -> bool:
+    """Whether a rule's semantics require the final ``<dataset>`` batch.
+
+    Beyond the always-global types: an Expectation aggregates dataset
+    statistics (per-batch it would compute batch-local stats, and its
+    closed-world convention would emit spurious violations from batches
+    that don't contain the rule's scoped group); an Outlier with
+    ``perGroup: false`` fences the whole dataset (per-batch fences would
+    be batch-local). ``perGroup: true`` Outliers fence each group
+    independently, so batching by group value leaves them bit-identical —
+    they stay in the cheap per-partition batches.
+    """
+    if rule.type in _GLOBAL_RULE_TYPES or rule.type == "Expectation":
+        return True
+    return (rule.type == "Outlier"
+            and not rule.params.get("perGroup", True))
+
 LINEAGE_SCHEMA = ("run_id string, partition_key string, rule_id string, "
                   "rows long, violations long, errors long, passed boolean, "
                   "wall_ms long, completed_at double")
@@ -141,9 +159,9 @@ class ResumableRun:
         self._violations_path = f"{self.output_root}/violations"
         self._verdicts_path = f"{self.output_root}/verdicts"
         per_row = [r for r in self.ruleset.rules
-                   if r.type not in _GLOBAL_RULE_TYPES]
+                   if not _needs_dataset_batch(r)]
         global_ = [r for r in self.ruleset.rules
-                   if r.type in _GLOBAL_RULE_TYPES]
+                   if _needs_dataset_batch(r)]
         self._row_rules = RuleSet(version=self.ruleset.version,
                                   rules=tuple(per_row))
         self._global_rules = RuleSet(version=self.ruleset.version,
@@ -209,16 +227,31 @@ class ResumableRun:
                 f.result()  # propagate the first failure
         return self.lineage.metrics(spark, self.run_id)
 
+    # explicit read schemas: a run whose violations are empty writes a
+    # partitioned dir with no data files — schema inference would fail the
+    # read, turning "clean corpus" into an error (partition columns are
+    # appended by the reader from the directory names)
+    _VIOL_READ_SCHEMA = (
+        "doc_id string, rule_id string, rule_type string, "
+        "error_code string, severity string, source string, "
+        "column string, detail map<string,string>, "
+        "run_id string, partition_key string")
+    _VERD_READ_SCHEMA = (
+        "rule_id string, rows long, violations long, errors long, "
+        "passed boolean, run_id string, partition_key string")
+
     def violations(self, spark: SparkSession) -> DataFrame:
         """This run's violations only — the ``run_id`` partition column
         survives the read, so reusing an output root across runs must not
         mix prior runs' rows into this run's pass/fail gate."""
-        return (spark.read.parquet(self._violations_path)
+        return (spark.read.schema(self._VIOL_READ_SCHEMA)
+                .parquet(self._violations_path)
                 .where(F.col("run_id") == self.run_id)
                 .drop("run_id", "partition_key"))
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
-        return (spark.read.parquet(self._verdicts_path)
+        return (spark.read.schema(self._VERD_READ_SCHEMA)
+                .parquet(self._verdicts_path)
                 .where(F.col("run_id") == self.run_id)
                 .drop("run_id"))
 

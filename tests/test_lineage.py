@@ -192,3 +192,32 @@ def test_regression_report_end_to_end(spark, tmp_path):
                              baseline_run="r_base",
                              max_rel_increase=0.5).collect()
     assert rep2 == []
+
+
+def test_expectation_runs_dataset_level_in_batches(spark, tmp_path):
+    """A *-scoped Expectation must see the WHOLE dataset in a ResumableRun:
+    per-batch evaluation would compute batch-local stats (and its
+    closed-world convention would fire from batches missing the group).
+    The resumable result must equal ValidationEngine.validate's."""
+    from fhir_data_validation_spark import ValidationEngine
+    from fhir_data_validation_spark.sources.synth import dirty_token_table
+    df = dirty_token_table(spark, 2000).drop("_row_id")
+    total = df.count()
+    rs = RuleSet.parse({"rules": [
+        # passes on the whole dataset, would FAIL on any single batch
+        {"id": "EXP-N", "type": "Expectation",
+         "params": {"checks": [{"metric": "row_count", "min": total}]}},
+        # dataset-wide fences (perGroup false): must be global too
+        {"id": "OUT-G", "type": "Outlier", "column": "n_tok",
+         "params": {"method": "zscore", "k": 6.0, "perGroup": False}},
+    ]})
+    run = ResumableRun(rs, str(tmp_path / "out"), run_id="rexp",
+                       groups_per_batch=1)
+    metrics = run.run(df)
+    batch_viol = run.violations(spark)
+    direct = ValidationEngine(rs).validate(df)
+    assert batch_viol.count() == direct.violations.count()
+    # the expectation verdict row is the dataset batch's, not per-group
+    exp_rows = metrics.where(F.col("rule_id") == "EXP-N").collect()
+    assert [r["partition_key"] for r in exp_rows] == ["<dataset>"]
+    assert all(r["passed"] for r in exp_rows)
