@@ -289,3 +289,43 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
             ev.session_stats(stored, gap_minutes=30,
                              order_cols=("event_id",)).collect()}
     assert got == want and len(got) > 100
+
+
+def test_stream_sequence_shape_and_json_path_parity(spark, tmp_path):
+    """The new per-row families (SequenceShape token framing, JsonPath
+    VARIANT probes) are stateless predicates — they lift to streaming
+    unchanged; per-rule violation counts match the batch engine."""
+    rows = [
+        (f"d{i}",
+         ([1] if i % 3 else []) + [10 + i % 5, 11] + ([2] if i % 4 else []),
+         '{"k": %d}' % (i % 120),
+         "g")
+        for i in range(200)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, props string, source string")
+    df.repartition(3).write.parquet(src)
+    ruleset = RuleSet.parse({"rules": [
+        {"id": "SEQ-S", "type": "SequenceShape", "column": "tokens",
+         "params": {"bos": 1, "eos": 2}},
+        {"id": "JP-S", "type": "JsonPath", "column": "props",
+         "params": {"path": "$.k", "op": "range", "asType": "long",
+                    "min": 0, "max": 99}},
+    ]})
+    batch_df = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    viol = validate_stream(stream, ruleset)
+    q = (viol.writeStream.format("memory").queryName("seqjp")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["rule_id"]: r["n"] for r in
+           spark.sql("SELECT rule_id, count(*) AS n FROM seqjp "
+                     "GROUP BY rule_id").collect()}
+    res = ValidationEngine(ruleset).validate(batch_df)
+    want = {r["rule_id"]: r["n"] for r in
+            res.violations.groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and set(got) == {"SEQ-S", "JP-S"}
