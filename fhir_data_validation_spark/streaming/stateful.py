@@ -87,3 +87,81 @@ def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
     return (slim.groupBy("source")
             .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def running_violation_totals_tws(stream_df: DataFrame, ruleset: RuleSet,
+                                 config: EngineConfig | None = None
+                                 ) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`running_violation_totals` — the arbitrary-stateful-processing
+    API that supersedes ``applyInPandasWithState``: typed state handles
+    (ValueState here; List/MapState for richer operators), per-key
+    lifecycle hooks, and the RocksDB state store (changelog-checkpointed,
+    state size bounded by disk not executor memory — the 100-TB state
+    story; set
+    ``spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider``
+    on the session). Output rows and state layout are identical to the
+    legacy lane, so both parity-test against the batch engine.
+
+    Requires the ``protobuf`` package (the TWS driver↔JVM state protocol
+    is protobuf-framed). This container does not ship it, so
+    ``test_streaming.py`` self-skips the TWS parity test here — on a real
+    cluster image (protobuf is a standard Spark 4 companion dep) the lane
+    runs as written; :func:`running_violation_totals` is the
+    dependency-free fallback with identical output.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (TWS wire protocol dep)
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); use running_violation_totals as the "
+            "dependency-free fallback") from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    config = config or EngineConfig()
+    bad = [r.id for r in ruleset.rules
+           if r.type in DATASET_RULE_TYPES or r.scope.kind == "first"]
+    if bad:
+        raise RuleConfigurationError(
+            bad[0], ErrorCode.RULE_CONFIGURATION_ERROR,
+            "dataset-scoped / first-scope rules not supported in the "
+            "stateful streaming lane")
+    plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    if not plan.predicates:
+        raise RuleConfigurationError(
+            "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,
+            "stateful streaming lane needs at least one per-row predicate "
+            "rule (ruleset compiled to zero predicates)")
+    any_cond = plan.predicates[0].condition
+    for p in plan.predicates[1:]:
+        any_cond = any_cond | p.condition
+
+    slim = stream_df.select(
+        F.coalesce(F.col(config.group_col).cast("string"), F.lit("<null>"))
+         .alias("source"),
+        F.coalesce(any_cond, F.lit(False)).cast("int").alias("_viol"))
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues
+                            ) -> Iterator[pd.DataFrame]:
+            n = viol = 0
+            for pdf in rows:
+                n += len(pdf)
+                viol += int(pdf["_viol"].sum())
+            prev = self._state.get() if self._state.exists() else (0, 0, 0)
+            new = (prev[0] + n, prev[1] + viol, prev[2] + 1)
+            self._state.update(new)
+            yield pd.DataFrame([{"source": key[0], "rows_total": new[0],
+                                 "violations_total": new[1],
+                                 "batches_seen": new[2]}])
+
+        def close(self) -> None:
+            pass
+
+    return (slim.groupBy("source")
+            .transformWithStateInPandas(Totals(), OUTPUT_SCHEMA, "update",
+                                        "none"))

@@ -329,3 +329,59 @@ def test_stream_sequence_shape_and_json_path_parity(spark, tmp_path):
             res.violations.groupBy("rule_id")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and set(got) == {"SEQ-S", "JP-S"}
+
+
+def test_stateful_running_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas twin: same lifetime totals through the
+    Spark 4 StatefulProcessor API over the RocksDB state store.
+    Self-skips when protobuf (the TWS wire-protocol dep) is absent —
+    this container ships without it; cluster images have it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf; "
+               "running_violation_totals covers the stateful lane here")
+    from fhir_data_validation_spark.streaming import \
+        running_violation_totals_tws
+
+    src = str(tmp_path / "sf_tokens")
+    (dirty_token_table(spark, 2000).drop("_row_id")
+     .repartition(4).write.parquet(src))
+    batch_df = spark.read.parquet(src)
+    rules = RuleSet.parse({"rules": [
+        {"id": "REQ-S", "type": "Required", "column": "tokens"}]})
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream.schema(batch_df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (running_violation_totals_tws(stream, rules)
+             .writeStream.format("memory").queryName("totals_tws")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_tws"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.sql("SELECT * FROM totals_tws").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["source"])
+        if cur is None or r["batches_seen"] > cur["batches_seen"]:
+            final[r["source"]] = r
+    want_rows = {r["source"]: r["n"] for r in
+                 batch_df.groupBy(F.coalesce("source", F.lit("<null>"))
+                                  .alias("source"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v["rows_total"] for k, v in final.items()} == want_rows
+    assert sum(v["violations_total"] for v in final.values()) == 20
+    assert max(v["batches_seen"] for v in final.values()) >= 2
