@@ -53,13 +53,15 @@ print(f"corpus: {docs.count()} docs")
 # 0. clean: redact PII, dedup repeated lines — one projection, no shuffle
 docs = cleaning.dedup_lines_docs(redaction.redact_docs(docs, counts=False))
 
-# 1. quality filter via the engine (same one-scan pass as any rule set)
+# 1. quality filter via the engine (same one-scan pass as any rule set);
+# split() routes failing docs to a quarantine side (at corpus scale that
+# side lands in a review table with its violations joinable by doc_id)
 res = ValidationEngine(
     RuleSet.parse(gopher_quality_rules()),
     config=EngineConfig(key_col="doc_id", group_col="lang")).validate(docs)
-bad = res.violations.select(F.col("doc_id").cast("long")).distinct()
-docs = docs.join(F.broadcast(bad), "doc_id", "left_anti")
-print(f"after quality filter: {docs.count()}")
+docs, quarantined = res.split(docs)
+print(f"after quality filter: {docs.count()} "
+      f"(quarantined {quarantined.count()})")
 
 # 1b. prune each language's short tail: keep docs at or above their
 # language's 0.2 length quantile (per-stratum fence, broadcast join-back)
@@ -79,10 +81,22 @@ bench = spark.read.parquet(f"{SF}/documents.parquet") \
 docs = contamination.remove_contaminated(docs, bench, threshold=0.5, n=13)
 print(f"after decontamination: {docs.count()}")
 
-# 4. domain mixing at target lang weights (exact-binary fractions)
+# 4. domain mixing at target lang weights (exact-binary fractions) —
+# then VALIDATE the realized mix with a GroupShare rule (the acceptance
+# gate for the mixer: declared bands around the 2:1:1 targets, closed
+# world so a dropped language fails belowMin)
 docs, quotas = selection.domain_mix(docs, {"en": 2, "de": 1, "fr": 1},
                                     by="lang")
 print(f"after domain mix: quotas={quotas}")
+mix_res = ValidationEngine(
+    RuleSet.parse({"rules": [
+        {"id": "MIX-1", "type": "GroupShare", "column": "lang",
+         "params": {"shares": {"en": {"min": 0.45, "max": 0.55},
+                               "de": {"min": 0.20, "max": 0.30},
+                               "fr": {"min": 0.20, "max": 0.30}}}}]}),
+    config=EngineConfig(key_col="doc_id", group_col="lang")).validate(docs)
+assert mix_res.passed(), mix_res.violations.collect()
+print("domain-mix share gate: passed")
 
 # 5. deterministic splits, then MATERIALIZE the curated corpus. At
 # corpus scale the curated set is written back to the lake anyway; here
@@ -153,6 +167,22 @@ res = ValidationEngine(
 print(f"packed-output validation: passed={res.passed()} "
       f"({res.violations.count()} errors over {n_seq} sequences)")
 assert res.passed()
+
+# 7b. cross-table reconciliation: every assembled sequence's n_tok must
+# equal the sum of its pieces' lengths (AggConsistency — the
+# parent-rollup vs child-aggregate gate; one map-side-combined child agg
+# + one equi-join back)
+piece_dim = pieces.withColumn("seq_id", F.concat_ws("/", "shard", "seq"))
+sum_res = ValidationEngine(
+    RuleSet.parse({"rules": [
+        {"id": "PACK-SUM", "type": "AggConsistency", "column": "n_tok",
+         "params": {"dim": "pieces", "on": "seq_id", "dimKey": "seq_id",
+                    "agg": "sum", "valueColumn": "piece_len",
+                    "requireChildren": True}}]}),
+    dims={"pieces": piece_dim},
+    config=EngineConfig(key_col="seq_id", group_col="shard")).validate(packed)
+assert sum_res.passed()
+print("piece-sum reconciliation: passed")
 seqs.unpersist()
 dedup.unpersist_all()
 import shutil  # noqa: E402
