@@ -438,6 +438,17 @@ def simhash_pairs(df: DataFrame, max_distance: int = 3,
     then ``bit_count(a XOR b)`` re-ranks exactly. ``max_bucket_size`` caps
     a chunk bucket's quadratic blowup (see :func:`lsh_candidates`)."""
     sigs = simhash(df, text_col, id_col, hash_fn=hash_fn)
+    return signature_pairs(sigs, max_distance, max_bucket_size)
+
+
+def signature_pairs(sigs: DataFrame, max_distance: int = 3,
+                    max_bucket_size: int | None = 1000) -> DataFrame:
+    """Near-duplicate pairs from ANY 64-bit signature frame ``(_id,
+    simhash)`` — the pigeonhole chunk-join core shared by text SimHash
+    (:func:`simhash_pairs`) and image perceptual hashes
+    (``multimodal.image_near_dup``). Complete for hamming ≤ 3 (4 16-bit
+    chunks ⇒ some chunk equal); larger ``max_distance`` values still
+    rerank exactly but may miss pairs whose every chunk differs."""
     chunks = _simhash_chunks(sigs)
     if max_bucket_size is not None:
         # (was documented but never applied — a 10^6-doc boilerplate

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -175,3 +176,84 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024,
             .select("doc_id", F.explode(frames).alias("f"))
             .select("doc_id", "f.frame_idx",
                     F.octet_length("f.frame_bytes").alias("frame_n_bytes")))
+
+
+AHASH_SCHEMA = "doc_id string, ahash long, err string"
+
+
+def image_ahash(df: DataFrame, hash_size: int = 8,
+                decoder: Callable[[str, bytes], dict] | None = None
+                ) -> DataFrame:
+    """Perceptual average-hash per image payload: decode (the REAL stdlib
+    PNG codec by default) → grayscale → ``hash_size²`` nearest-neighbor
+    thumbnail → mean-threshold bits packed into one 64-bit hash. Identical
+    images hash identically; small edits (recompression, minor pixel
+    noise) land within a few bits — the image analog of text SimHash, 8
+    bytes of state per image.
+
+    Output ``(doc_id, ahash, err)``: undecodable payloads carry ``err``
+    and a null hash instead of failing the scan (S2 lenient contract).
+    Numpy-vectorized per Arrow batch; only hashes leave the executor.
+
+    The decoder must return PIXELS (``{width, height, channels,
+    pixels}``); the default handles PNG via the stdlib codec — pass a
+    PIL/ffmpeg adapter for other formats.
+    """
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size² must be 64 (one long)")
+    if decoder is None:
+        from .codecs import decode_png, is_png
+
+        def decoder(modality: str, payload: bytes) -> dict:
+            if is_png(payload):
+                return decode_png(payload)
+            raise NotImplementedError(
+                "built-in aHash decodes PNG only - pass decoder= for "
+                "other formats")
+    weights = (1 << np.arange(64, dtype=np.uint64))
+
+    def _hash_one(modality: str, payload: bytes) -> tuple:
+        try:
+            d = decoder(modality, bytes(payload))
+            w, h, c = int(d["width"]), int(d["height"]), int(d["channels"])
+            px = np.frombuffer(d["pixels"], dtype=np.uint8) \
+                   .reshape(h, w, c).astype(np.float64)
+        except (ValueError, NotImplementedError, KeyError) as exc:
+            return None, f"{type(exc).__name__}: {exc}"
+        gray = px[:, :, :min(c, 3)].mean(axis=2)   # alpha never votes
+        ys = (np.arange(hash_size) * h) // hash_size
+        xs = (np.arange(hash_size) * w) // hash_size
+        thumb = gray[np.ix_(ys, xs)]
+        bits = (thumb > thumb.mean()).ravel()
+        packed = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+        # reinterpret as the signed long Spark stores (bit 63 may be set)
+        return int(np.int64(packed)), None
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_hash_one(m, p)
+                   for m, p in zip(pdf["modality"], pdf["payload"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ahash": pd.array([h for h, _ in out], dtype="Int64"),
+                "err": [e for _, e in out]})
+
+    return (df.select("doc_id", "modality", "payload")
+            .mapInPandas(_ahash, AHASH_SCHEMA))
+
+
+def image_near_dup(df: DataFrame, max_distance: int = 3,
+                   hash_size: int = 8,
+                   decoder: Callable[[str, bytes], dict] | None = None,
+                   max_bucket_size: int | None = 1000) -> DataFrame:
+    """Image near-duplicate pairs ``(id_a, id_b, hamming)``: aHash
+    signatures through the SAME pigeonhole chunk-join core as text
+    SimHash (``dedup.signature_pairs`` — complete for hamming ≤ 3,
+    hot-bucket capped). Only the 8-byte hashes shuffle; pixel data never
+    leaves the decode stage."""
+    from .dedup import signature_pairs
+    sigs = (image_ahash(df, hash_size, decoder)
+            .where(F.col("ahash").isNotNull())
+            .select(F.col("doc_id").alias("_id"),
+                    F.col("ahash").alias("simhash")))
+    return signature_pairs(sigs, max_distance, max_bucket_size)

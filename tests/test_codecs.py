@@ -153,3 +153,48 @@ def test_resize_dataflow_png(spark):
     assert dict(rows["img1"]["meta"])["resized_w"] == "4"
     # non-image rows pass through untouched
     assert bytes(rows["aud1"]["payload"]) == b"RIFFxxxxWAVE"
+
+
+def test_image_ahash_and_near_dup(spark):
+    """aHash over REAL stdlib-encoded PNGs: identical images hash equal,
+    a lightly-noised copy lands within a few bits, a structurally
+    different image lands far; undecodable payloads take the err lane;
+    image_near_dup pairs exact + near copies through the pigeonhole core."""
+    import numpy as np
+    from fhir_data_validation_spark.pipeline.codecs import encode_png
+    from fhir_data_validation_spark.pipeline.multimodal import (image_ahash,
+                                                                image_near_dup)
+    rng = np.random.RandomState(7)
+    w = h = 32
+    base = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    # smooth gradient so near-dup noise can't flip thumbnail cells
+    grad = np.tile(np.linspace(20, 235, w).astype(np.uint8), (h, 1))
+    grad = np.stack([grad, grad, grad], axis=2)
+    noisy = grad.astype(np.int16).copy()
+    noisy[::9, ::9] += 6                       # tiny local perturbation
+    inverted = (255 - grad).astype(np.uint8)   # structurally different
+    rows = [
+        ("g1", "image", bytearray(encode_png(grad.tobytes(), w, h, 3))),
+        ("g2", "image", bytearray(encode_png(grad.tobytes(), w, h, 3))),
+        ("g3", "image", bytearray(encode_png(
+            np.clip(noisy, 0, 255).astype(np.uint8).tobytes(), w, h, 3))),
+        ("inv", "image", bytearray(encode_png(inverted.tobytes(), w, h, 3))),
+        ("rnd", "image", bytearray(encode_png(base.tobytes(), w, h, 3))),
+        ("bad", "image", bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id string, modality string, payload binary")
+    got = {r["doc_id"]: r for r in image_ahash(df).collect()}
+    assert got["g1"]["ahash"] == got["g2"]["ahash"] is not None
+    assert got["bad"]["ahash"] is None and "NotImplementedError" \
+        in got["bad"]["err"]
+    mask = (1 << 64) - 1
+    ham = bin((got["g1"]["ahash"] ^ got["g3"]["ahash"]) & mask).count("1")
+    assert ham <= 3
+    far = bin((got["g1"]["ahash"] ^ got["inv"]["ahash"]) & mask).count("1")
+    assert far > 3
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(df, max_distance=3).collect()}
+    assert pairs[("g1", "g2")] == 0
+    assert ("g1", "g3") in pairs and ("g2", "g3") in pairs
+    assert all("inv" not in k and "bad" not in k for k in pairs)
