@@ -1068,8 +1068,13 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             # the sequence is well-formed iff everything from the first pad
             # on is pad — i.e. the tail slice equals a pad-filled array of
             # the same length. Interior pads break the equality.
-            tail_len = (sz - pad_pos + 1).cast("int")
-            tail = F.slice(col, pad_pos.cast("int"), tail_len)
+            # start clamps to 1 for the no-pad rows: slice(col, 0, …) is a
+            # runtime error, and the (pad_pos > 0) guard only short-circuits
+            # inside codegen — a Catalyst reorder must not be able to
+            # evaluate the unclamped branch.
+            start = F.greatest(pad_pos, F.lit(1).cast("long"))
+            tail_len = (sz - start + 1).cast("int")
+            tail = F.slice(col, start.cast("int"), tail_len)
             run = F.array_repeat(F.lit(pad).cast(elem_t), tail_len)
             lanes.append(("pad", F.coalesce(
                 (pad_pos > 0) & (tail != run), F.lit(False))))
