@@ -85,6 +85,22 @@ def parse_args(argv=None):
                    help="advisory dataset lint before validating "
                         "(LintValidationService.cs analog); findings print "
                         "to stderr, never block")
+    p.add_argument("--quarantine", action="store_true",
+                   help="also write the INPUT rows split by verdict: rows "
+                        "with error-severity violations to "
+                        "<output>/quarantine, the rest to <output>/clean "
+                        "(ValidationResult.split)")
+    p.add_argument("--regression-baseline", default=None, metavar="RUN_ID",
+                   help="after a resumable run, compare this run's per-rule "
+                        "violation rates against RUN_ID's in the lineage "
+                        "table (lineage.regression_report); regressions "
+                        "print to stderr and the job exits 3")
+    p.add_argument("--max-rate-increase", type=float, default=0.1,
+                   help="relative slack for --regression-baseline "
+                        "(default 0.1 = +10%%)")
+    p.add_argument("--max-abs-increase", type=float, default=0.0,
+                   help="absolute violation-rate slack for "
+                        "--regression-baseline")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] master for smoke runs; on a cluster the "
                         "master comes from spark-submit")
@@ -162,6 +178,7 @@ def main(argv=None) -> int:
                          default=str), file=sys.stderr)
 
     config = EngineConfig(key_col=args.key_col, group_col=args.group_col)
+    run = None
     if args.no_resume:
         res = ValidationEngine(ruleset, dims=dims, config=config).validate(df)
         res.violations.write.mode("overwrite").parquet(
@@ -169,6 +186,7 @@ def main(argv=None) -> int:
         res.verdicts.write.mode("overwrite").parquet(
             f"{args.output}/verdicts")
         verdicts = res.verdicts
+        violations = res.violations
     else:
         kwargs = dict(dims=dims, config=config,
                       groups_per_batch=args.groups_per_batch)
@@ -182,12 +200,42 @@ def main(argv=None) -> int:
         run = ResumableRun(ruleset, args.output, **kwargs)
         metrics = run.run(df)
         verdicts = run.verdicts(spark)
+        violations = run.violations(spark)
         print(json.dumps({"run_id": run.run_id,
                           "partitions": metrics.select("partition_key")
                                         .distinct().count()}))
 
+    if args.quarantine:
+        from fhir_data_validation_spark.engine import ValidationResult
+        clean, quar = ValidationResult(
+            violations=violations, verdicts=verdicts,
+            key_col=args.key_col).split(df)
+        quar.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+        clean.write.mode("overwrite").parquet(f"{args.output}/clean")
+        print(json.dumps({"quarantined": quar.count(),
+                          "clean": clean.count()}))
+
+    regressed = 0
+    if args.regression_baseline:
+        if run is None:
+            print("--regression-baseline needs a resumable run "
+                  "(drop --no-resume)", file=sys.stderr)
+            return 2
+        from fhir_data_validation_spark.lineage import regression_report
+        rep = regression_report(
+            run.lineage.read(spark), run.run_id,
+            baseline_run=args.regression_baseline,
+            max_abs_increase=args.max_abs_increase,
+            max_rel_increase=args.max_rate_increase).collect()
+        regressed = len(rep)
+        for r in rep:
+            print(json.dumps({"regression": r.asDict()}), file=sys.stderr)
+
     failed = verdicts.where(~verdicts.passed).count()
-    print(json.dumps({"failed_verdicts": failed}))
+    print(json.dumps({"failed_verdicts": failed,
+                      "regressions": regressed}))
+    if regressed:
+        return 3
     return 1 if failed else 0
 
 
