@@ -1464,6 +1464,46 @@ def q_sp1_quarantine_split(spark: SparkSession, sf: str) -> DataFrame:
              .orderBy("o_orderstatus"))
 
 
+def q_rg1_regression_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Run-over-run metric regression gate (lineage.regression_report):
+    TWO real engine runs — baseline over a deterministic 2/3 slice of
+    orders, current over the full table plus one rule the baseline never
+    ran — produce lineage-schema metrics; the gate flags rules whose
+    violation rate strictly increased (zero slack) and the baseline-less
+    rule on the newRule lane. The oracle re-derives both runs' rates from
+    orders directly."""
+    from fhir_data_validation_spark.lineage import regression_report
+    orders = load_table(spark, sf, "orders")
+    base_df = orders.where(F.pmod(F.col("o_orderkey"), F.lit(3)) != 0)
+    alw = {"id": "ALW-1", "type": "AllowedValues",
+           "column": "o_orderpriority",
+           "params": {"values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}
+    rng = {"id": "RNG-NEW", "type": "Range", "column": "o_totalprice",
+           "params": {"max": 300000}}
+
+    def metrics(df, rules, run_id, ts):
+        res = _validate(spark, df, rules, key_col="o_orderkey",
+                        group_col="o_orderstatus")
+        return res.verdicts.select(
+            F.lit(run_id).alias("run_id"), "partition_key", "rule_id",
+            "rows", "violations", "errors", "passed",
+            F.lit(0).cast("long").alias("wall_ms"),
+            F.lit(ts).cast("double").alias("completed_at"))
+
+    m = metrics(base_df, [alw], "base", 100.0).unionByName(
+        metrics(orders, [alw, rng], "cur", 200.0))
+    rep = regression_report(m, "cur", baseline_run="base")
+    # newRule rows carry null base_rate/allowed; -1.0 sentinel on both
+    # sides (toPandas would read a null double back as NaN)
+    return (rep.select("rule_id",
+                       F.coalesce("base_rate", F.lit(-1.0))
+                        .alias("base_rate"),
+                       "cur_rate",
+                       F.coalesce("allowed", F.lit(-1.0)).alias("allowed"),
+                       "rows_base", "rows_cur", "check")
+            .orderBy("rule_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation of the orders table at sf0.001 → summary."""
     return q_a4_summary(spark, SF_SMOKE)
@@ -1548,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gs1_group_share": q_gs1_group_share,
         "c3b_unique_composite": q_c3b_unique_composite,
         "sp1_quarantine_split": q_sp1_quarantine_split,
+        "rg1_regression_gate": q_rg1_regression_gate,
         "j2_reference_type": q_j2_reference_type,
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
@@ -2225,6 +2266,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lanes
             WHERE bad_bos OR bad_eos OR bad_pad
             ORDER BY doc_id""",
+        # two runs re-derived from orders; strict-increase gate, zero slack
+        "rg1_regression_gate": """
+            WITH b AS (
+              SELECT count(*) AS rows_base,
+                     count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                       AND trim(o_orderpriority) <> ''
+                       AND o_orderpriority NOT IN
+                           ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS viol_base
+              FROM orders WHERE o_orderkey % 3 <> 0),
+            c AS (
+              SELECT count(*) AS rows_cur,
+                     count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                       AND trim(o_orderpriority) <> ''
+                       AND o_orderpriority NOT IN
+                           ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS viol_alw,
+                     count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                       AND o_totalprice > 300000) AS viol_rng
+              FROM orders)
+            SELECT * FROM (
+              SELECT 'ALW-1' AS rule_id,
+                     round(viol_base * 1.0 / rows_base, 6) AS base_rate,
+                     round(viol_alw * 1.0 / rows_cur, 6) AS cur_rate,
+                     round(viol_base * 1.0 / rows_base, 6) AS allowed,
+                     rows_base, rows_cur,
+                     'rateJump' AS "check"
+              FROM b, c
+              WHERE viol_alw * 1.0 / rows_cur > viol_base * 1.0 / rows_base
+              UNION ALL
+              SELECT 'RNG-NEW', CAST(-1.0 AS DOUBLE),
+                     round(viol_rng * 1.0 / rows_cur, 6),
+                     CAST(-1.0 AS DOUBLE),
+                     CAST(0 AS BIGINT), rows_cur, 'newRule'
+              FROM c)
+            ORDER BY rule_id""",
         # quarantine = rows with an error-severity violation (warnings stay)
         "sp1_quarantine_split": """
             WITH bad AS (
