@@ -1308,6 +1308,39 @@ def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 lifecycle: copy-on-write row-level DELETE
+    (``PyIcebergTable.delete_rows`` — the GDPR/takedown primitive). Two
+    append snapshots, then a predicate delete that rewrites ONLY the files
+    containing matches (the other file is carried as an EXISTING manifest
+    entry); the query returns the post-delete snapshot read. The oracle is
+    the same rows with the predicate negated — values match only if the
+    rewrite dropped exactly the matching rows and the carried file kept
+    its data intact."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icedel_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 200).coalesce(1))
+    t.append(docs.where(F.col("doc_id") >= 200).coalesce(1))
+    # the predicate touches only batch 2, and the stats_filter proves it
+    # at planning time — batch 1's file is never probed, only carried
+    res = t.delete_rows("doc_id >= 200 AND lang = 'en'",
+                        stats_filter={"doc_id": (200, None)})
+    out = (t.read()
+           .select("doc_id", "lang", "source", "n_chars")
+           .withColumn("files_carried", F.lit(res["files_carried"]))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -1593,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_where_counting": q_a3_where_counting,
         "c5_drift": q_c5_drift,
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
+        "i2_delete_rows": q_i2_delete_rows,
     }
 
 
@@ -2031,6 +2065,15 @@ def oracle_sql() -> dict[str, str]:
         "i1_iceberg_roundtrip": """
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500
+            ORDER BY doc_id""",
+        # i2: copy-on-write delete — survivors are simply the predicate
+        # negation; files_carried = 1 states that batch 1's file (no
+        # matches possible: doc_id < 200) was carried, never rewritten
+        "i2_delete_rows": """
+            SELECT doc_id, lang, source, n_chars, 1 AS files_carried
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT (doc_id >= 200 AND lang = 'en')
             ORDER BY doc_id""",
         # k1: concat-and-chunk packing restated as pure window arithmetic —
         # e/s are the doc's [start, end) offsets in the per-source token

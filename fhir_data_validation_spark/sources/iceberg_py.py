@@ -20,12 +20,16 @@ What is real here (all executed in tests):
 * the ``snapshots`` metadata view;
 * incremental reads between two snapshots (the changelog a resumed /
   delta-validation run consumes);
-* append and overwrite commits with sequence numbers and parent links.
+* append and overwrite commits with sequence numbers and parent links;
+* small-files compaction (optionally sort-clustered), snapshot expiry
+  with storage reclaim, and copy-on-write row-level deletes that rewrite
+  only the files containing matching rows (:meth:`delete_rows`).
 
 Non-goals (use the real runtime via ``sources/iceberg.py`` on a cluster):
-row-level deletes, schema evolution, compaction, catalogs beyond the
-path-based Hadoop layout, and concurrent-writer commit arbitration
-(optimistic metadata-version CAS is approximated by write-if-absent).
+merge-on-read (position/equality delete files), schema evolution,
+catalogs beyond the path-based Hadoop layout, and concurrent-writer
+commit arbitration (optimistic metadata-version CAS is approximated by
+write-if-absent).
 """
 
 from __future__ import annotations
@@ -300,7 +304,109 @@ class PyIcebergTable:
         older snapshots still time-travel to the old files."""
         return self._commit(df, operation="overwrite")
 
-    def compact(self, target_files: int | None = None) -> int:
+    def delete_rows(self, predicate: str,
+                    stats_filter: dict[str, tuple] | None = None) -> dict:
+        """Row-level DELETE via copy-on-write file rewrite — the GDPR /
+        takedown primitive a 10^12-row training-data table needs: remove
+        every row matching ``predicate`` (a Spark SQL boolean expression
+        over the table's columns) while rewriting ONLY the files that
+        actually contain matching rows. Every other live file is carried
+        into the new snapshot untouched (status EXISTING), so the IO cost
+        is proportional to the matched data, not the table.
+
+        Three pruning layers keep the touched set small at scale:
+
+        1. ``stats_filter`` (``{col: (lo, hi)}``, optional) prunes
+           candidate files at PLANNING time through the per-file skip
+           index — zero IO for files whose bounds cannot match;
+        2. the probe scan pushes ``predicate`` to parquet, so row-group
+           stats prune reads inside the surviving candidates;
+        3. only files where the probe finds ≥1 matching row are rewritten.
+
+        Older snapshots still time-travel to the pre-delete data (reclaim
+        with :meth:`expire_snapshots`). ``incremental()`` reads across the
+        delete commit see only genuinely ADDED files, never the carried
+        ones. Returns ``{"snapshot_id", "files_rewritten",
+        "files_carried", "rows_deleted"}``; matching nothing is a no-op
+        (no new snapshot, ``snapshot_id`` is the current one)."""
+        meta, old_version = self._load_meta_versioned()
+        pred = F.expr(predicate)
+        live = self._live_entries(meta, None)
+        pairs = [(e["data_file"]["file_path"], sid) for e, sid in live]
+        candidates = set(self._stats_skip(pairs, stats_filter))
+
+        # probe: which candidate files actually contain matching rows?
+        # ONE filter-pushed scan over candidates; emits (file, match count).
+        # input_file_name() returns a percent-encoded qualified URI while
+        # manifest paths are plain — key both sides by the last two path
+        # segments (unique: every commit prefixes a fresh uuid), the same
+        # convention _manifest_entries uses
+        def _fkey(p: str) -> str:
+            return "/".join(p.rsplit("/", 2)[-2:])
+        probe = (self._read_files(meta, sorted(candidates))
+                 .where(pred)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .collect()) if candidates else []
+        hit_keys = {_fkey(_url_decode(r["f"])): r["n"] for r in probe}
+        affected = {p: hit_keys[_fkey(p)] for p in candidates
+                    if _fkey(p) in hit_keys}
+        if not affected:
+            return {"snapshot_id": meta["current-snapshot-id"],
+                    "files_rewritten": 0, "files_carried": len(live),
+                    "rows_deleted": 0}
+        rows_deleted = sum(affected.values())
+
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        spec_fields = meta["partition-specs"][0]["fields"]
+        part_col = spec_fields[0]["name"] if spec_fields else None
+
+        # rewrite ONLY the affected files, minus the matching rows; never
+        # increase the file count (survivors ≤ affected write tasks)
+        survivors = self._read_files(meta, sorted(affected)).where(~pred)
+        n = min(len(affected),
+                self.spark.sparkContext.defaultParallelism)
+        survivors = (survivors.repartition(n, part_col) if part_col
+                     else survivors.repartition(n))
+        tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
+        writer = survivors.write
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(tmp_dir)
+        new_entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
+                                             part_col, self.schema())
+        # a fully-deleted file leaves an empty survivor part — don't
+        # register it (it dies with the staging dir)
+        new_entries = [e for e in new_entries
+                       if e["data_file"]["record_count"] > 0]
+        self._promote_files(tmp_dir, new_entries)
+
+        # carry untouched files as EXISTING entries with their original
+        # sequence numbers (incremental() must not re-surface them) and
+        # their recorded bounds (the new snapshot's skip index must keep
+        # covering them)
+        old_bounds: dict[str, dict] = {}
+        for sid in {s for _, s in pairs}:
+            p = f"{self._meta_dir}/skipidx-{sid}.json"
+            if _exists(self.spark, p):
+                old_bounds.update(json.loads(
+                    _read_bytes(self.spark, p).decode()))
+        carried = []
+        for e, _sid in live:
+            path = e["data_file"]["file_path"]
+            if path in affected:
+                continue
+            carried.append({**e, "status": 0,
+                            "_bounds": old_bounds.get(path, {})})
+        new_sid = self._commit_entries(meta, old_version,
+                                       carried + new_entries, "delete",
+                                       snapshot_id, seq)
+        return {"snapshot_id": new_sid, "files_rewritten": len(affected),
+                "files_carried": len(carried), "rows_deleted": rows_deleted}
+
+    def compact(self, target_files: int | None = None,
+                sort_by: list[str] | None = None) -> int:
         """Small-files compaction: rewrite the current snapshot's data into
         at most ``target_files`` write tasks (default: the smaller of the
         cluster parallelism and the CURRENT live file count — compaction
@@ -312,7 +418,17 @@ class PyIcebergTable:
         reclaim them with :meth:`expire_snapshots`). The operational fix
         for the many-small-appends pattern (a 10^12-row table accreting
         thousands of tiny commit files plans and opens millions of parquet
-        footers without this)."""
+        footers without this).
+
+        ``sort_by`` additionally CLUSTERS the rewrite on the given columns
+        (range repartition + sort within each write task — Iceberg's
+        ``rewrite_data_files(sort_order)``): each output file then covers
+        a narrow, near-disjoint value range, so the per-file skip index
+        and parquet row-group stats turn a ``stats_filter`` /pushed
+        predicate on those columns into opening a handful of files instead
+        of all of them. Unpartitioned tables only (a partitioned rewrite
+        must hash on the partition column to keep one file per
+        partition)."""
         if target_files is not None and target_files < 1:
             raise ValueError("target_files must be >= 1")
         meta = self._load_meta()
@@ -322,7 +438,13 @@ class PyIcebergTable:
                 max(n_live, 1))
         df = self.read()
         spec_fields = meta["partition-specs"][0]["fields"]
-        if spec_fields:
+        if sort_by:
+            if spec_fields:
+                raise ValueError("sort_by compaction supports "
+                                 "unpartitioned tables only")
+            df = (df.repartitionByRange(n, *sort_by)
+                    .sortWithinPartitions(*sort_by))
+        elif spec_fields:
             df = df.repartition(n, spec_fields[0]["name"])
         else:
             df = df.repartition(n)
@@ -465,20 +587,28 @@ class PyIcebergTable:
             })
         _write_bytes(self.spark, manifest_path, manifest_bytes)
 
-        added_rows = sum(e["data_file"]["record_count"] for e in entries)
+        # a commit may carry EXISTING entries (status 0 — files surviving a
+        # row-level delete unchanged) alongside ADDED ones; count them and
+        # keep min_sequence_number honest so incremental() stays correct
+        added = [e for e in entries if e["status"] == 1]
+        existing = [e for e in entries if e["status"] == 0]
+        added_rows = sum(e["data_file"]["record_count"] for e in added)
         new_mf = {
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": min(
+                [e["sequence_number"] for e in entries if
+                 e["sequence_number"] is not None] or [seq]),
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
             "deleted_files_count": 0,
             "added_rows_count": added_rows,
-            "existing_rows_count": 0,
+            "existing_rows_count": sum(e["data_file"]["record_count"]
+                                       for e in existing),
             "deleted_rows_count": 0,
         }
         prev = []
@@ -502,7 +632,7 @@ class PyIcebergTable:
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": operation,
-                        "added-data-files": str(len(entries)),
+                        "added-data-files": str(len(added)),
                         "added-records": str(added_rows)},
             "schema-id": 0,
         }
@@ -648,22 +778,29 @@ class PyIcebergTable:
                 return False
         return True
 
-    def _data_files(self, meta: dict, snapshot_id: int | None,
-                    partition_filter: dict[str, Any] | None = None
-                    ) -> list[tuple[str, int]]:
-        """[(file path, added_snapshot_id)] for a snapshot's live files."""
+    def _live_entries(self, meta: dict, snapshot_id: int | None,
+                      partition_filter: dict[str, Any] | None = None
+                      ) -> list[tuple[dict, int]]:
+        """[(manifest entry, added_snapshot_id)] for a snapshot's live
+        (non-DELETED) data files."""
         snap = self._snapshot(meta, snapshot_id)
-        paths = []
+        out = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 0:
                 continue
             _, _, entries = avro_io.read_container(
                 _read_bytes(self.spark, mf["manifest_path"]))
-            paths += [(e["data_file"]["file_path"],
-                       mf["added_snapshot_id"]) for e in entries
-                      if e["status"] != 2          # not DELETED
-                      and self._partition_match(e, partition_filter)]
-        return paths
+            out += [(e, mf["added_snapshot_id"]) for e in entries
+                    if e["status"] != 2            # not DELETED
+                    and self._partition_match(e, partition_filter)]
+        return out
+
+    def _data_files(self, meta: dict, snapshot_id: int | None,
+                    partition_filter: dict[str, Any] | None = None
+                    ) -> list[tuple[str, int]]:
+        """[(file path, added_snapshot_id)] for a snapshot's live files."""
+        return [(e["data_file"]["file_path"], sid) for e, sid
+                in self._live_entries(meta, snapshot_id, partition_filter)]
 
     def _stats_skip(self, pairs: list[tuple[str, int]],
                     stats_filter: dict[str, tuple] | None) -> list[str]:

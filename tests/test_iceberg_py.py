@@ -683,3 +683,131 @@ def test_incremental_dedup_over_snapshot_deltas(spark, tmp_path):
     assert got == {10: (1, True), 11: (11, False), 12: (11, True)}
     # appending the index delta closes the loop for batch 3
     assert {r["keep"] for r in idx_delta.collect()} == {11}
+
+
+# -------------------------------------------------- row-level delete (COW) --
+
+def test_delete_rows_rewrites_only_matching_files(spark, tmp_path):
+    """Copy-on-write delete: the file containing matches is rewritten, the
+    untouched file is CARRIED byte-identical into the new snapshot, the
+    carried file keeps its skip-index bounds, and time travel still sees
+    the deleted rows."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "del"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 1, "web"),
+                           ("a2", [2], 2, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [3], 3, "book"),
+                           ("b2", [4], 4, "book")]).coalesce(1))
+    before_files = set(t.read().inputFiles())
+    s_before = t.current_snapshot_id()
+
+    res = t.delete_rows("doc_id = 'a2'")
+    assert res["files_rewritten"] == 1
+    assert res["files_carried"] == 1
+    assert res["rows_deleted"] == 1
+    after = t.read()
+    assert sorted(r["doc_id"] for r in after.collect()) == ["a1", "b1", "b2"]
+    after_files = set(after.inputFiles())
+    # exactly one pre-delete file survives verbatim (the carried one)
+    assert len(before_files & after_files) == 1
+    # time travel to the pre-delete snapshot still shows a2
+    assert sorted(r["doc_id"] for r in t.read(s_before).collect()) == \
+        ["a1", "a2", "b1", "b2"]
+    ops = [r["operation"] for r in
+           t.snapshots().orderBy("committed_at").collect()]
+    assert ops[-1] == "delete"
+    # the carried file's bounds survived into the new skip index:
+    # n_tok in (3,4) lives only in the carried file
+    pruned = t.read(stats_filter={"n_tok": (3, 4)})
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_delete_rows_noop_and_whole_file(spark, tmp_path):
+    """Matching nothing is a no-op (no new snapshot); matching an entire
+    file just drops it from the snapshot (nothing rewritten in its
+    place)."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "del2"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 1, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [2], 2, "book")]).coalesce(1))
+    sid = t.current_snapshot_id()
+
+    res = t.delete_rows("doc_id = 'zzz'")
+    assert res == {"snapshot_id": sid, "files_rewritten": 0,
+                   "files_carried": 2, "rows_deleted": 0}
+    assert t.current_snapshot_id() == sid          # no commit
+
+    res = t.delete_rows("source = 'book'")         # the whole second file
+    assert res["rows_deleted"] == 1
+    after = t.read()
+    assert [r["doc_id"] for r in after.collect()] == ["a1"]
+    assert len(after.inputFiles()) == 1
+
+
+def test_delete_rows_partitioned_carries_other_partition(spark, table):
+    """On a partitioned table a delete scoped to one partition leaves the
+    other partition's files carried, and the partition tree layout
+    survives the rewrite."""
+    before = set(t_path for t_path in table.read().inputFiles()
+                 if "source=book" in t_path)
+    res = table.delete_rows("doc_id = 'd1'")
+    assert res["rows_deleted"] == 1
+    after = table.read()
+    assert sorted(r["doc_id"] for r in after.collect()) == ["d2", "d3"]
+    # the book partition was untouched — same physical file
+    after_book = set(p for p in after.inputFiles() if "source=book" in p)
+    assert after_book == before
+    # partition pruning still works post-delete
+    assert [r["doc_id"] for r in
+            table.read(partition_filter={"source": "book"}).collect()] == \
+        ["d3"]
+
+
+def test_delete_rows_incremental_never_resurfaces_carried_files(spark,
+                                                                tmp_path):
+    """incremental() across a delete commit sees the rewritten survivors
+    (genuinely new files) but NEVER the carried files' rows."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "del3"), TOKENS_SCHEMA)
+    s1 = t.append(_rows(spark, [("a1", [1], 1, "web"),
+                                ("a2", [2], 2, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [3], 3, "book"),
+                           ("b2", [4], 4, "book")]).coalesce(1))
+    t.delete_rows("doc_id = 'b2'")
+    delta = t.incremental(s1)
+    # batch-2 survivors only: the carried batch-1 file must not reappear
+    assert sorted(r["doc_id"] for r in delta.collect()) == ["b1"]
+
+
+def test_delete_rows_with_stats_filter_hint(spark, tmp_path):
+    """A stats_filter consistent with the predicate prunes the probe scan
+    at planning time and yields the same result."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "del4"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 10, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [2], 20, "web")]).coalesce(1))
+    res = t.delete_rows("n_tok >= 15", stats_filter={"n_tok": (15, None)})
+    assert res["rows_deleted"] == 1
+    assert res["files_rewritten"] == 1
+    assert [r["doc_id"] for r in t.read().collect()] == ["a1"]
+
+
+def test_compact_sort_by_clusters_for_skip_index(spark, tmp_path):
+    """Sort-clustered compaction: interleaved values across many small
+    files become range-disjoint files, so a stats_filter on the sort
+    column opens ONE file instead of all of them."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "cl"), TOKENS_SCHEMA)
+    # 4 appends, each spanning the whole n_tok range (worst case for skip)
+    for i in range(4):
+        t.append(_rows(spark, [(f"d{i}a", [1], i + 1, "web"),
+                               (f"d{i}b", [2], 100 + i, "web")]).coalesce(1))
+    # before clustering every file intersects (100, None)
+    assert len(t.read(stats_filter={"n_tok": (100, None)}).inputFiles()) == 4
+    t.compact(target_files=2, sort_by=["n_tok"])
+    pruned = t.read(stats_filter={"n_tok": (100, None)})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["doc_id"] for r in pruned.collect()) == \
+        ["d0b", "d1b", "d2b", "d3b"]
+    # rows preserved exactly
+    assert t.read().count() == 8
+
+
+def test_compact_sort_by_rejects_partitioned(spark, table):
+    with pytest.raises(ValueError, match="unpartitioned"):
+        table.compact(sort_by=["n_tok"])
