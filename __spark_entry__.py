@@ -865,6 +865,53 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
              .orderBy("doc_id"))
 
 
+def q_mono1_monotonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key ordered-sequence validation (plans.monotonic_plan, via
+    ValidationEngine): within each user's event stream ordered by
+    event_id, `value` must be non-decreasing; every rewind is a violation
+    carrying (prev, observed). One shuffle on the key, one codegen lag
+    window — the event-stream invariant (counters never drop)."""
+    df = load_table(spark, sf, "events")
+    res = _validate(
+        spark, df,
+        [{"id": "MONO-1", "type": "Monotonic", "column": "value",
+          "severity": "error",
+          "params": {"keyColumn": "user_id", "orderBy": "event_id"}}],
+        key_col="event_id", group_col="event_type")
+    d = F.col("detail")
+    return (res.violations.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        "rule_id", "error_code",
+        d["key"].cast("long").alias("user_id"),
+        F.round(d["prev"].cast("double"), 4).alias("prev_value"),
+        F.round(d["observed"].cast("double"), 4).alias("value"))
+        .orderBy("event_id"))
+
+
+def q_fd1_functional_dependency(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency validation (plans.functional_dependency_plan,
+    via ValidationEngine): c_nationkey → c_mktsegment must be single-valued;
+    every nation mapping to >1 segment is one violation (bounded by bad
+    keys) with the distinct count and min/max witness values. ONE
+    partial-distinct groupBy pass."""
+    df = load_table(spark, sf, "customer")
+    res = _validate(
+        spark, df,
+        [{"id": "FD-1", "type": "FunctionalDependency",
+          "column": "c_mktsegment", "severity": "error",
+          "params": {"determinants": ["c_nationkey"]}}],
+        key_col="c_custkey", group_col="c_mktsegment")
+    d = F.col("detail")
+    return (res.violations.select(
+        F.col("doc_id").cast("long").alias("c_nationkey"),
+        "rule_id", "error_code",
+        d["nValues"].cast("long").alias("n_values"),
+        d["rows"].cast("long").alias("n_rows"),
+        d["minValue"].alias("min_segment"),
+        d["maxValue"].alias("max_segment"))
+        .orderBy("c_nationkey"))
+
+
 def q_e1_expectations(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-level statistical expectations (plans.expectation_report —
     the Deequ/Great-Expectations analog, one map-side-combined aggregation
@@ -1613,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_token_span_dedup": q_x6_token_span_dedup,
         "e1_expectations": q_e1_expectations,
         "o1_outliers": q_o1_outliers,
+        "mono1_monotonic": q_mono1_monotonic,
+        "fd1_functional_dependency": q_fd1_functional_dependency,
         "t8_vocab_oov": q_t8_vocab_oov,
         "v1_vector_check": q_v1_vector_check,
         "seq1_sequence_shape": q_seq1_sequence_shape,
@@ -2493,6 +2542,31 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN agg USING (doc_id)
             ORDER BY tok.doc_id""",
         # o1: z-score outlier fences recomputed independently per source
+        # mono1: the lag-window twin — same key partition, same
+        # (orderBy, key) order, same null skip
+        "mono1_monotonic": """
+            WITH w AS (
+              SELECT event_id, user_id, value,
+                     LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY event_id, event_id) AS prev
+              FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+            SELECT event_id, 'MONO-1' AS rule_id,
+                   'MONOTONICITY_VIOLATION' AS error_code, user_id,
+                   ROUND(prev, 4) AS prev_value, ROUND(value, 4) AS value
+            FROM w WHERE prev IS NOT NULL AND value < prev
+            ORDER BY event_id""",
+        # fd1: GROUP BY + HAVING count(distinct) restatement with min/max
+        # witnesses
+        "fd1_functional_dependency": """
+            SELECT c_nationkey, 'FD-1' AS rule_id,
+                   'FUNCTIONAL_DEPENDENCY_VIOLATION' AS error_code,
+                   COUNT(DISTINCT c_mktsegment) AS n_values,
+                   COUNT(*) AS n_rows,
+                   MIN(c_mktsegment) AS min_segment,
+                   MAX(c_mktsegment) AS max_segment
+            FROM customer GROUP BY c_nationkey
+            HAVING COUNT(DISTINCT c_mktsegment) > 1
+            ORDER BY c_nationkey""",
         "o1_outliers": """
             WITH w AS (
               SELECT doc_id, source,

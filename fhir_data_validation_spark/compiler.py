@@ -188,6 +188,8 @@ DEFAULT_ERROR_CODES = {
     "AggConsistency": ErrorCode.AGGREGATE_MISMATCH,
     "GroupShare": ErrorCode.GROUP_SHARE_VIOLATION,
     "Outlier": ErrorCode.OUTLIER_VALUE,
+    "Monotonic": ErrorCode.MONOTONICITY_VIOLATION,
+    "FunctionalDependency": ErrorCode.FUNCTIONAL_DEPENDENCY_VIOLATION,
     "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
 
@@ -220,13 +222,15 @@ RULE_STAGES = {
     "Outlier": Stage.DATASET,
     "AggConsistency": Stage.DATASET,
     "GroupShare": Stage.DATASET,
+    "Monotonic": Stage.DATASET,
+    "FunctionalDependency": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
                       "Expectation", "Outlier", "AggConsistency",
-                      "GroupShare")
+                      "GroupShare", "Monotonic", "FunctionalDependency")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

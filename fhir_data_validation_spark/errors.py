@@ -77,6 +77,8 @@ class ErrorCode:
     JSON_PATH_VIOLATION = "JSON_PATH_VIOLATION"
     AGGREGATE_MISMATCH = "AGGREGATE_MISMATCH"
     GROUP_SHARE_VIOLATION = "GROUP_SHARE_VIOLATION"
+    MONOTONICITY_VIOLATION = "MONOTONICITY_VIOLATION"
+    FUNCTIONAL_DEPENDENCY_VIOLATION = "FUNCTIONAL_DEPENDENCY_VIOLATION"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

@@ -178,6 +178,12 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     elif t == "Outlier":
         _validate_outlier_params(rule, plan.schema)
         exec_fn = lambda df, p: outlier_plan(df, rule, stage, p)
+    elif t == "Monotonic":
+        _validate_monotonic_params(rule, plan.schema)
+        exec_fn = lambda df, p: monotonic_plan(df, rule, stage, p)
+    elif t == "FunctionalDependency":
+        _validate_fd_params(rule, plan.schema)
+        exec_fn = lambda df, p: functional_dependency_plan(df, rule, stage, p)
     else:
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -1269,6 +1275,165 @@ def group_share_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                     F.lit(None if rule.source == "*" else rule.source)
                      .cast("string").alias("source"),
                     detail.alias("detail")))
+
+
+# -------------------------------------------- Monotonic (per-key ordering)
+
+_MONO_DIRECTIONS = {
+    # direction -> (comparison that VIOLATES, human label)
+    "nonDecreasing": (lambda cur, prev: cur < prev, "decreased"),
+    "increasing": (lambda cur, prev: cur <= prev, "did not increase"),
+    "nonIncreasing": (lambda cur, prev: cur > prev, "increased"),
+    "decreasing": (lambda cur, prev: cur >= prev, "did not decrease"),
+}
+
+
+def _validate_monotonic_params(rule: RuleDefinition, schema) -> None:
+    """Compile-time totality for Monotonic rules (pre-flight contract)."""
+    from pyspark.sql.types import (AtomicType, DateType, NumericType,
+                                   StringType, TimestampNTZType,
+                                   TimestampType)
+
+    from ..compiler import _field_type
+    col = rule.require_column()
+    for name in (col, rule.require_param("keyColumn"),
+                 rule.require_param("orderBy")):
+        ftype = _field_type(schema, name, rule)
+        if name == col and not isinstance(
+                ftype, (NumericType, StringType, DateType,
+                        TimestampType, TimestampNTZType)):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Monotonic needs an orderable column; {col!r} is "
+                f"{ftype.simpleString()}")
+    direction = rule.params.get("direction", "nonDecreasing")
+    if direction not in _MONO_DIRECTIONS:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown direction {direction!r} "
+            f"(expected one of {sorted(_MONO_DIRECTIONS)})")
+
+
+def monotonic_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                   plan) -> DataFrame:
+    """Per-key ordered-sequence validation: within each ``keyColumn``
+    group, ordered by ``orderBy``, the rule column must move in
+    ``direction`` (nonDecreasing | increasing | nonIncreasing |
+    decreasing) — the event-stream invariant (sequence numbers never
+    rewind, cumulative counters never drop, timestamps never go back).
+    One violation per row that breaks the ordering vs its predecessor;
+    detail carries (prev, observed, order position).
+
+    100-TB shape: ONE shuffle on ``keyColumn`` (per-key ordered semantics
+    cannot be expressed without co-locating each key), then a single
+    codegen ``lag`` window — no self-join, no second pass. The window
+    orders by ``(orderBy, key_col)`` so same-timestamp rows compare
+    deterministically. Rows with a NULL metric or NULL order value are
+    skipped (open world — ``Required`` owns null presence); a hot key
+    (one user owning 10% of events) is the skew to watch: pre-split such
+    keys upstream or scope the rule per source."""
+    from pyspark.sql.window import Window
+
+    cfg = plan.config
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(cfg.group_col).cast("string") == rule.source)
+    key, order = rule.params["keyColumn"], rule.params["orderBy"]
+    col = rule.column
+    violates, label = _MONO_DIRECTIONS[
+        rule.params.get("direction", "nonDecreasing")]
+    scoped = scoped.where(F.col(col).isNotNull()
+                          & F.col(order).isNotNull())
+    w = (Window.partitionBy(F.col(key))
+               .orderBy(F.col(order), F.col(cfg.key_col)))
+    cur = F.col(col)
+    detail = _smap_plan(
+        ("key", F.col(key)), ("orderBy", F.col(order)),
+        ("prev", F.col("_prev")), ("observed", cur),
+        ("check", F.lit(label)))
+    return (scoped
+            .withColumn("_prev", F.lag(cur).over(w))
+            .where(F.col("_prev").isNotNull()
+                   & violates(cur, F.col("_prev")))
+            .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
+                    *_viol_cols(rule, stage,
+                                rule.error_code
+                                or ErrorCode.MONOTONICITY_VIOLATION),
+                    F.col(cfg.group_col).cast("string").alias("source"),
+                    detail.alias("detail")))
+
+
+# --------------------------- FunctionalDependency (determinant -> dependent)
+
+def _validate_fd_params(rule: RuleDefinition, schema) -> None:
+    """Compile-time totality for FunctionalDependency rules."""
+    from ..compiler import _field_type
+    col = rule.require_column()
+    dets = rule.require_param("determinants")
+    if not isinstance(dets, list) or not dets:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "FunctionalDependency needs a non-empty params.determinants "
+            "list")
+    if col in dets:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"dependent column {col!r} cannot be its own determinant")
+    for name in [col] + list(dets):
+        _field_type(schema, name, rule)
+    mv = rule.params.get("maxValues", 1)
+    if not isinstance(mv, int) or mv < 1:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"params.maxValues must be an int >= 1 (got {mv!r})")
+
+
+def functional_dependency_plan(df: DataFrame, rule: RuleDefinition,
+                               stage: int, plan) -> DataFrame:
+    """Functional-dependency validation (determinants → dependent): every
+    group of rows sharing the determinant columns must agree on the
+    dependent column (≤ ``maxValues`` distinct non-null values; default
+    1) — the denormalized-table consistency check (one ``order_id`` must
+    map to one ``customer_id``; one ``(system, code)`` to one display
+    string). One violation per OFFENDING GROUP (volume bounded by bad
+    keys, never rows); detail carries the distinct count and the min/max
+    witnesses — two provably different values a human can diff.
+
+    100-TB shape: ONE groupBy on the determinants; ``count(distinct)``
+    executes as Spark's two-phase partial-distinct aggregation
+    (map-side dedup, then merge), min/max ride the same pass; everything
+    after runs on the reduced |groups| frame. NULL dependents don't count
+    toward the distinct values (open world); NULL determinant values form
+    their own group (they name a real key in denormalized data)."""
+    cfg = plan.config
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(cfg.group_col).cast("string") == rule.source)
+    dets = list(rule.params["determinants"])
+    dep = rule.column
+    max_values = int(rule.params.get("maxValues", 1))
+    bad = (scoped
+           .groupBy(*[F.col(c) for c in dets])
+           .agg(F.countDistinct(F.col(dep)).alias("_nv"),
+                F.min(F.col(dep)).alias("_lo"),
+                F.max(F.col(dep)).alias("_hi"),
+                F.count(F.lit(1)).alias("_rows"),
+                F.min(F.col(cfg.group_col)).alias("_src"))
+           .where(F.col("_nv") > max_values))
+    key_repr = (F.col(dets[0]).cast("string") if len(dets) == 1
+                else F.to_json(F.struct(*[F.col(c) for c in dets])))
+    detail = _smap_plan(
+        ("determinants", F.lit(",".join(dets))),
+        ("nValues", F.col("_nv")), ("rows", F.col("_rows")),
+        ("minValue", F.col("_lo")), ("maxValue", F.col("_hi")))
+    vcols = _viol_cols(rule, stage,
+                       rule.error_code
+                       or ErrorCode.FUNCTIONAL_DEPENDENCY_VIOLATION)
+    return bad.select(key_repr.alias("doc_id"), *vcols,
+                      F.col("_src").cast("string").alias("source"),
+                      detail.alias("detail"))
 
 
 # ------------------------------------------------- Outlier (stat-driven rows)

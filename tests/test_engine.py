@@ -890,3 +890,136 @@ def test_split_quarantine(spark):
         bare.split(df)
     c3, q3 = bare.split(df, key_col="id")
     assert q3.count() == 1
+
+
+def test_monotonic_rule_directions_and_null_skip(spark):
+    """Monotonic: per-key lag-window ordering check — rewinds flagged with
+    (prev, observed) detail, direction variants invert the comparison,
+    NULL metric/order rows are skipped (open world)."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("d1", "u1", 1, 10.0, "g"),
+         ("d2", "u1", 2, 12.0, "g"),
+         ("d3", "u1", 3, 9.0, "g"),        # rewind after 12.0
+         ("d4", "u1", 4, None, "g"),       # null metric: skipped
+         ("d5", "u1", 5, 9.0, "g"),        # equal to prev surviving value
+         ("d6", "u2", 1, 7.0, "g"),        # other key: fresh window
+         ("d7", "u2", None, 0.0, "g")],    # null order: skipped
+        "doc_id string, user string, seq int, total double, grp string")
+    cfg = EngineConfig(key_col="doc_id", group_col="grp")
+
+    rs = RuleSet.parse({"rules": [
+        {"id": "M-1", "type": "Monotonic", "column": "total",
+         "params": {"keyColumn": "user", "orderBy": "seq"}}]})
+    v = ValidationEngine(rs, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v} == {"d3"}
+    det = v[0]["detail"]
+    assert det["prev"] == "12.0" and det["observed"] == "9.0"
+    assert v[0]["error_code"] == "MONOTONICITY_VIOLATION"
+
+    # strict increasing: the d5 plateau (9.0 after 9.0) now violates too
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "M-2", "type": "Monotonic", "column": "total",
+         "params": {"keyColumn": "user", "orderBy": "seq",
+                    "direction": "increasing"}}]})
+    v2 = ValidationEngine(rs2, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v2} == {"d3", "d5"}
+
+    # nonIncreasing flags the climbs instead
+    rs3 = RuleSet.parse({"rules": [
+        {"id": "M-3", "type": "Monotonic", "column": "total",
+         "params": {"keyColumn": "user", "orderBy": "seq",
+                    "direction": "nonIncreasing"}}]})
+    v3 = ValidationEngine(rs3, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v3} == {"d2"}
+
+
+def test_monotonic_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("a", "u", 1, 1.0, [1], "g")],
+        "doc_id string, user string, seq int, total double, "
+        "toks array<int>, grp string")
+    cfg = EngineConfig(key_col="doc_id", group_col="grp")
+    bad = [
+        {"column": "total", "params": {"keyColumn": "user"}},  # no orderBy
+        {"column": "total", "params": {"orderBy": "seq"}},     # no keyColumn
+        {"column": "toks",                                     # not orderable
+         "params": {"keyColumn": "user", "orderBy": "seq"}},
+        {"column": "total",                                    # bad direction
+         "params": {"keyColumn": "user", "orderBy": "seq",
+                    "direction": "sideways"}},
+        {"column": "total",                                    # unknown col
+         "params": {"keyColumn": "nope", "orderBy": "seq"}},
+    ]
+    for i, spec in enumerate(bad):
+        rs = RuleSet.parse({"rules": [
+            {"id": f"M-B{i}", "type": "Monotonic", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=cfg).validate(df)
+
+
+def test_functional_dependency_rule(spark):
+    """FunctionalDependency: determinant groups disagreeing on the
+    dependent flagged once per group with count + min/max witnesses; NULL
+    dependents don't count; maxValues relaxes the bound; composite
+    determinants render as a JSON key."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("d1", "o1", "US", "alice", "g"),
+         ("d2", "o1", "US", "bob", "g"),      # o1 -> two owners
+         ("d3", "o2", "US", "carol", "g"),
+         ("d4", "o2", "US", "carol", "g"),    # o2 consistent
+         ("d5", "o3", "DE", None, "g"),       # null dependent ignored
+         ("d6", "o3", "DE", "dave", "g")],
+        "doc_id string, order_id string, country string, owner string, "
+        "grp string")
+    cfg = EngineConfig(key_col="doc_id", group_col="grp")
+    rs = RuleSet.parse({"rules": [
+        {"id": "FD-1", "type": "FunctionalDependency", "column": "owner",
+         "params": {"determinants": ["order_id"]}}]})
+    v = ValidationEngine(rs, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v} == {"o1"}
+    det = v[0]["detail"]
+    assert det["nValues"] == "2" and det["minValue"] == "alice" \
+        and det["maxValue"] == "bob"
+
+    # maxValues=2 tolerates the split
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "FD-2", "type": "FunctionalDependency", "column": "owner",
+         "params": {"determinants": ["order_id"], "maxValues": 2}}]})
+    assert ValidationEngine(rs2, config=cfg).validate(df) \
+        .violations.count() == 0
+
+    # composite determinants -> JSON doc_id naming every key part
+    rs3 = RuleSet.parse({"rules": [
+        {"id": "FD-3", "type": "FunctionalDependency", "column": "owner",
+         "params": {"determinants": ["order_id", "country"]}}]})
+    v3 = ValidationEngine(rs3, config=cfg).validate(df).violations.collect()
+    assert [r["doc_id"] for r in v3] == \
+        ['{"order_id":"o1","country":"US"}']
+
+
+def test_functional_dependency_compile_rejections(spark):
+    from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame([("a", "o", "x", "g")],
+                               "doc_id string, oid string, v string, "
+                               "grp string")
+    cfg = EngineConfig(key_col="doc_id", group_col="grp")
+    bad = [
+        {"column": "v", "params": {}},                       # no determinants
+        {"column": "v", "params": {"determinants": []}},     # empty
+        {"column": "v", "params": {"determinants": ["v"]}},  # self
+        {"column": "v", "params": {"determinants": ["nope"]}},
+        {"column": "v", "params": {"determinants": ["oid"],
+                                   "maxValues": 0}},
+    ]
+    for i, spec in enumerate(bad):
+        rs = RuleSet.parse({"rules": [
+            {"id": f"FD-B{i}", "type": "FunctionalDependency", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=cfg).validate(df)
