@@ -505,6 +505,25 @@ def q_d2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_x8_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH similarity join (dedup.similarity_join):
+    the seeded documents split by doc_id parity into two 'corpora', joined
+    at n-gram Jaccard ≥ 0.6 — the fuzzy join that aligns two corpus
+    versions or links noisy records across sources. Only cross-side pairs
+    materialize; values are exact (full-set verify), so the oracle is the
+    exact cross-parity Jaccard pair set."""
+    docs = _seeded_docs(spark, sf)
+    out = dedup.similarity_join(docs.where(F.col("doc_id") % 2 == 0),
+                                docs.where(F.col("doc_id") % 2 == 1),
+                                threshold=0.6)
+    return (out.select(
+        F.least(F.col("left_id"), F.col("right_id"))
+         .cast("long").alias("id_a"),
+        F.greatest(F.col("left_id"), F.col("right_id"))
+         .cast("long").alias("id_b"),
+        "jaccard").orderBy("id_a", "id_b"))
+
+
 def q_d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(64)+LSH(32 bands) with exact-Jaccard verification — at the
     configured band/row split recall at j ≥ 0.6 is ≈ 1-6e-7, so the
@@ -1623,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition": q_t7_repetition,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_jaccard_pairs": q_d2_jaccard_pairs,
+        "x8_similarity_join": q_x8_similarity_join,
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
         "d6_duplicate_clusters": q_d6_duplicate_clusters,
@@ -2039,6 +2059,12 @@ def oracle_sql() -> dict[str, str]:
         "d2_jaccard_pairs": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+        # x8: the same exact-Jaccard pair set restricted to cross-parity
+        # (the two 'corpora' of the similarity join)
+        "x8_similarity_join": f"""
+            {_JACCARD_SQL}
+            WHERE jaccard >= 0.6 AND (id_a % 2) <> (id_b % 2)
+            ORDER BY id_a, id_b""",
         "d4_simhash": _simhash_sql(),
         "d8_incremental_simhash": _simhash_incremental_sql(),
         "d6_duplicate_clusters": f"""

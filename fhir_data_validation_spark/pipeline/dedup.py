@@ -332,6 +332,25 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 128, n: int = 3,
                                        for p in range(n_hashes)]).alias("sig"))
 
 
+def _band_buckets(sigs: DataFrame, bands: int) -> DataFrame:
+    """(_id, band, bh) — one row per (doc, band) with the band-slice hash.
+    Shared by within-corpus :func:`lsh_candidates` and the cross-corpus
+    :func:`similarity_join`."""
+    return (sigs.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ":", b,
+                    F.slice(F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"))
+                     .cast("array<string>"))).alias("bh")))).alias("bb"))
+        .select("_id", "bb.band", "bb.bh"))
+
+
 def lsh_candidates(sigs: DataFrame, bands: int = 64,
                    max_bucket_size: int | None = 1000) -> DataFrame:
     """Banded-LSH candidate pairs (id_a, id_b) from equal band hashes.
@@ -346,19 +365,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64,
     collapses at linear cost; handle boilerplate there first. Within a
     clique the pairs lost are mutually-duplicate pairs, not cross-cluster
     ones. None disables the cap."""
-    buckets = (sigs.select(
-        "_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ":", b,
-                    F.slice(F.col("sig"),
-                            b * (F.size("sig") / bands).cast("int") + 1,
-                            (F.size("sig") / bands).cast("int"))
-                     .cast("array<string>"))).alias("bh")))).alias("bb"))
-        .select("_id", "bb.band", "bb.bh"))
+    buckets = _band_buckets(sigs, bands)
     if max_bucket_size is not None:
         buckets = _anti_join_hot_keys(buckets, ["band", "bh"],
                                       max_bucket_size)
@@ -386,6 +393,57 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
         minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh),
         bands, max_bucket_size=max_bucket_size)
     return _verify_jaccard(cands, sh, threshold)
+
+
+def similarity_join(left: DataFrame, right: DataFrame,
+                    threshold: float = 0.6, n: int = 3,
+                    n_hashes: int = 64, bands: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    max_bucket_size: int | None = 1000) -> DataFrame:
+    """Cross-corpus MinHash-LSH similarity join, exact-Jaccard verified:
+    ``(left_id, right_id, jaccard)`` pairs with n-gram Jaccard ≥
+    ``threshold`` between a document of ``left`` and one of ``right`` —
+    the fuzzy join a training pipeline needs to align two corpus versions,
+    match scraped docs against a licensed set, or link noisy records
+    across sources (entity resolution). IDs may collide between the two
+    inputs — the sides never mix.
+
+    100-TB shape: identical to :func:`minhash_dedup` — signatures are one
+    codegen min-agg per side over the shingle postings (shared, seeded
+    ``xxhash64(shingle, perm)`` permutations, so both sides hash into the
+    SAME LSH space); candidates come from an equi-join of the two sides'
+    band buckets (only cross pairs materialize, never within-side pairs);
+    the exact verify touches candidates only. ``max_bucket_size`` caps
+    each side's band buckets independently (a bucket with ``a`` left and
+    ``b`` right docs emits ``a×b`` join rows). At the default 64-hash /
+    32-band split, recall at j ≥ threshold 0.6 is ≈ 1-6e-7 (effectively
+    exact), so emitted pairs = the exact cross-pair set."""
+    sh_l = _materialize(_shingle_table(left, text_col, id_col, n))
+    sh_r = _materialize(_shingle_table(right, text_col, id_col, n))
+    b_l = _band_buckets(
+        minhash_signatures(left, n_hashes, n, shingles=sh_l), bands)
+    b_r = _band_buckets(
+        minhash_signatures(right, n_hashes, n, shingles=sh_r), bands)
+    if max_bucket_size is not None:
+        b_l = _anti_join_hot_keys(b_l, ["band", "bh"], max_bucket_size)
+        b_r = _anti_join_hot_keys(b_r, ["band", "bh"], max_bucket_size)
+    cands = (b_l.alias("a").join(b_r.alias("b"), ["band", "bh"])
+             .select(F.col("a._id").alias("left_id"),
+                     F.col("b._id").alias("right_id"))
+             .distinct())
+    return (cands
+            .join(sh_l.select(F.col("_id").alias("left_id"),
+                              F.col("_sh").alias("sh_a")), "left_id")
+            .join(sh_r.select(F.col("_id").alias("right_id"),
+                              F.col("_sh").alias("sh_b")), "right_id")
+            .withColumn("common",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard",
+                        F.round(F.col("common").cast("double")
+                                / (F.size("sh_a") + F.size("sh_b")
+                                   - F.col("common")), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard"))
 
 
 # ---------------------------------------------------------------- SimHash ---

@@ -736,3 +736,27 @@ def test_char_cross_entropy_flags_gibberish(spark):
     plan = (text.char_cross_entropy(df, ref)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_similarity_join_cross_corpus(spark):
+    """Cross-corpus MinHash-LSH join: exact/near dups across the two sides
+    found with exact Jaccard values, within-side pairs never emitted, id
+    collisions between corpora are fine (sides never mix)."""
+    from fhir_data_validation_spark.pipeline import dedup
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different text about spark and iceberg tables"),
+         (3, "the quick brown fox jumps over the lazy dog today")],  # dup of 1 WITHIN left
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),  # same id as left 1
+         (30, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    out = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in dedup.similarity_join(left, right,
+                                          threshold=0.5).collect()}
+    dedup.unpersist_all()
+    # the within-left (1,3) duplicate pair must NOT appear
+    assert set(out) == {(1, 1), (1, 30), (3, 1), (3, 30)}
+    assert out[(1, 30)] == 1.0 and out[(3, 30)] == 1.0
+    assert 0.5 <= out[(1, 1)] < 1.0
