@@ -16,6 +16,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
 from fhir_data_validation_spark.pipeline import (dedup, multimodal,
@@ -1407,6 +1408,39 @@ def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 lifecycle: metadata-only schema evolution
+    (``PyIcebergTable.add_column``). Batch 1 commits under the original
+    schema; the column is added (zero files rewritten); batch 2 carries
+    it. The current read must surface pre-evolution rows with NULL and
+    post-evolution rows with their value — name-based parquet resolution
+    against the snapshot-pinned schema."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id", "lang", "source"))
+    loc = tempfile.mkdtemp(prefix="fdv_icev_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 150))
+    t.add_column("n_chars", T.LongType())
+    t.append(load_table(spark, sf, "documents")
+             .where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+             .select("doc_id", "lang", "source", "n_chars"))
+    out = (t.read()
+           .select("doc_id", "lang", "source",
+                   # null-sentinel: toPandas() would NaN the nulls and
+                   # break the value compare
+                   F.coalesce(F.col("n_chars"), F.lit(-1))
+                    .alias("n_chars"))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -1696,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_drift": q_c5_drift,
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
         "i2_delete_rows": q_i2_delete_rows,
+        "i3_schema_evolution": q_i3_schema_evolution,
     }
 
 
@@ -2140,6 +2175,14 @@ def oracle_sql() -> dict[str, str]:
         "i1_iceberg_roundtrip": """
             SELECT doc_id, lang, source, n_chars
             FROM documents WHERE doc_id >= 250 AND doc_id < 500
+            ORDER BY doc_id""",
+        # i3: add_column evolution — pre-evolution rows read NULL for the
+        # added column, post-evolution rows carry their value
+        "i3_schema_evolution": """
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id >= 150 THEN n_chars
+                        ELSE -1 END AS n_chars
+            FROM documents WHERE doc_id < 300
             ORDER BY doc_id""",
         # i2: copy-on-write delete — survivors are simply the predicate
         # negation; files_carried = 1 states that batch 1's file (no

@@ -23,10 +23,13 @@ What is real here (all executed in tests):
 * append and overwrite commits with sequence numbers and parent links;
 * small-files compaction (optionally sort-clustered), snapshot expiry
   with storage reclaim, and copy-on-write row-level deletes that rewrite
-  only the files containing matching rows (:meth:`delete_rows`).
+  only the files containing matching rows (:meth:`delete_rows`);
+* metadata-only schema evolution (:meth:`add_column` /
+  :meth:`drop_column`) — snapshots pin their schema-id, so time travel
+  reads each snapshot with the columns it had.
 
 Non-goals (use the real runtime via ``sources/iceberg.py`` on a cluster):
-merge-on-read (position/equality delete files), schema evolution,
+merge-on-read (position/equality delete files), column rename/retype,
 catalogs beyond the path-based Hadoop layout, and concurrent-writer
 commit arbitration (optimistic metadata-version CAS is approximated by
 write-if-absent).
@@ -119,11 +122,19 @@ def _iceberg_schema(schema: T.StructType) -> dict:
 
 # ------------------------------------------------- manifest Avro schemas ----
 
+def _schema_by_id(meta: dict, schema_id: int | None = None) -> dict:
+    """The table's schema dict for ``schema_id`` (default: current) —
+    schema evolution appends new entries to ``schemas``; every reader
+    resolves through here, never ``schemas[0]``."""
+    sid = meta["current-schema-id"] if schema_id is None else schema_id
+    return next(s for s in meta["schemas"] if s["schema-id"] == sid)
+
+
 def _partition_avro_fields(table_meta: dict) -> list[dict]:
     """Avro fields of the r102 partition record for the default spec."""
     spec = table_meta["partition-specs"][0]
     schema_fields = {f["id"]: f
-                     for f in table_meta["schemas"][0]["fields"]}
+                     for f in _schema_by_id(table_meta)["fields"]}
     out = []
     for pf in spec["fields"]:
         src = schema_fields[pf["source-id"]]
@@ -515,6 +526,58 @@ class PyIcebergTable:
         return {"snapshots": len(expired), "manifests": len(dead_manifests),
                 "data_files": len(dead_files)}
 
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """Schema evolution: ADD a nullable column (metadata-only — zero
+        data files touched, the Iceberg ``ALTER TABLE ADD COLUMN``). The
+        new field gets fresh Iceberg field-ids past ``last-column-id``; a
+        new schema entry is appended (old schemas stay for time travel)
+        and becomes current. Files written before the evolution read as
+        NULL for the new column (name-based parquet resolution); snapshots
+        committed before it still time-travel with THEIR schema — the new
+        column does not exist there. Returns the new schema-id."""
+        meta, old_version = self._load_meta_versioned()
+        cur = _schema_by_id(meta)
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        ids = _IdGen(meta["last-column-id"])
+        new_field = {"id": ids.next(), "name": name, "required": False,
+                     "type": _iceberg_type(dtype, ids)}
+        new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append({"type": "struct", "schema-id": new_id,
+                                "fields": cur["fields"] + [new_field]})
+        meta["current-schema-id"] = new_id
+        meta["last-column-id"] = ids.last
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return new_id
+
+    def drop_column(self, name: str) -> int:
+        """Schema evolution: DROP a column (metadata-only — the data files
+        keep the bytes, readers of the new schema just never project
+        them). Partition source columns and the last remaining column
+        cannot be dropped. Pre-drop snapshots still time-travel WITH the
+        column. Returns the new schema-id."""
+        meta, old_version = self._load_meta_versioned()
+        cur = _schema_by_id(meta)
+        field = next((f for f in cur["fields"] if f["name"] == name), None)
+        if field is None:
+            raise ValueError(
+                f"column {name!r} not in schema "
+                f"{[f['name'] for f in cur['fields']]}")
+        if any(pf["source-id"] == field["id"]
+               for pf in meta["partition-specs"][0]["fields"]):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": new_id,
+             "fields": [f for f in cur["fields"] if f["name"] != name]})
+        meta["current-schema-id"] = new_id
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return new_id
+
     def add_files(self, files_dir: str, operation: str = "append") -> int:
         """Register externally-written parquet files into a new snapshot
         WITHOUT copying them — the pure-Python analog of Iceberg's
@@ -578,8 +641,8 @@ class PyIcebergTable:
         manifest_bytes = avro_io.write_container(
             _manifest_schema(meta), entries,
             metadata={
-                "schema": json.dumps(meta["schemas"][0]),
-                "schema-id": "0",
+                "schema": json.dumps(_schema_by_id(meta)),
+                "schema-id": str(meta["current-schema-id"]),
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": "0",
                 "format-version": str(FORMAT_VERSION),
@@ -634,7 +697,7 @@ class PyIcebergTable:
             "summary": {"operation": operation,
                         "added-data-files": str(len(added)),
                         "added-records": str(added_rows)},
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
         }
         if meta["current-snapshot-id"] != -1:
             snap["parent-snapshot-id"] = meta["current-snapshot-id"]
@@ -871,14 +934,25 @@ class PyIcebergTable:
                     f"{sorted(unknown)} (spec: {sorted(spec_cols)})")
         pairs = self._data_files(meta, snapshot_id, partition_filter)
         files = self._stats_skip(pairs, stats_filter)
-        return self._read_files(meta, files)
+        # explicit time travel reads with the SNAPSHOT'S schema (Iceberg
+        # semantics: a pre-evolution snapshot shows its own column set);
+        # a current-state read always uses the CURRENT schema, even when
+        # the last commit predates an evolution
+        sid = (None if snapshot_id is None
+               else self._snapshot(meta, snapshot_id).get("schema-id"))
+        return self._read_files(meta, files, sid)
 
-    def _read_files(self, meta: dict, files: list[str]) -> DataFrame:
+    def _read_files(self, meta: dict, files: list[str],
+                    schema_id: int | None = None) -> DataFrame:
         # pin the reader to the DECLARED table schema: without it Spark
         # infers partition-directory values (source=123 would come back as
         # int, 2024-01-01 as date) and the result type could contradict
-        # schema() — real Iceberg resolves partition values from metadata
-        reader = self.spark.read.schema(_spark_schema(meta["schemas"][0]))
+        # schema() — real Iceberg resolves partition values from metadata.
+        # Name-based parquet resolution makes schema evolution free here:
+        # files older than an add_column read as null, files carrying a
+        # dropped column just skip it.
+        schema = _spark_schema(_schema_by_id(meta, schema_id))
+        reader = self.spark.read.schema(schema)
         if meta["partition-specs"][0]["fields"]:
             reader = reader.option("basePath", f"{self.location}/data")
         if not files:
@@ -887,8 +961,7 @@ class PyIcebergTable:
             # snapshots union cleanly
             return self.spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
-                                  for f in
-                                  _spark_schema(meta["schemas"][0]).fields]))
+                                  for f in schema.fields]))
         return reader.parquet(*files)
 
     def incremental(self, from_snapshot_id: int,
@@ -909,7 +982,11 @@ class PyIcebergTable:
             files += [e["data_file"]["file_path"] for e in entries
                       if e["status"] == 1
                       and (e["sequence_number"] or 0) > from_seq]
-        return self._read_files(meta, files)
+        # explicit to-snapshot pins its schema; reading up to the current
+        # state uses the current schema (same convention as read())
+        sid = (None if to_snapshot_id is None
+               else to_snap.get("schema-id"))
+        return self._read_files(meta, files, sid)
 
     # ----------------------------------------------------------- metadata --
 
@@ -954,7 +1031,7 @@ class PyIcebergTable:
         return sid
 
     def schema(self) -> T.StructType:
-        return _spark_schema(self._load_meta()["schemas"][0])
+        return _spark_schema(_schema_by_id(self._load_meta()))
 
 
 # -------------------------------------------------- MERGE-style lineage ----

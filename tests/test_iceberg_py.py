@@ -811,3 +811,75 @@ def test_compact_sort_by_clusters_for_skip_index(spark, tmp_path):
 def test_compact_sort_by_rejects_partitioned(spark, table):
     with pytest.raises(ValueError, match="unpartitioned"):
         table.compact(sort_by=["n_tok"])
+
+
+# -------------------------------------------------------- schema evolution --
+
+def test_add_column_old_files_read_null(spark, tmp_path):
+    """add_column is metadata-only: pre-evolution files read NULL for the
+    new column, post-evolution appends carry it, and time travel to the
+    pre-evolution snapshot shows the OLD column set."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "ev"), TOKENS_SCHEMA)
+    s1 = t.append(_rows(spark, [("a1", [1], 1, "web")]))
+    files_before = set(t.read().inputFiles())
+
+    sid = t.add_column("quality", T.DoubleType())
+    assert sid == 1
+    assert "quality" in t.schema().fieldNames()
+    # zero data files touched
+    assert set(t.read().inputFiles()) == files_before
+    assert [r["quality"] for r in t.read().collect()] == [None]
+
+    df2 = spark.createDataFrame([("b1", [2], 1, "web", 0.9)],
+                                t.schema())
+    t.append(df2)
+    got = {r["doc_id"]: r["quality"] for r in t.read().collect()}
+    assert got == {"a1": None, "b1": 0.9}
+    # the pre-evolution snapshot still reads with ITS schema
+    old = t.read(s1)
+    assert "quality" not in old.columns
+    assert [r["doc_id"] for r in old.collect()] == ["a1"]
+    # rejections
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("quality", T.DoubleType())
+
+
+def test_drop_column_time_travel_keeps_it(spark, tmp_path):
+    """drop_column hides the column from the current schema only;
+    pre-drop snapshots still show it; partition/last-column drops are
+    rejected."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "dr"), TOKENS_SCHEMA,
+                              partition_by="source")
+    s1 = t.append(_rows(spark, [("a1", [1], 1, "web")]))
+    t.drop_column("n_tok")
+    assert "n_tok" not in t.schema().fieldNames()
+    assert "n_tok" not in t.read().columns
+    assert [r["doc_id"] for r in t.read().collect()] == ["a1"]
+    # time travel to the pre-drop snapshot still projects n_tok
+    assert [r["n_tok"] for r in t.read(s1).collect()] == [1]
+    # appends after the drop just don't carry the column
+    t.append(t.read().where(F.col("doc_id") == "a1")
+             .withColumn("doc_id", F.lit("a2")))
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a1", "a2"]
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("source")
+    with pytest.raises(ValueError, match="not in schema"):
+        t.drop_column("nope")
+
+
+def test_incremental_and_delete_after_evolution(spark, tmp_path):
+    """The changelog and COW delete keep working across an evolution:
+    incremental() between snapshots straddling an add_column reads with
+    the TO-snapshot's schema; delete_rows rewrites evolved files fine."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "ev2"), TOKENS_SCHEMA)
+    s1 = t.append(_rows(spark, [("a1", [1], 1, "web")]))
+    t.add_column("quality", T.DoubleType())
+    t.append(spark.createDataFrame([("b1", [2], 2, "web", 0.9),
+                                    ("b2", [3], 3, "web", 0.1)],
+                                   t.schema()))
+    delta = t.incremental(s1)
+    assert {r["doc_id"]: r["quality"] for r in delta.collect()} == \
+        {"b1": 0.9, "b2": 0.1}
+    res = t.delete_rows("quality < 0.5")
+    assert res["rows_deleted"] == 1
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a1", "b1"]
