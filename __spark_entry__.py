@@ -1408,6 +1408,35 @@ def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i4_merge_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 lifecycle: copy-on-write MERGE upsert
+    (``PyIcebergTable.merge_rows``). Two one-file appends; a batch keyed
+    on doc_id updates every row of the second file and inserts new keys —
+    the first file must be carried untouched (files_carried=1 in the
+    oracle), matched rows replaced, inserts appended."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icemg_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 100).coalesce(1))
+    t.append(docs.where((F.col("doc_id") >= 100)
+                        & (F.col("doc_id") < 200)).coalesce(1))
+    upd = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+           .withColumn("n_chars", F.col("n_chars") + 1000))
+    res = t.merge_rows(upd, key="doc_id")
+    out = (t.read()
+           .select("doc_id", "lang", "source", "n_chars")
+           .withColumn("files_carried", F.lit(res["files_carried"]))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """S1 lifecycle: metadata-only schema evolution
     (``PyIcebergTable.add_column``). Batch 1 commits under the original
@@ -1731,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
         "i2_delete_rows": q_i2_delete_rows,
         "i3_schema_evolution": q_i3_schema_evolution,
+        "i4_merge_rows": q_i4_merge_rows,
     }
 
 
@@ -2182,6 +2212,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source,
                    CASE WHEN doc_id >= 150 THEN n_chars
                         ELSE -1 END AS n_chars
+            FROM documents WHERE doc_id < 300
+            ORDER BY doc_id""",
+        # i4: COW merge — rows <100 untouched (their file carried:
+        # files_carried=1), 100-199 updated in place, 200-299 inserted
+        "i4_merge_rows": """
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id >= 100 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars,
+                   1 AS files_carried
             FROM documents WHERE doc_id < 300
             ORDER BY doc_id""",
         # i2: copy-on-write delete — survivors are simply the predicate

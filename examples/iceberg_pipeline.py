@@ -9,7 +9,9 @@ Walks the full north-star loop with the pure-Python Iceberg v2 layer:
 3. DELTA validation of only the data appended after snapshot 1;
 4. continuous validation with SnapshotMonitor (poll → delta → validate);
 5. metadata: snapshots view, files view, partition-pruned + bounds-pruned
-   reads.
+   reads;
+6. table lifecycle: copy-on-write row-level delete (takedown), schema
+   evolution (add_column), sort-clustered compaction, snapshot expiry.
 
 On a cluster the same code runs via
 ``spark-submit --py-files dist/fhir_data_validation_spark.zip
@@ -91,6 +93,27 @@ def main() -> None:
     long_docs = (table.read(stats_filter={"n_tok": (100, None)})
                  .where(F.col("n_tok") >= 100))
     print(f"bounds-pruned n_tok>=100: {long_docs.count()} rows")
+
+    # -- 6. lifecycle: takedown delete, evolution, clustering, expiry -------
+    res = table.delete_rows("n_tok > 200")
+    print(f"takedown delete: rewrote {res['files_rewritten']} files, "
+          f"carried {res['files_carried']}, "
+          f"removed {res['rows_deleted']} rows")
+    from pyspark.sql import types as T
+    table.add_column("quality", T.DoubleType())
+    print(f"evolved schema: {table.schema().simpleString()} "
+          f"(old rows read quality=NULL, zero files rewritten)")
+    flat = PyIcebergTable.create(spark, f"{root}/tokens_flat",
+                                 table.read().schema)
+    flat.append(table.read())
+    flat.compact(target_files=4, sort_by=["n_tok"])
+    pruned = flat.read(stats_filter={"n_tok": (150, None)})
+    print(f"sort-clustered compact: stats_filter opens "
+          f"{len(pruned.inputFiles())} of "
+          f"{len(flat.read().inputFiles())} files")
+    gone = table.expire_snapshots(keep_last=2)
+    print(f"expired {gone['snapshots']} snapshots, "
+          f"reclaimed {gone['data_files']} data files")
     spark.stop()
 
 

@@ -343,51 +343,139 @@ class PyIcebergTable:
         meta, old_version = self._load_meta_versioned()
         pred = F.expr(predicate)
         live = self._live_entries(meta, None)
-        pairs = [(e["data_file"]["file_path"], sid) for e, sid in live]
-        candidates = set(self._stats_skip(pairs, stats_filter))
-
-        # probe: which candidate files actually contain matching rows?
-        # ONE filter-pushed scan over candidates; emits (file, match count).
-        # input_file_name() returns a percent-encoded qualified URI while
-        # manifest paths are plain — key both sides by the last two path
-        # segments (unique: every commit prefixes a fresh uuid), the same
-        # convention _manifest_entries uses
-        def _fkey(p: str) -> str:
-            return "/".join(p.rsplit("/", 2)[-2:])
-        probe = (self._read_files(meta, sorted(candidates))
-                 .where(pred)
-                 .groupBy(F.input_file_name().alias("f"))
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .collect()) if candidates else []
-        hit_keys = {_fkey(_url_decode(r["f"])): r["n"] for r in probe}
-        affected = {p: hit_keys[_fkey(p)] for p in candidates
-                    if _fkey(p) in hit_keys}
+        candidates = self._cow_candidates(meta, live, stats_filter)
+        affected = self._probe_affected(meta, candidates,
+                                        lambda df: df.where(pred))
         if not affected:
             return {"snapshot_id": meta["current-snapshot-id"],
                     "files_rewritten": 0, "files_carried": len(live),
                     "rows_deleted": 0}
-        rows_deleted = sum(affected.values())
+        survivors = self._read_files(meta, sorted(affected)).where(~pred)
+        new_sid, n_carried = self._cow_commit(meta, old_version, live,
+                                              affected, survivors, "delete")
+        return {"snapshot_id": new_sid, "files_rewritten": len(affected),
+                "files_carried": n_carried,
+                "rows_deleted": sum(affected.values())}
 
+    def merge_rows(self, updates: DataFrame, key: str | list[str],
+                   stats_filter: dict[str, tuple] | None = None,
+                   null_safe: bool = False) -> dict:
+        """Copy-on-write MERGE (upsert): every table row whose ``key``
+        matches a row of ``updates`` is REPLACED by the update rows for
+        that key; update keys absent from the table INSERT — Iceberg's
+        ``MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``
+        for whole rows. Only files actually containing matched keys are
+        rewritten; every other live file is carried untouched, so the IO
+        cost is O(matched files + updates), never O(table) — the way a
+        10^12-row lineage/metrics table absorbs a batch of marker upserts.
+
+        ``updates`` must carry the table's current columns (missing ones
+        raise). ``stats_filter`` optionally prunes probe candidates at
+        planning time via the skip index (pass the key range of the
+        batch). ``null_safe=True`` matches keys with NULL-equals-NULL
+        semantics (eqNullSafe — needed when a key part is nullable, e.g.
+        the lineage table's rule_id). Returns ``{"snapshot_id",
+        "files_rewritten", "files_carried", "rows_replaced",
+        "rows_written"}``."""
+        meta, old_version = self._load_meta_versioned()
+        keys = [key] if isinstance(key, str) else list(key)
+        table_cols = self.schema().fieldNames()
+        missing = [c for c in table_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(f"updates missing table columns {missing}")
+        for k in keys:
+            if k not in table_cols:
+                raise ValueError(f"key column {k!r} not in table schema "
+                                 f"{table_cols}")
+        updates = updates.select(*table_cols)
+        key_df = updates.select(*keys).dropDuplicates(keys)
+
+        def _key_cond(left, right):
+            cond = None
+            for k in keys:
+                e = (left[k].eqNullSafe(right[k]) if null_safe
+                     else left[k] == right[k])
+                cond = e if cond is None else cond & e
+            return cond
+
+        live = self._live_entries(meta, None)
+        candidates = self._cow_candidates(meta, live, stats_filter)
+        affected = self._probe_affected(
+            meta, candidates,
+            lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"))
+        scan = self._read_files(meta, sorted(affected))
+        survivors = (scan
+                     .join(key_df, _key_cond(scan, key_df), "left_anti")
+                     .unionByName(updates))
+        new_sid, n_carried = self._cow_commit(meta, old_version, live,
+                                              affected, survivors, "merge",
+                                              extra_tasks=1)
+        return {"snapshot_id": new_sid, "files_rewritten": len(affected),
+                "files_carried": n_carried,
+                "rows_replaced": sum(affected.values()),
+                "rows_written": updates.count()}
+
+    # ----------------------------------------- copy-on-write rewrite core --
+
+    @staticmethod
+    def _fkey(p: str) -> str:
+        # input_file_name() returns a percent-encoded qualified URI while
+        # manifest paths are plain — key both sides by the last two path
+        # segments (unique: every commit prefixes a fresh uuid), the same
+        # convention _manifest_entries uses
+        return "/".join(p.rsplit("/", 2)[-2:])
+
+    def _cow_candidates(self, meta: dict, live: list,
+                        stats_filter: dict[str, tuple] | None) -> set[str]:
+        pairs = [(e["data_file"]["file_path"], sid) for e, sid in live]
+        return set(self._stats_skip(pairs, stats_filter))
+
+    def _probe_affected(self, meta: dict, candidates: set[str],
+                        match_fn) -> dict[str, int]:
+        """{file path: matching row count} — which candidate files contain
+        rows selected by ``match_fn`` (ONE filter-pushed scan)."""
+        if not candidates:
+            return {}
+        # capture the file name AT THE SCAN, before match_fn: a shuffled
+        # join inside match_fn would otherwise evaluate input_file_name()
+        # post-exchange, where it returns ""
+        scan = (self._read_files(meta, sorted(candidates))
+                .withColumn("_probe_file", F.input_file_name()))
+        probe = (match_fn(scan)
+                 .groupBy(F.col("_probe_file").alias("f"))
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .collect())
+        hit = {self._fkey(_url_decode(r["f"])): r["n"] for r in probe}
+        return {p: hit[self._fkey(p)] for p in candidates
+                if self._fkey(p) in hit}
+
+    def _cow_commit(self, meta: dict, old_version: int, live: list,
+                    affected: dict[str, int], replacement: DataFrame,
+                    operation: str, extra_tasks: int = 0
+                    ) -> tuple[int, int]:
+        """Write ``replacement`` as new data files, carry every live file
+        NOT in ``affected`` as an EXISTING manifest entry (original
+        sequence numbers + skip-index bounds), commit. Returns
+        (snapshot_id, files_carried)."""
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         spec_fields = meta["partition-specs"][0]["fields"]
         part_col = spec_fields[0]["name"] if spec_fields else None
 
-        # rewrite ONLY the affected files, minus the matching rows; never
-        # increase the file count (survivors ≤ affected write tasks)
-        survivors = self._read_files(meta, sorted(affected)).where(~pred)
-        n = min(len(affected),
-                self.spark.sparkContext.defaultParallelism)
-        survivors = (survivors.repartition(n, part_col) if part_col
-                     else survivors.repartition(n))
+        # never increase the file count: replacement ≤ affected (+extra
+        # for inserts) write tasks
+        n = max(1, min(len(affected) + extra_tasks,
+                       self.spark.sparkContext.defaultParallelism))
+        replacement = (replacement.repartition(n, part_col) if part_col
+                       else replacement.repartition(n))
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
-        writer = survivors.write
+        writer = replacement.write
         if part_col:
             writer = writer.partitionBy(part_col)
         writer.parquet(tmp_dir)
         new_entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
                                              part_col, self.schema())
-        # a fully-deleted file leaves an empty survivor part — don't
+        # a fully-deleted file leaves an empty replacement part — don't
         # register it (it dies with the staging dir)
         new_entries = [e for e in new_entries
                        if e["data_file"]["record_count"] > 0]
@@ -398,7 +486,7 @@ class PyIcebergTable:
         # their recorded bounds (the new snapshot's skip index must keep
         # covering them)
         old_bounds: dict[str, dict] = {}
-        for sid in {s for _, s in pairs}:
+        for sid in {s for _, s in live}:
             p = f"{self._meta_dir}/skipidx-{sid}.json"
             if _exists(self.spark, p):
                 old_bounds.update(json.loads(
@@ -411,10 +499,9 @@ class PyIcebergTable:
             carried.append({**e, "status": 0,
                             "_bounds": old_bounds.get(path, {})})
         new_sid = self._commit_entries(meta, old_version,
-                                       carried + new_entries, "delete",
+                                       carried + new_entries, operation,
                                        snapshot_id, seq)
-        return {"snapshot_id": new_sid, "files_rewritten": len(affected),
-                "files_carried": len(carried), "rows_deleted": rows_deleted}
+        return new_sid, len(carried)
 
     def compact(self, target_files: int | None = None,
                 sort_by: list[str] | None = None) -> int:
@@ -1043,11 +1130,12 @@ class PyIcebergLineageStore:
     metrics), runnable without the Iceberg runtime jar.
 
     ``append`` is an upsert keyed ``(run_id, partition_key, rule_id)``
-    implemented the way copy-on-write MERGE works under the hood: current
-    rows matching an incoming key are anti-joined away, the union is
-    committed as an overwrite snapshot. Re-running an interrupted batch
-    *updates* its marker rows instead of duplicating them, and every
-    lineage state remains time-travelable by snapshot id."""
+    via :meth:`PyIcebergTable.merge_rows` — copy-on-write MERGE that
+    rewrites ONLY the files containing matched keys and carries the rest,
+    so a batch of marker upserts costs O(matched files + batch), never
+    O(lineage table). Re-running an interrupted batch *updates* its
+    marker rows instead of duplicating them, and every lineage state
+    remains time-travelable by snapshot id."""
 
     def __init__(self, location: str):
         self.location = location
@@ -1076,13 +1164,14 @@ class PyIcebergLineageStore:
     def append(self, spark: SparkSession, records: list[tuple]) -> None:
         from ..lineage import LINEAGE_SCHEMA
         src = spark.createDataFrame(records, LINEAGE_SCHEMA)
-        cur = self.read(spark)
-        keys = src.select("run_id", "partition_key", "rule_id").distinct()
-        cond = ((cur["run_id"] == keys["run_id"])
-                & (cur["partition_key"] == keys["partition_key"])
-                & cur["rule_id"].eqNullSafe(keys["rule_id"]))
-        keep = cur.join(keys, cond, "left_anti")
-        self._table(spark).overwrite(keep.unionByName(src))
+        t = self._table(spark)
+        try:
+            t.current_snapshot_id()
+        except ValueError:                  # first batch: plain append
+            t.append(src)
+            return
+        t.merge_rows(src, key=["run_id", "partition_key", "rule_id"],
+                     null_safe=True)
 
     def metrics(self, spark: SparkSession, run_id: str) -> DataFrame:
         return self.read(spark).where(F.col("run_id") == run_id)

@@ -883,3 +883,75 @@ def test_incremental_and_delete_after_evolution(spark, tmp_path):
     res = t.delete_rows("quality < 0.5")
     assert res["rows_deleted"] == 1
     assert sorted(r["doc_id"] for r in t.read().collect()) == ["a1", "b1"]
+
+
+# ------------------------------------------------------- merge (COW upsert) --
+
+def test_merge_rows_updates_and_inserts(spark, tmp_path):
+    """COW MERGE: matched keys replaced in-place (only their files
+    rewrite), unmatched update keys insert, untouched files carry."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "mg"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 1, "web"),
+                           ("a2", [2], 2, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [3], 3, "book")]).coalesce(1))
+    before = set(t.read().inputFiles())
+
+    upd = _rows(spark, [("a2", [9, 9], 2, "web"),     # update
+                        ("c1", [7], 1, "wiki")])      # insert
+    res = t.merge_rows(upd, key="doc_id")
+    assert res["files_rewritten"] == 1      # only a's file held a2
+    assert res["files_carried"] == 1        # b's file untouched
+    assert res["rows_replaced"] == 1 and res["rows_written"] == 2
+    got = {r["doc_id"]: (r["tokens"], r["source"])
+           for r in t.read().collect()}
+    assert got == {"a1": ([1], "web"), "a2": ([9, 9], "web"),
+                   "b1": ([3], "book"), "c1": ([7], "wiki")}
+    # the carried file is byte-identical
+    assert len(before & set(t.read().inputFiles())) == 1
+    # re-merging the same batch is idempotent on values
+    res2 = t.merge_rows(upd, key="doc_id")
+    assert res2["rows_replaced"] == 2       # both keys now present
+    assert t.read().count() == 4
+
+
+def test_merge_rows_rejects_bad_updates(spark, tmp_path):
+    t = PyIcebergTable.create(spark, str(tmp_path / "mg2"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 1, "web")]))
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge_rows(t.read().drop("n_tok"), key="doc_id")
+    with pytest.raises(ValueError, match="key column"):
+        t.merge_rows(t.read(), key="nope")
+
+
+def test_merge_rows_composite_key_partitioned(spark, tmp_path):
+    """Composite merge key on a partitioned table: the other partition's
+    file is carried; partition layout survives."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "mg3"), TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("a1", [1], 1, "web"),
+                           ("b1", [2], 2, "book")]))
+    res = t.merge_rows(_rows(spark, [("a1", [5], 1, "web")]),
+                       key=["doc_id", "source"])
+    assert res["rows_replaced"] == 1
+    got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got == {"a1": [5], "b1": [2]}
+    assert [r["doc_id"] for r in
+            t.read(partition_filter={"source": "book"}).collect()] == ["b1"]
+
+
+def test_merge_rows_null_safe_key(spark, tmp_path):
+    """null_safe=True matches NULL key parts (eqNullSafe): re-merging a
+    row keyed with a NULL component updates it instead of duplicating —
+    the lineage-table contract."""
+    schema = T.StructType([
+        T.StructField("k1", T.StringType(), True),
+        T.StructField("k2", T.StringType(), True),
+        T.StructField("v", T.LongType(), True)])
+    t = PyIcebergTable.create(spark, str(tmp_path / "ns"), schema)
+    t.append(spark.createDataFrame([("a", None, 1), ("b", "x", 2)], schema))
+    upd = spark.createDataFrame([("a", None, 10)], schema)
+    # default join semantics: NULL never matches -> would duplicate
+    res = t.merge_rows(upd, key=["k1", "k2"], null_safe=True)
+    assert res["rows_replaced"] == 1
+    got = {(r["k1"], r["k2"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", None): 10, ("b", "x"): 2}
