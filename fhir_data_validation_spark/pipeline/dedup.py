@@ -292,15 +292,32 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
     return _verify_jaccard(cands, sh, threshold)
 
 
-def _verify_jaccard(cands: DataFrame, sh: DataFrame,
-                    threshold: float) -> DataFrame:
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float,
+                    sh_b: DataFrame | None = None,
+                    a: str = "id_a", b: str = "id_b") -> DataFrame:
     """Exact Jaccard over candidate pairs: join the two full shingle sets,
-    one ``array_intersect`` per pair — O(candidates), no posting blowup."""
-    return (cands
-            .join(sh.select(F.col("_id").alias("id_a"),
-                            F.col("_sh").alias("sh_a")), "id_a")
-            .join(sh.select(F.col("_id").alias("id_b"),
-                            F.col("_sh").alias("sh_b")), "id_b")
+    one ``array_intersect`` per pair — O(candidates), no posting blowup.
+
+    A size-ratio prefilter runs first: ``|A∩B| ≤ min(|A|,|B|)`` gives
+    ``J ≤ min/max``, so any pair with ``min < threshold·max`` is provably
+    below threshold and never reaches the wide set joins — the size join
+    carries one long per side, pruning the candidate set (typically the
+    bulk, boilerplate-overlap pairs) at a fraction of the verify cost.
+    Emitted values stay EXACT. ``sh_b`` switches to cross-corpus mode
+    (``a``-side ids resolve in ``sh``, ``b``-side in ``sh_b``)."""
+    right = sh_b if sh_b is not None else sh
+    sizes_a = sh.select(F.col("_id").alias(a), F.size("_sh").alias("_na"))
+    sizes_b = right.select(F.col("_id").alias(b),
+                           F.size("_sh").alias("_nb"))
+    pruned = (cands.join(sizes_a, a).join(sizes_b, b)
+              .where(F.least("_na", "_nb").cast("double")
+                     >= F.lit(threshold) * F.greatest("_na", "_nb"))
+              .select(a, b))
+    return (pruned
+            .join(sh.select(F.col("_id").alias(a),
+                            F.col("_sh").alias("sh_a")), a)
+            .join(right.select(F.col("_id").alias(b),
+                               F.col("_sh").alias("sh_b")), b)
             .withColumn("common",
                         F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("jaccard",
@@ -308,7 +325,7 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame,
                                 / (F.size("sh_a") + F.size("sh_b")
                                    - F.col("common")), 4))
             .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .select(a, b, "jaccard"))
 
 
 # ----------------------------------------------------------- MinHash+LSH ----
@@ -431,19 +448,8 @@ def similarity_join(left: DataFrame, right: DataFrame,
              .select(F.col("a._id").alias("left_id"),
                      F.col("b._id").alias("right_id"))
              .distinct())
-    return (cands
-            .join(sh_l.select(F.col("_id").alias("left_id"),
-                              F.col("_sh").alias("sh_a")), "left_id")
-            .join(sh_r.select(F.col("_id").alias("right_id"),
-                              F.col("_sh").alias("sh_b")), "right_id")
-            .withColumn("common",
-                        F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn("jaccard",
-                        F.round(F.col("common").cast("double")
-                                / (F.size("sh_a") + F.size("sh_b")
-                                   - F.col("common")), 4))
-            .where(F.col("jaccard") >= threshold)
-            .select("left_id", "right_id", "jaccard"))
+    return _verify_jaccard(cands, sh_l, threshold, sh_b=sh_r,
+                           a="left_id", b="right_id")
 
 
 # ---------------------------------------------------------------- SimHash ---

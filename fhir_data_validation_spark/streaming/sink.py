@@ -1,0 +1,76 @@
+"""Structured-Streaming sink into a :class:`~..sources.iceberg_py.
+PyIcebergTable` — the write half of the continuous loop whose read half
+is :class:`.SnapshotMonitor`:
+
+    stream → ``foreachBatch`` append snapshots → snapshot log →
+    monitor poll → delta validation
+
+Each micro-batch commits ONE append snapshot, so the snapshot log doubles
+as the stream's batch history (time-travel to any batch boundary,
+``incremental()`` between any two). Exactly-once: Spark's ``foreachBatch``
+re-runs a batch after a failure with the SAME ``epoch_id`` — the sink
+records the last committed epoch per query name in a sidecar next to the
+table metadata and skips replays, so a crash between the table commit and
+the checkpoint advance cannot double-append.
+
+At cluster scale the same code runs unchanged — the sink only uses the
+driver-side ``foreachBatch`` hook plus the table's normal append path
+(executors write the parquet; the driver commits the manifest).
+
+Cite: the reference validates one immutable bundle per request
+(``Core/ValidationPipeline.cs:486-604``); this keeps the bundles flowing
+in from a stream with that contract intact per micro-batch.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from ..fsutil import exists, read_bytes, write_bytes
+from ..sources.iceberg_py import PyIcebergTable
+
+
+class IcebergStreamSink:
+    """``foreachBatch`` callable committing each micro-batch as an append
+    snapshot, idempotent per ``(name, epoch_id)``.
+
+    ``name`` scopes the replay guard — two different streaming queries
+    appending to the same table must use distinct names (one shared name
+    would make them skip each other's epochs)."""
+
+    def __init__(self, table: PyIcebergTable, name: str = "sink"):
+        self.table = table
+        self.name = name
+        self._guard = f"{table.location}/metadata/sink-{name}.json"
+
+    def last_epoch(self) -> int:
+        if exists(self.table.spark, self._guard):
+            return json.loads(read_bytes(
+                self.table.spark, self._guard).decode())["epoch"]
+        return -1
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self.last_epoch():       # checkpoint replay
+            return
+        self.table.append(batch_df)
+        write_bytes(self.table.spark, self._guard,
+                    json.dumps({"epoch": int(epoch_id)}).encode())
+
+
+def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
+                          checkpoint_dir: str, name: str = "sink",
+                          available_now: bool = True):
+    """Start a streaming query appending ``stream_df`` into ``table`` —
+    one append snapshot per micro-batch, replay-safe (see
+    :class:`IcebergStreamSink`). ``available_now=True`` drains the
+    source's current backlog and stops (the batch-ingest pattern);
+    ``False`` runs continuously. Returns the ``StreamingQuery``."""
+    writer = (stream_df.writeStream
+              .foreachBatch(IcebergStreamSink(table, name))
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName(f"iceberg-{name}"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -385,3 +385,64 @@ def test_stateful_running_totals_tws(spark, tmp_path):
     assert {k: v["rows_total"] for k, v in final.items()} == want_rows
     assert sum(v["violations_total"] for v in final.values()) == 20
     assert max(v["batches_seen"] for v in final.values()) >= 2
+
+
+def test_iceberg_stream_sink_and_monitor_loop(spark, tmp_path):
+    """The continuous loop end-to-end: a file-source stream appends into
+    a PyIcebergTable via foreachBatch (one snapshot per micro-batch,
+    replay-guarded), and SnapshotMonitor validates exactly the appended
+    delta."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import (IcebergStreamSink,
+                                                      SnapshotMonitor,
+                                                      write_stream_to_table)
+
+    src = str(tmp_path / "in")
+    batch1 = spark.createDataFrame(
+        [("d1", 3, "web"), ("d2", 0, "web")],   # d2 violates n_tok >= 1
+        "doc_id string, n_tok int, source string")
+    batch1.write.parquet(src)
+
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"),
+                                  batch1.schema)
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    monitor = SnapshotMonitor(table, engine,
+                              from_snapshot=SnapshotMonitor.GENESIS)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = write_stream_to_table(stream, table,
+                              str(tmp_path / "ckpt"), name="t")
+    q.awaitTermination(120)
+    assert table.read().count() == 2
+    sid, res = monitor.poll_once()
+    assert res.violations.count() == 1
+
+    # second file -> second micro-batch -> ONE new snapshot; the monitor
+    # sees only the delta
+    spark.createDataFrame([("d3", 5, "web")], batch1.schema) \
+        .write.mode("append").parquet(src)
+    q2 = write_stream_to_table(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        table, str(tmp_path / "ckpt"), name="t")
+    q2.awaitTermination(120)
+    ops = [r["operation"] for r in table.snapshots().collect()]
+    assert ops == ["append", "append"]
+    sid2, res2 = monitor.poll_once()
+    assert sid2 != sid
+    assert res2.violations.count() == 0         # d3 is clean
+
+    # replay guard: re-invoking the sink with an already-committed epoch
+    # must not double-append
+    sink = IcebergStreamSink(table, name="t")
+    last = sink.last_epoch()
+    sink(batch1, last)                           # replayed epoch: skipped
+    assert table.read().count() == 3
+    sink(spark.createDataFrame([("d4", 9, "web")], batch1.schema),
+         last + 1)                               # genuinely new epoch
+    assert table.read().count() == 4
