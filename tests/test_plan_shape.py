@@ -279,3 +279,34 @@ def test_parquet_filter_pushdown(spark, corpus):
     s = explain_str(corpus.where(F.col("n_tok") > 100).select("doc_id"))
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
     assert pushed and "GreaterThan(n_tok,100)" in pushed[0]
+
+def test_monotonic_single_exchange_window(spark, corpus):
+    """Monotonic: per-key ordered semantics cost exactly ONE Exchange (the
+    key co-location) followed by one Window — no self-join, no second
+    shuffle of the data."""
+    from fhir_data_validation_spark.model import RuleSet
+    rs = RuleSet.parse({"rules": [
+        {"id": "M-1", "type": "Monotonic", "column": "n_tok",
+         "params": {"keyColumn": "source", "orderBy": "doc_id"}}]})
+    v = ValidationEngine(rs).validate(corpus).violations
+    import re
+    s = explain_str(v)
+    assert "Window" in s
+    # the whole plan holds exactly ONE exchange (unique node ids — the
+    # formatted details section repeats each node): the key co-location
+    # shuffle feeding the window; no join, no second data shuffle
+    assert len(set(re.findall(r"Exchange \((\d+)\)", s))) == 1
+    assert "Join" not in s
+
+
+def test_functional_dependency_partial_distinct_agg(spark, corpus):
+    """FunctionalDependency: Spark's two-phase distinct aggregation with
+    map-side partial min/max/count — no join, no window, no third pass."""
+    from fhir_data_validation_spark.model import RuleSet
+    rs = RuleSet.parse({"rules": [
+        {"id": "FD-1", "type": "FunctionalDependency", "column": "source",
+         "params": {"determinants": ["n_tok"]}}]})
+    v = ValidationEngine(rs).validate(corpus).violations
+    s = explain_str(v)
+    assert "partial_min" in s and "partial_count" in s
+    assert "Join" not in s and "Window" not in s
