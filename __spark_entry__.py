@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
-from fhir_data_validation_spark.pipeline import (dedup, multimodal,
+from fhir_data_validation_spark.pipeline import (cleaning, dedup, multimodal,
                                                  similarity, text)
 from fhir_data_validation_spark.sources.tables import load_table
 
@@ -555,6 +555,26 @@ def q_d6_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
     cluster convention."""
     pairs = dedup.jaccard_pairs(_seeded_docs(spark, sf), threshold=0.6)
     out = dedup.duplicate_clusters(pairs)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("cluster").cast("long").alias("cluster"),
+                       "keep")
+            .orderBy("doc_id"))
+
+
+def q_d6b_keep_best_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best duplicate clustering (dedup.duplicate_clusters with a
+    quality frame): same connected components as d6, but each cluster
+    keeps its highest-quality member (ties → min id) instead of the min
+    id. Quality is the deterministic ``doc_id % 7`` so seeded copies rank
+    differently from their originals and the election genuinely flips
+    winners. Oracle: recursive transitive closure + the same two-stage
+    arg-max in SQL."""
+    seeded = _seeded_docs(spark, sf)
+    pairs = dedup.jaccard_pairs(seeded, threshold=0.6)
+    quality = seeded.select("doc_id",
+                            (F.col("doc_id") % 7).cast("double")
+                            .alias("quality"))
+    out = dedup.duplicate_clusters(pairs, quality=quality)
     return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.col("cluster").cast("long").alias("cluster"),
                        "keep")
@@ -1255,6 +1275,32 @@ def q_x3_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# markup wrapper for x9 — brace-free (the oracle dict is an f-string) and
+# single-quote-free (it embeds in a SQL literal); entities exercise the
+# decode order (&amp; last) and &amp;lt; must survive as &lt;
+_HTML_PRE = ('<html><head><style>p.x:1;</style>'
+             '<script>var a = "<b>1</b>";</script ></head>'
+             '<body><!-- nav\nbar --><h1>T &amp; U</h1><p>')
+_HTML_POST = '</p>&nbsp;1 &lt; 2 &amp;lt;raw<br/></body></html>'
+
+
+def q_x9_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style markup stripping (pipeline/cleaning.strip_markup): every
+    document wrapped in a deterministic HTML shell (script/style blocks,
+    a comment, tags, the six common entities), then stripped back to prose
+    in one codegen projection. The oracle wraps identically and applies the
+    IDENTICAL Java∩RE2 expression chain in DuckDB; clean_md5 value-checks
+    the full recovered text, n_clean its length."""
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return (docs.select("doc_id",
+                        cleaning.strip_markup(html).alias("_c"))
+            .select("doc_id",
+                    F.md5(F.col("_c").cast("binary")).alias("clean_md5"),
+                    F.length("_c").cast("long").alias("n_clean"))
+            .orderBy("doc_id"))
+
+
 def q_x4_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document boilerplate removal (pipeline/cleaning.py): a footer
     line injected into every third document (plus any naturally recurring
@@ -1709,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d4_simhash": q_d4_simhash,
         "d6_duplicate_clusters": q_d6_duplicate_clusters,
+        "d6b_keep_best_clusters": q_d6b_keep_best_clusters,
         "d7_incremental_dedup": q_d7_incremental_dedup,
         "d8_incremental_simhash": q_d8_incremental_simhash,
         "d5_embedding_neardup": q_d5_embedding_neardup,
@@ -1738,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
+        "x9_strip_markup": q_x9_strip_markup,
         "x4_boilerplate": q_x4_boilerplate,
         "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
         "x6_token_span_dedup": q_x6_token_span_dedup,
@@ -2147,6 +2195,35 @@ def oracle_sql() -> dict[str, str]:
                    least(id, min(reach)) AS cluster,
                    id = least(id, min(reach)) AS keep
             FROM walk GROUP BY id ORDER BY doc_id""",
+        # d6b: same components, keep-best election (quality = doc_id % 7,
+        # ties -> min id)
+        "d6b_keep_best_clusters": f"""
+            WITH RECURSIVE p AS (
+              {_JACCARD_SQL}
+              WHERE jaccard >= 0.6),
+            e AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT w.id, e.d FROM walk w JOIN e ON w.reach = e.s),
+            lab AS (
+              SELECT id AS doc_id, least(id, min(reach)) AS cluster
+              FROM walk GROUP BY id),
+            q AS (
+              SELECT doc_id, CAST(doc_id % 7 AS DOUBLE) AS qv FROM lab),
+            best AS (
+              SELECT l.cluster, max(q.qv) AS mq
+              FROM lab l JOIN q USING (doc_id) GROUP BY l.cluster),
+            win AS (
+              SELECT l.cluster, min(l.doc_id) AS w
+              FROM lab l JOIN q USING (doc_id)
+              JOIN best b ON l.cluster = b.cluster AND q.qv = b.mq
+              GROUP BY l.cluster)
+            SELECT l.doc_id, l.cluster, l.doc_id = w.w AS keep
+            FROM lab l JOIN win w ON l.cluster = w.cluster
+            ORDER BY l.doc_id""",
         "d3_minhash_lsh": f"""
             {_JACCARD_SQL}
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
@@ -3136,6 +3213,31 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines,
                    agg.n_kept, md5(agg.clean) AS clean_md5
             FROM l JOIN agg USING (doc_id) ORDER BY doc_id""",
+        # x9: identical Java∩RE2 strip chain over the identically wrapped
+        # documents (script/style -> comment -> tags -> six entities with
+        # &amp; last -> whitespace collapse -> trim)
+        "x9_strip_markup": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     '{_HTML_PRE}' || text || '{_HTML_POST}' AS html
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                             '{cleaning._MARKUP_SCRIPT}', ' ', 'g'),
+                           '{cleaning._MARKUP_STYLE}', ' ', 'g'),
+                         '{cleaning._MARKUP_COMMENT}', ' ', 'g'),
+                       '{cleaning._MARKUP_TAG}', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '{cleaning._MARKUP_WS}', ' ', 'g')) AS clean
+              FROM h)
+            SELECT doc_id, md5(clean) AS clean_md5,
+                   CAST(length(clean) AS BIGINT) AS n_clean
+            FROM c ORDER BY doc_id""",
         # x4: corpus-frequency boilerplate removal (footer injected into
         # every third doc; any natural >=10-char line in >=5 docs is
         # likewise flagged — the oracle replicates the frequency pass)

@@ -36,6 +36,46 @@ def doc_lines(col: Column) -> Column:
     return F.split(col, "\n", -1)
 
 
+# --- markup stripping -------------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 subset (inline (?is) flags,
+# lazy quantifiers, explicit whitespace classes — no lookaround, no
+# backreferences, no \s whose definition differs between engines) so a SQL
+# oracle can state the IDENTICAL expressions (same discipline as
+# redaction.py).
+_MARKUP_SCRIPT = r"(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>"
+_MARKUP_STYLE = r"(?is)<style[^>]*>.*?</style[ \t\n\r\f]*>"
+_MARKUP_COMMENT = r"(?s)<!--.*?-->"
+_MARKUP_TAG = r"(?s)<[^>]*>"
+_MARKUP_WS = r"[ \t\n\r\f]+"
+# &amp; decoded LAST so double-escaped text ("&amp;lt;") resolves to the
+# single-escaped form ("&lt;") rather than decoding twice — the html.unescape
+# convention
+_MARKUP_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def strip_markup(col: Column) -> Column:
+    """HTML/markup stripped to plain text — the C4 "remove anything that
+    isn't rendered prose" pass: ``<script>``/``<style>`` blocks (content
+    and all), comments, then every remaining tag become a space; the six
+    ubiquitous character entities decode; whitespace runs collapse to one
+    space and the result is trimmed.
+
+    One codegen projection (chained ``regexp_replace``/``replace``), zero
+    shuffle — at 100 TB this fuses into whatever scan feeds it. Not a
+    conformant HTML5 parser (no CDATA, no conditional comments, entities
+    beyond the common six survive verbatim) — the right trade for bulk
+    corpus cleanup where a real parser would mean a per-row Python UDF.
+    """
+    c = F.regexp_replace(col, _MARKUP_SCRIPT, " ")
+    c = F.regexp_replace(c, _MARKUP_STYLE, " ")
+    c = F.regexp_replace(c, _MARKUP_COMMENT, " ")
+    c = F.regexp_replace(c, _MARKUP_TAG, " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, _MARKUP_WS, " "))
+
+
 def dedup_lines(col: Column, min_len: int = 0) -> Column:
     """Text with repeated lines removed, first occurrence kept.
 

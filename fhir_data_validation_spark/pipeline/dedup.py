@@ -629,7 +629,10 @@ def simhash_incremental(new_docs: DataFrame, index: DataFrame,
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
                        truncate_every: int = 5,
-                       scratch_dir: str | None = None) -> DataFrame:
+                       scratch_dir: str | None = None,
+                       quality: DataFrame | None = None,
+                       quality_col: str = "quality",
+                       id_col: str = "doc_id") -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster,
     keep): the artifact a dedup pipeline actually consumes (drop every row
     where ``not keep``).
@@ -641,7 +644,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     partial-aggregated groupBy over the PAIRS (reduced data: near-dup
     pairs, not the corpus). Early-exits when a round changes nothing.
     ``keep`` marks the component minimum (the canonical survivor — the
-    same min-id convention as :func:`exact_duplicates`).
+    same min-id convention as :func:`exact_duplicates`) — unless a
+    ``quality`` frame is supplied.
+
+    **Keep-best**: pass ``quality`` (``(id_col, quality_col)`` rows, e.g.
+    a :func:`~..text.quality_score` output) and each cluster keeps its
+    highest-quality member instead (ties → min id; docs missing from
+    ``quality`` or with a null score rank below every scored doc) — what
+    production dedup actually wants: drop the low-quality mirror, keep the
+    canonical page. The winner election is two aggregations over the
+    LABEL table (pair-derived, already reduced — AQE broadcasts it), the
+    corpus never reshuffles.
 
     Every ``truncate_every`` rounds the label table is written to
     ``scratch_dir`` (default: ``<spark.sql.warehouse.dir>/_dedup_scratch/…``
@@ -715,8 +728,26 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds — "
             "a component has diameter > max_iter; raise max_iter")
-    return labels.select(F.col("id").alias("doc_id"), "cluster",
-                         (F.col("id") == F.col("cluster")).alias("keep"))
+    if quality is None:
+        return labels.select(F.col("id").alias("doc_id"), "cluster",
+                             (F.col("id") == F.col("cluster")).alias("keep"))
+    # keep-best: -inf sentinel makes null/missing scores lose to any real
+    # score while an all-null cluster still elects its min id (q == max_q
+    # holds for every member, the min(id) tiebreak decides)
+    neg_inf = F.lit(float("-inf"))
+    scored = (labels
+              .join(quality.select(F.col(id_col).alias("id"),
+                                   F.col(quality_col).cast("double")
+                                    .alias("_q")),
+                    "id", "left")
+              .withColumn("_q", F.coalesce("_q", neg_inf)))
+    best = scored.groupBy("cluster").agg(F.max("_q").alias("_mq"))
+    winner = (scored.join(best, "cluster")
+              .where(F.col("_q") == F.col("_mq"))
+              .groupBy("cluster").agg(F.min("id").alias("_win")))
+    return (labels.join(winner, "cluster")
+            .select(F.col("id").alias("doc_id"), "cluster",
+                    (F.col("id") == F.col("_win")).alias("keep")))
 
 
 def _span_key(col: Column, hash_fn: str) -> Column:

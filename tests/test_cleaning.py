@@ -92,6 +92,59 @@ def test_dedup_lines_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+# ----------------------------------------------------------- strip_markup
+
+HTML_DOC = ('<html><head><STYLE type="text/css">body { color: red }\n'
+            '</STYLE><script>\nvar x = "<p>not text</p>";\n</script ></head>'
+            '<body><!-- nav\nstarts --><h1 class="t">Fish &amp; Chips</h1>'
+            '<p>1 &lt; 2,&nbsp;&quot;q&quot; &#39;s&#39; &amp;lt;raw</p>\n'
+            '<br/>tail</body></html>')
+
+HTML_PLAIN = 'Fish & Chips 1 < 2, "q" \'s\' &lt;raw tail'
+
+
+def test_strip_markup_basic(spark):
+    """script/style content dies, comments die, tags become spaces, the six
+    entities decode (&amp; last: '&amp;lt;' → '&lt;', never '<'), whitespace
+    collapses, result trimmed."""
+    df = spark.createDataFrame([(1, HTML_DOC), (2, "no markup  here"),
+                                (3, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"]
+           for r in df.select("doc_id",
+                              cleaning.strip_markup(F.col("text"))
+                              .alias("clean")).collect()}
+    assert out[1] == HTML_PLAIN
+    assert out[2] == "no markup here"
+    assert out[3] is None
+
+
+def test_strip_markup_matches_duckdb_re2(spark):
+    """Patterns live in the Java∩RE2 subset: DuckDB applying the identical
+    expression chain produces the identical plain text."""
+    df = spark.createDataFrame([(1, HTML_DOC)], "doc_id long, text string")
+    got = df.select(cleaning.strip_markup(F.col("text"))
+                    .alias("c")).collect()[0]["c"]
+    con = duckdb.connect()
+    cur = HTML_DOC
+    for pat in (cleaning._MARKUP_SCRIPT, cleaning._MARKUP_STYLE,
+                cleaning._MARKUP_COMMENT, cleaning._MARKUP_TAG):
+        cur = con.execute("SELECT regexp_replace(?, ?, ' ', 'g')",
+                          [cur, pat]).fetchone()[0]
+    for ent, ch in cleaning._MARKUP_ENTITIES:
+        cur = con.execute("SELECT replace(?, ?, ?)",
+                          [cur, ent, ch]).fetchone()[0]
+    cur = con.execute("SELECT trim(regexp_replace(?, ?, ' ', 'g'))",
+                      [cur, cleaning._MARKUP_WS]).fetchone()[0]
+    assert got == cur
+
+
+def test_strip_markup_no_shuffle(spark):
+    df = spark.createDataFrame([(1, HTML_DOC)], "doc_id long, text string")
+    plan = (df.select(cleaning.strip_markup(F.col("text")).alias("c"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 # ----------------------------------------------------------- boilerplate
 
 @pytest.fixture(scope="module")

@@ -385,6 +385,27 @@ def test_duplicate_clusters(spark):
     dedup.unpersist_all()
 
 
+def test_duplicate_clusters_keep_best(spark):
+    """quality frame flips the survivor election: each cluster keeps its
+    highest-quality member (ties → min id; unscored docs lose to scored)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # {1,2,3,4}: 3 has top quality
+         (10, 11),                       # {10,11}: tie → min id 10
+         (20, 21), (21, 22), (20, 22)],  # {20,21,22}: only 22 scored
+        "id_a long, id_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9), (4, 0.5),
+         (10, 0.7), (11, 0.7), (22, 0.2)],
+        "doc_id long, quality double")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup.duplicate_clusters(pairs, quality=quality)
+                         .collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert {d for d, (_, k) in out.items() if k} == {3, 10, 22}
+    dedup.unpersist_all()
+
+
 def test_duplicate_clusters_end_to_end(spark, seeded):
     """minhash pairs → clusters: each seeded trio collapses to one keeper."""
     pairs = dedup.minhash_dedup(seeded, threshold=0.6)
