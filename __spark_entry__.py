@@ -928,6 +928,30 @@ def q_mono1_monotonic(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id"))
 
 
+def q_mono2_sequence_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap detection (Monotonic params.maxStep, via ValidationEngine):
+    within each user's stream, consecutive event ids must not jump by
+    more than 500 — the missing-sequence-number / skipped-window check.
+    The gap lane rides the SAME single-shuffle lag window as mono1;
+    detail.check names the lane. Oracle: the identical LAG + CASE."""
+    df = load_table(spark, sf, "events")
+    res = _validate(
+        spark, df,
+        [{"id": "MONO-2", "type": "Monotonic", "column": "event_id",
+          "severity": "error",
+          "params": {"keyColumn": "user_id", "orderBy": "event_id",
+                     "direction": "increasing", "maxStep": 500}}],
+        key_col="event_id", group_col="event_type")
+    d = F.col("detail")
+    return (res.violations.select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        "rule_id", "error_code",
+        d["key"].cast("long").alias("user_id"),
+        d["prev"].cast("long").alias("prev_event_id"),
+        d["check"].alias("check"))
+        .orderBy("event_id"))
+
+
 def q_fd1_functional_dependency(spark: SparkSession, sf: str) -> DataFrame:
     """Functional-dependency validation (plans.functional_dependency_plan,
     via ValidationEngine): c_nationkey → c_mktsegment must be single-valued;
@@ -1792,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_expectations": q_e1_expectations,
         "o1_outliers": q_o1_outliers,
         "mono1_monotonic": q_mono1_monotonic,
+        "mono2_sequence_gap": q_mono2_sequence_gap,
         "fd1_functional_dependency": q_fd1_functional_dependency,
         "t8_vocab_oov": q_t8_vocab_oov,
         "v1_vector_check": q_v1_vector_check,
@@ -2739,6 +2764,22 @@ def oracle_sql() -> dict[str, str]:
                    'MONOTONICITY_VIOLATION' AS error_code, user_id,
                    ROUND(prev, 4) AS prev_value, ROUND(value, 4) AS value
             FROM w WHERE prev IS NOT NULL AND value < prev
+            ORDER BY event_id""",
+        # mono2: the gap lane — same LAG window, CASE names the lane
+        "mono2_sequence_gap": """
+            WITH w AS (
+              SELECT event_id, user_id,
+                     LAG(event_id) OVER (PARTITION BY user_id
+                                         ORDER BY event_id, event_id)
+                       AS prev
+              FROM events WHERE event_id IS NOT NULL)
+            SELECT event_id, 'MONO-2' AS rule_id,
+                   'MONOTONICITY_VIOLATION' AS error_code, user_id,
+                   prev AS prev_event_id,
+                   CASE WHEN event_id <= prev THEN 'did not increase'
+                        ELSE 'step > 500' END AS "check"
+            FROM w WHERE prev IS NOT NULL
+              AND (event_id <= prev OR abs(event_id - prev) > 500)
             ORDER BY event_id""",
         # fd1: GROUP BY + HAVING count(distinct) restatement with min/max
         # witnesses

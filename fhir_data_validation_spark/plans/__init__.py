@@ -1312,6 +1312,17 @@ def _validate_monotonic_params(rule: RuleDefinition, schema) -> None:
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"unknown direction {direction!r} "
             f"(expected one of {sorted(_MONO_DIRECTIONS)})")
+    max_step = rule.params.get("maxStep")
+    if max_step is not None:
+        if isinstance(max_step, bool) or \
+                not isinstance(max_step, (int, float)) or max_step <= 0:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.maxStep must be a number > 0 (got {max_step!r})")
+        if not isinstance(_field_type(schema, col, rule), NumericType):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.maxStep needs a numeric column; {col!r} is not")
 
 
 def monotonic_plan(df: DataFrame, rule: RuleDefinition, stage: int,
@@ -1323,6 +1334,12 @@ def monotonic_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     rewind, cumulative counters never drop, timestamps never go back).
     One violation per row that breaks the ordering vs its predecessor;
     detail carries (prev, observed, order position).
+
+    ``params.maxStep`` (numeric column only) adds a GAP lane in the SAME
+    window pass: consecutive values must also differ by at most
+    ``maxStep`` in absolute value — missing sequence numbers, skipped
+    days, counter resets that direction alone can't see. ``detail.check``
+    says which lane fired.
 
     100-TB shape: ONE shuffle on ``keyColumn`` (per-key ordered semantics
     cannot be expressed without co-locating each key), then a single
@@ -1348,14 +1365,22 @@ def monotonic_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     w = (Window.partitionBy(F.col(key))
                .orderBy(F.col(order), F.col(cfg.key_col)))
     cur = F.col(col)
+    max_step = rule.params.get("maxStep")
+    prev = F.col("_prev")
+    breaks = violates(cur, prev)
+    cond, check = breaks, F.lit(label)
+    if max_step is not None:
+        gap = F.abs(cur - prev) > F.lit(float(max_step))
+        cond = breaks | gap
+        check = F.when(breaks, F.lit(label)).otherwise(
+            F.lit(f"step > {max_step}"))
     detail = _smap_plan(
         ("key", F.col(key)), ("orderBy", F.col(order)),
         ("prev", F.col("_prev")), ("observed", cur),
-        ("check", F.lit(label)))
+        ("check", check))
     return (scoped
             .withColumn("_prev", F.lag(cur).over(w))
-            .where(F.col("_prev").isNotNull()
-                   & violates(cur, F.col("_prev")))
+            .where(F.col("_prev").isNotNull() & cond)
             .select(F.col(cfg.key_col).cast("string").alias("doc_id"),
                     *_viol_cols(rule, stage,
                                 rule.error_code

@@ -935,6 +935,47 @@ def test_monotonic_rule_directions_and_null_skip(spark):
     assert {r["doc_id"] for r in v3} == {"d2"}
 
 
+def test_monotonic_max_step_gap_lane(spark):
+    """maxStep adds a gap lane in the same window pass: consecutive values
+    jumping more than maxStep (either direction) violate alongside the
+    direction check; detail.check says which lane fired."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("d1", "u1", 1, 10.0, "g"),
+         ("d2", "u1", 2, 12.0, "g"),       # +2: fine
+         ("d3", "u1", 3, 50.0, "g"),       # +38 > maxStep: gap
+         ("d4", "u1", 4, 45.0, "g"),       # rewind (direction lane)
+         ("d5", "u2", 1, 0.0, "g"),
+         ("d6", "u2", 2, 5.0, "g")],       # +5 = maxStep: fine
+        "doc_id string, user string, seq int, total double, grp string")
+    cfg = EngineConfig(key_col="doc_id", group_col="grp")
+    rs = RuleSet.parse({"rules": [
+        {"id": "M-G", "type": "Monotonic", "column": "total",
+         "params": {"keyColumn": "user", "orderBy": "seq",
+                    "maxStep": 5}}]})
+    v = {r["doc_id"]: r["detail"]["check"]
+         for r in ValidationEngine(rs, config=cfg).validate(df)
+                                   .violations.collect()}
+    assert v == {"d3": "step > 5", "d4": "decreased"}
+
+    # compile rejections: non-positive / non-numeric maxStep, string column
+    from fhir_data_validation_spark import RuleConfigurationError
+    df2 = df.withColumn("name", F.col("doc_id"))
+    for spec in (
+            {"column": "total", "params": {"keyColumn": "user",
+                                           "orderBy": "seq", "maxStep": 0}},
+            {"column": "total", "params": {"keyColumn": "user",
+                                           "orderBy": "seq",
+                                           "maxStep": "big"}},
+            {"column": "name", "params": {"keyColumn": "user",
+                                          "orderBy": "seq", "maxStep": 1}}):
+        rs_bad = RuleSet.parse({"rules": [
+            {"id": "M-GB", "type": "Monotonic", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs_bad, config=cfg).validate(df2)
+
+
 def test_monotonic_compile_rejections(spark):
     from fhir_data_validation_spark import EngineConfig, RuleConfigurationError
     from fhir_data_validation_spark.model import RuleSet
