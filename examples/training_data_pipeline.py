@@ -50,7 +50,10 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{SF}/documents.parquet")
 print(f"corpus: {docs.count()} docs")
 
-# 0. clean: redact PII, dedup repeated lines — one projection, no shuffle
+# 0. clean: strip residual markup, redact PII, dedup repeated lines —
+# all one fused projection, no shuffle
+docs = docs.withColumn("text",
+                       cleaning.strip_markup(F.col("text")))
 docs = cleaning.dedup_lines_docs(redaction.redact_docs(docs, counts=False))
 
 # 1. quality filter via the engine (same one-scan pass as any rule set);
