@@ -1325,6 +1325,29 @@ def q_x9_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# x10 suffix: decomposed e-acute (NFC composes it) + fullwidth 3 (NFC
+# keeps it — folding that is NFKC's job)
+_UNI_SUFFIX = " cafe\u0301 \uff13"
+
+
+def q_x10_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode normalization (pipeline/text.normalize_text — the one
+    Arrow-batched pandas-UDF text op; Spark has no native NFC): every doc
+    gets a decomposed-accent + fullwidth-digit suffix, then NFC +
+    lowercase. Oracle: DuckDB lower(nfc_normalize(...)) over the
+    identically suffixed text; norm_md5 value-checks the full normalized
+    string."""
+    docs = load_table(spark, sf, "documents")
+    n = text.normalize_text(
+        F.concat(F.col("text"), F.lit(_UNI_SUFFIX)), form="NFC",
+        lowercase=True)
+    return (docs.select("doc_id", n.alias("_n"))
+            .select("doc_id",
+                    F.md5(F.col("_n").cast("binary")).alias("norm_md5"),
+                    F.length("_n").cast("long").alias("n_norm"))
+            .orderBy("doc_id"))
+
+
 def q_x4_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document boilerplate removal (pipeline/cleaning.py): a footer
     line injected into every third document (plus any naturally recurring
@@ -1810,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
         "x9_strip_markup": q_x9_strip_markup,
+        "x10_normalize": q_x10_normalize,
         "x4_boilerplate": q_x4_boilerplate,
         "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
         "x6_token_span_dedup": q_x6_token_span_dedup,
@@ -3279,6 +3303,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(clean) AS clean_md5,
                    CAST(length(clean) AS BIGINT) AS n_clean
             FROM c ORDER BY doc_id""",
+        # x10: DuckDB nfc_normalize is the independent NFC twin; lower
+        # applied AFTER normalization on both sides
+        "x10_normalize": f"""
+            WITH n AS (
+              SELECT doc_id,
+                     lower(nfc_normalize(text || '{_UNI_SUFFIX}'))
+                       AS clean
+              FROM documents)
+            SELECT doc_id, md5(clean) AS norm_md5,
+                   CAST(length(clean) AS BIGINT) AS n_norm
+            FROM n ORDER BY doc_id""",
         # x4: corpus-frequency boilerplate removal (footer injected into
         # every third doc; any natural >=10-char line in >=5 docs is
         # likewise flagged — the oracle replicates the frequency pass)

@@ -95,7 +95,36 @@ def fingerprint(col: Column) -> Column:
                  .cast("binary"))
 
 
-def _raw_ngrams(ws: Column, n: int) -> Column:
+def normalize_text(col: Column, form: str = "NFC",
+                   lowercase: bool = False) -> Column:
+    """Unicode-normalized (+ optionally lower-cased) text — the
+    canonicalization pass before fingerprinting/dedup, so a decomposed
+    ``café`` (e + U+0301) and its precomposed twin hash identically.
+
+    Spark has no native Unicode-normalization expression, so this is the
+    one text op on the Arrow path: a pandas UDF batching through
+    ``Series.str.normalize`` (same tier as the drift statistics — never
+    per-row Python). Lower-casing happens AFTER normalization, matching
+    ``lower(nfc_normalize(x))`` in engines that have both.
+
+    ``form`` ∈ NFC/NFKC/NFD/NFKD. NFC is the dedup default; NFKC also
+    folds compatibility characters (ﬁ → fi, fullwidth digits) — more
+    collisions, lossier text.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    import pandas as pd
+
+    def _norm_fn(s):
+        out = s.str.normalize(form)
+        return out.str.lower() if lowercase else out
+
+    # annotations set explicitly: this module's `from __future__ import
+    # annotations` would stringify inline hints, defeating Spark's
+    # pandas-UDF eval-type inference
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_norm_fn, "string")(col)
     """ALL n-word shingles, duplicates kept (unlike the dedup family's
     distinct sets — repetition metrics need the multiplicities). Documents
     shorter than ``n`` words yield no shingles (nothing can repeat)."""

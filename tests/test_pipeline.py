@@ -728,6 +728,32 @@ def test_srp_index_add_equals_rebuild(spark, embs):
     assert a == b and len(a) > 0
 
 
+def test_normalize_text_unicode_forms(spark):
+    """NFC makes decomposed and precomposed twins identical (so downstream
+    fingerprints collide as they should); NFKC additionally folds
+    compatibility chars; lowercase applies after normalization; nulls pass
+    through; bad form rejected before any job."""
+    decomposed = "Cafe\u0301 X"      # e + COMBINING ACUTE
+    precomposed = "Caf\u00e9 X"      # precomposed e-acute
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, None), (4, "\ufb01n")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"]
+           for r in df.select("doc_id",
+                              text.normalize_text(F.col("text"),
+                                                  lowercase=True)
+                              .alias("n")).collect()}
+    assert out[1] == out[2] == "caf\u00e9 x"
+    assert out[3] is None
+    assert out[4] == "\ufb01n"       # NFC keeps the fi ligature
+    nfkc = df.where(F.col("doc_id") == 4).select(
+        text.normalize_text(F.col("text"), form="NFKC").alias("n")
+    ).collect()[0]["n"]
+    assert nfkc == "fin"             # NFKC folds it
+    with pytest.raises(ValueError):
+        text.normalize_text(F.col("text"), form="NFX")
+
+
 def test_char_cross_entropy_flags_gibberish(spark):
     import math
     normal = [(i, "the quick brown fox jumps over the lazy dog again")
