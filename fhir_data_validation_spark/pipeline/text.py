@@ -125,6 +125,9 @@ def normalize_text(col: Column, form: str = "NFC",
     # pandas-UDF eval-type inference
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(_norm_fn, "string")(col)
+
+
+def _raw_ngrams(ws: Column, n: int) -> Column:
     """ALL n-word shingles, duplicates kept (unlike the dedup family's
     distinct sets — repetition metrics need the multiplicities). Documents
     shorter than ``n`` words yield no shingles (nothing can repeat)."""
