@@ -446,3 +446,51 @@ def test_iceberg_stream_sink_and_monitor_loop(spark, tmp_path):
     sink(spark.createDataFrame([("d4", 9, "web")], batch1.schema),
          last + 1)                               # genuinely new epoch
     assert table.read().count() == 4
+
+
+def test_drift_stream_monitor_and_alert(spark, tmp_path):
+    """Continuous drift: each micro-batch's distribution scored against the
+    pinned baseline; in-band batch scores low, a shifted batch trips the
+    psi_max alert exactly once; the logged epoch statistic equals
+    batch_drift over the same file (streaming = batch parity)."""
+    from fhir_data_validation_spark.stats import histogram
+    from fhir_data_validation_spark.streaming import (
+        batch_drift, drift_stream_foreach_batch)
+
+    base = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("double").alias("value"))
+    baseline = (histogram(base, "value", 64.0)
+                .select(F.col("group").alias("source"), "bucket", "cnt")
+                .persist())
+    baseline.count()
+
+    corpus = str(tmp_path / "stream_in")
+    base.coalesce(1).write.mode("append").parquet(corpus)           # in-band
+    (spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 100) + 1000.0).alias("value"))              # shifted
+     .coalesce(1).write.mode("append").parquet(corpus))
+
+    alerts = []
+    out = str(tmp_path / "drift_out")
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1).parquet(corpus))
+    q = drift_stream_foreach_batch(
+        stream, baseline, "value", out, psi_max=0.5,
+        on_alert=lambda e, rows: alerts.append((e, rows)),
+        trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(f"{out}/drift").collect()
+    assert len(log) == 2                    # one stat row per epoch
+    lo, hi = sorted(r["psi"] for r in log)
+    assert lo < 0.1 and hi > 0.5
+    assert len(alerts) == 1
+    assert alerts[0][1][0]["psi"] == hi
+
+    # streaming epoch == batch_drift over the same data
+    shifted = spark.read.parquet(corpus).where(F.col("value") >= 1000)
+    bd = batch_drift(shifted, baseline, "value").collect()[0]
+    assert abs(bd["psi"] - hi) < 1e-9
+    baseline.unpersist()
