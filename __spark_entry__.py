@@ -1149,6 +1149,17 @@ def q_c8_cube(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "lang", "source")
 
 
+def q_c9_data_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset datasheet (stats.data_card): per-source doc count, char and
+    whitespace-token volume, and exact R-7 length quantiles plus the
+    corpus <all> rollup row — ONE rollup aggregation pass. Oracle:
+    GROUP BY source UNION ALL the corpus totals, quantile_cont on the
+    same double-cast lengths."""
+    from fhir_data_validation_spark import stats
+    docs = load_table(spark, sf, "documents")
+    return stats.data_card(docs).orderBy("source")
+
+
 def q_c7_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT / crosstab (stats.pivot_counts): doc counts per language ×
     a fixed source subset as wide columns. The explicit value list keeps
@@ -1825,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_rollup": q_c6_rollup,
         "c7_pivot": q_c7_pivot,
         "c8_cube": q_c8_cube,
+        "c9_data_card": q_c9_data_card,
         "x7_table_diff": q_x7_table_diff,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
@@ -2958,6 +2970,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY CUBE (lang, source)
             ORDER BY level, lang, source""",
+        # c9: data card — per-source stats UNION ALL the corpus totals;
+        # quantile_cont = Spark's exact R-7 percentile
+        "c9_data_card": """
+            WITH s AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(length(text)) AS n_chars,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text),
+                                                        '[ \t\n]+'))
+                         END) AS n_tokens,
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.5)
+                       AS p50_len,
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.9)
+                       AS p90_len,
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.99)
+                       AS p99_len
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT '<all>', count(*), sum(length(text)),
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text),
+                                                        '[ \t\n]+'))
+                         END),
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.5),
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.9),
+                     quantile_cont(CAST(length(text) AS DOUBLE), 0.99)
+              FROM documents)
+            SELECT * FROM s ORDER BY source""",
         # c7: pivot = per-column conditional counts
         "c7_pivot": """
             SELECT lang,

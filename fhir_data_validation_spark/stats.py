@@ -190,6 +190,42 @@ def pk_duplicates(df: DataFrame, key_col: str) -> DataFrame:
             .where(F.col("cnt") > 1))
 
 
+def data_card(df: DataFrame, by: str = "source", text_col: str = "text",
+              all_label: str = "<all>", exact: bool = True,
+              accuracy: int = 10000) -> DataFrame:
+    """Per-stratum dataset datasheet (the summary block of a data card /
+    model-card datasheet): document count, character and whitespace-token
+    volume, and length quantiles (p50/p90/p99) per ``by`` value, plus a
+    corpus-total row labelled ``all_label`` — ONE ``rollup`` aggregation
+    (single Expand + map-side-combined hash agg, one shuffle; no
+    per-stratum re-scan).
+
+    ``exact=True``: interpolated R-7 percentiles (DuckDB ``quantile_cont``
+    twin) — buffer holds each group's distinct lengths, fine for bounded
+    doc lengths; ``exact=False``: ``approx_percentile`` mergeable sketch,
+    the 100-TB path for unbounded metrics. Null texts contribute to
+    ``n_docs`` only (every other aggregate skips them)."""
+    from .pipeline.text import token_count_ws
+
+    ln = F.length(F.col(text_col)).cast("double")
+
+    def q(p: float):
+        return (F.percentile(ln, F.lit(p)) if exact
+                else F.approx_percentile(ln, F.lit(p), F.lit(accuracy)))
+
+    return (df.rollup(by)
+            .agg(F.grouping(by).alias("_g"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length(F.col(text_col))).alias("n_chars"),
+                 F.sum(token_count_ws(F.col(text_col))).alias("n_tokens"),
+                 q(0.5).alias("p50_len"), q(0.9).alias("p90_len"),
+                 q(0.99).alias("p99_len"))
+            .select(F.when(F.col("_g") == 1, F.lit(all_label))
+                     .otherwise(F.col(by).cast("string")).alias(by),
+                    "n_docs", "n_chars", "n_tokens",
+                    "p50_len", "p90_len", "p99_len"))
+
+
 def rollup_counts(df: DataFrame, dims: list[str],
                   value_col: str | None = None,
                   all_label: str = "<all>") -> DataFrame:

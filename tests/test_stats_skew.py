@@ -166,3 +166,32 @@ def test_cube_counts_includes_column_slices(spark):
     assert got[("en", "<all>")] == (1, 2)
     assert got[("<all>", "<all>")] == (3, 3)
     assert len(got) == 3 + 2 + 2 + 1   # pairs + lang + source + total
+
+
+def test_data_card_strata_and_rollup(spark):
+    """data_card: per-source counts/volumes/length-quantiles plus an <all>
+    rollup row from ONE rollup pass; null text counts as a doc but
+    contributes to no other aggregate; exact quantiles match DuckDB
+    quantile_cont on the same lengths."""
+    import duckdb
+    rows = [(1, "a b", "web"), (2, "ccc dd e", "web"),
+            (3, "ffff", "wiki"), (4, None, "wiki")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in stats.data_card(df).collect()}
+    assert set(out) == {"web", "wiki", "<all>"}
+    assert (out["web"]["n_docs"], out["web"]["n_chars"],
+            out["web"]["n_tokens"]) == (2, 11, 5)
+    assert (out["wiki"]["n_docs"], out["wiki"]["n_chars"],
+            out["wiki"]["n_tokens"]) == (2, 4, 1)
+    assert (out["<all>"]["n_docs"], out["<all>"]["n_chars"],
+            out["<all>"]["n_tokens"]) == (4, 15, 6)
+    con = duckdb.connect()
+    want_p50 = con.execute(
+        "SELECT quantile_cont(x, 0.5) FROM (VALUES (3.0), (8.0)) t(x)"
+    ).fetchone()[0]
+    assert out["web"]["p50_len"] == want_p50
+    assert out["wiki"]["p50_len"] == 4.0     # single non-null length
+    # one aggregation pass: a single Expand, no join/union in the plan
+    plan = (stats.data_card(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Expand") == 1 and "Join" not in plan
