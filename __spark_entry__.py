@@ -1149,6 +1149,17 @@ def q_c8_cube(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "lang", "source")
 
 
+def q_sk1_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join skew diagnosis (skew.skew_report): the 10 heaviest
+    user_ids in the event stream with row counts and exact corpus share —
+    one count aggregation + TakeOrderedAndProject top-k (plan pinned in
+    unit tests), total via 1-row agg cross join. Oracle: window-rank
+    restatement."""
+    from fhir_data_validation_spark.skew import skew_report
+    df = load_table(spark, sf, "events")
+    return skew_report(df, "user_id", top_k=10).orderBy("rank")
+
+
 def q_c9_data_card(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset datasheet (stats.data_card): per-source doc count, char and
     whitespace-token volume, and exact R-7 length quantiles plus the
@@ -1837,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_pivot": q_c7_pivot,
         "c8_cube": q_c8_cube,
         "c9_data_card": q_c9_data_card,
+        "sk1_skew_report": q_sk1_skew_report,
         "x7_table_diff": q_x7_table_diff,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
@@ -2970,6 +2982,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY CUBE (lang, source)
             ORDER BY level, lang, source""",
+        # sk1: window-rank restatement of the heavy-hitter report
+        "sk1_skew_report": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+              FROM events GROUP BY 1),
+            t AS (SELECT sum(cnt) AS total FROM c),
+            r AS (
+              SELECT key, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, key ASC)
+                       AS "rank"
+              FROM c)
+            SELECT "rank", key, cnt, cnt / total AS share
+            FROM r, t WHERE "rank" <= 10 ORDER BY "rank" """,
         # c9: data card — per-source stats UNION ALL the corpus totals;
         # quantile_cont = Spark's exact R-7 percentile
         "c9_data_card": """

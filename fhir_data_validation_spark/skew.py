@@ -71,3 +71,29 @@ def salted_repartition(df: DataFrame, group_col: str, key_col: str,
     pre-partitioning reused across stages). Drops the salt afterwards with
     ``.drop(SALT_COL)`` if it would leak into results."""
     return with_salt(df, key_col, buckets).repartition(group_col, SALT_COL)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Pre-join skew diagnosis: the ``top_k`` heaviest values of
+    ``key_col`` with their row counts and corpus share — the check you run
+    BEFORE shuffling 100 TB on that key (a key holding >1% of rows wants
+    :func:`salted_repartition`, a broadcast, or AQE skew-join).
+
+    Shape at scale: one map-side-combined count aggregation reduces the
+    corpus to |keys| rows; the global top-k over that reduced frame plans
+    as ``TakeOrderedAndProject`` (per-partition top-k merge — no
+    single-task global sort); the corpus total is a 1-row aggregate
+    cross-joined back (never a driver action). Deterministic tie order:
+    ``(cnt desc, key asc)``. ``share`` is the exact double ratio —
+    unrounded, so an oracle computes the identical bits."""
+    key = F.col(key_col).cast("string")
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("share", F.col("cnt") / F.col("_total"))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "key", "cnt", "share"))

@@ -195,3 +195,20 @@ def test_data_card_strata_and_rollup(spark):
     plan = (stats.data_card(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert plan.count("Expand") == 1 and "Join" not in plan
+
+
+def test_skew_report_top_k(spark):
+    """Heaviest keys with exact shares, (cnt desc, key asc) tie order;
+    the global top-k plans as TakeOrderedAndProject (no single-task
+    sort)."""
+    from fhir_data_validation_spark.skew import skew_report
+    rows = [(i, "hot") for i in range(80)] + \
+           [(i, f"k{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    out = skew_report(df, "key", top_k=3).collect()
+    assert [r["key"] for r in out] == ["hot", "k0", "k1"]
+    assert out[0]["cnt"] == 80 and abs(out[0]["share"] - 0.8) < 1e-12
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    plan = (skew_report(df, "key")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrdered" in plan
