@@ -1149,6 +1149,21 @@ def q_c8_cube(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "lang", "source")
 
 
+def q_cl1_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile clipping (selection.winsorize): l_extendedprice clamped
+    into each return-flag stratum's [p1, p99] fences — exact R-7 fences
+    broadcast onto the unshuffled scan, clamp as a projection. The oracle
+    restates fences with quantile_cont and the identical
+    greatest/least clamp; unrounded doubles compare bit-exact."""
+    from fhir_data_validation_spark.pipeline.selection import winsorize
+    df = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    out = winsorize(df, "l_extendedprice", by="l_returnflag",
+                    p_lo=0.01, p_hi=0.99, out_col="clipped")
+    return (out.select("l_orderkey", "l_linenumber", "clipped")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
 def q_sk1_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Pre-join skew diagnosis (skew.skew_report): the 10 heaviest
     user_ids in the event stream with row counts and exact corpus share —
@@ -1849,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_cube": q_c8_cube,
         "c9_data_card": q_c9_data_card,
         "sk1_skew_report": q_sk1_skew_report,
+        "cl1_winsorize": q_cl1_winsorize,
         "x7_table_diff": q_x7_table_diff,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
@@ -2982,6 +2998,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY CUBE (lang, source)
             ORDER BY level, lang, source""",
+        # cl1: per-stratum quantile_cont fences + the identical clamp
+        "cl1_winsorize": """
+            WITH f AS (
+              SELECT l_returnflag,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01)
+                       AS lo,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+                       AS hi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CASE WHEN l.l_extendedprice IS NULL THEN NULL
+                        ELSE greatest(f.lo,
+                             least(f.hi,
+                                   CAST(l.l_extendedprice AS DOUBLE)))
+                   END AS clipped
+            FROM lineitem l JOIN f USING (l_returnflag)
+            ORDER BY l.l_orderkey, l.l_linenumber""",
         # sk1: window-rank restatement of the heavy-hitter report
         "sk1_skew_report": """
             WITH c AS (

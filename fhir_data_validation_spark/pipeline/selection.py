@@ -239,6 +239,42 @@ def select_above_quantile(df: DataFrame, metric_col: str, by: str,
     return out if keep_threshold else out.drop("threshold")
 
 
+def winsorize(df: DataFrame, metric_col: str, by: str | None = None,
+              p_lo: float = 0.01, p_hi: float = 0.99, exact: bool = True,
+              accuracy: int = 10000,
+              out_col: str | None = None) -> DataFrame:
+    """Quantile clipping (winsorization): clamp ``metric_col`` into its
+    ``[p_lo, p_hi]`` quantile fences — per ``by`` stratum when given —
+    so a handful of pathological outliers (a 10 GB "document", a quality
+    score of 10^9) stop dominating averages and normalizations. The
+    clipped value lands in ``out_col`` (default: replaces ``metric_col``).
+
+    Same two-pass zero-data-shuffle shape as
+    :func:`select_above_quantile`: one reduced fence aggregation (exact
+    R-7 — the DuckDB ``quantile_cont`` twin — or the ``approx_percentile``
+    sketch at 100 TB), broadcast back onto the unshuffled scan, clamp as a
+    pure projection. NULL metrics stay NULL (Spark's ``least``/
+    ``greatest`` skip nulls, which would silently clamp NULL to a fence —
+    guarded explicitly)."""
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    out_col = out_col or metric_col
+    m = F.col(metric_col).cast("double")
+    lo = (F.percentile(m, F.lit(float(p_lo))) if exact
+          else F.approx_percentile(m, F.lit(float(p_lo)), F.lit(accuracy)))
+    hi = (F.percentile(m, F.lit(float(p_hi))) if exact
+          else F.approx_percentile(m, F.lit(float(p_hi)), F.lit(accuracy)))
+    clamped = F.when(m.isNull(), F.lit(None).cast("double")).otherwise(
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), m)))
+    if by is None:
+        fences = df.agg(lo.alias("_lo"), hi.alias("_hi"))
+        joined = df.crossJoin(F.broadcast(fences))
+    else:
+        fences = df.groupBy(by).agg(lo.alias("_lo"), hi.alias("_hi"))
+        joined = df.join(F.broadcast(fences), on=by, how="inner")
+    return joined.withColumn(out_col, clamped).drop("_lo", "_hi")
+
+
 def weighted_key(key: Column, weight: Column, salt: int | str = 0) -> Column:
     """Efraimidis–Spirakis A-Res sampling key ``u^(1/w)`` with
     ``u = hash_unit(key, salt)``: taking the ``n`` LARGEST keys is an

@@ -369,3 +369,37 @@ def test_curriculum_buckets_all_null_metric_raises(spark):
                                "doc_id long, m double")
     with pytest.raises(ValueError, match="non-null"):
         curriculum_buckets(df, "m", 4)
+
+
+def test_winsorize_clamps_to_stratum_fences(spark):
+    from fhir_data_validation_spark.pipeline import selection
+    """Values outside each stratum's [p_lo, p_hi] fences clamp to them;
+    in-band values and NULLs pass through untouched; dataset-wide mode
+    uses one global fence pair; bad percentile bounds raise."""
+    import duckdb
+    rows = ([(i, float(i), "a") for i in range(1, 11)]       # 1..10
+            + [(100, 1000.0, "a"),                            # high outlier
+               (101, None, "a"),
+               (200, 5.0, "b"), (201, 6.0, "b")])
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    out = {r["id"]: r["v"]
+           for r in selection.winsorize(df, "v", by="g",
+                                        p_lo=0.0, p_hi=0.9).collect()}
+    con = duckdb.connect()
+    want_hi = con.execute(
+        "SELECT quantile_cont(x, 0.9) FROM (SELECT unnest("
+        "[1.0,2,3,4,5,6,7,8,9,10,1000]) AS x)").fetchone()[0]
+    assert out[100] == want_hi          # clamped to the stratum p90
+    assert out[1] == 1.0 and out[5] == 5.0
+    assert out[101] is None             # NULL never clamps to a fence
+    assert out[200] == 5.0 and out[201] == 5.9  # b's p90 of [5,6]
+    # dataset-wide: one fence pair over everything
+    glob = {r["id"]: r["v"]
+            for r in selection.winsorize(df, "v", p_lo=0.5,
+                                         p_hi=1.0).collect()}
+    med = con.execute(
+        "SELECT quantile_cont(x, 0.5) FROM (SELECT unnest("
+        "[1.0,2,3,4,5,6,7,8,9,10,1000,5,6]) AS x)").fetchone()[0]
+    assert glob[1] == med and glob[100] == 1000.0
+    with pytest.raises(ValueError):
+        selection.winsorize(df, "v", p_lo=0.9, p_hi=0.1)
