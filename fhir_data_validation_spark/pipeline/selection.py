@@ -269,9 +269,15 @@ def winsorize(df: DataFrame, metric_col: str, by: str | None = None,
     if by is None:
         fences = df.agg(lo.alias("_lo"), hi.alias("_hi"))
         joined = df.crossJoin(F.broadcast(fences))
-    else:
-        fences = df.groupBy(by).agg(lo.alias("_lo"), hi.alias("_hi"))
-        joined = df.join(F.broadcast(fences), on=by, how="inner")
+        return joined.withColumn(out_col, clamped).drop("_lo", "_hi")
+    # null-safe key match: a NULL stratum is a real group (it got its own
+    # fences in the aggregation) — a plain equi-join would silently DROP
+    # those rows (NULL never equi-matches)
+    fences = (df.groupBy(by).agg(lo.alias("_lo"), hi.alias("_hi"))
+              .withColumnRenamed(by, "_by"))
+    joined = (df.join(F.broadcast(fences),
+                      F.col(by).eqNullSafe(F.col("_by")), "left")
+              .drop("_by"))
     return joined.withColumn(out_col, clamped).drop("_lo", "_hi")
 
 

@@ -393,6 +393,15 @@ def test_winsorize_clamps_to_stratum_fences(spark):
     assert out[1] == 1.0 and out[5] == 5.0
     assert out[101] is None             # NULL never clamps to a fence
     assert out[200] == 5.0 and out[201] == 5.9  # b's p90 of [5,6]
+    # NULL stratum is a real group: its rows keep their own fences and
+    # are never dropped (null-safe key match, not an equi-join)
+    ndf = df.union(df.sparkSession.createDataFrame(
+        [(300, 1.0, None), (301, 100.0, None)], df.schema))
+    nout = {r["id"]: r["v"]
+            for r in selection.winsorize(ndf, "v", by="g", p_lo=0.0,
+                                         p_hi=0.5).collect()}
+    assert 300 in nout and 301 in nout
+    assert nout[301] == 50.5            # p50 of [1, 100]
     # dataset-wide: one fence pair over everything
     glob = {r["id"]: r["v"]
             for r in selection.winsorize(df, "v", p_lo=0.5,
