@@ -233,8 +233,13 @@ def select_above_quantile(df: DataFrame, metric_col: str, by: str,
     ``exact=False`` for continuous metrics at scale (see
     :func:`quantile_thresholds`).
     """
-    thr = quantile_thresholds(df, metric_col, by, p, exact=exact)
-    out = (df.join(F.broadcast(thr), on=by, how="inner")
+    # null-safe key match: a NULL stratum is a real group with its own
+    # fence — a plain equi-join would silently drop those rows
+    thr = (quantile_thresholds(df, metric_col, by, p, exact=exact)
+           .withColumnRenamed(by, "_by"))
+    out = (df.join(F.broadcast(thr),
+                   F.col(by).eqNullSafe(F.col("_by")), "inner")
+             .drop("_by")
              .where(F.col(metric_col).cast("double") >= F.col("threshold")))
     return out if keep_threshold else out.drop("threshold")
 
@@ -392,9 +397,17 @@ def interleave_ranks(df: DataFrame, by: str, key_col: str = "doc_id",
         "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
         .drop("_c"))
     w_rn = Window.partitionBy(by, "_shard").orderBy("_u", F.col(key_col))
+    # null-safe stratum joins (windows keep NULL partitions natively, but
+    # an equi-join on the stratum would drop a NULL stratum's rows)
+    offsets = (offsets.withColumnRenamed(by, "_oby")
+               .withColumnRenamed("_shard", "_oshard"))
+    idx = idx.withColumnRenamed(by, "_iby")
     return (base.withColumn("_rn", F.row_number().over(w_rn))
-            .join(F.broadcast(offsets), [by, "_shard"])
-            .join(F.broadcast(idx), by)
+            .join(F.broadcast(offsets),
+                  F.col(by).eqNullSafe(F.col("_oby"))
+                  & (F.col("_shard") == F.col("_oshard")))
+            .join(F.broadcast(idx), F.col(by).eqNullSafe(F.col("_iby")))
+            .drop("_oby", "_oshard", "_iby")
             .withColumn(rank_col,
                         ((F.col("_off") + F.col("_rn") - 1) * F.lit(n)
                          + F.col("_stratum_idx")).cast("long"))

@@ -1531,8 +1531,13 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
         raise ValueError(f"unknown outlier method {method!r}")
     kk = float(k if k is not None else (3.0 if method == "zscore" else 1.5))
     c = F.col(column).cast("double")
+    # NULL groups key as "<null>" (the engine's verdict convention): the
+    # fence row must join back to its rows, and a NULL key never
+    # equi-matches — unguarded, NULL-group rows would silently escape
+    # outlier checking
     group = (F.lit(GROUP_ALL) if group_col is None
-             else F.col(group_col).cast("string")).alias("_grp")
+             else F.coalesce(F.col(group_col).cast("string"),
+                             F.lit("<null>"))).alias("_grp")
     if method == "zscore":
         aggs = [F.avg(c).alias("_mu"), F.stddev(c).alias("_sd"),
                 F.count(c).alias("n")]
@@ -1591,7 +1596,9 @@ def outlier_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     if per_group:
         joined = (scoped
                   .withColumn("_fence_grp",
-                              F.col(plan.config.group_col).cast("string"))
+                              F.coalesce(F.col(plan.config.group_col)
+                                         .cast("string"),
+                                         F.lit("<null>")))
                   .join(F.broadcast(fences), "_fence_grp"))
     else:
         joined = scoped.crossJoin(F.broadcast(fences.drop("_fence_grp")))

@@ -1064,3 +1064,22 @@ def test_functional_dependency_compile_rejections(spark):
             {"id": f"FD-B{i}", "type": "FunctionalDependency", **spec}]})
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=cfg).validate(df)
+
+
+def test_outlier_null_group_rows_checked(spark):
+    """Rows whose group is NULL still get outlier-checked against their
+    own group's fences (keyed '<null>') — an equi-join on the raw group
+    would silently skip them."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([(f"g{i}", 10.0 + i * 0.1, "g") for i in range(10)]
+            + [(f"n{i}", 5.0 + i * 0.1, None) for i in range(10)]
+            + [("nx", 50000.0, None)])          # outlier in the NULL group
+    df = spark.createDataFrame(rows, "doc_id string, v double, grp string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "OUT-N", "type": "Outlier", "column": "v",
+         "params": {"method": "zscore", "k": 3, "perGroup": True}}]})
+    v = (ValidationEngine(rs, config=EngineConfig(key_col="doc_id",
+                                                  group_col="grp"))
+         .validate(df).violations.collect())
+    assert {r["doc_id"] for r in v} == {"nx"}

@@ -412,3 +412,22 @@ def test_winsorize_clamps_to_stratum_fences(spark):
     assert glob[1] == med and glob[100] == 1000.0
     with pytest.raises(ValueError):
         selection.winsorize(df, "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_null_stratum_rows_survive_quantile_and_interleave(spark):
+    """A NULL stratum is a real group: select_above_quantile gates it
+    against its own fence and interleave_ranks still emits a complete
+    permutation — neither silently drops the rows (null-safe joins)."""
+    from fhir_data_validation_spark.pipeline import selection
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"),
+         (3, 1.0, None), (4, 9.0, None)],
+        "id long, v double, g string")
+    kept = {r["id"] for r in selection.select_above_quantile(
+        df, "v", "g", 0.5).collect()}
+    assert kept == {2, 4}                 # each stratum's own median gate
+    ranks = selection.interleave_ranks(df, by="g", key_col="id")
+    rows = ranks.collect()
+    assert len(rows) == 4                 # no row lost
+    col = [c for c in ranks.columns if "rank" in c][0]
+    assert sorted(r[col] for r in rows) == [0, 1, 2, 3]
