@@ -361,6 +361,10 @@ def curriculum_buckets(df: DataFrame, metric_col: str, n_buckets: int,
     for i in range(n_buckets - 2, -1, -1):
         bucket = F.when(m < F.lit(float(fences[i])), F.lit(i)) \
                   .otherwise(bucket)
+    # a NULL metric must not land in the top bucket (every `m < fence`
+    # comparison is NULL, so the chain would fall through to n-1 —
+    # silently calling unmeasured rows "hardest"); it gets a NULL bucket
+    bucket = F.when(m.isNull(), F.lit(None)).otherwise(bucket)
     return df.withColumn(bucket_col, bucket.cast("int"))
 
 

@@ -431,3 +431,17 @@ def test_null_stratum_rows_survive_quantile_and_interleave(spark):
     assert len(rows) == 4                 # no row lost
     col = [c for c in ranks.columns if "rank" in c][0]
     assert sorted(r[col] for r in rows) == [0, 1, 2, 3]
+
+
+def test_curriculum_null_metric_gets_null_bucket(spark):
+    """A NULL metric must not be silently labelled 'hardest': it gets a
+    NULL bucket (the comparison chain would otherwise fall through to
+    the top stage)."""
+    from fhir_data_validation_spark.pipeline import selection
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+        "id long, m double")
+    out = {r["id"]: r["bucket"]
+           for r in selection.curriculum_buckets(df, "m", 2).collect()}
+    assert out[5] is None
+    assert out[1] == 0 and out[4] == 1
