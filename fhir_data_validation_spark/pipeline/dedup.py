@@ -741,6 +741,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
                                     .alias("_q")),
                     "id", "left")
               .withColumn("_q", F.coalesce("_q", neg_inf)))
+    # scored feeds BOTH the max aggregation and the winner join — without
+    # a persist the quality-side scan recomputes once per consumer
+    scored = _materialize(scored)
     best = scored.groupBy("cluster").agg(F.max("_q").alias("_mq"))
     winner = (scored.join(best, "cluster")
               .where(F.col("_q") == F.col("_mq"))
