@@ -270,6 +270,26 @@ def q_j1_reference_seeded(spark: SparkSession, sf: str) -> DataFrame:
     return _viol(res)
 
 
+def q_j5_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Same referential check as ``j1_reference_seeded`` but through the
+    split-block Bloom lane (``params.bloom``, prefilter mode): bloom-negative
+    refs short-circuit as definite violations, bloom-positives confirm via
+    the exact anti-join — the RESULT must be bit-identical to the exact
+    lane, which is exactly what this oracle asserts."""
+    df = (load_table(spark, sf, "lineitem")
+          .withColumn("li_id", F.concat_ws("-", "l_orderkey", "l_linenumber")))
+    good_suppliers = (load_table(spark, sf, "supplier")
+                      .where(F.col("s_acctbal") >= 0))
+    res = _validate(spark, df,
+                    [{"id": "REF-5", "type": "Reference", "column": "l_suppkey",
+                      "params": {"dim": "supplier", "on": "s_suppkey",
+                                 "bloom": {"mode": "prefilter"},
+                                 "broadcast": False}}],
+                    key_col="li_id", group_col="l_returnflag",
+                    dims={"supplier": good_suppliers}, dedupe=False)
+    return _viol(res)
+
+
 def q_c1_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group column stats via the library's one-pass profiler
     (``stats.profile`` — C1 min/max/mean/null-rate + C2 cardinality).
@@ -1822,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_histogram": q_c4_histogram,
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
+        "j5_bloom_prefilter": q_j5_bloom_prefilter,
         "r6_membership": q_r6_membership,
         "r6b_codesystem_pair": q_r6b_codesystem_pair,
         "j4_codemaster": q_j4_codemaster,
@@ -2057,6 +2078,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
                      AS doc_id,
                    'REF-2' AS rule_id, 'REFERENCE_NOT_FOUND' AS error_code,
+                   l_returnflag AS source
+            FROM lineitem
+            WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+            ORDER BY doc_id, rule_id, error_code, source""",
+        "j5_bloom_prefilter": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                     AS doc_id,
+                   'REF-5' AS rule_id, 'REFERENCE_NOT_FOUND' AS error_code,
                    l_returnflag AS source
             FROM lineitem
             WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (

@@ -8,6 +8,7 @@ See SURVEY.md for the full semantic mapping.
 """
 
 from . import skew, stats  # noqa: F401  (operator namespaces)
+from .bloom import KeyIndex
 from .compiler import EngineConfig, compile_ruleset
 from .engine import ValidationEngine, ValidationResult, validate
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
@@ -24,7 +25,7 @@ from .report import QualityReport, quality_report
 from .suggestions import suggest_rules
 
 __all__ = [
-    "EngineConfig", "ErrorCode", "InstanceScope", "LineageStore",
+    "EngineConfig", "ErrorCode", "InstanceScope", "KeyIndex", "LineageStore",
     "LintFinding", "PRIMITIVE_GRAMMARS", "ReviewIssue",
     "RuleReviewResult", "grammar_rule", "grammar_ruleset",
     "QualityReport", "ResumableRun", "RuleConfigurationError",

@@ -286,6 +286,73 @@ def _reference_pairs(df: DataFrame, cols: list[str], rule: RuleDefinition,
             .where(F.col("_val").isNotNull()))
 
 
+def _reference_bloom_lane(pairs: DataFrame, dim: DataFrame, on: str,
+                          rule: RuleDefinition, severity, stage: int,
+                          viol_cols) -> DataFrame:
+    """Bloom-accelerated J1 (``params.bloom``) — the large-dim scale path.
+
+    A split-block Bloom index (:mod:`..bloom`, ~2 bytes/key at the default
+    16 bits/key) over the dim keys splits the fact side at the scan:
+
+    * bloom-NEGATIVE references are **definite** violations (no false
+      negatives) — they short-circuit straight to the violation set with
+      zero joins against the real dim;
+    * bloom-positive references are either valid or the ~``fpp`` false
+      positives; in the default ``mode="prefilter"`` they continue into the
+      exact anti-join, so the RESULT is bit-identical to the exact lane
+      while only the might-be-present subset ever reaches the (sort-merge)
+      join — on a dirty corpus the shuffle shrinks by the violation rate,
+      and on any corpus the bloom probe itself is one broadcast join on an
+      int block id (fact side unshuffled, plan-pinned).
+
+    ``mode="approx"`` skips the exact join entirely: a single pass, zero
+    dim-sized joins, missing ~``fpp`` of true violations (documented
+    screening mode for 10^12-row corpora; the exact run confirms).
+
+    ``params.bloom`` accepts ``true`` or ``{"bitsPerKey": 16, "hashes": 8,
+    "mode": "prefilter"|"approx", "broadcast": true, "nItems": N}``.
+    Hashing has no numeric coercion, so the fact and dim key types must
+    match exactly (config error otherwise — unlike the coercing exact lane).
+    """
+    from ..bloom import KeyIndex
+    cfg = rule.params["bloom"]
+    cfg = cfg if isinstance(cfg, dict) else {}
+    mode = cfg.get("mode", "prefilter")
+    if mode not in ("prefilter", "approx"):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"params.bloom.mode must be 'prefilter' or 'approx', got {mode!r}")
+    fact_t = pairs.schema["_val"].dataType.simpleString()
+    dim_t = dim.schema[on].dataType.simpleString()
+    if fact_t != dim_t:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"params.bloom requires exactly matching key types (fact "
+            f"{fact_t!r} vs dim {dim_t!r}) — xxhash64 membership has no "
+            "numeric coercion; cast one side or drop the bloom")
+    idx = KeyIndex.build(dim, on, bits_per_key=cfg.get("bitsPerKey", 16),
+                         k=cfg.get("hashes", 8), n_items=cfg.get("nItems"))
+    probed = idx.check(pairs, "_val", flag="_kidx_might",
+                       broadcast=cfg.get("broadcast", True))
+    code = rule.error_code or ErrorCode.REFERENCE_NOT_FOUND
+    base = [F.col("_k").cast("string").alias("doc_id")]
+    tail = [F.col("_g").cast("string").alias("source"),
+            F.create_map(F.lit("value"),
+                         F.col("_val").cast("string")).alias("detail")]
+    definite = (probed.where(~F.col("_kidx_might"))
+                .select(*base, *viol_cols(code), *tail))
+    if mode == "approx":
+        return definite
+    keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
+    if rule.params.get("broadcast", True):
+        keys = F.broadcast(keys)
+    confirmed = (probed.where(F.col("_kidx_might"))
+                 .join(keys, on=F.col("_val") == F.col("_refkey"),
+                       how="left_anti")
+                 .select(*base, *viol_cols(code), *tail))
+    return definite.unionByName(confirmed)
+
+
 def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                    plan) -> DataFrame:
     """Referential integrity via broadcast anti-join (``ReferenceResolver.cs:22-46``),
@@ -332,6 +399,10 @@ def reference_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         return out
 
     if not expected_types:
+        bloom_cfg = rule.params.get("bloom")
+        if bloom_cfg:
+            return _reference_bloom_lane(pairs, dim, on, rule, severity,
+                                         stage, viol_cols)
         # dim key stays natively typed: the join condition compares with
         # Spark's coercion (double 42.0 == bigint 42 matches, as pre-sweep)
         keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
