@@ -28,6 +28,7 @@ from functools import reduce
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import fingerprint, words
 
@@ -638,11 +639,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     where ``not keep``).
 
     Iterative min-label propagation: every doc starts as its own cluster
-    label; each round joins the (symmetrized) edge list and takes the min
-    label over neighbors — labels converge to the component's minimum id in
-    O(component diameter) rounds, each round one broadcast-free join + one
-    partial-aggregated groupBy over the PAIRS (reduced data: near-dup
-    pairs, not the corpus). Early-exits when a round changes nothing.
+    label; each round joins the (symmetrized) edge list with the label
+    table and takes the min label over the CLOSED neighborhood — labels
+    converge to the component's minimum id in O(component diameter)
+    rounds. The label table unions into the aggregation as the "own label"
+    rows, folding ``least(own, min-neighbor)`` into the groupBy, so a
+    round is exactly ONE join + ONE partial-aggregated shuffle over the
+    PAIRS (reduced data: near-dup pairs, not the corpus). Convergence for
+    numeric ids is a monotonic checksum, not a compare-join:
+    min-propagation only ever lowers a label, so ``sum(cluster)`` is
+    strictly decreasing until the fixpoint — one tiny aggregation per
+    round on the already-persisted label table detects it exactly.
+    String ids keep the exact compare-join (over the tiny label table).
+    Early-exits when a round changes nothing.
     ``keep`` marks the component minimum (the canonical survivor — the
     same min-id convention as :func:`exact_duplicates`) — unless a
     ``quality`` frame is supplied.
@@ -671,31 +680,56 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     boilerplate families), so the loop is a handful of shuffles over edge
     data; pathological giant components are already bounded by the
     hot-key caps upstream."""
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
-             .distinct())
-    edges = _materialize(edges)
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
+    # persist the caller's pair list FIRST: the symmetrize union reads it
+    # twice, and without a persist each branch re-runs the (expensive)
+    # candidate-generation plan that produced the pairs
+    pairs = _materialize(pairs.select("id_a", "id_b"))
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+        .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster", F.col("id")))
     spark = pairs.sparkSession
+    # Convergence detection is exact either way. Numeric ids get the cheap
+    # path: min-propagation only ever lowers a label, so the label SUM is
+    # strictly decreasing until the fixpoint — one tiny aggregation per
+    # round, exact decimal(38,0) so 10^12-scale id sums never overflow.
+    # Non-numeric ids (string doc_ids) have no monotone numeric injection,
+    # so they keep the exact compare-join (still over the tiny persisted
+    # label table, not the corpus).
+    numeric_labels = isinstance(
+        labels.schema["cluster"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType))
+    _checksum = F.sum(F.col("cluster").cast("decimal(38,0)"))
+    if numeric_labels:
+        # this first action also fills the edges persist — the expensive
+        # pair computation runs exactly once; later rounds scan the cache
+        prev_sum = labels.agg(_checksum).first()[0]
+        converged = prev_sum is None  # no pairs: empty output, no rounds
+    else:
+        prev_sum = None
+        converged = edges.limit(1).count() == 0
     scratch_base = None
     scratch_paths: list[str] = []
-    converged = False
     prev = None
     for i in range(max_iter):
-        # neighbor minimum in one join + one aggregation
-        neighbor_min = (edges
-                        .join(labels.withColumnRenamed("id", "dst")
-                              .withColumnRenamed("cluster", "_nc"), "dst")
-                        .groupBy(F.col("src").alias("id"))
-                        .agg(F.min("_nc").alias("_nmin")))
-        updated = (labels.join(neighbor_min, "id", "left")
-                   .select("id",
-                           F.least("cluster", F.coalesce("_nmin", "cluster"))
-                            .alias("cluster")))
+        if converged:
+            break
+        # closed-neighborhood minimum: the neighbor-label join unions the
+        # (tiny, persisted) label table itself as the "own label" rows, so
+        # one partial-aggregated shuffle yields least(own, min-neighbor)
+        # AND keeps every id in the table — no left join, no coalesce
+        updated = (edges
+                   .join(labels.select(F.col("id").alias("dst"),
+                                       F.col("cluster").alias("_nc")), "dst")
+                   .select("src", "_nc")
+                   .unionByName(labels.select(F.col("id").alias("src"),
+                                              F.col("cluster").alias("_nc")))
+                   .groupBy(F.col("src").alias("id"))
+                   .agg(F.min("_nc").alias("cluster")))
         if truncate_every and (i + 1) % truncate_every == 0:
             if scratch_base is None:
                 scratch_base = _scratch_base(spark, scratch_dir)
@@ -707,16 +741,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
             scratch_paths.append(path)
             updated = spark.read.parquet(path)
         updated = _materialize(updated)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "id")
-                   .where(F.col("u.cluster") != F.col("l.cluster"))
-                   .limit(1).count())
+        if numeric_labels:
+            cur_sum = updated.agg(_checksum).first()[0]
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (updated.alias("u")
+                       .join(labels.alias("l"), "id")
+                       .where(F.col("u.cluster") != F.col("l.cluster"))
+                       .limit(1).count()) > 0
         if prev is not None:
             prev.unpersist()  # only the latest two generations stay cached
         prev, labels = labels, updated
-        if changed == 0:
+        if not changed:
             converged = True
-            break
     # superseded scratch generations are dead weight; the newest one stays
     # on disk as the recompute root of the returned (lazy) DataFrame
     for path in scratch_paths[:-1]:
