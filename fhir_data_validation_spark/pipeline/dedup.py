@@ -251,10 +251,24 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str,
                    n: int) -> DataFrame:
-    return (_widen(df)
-            .select(F.col(id_col).alias("_id"),
-                    shingle_hashes(F.col(text_col), n).alias("_sh"))
-            .where(F.size("_sh") > 0))
+    # Two-step projection: materialize the words array ONCE per row, then
+    # shingle over the column reference. Inlining ``words(text)`` into the
+    # shingling lambda (as the public shingle_hashes Column does) makes
+    # every F.slice re-evaluate the split inside the interpreted HOF —
+    # O(words²) splits per document, measured 2.5-9x slower on real text.
+    w = (_widen(df)
+         .select(F.col(id_col).alias("_id"),
+                 words(F.col(text_col)).alias("_w")))
+    ww = F.col("_w")
+    k = F.size(ww)
+    shingled = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ww, i, n))))
+    arr = F.array_distinct(
+        F.when(k >= n, shingled)
+         .when(k > 0, F.array(F.xxhash64(F.concat_ws(" ", ww))))
+         .otherwise(F.array().cast("array<long>")))
+    return w.select("_id", arr.alias("_sh")).where(F.size("_sh") > 0)
 
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
@@ -281,21 +295,29 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.6, n: int = 3,
     exact_duplicates/:func:`minhash_dedup` handle. None disables the cap.
     """
     sh = _materialize(_shingle_table(df, text_col, id_col, n))
-    posts = sh.select("_id", F.explode("_sh").alias("h"))
+    # postings carry the set size so the size-ratio bound
+    # (min(|A|,|B|) < t·max ⇒ J < t) prunes AT the posting join, before
+    # the distinct — no extra join, and provably-below pairs never even
+    # reach the pair dedup shuffle
+    posts = sh.select("_id", F.size("_sh").alias("_n"),
+                      F.explode("_sh").alias("h"))
     if max_shingle_df is not None:
         posts = _anti_join_hot_keys(posts, ["h"], max_shingle_df)
     cands = (posts.alias("a")
              .join(posts.alias("b"), "h")
-             .where(F.col("a._id") < F.col("b._id"))
+             .where((F.col("a._id") < F.col("b._id"))
+                    & (F.least("a._n", "b._n").cast("double")
+                       >= F.lit(threshold) * F.greatest("a._n", "b._n")))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"))
              .distinct())
-    return _verify_jaccard(cands, sh, threshold)
+    return _verify_jaccard(cands, sh, threshold, presized=True)
 
 
 def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float,
                     sh_b: DataFrame | None = None,
-                    a: str = "id_a", b: str = "id_b") -> DataFrame:
+                    a: str = "id_a", b: str = "id_b",
+                    presized: bool = False) -> DataFrame:
     """Exact Jaccard over candidate pairs: join the two full shingle sets,
     one ``array_intersect`` per pair — O(candidates), no posting blowup.
 
@@ -305,15 +327,21 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float,
     carries one long per side, pruning the candidate set (typically the
     bulk, boilerplate-overlap pairs) at a fraction of the verify cost.
     Emitted values stay EXACT. ``sh_b`` switches to cross-corpus mode
-    (``a``-side ids resolve in ``sh``, ``b``-side in ``sh_b``)."""
+    (``a``-side ids resolve in ``sh``, ``b``-side in ``sh_b``).
+    ``presized=True`` skips the prefilter — for callers (jaccard_pairs)
+    that already applied the size bound during candidate generation."""
     right = sh_b if sh_b is not None else sh
-    sizes_a = sh.select(F.col("_id").alias(a), F.size("_sh").alias("_na"))
-    sizes_b = right.select(F.col("_id").alias(b),
-                           F.size("_sh").alias("_nb"))
-    pruned = (cands.join(sizes_a, a).join(sizes_b, b)
-              .where(F.least("_na", "_nb").cast("double")
-                     >= F.lit(threshold) * F.greatest("_na", "_nb"))
-              .select(a, b))
+    if presized:
+        pruned = cands.select(a, b)
+    else:
+        sizes_a = sh.select(F.col("_id").alias(a),
+                            F.size("_sh").alias("_na"))
+        sizes_b = right.select(F.col("_id").alias(b),
+                               F.size("_sh").alias("_nb"))
+        pruned = (cands.join(sizes_a, a).join(sizes_b, b)
+                  .where(F.least("_na", "_nb").cast("double")
+                         >= F.lit(threshold) * F.greatest("_na", "_nb"))
+                  .select(a, b))
     return (pruned
             .join(sh.select(F.col("_id").alias(a),
                             F.col("_sh").alias("sh_a")), a)
@@ -405,11 +433,13 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
     two shingle sets — no posting-list blowup)."""
     # one materialized shingle table serves the signature aggregation and
     # both verification joins (see _materialize for the persist-vs-
-    # checkpoint rationale)
+    # checkpoint rationale); the signature frame (O(docs) rows) persists
+    # too — lsh_candidates consumes it three ways (hot-bucket count +
+    # both self-join sides) and each way would re-run the 64-min-agg
     sh = _materialize(_shingle_table(df, text_col, id_col, n))
-    cands = lsh_candidates(
-        minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh),
-        bands, max_bucket_size=max_bucket_size)
+    sigs = _materialize(
+        minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh))
+    cands = lsh_candidates(sigs, bands, max_bucket_size=max_bucket_size)
     return _verify_jaccard(cands, sh, threshold)
 
 
@@ -438,10 +468,12 @@ def similarity_join(left: DataFrame, right: DataFrame,
     exact), so emitted pairs = the exact cross-pair set."""
     sh_l = _materialize(_shingle_table(left, text_col, id_col, n))
     sh_r = _materialize(_shingle_table(right, text_col, id_col, n))
-    b_l = _band_buckets(
-        minhash_signatures(left, n_hashes, n, shingles=sh_l), bands)
-    b_r = _band_buckets(
-        minhash_signatures(right, n_hashes, n, shingles=sh_r), bands)
+    # each side's signature frame feeds its hot-bucket count AND the
+    # cross join side — persist so the min-agg runs once per side
+    b_l = _band_buckets(_materialize(
+        minhash_signatures(left, n_hashes, n, shingles=sh_l)), bands)
+    b_r = _band_buckets(_materialize(
+        minhash_signatures(right, n_hashes, n, shingles=sh_r)), bands)
     if max_bucket_size is not None:
         b_l = _anti_join_hot_keys(b_l, ["band", "bh"], max_bucket_size)
         b_r = _anti_join_hot_keys(b_r, ["band", "bh"], max_bucket_size)
@@ -514,6 +546,11 @@ def signature_pairs(sigs: DataFrame, max_distance: int = 3,
     (``multimodal.image_near_dup``). Complete for hamming ≤ 3 (4 16-bit
     chunks ⇒ some chunk equal); larger ``max_distance`` values still
     rerank exactly but may miss pairs whose every chunk differs."""
+    # persist the (O(docs), two-long) signature frame: the hot-bucket
+    # count AND both self-join sides consume it — without this the
+    # upstream signature plan (e.g. SimHash's 64-aggregate vote pass over
+    # every word) re-executes up to three times (measured 4.7x on d4)
+    sigs = _materialize(sigs.select("_id", "simhash"))
     chunks = _simhash_chunks(sigs)
     if max_bucket_size is not None:
         # (was documented but never applied — a 10^6-doc boilerplate
