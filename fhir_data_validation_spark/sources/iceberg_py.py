@@ -303,11 +303,17 @@ class PyIcebergTable:
 
     # ------------------------------------------------------------ commits --
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame,
+               summary_extra: dict[str, str] | None = None) -> int:
         """Append commit: parquet data files + one new manifest; the new
         snapshot's manifest list = previous list + the new manifest.
-        Returns the new snapshot id."""
-        return self._commit(df, operation="append")
+        Returns the new snapshot id. ``summary_extra`` adds caller keys to
+        the snapshot summary ATOMICALLY with the commit — e.g. a streaming
+        sink's epoch marker, so replay dedup can never disagree with what
+        was actually committed (Iceberg snapshot summaries carry
+        engine-specific keys the same way)."""
+        return self._commit(df, operation="append",
+                            summary_extra=summary_extra)
 
     def overwrite(self, df: DataFrame) -> int:
         """Overwrite commit: the new snapshot's manifest list contains ONLY
@@ -350,7 +356,12 @@ class PyIcebergTable:
             return {"snapshot_id": meta["current-snapshot-id"],
                     "files_rewritten": 0, "files_carried": len(live),
                     "rows_deleted": 0}
-        survivors = self._read_files(meta, sorted(affected)).where(~pred)
+        # SQL DELETE semantics: only rows where the predicate is TRUE go —
+        # NULL-evaluating rows survive. A bare ~pred would drop them in
+        # rewritten files while identical rows in carried files persist
+        # (same data, different fate per file).
+        survivors = (self._read_files(meta, sorted(affected))
+                     .where(F.coalesce(~pred, F.lit(True))))
         new_sid, n_carried = self._cow_commit(meta, old_version, live,
                                               affected, survivors, "delete")
         return {"snapshot_id": new_sid, "files_rewritten": len(affected),
@@ -686,7 +697,8 @@ class PyIcebergTable:
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq)
 
-    def _commit(self, df: DataFrame, operation: str) -> int:
+    def _commit(self, df: DataFrame, operation: str,
+                summary_extra: dict[str, str] | None = None) -> int:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
@@ -707,11 +719,13 @@ class PyIcebergTable:
                                          part_col, df.schema)
         self._promote_files(tmp_dir, entries)
         return self._commit_entries(meta, old_version, entries, operation,
-                                    snapshot_id, seq)
+                                    snapshot_id, seq,
+                                    summary_extra=summary_extra)
 
     def _commit_entries(self, meta: dict, old_version: int,
                         entries: list[dict], operation: str,
-                        snapshot_id: int, seq: int) -> int:
+                        snapshot_id: int, seq: int,
+                        summary_extra: dict[str, str] | None = None) -> int:
         spec_fields = meta["partition-specs"][0]["fields"]
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
@@ -783,7 +797,8 @@ class PyIcebergTable:
             "manifest-list": mlist_path,
             "summary": {"operation": operation,
                         "added-data-files": str(len(added)),
-                        "added-records": str(added_rows)},
+                        "added-records": str(added_rows),
+                        **(summary_extra or {})},
             "schema-id": meta["current-schema-id"],
         }
         if meta["current-snapshot-id"] != -1:

@@ -9,9 +9,13 @@ Each micro-batch commits ONE append snapshot, so the snapshot log doubles
 as the stream's batch history (time-travel to any batch boundary,
 ``incremental()`` between any two). Exactly-once: Spark's ``foreachBatch``
 re-runs a batch after a failure with the SAME ``epoch_id`` — the sink
-records the last committed epoch per query name in a sidecar next to the
-table metadata and skips replays, so a crash between the table commit and
-the checkpoint advance cannot double-append.
+writes the epoch into the snapshot SUMMARY of the very commit that
+carries the batch (``append(summary_extra=…)``), so the replay marker is
+atomic with the data: a crash anywhere leaves either no commit (replay
+re-appends) or a commit whose summary already names the epoch (replay
+skips). A sidecar guard file would reopen the gap — written before the
+commit it can skip a batch that never landed; written after, a crash in
+between double-appends on replay.
 
 At cluster scale the same code runs unchanged — the sink only uses the
 driver-side ``foreachBatch`` hook plus the table's normal append path
@@ -24,11 +28,8 @@ in from a stream with that contract intact per micro-batch.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 
-from ..fsutil import exists, read_bytes, write_bytes
 from ..sources.iceberg_py import PyIcebergTable
 
 
@@ -43,20 +44,26 @@ class IcebergStreamSink:
     def __init__(self, table: PyIcebergTable, name: str = "sink"):
         self.table = table
         self.name = name
-        self._guard = f"{table.location}/metadata/sink-{name}.json"
+        self._summary_key = f"sink-{name}-epoch"
 
     def last_epoch(self) -> int:
-        if exists(self.table.spark, self._guard):
-            return json.loads(read_bytes(
-                self.table.spark, self._guard).decode())["epoch"]
-        return -1
+        """Highest epoch this sink has COMMITTED, read from the snapshot
+        summaries — the markers travel inside the commits themselves, so
+        this can never disagree with the table's actual contents (and it
+        survives expire_snapshots only as far as the data does)."""
+        meta = self.table._load_meta()
+        epochs = [int(s["summary"][self._summary_key])
+                  for s in meta.get("snapshots", [])
+                  if self._summary_key in s.get("summary", {})]
+        return max(epochs, default=-1)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self.last_epoch():       # checkpoint replay
             return
-        self.table.append(batch_df)
-        write_bytes(self.table.spark, self._guard,
-                    json.dumps({"epoch": int(epoch_id)}).encode())
+        # the epoch marker rides in the snapshot summary of THIS commit —
+        # atomic: either the batch landed with its marker or neither exists
+        self.table.append(batch_df,
+                          summary_extra={self._summary_key: str(epoch_id)})
 
 
 def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,

@@ -724,6 +724,28 @@ def test_agg_consistency_sum_and_lanes(spark):
     assert {r["doc_id"] for r in res3.violations.collect()} == {"p4"}
 
 
+def test_agg_consistency_null_child_aggregate_fails(spark):
+    """Children present but every child value NULL → the aggregate is
+    NULL, which can never reconcile against a non-null parent (regression:
+    abs(actual - NULL) > tol evaluated to NULL and where() silently
+    PASSED the row)."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    parent = spark.createDataFrame([("p1", 100.0, "g"), ("p2", 5.0, "g")],
+                                   "pid string, total double, grp string")
+    child = spark.createDataFrame([("p1", None), ("p1", None), ("p2", 5.0)],
+                                  "cid string, amt double")
+    rule = {"id": "AGG-N", "type": "AggConsistency", "column": "total",
+            "params": {"dim": "child", "on": "pid", "dimKey": "cid",
+                       "agg": "sum", "valueColumn": "amt",
+                       "tolerance": 0.01}}
+    res = ValidationEngine(
+        RuleSet.parse({"rules": [rule]}), dims={"child": child},
+        config=EngineConfig(key_col="pid", group_col="grp")).validate(parent)
+    got = {r["doc_id"]: r["detail"]["check"] for r in res.violations.collect()}
+    assert got == {"p1": "mismatch"}          # p2 reconciles (5 == 5)
+
+
 def test_agg_consistency_count_never_misses(spark):
     """agg='count': an absent child group counts 0 — never a noChildren
     lane, zero-count parents reconcile against a stored 0."""

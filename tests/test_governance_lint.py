@@ -58,6 +58,25 @@ class TestReviewRule:
                              params={"columns": ["doc_id"], "dim": "d"}))
         assert "EMPTY_FIELD_PATH" not in codes(r)
 
+    def test_expectation_passes_without_column(self):
+        # dataset-stat checks carry no column; review must not block a
+        # ruleset the engine compiles and runs (regression: EMPTY_FIELD_PATH
+        # blocked every Expectation rule)
+        r = review_rule(rule(type="Expectation", column=None,
+                             params={"checks": [{"metric": "row_count",
+                                                 "min": 2}]}),
+                        schema=TOKEN_SCHEMA)
+        assert "EMPTY_FIELD_PATH" not in codes(r)
+
+    def test_unique_composite_key_counts_as_column(self):
+        r = review_rule(rule(type="Unique", column=None,
+                             params={"columns": ["doc_id", "source"]}),
+                        schema=TOKEN_SCHEMA)
+        assert "EMPTY_FIELD_PATH" not in codes(r)
+        # a Unique rule with NEITHER column NOR columns is still blocked
+        r2 = review_rule(rule(type="Unique", column=None, params={}))
+        assert "EMPTY_FIELD_PATH" in codes(r2)
+
     def test_codesystem_missing_params_blocked(self):
         r = review_rule(rule(type="CodeSystem", params={}))
         assert "CODESYSTEM_MISSING_PARAMS" in codes(r)

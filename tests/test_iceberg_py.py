@@ -721,6 +721,28 @@ def test_delete_rows_rewrites_only_matching_files(spark, tmp_path):
     assert len(pruned.inputFiles()) == 1
 
 
+def test_delete_rows_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: only rows where the predicate is TRUE go.
+    A NULL-evaluating row in a rewritten file must survive exactly like
+    its twin in a carried file (regression: ~pred dropped NULL rows from
+    rewritten files only — silent data loss in the takedown primitive)."""
+    schema = "doc_id string, value int"
+    t = PyIcebergTable.create(
+        spark, str(tmp_path / "nulldel"),
+        spark.createDataFrame([], schema).schema)
+    # one file holds a TRUE match alongside a NULL row; the other file has
+    # a NULL row but no match (carried)
+    t.append(spark.createDataFrame(
+        [("a1", 5), ("a2", None), ("a3", 20)], schema).coalesce(1))
+    t.append(spark.createDataFrame(
+        [("b1", None), ("b2", 7)], schema).coalesce(1))
+    res = t.delete_rows("value > 10")
+    assert res["files_rewritten"] == 1 and res["files_carried"] == 1
+    assert res["rows_deleted"] == 1
+    left = {r["doc_id"] for r in t.read().collect()}
+    assert left == {"a1", "a2", "b1", "b2"}     # both NULL rows survive
+
+
 def test_delete_rows_noop_and_whole_file(spark, tmp_path):
     """Matching nothing is a no-op (no new snapshot); matching an entire
     file just drops it from the snapshot (nothing rewritten in its

@@ -133,6 +133,33 @@ def test_chunk_windows_short_tail_and_guards(spark):
         chunk_windows(df, window=4, stride=-1)
 
 
+def test_chunk_windows_stride_exceeds_window(spark):
+    """stride > window samples disjoint windows with gaps; no start may
+    land at or past the document end (regression: the uncapped chunk
+    count scheduled start=16 on a 12-token doc — negative slice length
+    crashed the job — and an empty chunk at start == n)."""
+    from fhir_data_validation_spark.pipeline.packing import chunk_windows
+    df = spark.createDataFrame(
+        [("d1", [str(i) for i in range(12)]),   # starts 0, 8 (16 is past)
+         ("d2", [str(i) for i in range(10)]),   # starts 0, 5 (10 == n)
+         ("d3", [str(i) for i in range(5)])],   # start 0 only
+        "doc_id string, tokens array<string>")
+    out = {}
+    for r in chunk_windows(df, window=3, stride=8).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(out["d1"], key=lambda r: r["chunk"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in d1] == [(0, 3), (8, 3)]
+    assert d1[1]["chunk_tokens"] == ["8", "9", "10"]
+    rows = sorted(chunk_windows(df.where("doc_id = 'd2'"),
+                                window=3, stride=5).collect(),
+                  key=lambda r: r["chunk"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in rows] == [(0, 3), (5, 3)]
+    assert all(r["chunk_len"] > 0 for r in rows)
+    rows = chunk_windows(df.where("doc_id = 'd3'"),
+                         window=2, stride=10).collect()
+    assert [(r["chunk_start"], r["chunk_len"]) for r in rows] == [(0, 2)]
+
+
 def test_chunk_windows_no_shuffle(spark):
     from fhir_data_validation_spark.pipeline.packing import chunk_windows
     df = spark.createDataFrame([("d", ["a", "b"])],

@@ -385,6 +385,22 @@ def test_duplicate_clusters(spark):
     dedup.unpersist_all()
 
 
+def test_duplicate_clusters_fractional_ids_exact(spark):
+    """Fractional ids must take the exact compare-join convergence path:
+    the decimal(38,0) checksum can't see a sub-integer label change
+    (regression: double ids {2.0, 2.2, 2.4} all round to 2 — sum never
+    moved, the loop stopped after one round and split one component into
+    two cluster ids)."""
+    pairs = spark.createDataFrame([(2.4, 2.2), (2.2, 2.0)],
+                                  "id_a double, id_b double")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        2.0: 2.0, 2.2: 2.0, 2.4: 2.0}
+    assert {d for d, (_, k) in out.items() if k} == {2.0}
+    dedup.unpersist_all()
+
+
 def test_duplicate_clusters_keep_best(spark):
     """quality frame flips the survivor election: each cluster keeps its
     highest-quality member (ties → min id; unscored docs lose to scored)."""

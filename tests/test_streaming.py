@@ -446,6 +446,19 @@ def test_iceberg_stream_sink_and_monitor_loop(spark, tmp_path):
     sink(spark.createDataFrame([("d4", 9, "web")], batch1.schema),
          last + 1)                               # genuinely new epoch
     assert table.read().count() == 4
+    # the epoch marker rides INSIDE the commit's snapshot summary — atomic
+    # with the data, so a crash between "commit" and "record epoch" cannot
+    # exist (regression: a sidecar guard written after the commit
+    # double-appended on a crash in between)
+    assert sink.last_epoch() == last + 1
+    marks = [s["summary"].get("sink-t-epoch")
+             for s in table._load_meta()["snapshots"]]
+    assert str(last + 1) in marks
+    # a crash RIGHT AFTER the table commit leaves the marker in place:
+    # a replay of that same epoch is skipped purely from table metadata
+    sink(spark.createDataFrame([("d5", 1, "web")], batch1.schema),
+         last + 1)
+    assert table.read().count() == 4
 
 
 def test_drift_stream_monitor_and_alert(spark, tmp_path):
