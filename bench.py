@@ -79,24 +79,34 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def host_health() -> dict[str, float]:
-    """CPU-steal share and 1-min load while the bench ran — the reader's
-    context for whether numbers were taken on a quiet or a throttled host
-    (steal bursts here inflate identical jobs 5-10x; see BENCH_SCALING.md
-    for the host-noise measurement protocol)."""
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) since boot, or None if unreadable."""
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = list(map(int, parts))
-        steal_pct = round(100.0 * vals[7] / max(sum(vals), 1), 2) \
-            if len(vals) > 7 else 0.0
+            vals = list(map(int, f.readline().split()[1:]))
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
     except (OSError, ValueError, IndexError):
+        return None
+
+
+def host_health(start: tuple[int, int] | None) -> dict[str, float]:
+    """CPU-steal share OVER THIS BENCH RUN (delta of the /proc/stat steal
+    counter between two samples bracketing the run — a boot-cumulative
+    ratio would hide a burst inside a long-lived host) plus 1-min load —
+    the reader's context for whether numbers were taken on a quiet or a
+    throttled host (steal bursts here inflate identical jobs 5-10x; see
+    BENCH_SCALING.md for the host-noise measurement protocol)."""
+    end = _cpu_sample()
+    if start is None or end is None or end[1] <= start[1]:
         steal_pct = -1.0
+    else:
+        steal_pct = round(100.0 * (end[0] - start[0])
+                          / (end[1] - start[1]), 2)
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = -1.0
-    return {"host_steal_pct_cum": steal_pct, "host_load1": load1}
+    return {"host_steal_pct_run": steal_pct, "host_load1": load1}
 
 
 def token_throughput(spark, n_rows: int) -> dict[str, float]:
@@ -178,6 +188,7 @@ def main():
     spark = get_spark("fdv-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    cpu_start = _cpu_sample()
     queries = time_queries(spark, sf_dir)
     tok = token_throughput(spark, n_tokens)
     total = round(sum(queries.values()) + tok["token_wall_sec"], 3)
@@ -189,7 +200,7 @@ def main():
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         **tok,
         "cpus": cpus,
-        **host_health(),
+        **host_health(cpu_start),
     }
     print(json.dumps(result))
 

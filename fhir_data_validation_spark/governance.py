@@ -119,11 +119,31 @@ def review_rule(rule: RuleDefinition,
 
     # --- BLOCKED: empty column (CheckEmptyOrRootPath, :166-193) ---------
     needs_column = t not in _NO_COLUMN_TYPES
-    has_sweep = t in _COLUMNS_SWEEP_TYPES and rule.params.get("columns")
+    # a sweep only counts when it is shaped the way compile accepts it —
+    # a non-empty LIST (plans/__init__.py rejects e.g. a bare string);
+    # review approving what compile raises on would defeat pre-flight
+    sweep_val = rule.params.get("columns")
+    has_sweep = (t in _COLUMNS_SWEEP_TYPES
+                 and isinstance(sweep_val, list) and sweep_val)
     if needs_column and not rule.column and not has_sweep:
         issues.append(ReviewIssue(
             "EMPTY_FIELD_PATH", BLOCKED, rule.id,
             {"ruleType": t, "reason": "column is required for this rule type"}))
+    if (t in _COLUMNS_SWEEP_TYPES and sweep_val is not None
+            and not (isinstance(sweep_val, list) and sweep_val)):
+        issues.append(ReviewIssue(
+            "MALFORMED_COLUMNS_SWEEP", BLOCKED, rule.id,
+            {"ruleType": t, "columns": sweep_val,
+             "reason": "params.columns must be a non-empty list of "
+                       "column names"}))
+    if t == "Expectation":
+        checks = rule.params.get("checks")
+        if not (isinstance(checks, list) and checks):
+            issues.append(ReviewIssue(
+                "EXPECTATION_MISSING_CHECKS", BLOCKED, rule.id,
+                {"missingParams": ["checks"],
+                 "reason": "Expectation needs a non-empty params.checks "
+                           "list of dataset-stat bounds"}))
 
     # --- BLOCKED: dim-backed rules missing their dim wiring -------------
     # (CheckQuestionAnswerWithoutQuestionSetId :195-218 /

@@ -304,16 +304,22 @@ class PyIcebergTable:
     # ------------------------------------------------------------ commits --
 
     def append(self, df: DataFrame,
-               summary_extra: dict[str, str] | None = None) -> int:
+               summary_extra: dict[str, str] | None = None,
+               properties_extra: dict[str, str] | None = None) -> int:
         """Append commit: parquet data files + one new manifest; the new
         snapshot's manifest list = previous list + the new manifest.
         Returns the new snapshot id. ``summary_extra`` adds caller keys to
         the snapshot summary ATOMICALLY with the commit — e.g. a streaming
         sink's epoch marker, so replay dedup can never disagree with what
         was actually committed (Iceberg snapshot summaries carry
-        engine-specific keys the same way)."""
+        engine-specific keys the same way). ``properties_extra`` upserts
+        TABLE properties in the same atomic metadata commit — unlike a
+        snapshot summary, properties survive ``compact`` and
+        ``expire_snapshots`` (every lifecycle op carries the loaded
+        properties map forward)."""
         return self._commit(df, operation="append",
-                            summary_extra=summary_extra)
+                            summary_extra=summary_extra,
+                            properties_extra=properties_extra)
 
     def overwrite(self, df: DataFrame) -> int:
         """Overwrite commit: the new snapshot's manifest list contains ONLY
@@ -698,7 +704,8 @@ class PyIcebergTable:
                                     snapshot_id, seq)
 
     def _commit(self, df: DataFrame, operation: str,
-                summary_extra: dict[str, str] | None = None) -> int:
+                summary_extra: dict[str, str] | None = None,
+                properties_extra: dict[str, str] | None = None) -> int:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
@@ -720,12 +727,15 @@ class PyIcebergTable:
         self._promote_files(tmp_dir, entries)
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq,
-                                    summary_extra=summary_extra)
+                                    summary_extra=summary_extra,
+                                    properties_extra=properties_extra)
 
     def _commit_entries(self, meta: dict, old_version: int,
                         entries: list[dict], operation: str,
                         snapshot_id: int, seq: int,
-                        summary_extra: dict[str, str] | None = None) -> int:
+                        summary_extra: dict[str, str] | None = None,
+                        properties_extra: dict[str, str] | None = None
+                        ) -> int:
         spec_fields = meta["partition-specs"][0]["fields"]
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
@@ -803,6 +813,9 @@ class PyIcebergTable:
         }
         if meta["current-snapshot-id"] != -1:
             snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        if properties_extra:
+            meta.setdefault("properties", {}).update(
+                {str(k): str(v) for k, v in properties_extra.items()})
         meta["snapshots"].append(snap)
         meta["snapshot-log"].append({"timestamp-ms": now,
                                      "snapshot-id": snapshot_id})

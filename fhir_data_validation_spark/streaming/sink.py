@@ -9,13 +9,18 @@ Each micro-batch commits ONE append snapshot, so the snapshot log doubles
 as the stream's batch history (time-travel to any batch boundary,
 ``incremental()`` between any two). Exactly-once: Spark's ``foreachBatch``
 re-runs a batch after a failure with the SAME ``epoch_id`` — the sink
-writes the epoch into the snapshot SUMMARY of the very commit that
-carries the batch (``append(summary_extra=…)``), so the replay marker is
-atomic with the data: a crash anywhere leaves either no commit (replay
-re-appends) or a commit whose summary already names the epoch (replay
-skips). A sidecar guard file would reopen the gap — written before the
-commit it can skip a batch that never landed; written after, a crash in
-between double-appends on replay.
+writes the epoch into the TABLE PROPERTIES (and, for provenance, the
+snapshot summary) of the very commit that carries the batch
+(``append(summary_extra=…, properties_extra=…)``), so the replay marker
+is atomic with the data: a crash anywhere leaves either no commit
+(replay re-appends) or a commit whose metadata already names the epoch
+(replay skips). A sidecar guard file would reopen the gap — written
+before the commit it can skip a batch that never landed; written after,
+a crash in between double-appends on replay. The property (not just the
+summary) is the durable guard because ``compact`` + ``expire_snapshots``
+delete old snapshots — and their summaries — while the rows live on in
+the kept snapshot; properties carry forward through every metadata
+rewrite.
 
 At cluster scale the same code runs unchanged — the sink only uses the
 driver-side ``foreachBatch`` hook plus the table's normal append path
@@ -45,25 +50,42 @@ class IcebergStreamSink:
         self.table = table
         self.name = name
         self._summary_key = f"sink-{name}-epoch"
+        self._prop_key = f"sink.{name}.epoch"
+        self._last: int | None = None   # in-memory fast path per process
 
     def last_epoch(self) -> int:
-        """Highest epoch this sink has COMMITTED, read from the snapshot
-        summaries — the markers travel inside the commits themselves, so
-        this can never disagree with the table's actual contents (and it
-        survives expire_snapshots only as far as the data does)."""
+        """Highest epoch this sink has COMMITTED. The durable record is a
+        TABLE PROPERTY written in the same atomic metadata commit as the
+        batch — unlike a snapshot-summary marker it survives ``compact``
+        and ``expire_snapshots`` (which delete old snapshots while their
+        rows live on in the kept one), and reading it is O(1), not a scan
+        of every snapshot summary. The per-snapshot summary marker is
+        still written for provenance, and stands in as a fallback for
+        tables whose commits predate the property."""
+        if self._last is not None:
+            return self._last
         meta = self.table._load_meta()
+        prop = meta.get("properties", {}).get(self._prop_key)
+        if prop is not None:
+            self._last = int(prop)
+            return self._last
         epochs = [int(s["summary"][self._summary_key])
                   for s in meta.get("snapshots", [])
                   if self._summary_key in s.get("summary", {})]
-        return max(epochs, default=-1)
+        self._last = max(epochs, default=-1)
+        return self._last
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self.last_epoch():       # checkpoint replay
             return
-        # the epoch marker rides in the snapshot summary of THIS commit —
-        # atomic: either the batch landed with its marker or neither exists
-        self.table.append(batch_df,
-                          summary_extra={self._summary_key: str(epoch_id)})
+        # the epoch marker rides in THIS commit's metadata (table property
+        # + snapshot summary) — atomic: either the batch landed with its
+        # marker or neither exists; no window for a replay to double-append
+        self.table.append(
+            batch_df,
+            summary_extra={self._summary_key: str(epoch_id)},
+            properties_extra={self._prop_key: str(epoch_id)})
+        self._last = int(epoch_id)
 
 
 def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,

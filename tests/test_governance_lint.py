@@ -77,6 +77,22 @@ class TestReviewRule:
         r2 = review_rule(rule(type="Unique", column=None, params={}))
         assert "EMPTY_FIELD_PATH" in codes(r2)
 
+    def test_review_blocks_what_compile_rejects(self):
+        # pre-flight parity: shapes the engine raises on must not pass
+        # review (a deploy gate approving them would fail at compile)
+        r = review_rule(rule(type="Expectation", column=None, params={}))
+        assert "EXPECTATION_MISSING_CHECKS" in codes(r) and r.status == BLOCKED
+        r = review_rule(rule(type="Expectation", column=None,
+                             params={"checks": []}))
+        assert "EXPECTATION_MISSING_CHECKS" in codes(r)
+        # a bare string is truthy but compile requires a non-empty list
+        r = review_rule(rule(type="Unique", column=None,
+                             params={"columns": "doc_id"}))
+        assert "MALFORMED_COLUMNS_SWEEP" in codes(r) and r.status == BLOCKED
+        r = review_rule(rule(type="Reference", column=None,
+                             params={"columns": [], "dim": "d"}))
+        assert "MALFORMED_COLUMNS_SWEEP" in codes(r)
+
     def test_codesystem_missing_params_blocked(self):
         r = review_rule(rule(type="CodeSystem", params={}))
         assert "CODESYSTEM_MISSING_PARAMS" in codes(r)

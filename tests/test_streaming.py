@@ -459,6 +459,17 @@ def test_iceberg_stream_sink_and_monitor_loop(spark, tmp_path):
     sink(spark.createDataFrame([("d5", 1, "web")], batch1.schema),
          last + 1)
     assert table.read().count() == 4
+    # the guard survives the maintenance lifecycle: compact + expire
+    # delete the epoch-marked SNAPSHOTS (their rows live on in the kept
+    # one) but the table PROPERTY carries forward — a fresh sink instance
+    # (fresh process after the maintenance job) must still skip the replay
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    sink2 = IcebergStreamSink(table, name="t")
+    assert sink2.last_epoch() == last + 1
+    sink2(spark.createDataFrame([("d6", 2, "web")], batch1.schema),
+          last + 1)                              # replay after maintenance
+    assert table.read().count() == 4
 
 
 def test_drift_stream_monitor_and_alert(spark, tmp_path):
