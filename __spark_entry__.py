@@ -1280,6 +1280,79 @@ def q_w3_hopping(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("window_start_us", "event_type")
 
 
+def q_w4_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (pipeline/events.asof_join): every click event picks up
+    the latest prior-or-equal purchase of the same user — the distributed
+    merge-asof (union-tag + one shuffle + running last(ignorenulls)
+    window, no join operator). The oracle is DuckDB's native LEFT ASOF
+    JOIN; event_id tiebreak makes duplicate-ts winners deterministic on
+    both sides (the events table has unique (user_id, ts), so the
+    tiebreak is inert here but stated for parity)."""
+    from fhir_data_validation_spark.pipeline import events
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = events.asof_join(clicks, purchases, by=("user_id",),
+                           right_cols=("event_id", "value"),
+                           right_tie_cols=("event_id",))
+    # unmatched lefts keep NULL payloads (LEFT ASOF); the contract
+    # output coalesces them to -1 sentinels because the value-hash
+    # compare round-trips through pandas, where NULL bigints decay to
+    # NaN floats — the NULL lane itself is unit-tested
+    return (out.select("event_id", "user_id",
+                       F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("ts_us"),
+                       F.coalesce(F.col("event_id_r"), F.lit(-1))
+                       .alias("purchase_id"),
+                       F.coalesce(F.unix_micros(F.col("ts_r")
+                                                .cast("timestamp")),
+                                  F.lit(-1)).alias("purchase_ts_us"),
+                       F.round(F.coalesce(F.col("value_r"), F.lit(-1.0)),
+                               4).alias("purchase_value"))
+            .orderBy("event_id"))
+
+
+def q_w5_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join (pipeline/events.range_join): each event
+    matched to the ±10-minute-padded session windows of its own user
+    that contain it — the binned range join (intervals exploded into
+    1-hour bins, equi-join on (user, bin), exact containment filter)
+    instead of Catalyst's BroadcastNestedLoop for inequality joins. The
+    padding makes adjacent sessions overlap, so this is genuinely
+    many-to-many. Oracle: plain SQL BETWEEN join over the same session
+    CTE (DuckDB IEJoin)."""
+    from fhir_data_validation_spark.pipeline import events
+    ev = load_table(spark, sf, "events")
+    ss = events.session_stats(ev, 30, order_cols=("event_id",))
+    pad = 600_000_000  # 10 min in us
+    ivl = ss.select("user_id", "session_seq",
+                    (F.col("start_us") - F.lit(pad)).alias("lo"),
+                    (F.col("end_us") + F.lit(pad)).alias("hi"))
+    pts = ev.select("event_id", "user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("ts_us"))
+    out = events.range_join(pts, ivl, "ts_us", "lo", "hi",
+                            by=("user_id",), bucket_width=3_600_000_000,
+                            interval_cols=("session_seq",))
+    return (out.select("event_id", "user_id", "ts_us", "session_seq")
+            .orderBy("event_id", "session_seq"))
+
+
+def q_w6_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup
+    (pipeline/events.rollup_cascade): hour → day → week × event_type
+    continuous-aggregate levels in ONE Expand + one map-side-combined
+    hash aggregate (plan pinned in tests — no per-level re-scan, no
+    union of jobs). Totals sum DECIMAL(18,6) so every level is
+    bit-identical to a direct aggregation; the oracle states each level
+    independently with integer // bucket floors."""
+    from fhir_data_validation_spark.pipeline import events
+    ev = load_table(spark, sf, "events")
+    out = events.rollup_cascade(ev, levels=("1 hour", "1 day", "1 week"),
+                                keys=("event_type",), value_col="value")
+    return out.orderBy("level", "window_start_us", "event_type")
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -1890,6 +1963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
         "w3_hopping": q_w3_hopping,
+        "w4_asof_join": q_w4_asof_join,
+        "w5_range_join": q_w5_range_join,
+        "w6_rollup_cascade": q_w6_rollup_cascade,
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
@@ -3170,6 +3246,65 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total_value
             FROM w GROUP BY window_start_us, event_type
             ORDER BY window_start_us, event_type""",
+        # w4: as-of join — DuckDB's native LEFT ASOF JOIN is the oracle
+        # for the distributed merge-asof (largest right.ts <= left.ts
+        # per user, equal ts matches)
+        "w4_asof_join": """
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   coalesce(r.event_id, -1) AS purchase_id,
+                   coalesce(epoch_us(r.ts), -1) AS purchase_ts_us,
+                   round(coalesce(r.value, -1.0), 4) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
+        # w5: range join — events vs ±10-min-padded session windows of
+        # the same user; sessions re-derived by the w1 CTE, containment
+        # as a plain BETWEEN inequality join (DuckDB IEJoin)
+        "w5_range_join": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev)
+                                 > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+              FROM o),
+            ivl AS (
+              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                     min(epoch_us(ts)) - 600000000 AS lo,
+                     max(epoch_us(ts)) + 600000000 AS hi
+              FROM s GROUP BY user_id, session_seq)
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   ivl.session_seq
+            FROM events e JOIN ivl
+              ON e.user_id = ivl.user_id
+             AND epoch_us(e.ts) BETWEEN ivl.lo AND ivl.hi
+            ORDER BY e.event_id, ivl.session_seq""",
+        # w6: hypertable rollup — each level stated independently with
+        # integer // floors; DECIMAL(18,6) sums make cascade == direct
+        # exactly, cast back to double at the end
+        "w6_rollup_cascade": """
+            WITH lv AS (
+              SELECT * FROM (VALUES ('1 hour', 3600000000),
+                                    ('1 day', 86400000000),
+                                    ('1 week', 604800000000))
+                       t(level, w))
+            SELECT lv.level,
+                   (epoch_us(e.ts) // lv.w) * lv.w AS window_start_us,
+                   e.event_type, count(*) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_value
+            FROM events e CROSS JOIN lv
+            GROUP BY 1, 2, 3
+            ORDER BY level, window_start_us, event_type""",
         # k2: sliding-window chunking — same start/count arithmetic as
         # chunk_windows (ceil via integer div); list_slice is 1-based
         # inclusive on both ends

@@ -1,5 +1,6 @@
-"""Event-time analytics: sessionization and fixed-window aggregation over
-an event stream table.
+"""Event-time analytics: sessionization, fixed-window aggregation, as-of
+join, range (interval) join, and multi-resolution time rollup over an
+event stream table.
 
 The batch twins of the streaming module's watermarked operators: the same
 session / tumbling-window semantics computed over a bounded snapshot scan,
@@ -104,3 +105,283 @@ def tumbling_agg(df: DataFrame, window_duration: str = "1 day",
             .agg(*aggs)
             .withColumn("window_start_us", _us(F.col("_w.start")))
             .drop("_w"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by: tuple[str, ...] = ("user_id",),
+              right_cols: tuple[str, ...] | None = None,
+              direction: str = "backward",
+              tolerance_us: int | None = None,
+              suffix: str = "_r",
+              right_tie_cols: tuple[str, ...] = ()) -> DataFrame:
+    """As-of join: attach to every left row the single right row that is
+    nearest in event time on the chosen side — ``backward`` (largest
+    ``right.ts <= left.ts``, the quotes-to-trades / latest-dim-version
+    shape) or ``forward`` (smallest ``right.ts >= left.ts``). Equal
+    timestamps match in both directions. Left rows with no qualifying
+    right row keep NULL payload columns (LEFT ASOF semantics).
+
+    Spark has no native as-of join; the naive encoding (inequality join +
+    per-left argmax) is a BroadcastNestedLoop / cartesian at scale. This
+    implementation is the distributed merge-asof: union both sides tagged
+    with a side flag, ONE shuffle+sort of |L|+|R| rows partitioned by
+    ``by`` and ordered by ``(ts, side)``, then a running
+    ``last(payload, ignorenulls)`` window carries the most recent right
+    payload forward onto each left row. Right rows order before left rows
+    at equal ``ts`` so ties are inclusive. ``forward`` runs the same plan
+    with the time axis descending. No join operator at all — WindowExec
+    over a single exchange, the same cost shape as one sort-merge join,
+    robust to any |R| (no broadcast requirement).
+
+    Scale notes: one Exchange on ``by`` (must be non-empty — a keyless
+    as-of join would serialize into a single window task; pre-bucket by
+    coarse time range and refine instead). Per-key data streams through
+    one sorted run, so a hot key is the skew case — same contract as
+    ``sessionize``. ``tolerance_us`` nulls matches farther than the bound
+    (pandas ``merge_asof`` tolerance semantics).
+
+    If the right side can carry duplicate ``(by, ts)`` keys, pass
+    ``right_tie_cols`` — the row ordering LAST under them wins
+    deterministically; without them duplicate-ts winners are unspecified.
+
+    No reference analog (point-in-time payload validator); this is the
+    event-enrichment primitive a telemetry/training-data join needs.
+    """
+    if not by:
+        raise ValueError("asof_join requires at least one equality key; "
+                         "keyless as-of would serialize into one task")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload_cols = list(right_cols) if right_cols is not None else \
+        [c for c in right.columns if c not in by]
+    if ts_col not in payload_cols:
+        payload_cols = [ts_col, *payload_cols]
+    left_keep = [c for c in left.columns]
+    out_names = {}
+    for c in payload_cols:
+        out_names[c] = c + suffix if c in left_keep else c
+
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    r = right.select(
+        *[F.col(c) for c in by], F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"), payload.alias("__payload"),
+        *[F.col(c).alias(f"__tie{i}")
+          for i, c in enumerate(right_tie_cols)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{i}")
+          for i, c in enumerate(left_keep)])
+    l = left.select(
+        *[F.col(c) for c in by], F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.lit(None).cast(r.schema[f"__tie{i}"].dataType)
+          .alias(f"__tie{i}") for i in range(len(right_tie_cols))],
+        *[F.col(c).alias(f"__l_{i}") for i, c in enumerate(left_keep)])
+    u = r.unionByName(l)
+
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    order = [ts_ord, F.col("__side").asc(),
+             *[F.col(f"__tie{i}").asc_nulls_first()
+               for i in range(len(right_tie_cols))]]
+    w = (Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last(F.col("__payload"), ignorenulls=True).over(w)
+    out = (u.withColumn("__m", matched)
+           .where(F.col("__side") == 1))
+    if tolerance_us is not None:
+        gap = F.abs(_us(F.col("__ts")) - _us(F.col("__m")[ts_col]))
+        out = out.withColumn(
+            "__m", F.when(gap <= F.lit(int(tolerance_us)), F.col("__m")))
+    return out.select(
+        *[F.col(f"__l_{i}").alias(c) for i, c in enumerate(left_keep)],
+        *[F.col("__m")[c].alias(out_names[c]) for c in payload_cols])
+
+
+def _bin(col: Column, width: int | float) -> Column:
+    """Bin id for ``range_join`` — the bucket START, all-integer for an
+    integer ``width`` (``x - pmod(x, w)``: exact, floor semantics for
+    negatives). Long division in Spark is DOUBLE division, whose quotient
+    can round up across a bucket boundary at epoch-microsecond magnitudes
+    — a point mis-binned one bucket past its interval's last exploded bin
+    is silently dropped, so exactness here is correctness, not polish.
+    Non-integer widths fall back to floor(x/w) with that (documented)
+    boundary caveat at extreme magnitude/width ratios."""
+    if isinstance(width, int):
+        return (col - F.pmod(col, F.lit(width))).cast("long")
+    return (F.floor(col / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def _bin_seq(lo: Column, hi: Column, width: int | float) -> Column:
+    step = F.lit(width if isinstance(width, int) else 1)
+    if isinstance(width, int):
+        return F.sequence(_bin(lo, width), _bin(hi, width), step)
+    # float widths: sequence over quotient indices, scale back via the
+    # same floor convention as _bin
+    return F.transform(
+        F.sequence(F.floor(lo / F.lit(width)), F.floor(hi / F.lit(width)),
+                   step),
+        lambda q: (q * F.lit(width)).cast("long"))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, by: tuple[str, ...] = (),
+               bucket_width: int | float = None,
+               interval_cols: tuple[str, ...] | None = None,
+               bounds: str = "closed", how: str = "inner",
+               suffix: str = "_i") -> DataFrame:
+    """Range (interval containment) join: pair every point row with the
+    interval rows whose ``[lo, hi]`` contains its ``point_col`` value
+    (``bounds='closed'``: lo <= p <= hi; ``'half_open'``: lo <= p < hi),
+    optionally under extra equality keys ``by``.
+
+    Catalyst turns a bare inequality join into BroadcastNestedLoopJoin —
+    O(|P|·|I|) compares, a non-starter at corpus scale. This is the
+    binned range join (the DuckDB/TimescaleDB strategy): quantize the
+    axis into ``bucket_width``-sized bins, explode each interval into the
+    bins it overlaps (``sequence(floor(lo/w), floor(hi/w))``), equi-join
+    on ``(by…, bin)`` — a plain shuffled/AQE-broadcast hash join — then
+    apply the exact containment predicate. Each point has exactly ONE
+    bin, so every (point, interval) pair meets at most once: no dedup
+    pass. Join work is O(|P| + Σ spans/width) instead of O(|P|·|I|).
+
+    Pick ``bucket_width`` near the median interval span: too small
+    explodes intervals into many bins; too large piles unrelated rows
+    into shared bins. Works for any orderable numeric axis (epoch micros,
+    prices, offsets). ``how='left'`` keeps uncontained points with NULL
+    interval columns.
+
+    NULL ``lo``/``hi`` intervals and NULL points never match (SQL
+    comparison semantics — the predicate is simply false).
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    if bounds not in ("closed", "half_open"):
+        raise ValueError("bounds must be 'closed' or 'half_open'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    w = F.lit(bucket_width)
+    keep = list(interval_cols) if interval_cols is not None else \
+        [c for c in intervals.columns if c not in by]
+    out_names = {c: c + suffix if c in points.columns else c for c in keep}
+    ivl = (intervals
+           .where(F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+                  & (F.col(lo_col) <= F.col(hi_col)))
+           .select(*[F.col(c) for c in by],
+                   F.col(lo_col).alias("__lo"), F.col(hi_col).alias("__hi"),
+                   F.struct(*[F.col(c).alias(c) for c in keep])
+                   .alias("__ivl"))
+           .withColumn("__bin", F.explode(_bin_seq(
+               F.col("__lo"), F.col("__hi"), bucket_width)))
+           .withColumnsRenamed({c: f"__by_{c}" for c in by})
+           .alias("__i"))
+    # rename the interval side's key/bin columns so a points/intervals
+    # pair derived from the SAME source frame can't produce ambiguous
+    # (trivially-true) join predicates
+    pts = (points.withColumn("__bin", _bin(F.col(point_col), bucket_width))
+           .alias("__p"))
+    cond = [F.col("__p.__bin") == F.col("__i.__bin"),
+            *[F.col(f"__p.{c}") == F.col(f"__i.__by_{c}") for c in by]]
+    p_val = F.col(f"__p.{point_col}")
+    contain = (F.col("__i.__lo") <= p_val)
+    contain &= (p_val <= F.col("__i.__hi")) if bounds == "closed" \
+        else (p_val < F.col("__i.__hi"))
+    joined = pts.join(ivl, [*cond, contain], how)
+    return joined.select(
+        *[F.col(f"__p.{c}") for c in points.columns],
+        *[F.col("__i.__ivl")[c].alias(out_names[c]) for c in keep])
+
+
+_UNITS_US = {"second": 1_000_000, "minute": 60_000_000,
+             "hour": 3_600_000_000, "day": 86_400_000_000,
+             "week": 604_800_000_000}
+
+
+def _duration_us(spec: str) -> int:
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must look like '1 hour': {spec!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _UNITS_US:
+        raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
+    return int(n) * _UNITS_US[unit]
+
+
+def rollup_cascade(df: DataFrame, levels: tuple[str, ...] = ("1 hour",
+                                                             "1 day"),
+                   keys: tuple[str, ...] = (), ts_col: str = "ts",
+                   value_col: str | None = None) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the event stream reduced
+    at every level of a time hierarchy (hour → day → week …) in ONE pass
+    — the batch shape of a continuous aggregate. Output rows are
+    ``(level, window_start_us, *keys, n_events[, total_value])``, one per
+    non-empty epoch-aligned bucket per level.
+
+    Each level must evenly divide the next coarser one, so the bucket
+    columns form a functional hierarchy (the hour start determines the
+    day start). That lets the whole cascade compile to ``ROLLUP`` over
+    the bucket columns coarsest-first: a single Expand + ONE
+    map-side-combined hash aggregate — one scan, one shuffle, no
+    per-level re-scan and no persist/union of L separate jobs. (The
+    grand-total grouping set is dropped; per-level starts come out of
+    ``coalesce`` over the bucket columns, finest first.)
+
+    Sums run over ``value_col`` cast to DECIMAL(18,6): decimal addition
+    is associative, so every level's total is bit-identical to an
+    independent direct aggregation regardless of partial-agg order — the
+    invariant that makes a continuous aggregate trustworthy (and the
+    oracle exact). The final total is cast back to double.
+
+    Buckets align to the Unix epoch (integer floor of epoch micros), so
+    day buckets are midnight UTC and week buckets tile from 1970-01-01
+    (a Thursday), matching ``window()``'s convention.
+    """
+    if not levels:
+        raise ValueError("need at least one level")
+    widths = [_duration_us(s) for s in levels]
+    for fine, coarse, fs, cs in zip(widths, widths[1:], levels, levels[1:]):
+        if coarse % fine != 0 or coarse <= fine:
+            raise ValueError(
+                f"each level must evenly divide the next coarser one: "
+                f"{fs!r} does not divide {cs!r}")
+    us = _us(F.col(ts_col))
+    names = ["__b_" + s.replace(" ", "_") for s in levels]
+    # all-integer bucket arithmetic (us - us mod w): long division in
+    # Spark is DOUBLE division, and a double quotient near a bucket
+    # boundary can round UP into the next bucket (half-ulp of ~5e5-scale
+    # quotients is bigger than 1µs/width) — pmod keeps it exact and
+    # matches the oracle's integer `//` floor semantics
+    bucket_cols = [
+        (us - F.pmod(us, F.lit(w))).alias(n)
+        for n, w in zip(names, widths)]
+    tagged = df.select(*bucket_cols, *[F.col(k) for k in keys],
+                       *([F.col(value_col)] if value_col else []))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                    .cast("double").alias("total_value"))
+    # grouping sets: coarsest-first prefixes of the bucket hierarchy
+    # (ROLLUP minus the grand total), each extended with the fixed keys —
+    # ONE Expand + one map-side-combined hash aggregate for all levels
+    rev = list(reversed(names))
+    sets = [[F.col(c) for c in (*rev[:i], *keys)]
+            for i in range(len(rev), 0, -1)]
+    rolled = (tagged.groupingSets(sets, *[F.col(c) for c in rev],
+                                  *[F.col(k) for k in keys])
+              .agg(*aggs))
+    # level label = FINEST non-null bucket (a finer grouping set also
+    # carries every coarser bucket); built coarsest-first so the finest
+    # condition wraps outermost and wins
+    level_expr = F.lit(None).cast("string")
+    start_expr = F.lit(None).cast("long")
+    for spec, name in reversed(list(zip(levels, names))):
+        level_expr = F.when(F.col(name).isNotNull(),
+                            F.lit(spec)).otherwise(level_expr)
+        start_expr = F.when(F.col(name).isNotNull(),
+                            F.col(name)).otherwise(start_expr)
+    out = (rolled
+           .where(F.col(names[-1]).isNotNull())  # every set keeps coarsest
+           .withColumn("level", level_expr)
+           .withColumn("window_start_us", start_expr))
+    return out.select("level", "window_start_us", *keys, "n_events",
+                      *(["total_value"] if value_col else []))

@@ -91,3 +91,128 @@ def test_hopping_windows(spark):
     us = lambda *a: int(datetime(*a).timestamp() * 1e6)
     assert got == {us(2023, 12, 31, 12): 1, us(2024, 1, 1): 2,
                    us(2024, 1, 1, 12): 1}
+
+
+def test_asof_join_backward_forward_tolerance(spark, stream):
+    left = stream.where(F.col("event_type") == "view")
+    right = stream.where(F.col("event_type") == "buy")
+    back = {r["event_id"]: (r["event_id_r"], r["value_r"]) for r in
+            events.asof_join(left, right, by=("user_id",),
+                             right_cols=("event_id", "value"),
+                             right_tie_cols=("event_id",)).collect()}
+    # u7 buys at t50 (id 3); u9 buys at t36 (id 7)
+    assert back == {1: (None, None), 2: (None, None),
+                    4: (3, 2.0), 5: (None, None),
+                    6: (7, 4.0)}  # equal ts matches backward
+    fwd = {r["event_id"]: r["event_id_r"] for r in
+           events.asof_join(left, right, by=("user_id",),
+                            right_cols=("event_id",),
+                            direction="forward").collect()}
+    assert fwd == {1: 3, 2: 3, 4: None, 5: 7, 6: 7}
+    # tolerance: u7 view at t55 is 5min after buy t50 -> survives 6min,
+    # dies at 4min
+    tol = {r["event_id"]: r["event_id_r"] for r in
+           events.asof_join(left, right, by=("user_id",),
+                            right_cols=("event_id",),
+                            tolerance_us=4 * 60 * 1_000_000).collect()}
+    assert tol[4] is None and tol[6] == 7
+    with pytest.raises(ValueError):
+        events.asof_join(left, right, by=())
+    with pytest.raises(ValueError):
+        events.asof_join(left, right, direction="nearest")
+
+
+def test_asof_join_right_tie_cols_deterministic(spark):
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 7, t)],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 7, t, "a"), (11, 7, t, "b")],
+        "event_id long, user_id long, ts timestamp, tag string")
+    out = events.asof_join(left, right, by=("user_id",),
+                           right_cols=("tag",),
+                           right_tie_cols=("event_id",)).collect()
+    assert out[0]["tag"] == "b"  # highest tiebreak orders last -> wins
+
+
+def test_range_join_containment_and_left(spark):
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 25), (4, 99)], "id long, p long")
+    ivl = spark.createDataFrame(
+        [(0, 10, "a"), (10, 30, "b"), (200, 300, "c")],
+        "lo long, hi long, tag string")
+    inner = sorted((r["id"], r["tag"]) for r in events.range_join(
+        pts, ivl, "p", "lo", "hi", bucket_width=7).collect())
+    # closed bounds: p=10 hits both [0,10] and [10,30]
+    assert inner == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+    half = sorted((r["id"], r["tag"]) for r in events.range_join(
+        pts, ivl, "p", "lo", "hi", bucket_width=7,
+        bounds="half_open").collect())
+    assert half == [(1, "a"), (2, "b"), (3, "b")]
+    left = events.range_join(pts, ivl, "p", "lo", "hi", bucket_width=7,
+                             how="left")
+    assert left.where(F.col("id") == 4).collect()[0]["tag"] is None
+    with pytest.raises(ValueError):
+        events.range_join(pts, ivl, "p", "lo", "hi", bucket_width=0)
+
+
+def test_range_join_exact_boundary_bins(spark):
+    # values sitting exactly at / 1 unit before a bucket boundary at
+    # epoch-microsecond magnitude: double division would mis-bin these
+    w = 604_800_000_000  # 1 week in us
+    base = 1_700_000_000_000_000  # ~2023 epoch us
+    b0 = base - base % w
+    pts = spark.createDataFrame(
+        [(1, b0 + w - 1), (2, b0 + w), (3, b0)], "id long, p long")
+    ivl = spark.createDataFrame([(b0, b0 + w - 1, "wk")],
+                                "lo long, hi long, tag string")
+    got = sorted(r["id"] for r in events.range_join(
+        pts, ivl, "p", "lo", "hi", bucket_width=w).collect())
+    assert got == [1, 3]
+
+
+def test_rollup_cascade_levels_match_direct(spark, stream):
+    out = events.rollup_cascade(stream, levels=("1 hour", "1 day"),
+                                keys=("event_type",), value_col="value")
+    rows = out.collect()
+    levels = {r["level"] for r in rows}
+    assert levels == {"1 hour", "1 day"}
+    # day-level rows equal an independent direct aggregation
+    day = {(r["window_start_us"], r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in rows if r["level"] == "1 day"}
+    direct = stream.groupBy(
+        (F.unix_micros(F.col("ts")) - F.pmod(F.unix_micros(F.col("ts")),
+                                             F.lit(86_400_000_000))
+         ).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    for r in direct.collect():
+        assert day[(r["w"], r["event_type"])] == (r["n"], r["v"])
+    # hour rows roll up to day rows exactly
+    import collections
+    agg = collections.Counter()
+    for r in rows:
+        if r["level"] == "1 hour":
+            d = r["window_start_us"] - r["window_start_us"] % 86_400_000_000
+            agg[(d, r["event_type"])] += r["n_events"]
+    assert {k: v for k, v in agg.items()} == {
+        k: v[0] for k, v in day.items()}
+    with pytest.raises(ValueError):
+        events.rollup_cascade(stream, levels=("1 hour", "90 minutes"))
+    with pytest.raises(ValueError):
+        events.rollup_cascade(stream, levels=())
+
+
+def test_rollup_cascade_single_pass_plan(spark, stream):
+    out = events.rollup_cascade(stream, levels=("1 hour", "1 day"),
+                                keys=("event_type",), value_col="value")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # ONE Expand + one aggregate pair, no Union/join of per-level jobs
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan and "Join" not in plan
