@@ -1353,6 +1353,33 @@ def q_w6_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("level", "window_start_us", "event_type")
 
 
+def q_w7_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort matrix (pipeline/events.retention_cohorts):
+    users bucketed by first-activity day, distinct-user counts per
+    return-day offset. One aggregate reduces events to distinct (user,
+    day) activity; the matrix reduces that tiny frame — the events
+    table never self-joins."""
+    from fhir_data_validation_spark.pipeline import events
+    ev = load_table(spark, sf, "events")
+    out = events.retention_cohorts(ev, bucket="1 day")
+    return out.orderBy("cohort_start_us", "offset")
+
+
+def q_w8_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (pipeline/events.funnel): signup → click →
+    purchase per user, greedy chained-min step times, one sorted fold
+    per user (single shuffle; no per-step self-join). Oracle states the
+    chained min-after CTEs. NULL step times coalesce to -1 for the
+    pandas-roundtrip value hash (NULL lane unit-tested)."""
+    from fhir_data_validation_spark.pipeline import events
+    ev = load_table(spark, sf, "events")
+    out = events.funnel(ev, steps=("signup", "click", "purchase"))
+    return (out.select("user_id", "steps_completed",
+                       *[F.coalesce(F.col(f"t{i}_us"), F.lit(-1))
+                         .alias(f"t{i}_us") for i in (1, 2, 3)])
+            .orderBy("user_id"))
+
+
 def q_x1_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark contamination (pipeline/contamination.py): 13-gram
     overlap of the seeded corpus against a 'benchmark' of documents
@@ -1966,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_asof_join": q_w4_asof_join,
         "w5_range_join": q_w5_range_join,
         "w6_rollup_cascade": q_w6_rollup_cascade,
+        "w7_retention": q_w7_retention,
+        "w8_funnel": q_w8_funnel,
         "x1_contamination": q_x1_contamination,
         "x2_pii_redaction": q_x2_pii_redaction,
         "x3_line_dedup": q_x3_line_dedup,
@@ -3305,6 +3334,51 @@ def oracle_sql() -> dict[str, str]:
             FROM events e CROSS JOIN lv
             GROUP BY 1, 2, 3
             ORDER BY level, window_start_us, event_type""",
+        # w7: retention cohorts — distinct (user, day) activity vs each
+        # user's min day, counted per (cohort, offset)
+        "w7_retention": """
+            WITH ub AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS b
+              FROM events),
+            c AS (SELECT user_id, min(b) AS c FROM ub GROUP BY user_id)
+            SELECT c.c AS cohort_start_us,
+                   (ub.b - c.c) // 86400000000 AS offset,
+                   count(*) AS n_users
+            FROM ub JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        # w8: ordered funnel — greedy chained-min step times (t1 = min
+        # signup; t2 = min click >= t1; t3 = min purchase >= t2), NULLs
+        # as -1 sentinels to survive the pandas value-hash roundtrip
+        "w8_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) >= t1.t1
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t2.t2
+              GROUP BY e.user_id),
+            u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('signup', 'click', 'purchase'))
+            SELECT u.user_id,
+                   CASE WHEN t3.t3 IS NOT NULL THEN 3
+                        WHEN t2.t2 IS NOT NULL THEN 2
+                        WHEN t1.t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_completed,
+                   coalesce(t1.t1, -1) AS t1_us,
+                   coalesce(t2.t2, -1) AS t2_us,
+                   coalesce(t3.t3, -1) AS t3_us
+            FROM u LEFT JOIN t1 USING (user_id)
+                   LEFT JOIN t2 USING (user_id)
+                   LEFT JOIN t3 USING (user_id)
+            ORDER BY u.user_id""",
         # k2: sliding-window chunking — same start/count arithmetic as
         # chunk_windows (ceil via integer div); list_slice is 1-based
         # inclusive on both ends

@@ -385,3 +385,111 @@ def rollup_cascade(df: DataFrame, levels: tuple[str, ...] = ("1 hour",
            .withColumn("window_start_us", start_expr))
     return out.select("level", "window_start_us", *keys, "n_events",
                       *(["total_value"] if value_col else []))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket: str = "1 day") -> DataFrame:
+    """Retention / cohort matrix: users grouped by the bucket of their
+    FIRST event (the cohort), counted per offset bucket they return in —
+    ``(cohort_start_us, offset, n_users)`` with ``offset`` in whole
+    buckets since the cohort bucket (offset 0 = the cohort's own size).
+
+    Plan: one map-side-combined aggregate reduces events to distinct
+    ``(user, bucket)`` activity plus each user's min bucket — a single
+    shuffle on the user; the matrix then reduces the |users × active
+    buckets| frame (already tiny) by (cohort, offset). The events table
+    never joins back against itself; total shuffle O(distinct (user,
+    bucket)), not O(events).
+
+    Counts are exact distinct users (each user contributes once per
+    active bucket by construction).
+    """
+    width = _duration_us(bucket)
+    us = _us(F.col(ts_col))
+    b = us - F.pmod(us, F.lit(width))
+    # one pass: per (user, bucket) activity; min bucket per user via a
+    # window over the reduced frame (partitions are per-user and tiny)
+    ub = (df.select(F.col(user_col).alias("__u"), b.alias("__b"))
+          .groupBy("__u", "__b").agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy("__u")
+    cohort = F.min(F.col("__b")).over(w)
+    return (ub.withColumn("__c", cohort)
+            .groupBy(F.col("__c").alias("cohort_start_us"),
+                     ((F.col("__b") - F.col("__c")) / F.lit(width))
+                     .cast("long").alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def funnel(df: DataFrame, steps: tuple[str, ...],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within_us: int | None = None) -> DataFrame:
+    """Ordered funnel analysis: per user, the first time each step of
+    ``steps`` is reached IN ORDER — greedy chained-min semantics
+    (``t1 = min(step1 time)``, ``t_k = min(step_k time >= t_{k-1})``),
+    the convention of every funnel tool; an event CAN complete a later
+    step at the same timestamp as the earlier one (ties count). Returns
+    ``(user, steps_completed, t1_us … tK_us)``; unreached steps are NULL
+    and everything after the first unreached step is NULL (prefix
+    shape). ``within_us`` keeps only steps completed within that
+    envelope of the user's t1 (greedy: a later, slower t1 is never
+    reconsidered).
+
+    Plan shape: filter to funnel event types, ONE shuffle on the user,
+    sort each user's (bounded — bot-skew contract as ``sessionize``)
+    event run into an array, then a single codegen ``aggregate`` HOF
+    walks it once carrying the per-step completion times. No self-join
+    per step, no K passes over the events: O(events of funnel types)
+    scan + O(users) state. Events sort by ``(t, step)`` so same-time
+    events resolve lower-step-first — exactly the chained-min fixpoint,
+    making the fold's result order-independent and oracle-exact.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    step_idx = F.array([F.lit(s) for s in steps])
+    ev = (df.where(F.col(type_col).isin(*steps))
+          .select(F.col(user_col).alias("__u"),
+                  F.struct(
+                      _us(F.col(ts_col)).alias("t"),
+                      (F.array_position(step_idx, F.col(type_col)) - 1)
+                      .cast("int").alias("s")).alias("__e")))
+    runs = ev.groupBy("__u").agg(
+        F.array_sort(F.collect_list("__e")).alias("__run"))
+    # fold: state = array of k completion times (null = unreached); an
+    # event of step s completes it if step s is still open and s == 0 or
+    # step s-1 completed at an earlier-or-equal time. Completion times
+    # are monotone non-decreasing across steps by construction.
+    init = F.array([F.lit(None).cast("long")] * k)
+
+    def _step(acc, e):
+        out = acc
+        for s in range(k):
+            cond = (e["s"] == s) & F.get(acc, s).isNull()
+            if s > 0:
+                cond &= F.get(acc, s - 1).isNotNull() & \
+                        (F.get(acc, s - 1) <= e["t"])
+            out = F.when(cond,
+                         F.concat(F.slice(acc, 1, s),
+                                  F.array(e["t"]),
+                                  F.slice(acc, s + 2, k - s - 1))
+                         ).otherwise(out)
+        return out
+
+    times = F.aggregate(F.col("__run"), init, _step)
+    out = runs.select(F.col("__u").alias(user_col), times.alias("__t"))
+    if within_us is not None:
+        # monotone times ⇒ cutting by the envelope preserves the
+        # prefix shape (if t_s fits, every earlier step fits)
+        envelope = F.get(F.col("__t"), 0) + F.lit(int(within_us))
+        out = out.withColumn(
+            "__t", F.transform(
+                F.col("__t"),
+                lambda t, i: F.when((i == 0) | (t <= envelope), t)))
+    comp = F.size(F.filter(F.col("__t"), lambda t: t.isNotNull()))
+    return out.select(
+        user_col, comp.alias("steps_completed"),
+        *[F.get(F.col("__t"), i).alias(f"t{i + 1}_us") for i in range(k)])

@@ -216,3 +216,53 @@ def test_rollup_cascade_single_pass_plan(spark, stream):
     # ONE Expand + one aggregate pair, no Union/join of per-level jobs
     assert plan.count("Expand") >= 1
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_retention_cohorts_matrix(spark):
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [(1, 7, t(1)), (2, 7, t(1, 5)), (3, 7, t(3)),   # u7: d1 cohort
+            (4, 9, t(2)), (5, 9, t(4)),                     # u9: d2 cohort
+            (6, 5, t(1))]                                   # u5: d1 cohort
+    df = spark.createDataFrame(rows,
+                               "event_id long, user_id long, ts timestamp")
+    got = {(r["cohort_start_us"], r["offset"]): r["n_users"]
+           for r in events.retention_cohorts(df, bucket="1 day").collect()}
+    d1 = 1704067200000000  # 2024-01-01 UTC in us
+    day = 86_400_000_000
+    assert got == {(d1, 0): 2, (d1, 2): 1,        # u7+u5 day1; u7 back d3
+                   (d1 + day, 0): 1, (d1 + day, 2): 1}  # u9 d2, back d4
+
+
+def test_funnel_order_ties_and_envelope(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        (1, 1, t(0), "signup"), (2, 1, t(5), "click"),
+        (3, 1, t(9), "purchase"),
+        # u2: click BEFORE signup doesn't count; the later one does
+        (4, 2, t(0), "click"), (5, 2, t(3), "signup"), (6, 2, t(8), "click"),
+        # u3: same-timestamp signup+click both count (ties inclusive)
+        (7, 3, t(2), "signup"), (8, 3, t(2), "click"),
+        # u4: only funnel-typed events count toward membership
+        (9, 4, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["steps_completed"], r["t1_us"], r["t2_us"],
+                          r["t3_us"])
+           for r in events.funnel(
+               df, steps=("signup", "click", "purchase")).collect()}
+    us = lambda m: 1704067200000000 + m * 60_000_000
+    assert got[1] == (3, us(0), us(5), us(9))
+    assert got[2] == (2, us(3), us(8), None)
+    assert got[3] == (2, us(2), us(2), None)
+    assert got[4] == (0, None, None, None)
+    # envelope: u1's purchase at +9min dies under an 8-minute envelope
+    env = {r["user_id"]: r["steps_completed"]
+           for r in events.funnel(df, steps=("signup", "click", "purchase"),
+                                  within_us=8 * 60_000_000).collect()}
+    assert env[1] == 2 and env[2] == 2
+    with pytest.raises(ValueError):
+        events.funnel(df, steps=("signup",))
+    with pytest.raises(ValueError):
+        events.funnel(df, steps=("signup", "signup"))
