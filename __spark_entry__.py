@@ -1832,6 +1832,30 @@ def q_gs1_group_share(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_db1_distinct_band(spark: SparkSession, sf: str) -> DataFrame:
+    """Cardinality validation (DistinctBand rule): distinct users per
+    event_type must sit inside declared bands — click's user base is
+    capped at 100 (fails at sf>=0.01 where all 150 users click), the
+    declared-but-absent 'refund' type fails its min=1 (closed world),
+    undeclared types pass the default min=1. One partial-distinct
+    aggregation; band checks on the |groups|-row reduced frame."""
+    df = load_table(spark, sf, "events")
+    res = _validate(spark, df,
+                    [{"id": "DST-1", "type": "DistinctBand",
+                      "column": "user_id",
+                      "params": {"by": "event_type",
+                                 "bands": {"click": {"max": 100},
+                                           "refund": {"min": 1}},
+                                 "min": 1}}],
+                    key_col="event_id", group_col="event_type")
+    return (res.violations
+            .select(F.col("doc_id").alias("event_type"), "error_code",
+                    F.col("detail")["check"].alias("lane"),
+                    F.col("detail")["distinct"].cast("long")
+                    .alias("n_distinct"))
+            .orderBy("event_type"))
+
+
 def q_c3b_unique_composite(spark: SparkSession, sf: str) -> DataFrame:
     """Composite-key uniqueness (Unique params.columns): lineitem's
     natural (l_orderkey, l_linenumber) key has seeded duplicates; one
@@ -2014,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp1_jsonpath": q_jp1_jsonpath,
         "ac1_agg_consistency": q_ac1_agg_consistency,
         "gs1_group_share": q_gs1_group_share,
+        "db1_distinct_band": q_db1_distinct_band,
         "c3b_unique_composite": q_c3b_unique_composite,
         "sp1_quarantine_split": q_sp1_quarantine_split,
         "rg1_regression_gate": q_rg1_regression_gate,
@@ -2853,6 +2878,33 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE (mn IS NOT NULL AND share < mn)
                OR (mx IS NOT NULL AND share > mx)
+            ORDER BY event_type""",
+        # db1: per-group distinct-count bands — declared bands judge
+        # only themselves (closed world for absent groups), undeclared
+        # groups take the default min
+        "db1_distinct_band": """
+            WITH c AS (
+              SELECT event_type AS g, count(DISTINCT user_id) AS d
+              FROM events GROUP BY event_type),
+            b AS (SELECT * FROM (VALUES
+                    ('click', NULL, 100),
+                    ('refund', 1, NULL))
+                  AS v(g, mn, mx)),
+            m AS (
+              SELECT coalesce(c.g, b.g) AS g,
+                     coalesce(c.d, 0) AS d,
+                     CASE WHEN b.g IS NOT NULL THEN mn ELSE 1 END AS lo,
+                     CASE WHEN b.g IS NOT NULL THEN mx
+                          ELSE NULL END AS hi
+              FROM c FULL JOIN b ON c.g = b.g)
+            SELECT g AS event_type,
+                   'DISTINCT_BAND_VIOLATION' AS error_code,
+                   CASE WHEN lo IS NOT NULL AND d < lo
+                        THEN 'belowMin' ELSE 'aboveMax' END AS lane,
+                   d AS n_distinct
+            FROM m
+            WHERE (lo IS NOT NULL AND d < lo)
+               OR (hi IS NOT NULL AND d > hi)
             ORDER BY event_type""",
         # parent rollup vs child-sum within max(0.01, 0.25·|sum|)
         "ac1_agg_consistency": """

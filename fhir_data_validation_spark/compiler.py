@@ -187,6 +187,7 @@ DEFAULT_ERROR_CODES = {
     "Expectation": ErrorCode.EXPECTATION_VIOLATION,
     "AggConsistency": ErrorCode.AGGREGATE_MISMATCH,
     "GroupShare": ErrorCode.GROUP_SHARE_VIOLATION,
+    "DistinctBand": ErrorCode.DISTINCT_BAND_VIOLATION,
     "Outlier": ErrorCode.OUTLIER_VALUE,
     "Monotonic": ErrorCode.MONOTONICITY_VIOLATION,
     "FunctionalDependency": ErrorCode.FUNCTIONAL_DEPENDENCY_VIOLATION,
@@ -222,6 +223,7 @@ RULE_STAGES = {
     "Outlier": Stage.DATASET,
     "AggConsistency": Stage.DATASET,
     "GroupShare": Stage.DATASET,
+    "DistinctBand": Stage.DATASET,
     "Monotonic": Stage.DATASET,
     "FunctionalDependency": Stage.DATASET,
 }
@@ -230,7 +232,8 @@ RULE_STAGES = {
 DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
                       "Expectation", "Outlier", "AggConsistency",
-                      "GroupShare", "Monotonic", "FunctionalDependency")
+                      "GroupShare", "DistinctBand", "Monotonic",
+                      "FunctionalDependency")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

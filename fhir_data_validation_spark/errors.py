@@ -78,6 +78,7 @@ class ErrorCode:
     AGGREGATE_MISMATCH = "AGGREGATE_MISMATCH"
     GROUP_SHARE_VIOLATION = "GROUP_SHARE_VIOLATION"
     MONOTONICITY_VIOLATION = "MONOTONICITY_VIOLATION"
+    DISTINCT_BAND_VIOLATION = "DISTINCT_BAND_VIOLATION"
     FUNCTIONAL_DEPENDENCY_VIOLATION = "FUNCTIONAL_DEPENDENCY_VIOLATION"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"

@@ -171,6 +171,9 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
     elif t == "GroupShare":
         _validate_group_share(rule, plan.schema)
         exec_fn = lambda df, p: group_share_plan(df, rule, stage, p)
+    elif t == "DistinctBand":
+        _validate_distinct_band(rule, plan.schema)
+        exec_fn = lambda df, p: distinct_band_plan(df, rule, stage, p)
     elif t == "Expectation":
         checks = rule.require_param("checks")
         _validate_expectation_checks(rule, checks, plan.schema)
@@ -1348,6 +1351,136 @@ def group_share_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                     *_viol_cols(rule, stage,
                                 rule.error_code
                                 or ErrorCode.GROUP_SHARE_VIOLATION),
+                    F.lit(None if rule.source == "*" else rule.source)
+                     .cast("string").alias("source"),
+                    detail.alias("detail")))
+
+
+# ---------------------------------- DistinctBand (cardinality bands) ------
+
+def _validate_distinct_band(rule: RuleDefinition, schema) -> None:
+    from ..compiler import _field_type
+    rule.require_column()
+    _field_type(schema, rule.column, rule)
+    by = rule.params.get("by")
+    if by is not None:
+        _field_type(schema, by, rule)
+    bands = rule.params.get("bands") or {}
+    if not isinstance(bands, dict):
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "params.bands must be a {group: {min?, max?}} mapping")
+    if bands and by is None:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "params.bands needs params.by (the grouping column)")
+    any_bound = False
+    checks = list(bands.items()) + [
+        ("<default>", {"min": rule.params.get("min"),
+                       "max": rule.params.get("max")})]
+    for g, b in checks:
+        if not isinstance(b, dict):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"bands[{g!r}] must be a dict with min/max")
+        for nm in ("min", "max"):
+            v = b.get(nm)
+            if v is None:
+                continue
+            any_bound = True
+            if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"bands[{g!r}].{nm} must be an integer >= 0 "
+                    f"(got {v!r})")
+    if not any_bound:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "DistinctBand needs at least one min/max bound "
+            "(params.min / params.max / params.bands)")
+    rsd = rule.params.get("approxRsd")
+    if rsd is not None:
+        try:
+            ok = 0.0 < float(rsd) < 1.0
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"params.approxRsd must be a fraction in (0, 1) "
+                f"(got {rsd!r})")
+
+
+def distinct_band_plan(df: DataFrame, rule: RuleDefinition, stage: int,
+                       plan) -> DataFrame:
+    """Cardinality validation: the count of distinct non-null values of
+    ``column`` — dataset-wide or per ``params.by`` group — must sit
+    inside its declared [min, max] band. The coverage twin of GroupShare:
+    shares bound how MUCH each group contributes, DistinctBand bounds how
+    VARIED a column is ("every source ships ≥ 1000 distinct docs", "the
+    label column stays ≤ 10 classes", "enum drift adds no new values").
+    Declared bands are closed-world: a banded group with zero rows counts
+    0 distinct and fails its min. ``params.min``/``params.max`` judge
+    every group not named in ``bands`` (and the ``<dataset>`` row when
+    ``by`` is absent).
+
+    100-TB shape: exact ``count(distinct)`` is Spark's two-phase
+    partial-distinct aggregate — the per-partition distinct set bounds
+    shuffle width at (groups × distinct values), the same shape as
+    FunctionalDependency. For truly unbounded columns set
+    ``params.approxRsd``: ``approx_count_distinct`` ships a constant-size
+    HLL sketch per group instead (mergeable, one map-side-combined pass)
+    at the documented relative error. All band logic runs on the
+    |groups|-row reduced frame. No reference analog (the reference
+    validates per-resource payloads); dataset-quality surface.
+    """
+    cfg = plan.config
+    scoped = df
+    if rule.source != "*":
+        scoped = df.where(
+            F.col(cfg.group_col).cast("string") == rule.source)
+    by = rule.params.get("by")
+    bands: dict = rule.params.get("bands") or {}
+    d_min = rule.params.get("min")
+    d_max = rule.params.get("max")
+    rsd = rule.params.get("approxRsd")
+    cnt = (F.approx_count_distinct(rule.column, float(rsd)) if rsd
+           else F.count_distinct(F.col(rule.column)))
+    if by is not None:
+        counts = (scoped.groupBy(F.col(by).cast("string").alias("_g"))
+                        .agg(cnt.alias("_d")))
+    else:
+        counts = scoped.agg(cnt.alias("_d")).select(
+            F.lit("<dataset>").alias("_g"), "_d")
+    spark = df.sparkSession
+    decl = spark.createDataFrame(
+        [(str(g), (None if b.get("min") is None else int(b["min"])),
+          (None if b.get("max") is None else int(b["max"])))
+         for g, b in bands.items()] or [("<none>", None, None)],
+        "_dg string, _min long, _max long")
+    if not bands:
+        decl = decl.where(F.lit(False))
+    merged = counts.join(decl, on=F.col("_g") == F.col("_dg"), how="full")
+    grp = F.coalesce(F.col("_g"), F.col("_dg"))
+    d = F.coalesce(F.col("_d"), F.lit(0))  # declared-but-absent: 0 distinct
+    declared = F.col("_dg").isNotNull()
+    lo = F.when(declared, F.col("_min")).otherwise(
+        F.lit(None if d_min is None else int(d_min)).cast("long"))
+    hi = F.when(declared, F.col("_max")).otherwise(
+        F.lit(None if d_max is None else int(d_max)).cast("long"))
+    too_low = lo.isNotNull() & (d < lo)
+    too_high = hi.isNotNull() & (d > hi)
+    detail = _smap_plan(
+        ("check", F.when(too_low, F.lit("belowMin"))
+                   .otherwise(F.lit("aboveMax"))),
+        ("group", grp), ("column", F.lit(rule.column)),
+        ("distinct", d), ("min", lo), ("max", hi),
+        ("mode", F.lit("approx" if rsd else "exact")))
+    return (merged.where(too_low | too_high)
+            .select(grp.alias("doc_id"),
+                    *_viol_cols(rule, stage,
+                                rule.error_code
+                                or ErrorCode.DISTINCT_BAND_VIOLATION),
                     F.lit(None if rule.source == "*" else rule.source)
                      .cast("string").alias("source"),
                     detail.alias("detail")))

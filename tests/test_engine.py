@@ -1105,3 +1105,74 @@ def test_outlier_null_group_rows_checked(spark):
                                                   group_col="grp"))
          .validate(df).violations.collect())
     assert {r["doc_id"] for r in v} == {"nx"}
+
+
+def test_distinct_band_bands(spark):
+    """DistinctBand: per-group distinct-count bands; declared-but-absent
+    groups count 0 distinct and fail their min (closed world);
+    undeclared groups judged by the default min/max; all-null columns
+    count 0 distinct."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([(f"d{i}", "web", f"u{i % 4}", "g") for i in range(6)]       # 4
+            + [(f"w{i}", "wiki", "u0", "g") for i in range(3)]           # 1
+            + [(f"f{i}", "forum", None, "g") for i in range(2)])         # 0
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, author string, grp string")
+    params = {"by": "src",
+              "bands": {"web": {"min": 2, "max": 3},
+                        "wiki": {"min": 1},
+                        "books": {"min": 1}},
+              "min": 1}
+    rs = RuleSet.parse({"rules": [
+        {"id": "DST-1", "type": "DistinctBand", "column": "author",
+         "params": params}]})
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="grp")).validate(df)
+    got = {r["doc_id"]: (r["detail"]["check"], int(r["detail"]["distinct"]))
+           for r in res.violations.collect()}
+    assert got == {"web": ("aboveMax", 4),       # 4 distinct > max 3
+                   "books": ("belowMin", 0),     # declared, absent
+                   "forum": ("belowMin", 0)}     # all-null, default min 1
+    v = [r for r in res.violations.collect() if r["doc_id"] == "web"][0]
+    assert v["error_code"] == "DISTINCT_BAND_VIOLATION"
+    assert v["detail"]["mode"] == "exact"
+    # dataset-wide band (no by): one <dataset> row
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "DST-2", "type": "DistinctBand", "column": "author",
+         "params": {"min": 10}}]})
+    res2 = ValidationEngine(rs2, config=EngineConfig(
+        key_col="doc_id", group_col="grp")).validate(df)
+    rows2 = res2.violations.collect()
+    assert len(rows2) == 1 and rows2[0]["doc_id"] == "<dataset>"
+    assert int(rows2[0]["detail"]["distinct"]) == 4  # u0..u3 (wiki reuses u0)
+    # approx mode flags itself in detail
+    rs3 = RuleSet.parse({"rules": [
+        {"id": "DST-3", "type": "DistinctBand", "column": "author",
+         "params": {"min": 10, "approxRsd": 0.02}}]})
+    res3 = ValidationEngine(rs3, config=EngineConfig(
+        key_col="doc_id", group_col="grp")).validate(df)
+    assert res3.violations.collect()[0]["detail"]["mode"] == "approx"
+
+
+def test_distinct_band_compile_rejections(spark):
+    from fhir_data_validation_spark import (EngineConfig,
+                                            RuleConfigurationError)
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame([("a", "web", "g")],
+                               "doc_id string, src string, grp string")
+    bad = [
+        {"column": "src", "params": {}},                          # no bounds
+        {"column": "src", "params": {"min": -1}},                 # negative
+        {"column": "src", "params": {"min": 1.5}},                # not int
+        {"column": "src", "params": {"bands": {"web": {"min": 1}}}},  # no by
+        {"column": "src", "params": {"by": "nope", "min": 1}},
+        {"column": "nope", "params": {"min": 1}},
+        {"column": "src", "params": {"min": 1, "approxRsd": 2.0}},
+    ]
+    for spec in bad:
+        rs = RuleSet.parse({"rules": [
+            {"id": "DST-B", "type": "DistinctBand", **spec}]})
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(rs, config=EngineConfig(
+                key_col="doc_id", group_col="grp")).validate(df)
