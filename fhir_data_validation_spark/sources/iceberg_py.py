@@ -197,6 +197,69 @@ MANIFEST_LIST_SCHEMA = {
 
 # ------------------------------------------------------------------ table --
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Z-order (Morton) curve key over 2–4 orderable columns — the sort
+    key behind :meth:`PyIcebergTable.compact`'s ``zorder_by`` and usable
+    directly to cluster ANY write (``df.repartitionByRange(n,
+    zorder_key(df, [...]))``).
+
+    Each column is quantized to ``bits`` equi-width buckets between its
+    observed min and max (one tiny reduced aggregation — the caller is
+    already rewriting the data, a 1-row agg is noise), then the bucket
+    bits are interleaved column-round-robin into one long. Files written
+    in Z-key order cover a narrow hyper-box on EVERY listed column, so
+    per-file min/max skip indexes prune on any of them — linear sort
+    gives that only for its leading column. All codegen (shift/or over
+    integer buckets); NULLs quantize to bucket 0 (sort first, same
+    convention as Spark's nulls-first default); a constant column
+    contributes nothing (all rows bucket 0). Numeric, date and timestamp
+    columns only — hashing strings would destroy the locality the curve
+    exists to create.
+
+    ``bits × len(cols)`` must fit a signed long (≤ 63); the 16-bit
+    default resolves 65k buckets per dimension, far below file
+    granularity at any scale.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key takes 2-4 columns")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*cols must be <= 63 "
+                         f"(got {bits}x{len(cols)})")
+    from pyspark.sql.types import (DateType, NumericType, TimestampNTZType,
+                                   TimestampType)
+    exprs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            exprs.append(F.unix_micros(F.col(c).cast("timestamp")))
+        elif isinstance(dt, DateType):
+            exprs.append(F.datediff(F.col(c), F.lit("1970-01-01")))
+        elif isinstance(dt, NumericType):
+            exprs.append(F.col(c).cast("double"))
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} is {dt.simpleString()}; only "
+                "numeric/date/timestamp columns keep curve locality")
+    bounds = df.agg(*[f(e).alias(f"{n}{i}") for i, e in enumerate(exprs)
+                      for n, f in (("lo", F.min), ("hi", F.max))]).first()
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, e in enumerate(exprs):
+        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
+        if lo is None or hi is None or float(hi) == float(lo):
+            continue  # all-null or constant: every row bucket 0
+        span = float(hi) - float(lo)
+        q = F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
+            (e.cast("double") - F.lit(float(lo))) / F.lit(span)
+            * F.lit(top)))).cast("long")
+        q = F.coalesce(q, F.lit(0))  # NULLs sort first
+        for b in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                b * len(cols) + i))
+    return z
+
+
 class PyIcebergTable:
     """A path-based ('Hadoop catalog' layout) Iceberg v2 table."""
 
@@ -521,7 +584,8 @@ class PyIcebergTable:
         return new_sid, len(carried)
 
     def compact(self, target_files: int | None = None,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> int:
         """Small-files compaction: rewrite the current snapshot's data into
         at most ``target_files`` write tasks (default: the smaller of the
         cluster parallelism and the CURRENT live file count — compaction
@@ -543,9 +607,21 @@ class PyIcebergTable:
         predicate on those columns into opening a handful of files instead
         of all of them. Unpartitioned tables only (a partitioned rewrite
         must hash on the partition column to keep one file per
-        partition)."""
+        partition).
+
+        ``zorder_by`` clusters on a SPACE-FILLING CURVE over 2–4 numeric
+        columns instead (Iceberg's ``rewrite_data_files(strategy =>
+        'sort', sort_order => 'zorder(a, b)')``): linear ``sort_by``
+        gives perfect pruning on its leading column and none on the
+        others, while the Z-curve keeps every file's bounding box narrow on
+        EVERY listed column at once, so a ``stats_filter`` on any of
+        them prunes — the multi-dimensional data-skipping layout.
+        Mutually exclusive with ``sort_by``."""
         if target_files is not None and target_files < 1:
             raise ValueError("target_files must be >= 1")
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually "
+                             "exclusive")
         meta = self._load_meta()
         n_live = len(self._data_files(meta, None))
         n = min(target_files
@@ -553,12 +629,19 @@ class PyIcebergTable:
                 max(n_live, 1))
         df = self.read()
         spec_fields = meta["partition-specs"][0]["fields"]
-        if sort_by:
+        if sort_by or zorder_by:
             if spec_fields:
-                raise ValueError("sort_by compaction supports "
+                raise ValueError("clustered compaction supports "
                                  "unpartitioned tables only")
+        if sort_by:
             df = (df.repartitionByRange(n, *sort_by)
                     .sortWithinPartitions(*sort_by))
+        elif zorder_by:
+            z = zorder_key(df, zorder_by)
+            df = (df.withColumn("__z", z)
+                    .repartitionByRange(n, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z"))
         elif spec_fields:
             df = df.repartition(n, spec_fields[0]["name"])
         else:

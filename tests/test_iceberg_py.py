@@ -977,3 +977,66 @@ def test_merge_rows_null_safe_key(spark, tmp_path):
     assert res["rows_replaced"] == 1
     got = {(r["k1"], r["k2"]): r["v"] for r in t.read().collect()}
     assert got == {("a", None): 10, ("b", "x"): 2}
+
+
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order compaction: a space-filling-curve sort keeps every output
+    file's bounding box narrow on BOTH listed columns, so a stats_filter
+    on EITHER column prunes — linear sort only prunes its leading one."""
+    import itertools
+    from fhir_data_validation_spark.sources.iceberg_py import zorder_key
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "zo"), schema)
+    # 16x16 grid, appended in an order that correlates with NEITHER
+    # column, so pre-compaction every file spans both full ranges
+    grid = list(itertools.product(range(16), range(16)))
+    grid.sort(key=lambda p: (p[0] * 7 + p[1] * 13) % 17)
+    rows = [(f"d{a}_{b}", a, b) for a, b in grid]
+    t.append(spark.createDataFrame(rows, schema).repartition(4))
+    n_all = len(t.read().inputFiles())
+    assert len(t.read(stats_filter={"a": (0, 3)}).inputFiles()) == n_all
+    t.compact(target_files=16, zorder_by=["a", "b"])
+    total = len(t.read().inputFiles())
+    qa = len(t.read(stats_filter={"a": (0, 3)}).inputFiles())
+    qb = len(t.read(stats_filter={"b": (0, 3)}).inputFiles())
+    # a quarter-range query on either axis opens well under half the
+    # files (ideal Z-layout: ~ total/4 + boundary boxes)
+    assert qa <= total / 2 and qb <= total / 2, (qa, qb, total)
+    # rows and values preserved exactly
+    got = sorted((r["a"], r["b"]) for r in t.read().collect())
+    assert got == sorted(grid)
+    # the filtered read returns exactly the matching rows
+    assert sorted(r["a"] for r in
+                  t.read(stats_filter={"a": (0, 3)}).collect()
+                  if r["a"] <= 3) == sorted(
+        a for a, _ in grid for _x in [0] if a <= 3)
+    # API contract
+    with pytest.raises(ValueError, match="mutually"):
+        t.compact(sort_by=["a"], zorder_by=["b"])
+    df = t.read()
+    with pytest.raises(ValueError, match="2-4"):
+        zorder_key(df, ["a"])
+    with pytest.raises(ValueError, match="locality"):
+        zorder_key(df, ["a", "doc_id"])
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(df, ["a", "b"], bits=32)
+
+
+def test_zorder_key_interleaves_and_handles_nulls(spark):
+    from fhir_data_validation_spark.sources.iceberg_py import zorder_key
+    df = spark.createDataFrame(
+        [(0, 0), (0, 15), (15, 0), (15, 15), (None, 15), (7, None)],
+        "a int, b int")
+    z = {(r["a"], r["b"]): r["z"] for r in
+         df.withColumn("z", zorder_key(df, ["a", "b"], bits=4)).collect()}
+    # corners of a 4-bit grid: a contributes even bit positions, b odd
+    assert z[(0, 0)] == 0
+    assert z[(15, 0)] == 0b01010101  # a bits only (even positions)
+    assert z[(0, 15)] == (z[(15, 0)] << 1)            # b bits only
+    assert z[(15, 15)] == z[(15, 0)] | z[(0, 15)]
+    # NULLs quantize to bucket 0
+    assert z[(None, 15)] == z[(0, 15)]
+    assert z[(7, None)] == z[(7, 0)] if (7, 0) in z else True
