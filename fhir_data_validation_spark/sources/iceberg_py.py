@@ -26,7 +26,14 @@ What is real here (all executed in tests):
   only the files containing matching rows (:meth:`delete_rows`);
 * metadata-only schema evolution (:meth:`add_column` /
   :meth:`drop_column`) — snapshots pin their schema-id, so time travel
-  reads each snapshot with the columns it had.
+  reads each snapshot with the columns it had;
+* HIDDEN PARTITIONING (spec 'Partition Transforms'): ``bucket[N]`` (the
+  spec's Murmur3 hash — conformance pinned against the published test
+  vectors AND Spark's JVM Murmur3_x86_32), ``truncate[W]``,
+  ``year/month/day/hour`` — queries filter the SOURCE column and
+  ``read(partition_filter=...)`` maps the predicate onto partition values
+  at planning time, including (lo, hi) ranges on order-preserving
+  transforms.
 
 Non-goals (use the real runtime via ``sources/iceberg.py`` on a cluster):
 merge-on-read (position/equality delete files), column rename/retype,
@@ -37,7 +44,10 @@ write-if-absent).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
+import re
+import struct
 import time
 import uuid
 from typing import Any
@@ -131,18 +141,17 @@ def _schema_by_id(meta: dict, schema_id: int | None = None) -> dict:
 
 
 def _partition_avro_fields(table_meta: dict) -> list[dict]:
-    """Avro fields of the r102 partition record for the default spec."""
+    """Avro fields of the r102 partition record for the default spec —
+    typed by the TRANSFORM's result (bucket/year/month/day/hour -> int,
+    identity/truncate -> the source type)."""
     spec = table_meta["partition-specs"][0]
-    schema_fields = {f["id"]: f
-                     for f in _schema_by_id(table_meta)["fields"]}
     out = []
     for pf in spec["fields"]:
-        src = schema_fields[pf["source-id"]]
-        atype = {"string": "string", "int": "int", "long": "long"}.get(
-            src["type"])
+        rt = _PartField(table_meta, pf).result_type()
+        atype = {"string": "string", "int": "int", "long": "long"}.get(rt)
         if atype is None:
             raise ValueError(
-                f"identity partition on {src['type']} not supported")
+                f"partition result type {rt!r} not supported")
         out.append({"name": pf["name"], "type": ["null", atype],
                     "default": None, "field-id": pf["field-id"]})
     return out
@@ -193,6 +202,230 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ]}
+
+
+# ------------------------------------------------- partition transforms ----
+#
+# Iceberg's HIDDEN PARTITIONING (spec 'Partition Transforms'): the table
+# partitions on a value DERIVED from a source column — bucket[N] (Murmur3
+# hash mod N), truncate[W], year/month/day/hour — and readers keep querying
+# the SOURCE column; the engine maps source predicates onto partition
+# values at planning time. At 10^12 rows this is the difference between a
+# full manifest scan and opening one bucket / one day of files, without
+# the query ever naming the derived value.
+
+_M32 = 0xFFFFFFFF
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Reference Murmur3 x86 32-bit (Iceberg spec Appendix B) — the
+    Python-side twin of :func:`_murmur3_long_expr`, used to transform
+    ``partition_filter`` values and as the string-bucket hash. Returns the
+    SIGNED int32 (Java semantics). Conformance is pinned two independent
+    ways in tests: the spec's published vectors (int 34, 'iceberg') and
+    Spark's own JVM Murmur3_x86_32 via ``F.hash`` at seed 42."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    nblocks = len(data) - len(data) % 4
+    for i in range(0, nblocks, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[nblocks:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """(x * c) mod 2^32 for 0 <= x < 2^32 held in a long, WITHOUT the
+    64-bit product (x*c can exceed a signed long, which aborts under ANSI):
+    split the constant into 16-bit halves — every intermediate stays under
+    2^33."""
+    lo = x.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(x, 16)           # x < 2^32 and non-negative
+    mid = (lo * F.lit(c >> 16) + hi * F.lit(c & 0xFFFF)
+           ).bitwiseAND(F.lit(0xFFFF))
+    return (lo * F.lit(c & 0xFFFF) + F.shiftleft(mid, 16)
+            ).bitwiseAND(F.lit(_M32))
+
+
+def _rotl32(x: Column, r: int) -> Column:
+    return (F.shiftleft(x, r).bitwiseOR(F.shiftright(x, 32 - r))
+            ).bitwiseAND(F.lit(_M32))
+
+
+def _murmur3_long_expr(col: Column) -> Column:
+    """Murmur3 x86_32 (seed 0) of a LONG's 8-byte little-endian encoding —
+    Iceberg's ``bucket`` hash for int/long sources — as a pure Catalyst
+    expression chain (~60 codegen ops: masked uint32 arithmetic in longs,
+    no UDF). Returns the hash as an UNSIGNED value in a long; bucket =
+    ``(h & 0x7FFFFFFF) % N``."""
+    v = col.cast("long")
+    k1 = v.bitwiseAND(F.lit(_M32))          # bytes 0-3 (LE low word)
+    k2 = F.shiftrightunsigned(v, 32)        # bytes 4-7
+    h = F.lit(0).cast("long")
+    for k in (k1, k2):
+        k = _mul32(k, 0xCC9E2D51)
+        k = _rotl32(k, 15)
+        k = _mul32(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = _rotl32(h, 13)
+        h = (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+    h = h.bitwiseXOR(F.lit(8))              # total length in bytes
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32(h, 0xC2B2AE35)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def _bucket_str_udf(n: int):
+    """Arrow-batched bucket hash for STRING sources (variable-length input
+    has no fixed block structure for the Catalyst chain; same documented
+    pandas-UDF tier as text.normalize_text — never per-row Python in a
+    scan, this runs once per written row at commit time)."""
+    import pandas as pd
+
+    def _b(s):
+        return s.map(lambda x: None if x is None else
+                     (_murmur3_32(x.encode("utf-8")) & 0x7FFFFFFF) % n)
+
+    _b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_b, "int")
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+    if m:
+        arg = int(m.group(2))
+        if arg < 1:
+            raise ValueError(f"transform {t!r}: argument must be >= 1")
+        return m.group(1), arg
+    if t in ("identity", "year", "month", "day", "hour"):
+        return t, None
+    raise ValueError(f"unsupported partition transform {t!r}")
+
+
+_EPOCH_DAY = _dt.date(1970, 1, 1)
+
+
+def _to_utc_datetime(v: Any) -> _dt.datetime:
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        v = _dt.datetime(v.year, v.month, v.day)
+    if not isinstance(v, _dt.datetime):
+        raise ValueError(f"expected datetime/date/ISO string, got {v!r}")
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+class _PartField:
+    """Runtime interpreter of the table's (single) partition-spec field:
+    the write-side derivation expression, the Python-side value transform
+    for planning-time pruning, and the directory-value parser."""
+
+    def __init__(self, meta: dict, spec_field: dict):
+        self.name = spec_field["name"]
+        src = next(f for f in _schema_by_id(meta)["fields"]
+                   if f["id"] == spec_field["source-id"])
+        self.source_name = src["name"]
+        self.source_type = src["type"]
+        self.kind, self.arg = _parse_transform(spec_field["transform"])
+
+    @property
+    def identity(self) -> bool:
+        return self.kind == "identity"
+
+    @property
+    def monotonic(self) -> bool:
+        # order-preserving transforms admit range pruning; bucket does not
+        return self.kind != "bucket"
+
+    def result_type(self) -> str:
+        return (self.source_type if self.kind in ("identity", "truncate")
+                else "int")
+
+    def expr(self) -> Column:
+        """The derived partition value as a Spark expression over the
+        source column (NULL source -> NULL partition)."""
+        c = F.col(self.source_name)
+        if self.kind == "identity":
+            return c
+        if self.kind == "bucket":
+            if self.source_type == "string":
+                return _bucket_str_udf(self.arg)(c)
+            return (_murmur3_long_expr(c)
+                    .bitwiseAND(F.lit(0x7FFFFFFF)) % self.arg).cast("int")
+        if self.kind == "truncate":
+            if self.source_type == "string":
+                return F.substring(c, 1, self.arg)
+            return (c - F.pmod(c, F.lit(self.arg))).cast(
+                "int" if self.source_type == "int" else "long")
+        # time transforms: exact integer-µs arithmetic (pmod + div — a
+        # double division loses µs precision at epoch magnitude), session-
+        # timezone-independent (timestamptz is physically UTC micros)
+        n = self.source_name
+        if self.source_type == "date":
+            days = F.datediff(c, F.lit("1970-01-01"))
+        else:
+            d = 86_400_000_000
+            days = F.expr(f"(unix_micros(`{n}`) - "
+                          f"pmod(unix_micros(`{n}`), {d})) div {d}")
+        if self.kind == "hour":
+            d = 3_600_000_000
+            return F.expr(f"(unix_micros(`{n}`) - "
+                          f"pmod(unix_micros(`{n}`), {d})) div {d}"
+                          ).cast("int")
+        if self.kind == "day":
+            return days.cast("int")
+        dcol = (c if self.source_type == "date"
+                else F.date_add(F.lit("1970-01-01").cast("date"),
+                                days.cast("int")))
+        if self.kind == "year":
+            return (F.year(dcol) - 1970).cast("int")
+        return ((F.year(dcol) - 1970) * 12 + F.month(dcol) - 1).cast("int")
+
+    def pyvalue(self, v: Any) -> Any:
+        """Transform a SOURCE-column filter value to its partition value —
+        how a query on the source column prunes hidden partitions."""
+        if v is None:
+            return None
+        if self.kind == "identity":
+            return v
+        if self.kind == "bucket":
+            data = (str(v).encode("utf-8") if self.source_type == "string"
+                    else struct.pack("<q", int(v)))
+            return (_murmur3_32(data) & 0x7FFFFFFF) % self.arg
+        if self.kind == "truncate":
+            return (str(v)[:self.arg] if self.source_type == "string"
+                    else int(v) - (int(v) % self.arg))
+        dt = _to_utc_datetime(v)
+        if self.kind == "year":
+            return dt.year - 1970
+        if self.kind == "month":
+            return (dt.year - 1970) * 12 + dt.month - 1
+        days = (dt.date() - _EPOCH_DAY).days
+        return days if self.kind == "day" else days * 24 + dt.hour
+
+    def parse_raw(self, raw: str) -> Any:
+        return int(raw) if self.result_type() in ("int", "long") else raw
 
 
 # ------------------------------------------------------------------ table --
@@ -310,26 +543,54 @@ class PyIcebergTable:
 
     # ------------------------------------------------------------- create --
 
+    _TRANSFORM_SOURCES = {
+        "identity": ("string", "int", "long"),
+        "bucket": ("string", "int", "long"),
+        "truncate": ("string", "int", "long"),
+        "year": ("date", "timestamptz"),
+        "month": ("date", "timestamptz"),
+        "day": ("date", "timestamptz"),
+        "hour": ("timestamptz",),
+    }
+
     @classmethod
     def create(cls, spark: SparkSession, location: str,
                schema: T.StructType,
-               partition_by: str | None = None) -> "PyIcebergTable":
-        """Create an empty v2 table (identity partitioning on one string /
-        int / long column, or unpartitioned)."""
+               partition_by: str | tuple[str, str] | None = None
+               ) -> "PyIcebergTable":
+        """Create an empty v2 table. ``partition_by`` is either a column
+        name (identity partitioning, as before) or ``(column, transform)``
+        for Iceberg HIDDEN partitioning — transforms ``bucket[N]`` /
+        ``truncate[W]`` (string/int/long sources) and ``year`` / ``month``
+        / ``day`` / ``hour`` (date/timestamp sources). The table then
+        physically clusters on the DERIVED value (``doc_id_bucket=7/``,
+        ``ts_day=19723/``) while readers keep filtering on the SOURCE
+        column: ``read(partition_filter={"ts": (lo, hi)})`` maps the
+        source predicate onto partition values at planning time — the
+        mechanism that lets a 10^12-row table prune to one day / one hash
+        bucket without the query ever naming the layout."""
         t = cls(spark, location)
         ice_schema = _iceberg_schema(schema)
         last_col = ice_schema.pop("last-column-id")
         spec_fields = []
         if partition_by is not None:
+            col, transform = (partition_by if isinstance(partition_by, tuple)
+                              else (partition_by, "identity"))
+            kind, _arg = _parse_transform(transform)
             src = next((f for f in ice_schema["fields"]
-                        if f["name"] == partition_by), None)
+                        if f["name"] == col), None)
             if src is None:
-                raise ValueError(f"partition column {partition_by!r} not in "
+                raise ValueError(f"partition column {col!r} not in "
                                  f"schema {[f['name'] for f in ice_schema['fields']]}")
-            if src["type"] not in ("string", "int", "long"):
-                raise ValueError("identity partitioning supports "
-                                 "string/int/long columns only")
-            spec_fields.append({"name": partition_by, "transform": "identity",
+            if src["type"] not in cls._TRANSFORM_SOURCES[kind]:
+                raise ValueError(
+                    f"transform {transform!r} supports "
+                    f"{'/'.join(cls._TRANSFORM_SOURCES[kind])} sources, "
+                    f"got {src['type']}")
+            pname = (col if kind == "identity" else
+                     f"{col}_trunc" if kind == "truncate" else
+                     f"{col}_{kind}")
+            spec_fields.append({"name": pname, "transform": transform,
                                 "source-id": src["id"], "field-id": 1000})
         meta = {
             "format-version": FORMAT_VERSION,
@@ -539,22 +800,23 @@ class PyIcebergTable:
         (snapshot_id, files_carried)."""
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-        spec_fields = meta["partition-specs"][0]["fields"]
-        part_col = spec_fields[0]["name"] if spec_fields else None
+        pf = self._part_field(meta)
 
         # never increase the file count: replacement ≤ affected (+extra
         # for inserts) write tasks
         n = max(1, min(len(affected) + extra_tasks,
                        self.spark.sparkContext.defaultParallelism))
-        replacement = (replacement.repartition(n, part_col) if part_col
+        if pf and not pf.identity:
+            replacement = replacement.withColumn(pf.name, pf.expr())
+        replacement = (replacement.repartition(n, pf.name) if pf
                        else replacement.repartition(n))
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
         writer = replacement.write
-        if part_col:
-            writer = writer.partitionBy(part_col)
+        if pf:
+            writer = writer.partitionBy(pf.name)
         writer.parquet(tmp_dir)
         new_entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
-                                             part_col, self.schema())
+                                             pf, replacement.schema)
         # a fully-deleted file leaves an empty replacement part — don't
         # register it (it dies with the staging dir)
         new_entries = [e for e in new_entries
@@ -628,11 +890,10 @@ class PyIcebergTable:
                 or self.spark.sparkContext.defaultParallelism,
                 max(n_live, 1))
         df = self.read()
-        spec_fields = meta["partition-specs"][0]["fields"]
-        if sort_by or zorder_by:
-            if spec_fields:
-                raise ValueError("clustered compaction supports "
-                                 "unpartitioned tables only")
+        pf = self._part_field(meta)
+        if (sort_by or zorder_by) and pf:
+            raise ValueError("clustered compaction supports "
+                             "unpartitioned tables only")
         if sort_by:
             df = (df.repartitionByRange(n, *sort_by)
                     .sortWithinPartitions(*sort_by))
@@ -642,8 +903,10 @@ class PyIcebergTable:
                     .repartitionByRange(n, "__z")
                     .sortWithinPartitions("__z")
                     .drop("__z"))
-        elif spec_fields:
-            df = df.repartition(n, spec_fields[0]["name"])
+        elif pf:
+            # hash on the (derived) partition value: each partition value
+            # lands in one task -> one file per partition
+            df = df.repartition(n, pf.expr())
         else:
             df = df.repartition(n)
         return self.overwrite(df)
@@ -786,27 +1049,35 @@ class PyIcebergTable:
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq)
 
+    def _part_field(self, meta: dict) -> "_PartField | None":
+        fields = meta["partition-specs"][0]["fields"]
+        return _PartField(meta, fields[0]) if fields else None
+
     def _commit(self, df: DataFrame, operation: str,
                 summary_extra: dict[str, str] | None = None,
                 properties_extra: dict[str, str] | None = None) -> int:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-        spec_fields = meta["partition-specs"][0]["fields"]
-        part_col = spec_fields[0]["name"] if spec_fields else None
+        pf = self._part_field(meta)
 
         # stage the commit's files in a temp dir, then move them into the
         # canonical data/<col>=<val>/ layout with a unique name prefix —
         # data/ stays a single consistent partition tree (the real Iceberg
-        # layout), and a failed write never leaves half a commit visible
+        # layout), and a failed write never leaves half a commit visible.
+        # A transform spec derives its partition value here (hidden
+        # partitioning: the source column stays IN the data files, the
+        # derived value only shapes the directory tree + manifests).
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
+        if pf and not pf.identity and pf.name not in df.columns:
+            df = df.withColumn(pf.name, pf.expr())
         writer = df.write
-        if part_col:
-            writer = writer.partitionBy(part_col)
+        if pf:
+            writer = writer.partitionBy(pf.name)
         writer.parquet(tmp_dir)
 
         entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
-                                         part_col, df.schema)
+                                         pf, df.schema)
         self._promote_files(tmp_dir, entries)
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq,
@@ -936,7 +1207,7 @@ class PyIcebergTable:
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
 
     def _manifest_entries(self, files_dir: str, snapshot_id: int, seq: int,
-                          part_col: str | None,
+                          pf: "_PartField | None",
                           schema: T.StructType) -> list[dict]:
         files = _list_files(self.spark, files_dir, ".parquet")
         if not files:
@@ -949,7 +1220,7 @@ class PyIcebergTable:
         # the top-level atomic columns and feed the skip index — the
         # engine-level analog of Iceberg's lower_bounds/upper_bounds.
         reader = self.spark.read
-        if part_col:
+        if pf:
             reader = reader.option("basePath", files_dir)
         bound_cols = [f.name for f in schema.fields
                       if isinstance(f.dataType, (T.NumericType,
@@ -979,16 +1250,13 @@ class PyIcebergTable:
         for fi in sorted(files, key=lambda x: x["path"]):
             base = "/".join(fi["path"].rsplit("/", 2)[-2:])
             partition: dict[str, Any] = {}
-            if part_col:
+            if pf:
                 seg = next(s for s in fi["path"].split("/")
-                           if s.startswith(f"{part_col}="))
+                           if s.startswith(f"{pf.name}="))
                 raw = _url_decode(seg.split("=", 1)[1])
-                dt = schema[part_col].dataType
-                partition[part_col] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
-                                       else int(raw)
-                                       if isinstance(dt, (T.IntegerType,
-                                                          T.LongType))
-                                       else raw)
+                partition[pf.name] = (None
+                                      if raw == "__HIVE_DEFAULT_PARTITION__"
+                                      else pf.parse_raw(raw))
             entries.append({
                 "status": 1,                       # ADDED
                 "snapshot_id": snapshot_id,
@@ -1029,21 +1297,59 @@ class PyIcebergTable:
 
     @staticmethod
     def _partition_match(entry: dict,
-                         partition_filter: dict[str, Any] | None) -> bool:
-        if not partition_filter:
+                         matchers: dict[str, Any] | None) -> bool:
+        if not matchers:
             return True
         part = entry["data_file"]["partition"]
+        return all(fn(part.get(name)) for name, fn in matchers.items())
+
+    def _partition_matchers(self, meta: dict,
+                            partition_filter: dict[str, Any] | None
+                            ) -> dict[str, Any] | None:
+        """Compile a SOURCE-column filter into partition-value matchers:
+        scalar / list = equality set (values go through the spec's
+        transform — this is hidden partitioning's contract), 2-tuple =
+        inclusive range ``(lo, hi)`` with ``None`` open (order-preserving
+        transforms only — a bucket hash destroys order)."""
+        if not partition_filter:
+            return None
+        pf = self._part_field(meta)
+        if pf is None:
+            raise ValueError("partition_filter on an unpartitioned table")
+        matchers = {}
         for col, want in partition_filter.items():
-            allowed = want if isinstance(want, (list, tuple, set)) else [want]
-            if part.get(col) not in allowed:
-                return False
-        return True
+            if col != pf.source_name:
+                raise ValueError(
+                    f"partition_filter key {col!r}: this table partitions "
+                    f"on source column {pf.source_name!r} "
+                    f"(transform {pf.kind})")
+            if isinstance(want, tuple):
+                if len(want) != 2:
+                    raise ValueError("range partition_filter must be a "
+                                     "(lo, hi) 2-tuple")
+                if not pf.monotonic:
+                    raise ValueError(
+                        "range partition_filter is not supported on a "
+                        "bucket transform (hashing destroys order) — "
+                        "pass explicit values instead")
+                lo = None if want[0] is None else pf.pyvalue(want[0])
+                hi = None if want[1] is None else pf.pyvalue(want[1])
+                matchers[pf.name] = (
+                    lambda p, lo=lo, hi=hi: p is not None
+                    and (lo is None or p >= lo)
+                    and (hi is None or p <= hi))
+            else:
+                vals = want if isinstance(want, (list, set)) else [want]
+                tv = {pf.pyvalue(v) for v in vals}
+                matchers[pf.name] = lambda p, tv=tv: p in tv
+        return matchers
 
     def _live_entries(self, meta: dict, snapshot_id: int | None,
-                      partition_filter: dict[str, Any] | None = None
+                      matchers: dict[str, Any] | None = None
                       ) -> list[tuple[dict, int]]:
         """[(manifest entry, added_snapshot_id)] for a snapshot's live
-        (non-DELETED) data files."""
+        (non-DELETED) data files; ``matchers`` are compiled partition
+        predicates from :meth:`_partition_matchers`."""
         snap = self._snapshot(meta, snapshot_id)
         out = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
@@ -1053,15 +1359,15 @@ class PyIcebergTable:
                 _read_bytes(self.spark, mf["manifest_path"]))
             out += [(e, mf["added_snapshot_id"]) for e in entries
                     if e["status"] != 2            # not DELETED
-                    and self._partition_match(e, partition_filter)]
+                    and self._partition_match(e, matchers)]
         return out
 
     def _data_files(self, meta: dict, snapshot_id: int | None,
-                    partition_filter: dict[str, Any] | None = None
+                    matchers: dict[str, Any] | None = None
                     ) -> list[tuple[str, int]]:
         """[(file path, added_snapshot_id)] for a snapshot's live files."""
         return [(e["data_file"]["file_path"], sid) for e, sid
-                in self._live_entries(meta, snapshot_id, partition_filter)]
+                in self._live_entries(meta, snapshot_id, matchers)]
 
     def _stats_skip(self, pairs: list[tuple[str, int]],
                     stats_filter: dict[str, tuple] | None) -> list[str]:
@@ -1106,11 +1412,17 @@ class PyIcebergTable:
         """Snapshot-pinned scan — the immutable input of one validation
         run. Defaults to the current snapshot.
 
-        ``partition_filter`` (``{col: value}`` or ``{col: [values]}``)
-        prunes at the MANIFEST level, the real Iceberg mechanism: files of
-        non-matching partitions are never handed to Spark's planner at all
-        — at 10^12 rows that is the difference between planning thousands
-        of files and planning one partition's worth.
+        ``partition_filter`` prunes at the MANIFEST level, the real
+        Iceberg mechanism: files of non-matching partitions are never
+        handed to Spark's planner at all — at 10^12 rows that is the
+        difference between planning thousands of files and planning one
+        partition's worth. Keys are SOURCE columns; with a transform spec
+        the values go through the transform (hidden partitioning):
+        ``{col: value}`` / ``{col: [values]}`` match equality, and
+        ``{col: (lo, hi)}`` (inclusive, ``None`` = open, datetime/date/ISO
+        strings for time transforms) prunes a range on order-preserving
+        transforms — e.g. a ``("ts", "day")`` table opens only the days a
+        timestamp range touches.
 
         ``stats_filter`` (``{col: (lo, hi)}``, either bound ``None`` for
         open) additionally skips files whose recorded per-file column
@@ -1122,15 +1434,8 @@ class PyIcebergTable:
         with ``.where`` too (Catalyst then pushes it to parquet row
         groups)."""
         meta = self._load_meta()
-        if partition_filter:
-            spec_cols = {f["name"]
-                         for f in meta["partition-specs"][0]["fields"]}
-            unknown = set(partition_filter) - spec_cols
-            if unknown:
-                raise ValueError(
-                    f"partition_filter on non-partition columns "
-                    f"{sorted(unknown)} (spec: {sorted(spec_cols)})")
-        pairs = self._data_files(meta, snapshot_id, partition_filter)
+        matchers = self._partition_matchers(meta, partition_filter)
+        pairs = self._data_files(meta, snapshot_id, matchers)
         files = self._stats_skip(pairs, stats_filter)
         # explicit time travel reads with the SNAPSHOT'S schema (Iceberg
         # semantics: a pre-evolution snapshot shows its own column set);
@@ -1151,7 +1456,12 @@ class PyIcebergTable:
         # dropped column just skip it.
         schema = _spark_schema(_schema_by_id(meta, schema_id))
         reader = self.spark.read.schema(schema)
-        if meta["partition-specs"][0]["fields"]:
+        pf = self._part_field(meta)
+        if pf and pf.identity:
+            # identity layout strips the partition column from the files;
+            # basePath re-derives it from the directory tree. A TRANSFORM
+            # spec keeps every source column physically in the files — the
+            # derived directory value is metadata only, never projected.
             reader = reader.option("basePath", f"{self.location}/data")
         if not files:
             # typed empty DF from the table schema — all-nullable to match

@@ -207,7 +207,7 @@ def test_partition_filter_prunes_at_manifest_level(spark, table):
     assert len(web.inputFiles()) < len(table.read().inputFiles())
     multi = table.read(partition_filter={"source": ["web", "chat"]})
     assert sorted(r["doc_id"] for r in multi.collect()) == ["d1", "d2", "d4"]
-    with pytest.raises(ValueError, match="non-partition columns"):
+    with pytest.raises(ValueError, match="partitions on source column"):
         table.read(partition_filter={"n_tok": 1})
 
 
@@ -1040,3 +1040,126 @@ def test_zorder_key_interleaves_and_handles_nulls(spark):
     # NULLs quantize to bucket 0
     assert z[(None, 15)] == z[(0, 15)]
     assert z[(7, None)] == z[(7, 0)] if (7, 0) in z else True
+
+
+# ------------------------------------------------- hidden partitioning ----
+
+def test_murmur3_spec_vectors_and_jvm_conformance(spark):
+    """The bucket hash must BE Iceberg's Murmur3 x86_32: pinned against
+    the spec's published Appendix-B vectors AND against Spark's own JVM
+    Murmur3_x86_32 (``F.hash`` = same algorithm at seed 42 over a long's
+    8-byte LE encoding) on random longs; the Catalyst masked-arithmetic
+    chain must agree with the Python reference bit-for-bit."""
+    import random
+    import struct
+
+    from fhir_data_validation_spark.sources.iceberg_py import (
+        _murmur3_32, _murmur3_long_expr)
+    # Iceberg spec Appendix B test vectors
+    assert _murmur3_32(struct.pack("<q", 34)) == 2017239379      # int/long
+    assert _murmur3_32("iceberg".encode()) == 1210000089         # string
+    rnd = random.Random(7)
+    vals = ([rnd.randint(-2 ** 63, 2 ** 63 - 1) for _ in range(64)]
+            + [0, 1, -1, 34, 2 ** 63 - 1, -2 ** 63])
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    jvm = {r["v"]: r["h"] for r in
+           df.select("v", F.hash("v").alias("h")).collect()}
+    cat = {r["v"]: r["h"] for r in
+           df.select("v", _murmur3_long_expr(F.col("v")).alias("h"))
+           .collect()}
+    for v in vals:
+        assert jvm[v] == _murmur3_32(struct.pack("<q", v), seed=42)
+        assert cat[v] == (_murmur3_32(struct.pack("<q", v)) & 0xFFFFFFFF)
+
+
+def test_bucket_partition_hidden_pruning_and_cow(spark, tmp_path):
+    """bucket[N] hidden partitioning: queries filter the SOURCE column,
+    pruning happens on the derived hash bucket; COW delete and compaction
+    keep the bucket layout."""
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "b"), schema,
+                              partition_by=("doc_id", "bucket[4]"))
+    t.append(spark.createDataFrame([(f"d{i}", i) for i in range(40)],
+                                   schema))
+    assert sorted(r["v"] for r in t.read().collect()) == list(range(40))
+    n_all = len(t.read().inputFiles())
+    one = t.read(partition_filter={"doc_id": "d7"})
+    assert len(one.inputFiles()) < n_all            # manifest-level prune
+    assert one.where("doc_id = 'd7'").count() == 1
+    # layout shows the DERIVED field, data files keep the source column
+    assert any("doc_id_bucket=" in f for f in one.inputFiles())
+    # list filter
+    two = t.read(partition_filter={"doc_id": ["d7", "d8"]})
+    assert two.where(F.col("doc_id").isin("d7", "d8")).count() == 2
+    # range filters can't prune a hash bucket
+    with pytest.raises(ValueError, match="bucket"):
+        t.read(partition_filter={"doc_id": ("a", "z")})
+    # filters must name the source column
+    with pytest.raises(ValueError, match="source column"):
+        t.read(partition_filter={"doc_id_bucket": 3})
+    # COW delete rewrites only the touched bucket, keeps the layout
+    res = t.delete_rows("v = 7")
+    assert res["rows_deleted"] == 1 and res["files_carried"] > 0
+    assert t.read().count() == 39
+    assert t.read(partition_filter={"doc_id": "d8"}) \
+            .where("doc_id = 'd8'").count() == 1
+    # partitioned compaction: one file per live bucket value
+    t.compact(target_files=4)
+    assert len(t.read().inputFiles()) <= 4
+    assert sorted(r["v"] for r in t.read().collect()) == \
+        [i for i in range(40) if i != 7]
+    # pruning still works post-compaction
+    assert len(t.read(partition_filter={"doc_id": "d8"}).inputFiles()) <= 1
+
+
+def test_day_partition_timestamp_range_pruning(spark, tmp_path):
+    """('ts', 'day') hidden partitioning: a timestamp range opens only the
+    days it touches; scalar datetimes, dates and ISO strings all work."""
+    import datetime as dt
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "d"), schema,
+                              partition_by=("ts", "day"))
+    rows = [(f"e{d}_{h}", dt.datetime(2024, 3, 1 + d, h))
+            for d in range(4) for h in (0, 12, 23)]
+    t.append(spark.createDataFrame(rows, schema))
+    n_all = len(t.read().inputFiles())
+    rng = t.read(partition_filter={
+        "ts": (dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 3, 23, 59))})
+    assert len(rng.inputFiles()) < n_all
+    assert rng.count() == 6                          # 2 days x 3 rows
+    # scalar date / ISO string prune to one day
+    assert t.read(partition_filter={"ts": dt.date(2024, 3, 1)}).count() == 3
+    assert t.read(partition_filter={"ts": "2024-03-04T05:00:00"}).count() \
+        == 3
+    # open-ended range
+    assert t.read(partition_filter={
+        "ts": (dt.datetime(2024, 3, 3), None)}).count() == 6
+    # directory layout carries the epoch-day ordinal
+    assert any("ts_day=" in f for f in t.read().inputFiles())
+
+
+def test_truncate_partition_and_create_validation(spark, tmp_path):
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "tr"), schema,
+                              partition_by=("doc_id", "truncate[2]"))
+    t.append(spark.createDataFrame(
+        [("aa1", 1), ("aa2", 2), ("bb1", 3), ("bb2", 4), ("cc1", 5)],
+        schema))
+    pr = t.read(partition_filter={"doc_id": "aa2"})
+    assert {r["doc_id"] for r in pr.collect()} == {"aa1", "aa2"}
+    assert len(pr.inputFiles()) < len(t.read().inputFiles())
+    # truncate is order-preserving: ranges prune
+    assert t.read(partition_filter={"doc_id": ("bb", "cc9")}).count() == 3
+    # create-time validation
+    with pytest.raises(ValueError, match="transform"):
+        PyIcebergTable.create(spark, str(tmp_path / "x1"), schema,
+                              partition_by=("doc_id", "pivot[2]"))
+    with pytest.raises(ValueError, match="sources"):
+        PyIcebergTable.create(spark, str(tmp_path / "x2"), schema,
+                              partition_by=("v", "day"))
+    with pytest.raises(ValueError, match="sources"):
+        PyIcebergTable.create(spark, str(tmp_path / "x3"), schema,
+                              partition_by=("doc_id", "hour"))
