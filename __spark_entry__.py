@@ -1720,6 +1720,73 @@ def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i5_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 layout: HIDDEN PARTITIONING (Iceberg partition transforms).
+    Documents land in a ``bucket[8]``-partitioned table — the partition
+    value is the spec's Murmur3 hash of the LONG doc_id, computed in a
+    pure-Catalyst expression chain — and the query filters the SOURCE
+    column; pruning happens at the manifest level on the derived bucket.
+    ``pruned`` attests that the filtered read planned strictly fewer
+    files than the full scan (the oracle pins it TRUE). Values match only
+    if the bucket routing is consistent between write and read — a wrong
+    hash on either side loses rows."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 600)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icehp_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema,
+                              partition_by=("doc_id", "bucket[8]"))
+    t.append(docs.repartition(8))
+    want = list(range(40, 60))
+    sel = t.read(partition_filter={"doc_id": want})
+    pruned = len(sel.inputFiles()) < len(t.read().inputFiles())
+    out = (sel.where(F.col("doc_id").isin(want))
+           .withColumn("pruned", F.lit(bool(pruned)))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 layout: time-transform hidden partitioning. Events cluster into
+    ``("ts", "day")`` partitions (epoch-day ordinals derived with exact
+    integer-µs arithmetic); a (lo, hi) range on the SOURCE timestamp
+    opens only the days it touches. The returned per-day rollup matches
+    the oracle only if day boundaries land exactly (a µs-precision error
+    on either edge moves rows across days)."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    ev = (load_table(spark, sf, "events")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type"))
+    loc = tempfile.mkdtemp(prefix="fdv_icetp_") + "/ev"
+    t = PyIcebergTable.create(spark, loc, ev.schema,
+                              partition_by=("ts", "day"))
+    t.append(ev.repartition(8))
+    import datetime as dt
+    sel = t.read(partition_filter={
+        "ts": (dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12,
+                                                     23, 59, 59, 999999))})
+    pruned = len(sel.inputFiles()) < len(t.read().inputFiles())
+    out = (sel.where((F.col("ts") >= F.lit("2024-01-10"))
+                     & (F.col("ts") < F.lit("2024-01-13")))
+           .groupBy(F.to_date("ts").cast("string").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").alias("n_ids"))
+           .withColumn("pruned", F.lit(bool(pruned)))
+           .orderBy("day"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2049,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i2_delete_rows": q_i2_delete_rows,
         "i3_schema_evolution": q_i3_schema_evolution,
         "i4_merge_rows": q_i4_merge_rows,
+        "i5_hidden_partition": q_i5_hidden_partition,
+        "i6_time_partition": q_i6_time_partition,
     }
 
 
@@ -2558,6 +2627,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 400
               AND NOT (doc_id >= 200 AND lang = 'en')
             ORDER BY doc_id""",
+        # i5: hidden bucket partitioning — the data must round-trip the
+        # bucket layout losslessly; pruned=TRUE pins that the filtered
+        # read planned fewer files than the full scan
+        "i5_hidden_partition": """
+            SELECT doc_id, lang, source, n_chars, TRUE AS pruned
+            FROM documents WHERE doc_id >= 40 AND doc_id < 60
+            ORDER BY doc_id""",
+        # i6: day-transform partitioning — per-day rollup of a 3-day
+        # source-timestamp range; exact day edges prove the epoch-day
+        # derivation (µs-exact, UTC)
+        "i6_time_partition": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_id) AS n_ids,
+                   TRUE AS pruned
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts < TIMESTAMP '2024-01-13'
+            GROUP BY 1 ORDER BY day""",
         # k1: concat-and-chunk packing restated as pure window arithmetic —
         # e/s are the doc's [start, end) offsets in the per-source token
         # stream (doc_id order); each doc overlaps seqs s//32 .. (e-1)//32
