@@ -911,22 +911,88 @@ class PyIcebergTable:
             df = df.repartition(n)
         return self.overwrite(df)
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Metadata-only ROLLBACK (Iceberg's ``rollback_to_snapshot``):
+        point the table back at an earlier snapshot — the undo for a bad
+        commit. Nothing is deleted: the abandoned snapshots stay
+        time-travelable (and tagged refs keep working) until
+        :meth:`expire_snapshots` reclaims them as non-ancestors; the next
+        append builds on the rolled-back state."""
+        meta, old_version = self._load_meta_versioned()
+        snap = self._snapshot(meta, snapshot_id)      # validates existence
+        now = _now_ms()
+        meta["current-snapshot-id"] = snap["snapshot-id"]
+        meta["refs"]["main"] = {"snapshot-id": snap["snapshot-id"],
+                                "type": "branch"}
+        meta["snapshot-log"].append({"timestamp-ms": now,
+                                     "snapshot-id": snap["snapshot-id"]})
+        meta["last-updated-ms"] = now
+        self._commit_meta(meta, old_version)
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create/replace a named REF pinning a snapshot (Iceberg tag):
+        ``read(ref="v1-training")`` then always sees exactly that data —
+        the reproducibility handle a dataset release wants. Tagged
+        snapshots survive :meth:`expire_snapshots`. Returns the pinned
+        snapshot id."""
+        if name == "main":
+            raise ValueError("'main' is the branch ref; use rollback_to")
+        meta, old_version = self._load_meta_versioned()
+        snap = self._snapshot(meta, snapshot_id)
+        meta["refs"][name] = {"snapshot-id": snap["snapshot-id"],
+                              "type": "tag"}
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return snap["snapshot-id"]
+
+    def drop_tag(self, name: str) -> None:
+        meta, old_version = self._load_meta_versioned()
+        if meta["refs"].get(name, {}).get("type") != "tag":
+            raise ValueError(f"no tag named {name!r}")
+        del meta["refs"][name]
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+
+    def _resolve_ref(self, meta: dict, ref: str) -> int:
+        r = meta["refs"].get(ref)
+        if r is None:
+            raise ValueError(f"no ref named {ref!r} "
+                             f"(have {sorted(meta['refs'])})")
+        return r["snapshot-id"]
+
+    def _ancestors(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """[current, parent, grandparent, ...] via parent links."""
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        out, sid = [], snapshot_id
+        while sid in by_id:
+            out.append(by_id[sid])
+            sid = by_id[sid].get("parent-snapshot-id")
+        return out
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Expire all but the newest ``keep_last`` snapshots and delete
-        the files only they referenced — the storage-reclaim half of the
-        compaction lifecycle (append → compact → expire), mirroring
-        Iceberg's ``expire_snapshots``. Data files still referenced by a
-        KEPT snapshot are never touched; the expired snapshots' manifest
-        lists, no-longer-referenced manifests, skip indexes and orphaned
-        data files are removed. Time travel to expired ids stops working
-        (that is the point). Returns counts of what was deleted."""
+        """Expire old snapshots and delete the files only they referenced
+        — the storage-reclaim half of the compaction lifecycle (append →
+        compact → expire), mirroring Iceberg's ``expire_snapshots``. Kept:
+        the newest ``keep_last`` ANCESTORS of the current snapshot (after
+        a :meth:`rollback_to`, snapshots newer by sequence number may be
+        an abandoned branch — recency-based expiry would reclaim the
+        current state's own history) plus every tagged snapshot. Data
+        files still referenced by a kept snapshot are never touched; the
+        expired snapshots' manifest lists, no-longer-referenced manifests,
+        skip indexes and orphaned data files are removed. Time travel to
+        expired ids stops working (that is the point). Returns counts of
+        what was deleted."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         meta, old_version = self._load_meta_versioned()
+        chain = self._ancestors(meta, meta["current-snapshot-id"])
+        keep_ids = {s["snapshot-id"] for s in chain[:keep_last]}
+        keep_ids |= {r["snapshot-id"] for r in meta["refs"].values()}
         snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
-        if len(snaps) <= keep_last:
+        kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        if not expired:
             return {"snapshots": 0, "manifests": 0, "data_files": 0}
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
 
         def manifest_info(snap_list):
             mfs = {}
@@ -1174,8 +1240,9 @@ class PyIcebergTable:
         meta["snapshot-log"].append({"timestamp-ms": now,
                                      "snapshot-id": snapshot_id})
         meta["current-snapshot-id"] = snapshot_id
-        meta["refs"] = {"main": {"snapshot-id": snapshot_id,
-                                 "type": "branch"}}
+        # advance ONLY the main branch ref — tags keep their pins
+        meta.setdefault("refs", {})["main"] = {"snapshot-id": snapshot_id,
+                                               "type": "branch"}
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now
         self._commit_meta(meta, old_version)
@@ -1408,9 +1475,12 @@ class PyIcebergTable:
 
     def read(self, snapshot_id: int | None = None,
              partition_filter: dict[str, Any] | None = None,
-             stats_filter: dict[str, tuple] | None = None) -> DataFrame:
+             stats_filter: dict[str, tuple] | None = None,
+             ref: str | None = None) -> DataFrame:
         """Snapshot-pinned scan — the immutable input of one validation
-        run. Defaults to the current snapshot.
+        run. Defaults to the current snapshot; ``ref`` reads a named tag
+        (``read(ref="v1-training")``) — mutually exclusive with
+        ``snapshot_id``.
 
         ``partition_filter`` prunes at the MANIFEST level, the real
         Iceberg mechanism: files of non-matching partitions are never
@@ -1434,6 +1504,10 @@ class PyIcebergTable:
         with ``.where`` too (Catalyst then pushes it to parquet row
         groups)."""
         meta = self._load_meta()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self._resolve_ref(meta, ref)
         matchers = self._partition_matchers(meta, partition_filter)
         pairs = self._data_files(meta, snapshot_id, matchers)
         files = self._stats_skip(pairs, stats_filter)

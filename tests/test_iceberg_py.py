@@ -1163,3 +1163,48 @@ def test_truncate_partition_and_create_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="sources"):
         PyIcebergTable.create(spark, str(tmp_path / "x3"), schema,
                               partition_by=("doc_id", "hour"))
+
+
+def test_rollback_tags_and_ancestor_expiry(spark, tmp_path):
+    """rollback_to + tags: a bad commit is undone metadata-only; expiry
+    keeps the CURRENT snapshot's ancestor chain and every tagged pin —
+    never the abandoned branch (which is newer by sequence number, the
+    trap a recency-based expiry falls into after a rollback)."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "rb"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("a1", [1], 1, "web")]).coalesce(1))
+    t.tag("v1")
+    s2 = t.append(_rows(spark, [("b1", [2], 1, "web")]).coalesce(1))
+    s3 = t.append(_rows(spark, [("BAD", [9], 1, "web")]).coalesce(1))
+    assert t.read().count() == 3
+    t.rollback_to(s2)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a1", "b1"]
+    assert t.current_snapshot_id() == s2
+    assert t.read(ref="v1").count() == 1           # tag still pinned
+    assert t.read(s3).count() == 3                 # branch time-travelable
+    # the next append builds on the rolled-back state
+    s4 = t.append(_rows(spark, [("c1", [3], 1, "web")]).coalesce(1))
+    got = sorted(r["doc_id"] for r in t.read().collect())
+    assert got == ["a1", "b1", "c1"]               # BAD is gone
+    # expiry: ancestors of current (s4, s2) + the tag (s1); s3 dies
+    res = t.expire_snapshots(keep_last=2)
+    assert res["snapshots"] == 1 and res["data_files"] == 1
+    with pytest.raises(ValueError, match="not found"):
+        t.read(s3)
+    assert t.read(ref="v1").count() == 1           # tagged pin survived
+    assert sorted(r["doc_id"] for r in t.read().collect()) == \
+        ["a1", "b1", "c1"]
+    # ref plumbing
+    with pytest.raises(ValueError, match="not both"):
+        t.read(s4, ref="v1")
+    with pytest.raises(ValueError, match="no ref"):
+        t.read(ref="nope")
+    with pytest.raises(ValueError, match="main"):
+        t.tag("main")
+    t.drop_tag("v1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.drop_tag("v1")
+    # with the tag gone, keep_last=1 reclaims everything but current —
+    # whose append chain still reads in full (live files are protected)
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == \
+        ["a1", "b1", "c1"]
