@@ -1787,6 +1787,32 @@ def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i7_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 CDC: net changelog between snapshots (``PyIcebergTable.changes``
+    — the ``create_changelog_view`` analog). Snapshot 1 holds docs <200;
+    then docs 200-299 append and every doc_id divisible by 10 is
+    COW-deleted. The changelog from s1 must show exactly: the surviving
+    second batch as inserts and the first batch's deleted rows as
+    deletes — rows carried through the delete's file rewrites cancel via
+    EXCEPT ALL, so any carry error surfaces as phantom rows."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icecl_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    s1 = t.append(docs.where(F.col("doc_id") < 200).coalesce(2))
+    t.append(docs.where(F.col("doc_id") >= 200).coalesce(1))
+    t.delete_rows("doc_id % 10 = 0")
+    out = t.changes(s1).orderBy("_change_type", "doc_id")
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2118,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i4_merge_rows": q_i4_merge_rows,
         "i5_hidden_partition": q_i5_hidden_partition,
         "i6_time_partition": q_i6_time_partition,
+        "i7_changelog": q_i7_changelog,
     }
 
 
@@ -2634,6 +2661,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars, TRUE AS pruned
             FROM documents WHERE doc_id >= 40 AND doc_id < 60
             ORDER BY doc_id""",
+        # i7: net changelog — inserts = surviving second batch, deletes =
+        # first batch's removed rows; COW-carried rows must cancel
+        "i7_changelog": """
+            SELECT doc_id, lang, source, n_chars,
+                   'insert' AS _change_type
+            FROM documents
+            WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars, 'delete'
+            FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+            ORDER BY _change_type, doc_id""",
         # i6: day-transform partitioning — per-day rollup of a 3-day
         # source-timestamp range; exact day edges prove the epoch-day
         # derivation (µs-exact, UTC)

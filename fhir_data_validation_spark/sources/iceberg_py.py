@@ -1570,6 +1570,34 @@ class PyIcebergTable:
                else to_snap.get("schema-id"))
         return self._read_files(meta, files, sid)
 
+    def changes(self, from_snapshot_id: int,
+                to_snapshot_id: int | None = None) -> DataFrame:
+        """NET row-level changes between two snapshots — the engine-side
+        analog of Iceberg's ``create_changelog_view``: every row tagged
+        ``_change_type`` ``insert`` / ``delete`` (an update appears as its
+        delete+insert pair, the standard CDC encoding). Computed from the
+        FILE-level diff of the two live sets, so only files that entered
+        or left the table are ever read — never the table — and rows
+        carried through copy-on-write rewrites cancel via ``EXCEPT ALL``
+        (one hash shuffle over the changed rows only). A pure compaction
+        therefore yields an EMPTY changelog: it moved bytes, it changed
+        no data — exactly what a downstream incremental consumer wants to
+        know. Unlike :meth:`incremental` (added files only, append-driven
+        delta validation), this sees through deletes/merges/overwrites.
+        Column types must be comparable for set ops (no map columns)."""
+        meta = self._load_meta()
+        f1 = {p for p, _ in self._data_files(meta, from_snapshot_id)}
+        to_snap = self._snapshot(meta, to_snapshot_id)
+        f2 = {p for p, _ in self._data_files(meta, to_snap["snapshot-id"])}
+        sid = (None if to_snapshot_id is None
+               else to_snap.get("schema-id"))
+        added = self._read_files(meta, sorted(f2 - f1), sid)
+        removed = self._read_files(meta, sorted(f1 - f2), sid)
+        return (added.exceptAll(removed)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(removed.exceptAll(added)
+                             .withColumn("_change_type", F.lit("delete"))))
+
     # ----------------------------------------------------------- metadata --
 
     def snapshots(self) -> DataFrame:

@@ -1208,3 +1208,33 @@ def test_rollback_tags_and_ancestor_expiry(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert sorted(r["doc_id"] for r in t.read().collect()) == \
         ["a1", "b1", "c1"]
+
+
+def test_changes_net_changelog(spark, tmp_path):
+    """changes(s1, s2): net insert/delete rows from the file-level diff —
+    COW-carried rows cancel, updates appear as delete+insert pairs, and a
+    pure compaction yields an EMPTY changelog."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "cl"), TOKENS_SCHEMA)
+    s1 = t.append(_rows(spark, [("a1", [1], 1, "web"),
+                                ("a2", [2], 1, "web"),
+                                ("a3", [3], 1, "web")]).coalesce(1))
+    t.append(_rows(spark, [("b1", [4], 1, "book")]).coalesce(1))
+    t.delete_rows("doc_id = 'a2'")
+    t.merge_rows(_rows(spark, [("a3", [30], 1, "web"),      # update
+                               ("c1", [5], 1, "chat")]),     # insert
+                 key="doc_id")
+    got = {(r["doc_id"], r["_change_type"], tuple(r["tokens"]))
+           for r in t.changes(s1).collect()}
+    assert got == {("b1", "insert", (4,)), ("c1", "insert", (5,)),
+                   ("a2", "delete", (2,)),
+                   ("a3", "delete", (3,)), ("a3", "insert", (30,))}
+    # compaction nets to zero
+    s_pre = t.current_snapshot_id()
+    t.compact(target_files=1)
+    assert t.changes(s_pre).count() == 0
+    # append-only window: inserts only
+    s_now = t.current_snapshot_id()
+    t.append(_rows(spark, [("d1", [6], 1, "web")]))
+    ch = t.changes(s_now).collect()
+    assert [(r["doc_id"], r["_change_type"]) for r in ch] == \
+        [("d1", "insert")]
