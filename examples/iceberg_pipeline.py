@@ -114,6 +114,31 @@ def main() -> None:
     gone = table.expire_snapshots(keep_last=2)
     print(f"expired {gone['snapshots']} snapshots, "
           f"reclaimed {gone['data_files']} data files")
+
+    # -- 7. release tag, bad commit + rollback, net changelog ---------------
+    table.tag("v1-release")
+    s_good = table.current_snapshot_id()
+    table.append(dirty_token_table(spark, 100, seed=13).drop("_row_id"))
+    table.rollback_to(s_good)                 # undo the bad commit
+    print(f"rolled back to {s_good}; read(ref='v1-release') pins "
+          f"{table.read(ref='v1-release').count()} rows forever")
+    s_cdc = table.current_snapshot_id()
+    table.delete_rows("n_tok < 2")
+    ch = table.changes(s_cdc)
+    print("net changelog since the release:")
+    ch.groupBy("_change_type").count().show()
+
+    # -- 8. hidden partitioning + Z-order clustering ------------------------
+    hidden = PyIcebergTable.create(
+        spark, f"{root}/tokens_bucketed", corpus.schema,
+        partition_by=("doc_id", "bucket[8]"))
+    hidden.append(corpus)
+    one = hidden.read(partition_filter={"doc_id": "doc-000007"})
+    print(f"hidden bucket[8] partitioning: source-column filter opens "
+          f"{len(one.inputFiles())} of "
+          f"{len(hidden.read().inputFiles())} files")
+    flat.compact(target_files=4, zorder_by=["n_tok", "quality"])
+    print("z-order compacted tokens_flat on (n_tok, quality)")
     spark.stop()
 
 
