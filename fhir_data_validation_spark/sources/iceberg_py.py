@@ -140,11 +140,20 @@ def _schema_by_id(meta: dict, schema_id: int | None = None) -> dict:
     return next(s for s in meta["schemas"] if s["schema-id"] == sid)
 
 
-def _partition_avro_fields(table_meta: dict) -> list[dict]:
-    """Avro fields of the r102 partition record for the default spec —
-    typed by the TRANSFORM's result (bucket/year/month/day/hour -> int,
+def _spec_by_id(meta: dict, spec_id: int | None = None) -> dict:
+    """The partition spec for ``spec_id`` (default: the table's default
+    spec) — partition EVOLUTION appends new specs; every manifest records
+    which spec shaped its partition values."""
+    sid = meta.get("default-spec-id", 0) if spec_id is None else spec_id
+    return next(s for s in meta["partition-specs"] if s["spec-id"] == sid)
+
+
+def _partition_avro_fields(table_meta: dict,
+                           spec_id: int | None = None) -> list[dict]:
+    """Avro fields of the r102 partition record for one spec — typed by
+    the TRANSFORM's result (bucket/year/month/day/hour -> int,
     identity/truncate -> the source type)."""
-    spec = table_meta["partition-specs"][0]
+    spec = _spec_by_id(table_meta, spec_id)
     out = []
     for pf in spec["fields"]:
         rt = _PartField(table_meta, pf).result_type()
@@ -157,7 +166,7 @@ def _partition_avro_fields(table_meta: dict) -> list[dict]:
     return out
 
 
-def _manifest_schema(table_meta: dict) -> dict:
+def _manifest_schema(table_meta: dict, spec_id: int | None = None) -> dict:
     """manifest_entry record (Iceberg spec 'Manifests', v2 field ids)."""
     return {
         "type": "record", "name": "manifest_entry", "fields": [
@@ -177,7 +186,8 @@ def _manifest_schema(table_meta: dict) -> dict:
                      "field-id": 101},
                     {"name": "partition", "field-id": 102, "type": {
                         "type": "record", "name": "r102",
-                        "fields": _partition_avro_fields(table_meta)}},
+                        "fields": _partition_avro_fields(table_meta,
+                                                         spec_id)}},
                     {"name": "record_count", "type": "long",
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
@@ -554,6 +564,28 @@ class PyIcebergTable:
     }
 
     @classmethod
+    def _build_spec_field(cls, ice_fields: list[dict],
+                          partition_by: str | tuple[str, str],
+                          field_id: int) -> dict:
+        col, transform = (partition_by if isinstance(partition_by, tuple)
+                          else (partition_by, "identity"))
+        kind, _arg = _parse_transform(transform)
+        src = next((f for f in ice_fields if f["name"] == col), None)
+        if src is None:
+            raise ValueError(f"partition column {col!r} not in "
+                             f"schema {[f['name'] for f in ice_fields]}")
+        if src["type"] not in cls._TRANSFORM_SOURCES[kind]:
+            raise ValueError(
+                f"transform {transform!r} supports "
+                f"{'/'.join(cls._TRANSFORM_SOURCES[kind])} sources, "
+                f"got {src['type']}")
+        pname = (col if kind == "identity" else
+                 f"{col}_trunc" if kind == "truncate" else
+                 f"{col}_{kind}")
+        return {"name": pname, "transform": transform,
+                "source-id": src["id"], "field-id": field_id}
+
+    @classmethod
     def create(cls, spark: SparkSession, location: str,
                schema: T.StructType,
                partition_by: str | tuple[str, str] | None = None
@@ -574,24 +606,8 @@ class PyIcebergTable:
         last_col = ice_schema.pop("last-column-id")
         spec_fields = []
         if partition_by is not None:
-            col, transform = (partition_by if isinstance(partition_by, tuple)
-                              else (partition_by, "identity"))
-            kind, _arg = _parse_transform(transform)
-            src = next((f for f in ice_schema["fields"]
-                        if f["name"] == col), None)
-            if src is None:
-                raise ValueError(f"partition column {col!r} not in "
-                                 f"schema {[f['name'] for f in ice_schema['fields']]}")
-            if src["type"] not in cls._TRANSFORM_SOURCES[kind]:
-                raise ValueError(
-                    f"transform {transform!r} supports "
-                    f"{'/'.join(cls._TRANSFORM_SOURCES[kind])} sources, "
-                    f"got {src['type']}")
-            pname = (col if kind == "identity" else
-                     f"{col}_trunc" if kind == "truncate" else
-                     f"{col}_{kind}")
-            spec_fields.append({"name": pname, "transform": transform,
-                                "source-id": src["id"], "field-id": 1000})
+            spec_fields.append(cls._build_spec_field(
+                ice_schema["fields"], partition_by, 1000))
         meta = {
             "format-version": FORMAT_VERSION,
             "table-uuid": str(uuid.uuid4()),
@@ -690,7 +706,8 @@ class PyIcebergTable:
         # NULL-evaluating rows survive. A bare ~pred would drop them in
         # rewritten files while identical rows in carried files persist
         # (same data, different fate per file).
-        survivors = (self._read_files(meta, sorted(affected))
+        survivors = (self._read_files(
+                         meta, sorted((p, candidates[p]) for p in affected))
                      .where(F.coalesce(~pred, F.lit(True))))
         new_sid, n_carried = self._cow_commit(meta, old_version, live,
                                               affected, survivors, "delete")
@@ -744,7 +761,8 @@ class PyIcebergTable:
         affected = self._probe_affected(
             meta, candidates,
             lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"))
-        scan = self._read_files(meta, sorted(affected))
+        scan = self._read_files(
+            meta, sorted((p, candidates[p]) for p in affected))
         survivors = (scan
                      .join(key_df, _key_cond(scan, key_df), "left_anti")
                      .unionByName(updates))
@@ -767,11 +785,15 @@ class PyIcebergTable:
         return "/".join(p.rsplit("/", 2)[-2:])
 
     def _cow_candidates(self, meta: dict, live: list,
-                        stats_filter: dict[str, tuple] | None) -> set[str]:
-        pairs = [(e["data_file"]["file_path"], sid) for e, sid in live]
-        return set(self._stats_skip(pairs, stats_filter))
+                        stats_filter: dict[str, tuple] | None
+                        ) -> dict[str, int]:
+        """{file path: partition_spec_id} of live files surviving the
+        skip-index prune."""
+        triples = [(e["data_file"]["file_path"], sid, sp)
+                   for e, sid, sp in live]
+        return dict(self._stats_skip(triples, stats_filter))
 
-    def _probe_affected(self, meta: dict, candidates: set[str],
+    def _probe_affected(self, meta: dict, candidates: dict[str, int],
                         match_fn) -> dict[str, int]:
         """{file path: matching row count} — which candidate files contain
         rows selected by ``match_fn`` (ONE filter-pushed scan)."""
@@ -780,7 +802,7 @@ class PyIcebergTable:
         # capture the file name AT THE SCAN, before match_fn: a shuffled
         # join inside match_fn would otherwise evaluate input_file_name()
         # post-exchange, where it returns ""
-        scan = (self._read_files(meta, sorted(candidates))
+        scan = (self._read_files(meta, sorted(candidates.items()))
                 .withColumn("_probe_file", F.input_file_name()))
         probe = (match_fn(scan)
                  .groupBy(F.col("_probe_file").alias("f"))
@@ -824,21 +846,23 @@ class PyIcebergTable:
         self._promote_files(tmp_dir, new_entries)
 
         # carry untouched files as EXISTING entries with their original
-        # sequence numbers (incremental() must not re-surface them) and
-        # their recorded bounds (the new snapshot's skip index must keep
-        # covering them)
+        # sequence numbers (incremental() must not re-surface them), their
+        # recorded bounds (the new snapshot's skip index must keep
+        # covering them) and their ORIGINAL partition spec (after a
+        # partition evolution the carried partition records are shaped by
+        # the spec that wrote them — _commit_entries groups per spec)
         old_bounds: dict[str, dict] = {}
-        for sid in {s for _, s in live}:
+        for sid in {s for _, s, _ in live}:
             p = f"{self._meta_dir}/skipidx-{sid}.json"
             if _exists(self.spark, p):
                 old_bounds.update(json.loads(
                     _read_bytes(self.spark, p).decode()))
         carried = []
-        for e, _sid in live:
+        for e, _sid, sp in live:
             path = e["data_file"]["file_path"]
             if path in affected:
                 continue
-            carried.append({**e, "status": 0,
+            carried.append({**e, "status": 0, "_spec_id": sp,
                             "_bounds": old_bounds.get(path, {})})
         new_sid = self._commit_entries(meta, old_version,
                                        carried + new_entries, operation,
@@ -1081,7 +1105,9 @@ class PyIcebergTable:
                 f"column {name!r} not in schema "
                 f"{[f['name'] for f in cur['fields']]}")
         if any(pf["source-id"] == field["id"]
-               for pf in meta["partition-specs"][0]["fields"]):
+               for s in meta["partition-specs"] for pf in s["fields"]):
+            # ANY spec (not just the default): old manifests resolve their
+            # partition source columns through the current schema
             raise ValueError(f"cannot drop partition column {name!r}")
         if len(cur["fields"]) == 1:
             raise ValueError("cannot drop the last column")
@@ -1106,7 +1132,7 @@ class PyIcebergTable:
         Unpartitioned tables only: external layouts don't carry the
         table's partition tree."""
         meta, old_version = self._load_meta_versioned()
-        if meta["partition-specs"][0]["fields"]:
+        if _spec_by_id(meta)["fields"]:
             raise ValueError("add_files supports unpartitioned tables only")
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
@@ -1115,9 +1141,40 @@ class PyIcebergTable:
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq)
 
-    def _part_field(self, meta: dict) -> "_PartField | None":
-        fields = meta["partition-specs"][0]["fields"]
+    def _part_field(self, meta: dict,
+                    spec_id: int | None = None) -> "_PartField | None":
+        fields = _spec_by_id(meta, spec_id)["fields"]
         return _PartField(meta, fields[0]) if fields else None
+
+    def update_partition_spec(
+            self, partition_by: str | tuple[str, str] | None) -> int:
+        """PARTITION EVOLUTION (metadata-only — the marquee Iceberg
+        property: the layout changes, NOT the data): append a new default
+        spec; data already written keeps its old spec and old directory
+        tree, NEW commits cluster under the new one. Reads plan each
+        manifest with the spec that shaped it, and ``partition_filter``
+        prunes per spec — files written under a spec that does not
+        transform the filtered column are conservatively kept (they may
+        contain matches). At 10^12 rows this is how a table goes from
+        daily to hourly partitioning (or gains a bucket dimension) with
+        zero rewrite; run :meth:`compact` afterwards to migrate the old
+        data into the new layout when pruning the history matters.
+        ``partition_by`` as in :meth:`create`; ``None`` = unpartitioned.
+        Returns the new spec-id."""
+        meta, old_version = self._load_meta_versioned()
+        fields = []
+        if partition_by is not None:
+            fid = meta.get("last-partition-id", 999) + 1
+            fields.append(self._build_spec_field(
+                _schema_by_id(meta)["fields"], partition_by, fid))
+            meta["last-partition-id"] = fid
+        new_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+        meta["partition-specs"].append({"spec-id": new_id,
+                                        "fields": fields})
+        meta["default-spec-id"] = new_id
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return new_id
 
     def _commit(self, df: DataFrame, operation: str,
                 summary_extra: dict[str, str] | None = None,
@@ -1156,7 +1213,6 @@ class PyIcebergTable:
                         summary_extra: dict[str, str] | None = None,
                         properties_extra: dict[str, str] | None = None
                         ) -> int:
-        spec_fields = meta["partition-specs"][0]["fields"]
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
         # manifests stay strictly spec-shaped; the real-runtime analog is
@@ -1167,48 +1223,65 @@ class PyIcebergTable:
             _write_bytes(self.spark,
                          f"{self._meta_dir}/skipidx-{snapshot_id}.json",
                          json.dumps(skip_index).encode())
-        manifest_path = (f"{self._meta_dir}/"
-                         f"{uuid.uuid4().hex}-m0.avro")
-        manifest_bytes = avro_io.write_container(
-            _manifest_schema(meta), entries,
-            metadata={
-                "schema": json.dumps(_schema_by_id(meta)),
-                "schema-id": str(meta["current-schema-id"]),
-                "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": "0",
-                "format-version": str(FORMAT_VERSION),
-                "content": "data",
-            })
-        _write_bytes(self.spark, manifest_path, manifest_bytes)
 
-        # a commit may carry EXISTING entries (status 0 — files surviving a
-        # row-level delete unchanged) alongside ADDED ones; count them and
-        # keep min_sequence_number honest so incremental() stays correct
-        added = [e for e in entries if e["status"] == 1]
-        existing = [e for e in entries if e["status"] == 0]
-        added_rows = sum(e["data_file"]["record_count"] for e in added)
-        new_mf = {
-            "manifest_path": manifest_path,
-            "manifest_length": len(manifest_bytes),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(
-                [e["sequence_number"] for e in entries if
-                 e["sequence_number"] is not None] or [seq]),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(added),
-            "existing_files_count": len(existing),
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": sum(e["data_file"]["record_count"]
-                                       for e in existing),
-            "deleted_rows_count": 0,
-        }
+        # a manifest file is shaped by ONE partition spec (its r102 record
+        # schema) — after a partition evolution, a COW commit carries
+        # EXISTING entries written under old specs alongside new-spec ADDED
+        # ones, so group by spec and write one manifest per spec
+        default_spec = meta.get("default-spec-id", 0)
+        by_spec: dict[int, list[dict]] = {}
+        for e in entries:
+            by_spec.setdefault(e.pop("_spec_id", default_spec),
+                               []).append(e)
+        new_mfs = []
+        added_rows = n_added = 0
+        for i, sp in enumerate(sorted(by_spec)):
+            sp_entries = by_spec[sp]
+            manifest_path = (f"{self._meta_dir}/"
+                             f"{uuid.uuid4().hex}-m{i}.avro")
+            manifest_bytes = avro_io.write_container(
+                _manifest_schema(meta, sp), sp_entries,
+                metadata={
+                    "schema": json.dumps(_schema_by_id(meta)),
+                    "schema-id": str(meta["current-schema-id"]),
+                    "partition-spec":
+                        json.dumps(_spec_by_id(meta, sp)["fields"]),
+                    "partition-spec-id": str(sp),
+                    "format-version": str(FORMAT_VERSION),
+                    "content": "data",
+                })
+            _write_bytes(self.spark, manifest_path, manifest_bytes)
+            # a commit may carry EXISTING entries (status 0 — files
+            # surviving a row-level delete unchanged) alongside ADDED ones;
+            # count them and keep min_sequence_number honest so
+            # incremental() stays correct
+            added = [e for e in sp_entries if e["status"] == 1]
+            existing = [e for e in sp_entries if e["status"] == 0]
+            n_added += len(added)
+            added_rows += sum(e["data_file"]["record_count"] for e in added)
+            new_mfs.append({
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": sp,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    [e["sequence_number"] for e in sp_entries if
+                     e["sequence_number"] is not None] or [seq]),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(added),
+                "existing_files_count": len(existing),
+                "deleted_files_count": 0,
+                "added_rows_count": sum(e["data_file"]["record_count"]
+                                        for e in added),
+                "existing_rows_count": sum(e["data_file"]["record_count"]
+                                           for e in existing),
+                "deleted_rows_count": 0,
+            })
         prev = []
         if operation == "append" and meta["current-snapshot-id"] != -1:
             prev = self._manifest_list(meta, meta["current-snapshot-id"])
-        mlist = prev + [new_mf]
+        mlist = prev + new_mfs
         mlist_path = (f"{self._meta_dir}/snap-{snapshot_id}-1-"
                       f"{uuid.uuid4().hex}.avro")
         _write_bytes(self.spark, mlist_path, avro_io.write_container(
@@ -1226,7 +1299,7 @@ class PyIcebergTable:
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": operation,
-                        "added-data-files": str(len(added)),
+                        "added-data-files": str(n_added),
                         "added-records": str(added_rows),
                         **(summary_extra or {})},
             "schema-id": meta["current-schema-id"],
@@ -1365,91 +1438,118 @@ class PyIcebergTable:
     @staticmethod
     def _partition_match(entry: dict,
                          matchers: dict[str, Any] | None) -> bool:
+        # ``matchers`` is the filter compiled under THIS entry's spec; an
+        # empty dict means the spec never transformed the filtered column,
+        # so the file cannot be pruned (it may contain matches)
         if not matchers:
             return True
         part = entry["data_file"]["partition"]
-        return all(fn(part.get(name)) for name, fn in matchers.items())
+        return all(fn(part[name]) for name, fn in matchers.items())
 
     def _partition_matchers(self, meta: dict,
                             partition_filter: dict[str, Any] | None
-                            ) -> dict[str, Any] | None:
+                            ) -> dict[int, dict[str, Any]] | None:
         """Compile a SOURCE-column filter into partition-value matchers:
-        scalar / list = equality set (values go through the spec's
+        scalar / list = equality set (values go through each spec's
         transform — this is hidden partitioning's contract), 2-tuple =
         inclusive range ``(lo, hi)`` with ``None`` open (order-preserving
-        transforms only — a bucket hash destroys order)."""
+        transforms only — a bucket hash destroys order). Returns matchers
+        PER SPEC (``{spec-id: {field-name: fn}}``): after a partition
+        evolution the same filter compiles differently under each spec —
+        two specs may even share a field name with different transforms
+        (``bucket[4]`` → ``bucket[8]``), so matchers can never be keyed
+        by name alone. A spec with no field derived from the filtered
+        column gets no matcher — its files are conservatively kept."""
         if not partition_filter:
             return None
-        pf = self._part_field(meta)
-        if pf is None:
+        spec_pfs = {s["spec-id"]: [_PartField(meta, f) for f in s["fields"]]
+                    for s in meta["partition-specs"]}
+        all_sources = {pf.source_name for pfs in spec_pfs.values()
+                       for pf in pfs}
+        if not all_sources:
             raise ValueError("partition_filter on an unpartitioned table")
-        matchers = {}
+        matchers: dict[int, dict[str, Any]] = {sp: {} for sp in spec_pfs}
         for col, want in partition_filter.items():
-            if col != pf.source_name:
+            if col not in all_sources:
                 raise ValueError(
                     f"partition_filter key {col!r}: this table partitions "
-                    f"on source column {pf.source_name!r} "
-                    f"(transform {pf.kind})")
-            if isinstance(want, tuple):
-                if len(want) != 2:
-                    raise ValueError("range partition_filter must be a "
-                                     "(lo, hi) 2-tuple")
-                if not pf.monotonic:
-                    raise ValueError(
-                        "range partition_filter is not supported on a "
-                        "bucket transform (hashing destroys order) — "
-                        "pass explicit values instead")
-                lo = None if want[0] is None else pf.pyvalue(want[0])
-                hi = None if want[1] is None else pf.pyvalue(want[1])
-                matchers[pf.name] = (
-                    lambda p, lo=lo, hi=hi: p is not None
-                    and (lo is None or p >= lo)
-                    and (hi is None or p <= hi))
-            else:
-                vals = want if isinstance(want, (list, set)) else [want]
-                tv = {pf.pyvalue(v) for v in vals}
-                matchers[pf.name] = lambda p, tv=tv: p in tv
+                    f"on source column(s) {sorted(all_sources)}")
+            for sp, pfs in spec_pfs.items():
+                for pf in pfs:
+                    if pf.source_name != col:
+                        continue
+                    if isinstance(want, tuple):
+                        if len(want) != 2:
+                            raise ValueError("range partition_filter must "
+                                             "be a (lo, hi) 2-tuple")
+                        if not pf.monotonic:
+                            raise ValueError(
+                                "range partition_filter is not supported "
+                                "on a bucket transform (hashing destroys "
+                                "order) — pass explicit values instead")
+                        lo = (None if want[0] is None
+                              else pf.pyvalue(want[0]))
+                        hi = (None if want[1] is None
+                              else pf.pyvalue(want[1]))
+                        matchers[sp][pf.name] = (
+                            lambda p, lo=lo, hi=hi: p is not None
+                            and (lo is None or p >= lo)
+                            and (hi is None or p <= hi))
+                    else:
+                        vals = (want if isinstance(want, (list, set))
+                                else [want])
+                        tv = {pf.pyvalue(v) for v in vals}
+                        matchers[sp][pf.name] = lambda p, tv=tv: p in tv
         return matchers
 
     def _live_entries(self, meta: dict, snapshot_id: int | None,
-                      matchers: dict[str, Any] | None = None
-                      ) -> list[tuple[dict, int]]:
-        """[(manifest entry, added_snapshot_id)] for a snapshot's live
-        (non-DELETED) data files; ``matchers`` are compiled partition
-        predicates from :meth:`_partition_matchers`."""
+                      matchers: dict[int, dict[str, Any]] | None = None
+                      ) -> list[tuple[dict, int, int]]:
+        """[(manifest entry, added_snapshot_id, partition_spec_id)] for a
+        snapshot's live (non-DELETED) data files; ``matchers`` are
+        per-spec compiled partition predicates from
+        :meth:`_partition_matchers` — each manifest prunes with the
+        matchers of the spec that shaped it (a spec with no matcher for
+        the filtered column keeps all its files: they may contain
+        matches)."""
         snap = self._snapshot(meta, snapshot_id)
         out = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 0:
                 continue
+            sp = mf["partition_spec_id"]
+            spec_m = None if matchers is None else matchers.get(sp, {})
             _, _, entries = avro_io.read_container(
                 _read_bytes(self.spark, mf["manifest_path"]))
-            out += [(e, mf["added_snapshot_id"]) for e in entries
+            out += [(e, mf["added_snapshot_id"], sp) for e in entries
                     if e["status"] != 2            # not DELETED
-                    and self._partition_match(e, matchers)]
+                    and self._partition_match(e, spec_m)]
         return out
 
     def _data_files(self, meta: dict, snapshot_id: int | None,
                     matchers: dict[str, Any] | None = None
-                    ) -> list[tuple[str, int]]:
-        """[(file path, added_snapshot_id)] for a snapshot's live files."""
-        return [(e["data_file"]["file_path"], sid) for e, sid
+                    ) -> list[tuple[str, int, int]]:
+        """[(file path, added_snapshot_id, spec_id)] for a snapshot's
+        live files."""
+        return [(e["data_file"]["file_path"], sid, sp) for e, sid, sp
                 in self._live_entries(meta, snapshot_id, matchers)]
 
-    def _stats_skip(self, pairs: list[tuple[str, int]],
-                    stats_filter: dict[str, tuple] | None) -> list[str]:
+    def _stats_skip(self, pairs: list[tuple[str, int, int]],
+                    stats_filter: dict[str, tuple] | None
+                    ) -> list[tuple[str, int]]:
         """Drop files whose skip-index [min, max] cannot intersect the
-        requested range; files without recorded bounds are kept."""
+        requested range; files without recorded bounds are kept. Returns
+        [(path, spec_id)]."""
         if not stats_filter:
-            return [p for p, _ in pairs]
+            return [(p, sp) for p, _, sp in pairs]
         idx: dict[str, dict] = {}
-        for sid in {s for _, s in pairs}:
+        for sid in {s for _, s, _ in pairs}:
             path = f"{self._meta_dir}/skipidx-{sid}.json"
             if _exists(self.spark, path):
                 idx.update(json.loads(
                     _read_bytes(self.spark, path).decode()))
         keep = []
-        for p, _ in pairs:
+        for p, _, sp in pairs:
             bounds = idx.get(p) or {}
             ok = True
             for col, rng in stats_filter.items():
@@ -1470,7 +1570,7 @@ class PyIcebergTable:
                         f"comparable with the column's recorded "
                         f"{type(fmin).__name__} bounds") from exc
             if ok:
-                keep.append(p)
+                keep.append((p, sp))
         return keep
 
     def read(self, snapshot_id: int | None = None,
@@ -1519,7 +1619,7 @@ class PyIcebergTable:
                else self._snapshot(meta, snapshot_id).get("schema-id"))
         return self._read_files(meta, files, sid)
 
-    def _read_files(self, meta: dict, files: list[str],
+    def _read_files(self, meta: dict, files: list[tuple[str, int]],
                     schema_id: int | None = None) -> DataFrame:
         # pin the reader to the DECLARED table schema: without it Spark
         # infers partition-directory values (source=123 would come back as
@@ -1529,14 +1629,6 @@ class PyIcebergTable:
         # files older than an add_column read as null, files carrying a
         # dropped column just skip it.
         schema = _spark_schema(_schema_by_id(meta, schema_id))
-        reader = self.spark.read.schema(schema)
-        pf = self._part_field(meta)
-        if pf and pf.identity:
-            # identity layout strips the partition column from the files;
-            # basePath re-derives it from the directory tree. A TRANSFORM
-            # spec keeps every source column physically in the files — the
-            # derived directory value is metadata only, never projected.
-            reader = reader.option("basePath", f"{self.location}/data")
         if not files:
             # typed empty DF from the table schema — all-nullable to match
             # what a real parquet scan returns, so empty and non-empty
@@ -1544,7 +1636,23 @@ class PyIcebergTable:
             return self.spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
                                   for f in schema.fields]))
-        return reader.parquet(*files)
+        # one scan per partition spec (files is [(path, spec_id)]): an
+        # identity layout strips its partition column from the files and
+        # needs basePath to re-derive it from the directory tree, while a
+        # TRANSFORM spec keeps every source column physically in the files
+        # (the derived directory value is metadata only, never projected).
+        # After a partition evolution both kinds coexist — mixing them in
+        # one reader would either lose the identity column or trip Spark's
+        # conflicting-partition-discovery check.
+        out = None
+        for sp in sorted({s for _, s in files}):
+            pf = self._part_field(meta, sp)
+            reader = self.spark.read.schema(schema)
+            if pf and pf.identity:
+                reader = reader.option("basePath", f"{self.location}/data")
+            df = reader.parquet(*[p for p, s in files if s == sp])
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def incremental(self, from_snapshot_id: int,
                     to_snapshot_id: int | None = None) -> DataFrame:
@@ -1561,7 +1669,8 @@ class PyIcebergTable:
                 continue
             _, _, entries = avro_io.read_container(
                 _read_bytes(self.spark, mf["manifest_path"]))
-            files += [e["data_file"]["file_path"] for e in entries
+            files += [(e["data_file"]["file_path"],
+                       mf["partition_spec_id"]) for e in entries
                       if e["status"] == 1
                       and (e["sequence_number"] or 0) > from_seq]
         # explicit to-snapshot pins its schema; reading up to the current
@@ -1586,13 +1695,19 @@ class PyIcebergTable:
         delta validation), this sees through deletes/merges/overwrites.
         Column types must be comparable for set ops (no map columns)."""
         meta = self._load_meta()
-        f1 = {p for p, _ in self._data_files(meta, from_snapshot_id)}
+        f1 = {p: sp for p, _, sp
+              in self._data_files(meta, from_snapshot_id)}
         to_snap = self._snapshot(meta, to_snapshot_id)
-        f2 = {p for p, _ in self._data_files(meta, to_snap["snapshot-id"])}
+        f2 = {p: sp for p, _, sp
+              in self._data_files(meta, to_snap["snapshot-id"])}
         sid = (None if to_snapshot_id is None
                else to_snap.get("schema-id"))
-        added = self._read_files(meta, sorted(f2 - f1), sid)
-        removed = self._read_files(meta, sorted(f1 - f2), sid)
+        added = self._read_files(
+            meta, sorted((p, sp) for p, sp in f2.items() if p not in f1),
+            sid)
+        removed = self._read_files(
+            meta, sorted((p, sp) for p, sp in f1.items() if p not in f2),
+            sid)
         return (added.exceptAll(removed)
                 .withColumn("_change_type", F.lit("insert"))
                 .unionByName(removed.exceptAll(added)

@@ -1238,3 +1238,144 @@ def test_changes_net_changelog(spark, tmp_path):
     ch = t.changes(s_now).collect()
     assert [(r["doc_id"], r["_change_type"]) for r in ch] == \
         [("d1", "insert")]
+
+def test_partition_evolution_metadata_only(spark, tmp_path):
+    """update_partition_spec: a metadata-only layout change — old files
+    keep their day= tree and prune on ts, new files cluster under the
+    bucket spec and prune on doc_id; reads union both."""
+    import datetime as dt
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "ev"), schema,
+                              partition_by=("ts", "day"))
+    t.append(spark.createDataFrame(
+        [(f"d{i}", dt.datetime(2024, 3, 1 + i % 3, 6), i)
+         for i in range(9)], schema))
+    old_files = set(t.read().inputFiles())
+    s_old = t.current_snapshot_id()
+
+    new_spec = t.update_partition_spec(("doc_id", "bucket[4]"))
+    assert new_spec == 1
+    # the evolution itself wrote nothing: same snapshot, same files
+    assert t.current_snapshot_id() == s_old
+    assert set(t.read().inputFiles()) == old_files
+
+    t.append(spark.createDataFrame(
+        [(f"n{i}", dt.datetime(2024, 3, 9, 6), 100 + i)
+         for i in range(8)], schema))
+    all_df = t.read()
+    assert all_df.count() == 17
+    files = all_df.inputFiles()
+    assert any("ts_day=" in f for f in files)          # old layout survives
+    assert any("doc_id_bucket=" in f for f in files)   # new layout active
+
+    # ts filter prunes OLD-spec files only; bucketed files are
+    # conservatively kept (their spec never transformed ts)
+    day1 = t.read(partition_filter={"ts": dt.date(2024, 3, 1)})
+    kept = set(day1.inputFiles())
+    assert all(f in kept for f in files if "doc_id_bucket=" in f)
+    assert len([f for f in kept if "ts_day=" in f]) < \
+        len([f for f in files if "ts_day=" in f])
+    assert day1.where("ts < timestamp'2024-03-02'").count() == 3
+
+    # doc_id filter prunes NEW-spec files only; day files all kept
+    one = t.read(partition_filter={"doc_id": "n3"})
+    kept = set(one.inputFiles())
+    assert all(f in kept for f in files if "ts_day=" in f)
+    assert len([f for f in kept if "doc_id_bucket=" in f]) < \
+        len([f for f in files if "doc_id_bucket=" in f])
+    assert one.where("doc_id = 'n3'").count() == 1
+
+    # a filter column no spec ever transformed still raises
+    with pytest.raises(ValueError, match="source column"):
+        t.read(partition_filter={"v": 3})
+    # time travel to the pre-evolution snapshot still works
+    assert t.read(snapshot_id=s_old).count() == 9
+
+
+def test_partition_evolution_cow_carries_old_spec(spark, tmp_path):
+    """COW delete across an evolution: carried old-spec entries keep
+    their spec-shaped partition records (one manifest per spec), rewrites
+    land under the new default spec, and incremental() stays honest."""
+    import datetime as dt
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "evc"), schema,
+                              partition_by=("ts", "day"))
+    t.append(spark.createDataFrame(
+        [(f"d{i}", dt.datetime(2024, 3, 1 + i % 3, 6), i)
+         for i in range(9)], schema))
+    t.update_partition_spec(("doc_id", "bucket[4]"))
+    s_mid = t.append(spark.createDataFrame(
+        [(f"n{i}", dt.datetime(2024, 3, 9, 6), 100 + i)
+         for i in range(8)], schema))
+
+    # delete hits one old-spec row and one new-spec row in one commit
+    res = t.delete_rows("doc_id in ('d4', 'n2')")
+    assert res["rows_deleted"] == 2 and res["files_carried"] > 0
+    assert t.read().count() == 15
+    assert t.read().where("doc_id in ('d4','n2')").count() == 0
+    # carried files keep pruning under their own spec (day 2 held v in
+    # {1, 4, 7}; the delete removed d4)
+    assert t.read(partition_filter={"ts": dt.date(2024, 3, 2)}) \
+            .where("v < 100").count() == 2
+    # rewritten files cluster under the NEW spec's tree
+    rewritten = [f for f in t.read().inputFiles()
+                 if "doc_id_bucket=" in f]
+    assert rewritten
+    # incremental across the evolution+delete sees only genuinely new rows
+    inc = t.incremental(s_mid)
+    assert inc.count() < 15 and inc.where("doc_id = 'd4'").count() == 0
+    # changes() nets the delete correctly across mixed specs
+    got = {(r["doc_id"], r["_change_type"])
+           for r in t.changes(s_mid).collect()}
+    assert got == {("d4", "delete"), ("n2", "delete")}
+
+
+def test_partition_evolution_same_name_different_bucket(spark, tmp_path):
+    """bucket[2] -> bucket[4] on the same column: both specs share the
+    field NAME doc_id_bucket but not the transform — each manifest must
+    prune with its own spec's hash, never the other's."""
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "evb"), schema,
+                              partition_by=("doc_id", "bucket[2]"))
+    rows = [(f"d{i}", i) for i in range(16)]
+    t.append(spark.createDataFrame(rows, schema))
+    t.update_partition_spec(("doc_id", "bucket[4]"))
+    t.append(spark.createDataFrame([(f"n{i}", 100 + i) for i in range(16)],
+                                   schema))
+    # every key remains findable through the filter (each spec hashes it
+    # with its own modulus)
+    for key, want in [("d5", 1), ("n5", 1), ("zz", 0)]:
+        got = t.read(partition_filter={"doc_id": key}) \
+               .where(F.col("doc_id") == key).count()
+        assert got == want, key
+    # and the filter actually prunes on both sides
+    sub = t.read(partition_filter={"doc_id": "d5"}).inputFiles()
+    assert len(sub) < len(t.read().inputFiles())
+
+
+def test_partition_evolution_identity_to_transform(spark, tmp_path):
+    """identity -> bucket evolution: identity files physically LACK the
+    partition column (directory-derived) while transform files keep every
+    source column — the read must reconcile both in one DataFrame."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "evi"), TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("d1", [1], 1, "web"), ("d2", [2], 1, "book")]))
+    t.update_partition_spec(("doc_id", "bucket[4]"))
+    t.append(_rows(spark, [("d3", [3], 1, "web"), ("d4", [4], 1, "chat")]))
+    got = {(r["doc_id"], r["source"]) for r in t.read().collect()}
+    assert got == {("d1", "web"), ("d2", "book"),
+                   ("d3", "web"), ("d4", "chat")}
+    # the identity column is populated for BOTH file generations
+    assert t.read().where(F.col("source").isNull()).count() == 0
+    # evolve to unpartitioned: next append goes flat, reads still union
+    t.update_partition_spec(None)
+    t.append(_rows(spark, [("d5", [5], 1, "web")]))
+    assert t.read().count() == 5
+    # pruning on source still prunes generation-1 files only
+    web = t.read(partition_filter={"source": "web"})
+    assert web.where("source = 'web'").count() == 3
