@@ -1813,6 +1813,52 @@ def q_i7_changelog(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i8_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 layout: PARTITION EVOLUTION (``update_partition_spec`` — the
+    metadata-only layout change). Even events commit under a ``day(ts)``
+    spec; the table evolves to ``bucket[8](event_id)`` WITHOUT rewriting
+    a byte; odd events commit under the new spec. A source-timestamp
+    range then prunes the day-partitioned generation at the manifest
+    level while conservatively keeping the bucketed generation (its spec
+    never transformed ts) — losing either generation's rows breaks the
+    per-day rollup. ``bucket_roundtrip`` pins that an event_id filter
+    finds every key across BOTH generations (each spec hashes with its
+    own transform)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    ev = (load_table(spark, sf, "events")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type"))
+    loc = tempfile.mkdtemp(prefix="fdv_icepe_") + "/ev"
+    t = PyIcebergTable.create(spark, loc, ev.schema,
+                              partition_by=("ts", "day"))
+    t.append(ev.where(F.col("event_id") % 2 == 0).repartition(4))
+    t.update_partition_spec(("event_id", "bucket[8]"))
+    t.append(ev.where(F.col("event_id") % 2 == 1).repartition(4))
+    sel = t.read(partition_filter={
+        "ts": (dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12,
+                                                     23, 59, 59, 999999))})
+    pruned = len(sel.inputFiles()) < len(t.read().inputFiles())
+    want = list(range(100, 120))
+    rt = (t.read(partition_filter={"event_id": want})
+           .where(F.col("event_id").isin(want)).count()
+          == ev.where(F.col("event_id").isin(want)).count())
+    out = (sel.where((F.col("ts") >= F.lit("2024-01-10"))
+                     & (F.col("ts") < F.lit("2024-01-13")))
+           .groupBy(F.to_date("ts").cast("string").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").alias("n_ids"))
+           .withColumn("pruned", F.lit(bool(pruned)))
+           .withColumn("bucket_roundtrip", F.lit(bool(rt)))
+           .orderBy("day"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2145,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i5_hidden_partition": q_i5_hidden_partition,
         "i6_time_partition": q_i6_time_partition,
         "i7_changelog": q_i7_changelog,
+        "i8_partition_evolution": q_i8_partition_evolution,
     }
 
 
@@ -2680,6 +2727,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    COUNT(DISTINCT event_id) AS n_ids,
                    TRUE AS pruned
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts < TIMESTAMP '2024-01-13'
+            GROUP BY 1 ORDER BY day""",
+        # i8: partition evolution — the day rollup must see BOTH
+        # generations (day-partitioned evens + bucketed odds); pruned and
+        # bucket_roundtrip pin per-spec manifest pruning
+        "i8_partition_evolution": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_id) AS n_ids,
+                   TRUE AS pruned,
+                   TRUE AS bucket_roundtrip
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10'
               AND ts < TIMESTAMP '2024-01-13'
