@@ -935,6 +935,43 @@ class PyIcebergTable:
             df = df.repartition(n)
         return self.overwrite(df)
 
+    def rewrite_manifests(self) -> dict:
+        """METADATA-ONLY manifest compaction (Iceberg's
+        ``rewrite_manifests`` procedure): merge the current snapshot's
+        accumulated small manifests into ONE manifest per partition spec
+        without touching a single data file. An append chain accretes one
+        manifest per commit, so after thousands of micro-batch appends
+        planning a 10^12-row table opens thousands of tiny Avro files —
+        this makes every later plan O(specs) instead of O(commits). Every
+        live entry is carried as EXISTING with its original sequence
+        number (``incremental()`` never resurfaces it) and its recorded
+        skip-index bounds (stats pruning keeps working); the live file
+        set is byte-identical, so :meth:`changes` across the rewrite is
+        EMPTY. Older snapshots keep their manifests until
+        :meth:`expire_snapshots` reclaims them. Returns ``{"snapshot_id",
+        "manifests_before", "manifests_after"}``."""
+        meta, old_version = self._load_meta_versioned()
+        live = self._live_entries(meta, None)
+        n_before = len([mf for mf in self._manifest_list(
+            meta, meta["current-snapshot-id"]) if mf["content"] == 0])
+        old_bounds: dict[str, dict] = {}
+        for sid in {s for _, s, _ in live}:
+            p = f"{self._meta_dir}/skipidx-{sid}.json"
+            if _exists(self.spark, p):
+                old_bounds.update(json.loads(
+                    _read_bytes(self.spark, p).decode()))
+        entries = [{**e, "status": 0, "_spec_id": sp,
+                    "_bounds": old_bounds.get(e["data_file"]["file_path"],
+                                              {})}
+                   for e, _sid, sp in live]
+        n_after = len({sp for _, _, sp in live})
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        new_sid = self._commit_entries(meta, old_version, entries,
+                                       "replace", snapshot_id, seq)
+        return {"snapshot_id": new_sid, "manifests_before": n_before,
+                "manifests_after": n_after}
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Metadata-only ROLLBACK (Iceberg's ``rollback_to_snapshot``):
         point the table back at an earlier snapshot — the undo for a bad
@@ -1748,6 +1785,29 @@ class PyIcebergTable:
         return self.spark.createDataFrame(
             rows, "file_path string, partition string, record_count long, "
                   "file_size_in_bytes long, added_snapshot_id long")
+
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.partitions`` metadata view: one row per
+        (spec_id, partition value) of a snapshot's live files with file /
+        record / byte counts — the operational lens for spotting skewed
+        or fragmented partitions (a partition with 10^4 files wants
+        :meth:`compact`; one with 100× the median records wants salting
+        upstream). Computed from manifests only, zero data IO."""
+        meta = self._load_meta()
+        agg: dict[tuple[int, str], list[int]] = {}
+        for e, _sid, sp in self._live_entries(meta, snapshot_id):
+            d = e["data_file"]
+            key = (sp, json.dumps(d["partition"], sort_keys=True,
+                                  default=str))
+            got = agg.setdefault(key, [0, 0, 0])
+            got[0] += 1
+            got[1] += d["record_count"]
+            got[2] += d["file_size_in_bytes"]
+        rows = [(sp, part, *vals)
+                for (sp, part), vals in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "spec_id int, partition string, file_count long, "
+                  "record_count long, total_size_bytes long")
 
     def current_snapshot_id(self) -> int:
         sid = self._load_meta()["current-snapshot-id"]

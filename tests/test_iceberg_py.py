@@ -1379,3 +1379,73 @@ def test_partition_evolution_identity_to_transform(spark, tmp_path):
     # pruning on source still prunes generation-1 files only
     web = t.read(partition_filter={"source": "web"})
     assert web.where("source = 'web'").count() == 3
+
+def test_rewrite_manifests_compacts_planning_metadata(spark, tmp_path):
+    """rewrite_manifests: N append manifests -> 1 per spec, zero data
+    files touched; incremental/changes across the rewrite stay silent;
+    stats pruning keeps working through the carried bounds."""
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "rm"), schema)
+    for i in range(5):
+        t.append(spark.createDataFrame(
+            [(f"d{i}_{j}", i * 100 + j) for j in range(10)],
+            schema).coalesce(1))
+    s_pre = t.current_snapshot_id()
+    files_pre = set(t.read().inputFiles())
+    res = t.rewrite_manifests()
+    assert res["manifests_before"] == 5 and res["manifests_after"] == 1
+    # live data is byte-identical: same files, same rows
+    assert set(t.read().inputFiles()) == files_pre
+    assert t.read().count() == 50
+    # a metadata-only commit produces no incremental rows and no changes
+    assert t.incremental(s_pre).count() == 0
+    assert t.changes(s_pre).count() == 0
+    # skip-index pruning survives the rewrite (carried bounds)
+    sel = t.read(stats_filter={"v": (100, 199)})
+    assert len(sel.inputFiles()) == 1
+    assert sel.where("v between 100 and 199").count() == 10
+    # the pre-rewrite snapshot still time-travels through its own manifests
+    assert t.read(snapshot_id=s_pre).count() == 50
+    # later appends chain on the compacted manifest list
+    t.append(spark.createDataFrame([("x", 999)], schema))
+    assert t.read().count() == 51
+    # expire reclaims the old per-commit manifests without touching data
+    t.expire_snapshots(keep_last=1)
+    assert t.read().count() == 51
+
+
+def test_rewrite_manifests_across_partition_evolution(spark, tmp_path):
+    """rewrite_manifests groups carried entries per spec — one manifest
+    per generation — and per-spec pruning keeps working afterwards."""
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "rme"), schema,
+                              partition_by=("doc_id", "truncate[1]"))
+    for j in range(3):
+        t.append(spark.createDataFrame(
+            [(f"a{j}", j), (f"b{j}", 10 + j)], schema))
+    t.update_partition_spec(("doc_id", "bucket[4]"))
+    for j in range(3):
+        t.append(spark.createDataFrame([(f"c{j}", 20 + j)], schema))
+    res = t.rewrite_manifests()
+    assert res["manifests_before"] == 6 and res["manifests_after"] == 2
+    assert t.read().count() == 9
+    # both generations still prune under their own spec
+    sub = t.read(partition_filter={"doc_id": "a1"})
+    assert sub.where("doc_id = 'a1'").count() == 1
+    assert len(sub.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_partitions_metadata_view(spark, table):
+    """partitions(): per-(spec, value) file/record rollup from manifests."""
+    got = {json.loads(r["partition"])["source"]:
+           (r["file_count"], r["record_count"])
+           for r in table.partitions().collect()}
+    assert got["web"][1] == 2 and got["book"][1] == 1
+    assert all(r["spec_id"] == 0 for r in table.partitions().collect())
+    # evolves with the data: a second append grows the counts
+    table.append(_rows(spark, [("d9", [9], 1, "web")]))
+    got2 = {json.loads(r["partition"])["source"]: r["record_count"]
+            for r in table.partitions().collect()}
+    assert got2["web"] == 3
