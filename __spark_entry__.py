@@ -1859,6 +1859,41 @@ def q_i8_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 row-level ops: MERGE-ON-READ position deletes
+    (``delete_rows(mode='mor')``). Docs <300 commit in three appends;
+    doc_id % 7 = 0 is deleted as position-delete files — ZERO data files
+    rewritten (pinned by the ``zero_rewrite`` column, asserted from the
+    commit result). The read-back must show exactly the survivors (the
+    scan anti-joins the delete positions only for files a delete
+    references), and a follow-up COW delete of doc_id % 7 = 1 must
+    compose without resurrecting MOR-deleted rows — the carried delete
+    manifest keeps applying to untouched files."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icemor_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 100).coalesce(2))
+    t.append(docs.where((F.col("doc_id") >= 100)
+                        & (F.col("doc_id") < 200)).coalesce(2))
+    t.append(docs.where(F.col("doc_id") >= 200).coalesce(1))
+    res = t.delete_rows("doc_id % 7 = 0", mode="mor")
+    zero_rewrite = (res["files_rewritten"] == 0
+                    and t.delete_files().count() >= 1)
+    t.delete_rows("doc_id % 7 = 1")       # COW on top of MOR
+    out = (t.read()
+           .withColumn("zero_rewrite", F.lit(bool(zero_rewrite)))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2192,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i6_time_partition": q_i6_time_partition,
         "i7_changelog": q_i7_changelog,
         "i8_partition_evolution": q_i8_partition_evolution,
+        "i9_mor_delete": q_i9_mor_delete,
     }
 
 
@@ -2719,6 +2755,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars, 'delete'
             FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
             ORDER BY _change_type, doc_id""",
+        # i9: merge-on-read position deletes — survivors of the MOR
+        # delete (doc_id % 7 = 0) composed with a COW delete on top
+        # (doc_id % 7 = 1); zero_rewrite pins that the MOR commit touched
+        # no data files
+        "i9_mor_delete": """
+            SELECT doc_id, lang, source, n_chars, TRUE AS zero_rewrite
+            FROM documents
+            WHERE doc_id < 300 AND doc_id % 7 NOT IN (0, 1)
+            ORDER BY doc_id""",
         # i6: day-transform partitioning — per-day rollup of a 3-day
         # source-timestamp range; exact day edges prove the epoch-day
         # derivation (µs-exact, UTC)

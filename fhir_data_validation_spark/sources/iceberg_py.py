@@ -214,6 +214,15 @@ MANIFEST_LIST_SCHEMA = {
     ]}
 
 
+# position-delete file schema (Iceberg spec 'Position Delete Files':
+# field-ids 2147483546/2147483545): one row per deleted position, sorted by
+# (file_path, pos) within each written file
+_DELETE_FILE_SCHEMA = T.StructType([
+    T.StructField("file_path", T.StringType(), False),
+    T.StructField("pos", T.LongType(), False),
+])
+
+
 # ------------------------------------------------- partition transforms ----
 #
 # Iceberg's HIDDEN PARTITIONING (spec 'Partition Transforms'): the table
@@ -668,14 +677,28 @@ class PyIcebergTable:
         return self._commit(df, operation="overwrite")
 
     def delete_rows(self, predicate: str,
-                    stats_filter: dict[str, tuple] | None = None) -> dict:
-        """Row-level DELETE via copy-on-write file rewrite — the GDPR /
-        takedown primitive a 10^12-row training-data table needs: remove
-        every row matching ``predicate`` (a Spark SQL boolean expression
-        over the table's columns) while rewriting ONLY the files that
-        actually contain matching rows. Every other live file is carried
-        into the new snapshot untouched (status EXISTING), so the IO cost
-        is proportional to the matched data, not the table.
+                    stats_filter: dict[str, tuple] | None = None,
+                    mode: str = "cow") -> dict:
+        """Row-level DELETE — the GDPR / takedown primitive a 10^12-row
+        training-data table needs: remove every row matching ``predicate``
+        (a Spark SQL boolean expression over the table's columns), in one
+        of two physical strategies:
+
+        ``mode="cow"`` (copy-on-write, default): rewrite ONLY the files
+        that actually contain matching rows; every other live file is
+        carried into the new snapshot untouched (status EXISTING), so the
+        IO cost is proportional to the matched data, not the table.
+
+        ``mode="mor"`` (merge-on-read, Iceberg v2 POSITION DELETES): write
+        tiny delete files holding ``(file_path, pos)`` of the matched rows
+        and commit them as a delete manifest (manifest-list ``content=1``)
+        — ZERO data files rewritten. Readers anti-join the positions at
+        scan time (only files actually referenced by a delete pay the
+        join; the rest stream through untouched). The scale story: a
+        100-row takedown against 512 MB files costs ~KB of writes instead
+        of rewriting gigabytes; :meth:`compact` later MATERIALIZES the
+        deletes (rewrites the data, drops the delete files) to restore
+        zero-overhead reads.
 
         Three pruning layers keep the touched set small at scale:
 
@@ -684,20 +707,28 @@ class PyIcebergTable:
            index — zero IO for files whose bounds cannot match;
         2. the probe scan pushes ``predicate`` to parquet, so row-group
            stats prune reads inside the surviving candidates;
-        3. only files where the probe finds ≥1 matching row are rewritten.
+        3. only files where the probe finds ≥1 matching row are rewritten
+           (COW) / referenced by the delete file (MOR).
 
         Older snapshots still time-travel to the pre-delete data (reclaim
         with :meth:`expire_snapshots`). ``incremental()`` reads across the
         delete commit see only genuinely ADDED files, never the carried
         ones. Returns ``{"snapshot_id", "files_rewritten",
-        "files_carried", "rows_deleted"}``; matching nothing is a no-op
-        (no new snapshot, ``snapshot_id`` is the current one)."""
+        "files_carried", "rows_deleted"}`` (MOR always reports
+        ``files_rewritten=0``); matching nothing is a no-op (no new
+        snapshot, ``snapshot_id`` is the current one)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         meta, old_version = self._load_meta_versioned()
         pred = F.expr(predicate)
         live = self._live_entries(meta, None)
+        dels = self._live_delete_entries(meta, None)
         candidates = self._cow_candidates(meta, live, stats_filter)
+        if mode == "mor":
+            return self._delete_rows_mor(meta, old_version, pred, live,
+                                         dels, candidates)
         affected = self._probe_affected(meta, candidates,
-                                        lambda df: df.where(pred))
+                                        lambda df: df.where(pred), dels)
         if not affected:
             return {"snapshot_id": meta["current-snapshot-id"],
                     "files_rewritten": 0, "files_carried": len(live),
@@ -705,15 +736,69 @@ class PyIcebergTable:
         # SQL DELETE semantics: only rows where the predicate is TRUE go —
         # NULL-evaluating rows survive. A bare ~pred would drop them in
         # rewritten files while identical rows in carried files persist
-        # (same data, different fate per file).
-        survivors = (self._read_files(
-                         meta, sorted((p, candidates[p]) for p in affected))
+        # (same data, different fate per file). Prior MOR deletes are
+        # applied to the rewrite scan so their rows never resurrect.
+        survivors = (self._read_files_mor(
+                         meta, sorted((p, candidates[p]) for p in affected),
+                         None, dels)
                      .where(F.coalesce(~pred, F.lit(True))))
         new_sid, n_carried = self._cow_commit(meta, old_version, live,
                                               affected, survivors, "delete")
         return {"snapshot_id": new_sid, "files_rewritten": len(affected),
                 "files_carried": n_carried,
                 "rows_deleted": sum(affected.values())}
+
+    def _delete_rows_mor(self, meta: dict, old_version: int, pred,
+                         live: list, dels: list,
+                         candidates: dict[str, int]) -> dict:
+        """Merge-on-read half of :meth:`delete_rows`: ONE filter-pushed
+        scan over the pruned candidates (prior deletes applied, so a row
+        is never deleted twice and ``rows_deleted`` stays honest) yields
+        ``(file_path, pos)`` rows, written as position-delete parquet and
+        committed as a ``content=1`` manifest appended to the previous
+        manifest list — data files untouched by construction."""
+        no_op = {"snapshot_id": meta["current-snapshot-id"],
+                 "files_rewritten": 0, "files_carried": len(live),
+                 "rows_deleted": 0}
+        if not candidates:
+            return no_op
+        scan = self._pos_scan(meta, sorted(candidates.items()))
+        if dels:
+            scan = self._anti_join_deletes(scan, dels)
+        # map the scan's decoded last-two-segment key back to the
+        # manifest's canonical path (a tiny dim — one row per candidate
+        # file — broadcast onto the hit positions)
+        mapping = self.spark.createDataFrame(
+            [(self._fkey(p), p) for p in sorted(candidates)],
+            "_mk string, file_path string")
+        hits = (scan.where(pred)
+                .select(F.col("_rk").alias("_mk"),
+                        F.col("_rpos").alias("pos"))
+                .join(F.broadcast(mapping), "_mk")
+                .select("file_path", "pos"))
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        n = max(1, min(len(candidates),
+                       self.spark.sparkContext.defaultParallelism))
+        tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
+        (hits.repartition(n, "file_path")
+             .sortWithinPartitions("file_path", "pos")
+             .write.parquet(tmp_dir))
+        entries = self._manifest_entries(tmp_dir, snapshot_id, seq, None,
+                                         _DELETE_FILE_SCHEMA)
+        entries = [e for e in entries
+                   if e["data_file"]["record_count"] > 0]
+        if not entries:
+            _fs_delete(self.spark, tmp_dir, best_effort=True)
+            return no_op
+        for e in entries:
+            e["data_file"]["content"] = 1          # POSITION_DELETES
+        self._promote_files(tmp_dir, entries)
+        rows_deleted = sum(e["data_file"]["record_count"] for e in entries)
+        new_sid = self._commit_entries(meta, old_version, entries, "delete",
+                                       snapshot_id, seq, manifest_content=1)
+        return {"snapshot_id": new_sid, "files_rewritten": 0,
+                "files_carried": len(live), "rows_deleted": rows_deleted}
 
     def merge_rows(self, updates: DataFrame, key: str | list[str],
                    stats_filter: dict[str, tuple] | None = None,
@@ -757,12 +842,14 @@ class PyIcebergTable:
             return cond
 
         live = self._live_entries(meta, None)
+        dels = self._live_delete_entries(meta, None)
         candidates = self._cow_candidates(meta, live, stats_filter)
         affected = self._probe_affected(
             meta, candidates,
-            lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"))
-        scan = self._read_files(
-            meta, sorted((p, candidates[p]) for p in affected))
+            lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"),
+            dels)
+        scan = self._read_files_mor(
+            meta, sorted((p, candidates[p]) for p in affected), None, dels)
         survivors = (scan
                      .join(key_df, _key_cond(scan, key_df), "left_anti")
                      .unionByName(updates))
@@ -794,21 +881,26 @@ class PyIcebergTable:
         return dict(self._stats_skip(triples, stats_filter))
 
     def _probe_affected(self, meta: dict, candidates: dict[str, int],
-                        match_fn) -> dict[str, int]:
+                        match_fn, delete_entries: list | None = None
+                        ) -> dict[str, int]:
         """{file path: matching row count} — which candidate files contain
-        rows selected by ``match_fn`` (ONE filter-pushed scan)."""
+        rows selected by ``match_fn`` (ONE filter-pushed scan). The file
+        key is captured AT THE SCAN as a real column (``_metadata`` is
+        materialized per-file before any exchange, so a shuffled join
+        inside match_fn cannot blank it the way ``input_file_name()``
+        would). Rows already removed by merge-on-read position deletes
+        never count — a file whose only matches are MOR-deleted is not
+        affected."""
         if not candidates:
             return {}
-        # capture the file name AT THE SCAN, before match_fn: a shuffled
-        # join inside match_fn would otherwise evaluate input_file_name()
-        # post-exchange, where it returns ""
-        scan = (self._read_files(meta, sorted(candidates.items()))
-                .withColumn("_probe_file", F.input_file_name()))
+        scan = self._pos_scan(meta, sorted(candidates.items()))
+        if delete_entries:
+            scan = self._anti_join_deletes(scan, delete_entries)
         probe = (match_fn(scan)
-                 .groupBy(F.col("_probe_file").alias("f"))
+                 .groupBy(F.col("_rk").alias("f"))
                  .agg(F.count(F.lit(1)).alias("n"))
                  .collect())
-        hit = {self._fkey(_url_decode(r["f"])): r["n"] for r in probe}
+        hit = {r["f"]: r["n"] for r in probe}
         return {p: hit[self._fkey(p)] for p in candidates
                 if self._fkey(p) in hit}
 
@@ -864,9 +956,14 @@ class PyIcebergTable:
                 continue
             carried.append({**e, "status": 0, "_spec_id": sp,
                             "_bounds": old_bounds.get(path, {})})
-        new_sid = self._commit_entries(meta, old_version,
-                                       carried + new_entries, operation,
-                                       snapshot_id, seq)
+        # carry live POSITION-DELETE manifests verbatim: their entries
+        # referencing carried files must keep applying; entries referencing
+        # rewritten files point at now-dead paths and match nothing (the
+        # rewrite already materialized those deletes)
+        new_sid = self._commit_entries(
+            meta, old_version, carried + new_entries, operation,
+            snapshot_id, seq,
+            carry_manifests=self._delete_manifest_records(meta, None))
         return new_sid, len(carried)
 
     def compact(self, target_files: int | None = None,
@@ -902,7 +999,13 @@ class PyIcebergTable:
         others, while the Z-curve keeps every file's bounding box narrow on
         EVERY listed column at once, so a ``stats_filter`` on any of
         them prunes — the multi-dimensional data-skipping layout.
-        Mutually exclusive with ``sort_by``."""
+        Mutually exclusive with ``sort_by``.
+
+        Compaction also MATERIALIZES merge-on-read position deletes: the
+        rewrite reads through the delete anti-join and the overwrite
+        commit drops the delete manifests, so post-compaction reads pay
+        zero MOR overhead (Iceberg's ``rewrite_position_deletes`` folded
+        into the data rewrite)."""
         if target_files is not None and target_files < 1:
             raise ValueError("target_files must be >= 1")
         if sort_by and zorder_by:
@@ -967,8 +1070,9 @@ class PyIcebergTable:
         n_after = len({sp for _, _, sp in live})
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-        new_sid = self._commit_entries(meta, old_version, entries,
-                                       "replace", snapshot_id, seq)
+        new_sid = self._commit_entries(
+            meta, old_version, entries, "replace", snapshot_id, seq,
+            carry_manifests=self._delete_manifest_records(meta, None))
         return {"snapshot_id": new_sid, "manifests_before": n_before,
                 "manifests_after": n_after}
 
@@ -1248,8 +1352,9 @@ class PyIcebergTable:
                         entries: list[dict], operation: str,
                         snapshot_id: int, seq: int,
                         summary_extra: dict[str, str] | None = None,
-                        properties_extra: dict[str, str] | None = None
-                        ) -> int:
+                        properties_extra: dict[str, str] | None = None,
+                        manifest_content: int = 0,
+                        carry_manifests: list[dict] | None = None) -> int:
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
         # manifests stay strictly spec-shaped; the real-runtime analog is
@@ -1285,7 +1390,7 @@ class PyIcebergTable:
                         json.dumps(_spec_by_id(meta, sp)["fields"]),
                     "partition-spec-id": str(sp),
                     "format-version": str(FORMAT_VERSION),
-                    "content": "data",
+                    "content": "deletes" if manifest_content else "data",
                 })
             _write_bytes(self.spark, manifest_path, manifest_bytes)
             # a commit may carry EXISTING entries (status 0 — files
@@ -1300,7 +1405,7 @@ class PyIcebergTable:
                 "manifest_path": manifest_path,
                 "manifest_length": len(manifest_bytes),
                 "partition_spec_id": sp,
-                "content": 0,
+                "content": manifest_content,
                 "sequence_number": seq,
                 "min_sequence_number": min(
                     [e["sequence_number"] for e in sp_entries if
@@ -1316,9 +1421,12 @@ class PyIcebergTable:
                 "deleted_rows_count": 0,
             })
         prev = []
-        if operation == "append" and meta["current-snapshot-id"] != -1:
+        if (operation == "append" or manifest_content == 1) \
+                and meta["current-snapshot-id"] != -1:
+            # a merge-on-read delete commit is a ROW DELTA: the data file
+            # set is untouched, so the whole previous list carries
             prev = self._manifest_list(meta, meta["current-snapshot-id"])
-        mlist = prev + new_mfs
+        mlist = prev + list(carry_manifests or []) + new_mfs
         mlist_path = (f"{self._meta_dir}/snap-{snapshot_id}-1-"
                       f"{uuid.uuid4().hex}.avro")
         _write_bytes(self.spark, mlist_path, avro_io.write_container(
@@ -1336,8 +1444,11 @@ class PyIcebergTable:
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": operation,
-                        "added-data-files": str(n_added),
-                        "added-records": str(added_rows),
+                        **({"added-delete-files": str(n_added),
+                            "added-position-deletes": str(added_rows)}
+                           if manifest_content else
+                           {"added-data-files": str(n_added),
+                            "added-records": str(added_rows)}),
                         **(summary_extra or {})},
             "schema-id": meta["current-schema-id"],
         }
@@ -1563,6 +1674,36 @@ class PyIcebergTable:
                     and self._partition_match(e, spec_m)]
         return out
 
+    def _live_delete_entries(self, meta: dict,
+                             snapshot_id: int | None = None
+                             ) -> list[tuple[dict, int, int]]:
+        """[(manifest entry, added_snapshot_id, spec_id)] for a snapshot's
+        live POSITION-DELETE files (``content=1`` manifests)."""
+        snap = self._snapshot(meta, snapshot_id)
+        out = []
+        for mf in self._manifest_list(meta, snap["snapshot-id"]):
+            if mf["content"] != 1:
+                continue
+            _, _, entries = avro_io.read_container(
+                _read_bytes(self.spark, mf["manifest_path"]))
+            out += [(e, mf["added_snapshot_id"], mf["partition_spec_id"])
+                    for e in entries if e["status"] != 2]
+        return out
+
+    def _delete_manifest_records(self, meta: dict,
+                                 snapshot_id: int | None = None
+                                 ) -> list[dict]:
+        """The manifest-list records of a snapshot's delete manifests
+        (``content=1``) — carried verbatim through commits that rebuild
+        the data-manifest list (COW rewrites, manifest compaction) so
+        merge-on-read deletes survive them."""
+        if meta["current-snapshot-id"] == -1:
+            return []
+        return [mf for mf
+                in self._manifest_list(
+                    meta, self._snapshot(meta, snapshot_id)["snapshot-id"])
+                if mf["content"] == 1]
+
     def _data_files(self, meta: dict, snapshot_id: int | None,
                     matchers: dict[str, Any] | None = None
                     ) -> list[tuple[str, int, int]]:
@@ -1654,7 +1795,11 @@ class PyIcebergTable:
         # the last commit predates an evolution
         sid = (None if snapshot_id is None
                else self._snapshot(meta, snapshot_id).get("schema-id"))
-        return self._read_files(meta, files, sid)
+        # merge-on-read: apply the snapshot's live position deletes (only
+        # files a delete references pay the anti-join). Deletes referencing
+        # files pruned away above are simply never consulted.
+        dels = self._live_delete_entries(meta, snapshot_id)
+        return self._read_files_mor(meta, files, sid, dels)
 
     def _read_files(self, meta: dict, files: list[tuple[str, int]],
                     schema_id: int | None = None) -> DataFrame:
@@ -1689,6 +1834,102 @@ class PyIcebergTable:
                 reader = reader.option("basePath", f"{self.location}/data")
             df = reader.parquet(*[p for p, s in files if s == sp])
             out = df if out is None else out.unionByName(df)
+        return out
+
+    # -------------------------------------- merge-on-read delete support --
+
+    @staticmethod
+    def _path_key(col: Column) -> Column:
+        """Decoded last-two-path-segment key of a ``_metadata.file_path``
+        URI — matches :meth:`_fkey` of the manifests' plain canonical
+        paths (unique: every commit prefixes a fresh uuid). ``+`` is
+        protected before ``url_decode`` because SQL decode is
+        form-urlencoded ('+' → space) while the URI encoder and Python's
+        ``unquote`` both leave '+' alone — an unprotected decode would
+        mis-key paths containing '+'."""
+        dec = F.coalesce(
+            F.try_url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))),
+            col)
+        segs = F.split(dec, "/")
+        return F.concat_ws("/", F.element_at(segs, -2),
+                           F.element_at(segs, -1))
+
+    @staticmethod
+    def _path_key_plain(col: Column) -> Column:
+        """Last-two-path-segment key of an ALREADY-PLAIN canonical path
+        (no decode — a plain path containing literal '%' must not be
+        reinterpreted)."""
+        segs = F.split(col, "/")
+        return F.concat_ws("/", F.element_at(segs, -2),
+                           F.element_at(segs, -1))
+
+    def _pos_scan(self, meta: dict, files: list[tuple[str, int]],
+                  schema_id: int | None = None) -> DataFrame:
+        """Like :meth:`_read_files` but keeps two extra columns per row:
+        ``_rk`` (the file's :meth:`_path_key`) and ``_rpos`` (the row's
+        position within its file via ``_metadata.row_index``) — the
+        coordinates position deletes are expressed in. Both come from
+        parquet scan metadata, so they survive shuffles (they are real
+        columns, unlike ``input_file_name()``)."""
+        schema = _spark_schema(_schema_by_id(meta, schema_id))
+        out = None
+        for sp in sorted({s for _, s in files}):
+            pf = self._part_field(meta, sp)
+            reader = self.spark.read.schema(schema)
+            if pf and pf.identity:
+                reader = reader.option("basePath", f"{self.location}/data")
+            df = (reader.parquet(*[p for p, s in files if s == sp])
+                  .withColumn("_rk",
+                              self._path_key(F.col("_metadata.file_path")))
+                  .withColumn("_rpos", F.col("_metadata.row_index")))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _delete_pos_df(self, delete_entries: list) -> DataFrame:
+        """(``_dk``, ``_dpos``) rows of every position in the given delete
+        entries — the anti-join side of a merge-on-read scan."""
+        paths = sorted({e["data_file"]["file_path"]
+                        for e, _, _ in delete_entries})
+        return (self.spark.read.schema(_DELETE_FILE_SCHEMA).parquet(*paths)
+                .select(self._path_key_plain(F.col("file_path"))
+                        .alias("_dk"),
+                        F.col("pos").alias("_dpos")))
+
+    def _anti_join_deletes(self, scan: DataFrame,
+                           delete_entries: list) -> DataFrame:
+        """Remove MOR-deleted positions from a :meth:`_pos_scan` frame.
+        The delete side broadcasts when its recorded row count is small
+        (the common case — deletes are tiny relative to data); past the
+        threshold it falls back to a shuffled join where AQE decides."""
+        dd = self._delete_pos_df(delete_entries)
+        total = sum(e["data_file"]["record_count"]
+                    for e, _, _ in delete_entries)
+        if total <= 2_000_000:
+            dd = F.broadcast(dd)
+        return scan.join(
+            dd, (scan["_rk"] == dd["_dk"]) & (scan["_rpos"] == dd["_dpos"]),
+            "left_anti")
+
+    def _read_files_mor(self, meta: dict, files: list[tuple[str, int]],
+                        schema_id: int | None = None,
+                        delete_entries: list | None = None) -> DataFrame:
+        """Read data files with position deletes applied. Only files a
+        delete actually references pay the position scan + anti-join; the
+        clean majority streams through :meth:`_read_files` untouched — at
+        a 10^12-row table with a 100-row takedown that is one dirty file,
+        not a table-wide join."""
+        if not files or not delete_entries:
+            return self._read_files(meta, files, schema_id)
+        refs = {r["_dk"] for r in self._delete_pos_df(delete_entries)
+                .select("_dk").distinct().collect()}
+        dirty = [(p, s) for p, s in files if self._fkey(p) in refs]
+        clean = [(p, s) for p, s in files if self._fkey(p) not in refs]
+        out = self._read_files(meta, clean, schema_id)
+        if dirty:
+            d = (self._anti_join_deletes(
+                     self._pos_scan(meta, dirty, schema_id), delete_entries)
+                 .drop("_rk", "_rpos"))
+            out = out.unionByName(d)
         return out
 
     def incremental(self, from_snapshot_id: int,
@@ -1739,15 +1980,32 @@ class PyIcebergTable:
               in self._data_files(meta, to_snap["snapshot-id"])}
         sid = (None if to_snapshot_id is None
                else to_snap.get("schema-id"))
-        added = self._read_files(
-            meta, sorted((p, sp) for p, sp in f2.items() if p not in f1),
-            sid)
-        removed = self._read_files(
-            meta, sorted((p, sp) for p, sp in f1.items() if p not in f2),
-            sid)
-        return (added.exceptAll(removed)
+        d1 = self._live_delete_entries(meta, from_snapshot_id)
+        d2 = self._live_delete_entries(meta, to_snap["snapshot-id"])
+        # merge-on-read widens the dirty set: a data file live on BOTH
+        # sides still changed if a delete file referencing it entered or
+        # left between the snapshots — find those refs by reading ONLY the
+        # differing delete files (tiny), never the data
+        d1p = {e["data_file"]["file_path"] for e, _, _ in d1}
+        d2p = {e["data_file"]["file_path"] for e, _, _ in d2}
+        diff_dels = [t for t in d1 + d2
+                     if t[0]["data_file"]["file_path"] in (d1p ^ d2p)]
+        refs: set[str] = set()
+        if diff_dels:
+            refs = {r["_dk"] for r in self._delete_pos_df(diff_dels)
+                    .select("_dk").distinct().collect()}
+        dirty1 = sorted((p, sp) for p, sp in f1.items()
+                        if p not in f2 or self._fkey(p) in refs)
+        dirty2 = sorted((p, sp) for p, sp in f2.items()
+                        if p not in f1 or self._fkey(p) in refs)
+        # each side's effective rows = its dirty files with ITS deletes
+        # applied; rows carried unchanged (incl. rows MOR-deleted on both
+        # sides) cancel via EXCEPT ALL
+        state1 = self._read_files_mor(meta, dirty1, sid, d1)
+        state2 = self._read_files_mor(meta, dirty2, sid, d2)
+        return (state2.exceptAll(state1)
                 .withColumn("_change_type", F.lit("insert"))
-                .unionByName(removed.exceptAll(added)
+                .unionByName(state1.exceptAll(state2)
                              .withColumn("_change_type", F.lit("delete"))))
 
     # ----------------------------------------------------------- metadata --
@@ -1784,6 +2042,22 @@ class PyIcebergTable:
                              mf["added_snapshot_id"]))
         return self.spark.createDataFrame(
             rows, "file_path string, partition string, record_count long, "
+                  "file_size_in_bytes long, added_snapshot_id long")
+
+    def delete_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.delete_files`` metadata view: one row per live
+        POSITION-DELETE file of a snapshot — how much merge-on-read debt
+        the table carries (a growing count/row total says it is time to
+        :meth:`compact`, which materializes the deletes). Empty when the
+        table has no MOR deletes."""
+        meta = self._load_meta()
+        rows = [(e["data_file"]["file_path"],
+                 e["data_file"]["record_count"],
+                 e["data_file"]["file_size_in_bytes"], sid)
+                for e, sid, _sp
+                in self._live_delete_entries(meta, snapshot_id)]
+        return self.spark.createDataFrame(
+            rows, "file_path string, record_count long, "
                   "file_size_in_bytes long, added_snapshot_id long")
 
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:

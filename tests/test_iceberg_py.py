@@ -1449,3 +1449,139 @@ def test_partitions_metadata_view(spark, table):
     got2 = {json.loads(r["partition"])["source"]: r["record_count"]
             for r in table.partitions().collect()}
     assert got2["web"] == 3
+
+
+# ------------------------------------------------- merge-on-read deletes ---
+
+V_SCHEMA = T.StructType([T.StructField("doc_id", T.StringType()),
+                         T.StructField("v", T.LongType())])
+
+
+def _vt(spark, tmp_path, name, batches):
+    t = PyIcebergTable.create(spark, str(tmp_path / name), V_SCHEMA)
+    for lo, hi in batches:
+        t.append(spark.createDataFrame(
+            [(f"d{i}", i) for i in range(lo, hi)], V_SCHEMA).coalesce(1))
+    return t
+
+
+def test_mor_delete_zero_rewrite_time_travel_and_views(spark, tmp_path):
+    """mode='mor': rows vanish, data files do not move, time travel sees
+    the pre-delete rows, delete_files() reports the debt, incremental
+    stays silent and changes() emits exactly the deleted rows."""
+    t = _vt(spark, tmp_path, "mor1", [(0, 10), (10, 20), (20, 30)])
+    s_pre = t.current_snapshot_id()
+    files_pre = set(t.read().inputFiles())
+    res = t.delete_rows("v % 10 = 3", mode="mor")
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 3
+    # every pre-delete data file is still scanned (plus the delete files)
+    assert files_pre <= set(t.read().inputFiles())
+    got = {r["v"] for r in t.read().collect()}
+    assert got == {i for i in range(30) if i % 10 != 3}
+    assert t.read(snapshot_id=s_pre).count() == 30
+    assert t.delete_files().count() >= 1
+    assert t.delete_files().agg(F.sum("record_count")).first()[0] == 3
+    # a row already MOR-deleted is never deleted twice
+    res2 = t.delete_rows("v % 10 = 3 OR v = 5", mode="mor")
+    assert res2["rows_deleted"] == 1
+    assert t.read().count() == 26
+    # matching nothing is a metadata no-op
+    res3 = t.delete_rows("v = 999", mode="mor")
+    assert res3["rows_deleted"] == 0
+    assert res3["snapshot_id"] == t.current_snapshot_id()
+    # append-driven incremental never surfaces a MOR delete...
+    assert t.incremental(s_pre).count() == 0
+    # ...while the net changelog shows exactly the deleted rows
+    ch = t.changes(s_pre).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert {r["v"] for r in ch} == {3, 13, 23, 5}
+    # summary records the row-delta operation
+    last = t.snapshots().orderBy(F.desc("committed_at")).first()
+    assert last["operation"] == "delete"
+
+
+def test_mor_stats_filter_prunes_probe(spark, tmp_path):
+    """The skip index prunes MOR probe candidates exactly as for COW."""
+    t = _vt(spark, tmp_path, "mor2", [(0, 10), (100, 110)])
+    res = t.delete_rows("v = 105", mode="mor",
+                        stats_filter={"v": (100, 199)})
+    assert res["rows_deleted"] == 1
+    assert t.read().count() == 19
+    sel = t.read(stats_filter={"v": (0, 9)})
+    assert sel.count() == 10
+
+
+def test_mor_then_cow_delete_no_resurrection(spark, tmp_path):
+    """A COW rewrite of a file carrying MOR deletes materializes them;
+    MOR deletes on untouched files keep applying via the carried delete
+    manifest."""
+    t = _vt(spark, tmp_path, "mor3", [(0, 10), (10, 20)])
+    t.delete_rows("v = 3", mode="mor")    # hits file 1
+    t.delete_rows("v = 13", mode="mor")   # hits file 2
+    r = t.delete_rows("v = 4")            # COW, rewrites file 1 only
+    assert r["files_rewritten"] == 1
+    got = {row["v"] for row in t.read().collect()}
+    assert got == set(range(20)) - {3, 4, 13}
+    # the COW probe must not count already-MOR-deleted rows as matches
+    r2 = t.delete_rows("v = 3")           # already gone -> no-op
+    assert r2["files_rewritten"] == 0 and r2["rows_deleted"] == 0
+
+
+def test_mor_then_merge_rows_no_resurrection(spark, tmp_path):
+    t = _vt(spark, tmp_path, "mor4", [(0, 5)])
+    t.delete_rows("v = 2", mode="mor")
+    ups = spark.createDataFrame([("d1", 100), ("d9", 9)], V_SCHEMA)
+    t.merge_rows(ups, key="doc_id")
+    got = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert got == {"d0": 0, "d1": 100, "d3": 3, "d4": 4, "d9": 9}
+
+
+def test_mor_compact_materializes_deletes(spark, tmp_path):
+    """compact() folds rewrite_position_deletes into the data rewrite:
+    afterwards zero delete files remain, the rows stay gone, and the
+    changelog across the compaction is EMPTY (no logical change)."""
+    t = _vt(spark, tmp_path, "mor5", [(0, 10), (10, 20), (20, 30)])
+    t.delete_rows("v IN (1, 11, 21)", mode="mor")
+    s_mid = t.current_snapshot_id()
+    t.compact(target_files=2)
+    assert t.delete_files().count() == 0
+    got = {r["v"] for r in t.read().collect()}
+    assert got == set(range(30)) - {1, 11, 21}
+    assert t.changes(s_mid).count() == 0
+    # expire reclaims the materialized delete files from disk
+    rec = t.expire_snapshots(keep_last=1)
+    assert rec["snapshots"] >= 1
+    assert t.read().count() == 27
+
+
+def test_mor_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
+    t = _vt(spark, tmp_path, "mor6", [(0, 10), (10, 20), (20, 30)])
+    t.delete_rows("v = 7", mode="mor")
+    res = t.rewrite_manifests()
+    assert res["manifests_after"] == 1
+    got = {r["v"] for r in t.read().collect()}
+    assert got == set(range(30)) - {7}
+    assert t.delete_files().count() == 1
+    # and further MOR deletes chain on the compacted list
+    t.delete_rows("v = 8", mode="mor")
+    assert t.read().count() == 28
+
+
+def test_mor_partitioned_table(spark, table):
+    """MOR on an identity-partitioned table: partition pruning and the
+    delete anti-join compose."""
+    table.delete_rows("doc_id = 'd2'", mode="mor")
+    assert {r["doc_id"] for r in table.read().collect()} == {"d1", "d3"}
+    web = table.read(partition_filter={"source": "web"})
+    assert {r["doc_id"] for r in web.collect()} == {"d1"}
+    book = table.read(partition_filter={"source": "book"})
+    assert book.count() == 1
+
+
+def test_mor_token_array_equality_roundtrip(spark, table):
+    """Per-row invariant: token arrays of surviving rows are byte-equal
+    through a MOR delete (the anti-join must not touch payloads)."""
+    before = {r["doc_id"]: r["tokens"] for r in table.read().collect()}
+    table.delete_rows("doc_id = 'd1'", mode="mor")
+    after = {r["doc_id"]: r["tokens"] for r in table.read().collect()}
+    assert after == {k: v for k, v in before.items() if k != "d1"}
