@@ -1894,6 +1894,49 @@ def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """C1/C2 maintained INCREMENTALLY (``IncrementalProfiler``): docs
+    commit in three appends; each ``update()`` scans only that delta and
+    appends mergeable partials (count/null/min/max/sum + HLL binary) to a
+    stats store; ``profile()`` folds the partials with ZERO data IO. The
+    merged exact fields must equal a one-shot full-table aggregation —
+    the oracle computes exactly that. ``modes_ok`` pins that the folds
+    really were rebuild→delta→delta (not silent full scans)."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark import IncrementalProfiler
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "source", "n_chars", "lang"))
+    base = tempfile.mkdtemp(prefix="fdv_incprof_")
+    t = PyIcebergTable.create(spark, base + "/docs", docs.schema)
+    prof = IncrementalProfiler(t, ["n_chars", "lang"], base + "/stats",
+                               group_col="source")
+    modes = []
+    for cond in (F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 == 1,
+                 F.col("doc_id") % 3 == 2):
+        t.append(docs.where(cond).coalesce(2))
+        modes.append(prof.update()["mode"])
+    modes_ok = modes == ["rebuild", "delta", "delta"]
+    p = prof.profile(with_distinct=False)
+    nc = (p.where(F.col("column") == "n_chars")
+          .select("group", "n_rows",
+                  F.col("n_nulls").alias("nc_nulls"),
+                  F.col("min_num").alias("nc_min"),
+                  F.col("max_num").alias("nc_max"),
+                  F.round("mean", 4).alias("nc_mean")))
+    lg = (p.where(F.col("column") == "lang")
+          .select("group", F.col("min_str").alias("lang_min"),
+                  F.col("max_str").alias("lang_max")))
+    out = (nc.join(lg, "group")
+           .withColumn("modes_ok", F.lit(bool(modes_ok)))
+           .orderBy("group"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2228,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i7_changelog": q_i7_changelog,
         "i8_partition_evolution": q_i8_partition_evolution,
         "i9_mor_delete": q_i9_mor_delete,
+        "c10_incremental_profile": q_c10_incremental_profile,
     }
 
 
@@ -2755,6 +2799,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars, 'delete'
             FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
             ORDER BY _change_type, doc_id""",
+        # c10: incremental profiling — merged snapshot-delta partials must
+        # equal a one-shot full aggregation on every exact field (long
+        # format: numeric n_chars row + lexicographic lang row per source)
+        "c10_incremental_profile": """
+            SELECT source AS "group", count(*) AS n_rows,
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                       AS nc_nulls,
+                   CAST(min(n_chars) AS DOUBLE) AS nc_min,
+                   CAST(max(n_chars) AS DOUBLE) AS nc_max,
+                   round(avg(n_chars), 4) AS nc_mean,
+                   min(lang) AS lang_min, max(lang) AS lang_max,
+                   TRUE AS modes_ok
+            FROM documents GROUP BY source ORDER BY "group" """,
         # i9: merge-on-read position deletes — survivors of the MOR
         # delete (doc_id % 7 = 0) composed with a COW delete on top
         # (doc_id % 7 = 1); zero_rewrite pins that the MOR commit touched

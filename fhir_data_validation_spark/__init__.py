@@ -15,6 +15,7 @@ from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
 from .governance import (ReviewIssue, RuleReviewResult, review_report,
                          review_rule, review_ruleset)
 from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
+from .incremental_stats import IncrementalProfiler
 from .lineage import LineageStore, ResumableRun
 from .lint import LintFinding, lint_dataset, lint_report
 from .model import InstanceScope, RuleDefinition, RuleSet
@@ -25,7 +26,8 @@ from .report import QualityReport, quality_report
 from .suggestions import suggest_rules
 
 __all__ = [
-    "EngineConfig", "ErrorCode", "InstanceScope", "KeyIndex", "LineageStore",
+    "EngineConfig", "ErrorCode", "IncrementalProfiler", "InstanceScope",
+    "KeyIndex", "LineageStore",
     "LintFinding", "PRIMITIVE_GRAMMARS", "ReviewIssue",
     "RuleReviewResult", "grammar_rule", "grammar_ruleset",
     "QualityReport", "ResumableRun", "RuleConfigurationError",

@@ -1,0 +1,257 @@
+"""Incremental column statistics over Iceberg snapshot deltas (C1/C2 at
+10^12 rows without re-scanning history).
+
+``stats.profile`` answers "what do these columns look like" with ONE pass —
+at 100 TB that pass is the cost. :class:`IncrementalProfiler` keeps the
+same statistics CURRENT across an append-driven table by the classic
+mergeable-aggregate decomposition: every :meth:`IncrementalProfiler.update`
+scans ONLY the files appended since the last update (via
+``PyIcebergTable.incremental``) and appends PARTIAL aggregates — count /
+null count / min / max / sum / sum-of-squares per (group, column), plus a
+HyperLogLog sketch binary for cardinality — to a stats store;
+:meth:`IncrementalProfiler.profile` folds the partials into exact totals
+(min of mins, sums of sums, HLL union) in a |snapshots × groups × columns|-
+row aggregation, never touching the data again.
+
+The store is itself a :class:`PyIcebergTable`, so a partial batch commits
+ATOMICALLY with its ``to_snapshot`` watermark: the cursor is derived from
+the store's own content (``max(to_snapshot)``), which makes resume exact —
+a crashed update either committed its partials (the next run starts after
+them) or left no trace (the next run redoes the same delta).
+
+Append-only contract: partials can be merged but not subtracted, so a
+commit that REMOVES rows (COW/MOR delete, merge, overwrite/compaction)
+invalidates history. ``update()`` walks the snapshot ancestry since the
+cursor and, on any non-append operation (or an expired/rolled-back
+cursor), either REBUILDS from a full scan (``on_rewrite='rebuild'``, the
+default — one pass restores correctness and the store overwrites) or
+raises (``on_rewrite='error'``). ``replace`` commits (manifest compaction)
+move no rows and are transparent.
+
+Reference analog: the validator recomputes per-request stats from scratch
+(`Core/ValidationPipeline.cs:486-604` plans one full pass per run); this
+is the delta-maintenance the north rule's resumable 10^12-row lineage
+story implies for statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.types import ArrayType, NumericType
+
+from .sources.iceberg_py import PyIcebergTable
+from .stats import GROUP_ALL
+
+_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("group", T.StringType(), True),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), True),
+    T.StructField("n_nulls", T.LongType(), True),
+    T.StructField("min_num", T.DoubleType(), True),
+    T.StructField("max_num", T.DoubleType(), True),
+    T.StructField("sum_num", T.DoubleType(), True),
+    T.StructField("sum_sq", T.DoubleType(), True),
+    T.StructField("min_str", T.StringType(), True),
+    T.StructField("max_str", T.StringType(), True),
+    T.StructField("hll", T.BinaryType(), True),
+    T.StructField("to_snapshot", T.LongType(), False),
+    # snapshot IDS are random (uuid-derived) — the profiled table's
+    # sequence number is the only valid "newest" ordering for the cursor
+    T.StructField("to_seq", T.LongType(), False),
+])
+
+# operations that only ADD or MOVE METADATA — safe to fold incrementally
+_APPEND_SAFE_OPS = {"append", "replace"}
+
+
+class IncrementalProfiler:
+    """Maintain mergeable per-column statistics for an append-driven
+    :class:`PyIcebergTable` by scanning only snapshot deltas.
+
+    Parameters
+    ----------
+    table:            the profiled table.
+    columns:          columns to profile (array columns profile their
+                      LENGTH, numerics their value, strings lexicographic
+                      min/max — the exact `stats.profile` conventions).
+    store_location:   directory for the stats store (a PyIcebergTable;
+                      created on first update).
+    group_col:        optional stratification column (same semantics as
+                      ``stats.profile``); ``None`` = one ``<all>`` group.
+    lg_k:             HLL sketch precision (Spark ``hll_sketch_agg``).
+    on_rewrite:       'rebuild' (default) or 'error' — what to do when a
+                      non-append commit invalidates the partial history.
+    """
+
+    def __init__(self, table: PyIcebergTable, columns: list[str],
+                 store_location: str, group_col: str | None = None,
+                 lg_k: int = 12, on_rewrite: str = "rebuild"):
+        if on_rewrite not in ("rebuild", "error"):
+            raise ValueError("on_rewrite must be 'rebuild' or 'error', "
+                             f"got {on_rewrite!r}")
+        if not columns:
+            raise ValueError("columns must be non-empty")
+        self.table = table
+        self.columns = list(columns)
+        self.store_location = store_location
+        self.group_col = group_col
+        self.lg_k = lg_k
+        self.on_rewrite = on_rewrite
+
+    # ------------------------------------------------------------ store --
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.table.spark
+
+    def _store(self) -> PyIcebergTable:
+        if PyIcebergTable.exists(self.spark, self.store_location):
+            return PyIcebergTable(self.spark, self.store_location)
+        return PyIcebergTable.create(self.spark, self.store_location,
+                                     _PARTIAL_SCHEMA)
+
+    def _cursor(self, store: PyIcebergTable) -> int | None:
+        try:
+            df = store.read()
+        except ValueError:                  # created, never written
+            return None
+        row = (df.orderBy(F.desc("to_seq")).select("to_snapshot")
+               .first())
+        return None if row is None else int(row["to_snapshot"])
+
+    # --------------------------------------------------------- partials --
+
+    def _partials(self, df: DataFrame, to_snapshot: int,
+                  to_seq: int) -> DataFrame:
+        """ONE aggregation pass over ``df`` → long-format partial rows.
+        Per column: the mergeable decomposition (count, nulls, min, max,
+        sum, sum², HLL binary). Map-side combine keeps the shuffle at
+        groups × columns, never rows."""
+        group = (F.lit(GROUP_ALL) if self.group_col is None
+                 else F.col(self.group_col).cast("string")).alias("group")
+        aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+        structs = []
+        for c in self.columns:
+            dtype = df.schema[c].dataType
+            col = F.col(c)
+            # array columns profile their LENGTH (the n_tok view of
+            # tokens) — stats.profile convention
+            val = F.size(col) if isinstance(dtype, ArrayType) else col
+            numeric = isinstance(dtype, (NumericType, ArrayType))
+            d = val.cast("double") if numeric else F.lit(None).cast("double")
+            s = val.cast("string") if not numeric \
+                else F.lit(None).cast("string")
+            aggs += [
+                F.sum(col.isNull().cast("long")).alias(f"_nn_{c}"),
+                F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}"),
+                F.sum(d).alias(f"_sum_{c}"),
+                F.sum(d * d).alias(f"_sq_{c}"),
+                F.min(s).alias(f"_slo_{c}"), F.max(s).alias(f"_shi_{c}"),
+                F.hll_sketch_agg(val.cast("string"),
+                                 self.lg_k).alias(f"_hll_{c}"),
+            ]
+            structs.append(F.struct(
+                F.lit(c).alias("column"), F.col("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_lo_{c}").alias("min_num"),
+                F.col(f"_hi_{c}").alias("max_num"),
+                F.col(f"_sum_{c}").alias("sum_num"),
+                F.col(f"_sq_{c}").alias("sum_sq"),
+                F.col(f"_slo_{c}").alias("min_str"),
+                F.col(f"_shi_{c}").alias("max_str"),
+                F.col(f"_hll_{c}").alias("hll"),
+            ))
+        wide = df.groupBy(group).agg(*aggs)
+        return (wide
+                .select("group", F.explode(F.array(*structs)).alias("s"))
+                .select("group", "s.*",
+                        F.lit(to_snapshot).alias("to_snapshot"),
+                        F.lit(to_seq).alias("to_seq")))
+
+    # ----------------------------------------------------------- update --
+
+    def _ops_since(self, cursor: int) -> list[str] | None:
+        """Operations of the current snapshot's ancestors NEWER than the
+        cursor; ``None`` when the cursor is not in the current ancestry
+        (rollback / expiry) — the caller must rebuild."""
+        snaps = {r["snapshot_id"]: r
+                 for r in self.table.snapshots().collect()}
+        sid = self.table.current_snapshot_id()
+        ops: list[str] = []
+        while sid is not None and sid in snaps:
+            if sid == cursor:
+                return ops
+            ops.append(snaps[sid]["operation"])
+            sid = snaps[sid]["parent_id"]
+        return None
+
+    def update(self) -> dict[str, Any]:
+        """Fold the table's new snapshots into the store. Returns
+        ``{"mode": "noop" | "delta" | "rebuild", "from_snapshot",
+        "to_snapshot"}``."""
+        store = self._store()
+        cur = self.table.current_snapshot_id()
+        cursor = self._cursor(store)
+        if cursor == cur:
+            return {"mode": "noop", "from_snapshot": cursor,
+                    "to_snapshot": cur}
+        mode = "delta" if cursor is not None else "rebuild"
+        if cursor is not None:
+            ops = self._ops_since(cursor)
+            if ops is None or any(o not in _APPEND_SAFE_OPS for o in ops):
+                if self.on_rewrite == "error":
+                    raise ValueError(
+                        f"non-append history since snapshot {cursor} "
+                        f"(ops={ops}); partial stats cannot subtract — "
+                        "pass on_rewrite='rebuild' to re-profile")
+                mode = "rebuild"
+        seq = {r["snapshot_id"]: r["sequence_number"]
+               for r in self.table.snapshots().collect()}[cur]
+        if mode == "delta":
+            delta = self.table.incremental(cursor, cur)
+            partials = self._partials(delta, cur, seq)
+            store.append(partials)
+        else:
+            partials = self._partials(self.table.read(), cur, seq)
+            store.overwrite(partials)
+        return {"mode": mode, "from_snapshot": cursor, "to_snapshot": cur}
+
+    # ---------------------------------------------------------- profile --
+
+    def profile(self, with_distinct: bool = True) -> DataFrame:
+        """Merge the stored partials into current totals — long format:
+        one row per (group, column) with ``n_rows, n_nulls, null_rate,
+        min_num, max_num, mean, min_str, max_str`` (+ ``n_distinct`` HLL
+        estimate unless ``with_distinct=False``). Exact for every field
+        except ``n_distinct`` (sketch union, ~2% at the default lg_k).
+        Cost: an aggregation over the tiny partials table — zero data IO."""
+        p = self._store().read()
+        aggs = [
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.sum("sum_num").alias("_sum"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+        ]
+        if with_distinct:
+            aggs.append(F.hll_sketch_estimate(F.hll_union_agg("hll"))
+                        .alias("n_distinct"))
+        out = (p.groupBy("group", "column").agg(*aggs)
+               .withColumn("null_rate",
+                           F.col("n_nulls") / F.col("n_rows"))
+               .withColumn("mean",
+                           F.col("_sum")
+                           / F.nullif(F.col("n_rows") - F.col("n_nulls"),
+                                      F.lit(0)))
+               .drop("_sum"))
+        cols = ["group", "column", "n_rows", "n_nulls", "null_rate",
+                "min_num", "max_num", "mean", "min_str", "max_str"]
+        if with_distinct:
+            cols.append("n_distinct")
+        return out.select(*cols)

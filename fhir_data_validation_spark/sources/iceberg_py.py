@@ -2012,14 +2012,18 @@ class PyIcebergTable:
 
     def snapshots(self) -> DataFrame:
         """The ``<table>.snapshots`` metadata view: (committed_at,
-        snapshot_id, parent_id, operation, manifest_list)."""
+        snapshot_id, parent_id, sequence_number, operation,
+        manifest_list). ``sequence_number`` is the commit order — snapshot
+        IDS are random, so "newest" comparisons must use the sequence."""
         meta = self._load_meta()
         rows = [(s["timestamp-ms"], s["snapshot-id"],
-                 s.get("parent-snapshot-id"), s["summary"]["operation"],
+                 s.get("parent-snapshot-id"), s["sequence-number"],
+                 s["summary"]["operation"],
                  s["manifest-list"]) for s in meta["snapshots"]]
         return self.spark.createDataFrame(
             rows, "committed_at long, snapshot_id long, parent_id long, "
-                  "operation string, manifest_list string")
+                  "sequence_number long, operation string, "
+                  "manifest_list string")
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``<table>.files`` metadata view: one row per live data file

@@ -1,0 +1,163 @@
+"""IncrementalProfiler: mergeable column stats over Iceberg snapshot
+deltas — delta-only scans, exact merge parity with a full-table
+aggregation, HLL cardinality tolerance, rewrite detection, and
+crash-resume via the store's own content."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhir_data_validation_spark import IncrementalProfiler
+from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("toks", T.ArrayType(T.IntegerType())),
+    T.StructField("src", T.StringType())])
+
+
+def _batch(spark, lo, hi, src_of=lambda i: "web" if i % 2 else "book"):
+    rows = [(f"d{i}", i, None if i % 11 == 10 else list(range(i % 4)),
+             src_of(i)) for i in range(lo, hi)]
+    return rows
+
+
+def _mk(spark, tmp_path, name):
+    t = PyIcebergTable.create(spark, str(tmp_path / name), SCHEMA)
+    return t
+
+
+def _truth(df, group_col="src"):
+    return {r["g"]: r for r in
+            (df.groupBy(F.col(group_col).alias("g"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("v").isNull().cast("long")).alias("nn"),
+                  F.min("v").cast("double").alias("lo"),
+                  F.max("v").cast("double").alias("hi"),
+                  F.avg("v").alias("mean"),
+                  F.countDistinct("v").alias("nd"))).collect()}
+
+
+def test_delta_updates_match_full_scan(spark, tmp_path):
+    """Three appends folded incrementally == one full aggregation, on
+    every exact field; n_distinct within HLL tolerance; array columns
+    profile length with null handling; a no-change update is a noop."""
+    t = _mk(spark, tmp_path, "p1")
+    prof = IncrementalProfiler(t, ["v", "toks", "doc_id"],
+                               str(tmp_path / "store1"), group_col="src")
+    modes = []
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        t.append(spark.createDataFrame(_batch(spark, lo, hi), SCHEMA))
+        modes.append(prof.update()["mode"])
+    assert modes == ["rebuild", "delta", "delta"]
+    truth = _truth(t.read())
+    got = {r["group"]: r
+           for r in prof.profile().where("column = 'v'").collect()}
+    assert set(got) == set(truth)
+    for g, tr in truth.items():
+        r = got[g]
+        assert r["n_rows"] == tr["n"] and r["n_nulls"] == tr["nn"]
+        assert r["min_num"] == tr["lo"] and r["max_num"] == tr["hi"]
+        assert abs(r["mean"] - tr["mean"]) < 1e-9
+        assert abs(r["n_distinct"] - tr["nd"]) <= max(2, 0.05 * tr["nd"])
+        assert r["min_str"] is None and r["max_str"] is None
+    # array column: length stats + nulls counted
+    toks = {r["group"]: r
+            for r in prof.profile().where("column = 'toks'").collect()}
+    null_toks = t.read().where("toks IS NULL").groupBy("src").count()
+    for x in null_toks.collect():
+        assert toks[x["src"]]["n_nulls"] == x["count"]
+    assert toks["web"]["max_num"] == 3.0
+    # string column: lexicographic bounds live in min_str/max_str
+    ds = {r["group"]: r
+          for r in prof.profile().where("column = 'doc_id'").collect()}
+    assert ds["web"]["min_str"] == "d1" and ds["web"]["min_num"] is None
+    assert prof.update()["mode"] == "noop"
+
+
+def test_resume_from_store_content(spark, tmp_path):
+    """A fresh profiler instance on the same store resumes exactly: the
+    cursor comes from the store's max-sequence partial batch (snapshot
+    ids are random — ordering by id would double-count)."""
+    t = _mk(spark, tmp_path, "p2")
+    store = str(tmp_path / "store2")
+    t.append(spark.createDataFrame(_batch(spark, 0, 30), SCHEMA))
+    IncrementalProfiler(t, ["v"], store, group_col="src").update()
+    t.append(spark.createDataFrame(_batch(spark, 30, 60), SCHEMA))
+    p2 = IncrementalProfiler(t, ["v"], store, group_col="src")
+    assert p2.update()["mode"] == "delta"
+    assert p2.update()["mode"] == "noop"
+    truth = _truth(t.read())
+    got = {r["group"]: r for r in p2.profile().collect()}
+    for g, tr in truth.items():
+        assert got[g]["n_rows"] == tr["n"]
+
+
+def test_rewrite_triggers_rebuild_or_error(spark, tmp_path):
+    """COW and MOR deletes invalidate partials: default rebuilds (stats
+    correct again), on_rewrite='error' raises with the offending ops."""
+    t = _mk(spark, tmp_path, "p3")
+    store = str(tmp_path / "store3")
+    t.append(spark.createDataFrame(_batch(spark, 0, 30), SCHEMA))
+    prof = IncrementalProfiler(t, ["v"], store, group_col="src")
+    prof.update()
+    t.delete_rows("v % 10 = 3", mode="mor")
+    r = prof.update()
+    assert r["mode"] == "rebuild"
+    truth = _truth(t.read())
+    got = {x["group"]: x for x in prof.profile().collect()}
+    for g, tr in truth.items():
+        assert got[g]["n_rows"] == tr["n"] and got[g]["max_num"] == tr["hi"]
+    # error mode
+    t2 = _mk(spark, tmp_path, "p3b")
+    t2.append(spark.createDataFrame(_batch(spark, 0, 20), SCHEMA))
+    pe = IncrementalProfiler(t2, ["v"], str(tmp_path / "store3b"),
+                             on_rewrite="error")
+    pe.update()
+    t2.delete_rows("v = 1")
+    with pytest.raises(ValueError, match="non-append"):
+        pe.update()
+
+
+def test_manifest_compaction_is_transparent(spark, tmp_path):
+    """rewrite_manifests (operation 'replace') moves no rows — the next
+    update stays a delta, never a rebuild."""
+    t = _mk(spark, tmp_path, "p4")
+    store = str(tmp_path / "store4")
+    t.append(spark.createDataFrame(_batch(spark, 0, 20), SCHEMA))
+    prof = IncrementalProfiler(t, ["v"], store)
+    prof.update()
+    t.rewrite_manifests()
+    t.append(spark.createDataFrame(_batch(spark, 20, 40), SCHEMA))
+    r = prof.update()
+    assert r["mode"] == "delta"
+    got = prof.profile().first()
+    assert got["n_rows"] == 40 and got["max_num"] == 39.0
+
+
+def test_rollback_forces_rebuild(spark, tmp_path):
+    """A rollback abandons the profiled branch — the cursor is no longer
+    in the ancestry, so the profiler rebuilds instead of silently keeping
+    rolled-back rows in its totals."""
+    t = _mk(spark, tmp_path, "p5")
+    store = str(tmp_path / "store5")
+    s1 = t.append(spark.createDataFrame(_batch(spark, 0, 10), SCHEMA))
+    t.append(spark.createDataFrame(_batch(spark, 10, 30), SCHEMA))
+    prof = IncrementalProfiler(t, ["v"], store)
+    prof.update()
+    t.rollback_to(s1)
+    t.append(spark.createDataFrame(_batch(spark, 50, 55), SCHEMA))
+    r = prof.update()
+    assert r["mode"] == "rebuild"
+    got = prof.profile().first()
+    assert got["n_rows"] == 15 and got["max_num"] == 54.0
+
+
+def test_bad_args_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path, "p6")
+    with pytest.raises(ValueError, match="on_rewrite"):
+        IncrementalProfiler(t, ["v"], str(tmp_path / "s6"),
+                            on_rewrite="ignore")
+    with pytest.raises(ValueError, match="non-empty"):
+        IncrementalProfiler(t, [], str(tmp_path / "s6"))
