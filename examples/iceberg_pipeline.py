@@ -139,6 +139,32 @@ def main() -> None:
           f"{len(hidden.read().inputFiles())} files")
     flat.compact(target_files=4, zorder_by=["n_tok", "quality"])
     print("z-order compacted tokens_flat on (n_tok, quality)")
+
+    # -- 9. merge-on-read takedown + manifest compaction ---------------------
+    n_files_pre = len(flat.read().inputFiles())
+    res = flat.delete_rows("n_tok = 7", mode="mor")
+    print(f"MOR takedown: removed {res['rows_deleted']} rows, rewrote "
+          f"{res['files_rewritten']} data files (debt: "
+          f"{flat.delete_files().count()} delete files); "
+          f"{len([f for f in flat.read().inputFiles() if 'data' in f])} "
+          f"scanned vs {n_files_pre} before")
+    flat.compact(target_files=4)              # materialize the MOR debt
+    print(f"compacted: delete files now {flat.delete_files().count()}")
+    rm = flat.rewrite_manifests()
+    print(f"manifest compaction: {rm['manifests_before']} -> "
+          f"{rm['manifests_after']} manifests (planning O(specs), "
+          f"zero data IO)")
+
+    # -- 10. incremental statistics over snapshot deltas ---------------------
+    from fhir_data_validation_spark import IncrementalProfiler
+    prof = IncrementalProfiler(table, ["n_tok", "doc_id"],
+                               f"{root}/stats", group_col="source")
+    first = prof.update()
+    table.append(dirty_token_table(spark, 200, seed=21).drop("_row_id"))
+    second = prof.update()
+    print(f"incremental profile: {first['mode']} then {second['mode']} "
+          f"(second pass scanned ONLY the new snapshot's files)")
+    prof.profile().where("column = 'n_tok'").orderBy("group").show()
     spark.stop()
 
 
