@@ -1894,6 +1894,42 @@ def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i10_mor_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 streaming CDC: MERGE-ON-READ upsert (``merge_rows(mode='mor')``
+    — one row-delta commit per batch: appended updates + an equality
+    delete of their keys, ZERO table scans and zero rewrites). Docs <200
+    commit; batch 1 bumps n_chars by 1000 for doc_id % 5 = 0 and inserts
+    200-204; batch 2 re-bumps doc_id % 10 = 0 (the NEWER version must
+    win). The read-back equals the SQL of the final state; zero_rewrite
+    pins that neither batch rewrote a data file."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 205)
+            .select("doc_id", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_iceup_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 200).coalesce(2))
+    b1 = (docs.where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 200))
+          .withColumn("n_chars",
+                      F.when(F.col("doc_id") < 200,
+                             F.col("n_chars") + 1000)
+                      .otherwise(F.col("n_chars"))))
+    r1 = t.merge_rows(b1, key="doc_id", mode="mor")
+    b2 = (docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 200))
+          .withColumn("n_chars", F.col("n_chars") + 5000))
+    r2 = t.merge_rows(b2, key="doc_id", mode="mor")
+    zero = r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
+    out = (t.read()
+           .withColumn("zero_rewrite", F.lit(bool(zero)))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     """C1/C2 maintained INCREMENTALLY (``IncrementalProfiler``): docs
     commit in three appends; each ``update()`` scans only that delta and
@@ -2271,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i7_changelog": q_i7_changelog,
         "i8_partition_evolution": q_i8_partition_evolution,
         "i9_mor_delete": q_i9_mor_delete,
+        "i10_mor_upsert": q_i10_mor_upsert,
         "c10_incremental_profile": q_c10_incremental_profile,
     }
 
@@ -2812,6 +2849,19 @@ def oracle_sql() -> dict[str, str]:
                    min(lang) AS lang_min, max(lang) AS lang_max,
                    TRUE AS modes_ok
             FROM documents GROUP BY source ORDER BY "group" """,
+        # i10: merge-on-read upsert — final state after two row-delta
+        # batches (doc_id%5 bumped +1000, then doc_id%10 re-bumped +5000:
+        # the newer version wins), inserts 200-204 appended
+        "i10_mor_upsert": """
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 10 = 0 AND doc_id < 200
+                             THEN n_chars + 5000
+                        WHEN doc_id % 5 = 0 AND doc_id < 200
+                             THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars,
+                   TRUE AS zero_rewrite
+            FROM documents WHERE doc_id < 205
+            ORDER BY doc_id""",
         # i9: merge-on-read position deletes — survivors of the MOR
         # delete (doc_id % 7 = 0) composed with a COW delete on top
         # (doc_id % 7 = 1); zero_rewrite pins that the MOR commit touched

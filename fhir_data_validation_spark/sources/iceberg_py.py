@@ -192,6 +192,13 @@ def _manifest_schema(table_meta: dict, spec_id: int | None = None) -> dict:
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # EQUALITY-DELETE files (content=2) name the field ids
+                    # their rows match on; null for data/position files.
+                    # Nullable-with-default keeps old manifests readable
+                    # (Avro decodes with the writer's embedded schema).
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None, "field-id": 135},
                 ]}},
         ]}
 
@@ -727,8 +734,10 @@ class PyIcebergTable:
         if mode == "mor":
             return self._delete_rows_mor(meta, old_version, pred, live,
                                          dels, candidates)
+        seqs = self._seqs_of(live)
         affected = self._probe_affected(meta, candidates,
-                                        lambda df: df.where(pred), dels)
+                                        lambda df: df.where(pred), dels,
+                                        seqs)
         if not affected:
             return {"snapshot_id": meta["current-snapshot-id"],
                     "files_rewritten": 0, "files_carried": len(live),
@@ -740,7 +749,7 @@ class PyIcebergTable:
         # applied to the rewrite scan so their rows never resurrect.
         survivors = (self._read_files_mor(
                          meta, sorted((p, candidates[p]) for p in affected),
-                         None, dels)
+                         None, dels, seqs)
                      .where(F.coalesce(~pred, F.lit(True))))
         new_sid, n_carried = self._cow_commit(meta, old_version, live,
                                               affected, survivors, "delete")
@@ -764,7 +773,8 @@ class PyIcebergTable:
             return no_op
         scan = self._pos_scan(meta, sorted(candidates.items()))
         if dels:
-            scan = self._anti_join_deletes(scan, dels)
+            scan = self._apply_deletes(scan, dels, meta,
+                                       self._seqs_of(live))
         # map the scan's decoded last-two-segment key back to the
         # manifest's canonical path (a tiny dim — one row per candidate
         # file — broadcast onto the hit positions)
@@ -793,16 +803,20 @@ class PyIcebergTable:
             return no_op
         for e in entries:
             e["data_file"]["content"] = 1          # POSITION_DELETES
+            e["_mcontent"] = 1                     # -> delete manifest
         self._promote_files(tmp_dir, entries)
         rows_deleted = sum(e["data_file"]["record_count"] for e in entries)
         new_sid = self._commit_entries(meta, old_version, entries, "delete",
-                                       snapshot_id, seq, manifest_content=1)
+                                       snapshot_id, seq,
+                                       carry_previous=True)
         return {"snapshot_id": new_sid, "files_rewritten": 0,
                 "files_carried": len(live), "rows_deleted": rows_deleted}
 
     def merge_rows(self, updates: DataFrame, key: str | list[str],
                    stats_filter: dict[str, tuple] | None = None,
-                   null_safe: bool = False) -> dict:
+                   null_safe: bool = False, mode: str = "cow",
+                   summary_extra: dict[str, str] | None = None,
+                   properties_extra: dict[str, str] | None = None) -> dict:
         """Copy-on-write MERGE (upsert): every table row whose ``key``
         matches a row of ``updates`` is REPLACED by the update rows for
         that key; update keys absent from the table INSERT — Iceberg's
@@ -819,7 +833,20 @@ class PyIcebergTable:
         semantics (eqNullSafe — needed when a key part is nullable, e.g.
         the lineage table's rule_id). Returns ``{"snapshot_id",
         "files_rewritten", "files_carried", "rows_replaced",
-        "rows_written"}``."""
+        "rows_written"}``.
+
+        ``mode="mor"`` commits the upsert as a ROW DELTA instead (the
+        Iceberg streaming-CDC pattern): ONE commit carrying the appended
+        update rows (data manifest) plus an EQUALITY-DELETE of their keys
+        (delete manifest). Zero table scans, zero files rewritten — the
+        old versions disappear at read time because the equality delete
+        applies only to files with a LOWER sequence number than the
+        commit, which the freshly appended files are not. MOR key
+        matching is always null-safe; ``stats_filter`` is unused (there
+        is no probe). Returns ``{"snapshot_id", "files_rewritten": 0,
+        "rows_written", "keys_deleted"}``."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         meta, old_version = self._load_meta_versioned()
         keys = [key] if isinstance(key, str) else list(key)
         table_cols = self.schema().fieldNames()
@@ -833,6 +860,24 @@ class PyIcebergTable:
         updates = updates.select(*table_cols)
         key_df = updates.select(*keys).dropDuplicates(keys)
 
+        if mode == "mor":
+            seq = meta["last-sequence-number"] + 1
+            snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+            data_entries = self._stage_data(meta, updates, snapshot_id,
+                                            seq)
+            del_entries = self._stage_eq_delete(meta, key_df, snapshot_id,
+                                                seq)
+            new_sid = self._commit_entries(
+                meta, old_version, data_entries + del_entries, "merge",
+                snapshot_id, seq, carry_previous=True,
+                summary_extra=summary_extra,
+                properties_extra=properties_extra)
+            return {"snapshot_id": new_sid, "files_rewritten": 0,
+                    "rows_written": sum(e["data_file"]["record_count"]
+                                        for e in data_entries),
+                    "keys_deleted": sum(e["data_file"]["record_count"]
+                                        for e in del_entries)}
+
         def _key_cond(left, right):
             cond = None
             for k in keys:
@@ -843,19 +888,23 @@ class PyIcebergTable:
 
         live = self._live_entries(meta, None)
         dels = self._live_delete_entries(meta, None)
+        seqs = self._seqs_of(live)
         candidates = self._cow_candidates(meta, live, stats_filter)
         affected = self._probe_affected(
             meta, candidates,
             lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"),
-            dels)
+            dels, seqs)
         scan = self._read_files_mor(
-            meta, sorted((p, candidates[p]) for p in affected), None, dels)
+            meta, sorted((p, candidates[p]) for p in affected), None, dels,
+            seqs)
         survivors = (scan
                      .join(key_df, _key_cond(scan, key_df), "left_anti")
                      .unionByName(updates))
         new_sid, n_carried = self._cow_commit(meta, old_version, live,
                                               affected, survivors, "merge",
-                                              extra_tasks=1)
+                                              extra_tasks=1,
+                                              summary_extra=summary_extra,
+                                              properties_extra=properties_extra)
         return {"snapshot_id": new_sid, "files_rewritten": len(affected),
                 "files_carried": n_carried,
                 "rows_replaced": sum(affected.values()),
@@ -881,7 +930,8 @@ class PyIcebergTable:
         return dict(self._stats_skip(triples, stats_filter))
 
     def _probe_affected(self, meta: dict, candidates: dict[str, int],
-                        match_fn, delete_entries: list | None = None
+                        match_fn, delete_entries: list | None = None,
+                        file_seqs: dict[str, int] | None = None
                         ) -> dict[str, int]:
         """{file path: matching row count} — which candidate files contain
         rows selected by ``match_fn`` (ONE filter-pushed scan). The file
@@ -895,7 +945,8 @@ class PyIcebergTable:
             return {}
         scan = self._pos_scan(meta, sorted(candidates.items()))
         if delete_entries:
-            scan = self._anti_join_deletes(scan, delete_entries)
+            scan = self._apply_deletes(scan, delete_entries, meta,
+                                       file_seqs or {})
         probe = (match_fn(scan)
                  .groupBy(F.col("_rk").alias("f"))
                  .agg(F.count(F.lit(1)).alias("n"))
@@ -906,7 +957,9 @@ class PyIcebergTable:
 
     def _cow_commit(self, meta: dict, old_version: int, live: list,
                     affected: dict[str, int], replacement: DataFrame,
-                    operation: str, extra_tasks: int = 0
+                    operation: str, extra_tasks: int = 0,
+                    summary_extra: dict[str, str] | None = None,
+                    properties_extra: dict[str, str] | None = None
                     ) -> tuple[int, int]:
         """Write ``replacement`` as new data files, carry every live file
         NOT in ``affected`` as an EXISTING manifest entry (original
@@ -963,6 +1016,8 @@ class PyIcebergTable:
         new_sid = self._commit_entries(
             meta, old_version, carried + new_entries, operation,
             snapshot_id, seq,
+            summary_extra=summary_extra,
+            properties_extra=properties_extra,
             carry_manifests=self._delete_manifest_records(meta, None))
         return new_sid, len(carried)
 
@@ -1323,15 +1378,23 @@ class PyIcebergTable:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-        pf = self._part_field(meta)
+        entries = self._stage_data(meta, df, snapshot_id, seq)
+        return self._commit_entries(meta, old_version, entries, operation,
+                                    snapshot_id, seq,
+                                    summary_extra=summary_extra,
+                                    properties_extra=properties_extra)
 
-        # stage the commit's files in a temp dir, then move them into the
-        # canonical data/<col>=<val>/ layout with a unique name prefix —
-        # data/ stays a single consistent partition tree (the real Iceberg
-        # layout), and a failed write never leaves half a commit visible.
-        # A transform spec derives its partition value here (hidden
-        # partitioning: the source column stays IN the data files, the
-        # derived value only shapes the directory tree + manifests).
+    def _stage_data(self, meta: dict, df: DataFrame, snapshot_id: int,
+                    seq: int) -> list[dict]:
+        """Write ``df`` as staged data files and return their ADDED
+        manifest entries. Files stage in a temp dir, then move into the
+        canonical data/<col>=<val>/ layout with a unique name prefix —
+        data/ stays a single consistent partition tree (the real Iceberg
+        layout), and a failed write never leaves half a commit visible.
+        A transform spec derives its partition value here (hidden
+        partitioning: the source column stays IN the data files, the
+        derived value only shapes the directory tree + manifests)."""
+        pf = self._part_field(meta)
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
         if pf and not pf.identity and pf.name not in df.columns:
             df = df.withColumn(pf.name, pf.expr())
@@ -1339,21 +1402,77 @@ class PyIcebergTable:
         if pf:
             writer = writer.partitionBy(pf.name)
         writer.parquet(tmp_dir)
-
         entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
                                          pf, df.schema)
         self._promote_files(tmp_dir, entries)
-        return self._commit_entries(meta, old_version, entries, operation,
-                                    snapshot_id, seq,
-                                    summary_extra=summary_extra,
-                                    properties_extra=properties_extra)
+        return entries
+
+    def _stage_eq_delete(self, meta: dict, keys: DataFrame,
+                         snapshot_id: int, seq: int) -> list[dict]:
+        """Write a deduplicated key set as an EQUALITY-DELETE file
+        (``content=2``) and return its manifest entries (tagged for the
+        delete manifest). The entry records the keys' Iceberg field ids
+        (``equality_ids``) so readers know which columns to match."""
+        by_name = {f["name"]: f["id"]
+                   for f in _schema_by_id(meta)["fields"]}
+        missing = [c for c in keys.columns if c not in by_name]
+        if missing:
+            raise ValueError(f"equality-delete columns {missing} not in "
+                             f"table schema {sorted(by_name)}")
+        ids = [by_name[c] for c in keys.columns]
+        n = max(1, min(8, self.spark.sparkContext.defaultParallelism))
+        tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
+        keys.dropDuplicates().repartition(n).write.parquet(tmp_dir)
+        entries = self._manifest_entries(tmp_dir, snapshot_id, seq, None,
+                                         keys.schema)
+        entries = [e for e in entries
+                   if e["data_file"]["record_count"] > 0]
+        if not entries:
+            _fs_delete(self.spark, tmp_dir, best_effort=True)
+            return []
+        for e in entries:
+            e["data_file"]["content"] = 2          # EQUALITY_DELETES
+            e["data_file"]["equality_ids"] = ids
+            e["_mcontent"] = 1                     # -> delete manifest
+        self._promote_files(tmp_dir, entries)
+        return entries
+
+    def delete_rows_eq(self, keys: DataFrame) -> dict:
+        """EQUALITY DELETE (merge-on-read, Iceberg v2 ``content=2``):
+        remove every row whose values on ``keys``'s columns match a key
+        row — WITHOUT scanning the table at all. Where a position delete
+        must first find the rows (one probe scan), an equality delete is
+        a blind predicate: the key set itself is the delete file, applied
+        at read time to data files with a LOWER sequence number (rows
+        appended later — including in the same commit for
+        ``merge_rows(mode='mor')`` — survive, which is exactly the CDC
+        upsert ordering). Key matching is null-safe. The zero-scan write
+        is what a streaming sink needs: per-batch upserts at 10^12 rows
+        cannot afford a probe scan per micro-batch.
+
+        Returns ``{"snapshot_id", "keys_deleted"}`` (the distinct key
+        count — matched ROW counts are unknown by design); an empty key
+        set is a no-op."""
+        meta, old_version = self._load_meta_versioned()
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        entries = self._stage_eq_delete(meta, keys, snapshot_id, seq)
+        if not entries:
+            return {"snapshot_id": meta["current-snapshot-id"],
+                    "keys_deleted": 0}
+        new_sid = self._commit_entries(meta, old_version, entries,
+                                       "delete", snapshot_id, seq,
+                                       carry_previous=True)
+        return {"snapshot_id": new_sid,
+                "keys_deleted": sum(e["data_file"]["record_count"]
+                                    for e in entries)}
 
     def _commit_entries(self, meta: dict, old_version: int,
                         entries: list[dict], operation: str,
                         snapshot_id: int, seq: int,
                         summary_extra: dict[str, str] | None = None,
                         properties_extra: dict[str, str] | None = None,
-                        manifest_content: int = 0,
+                        carry_previous: bool | None = None,
                         carry_manifests: list[dict] | None = None) -> int:
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
@@ -1369,16 +1488,20 @@ class PyIcebergTable:
         # a manifest file is shaped by ONE partition spec (its r102 record
         # schema) — after a partition evolution, a COW commit carries
         # EXISTING entries written under old specs alongside new-spec ADDED
-        # ones, so group by spec and write one manifest per spec
+        # ones, so group by (spec, manifest content) and write one
+        # manifest per group. A ROW-DELTA commit (merge-on-read upsert)
+        # carries BOTH a data manifest (content 0, the appended rows) and
+        # a delete manifest (content 1, position/equality delete files) —
+        # entries tag themselves via "_mcontent".
         default_spec = meta.get("default-spec-id", 0)
-        by_spec: dict[int, list[dict]] = {}
+        groups: dict[tuple[int, int], list[dict]] = {}
         for e in entries:
-            by_spec.setdefault(e.pop("_spec_id", default_spec),
-                               []).append(e)
+            key = (e.pop("_spec_id", default_spec), e.pop("_mcontent", 0))
+            groups.setdefault(key, []).append(e)
         new_mfs = []
-        added_rows = n_added = 0
-        for i, sp in enumerate(sorted(by_spec)):
-            sp_entries = by_spec[sp]
+        added_rows = n_added = del_rows = n_del = 0
+        for i, (sp, mc) in enumerate(sorted(groups)):
+            sp_entries = groups[(sp, mc)]
             manifest_path = (f"{self._meta_dir}/"
                              f"{uuid.uuid4().hex}-m{i}.avro")
             manifest_bytes = avro_io.write_container(
@@ -1390,7 +1513,7 @@ class PyIcebergTable:
                         json.dumps(_spec_by_id(meta, sp)["fields"]),
                     "partition-spec-id": str(sp),
                     "format-version": str(FORMAT_VERSION),
-                    "content": "deletes" if manifest_content else "data",
+                    "content": "deletes" if mc else "data",
                 })
             _write_bytes(self.spark, manifest_path, manifest_bytes)
             # a commit may carry EXISTING entries (status 0 — files
@@ -1399,13 +1522,19 @@ class PyIcebergTable:
             # incremental() stays correct
             added = [e for e in sp_entries if e["status"] == 1]
             existing = [e for e in sp_entries if e["status"] == 0]
-            n_added += len(added)
-            added_rows += sum(e["data_file"]["record_count"] for e in added)
+            if mc:
+                n_del += len(added)
+                del_rows += sum(e["data_file"]["record_count"]
+                                for e in added)
+            else:
+                n_added += len(added)
+                added_rows += sum(e["data_file"]["record_count"]
+                                  for e in added)
             new_mfs.append({
                 "manifest_path": manifest_path,
                 "manifest_length": len(manifest_bytes),
                 "partition_spec_id": sp,
-                "content": manifest_content,
+                "content": mc,
                 "sequence_number": seq,
                 "min_sequence_number": min(
                     [e["sequence_number"] for e in sp_entries if
@@ -1420,11 +1549,10 @@ class PyIcebergTable:
                                            for e in existing),
                 "deleted_rows_count": 0,
             })
+        if carry_previous is None:
+            carry_previous = operation == "append"
         prev = []
-        if (operation == "append" or manifest_content == 1) \
-                and meta["current-snapshot-id"] != -1:
-            # a merge-on-read delete commit is a ROW DELTA: the data file
-            # set is untouched, so the whole previous list carries
+        if carry_previous and meta["current-snapshot-id"] != -1:
             prev = self._manifest_list(meta, meta["current-snapshot-id"])
         mlist = prev + list(carry_manifests or []) + new_mfs
         mlist_path = (f"{self._meta_dir}/snap-{snapshot_id}-1-"
@@ -1444,11 +1572,11 @@ class PyIcebergTable:
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": operation,
-                        **({"added-delete-files": str(n_added),
-                            "added-position-deletes": str(added_rows)}
-                           if manifest_content else
-                           {"added-data-files": str(n_added),
-                            "added-records": str(added_rows)}),
+                        "added-data-files": str(n_added),
+                        "added-records": str(added_rows),
+                        **({"added-delete-files": str(n_del),
+                            "added-delete-rows": str(del_rows)}
+                           if n_del else {}),
                         **(summary_extra or {})},
             "schema-id": meta["current-schema-id"],
         }
@@ -1787,7 +1915,9 @@ class PyIcebergTable:
                 raise ValueError("pass snapshot_id OR ref, not both")
             snapshot_id = self._resolve_ref(meta, ref)
         matchers = self._partition_matchers(meta, partition_filter)
-        pairs = self._data_files(meta, snapshot_id, matchers)
+        live = self._live_entries(meta, snapshot_id, matchers)
+        pairs = [(e["data_file"]["file_path"], sid, sp)
+                 for e, sid, sp in live]
         files = self._stats_skip(pairs, stats_filter)
         # explicit time travel reads with the SNAPSHOT'S schema (Iceberg
         # semantics: a pre-evolution snapshot shows its own column set);
@@ -1799,7 +1929,8 @@ class PyIcebergTable:
         # files a delete references pay the anti-join). Deletes referencing
         # files pruned away above are simply never consulted.
         dels = self._live_delete_entries(meta, snapshot_id)
-        return self._read_files_mor(meta, files, sid, dels)
+        return self._read_files_mor(meta, files, sid, dels,
+                                    self._seqs_of(live))
 
     def _read_files(self, meta: dict, files: list[tuple[str, int]],
                     schema_id: int | None = None) -> DataFrame:
@@ -1885,6 +2016,24 @@ class PyIcebergTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    @staticmethod
+    def _split_deletes(delete_entries: list) -> tuple[list, list]:
+        """(position entries, equality entries) of a delete-entry list."""
+        pos = [t for t in delete_entries
+               if t[0]["data_file"]["content"] == 1]
+        eq = [t for t in delete_entries
+              if t[0]["data_file"]["content"] == 2]
+        return pos, eq
+
+    @staticmethod
+    def _seqs_of(live: list) -> dict[str, int]:
+        """{file key: data sequence number} of live data entries — the
+        ordering equality deletes apply against (an equality delete at
+        sequence S removes matching rows ONLY from files with sequence
+        strictly below S; rows appended in the same commit survive)."""
+        return {PyIcebergTable._fkey(e["data_file"]["file_path"]):
+                int(e["sequence_number"] or 0) for e, _, _ in live}
+
     def _delete_pos_df(self, delete_entries: list) -> DataFrame:
         """(``_dk``, ``_dpos``) rows of every position in the given delete
         entries — the anti-join side of a merge-on-read scan."""
@@ -1895,39 +2044,113 @@ class PyIcebergTable:
                         .alias("_dk"),
                         F.col("pos").alias("_dpos")))
 
-    def _anti_join_deletes(self, scan: DataFrame,
-                           delete_entries: list) -> DataFrame:
+    def _anti_join_pos_deletes(self, scan: DataFrame,
+                               pos_entries: list) -> DataFrame:
         """Remove MOR-deleted positions from a :meth:`_pos_scan` frame.
         The delete side broadcasts when its recorded row count is small
         (the common case — deletes are tiny relative to data); past the
         threshold it falls back to a shuffled join where AQE decides."""
-        dd = self._delete_pos_df(delete_entries)
+        dd = self._delete_pos_df(pos_entries)
         total = sum(e["data_file"]["record_count"]
-                    for e, _, _ in delete_entries)
+                    for e, _, _ in pos_entries)
         if total <= 2_000_000:
             dd = F.broadcast(dd)
         return scan.join(
             dd, (scan["_rk"] == dd["_dk"]) & (scan["_rpos"] == dd["_dpos"]),
             "left_anti")
 
+    def _field_names(self, meta: dict, ids: list[int]) -> list[str]:
+        by_id = {f["id"]: f["name"]
+                 for f in _schema_by_id(meta)["fields"]}
+        return [by_id[i] for i in ids]
+
+    def _anti_join_eq_deletes(self, scan: DataFrame, eq_entries: list,
+                              meta: dict,
+                              file_seqs: dict[str, int]) -> DataFrame:
+        """Apply EQUALITY deletes to a :meth:`_pos_scan` frame: per
+        equality-id group, anti-join on null-safe key equality AND the
+        sequence rule (delete seq > the row's file seq). The key sets
+        broadcast; the scan's file sequence arrives via a tiny
+        (file key → seq) dim joined on ``_rk``."""
+        seq_rows = [(k, s) for k, s in sorted(file_seqs.items())]
+        sdf = self.spark.createDataFrame(seq_rows, "_sk string, _fseq long")
+        scan = scan.join(F.broadcast(sdf), scan["_rk"] == sdf["_sk"],
+                         "left").drop("_sk")
+        groups: dict[tuple, dict[int, list[str]]] = {}
+        for e, _sid, _sp in eq_entries:
+            ids = tuple(e["data_file"].get("equality_ids") or ())
+            seq = int(e["sequence_number"] or 0)
+            groups.setdefault(ids, {}).setdefault(seq, []).append(
+                e["data_file"]["file_path"])
+        schema = _spark_schema(_schema_by_id(meta))
+        for ids, by_seq in sorted(groups.items()):
+            cols = self._field_names(meta, list(ids))
+            key_schema = T.StructType(
+                [schema[c] for c in cols])
+            kdf = None
+            for seq, paths in sorted(by_seq.items()):
+                part = (self.spark.read.schema(key_schema)
+                        .parquet(*sorted(paths))
+                        .withColumn("_dseq", F.lit(seq)))
+                kdf = part if kdf is None else kdf.unionByName(part)
+            # a file missing from the seq map is treated as OLDER than
+            # every delete (conservative: deletes apply) — read paths
+            # always supply complete maps, so this only guards misuse
+            cond = F.col("_dseq") > F.coalesce(F.col("_fseq"), F.lit(-1))
+            for c in cols:
+                cond = cond & scan[c].eqNullSafe(kdf[c])
+            scan = scan.join(F.broadcast(kdf), cond, "left_anti")
+        return scan.drop("_fseq")
+
+    def _apply_deletes(self, scan: DataFrame, delete_entries: list,
+                       meta: dict,
+                       file_seqs: dict[str, int]) -> DataFrame:
+        pos, eq = self._split_deletes(delete_entries)
+        if pos:
+            scan = self._anti_join_pos_deletes(scan, pos)
+        if eq:
+            scan = self._anti_join_eq_deletes(scan, eq, meta, file_seqs)
+        return scan
+
     def _read_files_mor(self, meta: dict, files: list[tuple[str, int]],
                         schema_id: int | None = None,
-                        delete_entries: list | None = None) -> DataFrame:
-        """Read data files with position deletes applied. Only files a
-        delete actually references pay the position scan + anti-join; the
+                        delete_entries: list | None = None,
+                        file_seqs: dict[str, int] | None = None
+                        ) -> DataFrame:
+        """Read data files with merge-on-read deletes applied. Only files
+        a delete can affect pay the position scan + anti-join — for
+        position deletes that is the referenced files; for equality
+        deletes, files whose sequence predates the newest delete. The
         clean majority streams through :meth:`_read_files` untouched — at
         a 10^12-row table with a 100-row takedown that is one dirty file,
         not a table-wide join."""
         if not files or not delete_entries:
             return self._read_files(meta, files, schema_id)
-        refs = {r["_dk"] for r in self._delete_pos_df(delete_entries)
-                .select("_dk").distinct().collect()}
-        dirty = [(p, s) for p, s in files if self._fkey(p) in refs]
-        clean = [(p, s) for p, s in files if self._fkey(p) not in refs]
+        pos, eq = self._split_deletes(delete_entries)
+        refs: set[str] = set()
+        if pos:
+            refs = {r["_dk"] for r in self._delete_pos_df(pos)
+                    .select("_dk").distinct().collect()}
+        max_eq = (max(int(e["sequence_number"] or 0) for e, _, _ in eq)
+                  if eq else None)
+        seqs = file_seqs or {}
+
+        def dirty_p(p: str) -> bool:
+            k = self._fkey(p)
+            if k in refs:
+                return True
+            if max_eq is None:
+                return False
+            # unknown sequence -> conservatively dirty
+            return seqs.get(k, 0) < max_eq if k in seqs else True
+
+        dirty = [(p, s) for p, s in files if dirty_p(p)]
+        clean = [(p, s) for p, s in files if not dirty_p(p)]
         out = self._read_files(meta, clean, schema_id)
         if dirty:
-            d = (self._anti_join_deletes(
-                     self._pos_scan(meta, dirty, schema_id), delete_entries)
+            d = (self._apply_deletes(
+                     self._pos_scan(meta, dirty, schema_id),
+                     delete_entries, meta, seqs)
                  .drop("_rk", "_rpos"))
             out = out.unionByName(d)
         return out
@@ -1973,36 +2196,50 @@ class PyIcebergTable:
         delta validation), this sees through deletes/merges/overwrites.
         Column types must be comparable for set ops (no map columns)."""
         meta = self._load_meta()
-        f1 = {p: sp for p, _, sp
-              in self._data_files(meta, from_snapshot_id)}
+        live1 = self._live_entries(meta, from_snapshot_id)
         to_snap = self._snapshot(meta, to_snapshot_id)
-        f2 = {p: sp for p, _, sp
-              in self._data_files(meta, to_snap["snapshot-id"])}
+        live2 = self._live_entries(meta, to_snap["snapshot-id"])
+        f1 = {e["data_file"]["file_path"]: sp for e, _, sp in live1}
+        f2 = {e["data_file"]["file_path"]: sp for e, _, sp in live2}
+        seqs1, seqs2 = self._seqs_of(live1), self._seqs_of(live2)
         sid = (None if to_snapshot_id is None
                else to_snap.get("schema-id"))
         d1 = self._live_delete_entries(meta, from_snapshot_id)
         d2 = self._live_delete_entries(meta, to_snap["snapshot-id"])
         # merge-on-read widens the dirty set: a data file live on BOTH
-        # sides still changed if a delete file referencing it entered or
-        # left between the snapshots — find those refs by reading ONLY the
-        # differing delete files (tiny), never the data
+        # sides still changed if a delete file affecting it entered or
+        # left between the snapshots. For position deletes the refs come
+        # from reading ONLY the differing delete files (tiny), never the
+        # data; an equality delete is a predicate, so every file older
+        # than the newest differing one is conservatively dirty (rows it
+        # did not touch cancel via EXCEPT ALL).
         d1p = {e["data_file"]["file_path"] for e, _, _ in d1}
         d2p = {e["data_file"]["file_path"] for e, _, _ in d2}
         diff_dels = [t for t in d1 + d2
                      if t[0]["data_file"]["file_path"] in (d1p ^ d2p)]
+        diff_pos, diff_eq = self._split_deletes(diff_dels)
         refs: set[str] = set()
-        if diff_dels:
-            refs = {r["_dk"] for r in self._delete_pos_df(diff_dels)
+        if diff_pos:
+            refs = {r["_dk"] for r in self._delete_pos_df(diff_pos)
                     .select("_dk").distinct().collect()}
+        max_eq = (max(int(e["sequence_number"] or 0)
+                      for e, _, _ in diff_eq) if diff_eq else None)
+
+        def dirty(p: str, other: dict, seqs: dict) -> bool:
+            if p not in other or self._fkey(p) in refs:
+                return True
+            return (max_eq is not None
+                    and seqs.get(self._fkey(p), 0) < max_eq)
+
         dirty1 = sorted((p, sp) for p, sp in f1.items()
-                        if p not in f2 or self._fkey(p) in refs)
+                        if dirty(p, f2, seqs1))
         dirty2 = sorted((p, sp) for p, sp in f2.items()
-                        if p not in f1 or self._fkey(p) in refs)
+                        if dirty(p, f1, seqs2))
         # each side's effective rows = its dirty files with ITS deletes
         # applied; rows carried unchanged (incl. rows MOR-deleted on both
         # sides) cancel via EXCEPT ALL
-        state1 = self._read_files_mor(meta, dirty1, sid, d1)
-        state2 = self._read_files_mor(meta, dirty2, sid, d2)
+        state1 = self._read_files_mor(meta, dirty1, sid, d1, seqs1)
+        state2 = self._read_files_mor(meta, dirty2, sid, d2, seqs2)
         return (state2.exceptAll(state1)
                 .withColumn("_change_type", F.lit("insert"))
                 .unionByName(state1.exceptAll(state2)
@@ -2050,18 +2287,20 @@ class PyIcebergTable:
 
     def delete_files(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``<table>.delete_files`` metadata view: one row per live
-        POSITION-DELETE file of a snapshot — how much merge-on-read debt
-        the table carries (a growing count/row total says it is time to
-        :meth:`compact`, which materializes the deletes). Empty when the
-        table has no MOR deletes."""
+        merge-on-read delete file of a snapshot (``content`` 1 =
+        position, 2 = equality) — how much MOR debt the table carries (a
+        growing count/row total says it is time to :meth:`compact`, which
+        materializes the deletes). Empty when the table has no MOR
+        deletes."""
         meta = self._load_meta()
         rows = [(e["data_file"]["file_path"],
+                 e["data_file"]["content"],
                  e["data_file"]["record_count"],
                  e["data_file"]["file_size_in_bytes"], sid)
                 for e, sid, _sp
                 in self._live_delete_entries(meta, snapshot_id)]
         return self.spark.createDataFrame(
-            rows, "file_path string, record_count long, "
+            rows, "file_path string, content int, record_count long, "
                   "file_size_in_bytes long, added_snapshot_id long")
 
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:

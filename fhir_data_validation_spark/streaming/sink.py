@@ -44,11 +44,27 @@ class IcebergStreamSink:
 
     ``name`` scopes the replay guard — two different streaming queries
     appending to the same table must use distinct names (one shared name
-    would make them skip each other's epochs)."""
+    would make them skip each other's epochs).
 
-    def __init__(self, table: PyIcebergTable, name: str = "sink"):
+    ``mode="upsert"`` (with ``key=``) commits each micro-batch as a
+    merge-on-read ROW DELTA instead (``merge_rows(mode='mor')``): the
+    batch appends and an equality delete of its keys removes the old
+    versions at read time — the streaming CDC sink, zero table scans and
+    zero files rewritten per epoch. The epoch marker rides in the same
+    atomic commit either way, so checkpoint replays stay exactly-once."""
+
+    def __init__(self, table: PyIcebergTable, name: str = "sink",
+                 mode: str = "append",
+                 key: str | list[str] | None = None):
+        if mode not in ("append", "upsert"):
+            raise ValueError(f"mode must be 'append' or 'upsert', "
+                             f"got {mode!r}")
+        if mode == "upsert" and not key:
+            raise ValueError("upsert mode requires key=")
         self.table = table
         self.name = name
+        self.mode = mode
+        self.key = key
         self._summary_key = f"sink-{name}-epoch"
         self._prop_key = f"sink.{name}.epoch"
         self._last: int | None = None   # in-memory fast path per process
@@ -81,23 +97,29 @@ class IcebergStreamSink:
         # the epoch marker rides in THIS commit's metadata (table property
         # + snapshot summary) — atomic: either the batch landed with its
         # marker or neither exists; no window for a replay to double-append
-        self.table.append(
-            batch_df,
-            summary_extra={self._summary_key: str(epoch_id)},
-            properties_extra={self._prop_key: str(epoch_id)})
+        marker = dict(summary_extra={self._summary_key: str(epoch_id)},
+                      properties_extra={self._prop_key: str(epoch_id)})
+        if self.mode == "upsert":
+            self.table.merge_rows(batch_df, key=self.key, mode="mor",
+                                  **marker)
+        else:
+            self.table.append(batch_df, **marker)
         self._last = int(epoch_id)
 
 
 def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
                           checkpoint_dir: str, name: str = "sink",
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          mode: str = "append",
+                          key: str | list[str] | None = None):
     """Start a streaming query appending ``stream_df`` into ``table`` —
     one append snapshot per micro-batch, replay-safe (see
     :class:`IcebergStreamSink`). ``available_now=True`` drains the
     source's current backlog and stops (the batch-ingest pattern);
     ``False`` runs continuously. Returns the ``StreamingQuery``."""
     writer = (stream_df.writeStream
-              .foreachBatch(IcebergStreamSink(table, name))
+              .foreachBatch(IcebergStreamSink(table, name, mode=mode,
+                                              key=key))
               .option("checkpointLocation", checkpoint_dir)
               .queryName(f"iceberg-{name}"))
     if available_now:

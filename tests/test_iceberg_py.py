@@ -1585,3 +1585,115 @@ def test_mor_token_array_equality_roundtrip(spark, table):
     table.delete_rows("doc_id = 'd1'", mode="mor")
     after = {r["doc_id"]: r["tokens"] for r in table.read().collect()}
     assert after == {k: v for k, v in before.items() if k != "d1"}
+
+
+# ---------------------------------------------- equality deletes / upsert ---
+
+def test_eq_delete_blind_write_and_sequence_rule(spark, tmp_path):
+    """delete_rows_eq writes the key set with NO table scan; the delete
+    applies only to files with a LOWER sequence — rows re-appended later
+    under the same key survive until a NEWER delete covers them."""
+    t = _vt(spark, tmp_path, "eq1", [(0, 10)])
+    s1 = t.current_snapshot_id()
+    r = t.delete_rows_eq(spark.createDataFrame(
+        [("d3",), ("d7",), ("nope",)], "doc_id string"))
+    assert r["keys_deleted"] == 3
+    got = {x["doc_id"] for x in t.read().collect()}
+    assert got == {f"d{i}" for i in range(10)} - {"d3", "d7"}
+    assert t.read(snapshot_id=s1).count() == 10
+    assert {x["content"] for x in t.delete_files().collect()} == {2}
+    # sequence rule: a NEW row for a deleted key (higher seq) survives
+    t.append(spark.createDataFrame([("d3", 1000)], V_SCHEMA))
+    m = {x["doc_id"]: x["v"] for x in t.read().collect()}
+    assert m["d3"] == 1000
+    # a newer delete covers it
+    t.delete_rows_eq(spark.createDataFrame([("d3",)], "doc_id string"))
+    assert "d3" not in {x["doc_id"] for x in t.read().collect()}
+    # empty key set is a no-op; unknown column raises
+    sid = t.current_snapshot_id()
+    r2 = t.delete_rows_eq(spark.createDataFrame([], "doc_id string"))
+    assert r2["keys_deleted"] == 0 and r2["snapshot_id"] == sid
+    with pytest.raises(ValueError, match="not in"):
+        t.delete_rows_eq(spark.createDataFrame([("x",)], "bogus string"))
+
+
+def test_mor_upsert_row_delta(spark, tmp_path):
+    """merge_rows(mode='mor'): ONE commit = appended updates + equality
+    delete of their keys; latest version wins across repeated upserts;
+    zero rewrites; changes() nets intermediate versions away; compact
+    materializes everything."""
+    t = _vt(spark, tmp_path, "eq2", [(0, 10)])
+    s1 = t.current_snapshot_id()
+    r = t.merge_rows(spark.createDataFrame([("d1", 100), ("d99", 99)],
+                                           V_SCHEMA),
+                     key="doc_id", mode="mor")
+    assert r["files_rewritten"] == 0
+    assert r["rows_written"] == 2 and r["keys_deleted"] == 2
+    t.merge_rows(spark.createDataFrame([("d1", 200)], V_SCHEMA),
+                 key="doc_id", mode="mor")
+    m = {x["doc_id"]: x["v"] for x in t.read().collect()}
+    assert m["d1"] == 200 and m["d99"] == 99 and m["d0"] == 0
+    assert len(m) == 11
+    # net changelog: d1's intermediate version (100) cancels entirely
+    ch = sorted((x["_change_type"], x["doc_id"], x["v"])
+                for x in t.changes(s1).collect())
+    assert ch == [("delete", "d1", 1), ("insert", "d1", 200),
+                  ("insert", "d99", 99)]
+    # appends-driven incremental() sees the new versions (both upserts)
+    inc = {(x["doc_id"], x["v"]) for x in t.incremental(s1).collect()}
+    assert inc == {("d1", 100), ("d1", 200), ("d99", 99)}
+    # compaction materializes the delta: no delete files, same rows
+    t.compact(target_files=1)
+    assert t.delete_files().count() == 0
+    assert {x["doc_id"]: x["v"] for x in t.read().collect()} == m
+    # and the changelog across the compaction is empty
+    assert t.changes(t.current_snapshot_id()).count() == 0
+
+
+def test_eq_delete_interplay_with_cow_and_pos(spark, tmp_path):
+    """All three delete flavors compose: eq + positional + COW on one
+    table, no resurrection anywhere."""
+    t = _vt(spark, tmp_path, "eq3", [(0, 10), (10, 20)])
+    t.delete_rows_eq(spark.createDataFrame([("d4",)], "doc_id string"))
+    t.delete_rows("v = 15", mode="mor")      # positional
+    t.delete_rows("v = 2")                   # COW
+    got = {x["v"] for x in t.read().collect()}
+    assert got == set(range(20)) - {4, 15, 2}
+    # the COW probe must not count rows already eq/pos-deleted
+    r = t.delete_rows("v IN (4, 15)")
+    assert r["rows_deleted"] == 0 and r["files_rewritten"] == 0
+    # rewrite_manifests carries BOTH delete kinds
+    t.rewrite_manifests()
+    assert {x["v"] for x in t.read().collect()} == got
+    assert t.delete_files().count() >= 2
+
+
+def test_eq_delete_partitioned_table(spark, table):
+    table.delete_rows_eq(spark.createDataFrame([("d3",)], "doc_id string"))
+    assert {r["doc_id"] for r in table.read().collect()} == {"d1", "d2"}
+    web = table.read(partition_filter={"source": "web"})
+    assert {r["doc_id"] for r in web.collect()} == {"d1", "d2"}
+    # upsert into the partitioned layout (derived dirs keep working)
+    table.merge_rows(_rows(spark, [("d1", [9, 9], 2, "web")]),
+                     key="doc_id", mode="mor")
+    m = {r["doc_id"]: r["n_tok"] for r in table.read().collect()}
+    assert m["d1"] == 2
+
+
+def test_stream_sink_upsert_mode(spark, tmp_path):
+    """IcebergStreamSink(mode='upsert'): per-epoch MOR upsert with the
+    replay guard — re-delivering an epoch changes nothing."""
+    from fhir_data_validation_spark.streaming.sink import IcebergStreamSink
+    t = _vt(spark, tmp_path, "eq4", [(0, 5)])
+    sink = IcebergStreamSink(t, "cdc", mode="upsert", key="doc_id")
+    sink(spark.createDataFrame([("d1", 100), ("d9", 9)], V_SCHEMA), 0)
+    sink(spark.createDataFrame([("d1", 200)], V_SCHEMA), 1)
+    m = {x["doc_id"]: x["v"] for x in t.read().collect()}
+    assert m["d1"] == 200 and m["d9"] == 9 and len(m) == 6
+    # checkpoint replay of epoch 1: ignored, even from a fresh process
+    sink2 = IcebergStreamSink(t, "cdc", mode="upsert", key="doc_id")
+    sink2(spark.createDataFrame([("d1", 999)], V_SCHEMA), 1)
+    assert {x["v"] for x in t.read().where("doc_id='d1'").collect()} \
+        == {200}
+    with pytest.raises(ValueError, match="key"):
+        IcebergStreamSink(t, "x", mode="upsert")
