@@ -58,6 +58,12 @@ _PARTIAL_SCHEMA = T.StructType([
     T.StructField("min_str", T.StringType(), True),
     T.StructField("max_str", T.StringType(), True),
     T.StructField("hll", T.BinaryType(), True),
+    # histogram partials share the table so one append commits stats +
+    # histograms + watermark ATOMICALLY (kind='hist' rows use bucket/cnt,
+    # kind='stat' rows leave them null)
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("bucket", T.DoubleType(), True),
+    T.StructField("cnt", T.LongType(), True),
     T.StructField("to_snapshot", T.LongType(), False),
     # snapshot IDS are random (uuid-derived) — the profiled table's
     # sequence number is the only valid "newest" ordering for the cursor
@@ -89,18 +95,26 @@ class IncrementalProfiler:
 
     def __init__(self, table: PyIcebergTable, columns: list[str],
                  store_location: str, group_col: str | None = None,
-                 lg_k: int = 12, on_rewrite: str = "rebuild"):
+                 lg_k: int = 12, on_rewrite: str = "rebuild",
+                 histograms: dict[str, float] | None = None,
+                 ks_alpha: float = 0.01):
         if on_rewrite not in ("rebuild", "error"):
             raise ValueError("on_rewrite must be 'rebuild' or 'error', "
                              f"got {on_rewrite!r}")
         if not columns:
             raise ValueError("columns must be non-empty")
+        for c, w in (histograms or {}).items():
+            if w <= 0:
+                raise ValueError(f"histograms[{c!r}] bucket width must "
+                                 f"be > 0, got {w}")
         self.table = table
         self.columns = list(columns)
         self.store_location = store_location
         self.group_col = group_col
         self.lg_k = lg_k
         self.on_rewrite = on_rewrite
+        self.histograms = dict(histograms or {})
+        self.ks_alpha = ks_alpha
 
     # ------------------------------------------------------------ store --
 
@@ -166,11 +180,43 @@ class IncrementalProfiler:
                 F.col(f"_hll_{c}").alias("hll"),
             ))
         wide = df.groupBy(group).agg(*aggs)
-        return (wide
-                .select("group", F.explode(F.array(*structs)).alias("s"))
-                .select("group", "s.*",
-                        F.lit(to_snapshot).alias("to_snapshot"),
-                        F.lit(to_seq).alias("to_seq")))
+        out = (wide
+               .select("group", F.explode(F.array(*structs)).alias("s"))
+               .select("group", "s.*",
+                       F.lit("stat").alias("kind"),
+                       F.lit(None).cast("double").alias("bucket"),
+                       F.lit(None).cast("long").alias("cnt"),
+                       F.lit(to_snapshot).alias("to_snapshot"),
+                       F.lit(to_seq).alias("to_seq")))
+        for c, width in self.histograms.items():
+            out = out.unionByName(
+                self._hist_partials(df, c, width, to_snapshot, to_seq))
+        return out
+
+    def _hist_partials(self, df: DataFrame, column: str, width: float,
+                       to_snapshot: int, to_seq: int) -> DataFrame:
+        """Mergeable histogram partial: per-(group, bucket) counts of one
+        column for a delta — the reduced frame :func:`plans.drift_compare`
+        consumes. Buckets merge across deltas by summing counts."""
+        from .stats import histogram
+        h = histogram(df, column, width,
+                      group_col=self.group_col)
+        null_d = F.lit(None).cast("double")
+        return h.select(
+            F.col("group").cast("string").alias("group"),
+            F.lit(column).alias("column"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_nulls"),
+            null_d.alias("min_num"), null_d.alias("max_num"),
+            null_d.alias("sum_num"), null_d.alias("sum_sq"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+            F.lit(None).cast("binary").alias("hll"),
+            F.lit("hist").alias("kind"),
+            F.col("bucket").cast("double").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.lit(to_snapshot).alias("to_snapshot"),
+            F.lit(to_seq).alias("to_seq"))
 
     # ----------------------------------------------------------- update --
 
@@ -192,13 +238,20 @@ class IncrementalProfiler:
     def update(self) -> dict[str, Any]:
         """Fold the table's new snapshots into the store. Returns
         ``{"mode": "noop" | "delta" | "rebuild", "from_snapshot",
-        "to_snapshot"}``."""
+        "to_snapshot", "drift"}``. With ``histograms`` configured, a
+        delta update also scores the NEW data's distribution against the
+        merged history (PSI / KS / JSD / chi² per group via
+        ``plans.drift_compare``) BEFORE folding it in — the bad-batch
+        gate: ``drift`` is ``{column: [per-group stat dicts]}``, or
+        ``None`` on noop/rebuild (no prior baseline to compare against).
+        The stats and histogram partials land in ONE store commit, so the
+        watermark can never disagree with either."""
         store = self._store()
         cur = self.table.current_snapshot_id()
         cursor = self._cursor(store)
         if cursor == cur:
             return {"mode": "noop", "from_snapshot": cursor,
-                    "to_snapshot": cur}
+                    "to_snapshot": cur, "drift": None}
         mode = "delta" if cursor is not None else "rebuild"
         if cursor is not None:
             ops = self._ops_since(cursor)
@@ -211,14 +264,54 @@ class IncrementalProfiler:
                 mode = "rebuild"
         seq = {r["snapshot_id"]: r["sequence_number"]
                for r in self.table.snapshots().collect()}[cur]
+        drift = None
         if mode == "delta":
             delta = self.table.incremental(cursor, cur)
+            if self.histograms:
+                drift = self._delta_drift(store, delta)
             partials = self._partials(delta, cur, seq)
             store.append(partials)
         else:
             partials = self._partials(self.table.read(), cur, seq)
             store.overwrite(partials)
-        return {"mode": mode, "from_snapshot": cursor, "to_snapshot": cur}
+        return {"mode": mode, "from_snapshot": cursor,
+                "to_snapshot": cur, "drift": drift}
+
+    def _delta_drift(self, store: PyIcebergTable,
+                     delta: DataFrame) -> dict[str, list[dict]] | None:
+        """Score each configured histogram column of the DELTA against
+        the merged historical histogram — both sides are reduced frames
+        (|groups × buckets| rows), so the comparison never rescans data."""
+        from .plans import drift_compare
+        from .stats import histogram
+        out: dict[str, list[dict]] = {}
+        hist = store.read().where(F.col("kind") == "hist")
+        for c, width in self.histograms.items():
+            base = (hist.where(F.col("column") == c)
+                    .groupBy(F.col("group").alias("source"), "bucket")
+                    .agg(F.sum("cnt").alias("cnt")))
+            if base.limit(1).count() == 0:
+                continue
+            cur = (histogram(delta, c, width, group_col=self.group_col)
+                   .select(F.col("group").cast("string").alias("source"),
+                           F.col("bucket").cast("double").alias("bucket"),
+                           "cnt"))
+            rows = drift_compare(cur, base,
+                                 ks_alpha=self.ks_alpha).collect()
+            out[c] = [r.asDict() for r in rows]
+        return out or None
+
+    def merged_histogram(self, column: str) -> DataFrame:
+        """The column's current histogram folded from all partials —
+        ``(group, bucket, cnt)``, zero data IO."""
+        if column not in self.histograms:
+            raise ValueError(f"no histogram configured for {column!r} "
+                             f"(have {sorted(self.histograms)})")
+        return (self._store().read()
+                .where((F.col("kind") == "hist")
+                       & (F.col("column") == column))
+                .groupBy("group", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
 
     # ---------------------------------------------------------- profile --
 
@@ -229,7 +322,7 @@ class IncrementalProfiler:
         estimate unless ``with_distinct=False``). Exact for every field
         except ``n_distinct`` (sketch union, ~2% at the default lg_k).
         Cost: an aggregation over the tiny partials table — zero data IO."""
-        p = self._store().read()
+        p = self._store().read().where(F.col("kind") == "stat")
         aggs = [
             F.sum("n_rows").alias("n_rows"),
             F.sum("n_nulls").alias("n_nulls"),

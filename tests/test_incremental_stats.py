@@ -161,3 +161,40 @@ def test_bad_args_raise(spark, tmp_path):
                             on_rewrite="ignore")
     with pytest.raises(ValueError, match="non-empty"):
         IncrementalProfiler(t, [], str(tmp_path / "s6"))
+
+
+def test_histogram_partials_and_delta_drift_gate(spark, tmp_path):
+    """histograms= adds mergeable per-delta histograms in the SAME store
+    commit; each delta update scores its distribution against the merged
+    history BEFORE folding in — same-distribution batches score ~0,
+    a shifted batch trips PSI/KS (the bad-batch gate)."""
+    t = _mk(spark, tmp_path, "h1")
+    prof = IncrementalProfiler(t, ["v"], str(tmp_path / "sh1"),
+                               group_col="src", histograms={"v": 10.0})
+    rows = [(f"d{i}", i % 50, [1], "web") for i in range(200)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    r1 = prof.update()
+    assert r1["mode"] == "rebuild" and r1["drift"] is None
+    t.append(spark.createDataFrame(
+        [(f"e{i}", i % 50, [1], "web") for i in range(200)], SCHEMA))
+    r2 = prof.update()
+    same = {x["source"]: x for x in r2["drift"]["v"]}["web"]
+    assert same["psi"] < 0.05 and same["ks"] < 0.1
+    t.append(spark.createDataFrame(
+        [(f"f{i}", 900 + i % 50, [1], "web") for i in range(200)], SCHEMA))
+    r3 = prof.update()
+    shifted = {x["source"]: x for x in r3["drift"]["v"]}["web"]
+    assert shifted["psi"] > 1.0 and shifted["ks"] > 0.9
+    # merged histogram = all three deltas folded
+    assert (prof.merged_histogram("v")
+            .groupBy().sum("cnt").first()[0]) == 600
+    # exact stats unaffected by the histogram rows sharing the store
+    row = prof.profile().where("column = 'v'").first()
+    assert row["n_rows"] == 600 and row["max_num"] == 949.0
+    # noop -> no drift; unknown column raises
+    assert prof.update()["drift"] is None
+    with pytest.raises(ValueError, match="no histogram"):
+        prof.merged_histogram("nope")
+    with pytest.raises(ValueError, match="width"):
+        IncrementalProfiler(t, ["v"], str(tmp_path / "bad"),
+                            histograms={"v": 0})
