@@ -335,6 +335,47 @@ def _bucket_str_udf(n: int):
     return F.pandas_udf(_b, "int")
 
 
+def _bucket_long_udf(n: int):
+    """VECTORIZED bucket hash for int/long sources: Murmur3 x86_32
+    (seed 0) of the value's 8-byte little-endian encoding, computed as
+    whole-array numpy uint32 arithmetic per Arrow batch (uint32 wraps
+    natively — none of the masked-long gymnastics the Catalyst chain
+    needs). The equivalent pure-Catalyst chain (:func:`_murmur3_long_expr`,
+    kept for the conformance test) triples its expression subtree at every
+    multiply — Catalyst spends ~15 s ANALYZING/compiling the ~3^8-node
+    tree per plan, which dwarfs any data at write-batch scale. One numpy
+    pass per batch is the faster AND simpler write path."""
+    import pandas as pd
+    import numpy as np
+
+    def _b(s):
+        mask = s.isna()
+        v = s.fillna(0).to_numpy(dtype="int64").view(np.uint64)
+        k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k2 = (v >> np.uint64(32)).astype(np.uint32)
+        h = np.zeros(len(v), dtype=np.uint32)
+        for k in (k1, k2):
+            k = k * np.uint32(0xCC9E2D51)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(0x1B873593)
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)                    # total length in bytes
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        out = pd.Series((h.astype(np.int64) & 0x7FFFFFFF) % n,
+                        index=s.index).astype("Int32")
+        out[mask] = None
+        return out
+
+    _b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_b, "int")
+
+
 def _parse_transform(t: str) -> tuple[str, int | None]:
     m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
     if m:
@@ -397,8 +438,7 @@ class _PartField:
         if self.kind == "bucket":
             if self.source_type == "string":
                 return _bucket_str_udf(self.arg)(c)
-            return (_murmur3_long_expr(c)
-                    .bitwiseAND(F.lit(0x7FFFFFFF)) % self.arg).cast("int")
+            return _bucket_long_udf(self.arg)(c.cast("long"))
         if self.kind == "truncate":
             if self.source_type == "string":
                 return F.substring(c, 1, self.arg)
