@@ -55,7 +55,8 @@ def delete(spark: SparkSession, path: str, recursive: bool = True,
 
 
 def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[dict]:
-    """Recursive file listing → [{path, length}]."""
+    """Recursive file listing → [{path, length, mtime}] (mtime in epoch
+    ms — the orphan sweep's staleness signal)."""
     fs, hpath, _ = jfs(spark, path)
     out = []
     it = fs.listFiles(hpath, True)
@@ -63,5 +64,6 @@ def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[dict]:
         st = it.next()
         p = st.getPath().toString()
         if p.endswith(suffix):
-            out.append({"path": p, "length": st.getLen()})
+            out.append({"path": p, "length": st.getLen(),
+                        "mtime": st.getModificationTime()})
     return out

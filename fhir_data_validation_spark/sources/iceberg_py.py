@@ -1302,6 +1302,44 @@ class PyIcebergTable:
         return {"snapshots": len(expired), "manifests": len(dead_manifests),
                 "data_files": len(dead_files)}
 
+    def remove_orphan_files(self,
+                            older_than_ms: int = 3 * 3600 * 1000) -> dict:
+        """Delete files under ``data/`` (and dead ``_staging/`` trees)
+        that NO snapshot references — the debris of crashed commits
+        (Iceberg's ``remove_orphan_files`` procedure). Every commit here
+        stages files then writes metadata last, so a crash leaks staged or
+        promoted-but-uncommitted files that no reader can ever see; at
+        micro-batch cadence that debris compounds into real storage.
+        Only files older than ``older_than_ms`` (default 3 h) are swept,
+        so an IN-FLIGHT commit's freshly staged files survive — a
+        single-writer table can pass ``0`` to sweep everything at once.
+        Metadata files are never candidates (they are tiny and the
+        version chain self-describes). Returns
+        ``{"orphan_files", "bytes_reclaimed"}``."""
+        meta = self._load_meta()
+        referenced: set[str] = set()
+        for s in meta["snapshots"]:
+            for mf in self._manifest_list(meta, s["snapshot-id"]):
+                _, _, entries = avro_io.read_container(
+                    _read_bytes(self.spark, mf["manifest_path"]))
+                referenced |= {self._fkey(e["data_file"]["file_path"])
+                               for e in entries}
+        cutoff = _now_ms() - older_than_ms
+        n = reclaimed = 0
+        for root in (f"{self.location}/data",
+                     f"{self.location}/_staging"):
+            if not _exists(self.spark, root):
+                continue
+            for fi in _list_files(self.spark, root):
+                if fi["mtime"] >= cutoff:
+                    continue
+                if self._fkey(_url_decode(fi["path"])) in referenced:
+                    continue
+                if _fs_delete(self.spark, fi["path"], best_effort=True):
+                    n += 1
+                    reclaimed += fi["length"]
+        return {"orphan_files": n, "bytes_reclaimed": reclaimed}
+
     def add_column(self, name: str, dtype: T.DataType) -> int:
         """Schema evolution: ADD a nullable column (metadata-only — zero
         data files touched, the Iceberg ``ALTER TABLE ADD COLUMN``). The

@@ -1697,3 +1697,34 @@ def test_stream_sink_upsert_mode(spark, tmp_path):
         == {200}
     with pytest.raises(ValueError, match="key"):
         IcebergStreamSink(t, "x", mode="upsert")
+
+
+# ------------------------------------------------------- orphan cleanup ---
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crashed-commit debris (staged files, promoted-but-uncommitted
+    parquet) sweeps away; every referenced file — including ones only an
+    OLD snapshot references — survives; fresh files survive the grace
+    window."""
+    t = _vt(spark, tmp_path, "orph", [(0, 10), (10, 20)])
+    s1 = t.current_snapshot_id()
+    t.delete_rows("v = 3", mode="mor")   # a delete file must survive too
+    loc = t.location
+    # simulate a crashed commit: leftover staging dir + a stray promoted
+    # file no manifest references
+    stray = spark.createDataFrame([("zz", 999)], V_SCHEMA)
+    stray.coalesce(1).write.parquet(f"{loc}/_staging/deadbeef")
+    stray.coalesce(1).write.parquet(f"{loc}/data/deadd00d-orphan")
+    pre = t.read().count()
+    # grace window keeps everything (files are seconds old)
+    r0 = t.remove_orphan_files()
+    assert r0["orphan_files"] == 0
+    # zero grace sweeps only the unreferenced debris
+    r = t.remove_orphan_files(older_than_ms=0)
+    assert r["orphan_files"] >= 2 and r["bytes_reclaimed"] > 0
+    assert t.read().count() == pre
+    assert t.read(snapshot_id=s1).count() == 20      # old snapshot intact
+    got = {x["v"] for x in t.read().collect()}
+    assert got == set(range(20)) - {3}
+    # idempotent
+    assert t.remove_orphan_files(older_than_ms=0)["orphan_files"] == 0
