@@ -1930,6 +1930,77 @@ def q_i10_mor_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i11_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 governance: WRITE-AUDIT-PUBLISH over BRANCH refs
+    (``PyIcebergTable.branch`` / ``fast_forward`` — the staging pattern a
+    validation engine exists for). Batch 1 commits to main; batch 2
+    stages on an ``audit`` branch (main readers must NOT see it), is
+    audited via ``read(ref='audit')``, and fast-forward publishes; batch
+    3 stages on a second branch, fails its audit (doc_id >= 900 rows are
+    'bad') and the branch is dropped — its rows must never reach main.
+    The result is the final main read, with ``staged_invisible`` pinning
+    that main's row count while batch 2 was staged was still batch 1's.
+    Values match only if branch commits never leak into main, publish is
+    exactly the branch head, and the rejected branch left no trace."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icewap_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 200))
+    n_main_before = t.read().count()
+    t.branch("audit")
+    t.append(docs.where((F.col("doc_id") >= 200)
+                        & (F.col("doc_id") < 400)), branch="audit")
+    staged_invisible = t.read().count() == n_main_before
+    # audit passes (the staged batch has no doc_id >= 900) -> publish
+    assert t.read(ref="audit").where(F.col("doc_id") >= 900).count() == 0
+    t.fast_forward("main", "audit")
+    # a second staged batch FAILS its audit and is rejected
+    t.branch("audit2")
+    t.append(docs.where(F.col("doc_id") >= 900), branch="audit2")
+    if t.read(ref="audit2").where(F.col("doc_id") >= 900).count() > 0:
+        t.drop_branch("audit2")
+    out = (t.read()
+           .withColumn("staged_invisible", F.lit(bool(staged_invisible)))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_i12_rename_widen(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 evolution: metadata-only column RENAME + TYPE WIDENING
+    (``rename_column`` / ``widen_column`` — zero files rewritten). Batch 1
+    commits under ``(doc_id, lang, source, n_chars:long)``; ``n_chars``
+    renames to ``char_count``; batch 2 carries the new name. The read
+    reconstructs ONE column from the mixed-name files (coalesce over the
+    field's name history); values match only if no row lost its value to
+    the rename and new files resolve under the new name."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_iceren_") + "/docs"
+    t = PyIcebergTable.create(spark, loc, docs.schema)
+    t.append(docs.where(F.col("doc_id") < 200))
+    t.rename_column("n_chars", "char_count")
+    t.append(docs.where(F.col("doc_id") >= 200)
+             .withColumnRenamed("n_chars", "char_count"))
+    out = (t.read()
+           .select("doc_id", "lang", "source", "char_count")
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     """C1/C2 maintained INCREMENTALLY (``IncrementalProfiler``): docs
     commit in three appends; each ``update()`` scans only that delta and
@@ -2308,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i8_partition_evolution": q_i8_partition_evolution,
         "i9_mor_delete": q_i9_mor_delete,
         "i10_mor_upsert": q_i10_mor_upsert,
+        "i11_wap_publish": q_i11_wap_publish,
+        "i12_rename_widen": q_i12_rename_widen,
         "c10_incremental_profile": q_c10_incremental_profile,
     }
 
@@ -2852,6 +2925,21 @@ def oracle_sql() -> dict[str, str]:
         # i10: merge-on-read upsert — final state after two row-delta
         # batches (doc_id%5 bumped +1000, then doc_id%10 re-bumped +5000:
         # the newer version wins), inserts 200-204 appended
+        # i11: write-audit-publish — main ends with batch 1 + the
+        # published audit batch (doc_id < 400); the rejected branch's
+        # rows (doc_id >= 900) never reach main; staged_invisible pins
+        # that staging did not leak into main pre-publish
+        "i11_wap_publish": """
+            SELECT doc_id, lang, source, n_chars,
+                   TRUE AS staged_invisible
+            FROM documents WHERE doc_id < 400
+            ORDER BY doc_id""",
+        # i12: metadata-only rename (+ the widened long type) — one
+        # logical column reconstructed across mixed-name files
+        "i12_rename_widen": """
+            SELECT doc_id, lang, source, n_chars AS char_count
+            FROM documents WHERE doc_id < 400
+            ORDER BY doc_id""",
         "i10_mor_upsert": """
             SELECT doc_id, source,
                    CASE WHEN doc_id % 10 = 0 AND doc_id < 200

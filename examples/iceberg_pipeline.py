@@ -24,6 +24,7 @@ import tempfile
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 from fhir_data_validation_spark import (EngineConfig, RuleSet,  # noqa: E402
                                         ValidationEngine)
@@ -165,6 +166,27 @@ def main() -> None:
     print(f"incremental profile: {first['mode']} then {second['mode']} "
           f"(second pass scanned ONLY the new snapshot's files)")
     prof.profile().where("column = 'n_tok'").orderBy("group").show()
+
+    # -- 11. write-audit-publish: the engine gates what becomes visible -----
+    table.branch("audit")
+    table.append(dirty_token_table(spark, 300, seed=7).drop("_row_id"),
+                 branch="audit")
+    audit = engine.validate(table.read(ref="audit"))
+    bad = audit.violations.where("severity = 'error'").count()
+    if bad == 0:
+        table.fast_forward("main", "audit")
+        print("WAP: audit passed -> published to main")
+    else:
+        table.drop_branch("audit")
+        print(f"WAP: audit FAILED ({bad} error rows) -> branch dropped; "
+              f"main never saw the batch")
+
+    # -- 12. metadata-only rename + widen ------------------------------------
+    table.rename_column("n_tok", "tok_count")
+    table.widen_column("tok_count", T.LongType())
+    print(f"renamed+widened: {table.schema().simpleString()} "
+          f"(zero files rewritten; mixed-name files reconstruct via "
+          f"coalesce) rows={table.read().count()}")
     spark.stop()
 
 

@@ -35,11 +35,24 @@ What is real here (all executed in tests):
   at planning time, including (lo, hi) ranges on order-preserving
   transforms.
 
+* merge-on-read row-level ops (position + equality delete files), with
+  compaction materializing the delete debt;
+* BRANCH refs and fast-forward publish — the write-audit-publish (WAP)
+  staging pattern (:meth:`PyIcebergTable.branch` /
+  :meth:`PyIcebergTable.fast_forward`);
+* optimistic-concurrency commits: metadata-version CAS via
+  write-if-absent, with sequence-number inheritance (spec 'Sequence
+  Number Inheritance') so a lost race REBASES a pure append onto the new
+  head and retries — only the manifest list rewrites, never data files
+  or manifests; snapshot-scoped operations (COW delete/merge, compact)
+  surface :class:`CommitConflictError` instead of silently rebasing.
+
 Non-goals (use the real runtime via ``sources/iceberg.py`` on a cluster):
-merge-on-read (position/equality delete files), column rename/retype,
-catalogs beyond the path-based Hadoop layout, and concurrent-writer
-commit arbitration (optimistic metadata-version CAS is approximated by
-write-if-absent).
+column rename/retype beyond :meth:`PyIcebergTable.rename_column` /
+:meth:`PyIcebergTable.widen_column`, catalog services beyond the
+path-based Hadoop layout, and cross-process distributed locking (the CAS
+primitive is atomic on HDFS create; object stores want a conditional-put
+backend).
 """
 
 from __future__ import annotations
@@ -59,6 +72,15 @@ from pyspark.sql import types as T
 from . import avro_io
 
 FORMAT_VERSION = 2
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the metadata version this commit was built
+    on. Append commits rebase and retry automatically (optimistic
+    concurrency — see :meth:`PyIcebergTable._commit_entries`); operations
+    whose correctness depends on the snapshot they scanned (COW deletes /
+    merges, compaction, metadata rewrites) surface this for the caller to
+    re-run against the new table state."""
 
 
 # ----------------------------------------------------------- FS utilities --
@@ -576,7 +598,17 @@ class PyIcebergTable:
         hint = f"{self._meta_dir}/version-hint.text"
         if not _exists(self.spark, hint):
             raise FileNotFoundError(f"no Iceberg table at {self.location}")
-        return int(_read_bytes(self.spark, hint).decode().strip())
+        v = int(_read_bytes(self.spark, hint).decode().strip())
+        # the hint is advisory (real Hadoop-catalog semantics): a writer
+        # that crashed between creating vN+1 and updating the hint — or a
+        # lost race between two hint writes — leaves it stale. The version
+        # FILES are the CAS ground truth, so probe forward to the newest
+        # one; committing against a stale version would fail the
+        # write-if-absent check and spuriously conflict.
+        while _exists(self.spark,
+                      f"{self._meta_dir}/v{v + 1}.metadata.json"):
+            v += 1
+        return v
 
     def _load_meta(self) -> dict:
         return self._load_meta_versioned()[0]
@@ -593,17 +625,33 @@ class PyIcebergTable:
         return meta, v
 
     def _commit_meta(self, meta: dict, old_version: int) -> None:
+        """Publish ``meta`` as version ``old_version + 1`` via
+        write-if-absent CAS on the version file. Raises
+        :class:`CommitConflictError` when another writer won the version —
+        the caller decides whether the operation is rebase-safe (see
+        :meth:`_commit_entries`). The create-with-overwrite=false is the
+        atomic primitive on HDFS; on local/object stores the pre-check
+        narrows the race window and the retry loop absorbs the rest."""
         new_v = old_version + 1
         path = f"{self._meta_dir}/v{new_v}.metadata.json"
         if _exists(self.spark, path):
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"concurrent commit detected: {path} already exists")
         meta.setdefault("metadata-log", []).append(
             {"timestamp-ms": _now_ms(),
              "metadata-file": f"{self._meta_dir}/v{old_version}"
                               ".metadata.json"})
-        _write_bytes(self.spark, path,
-                     json.dumps(meta, indent=2).encode(), overwrite=False)
+        try:
+            _write_bytes(self.spark, path,
+                         json.dumps(meta, indent=2).encode(),
+                         overwrite=False)
+        except Exception as exc:               # create(overwrite=false) lost
+            meta["metadata-log"].pop()         # keep meta reusable for rebase
+            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+                raise CommitConflictError(
+                    f"concurrent commit detected: lost the create race "
+                    f"for {path}") from exc
+            raise
         _write_bytes(self.spark, f"{self._meta_dir}/version-hint.text",
                      str(new_v).encode())
 
@@ -701,7 +749,8 @@ class PyIcebergTable:
 
     def append(self, df: DataFrame,
                summary_extra: dict[str, str] | None = None,
-               properties_extra: dict[str, str] | None = None) -> int:
+               properties_extra: dict[str, str] | None = None,
+               branch: str = "main") -> int:
         """Append commit: parquet data files + one new manifest; the new
         snapshot's manifest list = previous list + the new manifest.
         Returns the new snapshot id. ``summary_extra`` adds caller keys to
@@ -715,7 +764,8 @@ class PyIcebergTable:
         properties map forward)."""
         return self._commit(df, operation="append",
                             summary_extra=summary_extra,
-                            properties_extra=properties_extra)
+                            properties_extra=properties_extra,
+                            branch=branch)
 
     def overwrite(self, df: DataFrame) -> int:
         """Overwrite commit: the new snapshot's manifest list contains ONLY
@@ -967,7 +1017,7 @@ class PyIcebergTable:
         skip-index prune."""
         triples = [(e["data_file"]["file_path"], sid, sp)
                    for e, sid, sp in live]
-        return dict(self._stats_skip(triples, stats_filter))
+        return dict(self._stats_skip(triples, stats_filter, meta))
 
     def _probe_affected(self, meta: dict, candidates: dict[str, int],
                         match_fn, delete_entries: list | None = None,
@@ -1213,6 +1263,96 @@ class PyIcebergTable:
         meta["last-updated-ms"] = _now_ms()
         self._commit_meta(meta, old_version)
 
+    def branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a named BRANCH ref (Iceberg branching): an independent
+        line of commits starting at ``snapshot_id`` (default: the current
+        main head; ``-1`` on an empty table, so the very first batch can
+        be staged off-main too). ``append(df, branch=name)`` then commits
+        to the branch WITHOUT moving what readers see; ``read(ref=name)``
+        audits it; :meth:`fast_forward` publishes it. This is the
+        write-audit-publish (WAP) pattern — the native shape for a
+        validation engine: stage a batch, run the rule set against the
+        staged snapshot, and only a passing verdict makes it visible.
+        Returns the snapshot id the branch starts at."""
+        if name == "main":
+            raise ValueError("'main' already exists")
+        meta, old_version = self._load_meta_versioned()
+        if name in meta.get("refs", {}):
+            raise ValueError(f"ref {name!r} already exists "
+                             f"({meta['refs'][name]['type']})")
+        sid = (meta["current-snapshot-id"] if snapshot_id is None
+               else self._snapshot(meta, snapshot_id)["snapshot-id"])
+        meta.setdefault("refs", {})[name] = {"snapshot-id": sid,
+                                             "type": "branch"}
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        """Drop a branch ref (e.g. a failed-audit staging branch). The
+        branch's snapshots stay in metadata until
+        :meth:`expire_snapshots` reclaims them as non-ancestors — exactly
+        how a rejected WAP batch's files get cleaned up."""
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        meta, old_version = self._load_meta_versioned()
+        if meta["refs"].get(name, {}).get("type") != "branch":
+            raise ValueError(f"no branch named {name!r}")
+        del meta["refs"][name]
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+
+    def fast_forward(self, name: str, to: str) -> int:
+        """Fast-forward ref ``name`` to branch ``to``'s head (Iceberg's
+        ``fast_forward`` procedure — the PUBLISH step of
+        write-audit-publish). Requires ``name``'s head to be an ancestor
+        of ``to``'s head (true whenever the audit branch was created from
+        ``name`` and only the branch committed since); a diverged target
+        raises instead of silently dropping commits. Fast-forwarding
+        ``main`` makes the audited snapshots visible to every reader
+        atomically. Returns the new head snapshot id."""
+        meta, old_version = self._load_meta_versioned()
+        to_ref = meta.get("refs", {}).get(to)
+        if to_ref is None or to_ref.get("type") != "branch":
+            raise ValueError(f"no branch named {to!r}")
+        target = to_ref["snapshot-id"]
+        if target == -1:
+            raise ValueError(f"branch {to!r} has no commits")
+        if name == "main":
+            head = meta["current-snapshot-id"]
+        else:
+            ref = meta.get("refs", {}).get(name)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"no branch named {name!r}")
+            head = ref["snapshot-id"]
+        if head == target:
+            return target
+        ancestors = {s["snapshot-id"]
+                     for s in self._ancestors(meta, target)}
+        if head != -1 and head not in ancestors:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: its head {head} is not an "
+                f"ancestor of {to!r}'s head {target} (diverged — rebase "
+                f"or re-stage the branch)")
+        now = _now_ms()
+        meta.setdefault("refs", {})[name] = {"snapshot-id": target,
+                                             "type": "branch"}
+        if name == "main":
+            meta["current-snapshot-id"] = target
+            # main's history log gains every published snapshot in chain
+            # order, exactly as if they had committed to main directly
+            chain = [s for s in self._ancestors(meta, target)
+                     if s["snapshot-id"] not in
+                     ({head} | ({s2["snapshot-id"] for s2 in
+                                 self._ancestors(meta, head)}
+                                if head != -1 else set()))]
+            for s in reversed(chain):
+                meta["snapshot-log"].append(
+                    {"timestamp-ms": now, "snapshot-id": s["snapshot-id"]})
+        meta["last-updated-ms"] = now
+        self._commit_meta(meta, old_version)
+        return target
+
     def _resolve_ref(self, meta: dict, ref: str) -> int:
         r = meta["refs"].get(ref)
         if r is None:
@@ -1394,6 +1534,105 @@ class PyIcebergTable:
         self._commit_meta(meta, old_version)
         return new_id
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Schema evolution: RENAME a column (metadata-only — Iceberg's
+        ``ALTER TABLE RENAME COLUMN``). The field keeps its field-id; a
+        new schema entry becomes current. Real Iceberg resolves parquet
+        columns by embedded field-id, which makes rename free; Spark's
+        parquet reader resolves by NAME, so reads reconstruct the column
+        as ``coalesce()`` over the field's historical names (each data
+        file physically carries exactly one of them) — see
+        :meth:`_read_plan`. Time travel to pre-rename snapshots still
+        shows the old name (snapshots pin their schema-id).
+
+        Guard rails (each would silently corrupt a read otherwise):
+
+        * the new name may never collide with a name ANY schema version
+          gave a DIFFERENT field — the coalesce reconstruction could not
+          tell the two apart inside old files;
+        * identity-partition sources cannot rename (their values come
+          from directory names, which bear the old name on disk);
+        * columns named by a live equality-delete file's ``equality_ids``
+          cannot rename (the delete files store key columns under the old
+          name; compact first to materialize the delete debt).
+        """
+        meta, old_version = self._load_meta_versioned()
+        cur = _schema_by_id(meta)
+        field = next((f for f in cur["fields"] if f["name"] == old), None)
+        if field is None:
+            raise ValueError(f"column {old!r} not in schema "
+                             f"{[f['name'] for f in cur['fields']]}")
+        for s in meta["schemas"]:
+            clash = next((f for f in s["fields"] if f["name"] == new
+                          and f["id"] != field["id"]), None)
+            if clash is not None:
+                raise ValueError(
+                    f"cannot rename to {new!r}: schema "
+                    f"{s['schema-id']} used that name for a different "
+                    f"field (id {clash['id']}) — old data files are "
+                    f"ambiguous under name-based resolution")
+        for sp in meta["partition-specs"]:
+            for pf in sp["fields"]:
+                if (pf["source-id"] == field["id"]
+                        and pf["transform"] == "identity"):
+                    raise ValueError(
+                        f"cannot rename identity-partition source "
+                        f"{old!r}: partition directories on disk carry "
+                        f"the old name")
+        if meta["current-snapshot-id"] != -1:
+            for e, _, _ in self._live_delete_entries(meta):
+                ids = e["data_file"].get("equality_ids") or []
+                if field["id"] in ids:
+                    raise ValueError(
+                        f"cannot rename {old!r}: live equality-delete "
+                        f"files key on it under the old name — run "
+                        f"compact() first to materialize the deletes")
+        new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": new_id,
+             "fields": [({**f, "name": new} if f["id"] == field["id"]
+                         else f) for f in cur["fields"]]})
+        meta["current-schema-id"] = new_id
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return new_id
+
+    _WIDENINGS = {("int", "long"), ("float", "double")}
+
+    def widen_column(self, name: str, dtype: T.DataType) -> int:
+        """Schema evolution: WIDEN a column's type (metadata-only —
+        Iceberg's type-promotion rules: ``int → long``,
+        ``float → double``). The field keeps its id; old data files keep
+        their narrow physical type and Spark's parquet reader up-casts at
+        scan time (verified: the vectorized reader reads int32 pages into
+        a LongType request natively). Narrowing or unrelated retypes
+        raise. Returns the new schema-id."""
+        meta, old_version = self._load_meta_versioned()
+        cur = _schema_by_id(meta)
+        field = next((f for f in cur["fields"] if f["name"] == name), None)
+        if field is None:
+            raise ValueError(f"column {name!r} not in schema "
+                             f"{[f['name'] for f in cur['fields']]}")
+        new_t = _iceberg_type(dtype, _IdGen(10_000))
+        if not isinstance(field["type"], str) or not isinstance(new_t, str):
+            raise ValueError("widen_column supports primitive columns")
+        if new_t != field["type"] and \
+                (field["type"], new_t) not in self._WIDENINGS:
+            raise ValueError(
+                f"cannot retype {name!r} {field['type']} -> {new_t}: "
+                f"allowed promotions are int->long and float->double")
+        if new_t == field["type"]:
+            return meta["current-schema-id"]
+        new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": new_id,
+             "fields": [({**f, "type": new_t} if f["id"] == field["id"]
+                         else f) for f in cur["fields"]]})
+        meta["current-schema-id"] = new_id
+        meta["last-updated-ms"] = _now_ms()
+        self._commit_meta(meta, old_version)
+        return new_id
+
     def add_files(self, files_dir: str, operation: str = "append") -> int:
         """Register externally-written parquet files into a new snapshot
         WITHOUT copying them — the pure-Python analog of Iceberg's
@@ -1452,7 +1691,8 @@ class PyIcebergTable:
 
     def _commit(self, df: DataFrame, operation: str,
                 summary_extra: dict[str, str] | None = None,
-                properties_extra: dict[str, str] | None = None) -> int:
+                properties_extra: dict[str, str] | None = None,
+                branch: str = "main") -> int:
         meta, old_version = self._load_meta_versioned()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
@@ -1460,7 +1700,8 @@ class PyIcebergTable:
         return self._commit_entries(meta, old_version, entries, operation,
                                     snapshot_id, seq,
                                     summary_extra=summary_extra,
-                                    properties_extra=properties_extra)
+                                    properties_extra=properties_extra,
+                                    branch=branch)
 
     def _stage_data(self, meta: dict, df: DataFrame, snapshot_id: int,
                     seq: int) -> list[dict]:
@@ -1551,7 +1792,8 @@ class PyIcebergTable:
                         summary_extra: dict[str, str] | None = None,
                         properties_extra: dict[str, str] | None = None,
                         carry_previous: bool | None = None,
-                        carry_manifests: list[dict] | None = None) -> int:
+                        carry_manifests: list[dict] | None = None,
+                        branch: str = "main") -> int:
         # engine-level skip index (per-file column bounds) — a sidecar
         # JSON, deliberately NOT part of the Iceberg layout so the Avro
         # manifests stay strictly spec-shaped; the real-runtime analog is
@@ -1608,15 +1850,19 @@ class PyIcebergTable:
                 n_added += len(added)
                 added_rows += sum(e["data_file"]["record_count"]
                                   for e in added)
+            # explicit per-entry sequence numbers exist only on EXISTING
+            # (carried) entries; ADDED entries inherit the commit's — kept
+            # as None here so a rebase retry can re-stamp the final seq
+            min_explicit = min(
+                [e["sequence_number"] for e in sp_entries
+                 if e["sequence_number"] is not None], default=None)
             new_mfs.append({
                 "manifest_path": manifest_path,
                 "manifest_length": len(manifest_bytes),
                 "partition_spec_id": sp,
                 "content": mc,
-                "sequence_number": seq,
-                "min_sequence_number": min(
-                    [e["sequence_number"] for e in sp_entries if
-                     e["sequence_number"] is not None] or [seq]),
+                "sequence_number": None,            # stamped at publish
+                "min_sequence_number": min_explicit,  # None → publish seq
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(added),
                 "existing_files_count": len(existing),
@@ -1629,10 +1875,76 @@ class PyIcebergTable:
             })
         if carry_previous is None:
             carry_previous = operation == "append"
+
+        # Rebase safety: a pure append (every entry ADDED, data manifests
+        # only, previous state carried wholesale) commutes with any
+        # concurrent commit — the retry just replays it on the new head.
+        # Anything that carried EXISTING entries, delete manifests, or a
+        # caller-built manifest set encoded a decision about the snapshot
+        # it SCANNED; replaying it on a different head could resurrect
+        # deleted rows or drop a concurrent writer's files, so those
+        # surface CommitConflictError instead.
+        rebase_safe = (operation == "append" and carry_previous
+                       and carry_manifests is None and not n_del
+                       and all(mf["min_sequence_number"] is None
+                               for mf in new_mfs))
+        retries = 4
+        try:
+            retries = int(meta.get("properties", {}).get(
+                "commit.retry.num-retries", retries))
+        except (TypeError, ValueError):
+            pass
+
+        attempt = 0
+        while True:
+            try:
+                return self._publish_snapshot(
+                    meta, old_version, new_mfs, operation, snapshot_id,
+                    seq, n_added, added_rows, n_del, del_rows,
+                    summary_extra, properties_extra, carry_previous,
+                    carry_manifests, branch)
+            except CommitConflictError:
+                if not rebase_safe or attempt >= retries:
+                    raise
+                attempt += 1
+                time.sleep(min(0.05 * (2 ** attempt), 1.0))
+                meta, old_version = self._load_meta_versioned()
+                seq = meta["last-sequence-number"] + 1
+
+    def _publish_snapshot(self, meta: dict, old_version: int,
+                          new_mfs: list[dict], operation: str,
+                          snapshot_id: int, seq: int,
+                          n_added: int, added_rows: int,
+                          n_del: int, del_rows: int,
+                          summary_extra: dict[str, str] | None,
+                          properties_extra: dict[str, str] | None,
+                          carry_previous: bool,
+                          carry_manifests: list[dict] | None,
+                          branch: str) -> int:
+        """One publish attempt: stamp the final sequence number into the
+        new manifest-list records, write the manifest list against the
+        target branch's CURRENT head, and CAS the metadata version. Raises
+        :class:`CommitConflictError` on a lost race (the manifest list it
+        wrote is deleted best-effort; data files and manifests are
+        attempt-independent and carry into the retry)."""
+        if branch == "main":
+            base = meta["current-snapshot-id"]
+        else:
+            ref = meta.get("refs", {}).get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(
+                    f"no branch named {branch!r} — create it with "
+                    f".branch({branch!r}) before committing to it")
+            base = ref["snapshot-id"]
+        stamped = [{**mf, "sequence_number": seq,
+                    "min_sequence_number":
+                        seq if mf["min_sequence_number"] is None
+                        else mf["min_sequence_number"]}
+                   for mf in new_mfs]
         prev = []
-        if carry_previous and meta["current-snapshot-id"] != -1:
-            prev = self._manifest_list(meta, meta["current-snapshot-id"])
-        mlist = prev + list(carry_manifests or []) + new_mfs
+        if carry_previous and base != -1:
+            prev = self._manifest_list(meta, base)
+        mlist = prev + list(carry_manifests or []) + stamped
         mlist_path = (f"{self._meta_dir}/snap-{snapshot_id}-1-"
                       f"{uuid.uuid4().hex}.avro")
         _write_bytes(self.spark, mlist_path, avro_io.write_container(
@@ -1640,8 +1952,7 @@ class PyIcebergTable:
             metadata={"format-version": str(FORMAT_VERSION),
                       "snapshot-id": str(snapshot_id),
                       "sequence-number": str(seq),
-                      "parent-snapshot-id":
-                          str(meta["current-snapshot-id"])}))
+                      "parent-snapshot-id": str(base)}))
 
         now = _now_ms()
         snap = {
@@ -1658,21 +1969,31 @@ class PyIcebergTable:
                         **(summary_extra or {})},
             "schema-id": meta["current-schema-id"],
         }
-        if meta["current-snapshot-id"] != -1:
-            snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        if base != -1:
+            snap["parent-snapshot-id"] = base
         if properties_extra:
             meta.setdefault("properties", {}).update(
                 {str(k): str(v) for k, v in properties_extra.items()})
         meta["snapshots"].append(snap)
-        meta["snapshot-log"].append({"timestamp-ms": now,
-                                     "snapshot-id": snapshot_id})
-        meta["current-snapshot-id"] = snapshot_id
-        # advance ONLY the main branch ref — tags keep their pins
-        meta.setdefault("refs", {})["main"] = {"snapshot-id": snapshot_id,
+        meta.setdefault("refs", {})[branch] = {"snapshot-id": snapshot_id,
                                                "type": "branch"}
+        if branch == "main":
+            # only the main branch moves the table's current pointer and
+            # history log — a staging branch is invisible to readers until
+            # fast_forward publishes it (write-audit-publish)
+            meta["snapshot-log"].append({"timestamp-ms": now,
+                                         "snapshot-id": snapshot_id})
+            meta["current-snapshot-id"] = snapshot_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now
-        self._commit_meta(meta, old_version)
+        try:
+            self._commit_meta(meta, old_version)
+        except CommitConflictError:
+            # undo this attempt's meta mutation and manifest list so the
+            # rebase retry starts clean (data files/manifests are reused)
+            meta["snapshots"].pop()
+            _fs_delete(self.spark, mlist_path, best_effort=True)
+            raise
         return snapshot_id
 
     def _promote_files(self, tmp_dir: str, entries: list[dict]) -> None:
@@ -1754,8 +2075,13 @@ class PyIcebergTable:
             entries.append({
                 "status": 1,                       # ADDED
                 "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
+                # spec 'Sequence Number Inheritance': ADDED entries write
+                # null and inherit the manifest list's sequence number at
+                # read time — which is what lets an optimistic-concurrency
+                # rebase re-stamp a commit's final sequence WITHOUT
+                # rewriting the manifest Avro (only the manifest list)
+                "sequence_number": None,
+                "file_sequence_number": None,
                 # engine-side skip stats, NOT written into the (spec-shaped)
                 # manifest Avro — popped before serialization
                 "_bounds": bounds.get(base, {}),
@@ -1770,6 +2096,21 @@ class PyIcebergTable:
         return entries
 
     # -------------------------------------------------------------- reads --
+
+    def _manifest_entries_of(self, mf: dict) -> list[dict]:
+        """Entries of one manifest with SEQUENCE-NUMBER INHERITANCE
+        applied (spec: a null entry sequence number inherits the manifest
+        list record's) — every consumer of entry sequence numbers reads
+        through here so the inheritance rule has one home."""
+        _, _, entries = avro_io.read_container(
+            _read_bytes(self.spark, mf["manifest_path"]))
+        inherited = mf.get("sequence_number")
+        for e in entries:
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = inherited
+            if e.get("file_sequence_number") is None:
+                e["file_sequence_number"] = inherited
+        return entries
 
     def _snapshot(self, meta: dict, snapshot_id: int | None) -> dict:
         if snapshot_id is None:
@@ -1873,8 +2214,7 @@ class PyIcebergTable:
                 continue
             sp = mf["partition_spec_id"]
             spec_m = None if matchers is None else matchers.get(sp, {})
-            _, _, entries = avro_io.read_container(
-                _read_bytes(self.spark, mf["manifest_path"]))
+            entries = self._manifest_entries_of(mf)
             out += [(e, mf["added_snapshot_id"], sp) for e in entries
                     if e["status"] != 2            # not DELETED
                     and self._partition_match(e, spec_m)]
@@ -1890,8 +2230,7 @@ class PyIcebergTable:
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 1:
                 continue
-            _, _, entries = avro_io.read_container(
-                _read_bytes(self.spark, mf["manifest_path"]))
+            entries = self._manifest_entries_of(mf)
             out += [(e, mf["added_snapshot_id"], mf["partition_spec_id"])
                     for e in entries if e["status"] != 2]
         return out
@@ -1919,13 +2258,18 @@ class PyIcebergTable:
                 in self._live_entries(meta, snapshot_id, matchers)]
 
     def _stats_skip(self, pairs: list[tuple[str, int, int]],
-                    stats_filter: dict[str, tuple] | None
-                    ) -> list[tuple[str, int]]:
+                    stats_filter: dict[str, tuple] | None,
+                    meta: dict | None = None) -> list[tuple[str, int]]:
         """Drop files whose skip-index [min, max] cannot intersect the
         requested range; files without recorded bounds are kept. Returns
-        [(path, spec_id)]."""
+        [(path, spec_id)]. ``meta`` (when given) maps filter keys through
+        the column's historical names — bounds were recorded under the
+        name the file was WRITTEN with, so after a rename the current name
+        must also consult the old ones."""
         if not stats_filter:
             return [(p, sp) for p, _, sp in pairs]
+        hist = (self._name_history(meta) if meta is not None else
+                {c: [c] for c in stats_filter})
         idx: dict[str, dict] = {}
         for sid in {s for _, s, _ in pairs}:
             path = f"{self._meta_dir}/skipidx-{sid}.json"
@@ -1938,9 +2282,11 @@ class PyIcebergTable:
             ok = True
             for col, rng in stats_filter.items():
                 lo, hi = rng
-                if col not in bounds:
+                rec = next((n for n in hist.get(col, [col])
+                            if n in bounds), None)
+                if rec is None:
                     continue
-                fmin, fmax = bounds[col]
+                fmin, fmax = bounds[rec]
                 if fmin is None or fmax is None:
                     continue
                 try:
@@ -1992,11 +2338,18 @@ class PyIcebergTable:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR ref, not both")
             snapshot_id = self._resolve_ref(meta, ref)
+            if snapshot_id == -1:      # branch created on an empty table
+                return self._read_files(meta, [])
+        elif snapshot_id is None and meta["current-snapshot-id"] == -1:
+            # an empty MAIN is a normal state once branches exist (the
+            # first batches may be staging on an audit branch) — read as
+            # an empty typed frame, matching an empty-branch read
+            return self._read_files(meta, [])
         matchers = self._partition_matchers(meta, partition_filter)
         live = self._live_entries(meta, snapshot_id, matchers)
         pairs = [(e["data_file"]["file_path"], sid, sp)
                  for e, sid, sp in live]
-        files = self._stats_skip(pairs, stats_filter)
+        files = self._stats_skip(pairs, stats_filter, meta)
         # explicit time travel reads with the SNAPSHOT'S schema (Iceberg
         # semantics: a pre-evolution snapshot shows its own column set);
         # a current-state read always uses the CURRENT schema, even when
@@ -2010,6 +2363,56 @@ class PyIcebergTable:
         return self._read_files_mor(meta, files, sid, dels,
                                     self._seqs_of(live))
 
+    def _name_history(self, meta: dict,
+                      schema_id: int | None = None) -> dict[str, list[str]]:
+        """{requested-schema column name: [every name the field has borne
+        in schemas up to and including the requested one, current first]}.
+        Files visible in a snapshot were all written under schemas no
+        newer than the snapshot's, so later names cannot appear in them —
+        bounding the history keeps a time-travel read exact."""
+        sch = _schema_by_id(meta, schema_id)
+        req_id = sch["schema-id"]
+        older = sorted((s for s in meta["schemas"]
+                        if s["schema-id"] <= req_id),
+                       key=lambda s: -s["schema-id"])
+        hist: dict[str, list[str]] = {}
+        for f in sch["fields"]:
+            names = [f["name"]]
+            for s in older:
+                for g in s["fields"]:
+                    if g["id"] == f["id"] and g["name"] not in names:
+                        names.append(g["name"])
+            hist[f["name"]] = names
+        return hist
+
+    def _read_plan(self, meta: dict, schema_id: int | None = None
+                   ) -> tuple[T.StructType, list[Column] | None]:
+        """(request schema, post-read projection) honoring column RENAMES:
+        with no rename in the field-id history this is exactly the
+        declared schema and a ``None`` projection (the zero-cost fast
+        path). After a rename, the request schema asks parquet for EVERY
+        historical name of the field (each file physically carries one;
+        the others resolve to null — and old narrow types up-cast to the
+        current widened type natively) and the projection folds them with
+        ``coalesce`` back into the current name. Collisions are impossible
+        by construction: :meth:`rename_column` rejects any name ever used
+        by a different field."""
+        sch = _schema_by_id(meta, schema_id)
+        spark_sch = _spark_schema(sch)
+        hist = self._name_history(meta, schema_id)
+        if all(len(v) == 1 for v in hist.values()):
+            return spark_sch, None
+        req_fields, seen = [], set()
+        for f in spark_sch.fields:
+            for n in hist[f.name]:
+                if n not in seen:
+                    seen.add(n)
+                    req_fields.append(T.StructField(n, f.dataType, True))
+        proj = [F.coalesce(*[F.col(n) for n in hist[f.name]])
+                .alias(f.name) if len(hist[f.name]) > 1 else F.col(f.name)
+                for f in spark_sch.fields]
+        return T.StructType(req_fields), proj
+
     def _read_files(self, meta: dict, files: list[tuple[str, int]],
                     schema_id: int | None = None) -> DataFrame:
         # pin the reader to the DECLARED table schema: without it Spark
@@ -2018,15 +2421,18 @@ class PyIcebergTable:
         # schema() — real Iceberg resolves partition values from metadata.
         # Name-based parquet resolution makes schema evolution free here:
         # files older than an add_column read as null, files carrying a
-        # dropped column just skip it.
-        schema = _spark_schema(_schema_by_id(meta, schema_id))
+        # dropped column just skip it; renamed fields reconstruct via
+        # _read_plan's coalesce over their historical names.
+        schema, proj = self._read_plan(meta, schema_id)
         if not files:
-            # typed empty DF from the table schema — all-nullable to match
-            # what a real parquet scan returns, so empty and non-empty
-            # snapshots union cleanly
+            # typed empty DF from the DECLARED table schema (current
+            # names, not the superset request schema) — all-nullable to
+            # match what a real parquet scan returns, so empty and
+            # non-empty snapshots union cleanly
+            declared = _spark_schema(_schema_by_id(meta, schema_id))
             return self.spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
-                                  for f in schema.fields]))
+                                  for f in declared.fields]))
         # one scan per partition spec (files is [(path, spec_id)]): an
         # identity layout strips its partition column from the files and
         # needs basePath to re-derive it from the directory tree, while a
@@ -2042,6 +2448,8 @@ class PyIcebergTable:
             if pf and pf.identity:
                 reader = reader.option("basePath", f"{self.location}/data")
             df = reader.parquet(*[p for p, s in files if s == sp])
+            if proj is not None:
+                df = df.select(*proj)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -2080,7 +2488,7 @@ class PyIcebergTable:
         coordinates position deletes are expressed in. Both come from
         parquet scan metadata, so they survive shuffles (they are real
         columns, unlike ``input_file_name()``)."""
-        schema = _spark_schema(_schema_by_id(meta, schema_id))
+        schema, proj = self._read_plan(meta, schema_id)
         out = None
         for sp in sorted({s for _, s in files}):
             pf = self._part_field(meta, sp)
@@ -2091,6 +2499,8 @@ class PyIcebergTable:
                   .withColumn("_rk",
                               self._path_key(F.col("_metadata.file_path")))
                   .withColumn("_rpos", F.col("_metadata.row_index")))
+            if proj is not None:
+                df = df.select(*proj, F.col("_rk"), F.col("_rpos"))
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -2246,8 +2656,7 @@ class PyIcebergTable:
         for mf in self._manifest_list(meta, to_snap["snapshot-id"]):
             if mf["content"] != 0 or mf["sequence_number"] <= from_seq:
                 continue
-            _, _, entries = avro_io.read_container(
-                _read_bytes(self.spark, mf["manifest_path"]))
+            entries = self._manifest_entries_of(mf)
             files += [(e["data_file"]["file_path"],
                        mf["partition_spec_id"]) for e in entries
                       if e["status"] == 1
@@ -2350,8 +2759,7 @@ class PyIcebergTable:
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 0:
                 continue
-            _, _, entries = avro_io.read_container(
-                _read_bytes(self.spark, mf["manifest_path"]))
+            entries = self._manifest_entries_of(mf)
             for e in entries:
                 if e["status"] == 2:
                     continue

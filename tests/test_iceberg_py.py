@@ -272,10 +272,16 @@ def test_unpartitioned_table_and_schema_roundtrip(spark, tmp_path):
     t.append(_rows(spark, [("a", [1], 1, "web")]))
     assert t.read().count() == 1
     assert t.schema() == TOKENS_SCHEMA
-    # typed empty read from a created-but-empty table raises cleanly
+    # a created-but-empty table reads as a typed EMPTY frame (an empty
+    # main is a normal state once audit branches exist); explicit time
+    # travel on it still raises cleanly
+    empty = PyIcebergTable.create(spark, str(tmp_path / "empty"),
+                                  TOKENS_SCHEMA)
+    assert empty.read().count() == 0
+    assert [f.name for f in empty.read().schema.fields] == \
+        [f.name for f in TOKENS_SCHEMA.fields]
     with pytest.raises(ValueError, match="no snapshots"):
-        PyIcebergTable.create(spark, str(tmp_path / "empty"),
-                              TOKENS_SCHEMA).read()
+        empty._snapshot(empty._load_meta(), None)
 
 
 def test_empty_append_commits_empty_snapshot(spark, table):
@@ -1728,3 +1734,290 @@ def test_remove_orphan_files(spark, tmp_path):
     assert got == set(range(20)) - {3}
     # idempotent
     assert t.remove_orphan_files(older_than_ms=0)["orphan_files"] == 0
+
+
+# -------------------------------------- branches / WAP / concurrency ------
+
+def test_branch_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a batch staged on a branch is invisible to
+    main readers until fast_forward publishes it atomically."""
+    t = _vt(spark, tmp_path, "wap", [(0, 10)])
+    t.branch("audit")
+    t.append(spark.createDataFrame([("s1", 100), ("s2", 101)],
+                                   V_SCHEMA).coalesce(1), branch="audit")
+    # main unchanged, audit sees main's history + the staged batch
+    assert t.read().count() == 10
+    assert t.read(ref="audit").count() == 12
+    # snapshots() (main history) does not advance while staging
+    main_log_before = t._load_meta()["snapshot-log"]
+    published = t.fast_forward("main", "audit")
+    meta = t._load_meta()
+    assert meta["current-snapshot-id"] == published
+    assert t.read().count() == 12
+    # publish appends the branch's commits to main's history log
+    assert len(meta["snapshot-log"]) == len(main_log_before) + 1
+    # idempotent fast-forward
+    assert t.fast_forward("main", "audit") == published
+
+
+def test_branch_reject_drop_and_expire_reclaims(spark, tmp_path):
+    """A failed-audit branch is dropped; expire_snapshots then reclaims
+    the staged snapshot's data files (they are non-ancestors of main)."""
+    t = _vt(spark, tmp_path, "wap_rej", [(0, 5)])
+    t.branch("audit")
+    t.append(spark.createDataFrame([("bad", -1)], V_SCHEMA).coalesce(1),
+             branch="audit")
+    staged_sid = t._load_meta()["refs"]["audit"]["snapshot-id"]
+    staged_files = {r["file_path"]
+                    for r in t.files(snapshot_id=staged_sid).collect()}
+    main_files = {r["file_path"] for r in t.files().collect()}
+    bad_files = staged_files - main_files
+    assert bad_files
+    t.drop_branch("audit")
+    res = t.expire_snapshots(keep_last=5)      # main chain fully kept
+    assert res["snapshots"] == 1
+    from fhir_data_validation_spark.fsutil import exists
+    assert all(not exists(spark, p) for p in bad_files)
+    assert t.read().count() == 5               # main untouched
+
+
+def test_branch_on_empty_table_first_batch(spark, tmp_path):
+    t = PyIcebergTable.create(spark, str(tmp_path / "wap0"), V_SCHEMA)
+    t.branch("stage")
+    assert t.read(ref="stage").count() == 0    # typed empty frame
+    assert [f.name for f in t.read(ref="stage").schema.fields] == \
+        ["doc_id", "v"]
+    t.append(spark.createDataFrame([("a", 1)], V_SCHEMA).coalesce(1),
+             branch="stage")
+    assert t.read().count() == 0               # still unpublished
+    t.fast_forward("main", "stage")
+    assert t.read().count() == 1
+
+
+def test_fast_forward_diverged_raises(spark, tmp_path):
+    t = _vt(spark, tmp_path, "wap_div", [(0, 3)])
+    t.branch("audit")
+    t.append(spark.createDataFrame([("m", 50)], V_SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([("b", 60)], V_SCHEMA).coalesce(1),
+             branch="audit")
+    with pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("main", "audit")
+    # the branch itself can still be read and dropped
+    assert t.read(ref="audit").count() == 4
+    t.drop_branch("audit")
+
+
+def test_branch_validation_errors(spark, tmp_path):
+    t = _vt(spark, tmp_path, "wap_err", [(0, 2)])
+    with pytest.raises(ValueError, match="no branch"):
+        t.append(spark.createDataFrame([("x", 1)], V_SCHEMA),
+                 branch="nope")
+    t.tag("pin")
+    with pytest.raises(ValueError, match="already exists"):
+        t.branch("pin")                        # name collides with a tag
+    with pytest.raises(ValueError, match="no branch"):
+        t.fast_forward("main", "pin")          # tags are not branches
+    with pytest.raises(ValueError, match="cannot drop"):
+        t.drop_branch("main")
+
+
+def test_concurrent_appends_rebase_and_serialize(spark, tmp_path):
+    """Optimistic concurrency: simultaneous appends from independent
+    writers all land; sequence numbers serialize; no rows are lost."""
+    import threading
+
+    loc = str(tmp_path / "conc")
+    PyIcebergTable.create(spark, loc, V_SCHEMA)
+    errs = []
+    bar = threading.Barrier(3)
+
+    def writer(i):
+        try:
+            tt = PyIcebergTable(spark, loc)
+            df = spark.createDataFrame(
+                [(f"w{i}-{j}", i * 100 + j) for j in range(4)],
+                V_SCHEMA).coalesce(1)
+            bar.wait()
+            tt.append(df)
+        except Exception as exc:               # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = PyIcebergTable(spark, loc)
+    assert t.read().count() == 12
+    meta = t._load_meta()
+    assert sorted(s["sequence-number"] for s in meta["snapshots"]) == \
+        [1, 2, 3]
+    # parent links form one serialized chain
+    chain = t._ancestors(meta, meta["current-snapshot-id"])
+    assert len(chain) == 3
+
+
+def test_commit_conflict_simulated_rebase(spark, tmp_path, monkeypatch):
+    """A lost CAS race rebases the append onto the new head and retries —
+    without duplicating rows or manifests."""
+    from fhir_data_validation_spark.sources import iceberg_py as ice
+
+    t = _vt(spark, tmp_path, "conf", [(0, 3)])
+    real = ice.PyIcebergTable._commit_meta
+    calls = {"n": 0}
+
+    def flaky(self, meta, old_version):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ice.CommitConflictError("simulated")
+        return real(self, meta, old_version)
+
+    monkeypatch.setattr(ice.PyIcebergTable, "_commit_meta", flaky)
+    t.append(spark.createDataFrame([("x", 9)], V_SCHEMA).coalesce(1))
+    monkeypatch.setattr(ice.PyIcebergTable, "_commit_meta", real)
+    assert calls["n"] == 3
+    assert t.read().count() == 4
+    assert {r["v"] for r in t.read().collect()} == {0, 1, 2, 9}
+
+
+def test_commit_conflict_not_rebased_for_cow(spark, tmp_path, monkeypatch):
+    """COW row-level ops scanned a specific snapshot — a conflict must
+    surface, never silently rebase."""
+    from fhir_data_validation_spark.sources import iceberg_py as ice
+
+    t = _vt(spark, tmp_path, "conf_cow", [(0, 6)])
+
+    def always_conflict(self, meta, old_version):
+        raise ice.CommitConflictError("simulated")
+
+    monkeypatch.setattr(ice.PyIcebergTable, "_commit_meta", always_conflict)
+    with pytest.raises(ice.CommitConflictError):
+        t.delete_rows("v = 2")
+
+
+def test_sequence_number_inheritance_in_manifests(spark, tmp_path):
+    """ADDED entries write a NULL sequence number into the manifest Avro
+    (spec inheritance) and inherit the manifest list's at read time."""
+    t = _vt(spark, tmp_path, "inherit", [(0, 2), (2, 4)])
+    meta = t._load_meta()
+    for mf in t._manifest_list(meta, meta["current-snapshot-id"]):
+        _, _, raw = avro_io.read_container(
+            __import__("fhir_data_validation_spark.fsutil",
+                       fromlist=["read_bytes"]).read_bytes(
+                spark, mf["manifest_path"]))
+        assert all(e["sequence_number"] is None for e in raw
+                   if e["status"] == 1)
+        inherited = t._manifest_entries_of(mf)
+        assert all(e["sequence_number"] == mf["sequence_number"]
+                   for e in inherited if e["status"] == 1)
+    # the inherited numbers drive incremental() correctly
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    inc = t.incremental(snaps[0]["snapshot-id"], snaps[1]["snapshot-id"])
+    assert {r["v"] for r in inc.collect()} == {2, 3}
+
+
+def test_stale_version_hint_recovery(spark, tmp_path):
+    """A stale version-hint (crashed writer) is transparently recovered by
+    probing forward to the newest version file."""
+    from fhir_data_validation_spark.fsutil import write_bytes
+
+    t = _vt(spark, tmp_path, "stale", [(0, 2), (2, 5)])
+    assert t._current_version() == 3           # create + 2 appends
+    write_bytes(spark, f"{t._meta_dir}/version-hint.text", b"1")
+    assert t._current_version() == 3           # probed forward
+    assert t.read().count() == 5
+    t.append(spark.createDataFrame([("z", 99)], V_SCHEMA).coalesce(1))
+    assert t._current_version() == 4
+    assert t.read().count() == 6
+
+
+# --------------------------------------- rename / type-widening evolution --
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Rename is a metadata commit; files written under the old name keep
+    serving through the coalesce reconstruction, new files carry the new
+    name, and time travel shows each snapshot's own column set."""
+    t = _vt(spark, tmp_path, "ren", [(0, 3)])
+    s1 = t.current_snapshot_id()
+    t.rename_column("v", "val")
+    assert t.read().columns == ["doc_id", "val"]
+    assert {r["val"] for r in t.read().collect()} == {0, 1, 2}
+    # post-rename append mixes old-name and new-name files in one scan
+    t.append(spark.createDataFrame(
+        [("x", 9)], "doc_id string, val long").coalesce(1))
+    assert {r["val"] for r in t.read().collect()} == {0, 1, 2, 9}
+    # pre-rename snapshot time-travels with ITS name
+    assert t.read(snapshot_id=s1).columns == ["doc_id", "v"]
+    # rename back-and-forth keeps working (same field-id throughout)
+    t.rename_column("val", "v")
+    assert {r["v"] for r in t.read().collect()} == {0, 1, 2, 9}
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    sch = T.StructType([T.StructField("doc_id", T.StringType()),
+                        T.StructField("n", T.IntegerType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "wide"), sch)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], sch).coalesce(1))
+    t.widen_column("n", T.LongType())
+    t.append(spark.createDataFrame(
+        [("c", 1 << 40)], "doc_id string, n long").coalesce(1))
+    df = t.read()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert {r["n"] for r in df.collect()} == {1, 2, 1 << 40}
+    # widen is idempotent; narrowing raises
+    t.widen_column("n", T.LongType())
+    with pytest.raises(ValueError, match="allowed promotions"):
+        t.widen_column("n", T.IntegerType())
+    with pytest.raises(ValueError, match="allowed promotions"):
+        t.widen_column("doc_id", T.LongType())
+
+
+def test_rename_then_widen_full_lifecycle(spark, tmp_path):
+    """Rename + widen compose with COW delete, MOR delete and compact —
+    the mixed-name mixed-width files never leak into results."""
+    sch = T.StructType([T.StructField("doc_id", T.StringType()),
+                        T.StructField("n_tok", T.IntegerType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "rw"), sch,
+                              partition_by=("doc_id", "bucket[4]"))
+    t.append(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], sch))
+    t.rename_column("n_tok", "tok_count")
+    t.widen_column("tok_count", T.LongType())
+    t.append(spark.createDataFrame(
+        [("d", 4)], "doc_id string, tok_count long"))
+    # skip-index bounds recorded under the OLD name still prune/filter
+    assert t.read(stats_filter={"tok_count": (3, None)}).count() >= 2
+    t.delete_rows("tok_count = 2")               # COW across old files
+    t.delete_rows("tok_count = 1", mode="mor")   # MOR across old files
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["c", "d"]
+    t.compact()                                  # migrates to current name
+    assert sorted((r["doc_id"], r["tok_count"])
+                  for r in t.read().collect()) == [("c", 3), ("d", 4)]
+
+
+def test_rename_guards(spark, tmp_path):
+    sch = T.StructType([T.StructField("doc_id", T.StringType()),
+                        T.StructField("v", T.LongType()),
+                        T.StructField("source", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "reng"), sch,
+                              partition_by="source")
+    t.append(spark.createDataFrame([("a", 1, "web")], sch))
+    with pytest.raises(ValueError, match="different field"):
+        t.rename_column("v", "doc_id")
+    with pytest.raises(ValueError, match="identity-partition"):
+        t.rename_column("source", "src")
+    with pytest.raises(ValueError, match="not in schema"):
+        t.rename_column("nope", "x")
+    # a name once borne by ANOTHER field stays forbidden forever
+    t.rename_column("v", "val")
+    t.add_column("w", T.LongType())
+    with pytest.raises(ValueError, match="different field"):
+        t.rename_column("w", "v")
+    # equality-delete keys block rename until the debt materializes
+    t.delete_rows_eq(spark.createDataFrame([("a",)], "doc_id string"))
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.rename_column("doc_id", "id")
+    t.compact()
+    t.rename_column("doc_id", "id")
+    assert t.read().columns == ["id", "val", "source", "w"]
