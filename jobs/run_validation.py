@@ -52,6 +52,19 @@ def parse_args(argv=None):
                    help="pyiceberg only: validate ONLY data appended after "
                         "this snapshot id (incremental/delta validation, "
                         "up to --snapshot-id or the current snapshot)")
+    p.add_argument("--audit-branch", default=None, metavar="NAME",
+                   help="pyiceberg WRITE-AUDIT-PUBLISH gate: validate the "
+                        "named staging branch (read(ref=NAME)) instead of "
+                        "main; combine with --publish-on-pass / "
+                        "--drop-on-fail to gate visibility on the verdicts")
+    p.add_argument("--publish-on-pass", action="store_true",
+                   help="with --audit-branch: fast-forward main to the "
+                        "branch when every verdict passes (and no "
+                        "regression) — the PUBLISH step of WAP")
+    p.add_argument("--drop-on-fail", action="store_true",
+                   help="with --audit-branch: drop the branch when "
+                        "verdicts fail — the staged batch never becomes "
+                        "visible and expire_snapshots reclaims it")
     p.add_argument("--iceberg-lineage", action="store_true",
                    help="store lineage markers in a pyiceberg table with "
                         "MERGE-upsert semantics (under <output>/lineage_ice)"
@@ -126,6 +139,11 @@ def main(argv=None) -> int:
         session = SparkSession.builder.getOrCreate()
     spark = session
 
+    if args.audit_branch and args.input_format != "pyiceberg":
+        print("--audit-branch requires --input-format pyiceberg",
+              file=sys.stderr)
+        return 2
+
     if args.synth:
         df = dirty_token_table(spark, args.synth).drop("_row_id")
     elif args.input_format == "table":
@@ -136,9 +154,16 @@ def main(argv=None) -> int:
     elif args.input_format == "pyiceberg":
         from fhir_data_validation_spark.sources.iceberg_py import \
             PyIcebergTable
-        t = PyIcebergTable(spark, args.input)
+        wap_table = PyIcebergTable(spark, args.input)
+        t = wap_table
         snap = int(args.snapshot_id) if args.snapshot_id else None
-        if args.since_snapshot:
+        if args.audit_branch:
+            if snap or args.since_snapshot:
+                print("--audit-branch is exclusive with --snapshot-id / "
+                      "--since-snapshot", file=sys.stderr)
+                return 2
+            df = t.read(ref=args.audit_branch)
+        elif args.since_snapshot:
             # delta validation: only files appended after --since-snapshot
             df = t.incremental(int(args.since_snapshot), snap)
         else:
@@ -234,6 +259,17 @@ def main(argv=None) -> int:
     failed = verdicts.where(~verdicts.passed).count()
     print(json.dumps({"failed_verdicts": failed,
                       "regressions": regressed}))
+    if args.audit_branch:
+        # WRITE-AUDIT-PUBLISH: visibility is the verdict's to grant
+        if not failed and not regressed and args.publish_on_pass:
+            published = wap_table.fast_forward("main", args.audit_branch)
+            print(json.dumps({"wap": "published",
+                              "branch": args.audit_branch,
+                              "snapshot_id": published}))
+        elif (failed or regressed) and args.drop_on_fail:
+            wap_table.drop_branch(args.audit_branch)
+            print(json.dumps({"wap": "dropped",
+                              "branch": args.audit_branch}))
     if regressed:
         return 3
     return 1 if failed else 0

@@ -2021,3 +2021,49 @@ def test_rename_guards(spark, tmp_path):
     t.compact()
     t.rename_column("doc_id", "id")
     assert t.read().columns == ["id", "val", "source", "w"]
+
+
+def test_run_validation_cli_wap_gate(spark, tmp_path):
+    """CLI write-audit-publish gate: a failing staged batch drops its
+    branch (main never sees it); a passing one fast-forwards main."""
+    import json as _json
+    from jobs.run_validation import main
+
+    loc = str(tmp_path / "wapcli")
+    t = PyIcebergTable.create(spark, loc, TOKENS_SCHEMA,
+                              partition_by="source")
+    t.append(_rows(spark, [("d1", [1, 2], 2, "web")]))
+    rules = str(tmp_path / "rules.json")
+    with open(rules, "w") as f:
+        _json.dump({"rules": [{"id": "LEN-1", "type": "ArrayLength",
+                               "column": "tokens",
+                               "params": {"min": 1}}]}, f)
+
+    # 1. BAD batch staged -> audit fails -> branch dropped, main intact
+    t.branch("audit")
+    t.append(_rows(spark, [("bad", [], 0, "web")]), branch="audit")
+    rc = main(["--input", loc, "--input-format", "pyiceberg",
+               "--audit-branch", "audit", "--drop-on-fail",
+               "--publish-on-pass", "--no-resume",
+               "--rules", rules, "--output", str(tmp_path / "o1")])
+    assert rc == 1
+    assert t.read().count() == 1
+    assert "audit" not in t._load_meta()["refs"]
+
+    # 2. GOOD batch staged -> audit passes -> published to main
+    t.branch("audit")
+    t.append(_rows(spark, [("d2", [3], 1, "book")]), branch="audit")
+    rc = main(["--input", loc, "--input-format", "pyiceberg",
+               "--audit-branch", "audit", "--drop-on-fail",
+               "--publish-on-pass", "--no-resume",
+               "--rules", rules, "--output", str(tmp_path / "o2")])
+    assert rc == 0
+    assert t.read().count() == 2
+    meta = t._load_meta()
+    assert meta["refs"]["audit"]["snapshot-id"] == \
+        meta["current-snapshot-id"]
+
+    # guard: audit-branch without pyiceberg input
+    rc = main(["--input", str(tmp_path), "--audit-branch", "x",
+               "--output", str(tmp_path / "o3")])
+    assert rc == 2
