@@ -1752,6 +1752,45 @@ def q_i5_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_i13_multi_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 layout: MULTI-FIELD hidden partitioning — the canonical 100-TB
+    shape partitions on two dimensions in ONE spec
+    (``["source", ("doc_id", "bucket[4]")]`` →
+    ``source=web/doc_id_bucket=2/``). The query filters BOTH dimensions;
+    pruning composes (strictly fewer files than either filter alone
+    plans, pinned by ``pruned``). Values match only if rows route to the
+    right (source, bucket) leaf on write and both matchers compose on
+    read."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 600)
+            .select("doc_id", "lang", "source", "n_chars"))
+    loc = tempfile.mkdtemp(prefix="fdv_icemp_") + "/docs"
+    t = PyIcebergTable.create(
+        spark, loc, docs.schema,
+        partition_by=["source", ("doc_id", "bucket[4]")])
+    t.append(docs.repartition(8))
+    # ids chosen to land in bucket 1 of 4 under the spec murmur3 AND to
+    # belong to the filtered sources, so the bucket matcher composes real
+    # pruning on top of the source matcher and the result is non-empty
+    want = [21, 22, 62, 161, 181, 281, 282, 301, 402]
+    srcs = ["src1", "src2"]
+    sel = t.read(partition_filter={"source": srcs, "doc_id": want})
+    pruned = (len(sel.inputFiles())
+              < len(t.read(partition_filter={"source": srcs})
+                    .inputFiles()))
+    out = (sel.where(F.col("doc_id").isin(want)
+                     & F.col("source").isin(srcs))
+           .withColumn("pruned", F.lit(bool(pruned)))
+           .orderBy("doc_id"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
     """S1 layout: time-transform hidden partitioning. Events cluster into
     ``("ts", "day")`` partitions (epoch-day ordinals derived with exact
@@ -2381,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i10_mor_upsert": q_i10_mor_upsert,
         "i11_wap_publish": q_i11_wap_publish,
         "i12_rename_widen": q_i12_rename_widen,
+        "i13_multi_partition": q_i13_multi_partition,
         "c10_incremental_profile": q_c10_incremental_profile,
     }
 
@@ -2933,6 +2973,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars,
                    TRUE AS staged_invisible
             FROM documents WHERE doc_id < 400
+            ORDER BY doc_id""",
+        # i13: multi-field hidden partitioning — rows must route to the
+        # right (source, bucket) leaf and both partition matchers must
+        # compose; pruned pins that the two-dimensional filter planned
+        # fewer files than the source filter alone
+        "i13_multi_partition": """
+            SELECT doc_id, lang, source, n_chars, TRUE AS pruned
+            FROM documents
+            WHERE doc_id IN (21, 22, 62, 161, 181, 281, 282, 301, 402)
+              AND source IN ('src1', 'src2')
             ORDER BY doc_id""",
         # i12: metadata-only rename (+ the widened long type) — one
         # logical column reconstructed across mixed-name files

@@ -689,10 +689,35 @@ class PyIcebergTable:
         return {"name": pname, "transform": transform,
                 "source-id": src["id"], "field-id": field_id}
 
+    @staticmethod
+    def _partition_items(partition_by) -> list:
+        """Normalize a ``partition_by`` argument: ``None`` → no fields,
+        a string → one identity field, a ``(col, transform)`` 2-tuple →
+        one transformed field, a LIST → a multi-field spec whose items
+        are each a string, ``(col,)`` or ``(col, transform)``."""
+        if partition_by is None:
+            return []
+        if isinstance(partition_by, str):
+            return [partition_by]
+        if isinstance(partition_by, tuple):
+            return [partition_by]              # single (col, transform)
+        items = []
+        for it in partition_by:
+            if isinstance(it, tuple) and len(it) == 1:
+                items.append(it[0])
+            elif isinstance(it, (str, tuple)):
+                items.append(it)
+            else:
+                raise ValueError(f"bad partition_by item {it!r}")
+        names = [it if isinstance(it, str) else it[0] for it in items]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate partition source in {names}")
+        return items
+
     @classmethod
     def create(cls, spark: SparkSession, location: str,
                schema: T.StructType,
-               partition_by: str | tuple[str, str] | None = None
+               partition_by: str | tuple[str, str] | list | None = None
                ) -> "PyIcebergTable":
         """Create an empty v2 table. ``partition_by`` is either a column
         name (identity partitioning, as before) or ``(column, transform)``
@@ -704,14 +729,20 @@ class PyIcebergTable:
         column: ``read(partition_filter={"ts": (lo, hi)})`` maps the
         source predicate onto partition values at planning time — the
         mechanism that lets a 10^12-row table prune to one day / one hash
-        bucket without the query ever naming the layout."""
+        bucket without the query ever naming the layout.
+
+        A LIST builds a MULTI-FIELD spec — the canonical 100-TB layout
+        partitions on two dimensions at once, e.g.
+        ``partition_by=["source", ("ts", "day")]`` nests
+        ``source=web/ts_day=19723/`` so a read filtered on either (or
+        both) prunes at the manifest level."""
         t = cls(spark, location)
         ice_schema = _iceberg_schema(schema)
         last_col = ice_schema.pop("last-column-id")
-        spec_fields = []
-        if partition_by is not None:
-            spec_fields.append(cls._build_spec_field(
-                ice_schema["fields"], partition_by, 1000))
+        spec_fields = [cls._build_spec_field(ice_schema["fields"],
+                                             item, 1000 + i)
+                       for i, item in
+                       enumerate(cls._partition_items(partition_by))]
         meta = {
             "format-version": FORMAT_VERSION,
             "table-uuid": str(uuid.uuid4()),
@@ -723,7 +754,7 @@ class PyIcebergTable:
             "schemas": [ice_schema],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": 1000 if spec_fields else 999,
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -1057,23 +1088,25 @@ class PyIcebergTable:
         (snapshot_id, files_carried)."""
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-        pf = self._part_field(meta)
+        pfs = self._part_fields(meta)
 
         # never increase the file count: replacement ≤ affected (+extra
         # for inserts) write tasks
         n = max(1, min(len(affected) + extra_tasks,
                        self.spark.sparkContext.defaultParallelism))
-        if pf and not pf.identity:
-            replacement = replacement.withColumn(pf.name, pf.expr())
-        replacement = (replacement.repartition(n, pf.name) if pf
+        for pf in pfs:
+            if not pf.identity and pf.name not in replacement.columns:
+                replacement = replacement.withColumn(pf.name, pf.expr())
+        names = [pf.name for pf in pfs]
+        replacement = (replacement.repartition(n, *names) if pfs
                        else replacement.repartition(n))
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
         writer = replacement.write
-        if pf:
-            writer = writer.partitionBy(pf.name)
+        if pfs:
+            writer = writer.partitionBy(*names)
         writer.parquet(tmp_dir)
         new_entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
-                                             pf, replacement.schema)
+                                             pfs, replacement.schema)
         # a fully-deleted file leaves an empty replacement part — don't
         # register it (it dies with the staging dir)
         new_entries = [e for e in new_entries
@@ -1656,11 +1689,22 @@ class PyIcebergTable:
 
     def _part_field(self, meta: dict,
                     spec_id: int | None = None) -> "_PartField | None":
+        """First partition field (legacy single-field call sites — only
+        used where any field suffices); see :meth:`_part_fields`."""
         fields = _spec_by_id(meta, spec_id)["fields"]
         return _PartField(meta, fields[0]) if fields else None
 
+    def _part_fields(self, meta: dict,
+                     spec_id: int | None = None) -> list["_PartField"]:
+        """Every partition field of a spec, in spec order — a MULTI-FIELD
+        spec (e.g. ``[("source",), ("ts", "day")]``) nests its directory
+        tree ``source=web/ts_day=19723/`` and prunes on each dimension
+        independently."""
+        return [_PartField(meta, f)
+                for f in _spec_by_id(meta, spec_id)["fields"]]
+
     def update_partition_spec(
-            self, partition_by: str | tuple[str, str] | None) -> int:
+            self, partition_by: str | tuple[str, str] | list | None) -> int:
         """PARTITION EVOLUTION (metadata-only — the marquee Iceberg
         property: the layout changes, NOT the data): append a new default
         spec; data already written keeps its old spec and old directory
@@ -1676,10 +1720,10 @@ class PyIcebergTable:
         Returns the new spec-id."""
         meta, old_version = self._load_meta_versioned()
         fields = []
-        if partition_by is not None:
+        for item in self._partition_items(partition_by):
             fid = meta.get("last-partition-id", 999) + 1
             fields.append(self._build_spec_field(
-                _schema_by_id(meta)["fields"], partition_by, fid))
+                _schema_by_id(meta)["fields"], item, fid))
             meta["last-partition-id"] = fid
         new_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
         meta["partition-specs"].append({"spec-id": new_id,
@@ -1713,16 +1757,17 @@ class PyIcebergTable:
         A transform spec derives its partition value here (hidden
         partitioning: the source column stays IN the data files, the
         derived value only shapes the directory tree + manifests)."""
-        pf = self._part_field(meta)
+        pfs = self._part_fields(meta)
         tmp_dir = f"{self.location}/_staging/{uuid.uuid4().hex}"
-        if pf and not pf.identity and pf.name not in df.columns:
-            df = df.withColumn(pf.name, pf.expr())
+        for pf in pfs:
+            if not pf.identity and pf.name not in df.columns:
+                df = df.withColumn(pf.name, pf.expr())
         writer = df.write
-        if pf:
-            writer = writer.partitionBy(pf.name)
+        if pfs:
+            writer = writer.partitionBy(*[pf.name for pf in pfs])
         writer.parquet(tmp_dir)
         entries = self._manifest_entries(tmp_dir, snapshot_id, seq,
-                                         pf, df.schema)
+                                         pfs, df.schema)
         self._promote_files(tmp_dir, entries)
         return entries
 
@@ -2005,8 +2050,13 @@ class PyIcebergTable:
         # tmp_dir may be a bare path — strip the qualified prefix
         qtmp = fs.makeQualified(
             jvm.org.apache.hadoop.fs.Path(tmp_dir)).toString()
-        prefix = uuid.uuid4().hex[:8]
         for e in entries:
+            # a UNIQUE prefix PER FILE (not per commit): partitionBy
+            # reuses part-file basenames across partition dirs, and the
+            # whole engine keys files by their last two path segments —
+            # per-file prefixes keep that key unique even under nested
+            # multi-field partition trees
+            prefix = uuid.uuid4().hex[:8]
             src = e["data_file"]["file_path"]
             root = qtmp if src.startswith(qtmp) else tmp_dir
             rel = src[len(root):].lstrip("/")         # [part=val/]name.parquet
@@ -2021,9 +2071,26 @@ class PyIcebergTable:
             e["data_file"]["file_path"] = dst
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
 
+    @staticmethod
+    def _norm_path(p: str, decode: bool = False) -> str:
+        """Scheme-stripped path — the common form of an FS listing path
+        (``file:/tmp/x``) and a bare path (``/tmp/x``). An
+        ``input_file_name()`` URI is additionally percent-ENCODED relative
+        to what the filesystem shows (Hive-escaped partition dirs get a
+        second round of encoding), so that side passes ``decode=True`` for
+        exactly ONE unquote — decoding the listing side too would corrupt
+        paths whose on-disk names legitimately contain ``%``."""
+        if decode:
+            p = _url_decode(p)
+        head = p.split("/", 1)[0]
+        if head.endswith(":"):
+            p = p.split(":", 1)[1]
+        return "/" + p.lstrip("/")
+
     def _manifest_entries(self, files_dir: str, snapshot_id: int, seq: int,
-                          pf: "_PartField | None",
+                          pfs: "list[_PartField] | None",
                           schema: T.StructType) -> list[dict]:
+        pfs = pfs or []
         files = _list_files(self.spark, files_dir, ".parquet")
         if not files:
             # empty input (a routine no-new-data delta batch): commit an
@@ -2035,7 +2102,7 @@ class PyIcebergTable:
         # the top-level atomic columns and feed the skip index — the
         # engine-level analog of Iceberg's lower_bounds/upper_bounds.
         reader = self.spark.read
-        if pf:
+        if pfs:
             reader = reader.option("basePath", files_dir)
         bound_cols = [f.name for f in schema.fields
                       if isinstance(f.dataType, (T.NumericType,
@@ -2043,29 +2110,25 @@ class PyIcebergTable:
         aggs = [F.count(F.lit(1)).alias("n")]
         for c in bound_cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        # key by the LAST TWO path segments, not the basename: partitionBy
-        # writes the SAME part-file basename into every partition dir, so
-        # basename keys collide across partitions (each file would get the
-        # summed count of its namesakes)
-        segs = F.split(F.input_file_name(), "/")
-        fkey = F.concat_ws("/", F.element_at(segs, -2),
-                           F.element_at(segs, -1))
+        # key by the FULL normalized path: partitionBy writes the SAME
+        # part-file basename into every partition dir, and with a nested
+        # (multi-field) layout even the last TWO segments collide across
+        # sibling branches — only the whole path is unique pre-promotion
         stats_rows = (reader.parquet(files_dir)
-                      .groupBy(fkey.alias("f"))
+                      .groupBy(F.input_file_name().alias("f"))
                       .agg(*aggs)
                       .collect())
-        # input_file_name() returns a percent-encoded URI; the FS listing
-        # does not encode — normalize through unquote
-        counts = {_url_decode(r["f"]): r["n"] for r in stats_rows}
-        bounds = {_url_decode(r["f"]): {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
-                                        for c in bound_cols
-                                        if r[f"_lo_{c}"] is not None}
+        counts = {self._norm_path(r["f"], decode=True): r["n"]
+                  for r in stats_rows}
+        bounds = {self._norm_path(r["f"], decode=True):
+                  {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
+                   for c in bound_cols if r[f"_lo_{c}"] is not None}
                   for r in stats_rows}
         entries = []
         for fi in sorted(files, key=lambda x: x["path"]):
-            base = "/".join(fi["path"].rsplit("/", 2)[-2:])
+            base = self._norm_path(fi["path"])
             partition: dict[str, Any] = {}
-            if pf:
+            for pf in pfs:
                 seg = next(s for s in fi["path"].split("/")
                            if s.startswith(f"{pf.name}="))
                 raw = _url_decode(seg.split("=", 1)[1])
@@ -2441,15 +2504,20 @@ class PyIcebergTable:
         # After a partition evolution both kinds coexist — mixing them in
         # one reader would either lose the identity column or trip Spark's
         # conflicting-partition-discovery check.
+        declared = _spark_schema(_schema_by_id(meta, schema_id))
         out = None
         for sp in sorted({s for _, s in files}):
-            pf = self._part_field(meta, sp)
+            pfs = self._part_fields(meta, sp)
             reader = self.spark.read.schema(schema)
-            if pf and pf.identity:
+            if any(pf.identity for pf in pfs):
                 reader = reader.option("basePath", f"{self.location}/data")
             df = reader.parquet(*[p for p, s in files if s == sp])
-            if proj is not None:
-                df = df.select(*proj)
+            # basePath discovery APPENDS every partition-directory column
+            # (including transform dirs like ts_day=…, which are metadata
+            # only) and reorders identity columns to the end — project
+            # back to the declared schema
+            df = (df.select(*proj) if proj is not None
+                  else df.select(*[f.name for f in declared.fields]))
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -2489,18 +2557,21 @@ class PyIcebergTable:
         parquet scan metadata, so they survive shuffles (they are real
         columns, unlike ``input_file_name()``)."""
         schema, proj = self._read_plan(meta, schema_id)
+        declared = _spark_schema(_schema_by_id(meta, schema_id))
         out = None
         for sp in sorted({s for _, s in files}):
-            pf = self._part_field(meta, sp)
+            pfs = self._part_fields(meta, sp)
             reader = self.spark.read.schema(schema)
-            if pf and pf.identity:
+            if any(pf.identity for pf in pfs):
                 reader = reader.option("basePath", f"{self.location}/data")
             df = (reader.parquet(*[p for p, s in files if s == sp])
                   .withColumn("_rk",
                               self._path_key(F.col("_metadata.file_path")))
                   .withColumn("_rpos", F.col("_metadata.row_index")))
-            if proj is not None:
-                df = df.select(*proj, F.col("_rk"), F.col("_rpos"))
+            df = (df.select(*proj, F.col("_rk"), F.col("_rpos"))
+                  if proj is not None else
+                  df.select(*[f.name for f in declared.fields],
+                            F.col("_rk"), F.col("_rpos")))
             out = df if out is None else out.unionByName(df)
         return out
 

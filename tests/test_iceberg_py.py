@@ -2067,3 +2067,89 @@ def test_run_validation_cli_wap_gate(spark, tmp_path):
     rc = main(["--input", str(tmp_path), "--audit-branch", "x",
                "--output", str(tmp_path / "o3")])
     assert rc == 2
+
+
+# --------------------------------------------- multi-field partition specs --
+
+MF_SCHEMA = T.StructType([T.StructField("doc_id", T.StringType()),
+                          T.StructField("n", T.IntegerType()),
+                          T.StructField("source", T.StringType()),
+                          T.StructField("ts", T.TimestampType())])
+
+
+def _mf_rows(spark, rs):
+    return spark.createDataFrame(rs, MF_SCHEMA)
+
+
+def _mf_ts(d, h=0):
+    import datetime
+    return datetime.datetime(2024, 1, d, h)
+
+
+def test_multi_field_spec_prunes_each_dimension(spark, tmp_path):
+    """The canonical 100-TB layout — identity + day transform in ONE
+    spec: source=web/ts_day=19723/; a filter on either column (or both)
+    prunes at the manifest level."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "mf"), MF_SCHEMA,
+                              partition_by=["source", ("ts", "day")])
+    t.append(_mf_rows(spark, [
+        ("a", 1, "web", _mf_ts(1)), ("b", 2, "web", _mf_ts(2)),
+        ("c", 3, "book", _mf_ts(1)), ("d", 4, "book", _mf_ts(2))]))
+    full = t.read()
+    assert full.count() == 4
+    assert full.columns == ["doc_id", "n", "source", "ts"]
+    n_all = len(full.inputFiles())
+    web = t.read(partition_filter={"source": "web"})
+    assert web.count() == 2 and len(web.inputFiles()) < n_all
+    day1 = t.read(partition_filter={"ts": (_mf_ts(1), _mf_ts(1, 23))})
+    assert day1.count() == 2 and len(day1.inputFiles()) < n_all
+    both = t.read(partition_filter={"source": "web",
+                                    "ts": (_mf_ts(2), None)})
+    assert [(r["doc_id"], r["n"]) for r in both.collect()] == [("b", 2)]
+    assert len(both.inputFiles()) == 1
+
+
+def test_multi_field_spec_cow_mor_and_partitions_view(spark, tmp_path):
+    t = PyIcebergTable.create(spark, str(tmp_path / "mfl"), MF_SCHEMA,
+                              partition_by=["source", ("ts", "day")])
+    t.append(_mf_rows(spark, [
+        ("a", 1, "web", _mf_ts(1)), ("b", 2, "web", _mf_ts(2)),
+        ("c", 3, "book", _mf_ts(1))]))
+    t.delete_rows("n = 1")                     # COW keeps the nested layout
+    t.delete_rows("n = 3", mode="mor")         # MOR anti-join on top
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["b"]
+    parts = {r["partition"] for r in t.partitions().collect()}
+    assert any("ts_day" in p and "source" in p for p in parts)
+    # the layout survives a compaction
+    t.compact(target_files=2)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["b"]
+    files = t.read().inputFiles()
+    assert all("source=" in f and "ts_day=" in f for f in files)
+
+
+def test_partition_evolution_to_multi_field(spark, tmp_path):
+    """Evolving source-only → (source, day) is metadata-only; each
+    manifest prunes under the spec that shaped it."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "mfe"), MF_SCHEMA,
+                              partition_by="source")
+    t.append(_mf_rows(spark, [("x", 9, "web", _mf_ts(3))]))
+    t.update_partition_spec(["source", ("ts", "day")])
+    t.append(_mf_rows(spark, [("y", 8, "web", _mf_ts(4)),
+                              ("z", 7, "book", _mf_ts(4))]))
+    assert sorted(r["doc_id"] for r in t.read().collect()) == \
+        ["x", "y", "z"]
+    # source filter prunes under BOTH specs; ts filter only the new one
+    web = t.read(partition_filter={"source": "web"})
+    assert sorted(r["doc_id"] for r in web.collect()) == ["x", "y"]
+    day4 = t.read(partition_filter={"ts": (_mf_ts(4), None)})
+    # old-spec file has no ts_day dir -> conservatively kept
+    assert sorted(r["doc_id"] for r in day4.collect()) == ["x", "y", "z"]
+
+
+def test_partition_items_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="duplicate partition source"):
+        PyIcebergTable.create(spark, str(tmp_path / "bad"), MF_SCHEMA,
+                              partition_by=["source", ("source", "bucket[4]")])
+    with pytest.raises(ValueError, match="bad partition_by item"):
+        PyIcebergTable.create(spark, str(tmp_path / "bad2"), MF_SCHEMA,
+                              partition_by=[42])
