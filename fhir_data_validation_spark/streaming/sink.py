@@ -46,6 +46,11 @@ class IcebergStreamSink:
     appending to the same table must use distinct names (one shared name
     would make them skip each other's epochs).
 
+    ``branch=`` stages every micro-batch on a BRANCH ref instead of main
+    (write-audit-publish for streams): readers of the table see nothing
+    until :func:`audit_and_publish` validates the staged delta and
+    fast-forwards — the gate between "ingested" and "visible".
+
     ``mode="upsert"`` (with ``key=``) commits each micro-batch as a
     merge-on-read ROW DELTA instead (``merge_rows(mode='mor')``): the
     batch appends and an equality delete of its keys removes the old
@@ -55,16 +60,21 @@ class IcebergStreamSink:
 
     def __init__(self, table: PyIcebergTable, name: str = "sink",
                  mode: str = "append",
-                 key: str | list[str] | None = None):
+                 key: str | list[str] | None = None,
+                 branch: str = "main"):
         if mode not in ("append", "upsert"):
             raise ValueError(f"mode must be 'append' or 'upsert', "
                              f"got {mode!r}")
         if mode == "upsert" and not key:
             raise ValueError("upsert mode requires key=")
+        if branch != "main" and mode != "append":
+            raise ValueError("branch staging supports append mode only "
+                             "(a MOR row delta is snapshot-scoped)")
         self.table = table
         self.name = name
         self.mode = mode
         self.key = key
+        self.branch = branch
         self._summary_key = f"sink-{name}-epoch"
         self._prop_key = f"sink.{name}.epoch"
         self._last: int | None = None   # in-memory fast path per process
@@ -103,7 +113,7 @@ class IcebergStreamSink:
             self.table.merge_rows(batch_df, key=self.key, mode="mor",
                                   **marker)
         else:
-            self.table.append(batch_df, **marker)
+            self.table.append(batch_df, branch=self.branch, **marker)
         self._last = int(epoch_id)
 
 
@@ -111,7 +121,8 @@ def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
                           checkpoint_dir: str, name: str = "sink",
                           available_now: bool = True,
                           mode: str = "append",
-                          key: str | list[str] | None = None):
+                          key: str | list[str] | None = None,
+                          branch: str = "main"):
     """Start a streaming query appending ``stream_df`` into ``table`` —
     one append snapshot per micro-batch, replay-safe (see
     :class:`IcebergStreamSink`). ``available_now=True`` drains the
@@ -119,9 +130,60 @@ def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
     ``False`` runs continuously. Returns the ``StreamingQuery``."""
     writer = (stream_df.writeStream
               .foreachBatch(IcebergStreamSink(table, name, mode=mode,
-                                              key=key))
+                                              key=key, branch=branch))
               .option("checkpointLocation", checkpoint_dir)
               .queryName(f"iceberg-{name}"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def audit_and_publish(table: PyIcebergTable, engine, branch: str,
+                      publish_on_pass: bool = True,
+                      drop_on_fail: bool = True,
+                      staged_only: bool = True) -> dict:
+    """The AUDIT + PUBLISH half of write-audit-publish: validate what a
+    branch staged and gate its visibility on the verdicts.
+
+    With ``staged_only`` (default) the engine sees ONLY the rows the
+    branch added on top of main (an ``incremental`` read between the two
+    heads — at 10^12 rows the audit never rescans published history);
+    pass ``staged_only=False`` to re-validate the branch's full state.
+    A passing audit fast-forwards main to the branch head (atomic — the
+    staged snapshots become visible all at once); a failing one drops the
+    branch, so the bad batch never reaches a reader and
+    ``expire_snapshots`` reclaims its files. Either action is skipped when
+    its flag is False (dry-run auditing).
+
+    Returns ``{"passed", "action", "staged_rows", "result"}`` — ``result``
+    is the full :class:`~fhir_data_validation_spark.engine.ValidationResult`
+    (violations + verdicts) for reporting, and ``action`` is one of
+    ``"published"`` / ``"dropped"`` / ``None``.
+
+    The reference validates one bundle then returns an issue list
+    (``Core/ValidationPipeline.cs:486-604``); this is that same contract
+    lifted onto table refs: the bundle is a staged branch, the issue list
+    gates the publish."""
+    meta = table._load_meta()
+    ref = meta.get("refs", {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"no branch named {branch!r}")
+    main_head = meta["current-snapshot-id"]
+    branch_head = ref["snapshot-id"]
+    if branch_head == -1:
+        raise ValueError(f"branch {branch!r} has no commits to audit")
+    if staged_only and main_head != -1 and main_head != branch_head:
+        staged = table.incremental(main_head, branch_head)
+    else:
+        staged = table.read(ref=branch)
+    result = engine.validate(staged)
+    passed = result.passed()
+    action = None
+    if passed and publish_on_pass:
+        table.fast_forward("main", branch)
+        action = "published"
+    elif not passed and drop_on_fail:
+        table.drop_branch(branch)
+        action = "dropped"
+    return {"passed": passed, "action": action,
+            "staged_rows": staged.count(), "result": result}

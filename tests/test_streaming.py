@@ -518,3 +518,60 @@ def test_drift_stream_monitor_and_alert(spark, tmp_path):
     bd = batch_drift(shifted, baseline, "value").collect()[0]
     assert abs(bd["psi"] - hi) < 1e-9
     baseline.unpersist()
+
+
+def test_streaming_wap_stage_audit_publish(spark, tmp_path):
+    """Streaming write-audit-publish: micro-batches stage on a BRANCH
+    (readers of main see nothing), audit_and_publish validates ONLY the
+    staged delta and fast-forwards on pass / drops on fail."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import (audit_and_publish,
+                                                      write_stream_to_table)
+
+    schema = "doc_id string, n_tok int, source string"
+    base = spark.createDataFrame([("d0", 7, "web")], schema)
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"),
+                                  base.schema)
+    table.append(base.coalesce(1))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+
+    # 1. GOOD batch streams onto the branch -> invisible -> published
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame([("d1", 3, "web"), ("d2", 5, "book")],
+                          schema).write.parquet(src1)
+    table.branch("staged")
+    q = write_stream_to_table(
+        spark.readStream.schema(base.schema).parquet(src1), table,
+        str(tmp_path / "ck1"), name="wap", branch="staged")
+    q.awaitTermination(120)
+    assert table.read().count() == 1            # main untouched
+    gate = audit_and_publish(table, engine, "staged")
+    assert gate["passed"] and gate["action"] == "published"
+    assert gate["staged_rows"] == 2             # audited ONLY the delta
+    assert table.read().count() == 3
+
+    # 2. BAD batch streams onto a fresh branch -> dropped, main intact
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame([("dX", 0, "web")], schema).write.parquet(src2)
+    table.branch("staged2")
+    q2 = write_stream_to_table(
+        spark.readStream.schema(base.schema).parquet(src2), table,
+        str(tmp_path / "ck2"), name="wap2", branch="staged2")
+    q2.awaitTermination(120)
+    gate2 = audit_and_publish(table, engine, "staged2")
+    assert not gate2["passed"] and gate2["action"] == "dropped"
+    assert gate2["result"].violations.count() == 1
+    assert table.read().count() == 3
+    assert "staged2" not in table._load_meta()["refs"]
+
+    # branch staging rejects upsert mode (snapshot-scoped row delta)
+    from fhir_data_validation_spark.streaming import IcebergStreamSink
+    with pytest.raises(ValueError, match="append mode only"):
+        IcebergStreamSink(table, mode="upsert", key="doc_id",
+                          branch="staged3")
