@@ -1129,6 +1129,14 @@ class PyIcebergTable:
         for e, _sid, sp in live:
             path = e["data_file"]["file_path"]
             if path in affected:
+                # spec-faithful removal provenance: the commit's manifest
+                # records the rewritten file as a DELETED (status 2) entry
+                # with its original data sequence number, so entries() and
+                # third-party changelog readers see WHICH commit removed
+                # it. Read paths ignore status 2; expire/orphan collectors
+                # do not treat a DELETED entry as a live reference.
+                carried.append({**e, "status": 2, "_spec_id": sp,
+                                "_bounds": {}})
                 continue
             carried.append({**e, "status": 0, "_spec_id": sp,
                             "_bounds": old_bounds.get(path, {})})
@@ -1142,7 +1150,7 @@ class PyIcebergTable:
             summary_extra=summary_extra,
             properties_extra=properties_extra,
             carry_manifests=self._delete_manifest_records(meta, None))
-        return new_sid, len(carried)
+        return new_sid, sum(1 for e in carried if e["status"] == 0)
 
     def compact(self, target_files: int | None = None,
                 sort_by: list[str] | None = None,
@@ -1440,7 +1448,10 @@ class PyIcebergTable:
         for mf in kept_mfs.values():
             _, _, entries = avro_io.read_container(
                 _read_bytes(self.spark, mf["manifest_path"]))
-            live_files |= {e["data_file"]["file_path"] for e in entries}
+            # a DELETED (status 2) entry is removal provenance, not a live
+            # reference — it must not pin the dead file past expiry
+            live_files |= {e["data_file"]["file_path"] for e in entries
+                           if e["status"] != 2}
         dead_manifests = set(expired_mfs) - set(kept_mfs)
         dead_files: set[str] = set()
         for mp in dead_manifests:
@@ -1496,7 +1507,7 @@ class PyIcebergTable:
                 _, _, entries = avro_io.read_container(
                     _read_bytes(self.spark, mf["manifest_path"]))
                 referenced |= {self._fkey(e["data_file"]["file_path"])
-                               for e in entries}
+                               for e in entries if e["status"] != 2}
         cutoff = _now_ms() - older_than_ms
         n = reclaimed = 0
         for root in (f"{self.location}/data",
@@ -1887,6 +1898,7 @@ class PyIcebergTable:
             # incremental() stays correct
             added = [e for e in sp_entries if e["status"] == 1]
             existing = [e for e in sp_entries if e["status"] == 0]
+            deleted = [e for e in sp_entries if e["status"] == 2]
             if mc:
                 n_del += len(added)
                 del_rows += sum(e["data_file"]["record_count"]
@@ -1911,12 +1923,13 @@ class PyIcebergTable:
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(added),
                 "existing_files_count": len(existing),
-                "deleted_files_count": 0,
+                "deleted_files_count": len(deleted),
                 "added_rows_count": sum(e["data_file"]["record_count"]
                                         for e in added),
                 "existing_rows_count": sum(e["data_file"]["record_count"]
                                            for e in existing),
-                "deleted_rows_count": 0,
+                "deleted_rows_count": sum(e["data_file"]["record_count"]
+                                          for e in deleted),
             })
         if carry_previous is None:
             carry_previous = operation == "append"
@@ -2882,6 +2895,93 @@ class PyIcebergTable:
         return self.spark.createDataFrame(
             rows, "spec_id int, partition string, file_count long, "
                   "record_count long, total_size_bytes long")
+
+    def history(self) -> DataFrame:
+        """The ``<table>.history`` metadata view: the table's
+        made-current log — (made_current_at, snapshot_id, parent_id,
+        is_current_ancestor). One row per time a snapshot BECAME the
+        table head (appends, but also rollbacks and fast-forwards, so a
+        snapshot can appear more than once); ``is_current_ancestor``
+        false marks overwritten lines of history — the commits a
+        :meth:`rollback_to` abandoned. This is the audit trail of WHAT
+        readers saw WHEN, where :meth:`snapshots` is the unordered set of
+        states that exist."""
+        meta = self._load_meta()
+        cur = meta["current-snapshot-id"]
+        anc = ({s["snapshot-id"] for s in self._ancestors(meta, cur)}
+               if cur != -1 else set())
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        rows = [(log["timestamp-ms"], log["snapshot-id"],
+                 by_id.get(log["snapshot-id"], {}).get("parent-snapshot-id"),
+                 log["snapshot-id"] in anc)
+                for log in meta.get("snapshot-log", [])]
+        return self.spark.createDataFrame(
+            rows, "made_current_at long, snapshot_id long, parent_id long, "
+                  "is_current_ancestor boolean")
+
+    def refs(self) -> DataFrame:
+        """The ``<table>.refs`` metadata view: every named ref —
+        (name, type, snapshot_id). ``main`` is always present; tags pin
+        released datasets, branches carry staged write-audit-publish
+        batches. A branch ref sitting far behind ``main``'s sequence is a
+        stale audit branch wanting :meth:`drop_branch`."""
+        meta = self._load_meta()
+        rows = [(name, r["type"], r["snapshot-id"])
+                for name, r in sorted(meta.get("refs", {}).items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long")
+
+    def manifests(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.manifests`` metadata view: one row per manifest
+        of a snapshot, straight from its manifest list — path, length,
+        spec, content (0=data, 1=deletes), sequence numbers and
+        added/existing/deleted file+row counts. The fragmentation lens:
+        many small manifests with low added counts say
+        :meth:`rewrite_manifests`; live ``content=1`` rows say MOR debt."""
+        meta = self._load_meta()
+        snap = self._snapshot(meta, snapshot_id)
+        rows = [(mf["manifest_path"], mf["manifest_length"],
+                 mf["partition_spec_id"], mf["content"],
+                 mf["sequence_number"], mf["min_sequence_number"],
+                 mf["added_snapshot_id"], mf["added_files_count"],
+                 mf["existing_files_count"], mf["deleted_files_count"],
+                 mf["added_rows_count"], mf["existing_rows_count"],
+                 mf["deleted_rows_count"])
+                for mf in self._manifest_list(meta, snap["snapshot-id"])]
+        return self.spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, "
+                  "content int, sequence_number long, "
+                  "min_sequence_number long, added_snapshot_id long, "
+                  "added_files_count int, existing_files_count int, "
+                  "deleted_files_count int, added_rows_count long, "
+                  "existing_rows_count long, deleted_rows_count long")
+
+    def entries(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.entries`` metadata view: one row per manifest
+        ENTRY of a snapshot — including status 2 (DELETED) rows that
+        :meth:`files` hides — with the manifest's content kind and the
+        entry's own sequence numbers. The forensic view: which commit
+        added/removed which file, and which sequence number orders it
+        against merge-on-read deletes."""
+        meta = self._load_meta()
+        snap = self._snapshot(meta, snapshot_id)
+        rows = []
+        for mf in self._manifest_list(meta, snap["snapshot-id"]):
+            for e in self._manifest_entries_of(mf):
+                d = e["data_file"]
+                rows.append((e["status"], e.get("snapshot_id"),
+                             e.get("sequence_number"),
+                             e.get("file_sequence_number"),
+                             mf["content"], d["file_path"],
+                             d["file_format"],
+                             json.dumps(d["partition"], sort_keys=True,
+                                        default=str),
+                             d["record_count"], d["file_size_in_bytes"]))
+        return self.spark.createDataFrame(
+            rows, "status int, snapshot_id long, sequence_number long, "
+                  "file_sequence_number long, manifest_content int, "
+                  "file_path string, file_format string, partition string, "
+                  "record_count long, file_size_in_bytes long")
 
     def current_snapshot_id(self) -> int:
         sid = self._load_meta()["current-snapshot-id"]

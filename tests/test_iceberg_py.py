@@ -2153,3 +2153,53 @@ def test_partition_items_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="bad partition_by item"):
         PyIcebergTable.create(spark, str(tmp_path / "bad2"), MF_SCHEMA,
                               partition_by=[42])
+
+
+def test_metadata_views_history_refs_manifests_entries(spark, tmp_path):
+    """history / refs / manifests / entries metadata views: the audit
+    quartet. history records every made-current event (rollback rows
+    flagged non-ancestor), refs lists main + tags + branches, manifests
+    mirrors the manifest list, entries surfaces DELETED rows files()
+    hides — with inherited sequence numbers."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "mv"), TOKENS_SCHEMA)
+    s1 = t.append(_rows(spark, [("a", [1], 1, "web")]).coalesce(1))
+    s2 = t.append(_rows(spark, [("b", [2], 1, "web")]).coalesce(1))
+    t.tag("rel")
+    t.branch("staged")
+    s3 = t.append(_rows(spark, [("c", [3], 1, "web")]).coalesce(1))
+    t.rollback_to(s2)
+
+    h = t.history().orderBy("made_current_at", "snapshot_id").collect()
+    # s1, s2, s3 made current in order, then s2 again via rollback
+    assert [r["snapshot_id"] for r in h] == [s1, s2, s3, s2]
+    anc = {r["snapshot_id"]: r["is_current_ancestor"] for r in h}
+    assert anc[s1] and anc[s2] and not anc[s3]    # s3 abandoned
+    assert h[1]["parent_id"] == s1
+
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in t.refs().collect()}
+    assert refs["main"] == ("branch", s2)
+    assert refs["rel"] == ("tag", s2)
+    assert refs["staged"] == ("branch", s2)
+
+    m = t.manifests().collect()                   # head = s2: two appends
+    assert len(m) == 2 and all(r["content"] == 0 for r in m)
+    assert sorted(r["added_snapshot_id"] for r in m) == sorted([s1, s2])
+    assert all(r["added_files_count"] == 1 and r["added_rows_count"] == 1
+               for r in m)
+    assert all(r["length"] > 0 for r in m)
+
+    # entries at s3 include both live adds; after a COW delete the
+    # rewritten file shows as status=2 DELETED — which files() hides
+    t2 = PyIcebergTable.create(spark, str(tmp_path / "mv2"), TOKENS_SCHEMA)
+    t2.append(_rows(spark, [("a", [1], 1, "web"),
+                            ("b", [2], 1, "book")]))
+    t2.delete_rows("doc_id = 'a'")
+    e = t2.entries().collect()
+    statuses = sorted(r["status"] for r in e)
+    assert 2 in statuses                           # DELETED entry visible
+    live = [r for r in e if r["status"] != 2]
+    assert sum(r["record_count"] for r in live) == 1
+    assert all(r["sequence_number"] is not None for r in e)  # inherited
+    assert {r["file_format"] for r in e} == {"PARQUET"}
+    assert t2.files().count() == len(live)
