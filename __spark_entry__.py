@@ -215,6 +215,41 @@ def q_p5c_deep_repetition(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "idx", "inner_idx"))
 
 
+def q_nav1_json_pointer(spark: SparkSession, sf: str) -> DataFrame:
+    """Violation navigation (SmartPathNavigationService.cs:29-406 analog):
+    RFC 6901 JSON pointers + breadcrumbs over the nested-repetition
+    violations of p5b, computed by ``navigation.with_pointer`` — a pure
+    codegen projection over (column, detail) with zero extra shuffle."""
+    from fhir_data_validation_spark.navigation import with_pointer
+    li = load_table(spark, sf, "lineitem")
+    item = F.struct("l_linenumber", "l_quantity")
+    orders = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(
+                       F.when(F.col("l_linenumber") <= 3, item)))
+                   .alias("_lo"),
+                   F.sort_array(F.collect_list(
+                       F.when(F.col("l_linenumber") > 3, item)))
+                   .alias("_hi"),
+                   F.min("l_returnflag").alias("rflag"))
+              .select("l_orderkey", "rflag",
+                      F.array(F.struct(F.lit("lo").alias("name"),
+                                       F.col("_lo").alias("items")),
+                              F.struct(F.lit("hi").alias("name"),
+                                       F.col("_hi").alias("items")))
+                      .alias("groups")))
+    res = _validate(spark, orders,
+                    [{"id": "NAV-1", "type": "Range",
+                      "column": "groups[*].items[*].l_quantity",
+                      "params": {"min": 1, "max": 45, "perElement": True}}],
+                    key_col="l_orderkey", group_col="rflag")
+    out = with_pointer(res.violations, breadcrumb_col="crumb")
+    return (out.select("doc_id",
+                       F.col("detail")["index"].alias("idx"),
+                       F.col("detail")["innerIndex"].alias("inner_idx"),
+                       "json_pointer", "crumb")
+            .orderBy("doc_id", "idx", "inner_idx"))
+
+
 def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """RequiredResources closed-world cardinality: nations per region (A1),
     routed through the engine's ``group_cardinality_counts`` (the shared
@@ -2319,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_first_scope": q_p3_first_scope,
         "p5_nested_elements": q_p5_nested_elements,
         "p5b_nested_repetition": q_p5b_nested_repetition,
+        "nav1_json_pointer": q_nav1_json_pointer,
         "p5c_deep_repetition": q_p5c_deep_repetition,
         "a1_group_cardinality": q_a1_group_cardinality,
         "a4_summary": q_a4_summary,
@@ -2487,6 +2523,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS VARCHAR) AS value
             FROM it WHERE l_quantity < 1 OR l_quantity > 45
             ORDER BY doc_id, idx""",
+        "nav1_json_pointer": """
+            WITH it AS (
+              SELECT l_orderkey, l_quantity,
+                     CASE WHEN l_linenumber <= 3 THEN 0 ELSE 1 END AS gi,
+                     row_number() OVER (
+                       PARTITION BY l_orderkey, (l_linenumber <= 3)
+                       ORDER BY l_linenumber, l_quantity) - 1 AS j
+              FROM lineitem)
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(gi AS VARCHAR) AS idx,
+                   CAST(j AS VARCHAR) AS inner_idx,
+                   '/groups/' || gi || '/items/' || j || '/l_quantity'
+                     AS json_pointer,
+                   'groups[' || gi || '] > items[' || j ||
+                     '] > l_quantity' AS crumb
+            FROM it WHERE l_quantity < 1 OR l_quantity > 45
+            ORDER BY doc_id, idx, inner_idx""",
         "p5b_nested_repetition": """
             WITH it AS (
               SELECT l_orderkey, l_quantity,
