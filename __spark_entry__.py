@@ -710,6 +710,22 @@ def q_s1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_sd1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): spherical nearest-centroid cells +
+    within-cell keep-first cosine dedup (``similarity.semantic_dedup``).
+    Centroids pinned to the first four corpus vectors so the oracle derives
+    the identical partition; threshold 0.4 sits inside this corpus's
+    cosine range so the pairwise lane genuinely fires."""
+    from fhir_data_validation_spark.pipeline.similarity import semantic_dedup
+    emb = load_table(spark, sf, "embeddings")
+    cent = [r["embedding"] for r in
+            emb.where("vec_id < 4").orderBy("vec_id").collect()]
+    out = semantic_dedup(emb, 0.4, centroids=cent)
+    return (out.select("vec_id", "cell", "centroid_sim", "keep",
+                       F.col("dup_of").cast("string").alias("dup_of"))
+            .orderBy("vec_id"))
+
+
 def q_s2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer ANN (KMeans cells + probe-and-rerank). Probing
     every cell makes the candidate set the full corpus, so the result is
@@ -2389,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
+        "sd1_semantic_dedup": q_sd1_semantic_dedup,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
         "k1_pack_sequences": q_k1_pack_sequences,
@@ -2926,6 +2943,42 @@ def oracle_sql() -> dict[str, str]:
                        AS "rank"
               FROM s)
             WHERE "rank" <= 5 ORDER BY query_id, "rank" """,
+        "sd1_semantic_dedup": """
+            WITH cn AS (
+              SELECT CAST(vec_id AS INT) AS cell,
+                     list_transform(embedding::DOUBLE[], x -> x /
+                       greatest(sqrt(list_aggregate(list_transform(
+                         embedding::DOUBLE[], y -> y*y), 'sum')), 1e-12))
+                       AS nc
+              FROM embeddings WHERE vec_id < 4),
+            vn AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[], x -> x /
+                       greatest(sqrt(list_aggregate(list_transform(
+                         embedding::DOUBLE[], y -> y*y), 'sum')), 1e-12))
+                       AS nv
+              FROM embeddings),
+            sims AS (
+              SELECT v.vec_id, c.cell, list_dot_product(v.nv, c.nc) AS sim
+              FROM vn v CROSS JOIN cn c),
+            asg AS (
+              SELECT vec_id, cell, sim FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+                FROM sims) WHERE rk = 1),
+            dropped AS (
+              SELECT j.vec_id AS vec_id, min(i.vec_id) AS dup_of
+              FROM asg j JOIN asg i
+                ON i.cell = j.cell AND i.vec_id < j.vec_id
+              JOIN vn vi ON vi.vec_id = i.vec_id
+              JOIN vn vj ON vj.vec_id = j.vec_id
+              WHERE list_dot_product(vi.nv, vj.nv) >= 0.4
+              GROUP BY j.vec_id)
+            SELECT a.vec_id, a.cell, round(a.sim, 4) AS centroid_sim,
+                   d.vec_id IS NULL AS keep,
+                   CAST(d.dup_of AS VARCHAR) AS dup_of
+            FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+            ORDER BY a.vec_id""",
         "s2_ivf_topk": """
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id,

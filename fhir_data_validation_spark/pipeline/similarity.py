@@ -492,3 +492,133 @@ class SrpIndex:
                    spark.read.parquet(f"{path}/vecs"),
                    m["n_bits"], m["n_tables"], m["seed"],
                    m["id_col"], m["vec_col"])
+
+
+# --------------------------------------------------------- SemDeDup ---------
+
+def assign_cells(df: DataFrame, centroids: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Nearest-centroid (spherical) assignment of every vector:
+    ``(id, cell, centroid_sim, _nv)`` with ``_nv`` the L2-normalized
+    vector (double) so downstream cosine is a plain dot product.
+
+    Centroids broadcast into an Arrow ``mapInPandas`` stage; each batch is
+    ONE numpy matmul (the :func:`cosine_topk` tier — never per-row
+    Python). Ties go to the lowest cell id (numpy first-max)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2 or cent.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty (n_cells, dim) array")
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                             1e-12)
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_v"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            sims = V @ cent.T                       # (batch, n_cells)
+            cell = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "_id": b["_id"],
+                "cell": cell.astype("int32"),
+                "centroid_sim": sims[np.arange(len(b)), cell],
+                "_nv": list(V),
+            })
+
+    out_schema = ("_id " + src.schema["_id"].dataType.simpleString()
+                  + ", cell int, centroid_sim double, _nv array<double>")
+    return (src.mapInPandas(gen, out_schema)
+            .withColumnRenamed("_id", id_col))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95, *,
+                   centroids=None, n_cells: int = 64, seed: int = 42,
+                   max_iter: int = 20, fit_fraction: float = 1.0,
+                   max_witnesses: int | None = None,
+                   keep: str = "min_id",
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping within-cluster
+    near-duplicates — the embedding-space complement of MinHash/SimHash
+    (which see only surface form).
+
+    Returns one row per input vector:
+    ``(id, cell, centroid_sim, keep boolean, dup_of nullable)`` — ``keep``
+    is False when a higher-priority member of the SAME cell is
+    cosine-similar ≥ ``threshold``; ``dup_of`` names the highest-priority
+    such witness. Keep-first semantics match the rest of the dedup family
+    (``dedup.exact_duplicates``): a doc is judged against every
+    higher-priority cell member, whether or not that member itself
+    survives.
+
+    ``keep='min_id'`` (default) keeps the lowest id; ``'low_centroid_sim'``
+    is the paper's diversity-keeping policy — within a duplicate
+    neighborhood prefer the member FARTHEST from its centroid (lowest
+    centroid cosine), ties to the lower id.
+
+    ``centroids``: a fixed (n_cells, dim) array pins the partition (and
+    makes runs reproducible across corpus versions); ``None`` fits
+    spherical KMeans like :class:`IvfIndex` (``fit_fraction`` samples the
+    fit at 100 TB).
+
+    Scale shape: the corpus never self-joins globally — candidate pairs
+    exist only WITHIN a cell (shuffle on ``cell``, pair volume
+    Σ|cell|²). At 100 TB size ``n_cells`` so cells stay ~10⁴–10⁵ docs, and
+    set ``max_witnesses`` to bound the i-side: each doc is then judged
+    against at most the cell's top-``max_witnesses`` priority members
+    (pair volume Σ|cell|×cap; recall loss only for duplicates whose every
+    witness ranks beyond the cap). Unset (default) the check is
+    exhaustive within cells — cross-cell near-duplicates are invisible by
+    construction (the paper's stated approximation).
+    """
+    if keep not in ("min_id", "low_centroid_sim"):
+        raise ValueError(f"unknown keep policy {keep!r} "
+                         "(min_id | low_centroid_sim)")
+    if centroids is None:
+        idx = IvfIndex.build(df, n_cells=n_cells, seed=seed,
+                             max_iter=max_iter, fit_fraction=fit_fraction,
+                             id_col=id_col, vec_col=vec_col)
+        cent = idx.centroids
+    else:
+        cent = centroids
+    from .dedup import _materialize
+    assigned = _materialize(assign_cells(df, cent, id_col, vec_col))
+
+    if keep == "min_id":
+        prio = (F.col(id_col),)
+    else:
+        prio = (F.col("centroid_sim"), F.col(id_col))
+    pr = F.struct(*[c.alias(f"p{i}") for i, c in enumerate(prio)])
+    ranked = assigned.withColumn("_prio", pr)
+
+    wit = ranked
+    if max_witnesses is not None:
+        w = Window.partitionBy("cell").orderBy("_prio")
+        wit = (ranked.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") <= max_witnesses).drop("_rk"))
+    i = wit.select(F.col("cell").alias("_ci"),
+                   F.col(id_col).alias("_idi"),
+                   F.col("_prio").alias("_pi"),
+                   F.col("_nv").alias("_nvi"))
+    j = ranked.select(F.col("cell").alias("_cj"),
+                      F.col(id_col).alias("_idj"),
+                      F.col("_prio").alias("_pj"),
+                      F.col("_nv").alias("_nvj"))
+    dropped = (i.join(j, (F.col("_ci") == F.col("_cj"))
+                        & (F.col("_pi") < F.col("_pj")))
+               .where(_dot(F.col("_nvi"), F.col("_nvj"))
+                      >= F.lit(float(threshold)))
+               .groupBy(F.col("_idj").alias(id_col))
+               .agg(F.min_by("_idi", "_pi").alias("dup_of")))
+    return (assigned
+            .join(dropped, id_col, "left")
+            .select(id_col, "cell",
+                    F.round("centroid_sim", 4).alias("centroid_sim"),
+                    F.col("dup_of").isNull().alias("keep"), "dup_of"))

@@ -823,3 +823,76 @@ def test_similarity_join_cross_corpus(spark):
     assert set(out) == {(1, 1), (1, 30), (3, 1), (3, 30)}
     assert out[(1, 30)] == 1.0 and out[(3, 30)] == 1.0
     assert 0.5 <= out[(1, 1)] < 1.0
+
+
+def test_semantic_dedup_keep_first_within_cells(spark):
+    import numpy as np
+    from fhir_data_validation_spark.pipeline.similarity import semantic_dedup
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]),   # dup of 1
+        (3, [0.9, 0.42, 0.0]),                           # same cell, distinct
+        (4, [0.0, 1.0, 0.0]), (5, [0.02, 0.999, 0.0]),   # dup of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {r["vec_id"]: (r["cell"], r["keep"], r["dup_of"])
+           for r in semantic_dedup(df, 0.99, centroids=cent).collect()}
+    assert got == {1: (0, True, None), 2: (0, False, 1), 3: (0, True, None),
+                   4: (1, True, None), 5: (1, False, 4)}
+    # keep-first is vs every higher-priority member, kept or not: add a
+    # third axis-0 vector at 9 degrees — within 0.99 of 2 (at 2.3 deg) but
+    # not of 1 (cos 9 deg = 0.9877 < 0.99) -> dup_of the DROPPED witness 2
+    rows.append((6, [0.9877, 0.1564, 0.0]))
+    df2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got2 = {r["vec_id"]: r["dup_of"]
+            for r in semantic_dedup(df2, 0.99, centroids=cent).collect()}
+    assert got2[6] == 2          # witness 2 itself was dropped
+
+
+def test_semantic_dedup_low_centroid_sim_keeps_diverse(spark):
+    import numpy as np
+    from fhir_data_validation_spark.pipeline.similarity import semantic_dedup
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(df, 0.99, centroids=cent,
+                                   keep="low_centroid_sim").collect()}
+    # the member FARTHEST from its centroid survives (paper's policy)
+    assert got == {1: False, 2: True}
+    with pytest.raises(ValueError):
+        semantic_dedup(df, 0.99, centroids=cent, keep="nope")
+
+
+def test_semantic_dedup_max_witnesses_bounds_iside(spark):
+    import numpy as np
+    from fhir_data_validation_spark.pipeline.similarity import semantic_dedup
+    # 1 and 2 nearly parallel; 3 close to 2 only. With max_witnesses=1 the
+    # only witness is id 1, so 3 (not similar enough to 1) survives.
+    # threshold 0.998 = 3.62 deg; 2 sits at 1.81 deg, 3 at 4.5 deg -> 3 is
+    # within threshold of 2 (2.69 deg) but not of 1 (4.5 deg)
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9995, 0.0316, 0.0]),
+            (3, [0.99692, 0.07846, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    full = {r["vec_id"]: r["keep"]
+            for r in semantic_dedup(df, 0.998, centroids=cent).collect()}
+    capped = {r["vec_id"]: r["keep"]
+              for r in semantic_dedup(df, 0.998, centroids=cent,
+                                      max_witnesses=1).collect()}
+    assert full == {1: True, 2: False, 3: False}      # 3 dup of 2
+    assert capped == {1: True, 2: False, 3: True}     # witness list = {1}
+
+
+def test_semantic_dedup_fitted_centroids(embs):
+    from fhir_data_validation_spark.pipeline import dedup
+    from fhir_data_validation_spark.pipeline.similarity import semantic_dedup
+    out = semantic_dedup(embs, 0.9, n_cells=8, seed=42,
+                         fit_fraction=1.0).collect()
+    assert len(out) == embs.count()
+    # deterministic under refit with the same seed
+    out2 = semantic_dedup(embs, 0.9, n_cells=8, seed=42,
+                          fit_fraction=1.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    dedup.unpersist_all()
