@@ -1135,6 +1135,20 @@ def q_sm5_quantile_select(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_ir1_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169,
+    ``pipeline/selection.dsir_weights``): log p_target − log p_raw per
+    doc under Laplace-smoothed hashed word-unigram+bigram models —
+    target = the English documents, raw = the whole corpus. The md5_60
+    bucket hash makes the entire chain (grams → buckets → models →
+    per-doc score) exactly reproducible in the DuckDB oracle."""
+    from fhir_data_validation_spark.pipeline.selection import dsir_weights
+    docs = load_table(spark, sf, "documents")
+    w = dsir_weights(docs, docs.where("lang = 'en'"), n_buckets=1000)
+    return (w.select("doc_id", F.round("log_weight", 4).alias("log_weight"))
+            .orderBy("doc_id"))
+
+
 def q_sm6_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (pipeline/selection.sample_weighted, Efraimidis–Spirakis A-Res):
@@ -2412,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_chunk_overlap": q_k2_chunk_overlap,
         "sm5_quantile_select": q_sm5_quantile_select,
         "sm6_weighted_sample": q_sm6_weighted_sample,
+        "ir1_dsir_weights": q_ir1_dsir_weights,
         "sm7_curriculum": q_sm7_curriculum,
         "sm8_interleave": q_sm8_interleave,
         "t9_tfidf_topk": q_t9_tfidf_topk,
@@ -4064,6 +4079,41 @@ def oracle_sql() -> dict[str, str]:
         # sm6: A-Res weighted sample — top-15 per language by u^(1/w),
         # u = md5_60 hash unit (same formula as sm4); rank gaps are ~1e-4
         # at this scale so cross-library pow() ulp noise cannot flip them
+        "ir1_dsir_weights": r"""
+            WITH wd AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     unnest(list_concat(ws,
+                       list_transform(
+                         list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                         z -> z[1] || ' ' || z[2]))) AS gram
+              FROM wd),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST('0x'||substr(md5(gram),1,15) AS BIGINT) % 1000
+                       AS bucket
+              FROM g),
+            raw AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+            tgt AS (SELECT bucket, count(*) AS ct FROM b
+                    WHERE lang = 'en' GROUP BY bucket),
+            tot AS (SELECT (SELECT sum(cr) FROM raw) AS craw,
+                           (SELECT coalesce(sum(ct), 0) FROM tgt) AS ctgt),
+            lr AS (
+              SELECT raw.bucket,
+                     ln(coalesce(ct, 0) + 1.0) - ln(ctgt + 1000.0)
+                     - ln(cr + 1.0) + ln(craw + 1000.0) AS lrv
+              FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot),
+            db AS (SELECT doc_id, bucket, count(*) AS c FROM b
+                   GROUP BY doc_id, bucket),
+            sc AS (SELECT doc_id, sum(c * lrv) AS lw
+                   FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id, round(coalesce(sc.lw, 0.0), 4) AS log_weight
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id""",
         "sm6_weighted_sample": """
             WITH u AS (
               SELECT doc_id, lang, n_chars,

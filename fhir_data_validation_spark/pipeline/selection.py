@@ -416,3 +416,114 @@ def interleave_ranks(df: DataFrame, by: str, key_col: str = "doc_id",
                         ((F.col("_off") + F.col("_rn") - 1) * F.lit(n)
                          + F.col("_stratum_idx")).cast("long"))
             .drop("_u", "_shard", "_rn", "_off", "_stratum_idx"))
+
+
+# ------------------------------------------------ DSIR importance sampling --
+
+def _word_grams(text: Column, bigrams: bool = True) -> Column:
+    """Lowercased whitespace word unigrams (+ bigrams): the hashed-ngram
+    feature inventory of DSIR (Xie et al. 2023, arXiv:2302.03169 §2.2).
+    Empty docs yield an empty array."""
+    ws = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    if not bigrams:
+        return ws
+    n = F.size(ws)
+    bi = F.when(n >= 2, F.zip_with(
+        F.slice(ws, F.lit(1), n - 1), F.slice(ws, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b)
+    )).otherwise(F.array().cast("array<string>"))
+    return F.concat(ws, bi)
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int,
+                   bigrams: bool, id_col: str | None = None) -> DataFrame:
+    """Hashed-ngram bucket counts: per corpus (``id_col=None`` → one row
+    per bucket, ≤ ``n_buckets``) or per document. The md5_60 bucket hash
+    keeps the whole chain reproducible in the DuckDB oracle dialect (the
+    d4/sampling precedent)."""
+    gram = F.explode(_word_grams(F.col(text_col), bigrams)).alias("_g")
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+                    .cast("long"), F.lit(int(n_buckets))).alias("bucket")
+    keys = ["bucket"] if id_col is None else [id_col, "bucket"]
+    cols = [gram] if id_col is None else [F.col(id_col), gram]
+    return (df.select(*cols).select(*keys[:-1], bucket)
+            .groupBy(*keys).agg(F.count("*").alias("_cnt")))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, *,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 10_000, bigrams: bool = True,
+                 alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance ratio ``log p_target(doc) − log p_raw(doc)``
+    under bag-of-hashed-ngram unigram models — the score that resamples a
+    raw corpus toward a target domain. Returns ``(id_col,
+    log_weight double)``, one row per input doc (gram-free docs score 0).
+
+    Both models are Laplace-``alpha`` smoothed over the ``n_buckets``
+    hashed feature space; ``raw`` is fit on ``df`` itself (the source
+    distribution), ``target`` on the target-domain sample.
+
+    Scale shape: two map-side-combined count aggregations reduce each
+    corpus to ≤ ``n_buckets`` rows; the per-bucket log-ratio table stays
+    reduced and BROADCASTS onto the per-doc bucket counts (shuffle =
+    O(distinct (doc, bucket)) partials, never O(tokens)); the final
+    per-doc sum is one more map-side-combined aggregation. No per-row
+    Python anywhere.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    a = float(alpha)
+    raw = _bucket_counts(df, text_col, n_buckets, bigrams)
+    tgt = (_bucket_counts(target, text_col, n_buckets, bigrams)
+           .withColumnRenamed("_cnt", "_ct"))
+    # totals as 1-row aggregates cross-joined onto the reduced frames —
+    # never a driver-side action
+    raw_tot = raw.agg(F.sum("_cnt").alias("_craw"))
+    tgt_tot = tgt.agg(F.sum("_ct").alias("_ctgt"))
+    denom = F.lit(a * n_buckets)
+    lr = (raw.join(tgt, "bucket", "left")
+          .crossJoin(F.broadcast(raw_tot)).crossJoin(F.broadcast(tgt_tot))
+          .select("bucket",
+                  (F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+                   - F.log(F.coalesce(F.col("_ctgt"), F.lit(0)) + denom)
+                   - F.log(F.col("_cnt") + a)
+                   + F.log(F.col("_craw") + denom)).alias("_lr")))
+    per_doc = _bucket_counts(df, text_col, n_buckets, bigrams, id_col=id_col)
+    scored = (per_doc.join(F.broadcast(lr), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("_cnt") * F.col("_lr")).alias("log_weight")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col, F.coalesce("log_weight", F.lit(0.0))
+                    .alias("log_weight")))
+
+
+def dsir_resample(df: DataFrame, target: DataFrame, n: int, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 10_000, bigrams: bool = True,
+                  alpha: float = 1.0, salt: int | str = 0) -> DataFrame:
+    """Deterministic DSIR resampling: the ``n`` docs drawn WITHOUT
+    replacement with probability ∝ the importance ratio, via Gumbel
+    top-k over the log weights — ``g = log_weight − ln(−ln(u))`` with
+    ``u = hash_unit(id, salt)`` (Gumbel-top-k ≡ A-Res, but stays in log
+    space so extreme ratios never overflow ``exp``).
+
+    Key-stable like every sampler here: a doc's fate depends only on
+    (id, salt, the two fitted models). Global top-``n`` compiles to
+    ``TakeOrderedAndProject`` — per-partition local top-``n`` merge, no
+    global sort. Returns the selected rows of ``df`` (all columns) plus
+    ``log_weight``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = dsir_weights(df, target, text_col=text_col, id_col=id_col,
+                     n_buckets=n_buckets, bigrams=bigrams, alpha=alpha)
+    u = hash_unit(F.col(id_col), salt)
+    g = F.col("log_weight") - F.log(-F.log(u))
+    return (df.join(w, id_col)
+            .withColumn("_g", g)
+            .orderBy(F.col("_g").desc(), F.col(id_col))
+            .limit(int(n))
+            .drop("_g"))

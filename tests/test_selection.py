@@ -445,3 +445,66 @@ def test_curriculum_null_metric_gets_null_bucket(spark):
            for r in selection.curriculum_buckets(df, "m", 2).collect()}
     assert out[5] is None
     assert out[1] == 0 and out[4] == 1
+
+
+# ------------------------------------------------------------------ DSIR ----
+
+def test_dsir_weights_rank_target_domain(spark):
+    from fhir_data_validation_spark.pipeline.selection import dsir_weights
+    rows = ([(i, "the quick brown fox jumps over the lazy dog", "en")
+             for i in range(10)]
+            + [(100 + i, "der schnelle braune fuchs springt", "de")
+               for i in range(10)]
+            + [(200, "", "en")])                      # gram-free doc
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    w = dsir_weights(df, df.where("lang = 'en' AND text <> ''"),
+                     n_buckets=256)
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    assert len(got) == 21
+    assert got[200] == 0.0                            # no grams -> 0
+    en = [got[i] for i in range(10)]
+    de = [got[100 + i] for i in range(10)]
+    assert min(en) > max(de)                          # target domain wins
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, n_buckets=1)
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, alpha=0.0)
+
+
+def test_dsir_resample_deterministic_and_target_heavy(spark):
+    from fhir_data_validation_spark.pipeline.selection import dsir_resample
+    rows = ([(i, "alpha beta gamma delta", "en") for i in range(20)]
+            + [(100 + i, "uno dos tres cuatro", "es") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    tgt = df.where("lang = 'en'")
+    a = dsir_resample(df, tgt, 10, n_buckets=256, salt=1)
+    b = dsir_resample(df, tgt, 10, n_buckets=256, salt=1)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    # weights here are extreme (identical texts per class): the sample
+    # should be all-target
+    assert all(i < 100 for i in ids_a)
+    assert "log_weight" in a.columns
+    with pytest.raises(ValueError):
+        dsir_resample(df, tgt, 0)
+
+
+def test_dsir_plan_shape(spark):
+    import contextlib, io
+    from fhir_data_validation_spark.pipeline.selection import (dsir_resample,
+                                                               dsir_weights)
+    df = spark.createDataFrame([(1, "a b", "en")],
+                               "doc_id bigint, text string, lang string")
+    w = dsir_weights(df, df, n_buckets=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        w.explain("formatted")
+    plan = buf.getvalue()
+    # the reduced log-ratio table broadcasts onto the per-doc counts
+    assert "BroadcastHashJoin" in plan
+    sel = dsir_resample(df, df, 1, n_buckets=16)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        sel.explain("formatted")
+    # global top-n must be a per-partition merge, not a global sort
+    assert "TakeOrderedAndProject" in buf2.getvalue()
