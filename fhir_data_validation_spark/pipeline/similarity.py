@@ -622,3 +622,73 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95, *,
             .select(id_col, "cell",
                     F.round("centroid_sim", 4).alias("centroid_sim"),
                     F.col("dup_of").isNull().alias("keep"), "dup_of"))
+
+
+def semantic_dedup_incremental(new_docs: DataFrame, index: DataFrame,
+                               centroids, threshold: float = 0.95, *,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding"
+                               ) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup: classify an embedding delta against a
+    persisted SURVIVOR index — the semantic lane of the incremental dedup
+    family (:func:`..dedup.exact_duplicates_incremental` /
+    :func:`..dedup.simhash_incremental`); pair with
+    ``PyIcebergTable.incremental()`` for the delta input.
+
+    ``index`` is ``(id_col, cell, _nv)`` — exactly the ``index_delta``
+    this function emits (start with an empty frame of that schema, or
+    :func:`assign_cells` output filtered to survivors). ``centroids``
+    MUST be the pinned array every batch shares: refitting per batch
+    would shift cell boundaries and silently change which historical
+    docs are even comparable.
+
+    Returns ``(verdicts, index_delta)``:
+
+    - ``verdicts`` — one row per new doc: ``(id, cell, centroid_sim,
+      dup, dup_of, cosine)``; ``dup_of`` is the smallest matching id
+      (indexed or smaller-id batch doc), ``cosine`` its similarity.
+    - ``index_delta`` — ``(id, cell, _nv)`` of the non-dup new docs:
+      append to the index for the next batch.
+
+    Semantics: dedup-CHAIN (each doc judged against surviving history +
+    earlier batch members), which is what an append-only pipeline wants;
+    the one-shot :func:`semantic_dedup` instead judges against every
+    higher-priority member kept or not. Per-batch work is
+    O(Σ_cell |delta_cell| × (|index_cell| + |delta_cell|)) — size the
+    centroid count so cells stay bounded; the history's TEXT/vectors
+    outside the index never re-scan.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    from .dedup import _materialize
+    assigned = _materialize(assign_cells(new_docs, cent, id_col, vec_col))
+    nb = assigned.select(F.col(id_col).alias("_id"), "cell",
+                         F.col("_nv"))
+    idx = index.select(F.col(id_col).alias("_mid"), "cell",
+                       F.col("_nv").alias("_mnv"))
+    th = F.lit(float(threshold))
+    sim = _dot(F.col("_nv"), F.col("_mnv"))
+    vs_index = (nb.join(idx, "cell")
+                .withColumn("_cos", sim).where(F.col("_cos") >= th)
+                .select("_id", "_mid", "_cos"))
+    nb2 = nb.select(F.col("_id").alias("_mid"), "cell",
+                    F.col("_nv").alias("_mnv"))
+    vs_batch = (nb.join(nb2, "cell")
+                .where(F.col("_mid") < F.col("_id"))
+                .withColumn("_cos", sim).where(F.col("_cos") >= th)
+                .select("_id", "_mid", "_cos"))
+    matches = (vs_index.unionAll(vs_batch)
+               .groupBy("_id")
+               .agg(F.min("_mid").alias("dup_of"),
+                    F.min_by("_cos", "_mid").alias("_mcos")))
+    verdicts = (assigned
+                .join(matches, assigned[id_col] == matches["_id"], "left")
+                .select(id_col, "cell",
+                        F.round("centroid_sim", 4).alias("centroid_sim"),
+                        F.col("dup_of").isNotNull().alias("dup"),
+                        "dup_of",
+                        F.round("_mcos", 4).alias("cosine")))
+    index_delta = (assigned
+                   .join(matches,
+                         assigned[id_col] == matches["_id"], "left_anti")
+                   .select(id_col, "cell", "_nv"))
+    return verdicts, index_delta

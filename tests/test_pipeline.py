@@ -896,3 +896,38 @@ def test_semantic_dedup_fitted_centroids(embs):
                           fit_fraction=1.0).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     dedup.unpersist_all()
+
+
+def test_semantic_dedup_incremental_two_batch_chain(spark):
+    import numpy as np
+    from fhir_data_validation_spark.pipeline import dedup
+    from fhir_data_validation_spark.pipeline.similarity import (
+        assign_cells, semantic_dedup_incremental)
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    schema = "vec_id bigint, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]),   # 2 dup of 1
+         (3, [0.0, 1.0, 0.0])], schema)
+    empty_idx = assign_cells(b1, cent).select("vec_id", "cell", "_nv") \
+                                      .limit(0)
+    v1, d1 = semantic_dedup_incremental(b1, empty_idx, cent, 0.99)
+    got1 = {r["vec_id"]: (r["dup"], r["dup_of"]) for r in v1.collect()}
+    assert got1 == {1: (False, None), 2: (True, 1), 3: (False, None)}
+    idx = d1.localCheckpoint()          # persisted survivor index
+    assert sorted(r["vec_id"] for r in idx.collect()) == [1, 3]
+    # batch 2: 4 dups the INDEXED 1; 5 dups the earlier BATCH doc 4;
+    # 6 is novel (cell 1, not near 3)
+    b2 = spark.createDataFrame(
+        [(4, [0.9995, 0.0316, 0.0]), (5, [0.9994, 0.0349, 0.0]),
+         (6, [0.3, 0.954, 0.0])], schema)
+    v2, d2 = semantic_dedup_incremental(b2, idx, cent, 0.99)
+    got2 = {r["vec_id"]: (r["dup"], r["dup_of"]) for r in v2.collect()}
+    assert got2[4] == (True, 1)
+    assert got2[5] == (True, 1)          # smallest matching id wins
+    assert got2[6] == (False, None)
+    assert sorted(r["vec_id"] for r in d2.collect()) == [6]
+    # cosine reported for the chosen witness, centroid_sim present
+    row4 = {r["vec_id"]: r for r in v2.collect()}[4]
+    assert row4["cosine"] is not None and row4["cosine"] >= 0.99
+    assert row4["centroid_sim"] is not None
+    dedup.unpersist_all()
