@@ -32,10 +32,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from fhir_data_validation_spark import (EngineConfig, RuleSet,  # noqa: E402
                                         ValidationEngine)
+from fhir_data_validation_spark.navigation import with_pointer  # noqa: E402
 from fhir_data_validation_spark.pipeline import (cleaning,  # noqa: E402
                                                  contamination, dedup,
                                                  packing, redaction,
-                                                 selection)
+                                                 selection, similarity)
 from fhir_data_validation_spark.pipeline.presets import \
     gopher_quality_rules  # noqa: E402
 from fhir_data_validation_spark.pipeline import text as text_ops  # noqa: E402
@@ -65,6 +66,13 @@ res = ValidationEngine(
 docs, quarantined = res.split(docs)
 print(f"after quality filter: {docs.count()} "
       f"(quarantined {quarantined.count()})")
+# quarantine review UX: every violation gets a machine-navigable JSON
+# pointer + breadcrumb (pure projection fused into the review-table write)
+one = (with_pointer(res.violations, breadcrumb_col="crumb")
+       .where(F.col("json_pointer").isNotNull()).first())
+if one is not None:
+    print(f"sample violation location: {one['json_pointer']} "
+          f"({one['crumb']})")
 
 # 1b. prune each language's short tail: keep docs at or above their
 # language's 0.2 length quantile (per-stratum fence, broadcast join-back)
@@ -78,11 +86,43 @@ drops = (dedup.duplicate_clusters(pairs)
 docs = docs.join(F.broadcast(drops), "doc_id", "left_anti")
 print(f"after near-dup removal: {docs.count()}")
 
+# 2b. SEMANTIC near-dup sweep (SemDeDup): surface-form dedup above misses
+# paraphrases; cluster demo embeddings (hashed word-histogram vectors —
+# a real corpus brings model embeddings) and drop within-cell cosine
+# near-dups. Centroids pinned to the first docs so re-runs partition
+# identically.
+NB = 16
+_ws = words(F.col("text"))
+_hist = F.transform(
+    F.sequence(F.lit(0), F.lit(NB - 1)),
+    lambda i: F.size(F.filter(
+        _ws, lambda w: F.pmod(F.xxhash64(w), F.lit(NB)) == i)).cast("float"))
+emb_df = docs.select("doc_id", _hist.alias("embedding"))
+cent = [r["embedding"] for r in
+        emb_df.orderBy("doc_id").limit(8).collect()]
+sem = similarity.semantic_dedup(emb_df, threshold=0.98, centroids=cent,
+                                id_col="doc_id")
+sem_drops = sem.where(~F.col("keep")).select("doc_id")
+docs = docs.join(F.broadcast(sem_drops), "doc_id", "left_anti")
+print(f"after semantic dedup: {docs.count()}")
+
 # 3. decontaminate against a held-out benchmark (here: doc_id < 10)
 bench = spark.read.parquet(f"{SF}/documents.parquet") \
     .where(F.col("doc_id") < 10)
 docs = contamination.remove_contaminated(docs, bench, threshold=0.5, n=13)
 print(f"after decontamination: {docs.count()}")
+
+# 3b. target-domain importance scores (DSIR): log p_target − log p_raw
+# under hashed-ngram models — the signal that would up/down-sample toward
+# a target domain (dsir_resample); here the target is the English slice
+# and the scores are reported (the mixer below owns the realized mix)
+dsir = selection.dsir_weights(docs, docs.where(F.col("lang") == "en"),
+                              n_buckets=512)
+by_lang = (docs.join(dsir, "doc_id").groupBy("lang")
+           .agg(F.round(F.avg("log_weight"), 2).alias("avg_lw"))
+           .orderBy("lang").collect())
+print("DSIR avg log-weight by lang:",
+      {r["lang"]: r["avg_lw"] for r in by_lang})
 
 # 4. domain mixing at target lang weights (exact-binary fractions) —
 # then VALIDATE the realized mix with a GroupShare rule (the acceptance
