@@ -250,6 +250,26 @@ def q_nav1_json_pointer(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "idx", "inner_idx"))
 
 
+def q_sh1_spec_hints(spark: SparkSession, sf: str) -> DataFrame:
+    """Spec hints (SpecHintService.cs analog, ``spechints.scan``): one
+    fused advisory aggregation — presence counts + bounded min-key witness
+    per (group, hint), plus a conditional hint gated on a SQL expression.
+    ``seg_note`` is null exactly for the BUILDING segment, so the missing
+    counts are non-trivial without mutating testdata."""
+    from fhir_data_validation_spark.spechints import SpecHint, scan
+    cust = (load_table(spark, sf, "customer")
+            .withColumn("seg_note",
+                        F.expr("nullif(c_mktsegment, 'BUILDING')")))
+    out = scan(cust, [
+        SpecHint(path="seg_note", reason="segment note expected"),
+        SpecHint(path="c_acctbal", reason="positive balances audited",
+                 condition="c_acctbal > 0"),
+    ], key_col="c_custkey", group_col="c_mktsegment")
+    return (out.select("source", "path", "reason", "severity",
+                       "conditional", "n_missing", "n_checked", "witness")
+            .orderBy("source", "path"))
+
+
 def q_a1_group_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """RequiredResources closed-world cardinality: nations per region (A1),
     routed through the engine's ``group_cardinality_counts`` (the shared
@@ -2385,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_nested_elements": q_p5_nested_elements,
         "p5b_nested_repetition": q_p5b_nested_repetition,
         "nav1_json_pointer": q_nav1_json_pointer,
+        "sh1_spec_hints": q_sh1_spec_hints,
         "p5c_deep_repetition": q_p5c_deep_repetition,
         "a1_group_cardinality": q_a1_group_cardinality,
         "a4_summary": q_a4_summary,
@@ -2555,6 +2576,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS VARCHAR) AS value
             FROM it WHERE l_quantity < 1 OR l_quantity > 45
             ORDER BY doc_id, idx""",
+        "sh1_spec_hints": """
+            WITH c AS (
+              SELECT c_mktsegment AS source, c_custkey, c_acctbal,
+                     nullif(c_mktsegment, 'BUILDING') AS seg_note
+              FROM customer)
+            SELECT source, 'seg_note' AS path,
+                   'segment note expected' AS reason,
+                   'warning' AS severity, FALSE AS conditional,
+                   sum(CASE WHEN seg_note IS NULL OR trim(seg_note) = ''
+                            THEN 1 ELSE 0 END) AS n_missing,
+                   count(*) AS n_checked,
+                   CAST(min(CASE WHEN seg_note IS NULL OR
+                                      trim(seg_note) = ''
+                                 THEN c_custkey END) AS VARCHAR) AS witness
+            FROM c GROUP BY source
+            UNION ALL
+            SELECT source, 'c_acctbal', 'positive balances audited',
+                   'warning', TRUE,
+                   sum(CASE WHEN c_acctbal > 0 AND c_acctbal IS NULL
+                            THEN 1 ELSE 0 END),
+                   sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END),
+                   NULL
+            FROM c GROUP BY source
+            HAVING sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) > 0
+            ORDER BY source, path""",
         "nav1_json_pointer": """
             WITH it AS (
               SELECT l_orderkey, l_quantity,
