@@ -54,7 +54,6 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .errors import ErrorCode, RuleConfigurationError
 from .model import RuleDefinition
 
 _STAR = "[*]"
@@ -227,10 +226,7 @@ def resolve_first_match(df: DataFrame, condition: str, path: str,
     from .compiler import _safe_expr  # shared SQL parse probe
     probe = RuleDefinition(id="<resolve_first_match>", type="CustomExpr",
                            params={})
-    try:
-        cond = _safe_expr(probe, condition)
-    except RuleConfigurationError:
-        raise
+    cond = _safe_expr(probe, condition)
     ptr = json_pointer(path)
     if ptr is None:
         raise ValueError("resolve_first_match needs a non-empty path")
