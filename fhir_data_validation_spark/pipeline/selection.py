@@ -464,19 +464,25 @@ def dsir_weights(df: DataFrame, target: DataFrame, *,
     hashed feature space; ``raw`` is fit on ``df`` itself (the source
     distribution), ``target`` on the target-domain sample.
 
-    Scale shape: two map-side-combined count aggregations reduce each
-    corpus to ≤ ``n_buckets`` rows; the per-bucket log-ratio table stays
-    reduced and BROADCASTS onto the per-doc bucket counts (shuffle =
-    O(distinct (doc, bucket)) partials, never O(tokens)); the final
-    per-doc sum is one more map-side-combined aggregation. No per-row
-    Python anywhere.
+    Scale shape: ``df`` and ``target`` each explode their grams ONCE —
+    the raw model folds out of the per-doc bucket counts as a
+    reduced-frame aggregation, never a second corpus scan; the
+    per-bucket log-ratio table stays ≤ ``n_buckets`` rows and BROADCASTS
+    onto the per-doc counts (shuffle = O(distinct (doc, bucket)) partials
+    with map-side combine, never O(tokens)); the final per-doc sum is one
+    more map-side-combined aggregation. No per-row Python anywhere.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
     a = float(alpha)
-    raw = _bucket_counts(df, text_col, n_buckets, bigrams)
+    # ONE gram explode over the corpus: the raw model folds out of the
+    # per-doc bucket counts (a reduced-frame aggregation), never a second
+    # corpus scan
+    per_doc = _bucket_counts(df, text_col, n_buckets, bigrams,
+                             id_col=id_col)
+    raw = per_doc.groupBy("bucket").agg(F.sum("_cnt").alias("_cnt"))
     tgt = (_bucket_counts(target, text_col, n_buckets, bigrams)
            .withColumnRenamed("_cnt", "_ct"))
     # totals as 1-row aggregates cross-joined onto the reduced frames —
@@ -491,7 +497,6 @@ def dsir_weights(df: DataFrame, target: DataFrame, *,
                    - F.log(F.coalesce(F.col("_ctgt"), F.lit(0)) + denom)
                    - F.log(F.col("_cnt") + a)
                    + F.log(F.col("_craw") + denom)).alias("_lr")))
-    per_doc = _bucket_counts(df, text_col, n_buckets, bigrams, id_col=id_col)
     scored = (per_doc.join(F.broadcast(lr), "bucket")
               .groupBy(id_col)
               .agg(F.sum(F.col("_cnt") * F.col("_lr")).alias("log_weight")))

@@ -692,3 +692,243 @@ def semantic_dedup_incremental(new_docs: DataFrame, index: DataFrame,
                          assigned[id_col] == matches["_id"], "left_anti")
                    .select(id_col, "cell", "_nv"))
     return verdicts, index_delta
+
+
+# ---------------------------------------------- product quantization --------
+
+def _kmeans_np(X: np.ndarray, k: int, seed: int, max_iter: int
+               ) -> np.ndarray:
+    """Seeded Lloyd's k-means on a (driver-side) sample — the PQ codebook
+    fit. Codebooks are tiny (k × dsub doubles); the corpus-side work
+    (encode/search) is all executor-side. Deterministic: seeded init,
+    ties resolve by lowest centroid index (argmin first-match)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    init = rng.choice(n, size=min(k, n), replace=False)
+    C = X[init].copy()
+    if len(C) < k:                        # degenerate tiny fit sample
+        C = np.vstack([C, np.zeros((k - len(C), X.shape[1]))])
+    xsq = (X ** 2).sum(axis=1, keepdims=True)
+    for _ in range(max_iter):
+        # ||x-c||² = ||x||² - 2xc + ||c||² — matmul form, never an
+        # (n, k, d) broadcast temp
+        d = xsq - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        newC = C.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+class PqIndex:
+    """Product-quantization index (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): each L2-normalized vector
+    splits into ``m`` subvectors, each quantized to one of ``n_codes``
+    codebook entries — ``m`` bytes per vector (a 64-dim float32 embedding
+    compresses 32×), and query-time scoring never touches the vectors:
+    asymmetric distance computation (ADC) sums ``m`` lookup-table entries
+    per candidate.
+
+    The 100-TB role: the CODES table is small enough to scan fast (and
+    cache), so PQ serves the coarse ranking over the whole corpus (or
+    inside IVF cells); exact rerank on the stored vectors then fixes the
+    top of the list. With ``rerank=True`` (default) results are ordered
+    by TRUE cosine among the ADC-shortlisted pool — recall is the only
+    approximation, measured in tests like :func:`ann_topk`.
+
+    Layout: ``<path>/codes`` (id, codes array<int>, vector),
+    ``<path>/books`` (the (m, n_codes, dsub) codebooks, exploded),
+    ``<path>/meta``.
+    """
+
+    def __init__(self, codebooks: np.ndarray, codes: DataFrame,
+                 id_col: str, vec_col: str):
+        self.codebooks = codebooks          # (m, n_codes, dsub)
+        self.codes = codes                  # (cand_id, codes, _cv)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    # -- build ------------------------------------------------------------
+
+    @staticmethod
+    def _normalize(V: np.ndarray) -> np.ndarray:
+        return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                              1e-12)
+
+    @classmethod
+    def build(cls, corpus: DataFrame, m: int = 8, n_codes: int = 256,
+              seed: int = 42, max_iter: int = 20,
+              fit_rows: int = 20_000, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "PqIndex":
+        """Fit ``m`` sub-codebooks on a bounded driver-side sample
+        (``fit_rows`` caps the k-means input — codebooks are statistics,
+        not data; the paper fits on ~100k of billions) and encode the
+        whole corpus executor-side (one argmin matmul per subspace per
+        Arrow batch)."""
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot build a PqIndex on an empty corpus")
+        dim = len(first[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+        n_total = corpus.count()
+        frac = min(1.0, fit_rows / max(n_total, 1))
+        sample = (corpus.sample(fraction=frac, seed=seed)
+                  if frac < 1.0 else corpus)
+        X = np.asarray([r[0] for r in
+                        sample.select(vec_col).limit(fit_rows).collect()],
+                       dtype=np.float64)
+        X = cls._normalize(X)
+        books = np.stack([
+            _kmeans_np(X[:, j * dsub:(j + 1) * dsub], n_codes,
+                       seed + j, max_iter)
+            for j in range(m)])             # (m, n_codes, dsub)
+        codes = cls._encode(corpus, books, id_col, vec_col)
+        return cls(books, codes, id_col, vec_col)
+
+    @staticmethod
+    def _encode(df: DataFrame, books: np.ndarray, id_col: str,
+                vec_col: str) -> DataFrame:
+        m, n_codes, dsub = books.shape
+        src = df.select(F.col(id_col).alias("cand_id"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # ||x_sub - c||² = ||x||² - 2·x·c + ||c||²: per subspace ONE
+            # matmul + argmin over the code axis
+            bnorm = (books ** 2).sum(axis=2)            # (m, n_codes)
+            for b in batches:
+                if not len(b):
+                    continue
+                V = np.stack(b["_v"].to_numpy()).astype(np.float64)
+                V = PqIndex._normalize(V)
+                cols = []
+                for j in range(m):
+                    S = V[:, j * dsub:(j + 1) * dsub]
+                    d = bnorm[j][None, :] - 2.0 * (S @ books[j].T)
+                    cols.append(np.argmin(d, axis=1))
+                yield pd.DataFrame({
+                    "cand_id": b["cand_id"],
+                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                    "_cv": b["_v"],
+                })
+
+        out_schema = ("cand_id "
+                      + src.schema["cand_id"].dataType.simpleString()
+                      + ", codes array<int>, _cv array<double>")
+        return src.mapInPandas(gen, out_schema)
+
+    # -- search -----------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int = 10,
+               rerank: bool = True, rerank_factor: int = 4) -> DataFrame:
+        """Top-k per query: ADC over the codes table (each Arrow batch
+        scores ALL queries against its candidates via lookup-table sums —
+        no vector arithmetic), local top-``k·rerank_factor`` per batch,
+        then exact cosine rerank of the global shortlist (``rerank=True``)
+        or ADC-score ordering (``rerank=False``). Query set must be
+        broadcastable (collected once — the :func:`cosine_topk`
+        contract)."""
+        id_col, vec_col = self.id_col, self.vec_col
+        qrows = (queries.select(F.col(id_col).alias("qid"),
+                                F.col(vec_col).alias("v")).collect())
+        books = self.codebooks
+        m, n_codes, dsub = books.shape
+        kk = int(k) * (int(rerank_factor) if rerank else 1)
+        if qrows:
+            qids = [r["qid"] for r in qrows]
+            Q = self._normalize(np.asarray([r["v"] for r in qrows],
+                                           dtype=np.float64))
+            # LUT[q, j, c] = dot(q_subj, book_j[c]): cosine(q, x) ≈
+            # Σ_j LUT[q, j, codes_j(x)] (vectors are L2-normalized)
+            luts = np.stack([
+                Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                for j in range(m)], axis=1)             # (nq, m, dsub→codes)
+        else:
+            qids, luts = [], np.zeros((0, m, n_codes))
+        qid_type = ("string" if qrows and isinstance(qids[0], str)
+                    else "bigint")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nq = len(qids)
+            if not nq:
+                return
+            for b in batches:
+                if not len(b):
+                    continue
+                C = np.stack(b["codes"].to_numpy())      # (batch, m)
+                approx = np.zeros((nq, len(b)))
+                for j in range(m):
+                    approx += luts[:, j, C[:, j]]
+                top = min(kk, len(b))
+                idx = np.argpartition(-approx, top - 1, axis=1)[:, :top]
+                out = {"query_id": [], "cand_id": [], "_adc": []}
+                ids = b["cand_id"].to_numpy()
+                for qi in range(nq):
+                    out["query_id"] += [qids[qi]] * top
+                    out["cand_id"] += list(ids[idx[qi]])
+                    out["_adc"] += list(approx[qi, idx[qi]])
+                yield pd.DataFrame(out)
+
+        cand_type = (self.codes.schema["cand_id"].dataType.simpleString())
+        # the ADC scan moves ONLY (id, codes) through Arrow — never the
+        # vectors (that is the point of PQ); rerank joins vectors for the
+        # shortlist alone
+        local = self.codes.select("cand_id", "codes").mapInPandas(
+            gen, f"query_id {qid_type}, cand_id {cand_type}, _adc double")
+        if rerank:
+            qv = (queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("_qv")))
+            scored = (local.join(self.codes.select("cand_id", "_cv"),
+                                 "cand_id")
+                      .join(F.broadcast(qv), "query_id")
+                      .withColumn("_s", cosine(F.col("_qv"), F.col("_cv"))))
+        else:
+            scored = local.withColumn("_s", F.col("_adc"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("_s"),
+                                                   F.asc("cand_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= int(k))
+                .select("query_id", F.col("cand_id").alias(id_col),
+                        F.round("_s", 4).alias("cosine"), "rank"))
+
+    def add(self, new_vectors: DataFrame) -> "PqIndex":
+        """Incremental ingest: encode the delta with the FROZEN codebooks
+        and append — like :meth:`IvfIndex.add`, the quantizer does not
+        refit (codebook drift would silently re-code history), so a
+        distribution shift in the delta degrades its own quantization
+        error, not the index's consistency."""
+        delta = self._encode(new_vectors, self.codebooks, self.id_col,
+                             self.vec_col)
+        return PqIndex(self.codebooks, self.codes.unionByName(delta),
+                       self.id_col, self.vec_col)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        spark = self.codes.sparkSession
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        m, n_codes, dsub = self.codebooks.shape
+        rows = [(int(j), int(c), [float(x) for x in self.codebooks[j, c]])
+                for j in range(m) for c in range(n_codes)]
+        (spark.createDataFrame(rows, "j int, c int, v array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
+        (spark.createDataFrame(
+            [(m, n_codes, dsub, self.id_col, self.vec_col)],
+            "m int, n_codes int, dsub int, id_col string, vec_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PqIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        m, n_codes, dsub = meta["m"], meta["n_codes"], meta["dsub"]
+        books = np.zeros((m, n_codes, dsub))
+        for r in spark.read.parquet(f"{path}/books").collect():
+            books[r["j"], r["c"]] = r["v"]
+        return cls(books, spark.read.parquet(f"{path}/codes"),
+                   meta["id_col"], meta["vec_col"])

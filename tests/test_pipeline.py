@@ -931,3 +931,75 @@ def test_semantic_dedup_incremental_two_batch_chain(spark):
     assert row4["cosine"] is not None and row4["cosine"] >= 0.99
     assert row4["centroid_sim"] is not None
     dedup.unpersist_all()
+
+
+# ------------------------------------------------- product quantization ----
+
+def test_pq_exact_when_shortlist_covers_corpus(spark, embs):
+    """rerank pool >= corpus ⇒ PQ search must EQUAL brute-force top-k:
+    ADC only shortlists, exact cosine orders."""
+    from fhir_data_validation_spark.pipeline.similarity import PqIndex
+    corpus = embs.where(F.col("vec_id") >= 10)
+    queries = embs.where(F.col("vec_id") < 3)
+    idx = PqIndex.build(corpus, m=8, n_codes=16, seed=7)
+    got = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in idx.search(queries, k=5, rerank_factor=10**6).collect()}
+    want = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in similarity.cosine_topk(corpus, queries, k=5).collect()}
+    assert got == want
+
+
+def test_pq_adc_recall_and_ordering(spark, embs):
+    from fhir_data_validation_spark.pipeline.similarity import PqIndex
+    corpus = embs.where(F.col("vec_id") >= 10)
+    queries = embs.where(F.col("vec_id") < 3)
+    idx = PqIndex.build(corpus, m=8, n_codes=16, seed=7)
+    # pure ADC (no rerank): right shape, scores non-increasing per query
+    out = idx.search(queries, k=5, rerank=False).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+    # widened-shortlist rerank recall vs brute force (the synthetic
+    # embeddings are near-uniform on the sphere — PQ's hardest case —
+    # so the recall check uses a deeper pool than the default factor)
+    got = idx.search(queries, k=5, rerank_factor=32).collect()
+    truth = similarity.cosine_topk(corpus, queries, k=5).collect()
+    g = {(r["query_id"], r["vec_id"]) for r in got}
+    t = {(r["query_id"], r["vec_id"]) for r in truth}
+    assert len(g & t) / len(t) >= 0.6
+
+
+def test_pq_save_load_and_add(spark, embs, tmp_path):
+    from fhir_data_validation_spark.pipeline.similarity import PqIndex
+    base = embs.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 60))
+    delta = embs.where(F.col("vec_id") >= 60)
+    queries = embs.where(F.col("vec_id") < 3)
+    idx = PqIndex.build(base, m=8, n_codes=16, seed=7)
+    path = str(tmp_path / "pq")
+    idx.save(path)
+    loaded = PqIndex.load(spark, path)
+    a = sorted(map(tuple, idx.search(queries, k=5).collect()))
+    b = sorted(map(tuple, loaded.search(queries, k=5).collect()))
+    assert a == b
+    # add() == encode-with-frozen-books over the union
+    grown = idx.add(delta)
+    rebuilt = PqIndex(idx.codebooks,
+                      PqIndex._encode(base.unionByName(delta),
+                                      idx.codebooks, "vec_id", "embedding"),
+                      "vec_id", "embedding")
+    ga = sorted(map(tuple, grown.search(queries, k=5).collect()))
+    gb = sorted(map(tuple, rebuilt.search(queries, k=5).collect()))
+    assert ga == gb
+
+
+def test_pq_build_guards(spark, embs):
+    from fhir_data_validation_spark.pipeline.similarity import PqIndex
+    with pytest.raises(ValueError):
+        PqIndex.build(embs, m=7)            # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        PqIndex.build(embs.limit(0), m=8)   # empty corpus
