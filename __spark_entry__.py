@@ -762,6 +762,22 @@ def q_s2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_s3_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse cells + residual product-quantization ADC
+    shortlist + exact rerank. Full probe with a corpus-wide shortlist
+    sends every candidate through the exact rerank, so the result is
+    exactly the brute-force top-k — the oracle; ADC recall in the
+    approximate regime is covered by unit tests."""
+    from fhir_data_validation_spark.pipeline.similarity import IvfPqIndex
+    emb = load_table(spark, sf, "embeddings")
+    idx = IvfPqIndex.build(emb.where(F.col("vec_id") >= 10),
+                           n_cells=8, m=8, n_codes=16, max_iter=5)
+    out = idx.search(emb.where(F.col("vec_id") < 3), k=5, n_probe=8,
+                     rerank_factor=10**6)
+    return (out.select("query_id", "vec_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_m1_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload metadata pass over the synthesized multimodal table
     (modality omitted: it derives from xxhash64, which the oracle dialect
@@ -2450,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_ivf_topk": q_s2_ivf_topk,
+        "s3_ivfpq_topk": q_s3_ivfpq_topk,
         "sd1_semantic_dedup": q_sd1_semantic_dedup,
         "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
@@ -3051,6 +3068,20 @@ def oracle_sql() -> dict[str, str]:
             FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
             ORDER BY a.vec_id""",
         "s2_ivf_topk": """
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cos
+              FROM (SELECT * FROM embeddings WHERE vec_id < 3) q,
+                   (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+            SELECT query_id, vec_id, "rank" FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC)
+                       AS "rank"
+              FROM s)
+            WHERE "rank" <= 5 ORDER BY query_id, "rank" """,
+        # s3: full-probe full-shortlist IVF-PQ == brute force (same oracle)
+        "s3_ivfpq_topk": """
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id,
                      list_cosine_similarity(q.embedding, c.embedding) AS cos

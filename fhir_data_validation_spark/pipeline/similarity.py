@@ -932,3 +932,254 @@ class PqIndex:
             books[r["j"], r["c"]] = r["v"]
         return cls(books, spark.read.parquet(f"{path}/codes"),
                    meta["id_col"], meta["vec_col"])
+
+
+# ----------------------------------------------------- IVF-PQ (IVFADC) ------
+
+class IvfPqIndex:
+    """IVF + residual product quantization — the IVFADC layout (Jégou,
+    Douze & Schmid 2011 §V): a coarse quantizer routes each vector to a
+    cell, PQ encodes the RESIDUAL (normalized vector minus its cell
+    centroid), and a query scores candidates as
+
+        cosine(q, x) ≈ q·c_cell  +  Σ_j LUT[q, j, codes_j(x)]
+
+    — the cell term comes free from probe assignment, the residual term is
+    ``m`` lookup-table adds per candidate. This is the billion-scale ANN
+    shape: the probe prunes the corpus to ``n_probe/n_cells`` of its lists
+    AND the scored rows carry ``m`` bytes of codes instead of the vector,
+    so the shortlist scan is both sublinear and IO-thin. Exact rerank on
+    the stored vectors (``rerank=True``, default) then fixes the head of
+    the list — recall is the only approximation.
+
+    Residual codebooks are SHARED across cells (the paper's choice):
+    per-cell books would be ``n_cells×`` more driver state and need a
+    per-cell fit sample, for marginal recall at these list sizes.
+
+    Layout: ``<path>/codes`` (cand_id, cell, codes, vector),
+    ``<path>/centroids``, ``<path>/books``, ``<path>/meta``.
+    """
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray,
+                 codes: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids          # (n_cells, dim), L2-normalized
+        self.codebooks = codebooks          # (m, n_codes, dsub) residual books
+        self.codes = codes                  # (cand_id, cell, codes, _cv)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    # -- build ------------------------------------------------------------
+
+    @classmethod
+    def build(cls, corpus: DataFrame, n_cells: int = 64, m: int = 8,
+              n_codes: int = 256, seed: int = 42, max_iter: int = 20,
+              fit_fraction: float = 1.0, fit_rows: int = 20_000,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> "IvfPqIndex":
+        """Coarse quantizer via :meth:`IvfIndex.build` (Spark ML KMeans,
+        ``fit_fraction`` sampling), residual codebooks via the same
+        bounded driver-side fit as :meth:`PqIndex.build` (codebooks are
+        statistics, not data), corpus encode executor-side (one argmin
+        matmul per subspace per Arrow batch)."""
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot build an IvfPqIndex on an empty corpus")
+        dim = len(first[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+        ivf = IvfIndex.build(corpus, n_cells=n_cells, seed=seed,
+                             max_iter=max_iter, fit_fraction=fit_fraction,
+                             id_col=id_col, vec_col=vec_col)
+        C = ivf.centroids
+        # residual fit sample: bounded driver-side collect, residuals
+        # computed here so the k-means sees exactly what encode() will see
+        n_total = corpus.count()
+        frac = min(1.0, fit_rows / max(n_total, 1))
+        samp = (ivf.cells.sample(fraction=frac, seed=seed)
+                if frac < 1.0 else ivf.cells)
+        rows = samp.select("cell", "_cv").limit(fit_rows).collect()
+        V = PqIndex._normalize(np.asarray([r["_cv"] for r in rows],
+                                          dtype=np.float64))
+        R = V - C[np.asarray([r["cell"] for r in rows])]
+        books = np.stack([
+            _kmeans_np(R[:, j * dsub:(j + 1) * dsub], n_codes,
+                       seed + j, max_iter)
+            for j in range(m)])
+        codes = cls._encode(ivf.cells, C, books)
+        return cls(C, books, codes, id_col, vec_col)
+
+    @staticmethod
+    def _encode(cells: DataFrame, centroids: np.ndarray,
+                books: np.ndarray) -> DataFrame:
+        """(cand_id, cell, _cv) → + codes: residual-quantize each vector
+        against its ASSIGNED cell's centroid with the shared books."""
+        m, n_codes, dsub = books.shape
+        bnorm = (books ** 2).sum(axis=2)                 # (m, n_codes)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if not len(b):
+                    continue
+                V = PqIndex._normalize(
+                    np.asarray(list(b["_cv"]), dtype=np.float64))
+                R = V - centroids[b["cell"].to_numpy()]
+                cols = []
+                for j in range(m):
+                    S = R[:, j * dsub:(j + 1) * dsub]
+                    d = bnorm[j][None, :] - 2.0 * (S @ books[j].T)
+                    cols.append(np.argmin(d, axis=1))
+                yield pd.DataFrame({
+                    "cand_id": b["cand_id"], "cell": b["cell"],
+                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                    "_cv": b["_cv"]})
+
+        out_schema = ("cand_id "
+                      + cells.schema["cand_id"].dataType.simpleString()
+                      + ", cell int, codes array<int>, _cv "
+                      + cells.schema["_cv"].dataType.simpleString())
+        return cells.mapInPandas(gen, out_schema)
+
+    # -- search -----------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 8,
+               rerank: bool = True, rerank_factor: int = 4) -> DataFrame:
+        """Top-k per query: probe the ``n_probe`` nearest cells (one
+        vectorized matmul for the whole batch), ADC-score ONLY the probed
+        lists' codes (the vectors never move), shortlist
+        ``k·rerank_factor`` per query, exact-rerank the shortlist
+        (``rerank=True``) or order by ADC. ``n_probe = n_cells`` with a
+        shortlist ≥ list sizes ⇒ exact. Query set must be broadcastable
+        (collected once — the :func:`cosine_topk` contract)."""
+        id_col, vec_col = self.id_col, self.vec_col
+        qrows = queries.select(F.col(id_col).alias("qid"),
+                               F.col(vec_col).alias("v")).collect()
+        C, books = self.centroids, self.codebooks
+        m, n_codes, dsub = books.shape
+        kk = int(k) * (int(rerank_factor) if rerank else 1)
+        spark = queries.sparkSession
+        from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                       StructType)
+        id_type = queries.schema[id_col].dataType
+        if qrows:
+            qids = [r["qid"] for r in qrows]
+            Q = PqIndex._normalize(np.asarray([r["v"] for r in qrows],
+                                              dtype=np.float64))
+            sims = Q @ C.T                               # (nq, n_cells)
+            npb = min(int(n_probe), sims.shape[1])
+            top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            # probe rows carry the q·centroid term — the ADC stage adds it
+            # to the residual lookup sum, so the executor never needs Q
+            probe_rows = [(qid, int(c), float(sims[qi, c]))
+                          for qi, qid in enumerate(qids) for c in top[qi]]
+            luts = np.stack([Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                             for j in range(m)], axis=1)  # (nq, m, n_codes)
+            qpos = {qid: i for i, qid in enumerate(qids)}
+        else:
+            probe_rows, luts, qpos = [], np.zeros((0, m, n_codes)), {}
+        probes = spark.createDataFrame(
+            probe_rows, StructType([StructField("query_id", id_type),
+                                    StructField("cell", IntegerType()),
+                                    StructField("_qc", DoubleType())]))
+        cand = (self.codes.select("cand_id", "cell", "codes")
+                .join(F.broadcast(probes), "cell")
+                .select("query_id", "_qc", "cand_id", "codes"))
+
+        def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            if not qpos:
+                return
+            for b in batches:
+                if not len(b):
+                    continue
+                qi = b["query_id"].map(qpos).to_numpy()
+                Cd = np.stack(b["codes"].to_numpy())     # (batch, m)
+                s = b["_qc"].to_numpy().astype(float)
+                for j in range(m):
+                    s = s + luts[qi, j, Cd[:, j]]
+                yield pd.DataFrame({"query_id": b["query_id"],
+                                    "cand_id": b["cand_id"], "_adc": s})
+
+        cand_type = self.codes.schema["cand_id"].dataType.simpleString()
+        qid_sql = id_type.simpleString()
+        scored = cand.mapInPandas(
+            adc, f"query_id {qid_sql}, cand_id {cand_type}, _adc double")
+        w = Window.partitionBy("query_id").orderBy(F.desc("_adc"),
+                                                   F.asc("cand_id"))
+        short = (scored.withColumn("_r", F.row_number().over(w))
+                 .where(F.col("_r") <= kk).drop("_r"))
+        if rerank:
+            qv = queries.select(F.col(id_col).alias("query_id"),
+                                F.col(vec_col).alias("_qv"))
+            final = (short.join(self.codes.select("cand_id", "_cv"),
+                                "cand_id")
+                     .join(F.broadcast(qv), "query_id")
+                     .withColumn("_s", cosine(F.col("_qv"), F.col("_cv"))))
+        else:
+            final = short.withColumn("_s", F.col("_adc"))
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("_s"),
+                                                    F.asc("cand_id"))
+        return (final.withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= int(k))
+                .select("query_id", F.col("cand_id").alias(id_col),
+                        F.round("_s", 4).alias("cosine"), "rank"))
+
+    # -- incremental ingest -------------------------------------------------
+
+    def add(self, new_vectors: DataFrame) -> "IvfPqIndex":
+        """Assign the delta to the FROZEN centroids and residual-encode
+        with the FROZEN books — O(delta) work, no refit (quantizer drift
+        would silently re-code history; re-``build`` when fresh-data
+        recall degrades, the standard IVF trade-off)."""
+        C = self.centroids
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if not len(b):
+                    continue
+                V = PqIndex._normalize(
+                    np.asarray(list(b[vec_col]), dtype=np.float64))
+                yield pd.DataFrame({
+                    "cand_id": b[id_col],
+                    "cell": np.argmax(V @ C.T, axis=1).astype("int32"),
+                    "_cv": b[vec_col]})
+
+        cv_type = self.codes.schema["_cv"].dataType.simpleString()
+        cand_type = self.codes.schema["cand_id"].dataType.simpleString()
+        cells = (new_vectors.select(id_col, vec_col).mapInPandas(
+            assign, f"cand_id {cand_type}, cell int, _cv {cv_type}"))
+        delta = self._encode(cells, C, self.codebooks)
+        return IvfPqIndex(C, self.codebooks,
+                          self.codes.unionByName(delta), id_col, vec_col)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        spark = self.codes.sparkSession
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        cent = [(int(i), [float(x) for x in row])
+                for i, row in enumerate(self.centroids)]
+        (spark.createDataFrame(cent, "cell int, centroid array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+        m, n_codes, dsub = self.codebooks.shape
+        rows = [(int(j), int(c), [float(x) for x in self.codebooks[j, c]])
+                for j in range(m) for c in range(n_codes)]
+        (spark.createDataFrame(rows, "j int, c int, v array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
+        (spark.createDataFrame(
+            [(m, n_codes, dsub, self.id_col, self.vec_col)],
+            "m int, n_codes int, dsub int, id_col string, vec_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        m, n_codes = meta["m"], meta["n_codes"]
+        crows = (spark.read.parquet(f"{path}/centroids")
+                 .orderBy("cell").collect())
+        centroids = np.asarray([r["centroid"] for r in crows],
+                               dtype=np.float64)
+        books = np.zeros((m, n_codes, meta["dsub"]))
+        for r in spark.read.parquet(f"{path}/books").collect():
+            books[r["j"], r["c"]] = r["v"]
+        return cls(centroids, books, spark.read.parquet(f"{path}/codes"),
+                   meta["id_col"], meta["vec_col"])
