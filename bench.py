@@ -184,7 +184,12 @@ def token_throughput(spark, n_rows: int) -> dict[str, float]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "400000"))
+    # 3.2M rows: small enough that best-of-5 adds ~30 s to the suite,
+    # large enough that per-job fixed costs (driver plan build, AQE stage
+    # scheduling — ~1.5 s) sit under ~25% of the wall instead of
+    # dominating it; the full amortized regime is measured separately at
+    # 12.8M rows in BENCH_SCALING.md (684k rows/s at 32 cores)
+    n_tokens = int(os.environ.get("SPARK_GRAFT_TOKEN_ROWS", "3200000"))
     spark = get_spark("fdv-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
