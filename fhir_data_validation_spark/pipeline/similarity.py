@@ -219,6 +219,38 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 # ---------------------------------------------------------------- IVF -------
 
+def _assign_original(df: DataFrame, centroids: np.ndarray, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """(id, vector) → (cand_id, cell, _cv) by argmax dot with the
+    NORMALIZED centroids — the one assignment rule build, ``add`` and the
+    search probes all share (an Euclidean-to-unnormalized-mean assignment
+    at build time would file vectors into cells the probe ranks
+    differently when centroid norms vary, silently costing recall at
+    small ``n_probe``). Keeps the ORIGINAL vector for exact rerank.
+    One numpy matmul per Arrow batch."""
+    C = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.asarray(list(b["_v"]), dtype=np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            yield pd.DataFrame({
+                "cand_id": b["cand_id"],
+                "cell": np.argmax(V @ C.T, axis=1).astype("int32"),
+                "_cv": b["_v"]})
+
+    src = df.select(F.col(id_col).alias("cand_id"),
+                    F.col(vec_col).alias("_v"))
+    out_schema = ("cand_id "
+                  + src.schema["cand_id"].dataType.simpleString()
+                  + ", cell int, _cv "
+                  + src.schema["_v"].dataType.simpleString())
+    return src.mapInPandas(assign, out_schema)
+
+
 class IvfIndex:
     """Persistent IVF (inverted-file) index: normalized centroids + the
     cell-assigned corpus (with its vectors — the inverted lists are
@@ -274,15 +306,17 @@ class IvfIndex:
         model = (KMeans(k=n_cells, seed=seed, maxIter=max_iter,
                         featuresCol="_features", predictionCol="_cell")
                  .fit(fit_input))
-        # inverted lists carry the ORIGINAL vectors: rerank after load
-        # needs no corpus join
-        cells = (model.transform(vecs)
-                 .select(F.col(id_col).alias("cand_id"),
-                         F.col("_cell").alias("cell"),
-                         F.col(vec_col).alias("_cv")))
         centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
         centroids = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        # assignment uses the SAME rule as the search probes and add():
+        # argmax dot with the normalized centroids. KMeans.transform's
+        # Euclidean distance to the raw cluster MEANS ranks differently
+        # when mean norms vary (tight vs diffuse cells) — a vector filed
+        # that way can sit in a cell the probe never reaches at small
+        # n_probe. The inverted lists carry the ORIGINAL vectors: rerank
+        # after load needs no corpus join.
+        cells = _assign_original(corpus, centroids, id_col, vec_col)
         return cls(centroids, cells, id_col, vec_col)
 
     def search(self, queries: DataFrame, k: int = 10,
@@ -339,30 +373,16 @@ class IvfIndex:
         centroids (save it, or keep serving from it).
 
         Assignment is one Arrow-batched matmul per partition (the
-        centroid matrix rides the closure, n_cells × dim floats).
+        centroid matrix rides the closure, n_cells × dim floats) — the
+        same :func:`_assign_original` rule the build uses, so a re-added
+        duplicate of an indexed vector lands in the identical cell.
         Centroids drift as the corpus grows: the quantizer stays optimal
         for the OLD distribution, so re-``build`` when recall on fresh
         data degrades — the standard IVF re-train/append trade-off."""
-        import pandas as pd
-        C = self.centroids
-        id_col, vec_col = self.id_col, self.vec_col
-
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
-                                   1e-12)
-                yield pd.DataFrame({
-                    "cand_id": pdf[id_col],
-                    "cell": np.argmax(V @ C.T, axis=1).astype("int32"),
-                    "_cv": pdf[vec_col]})
-
-        assigned = (new_vectors.select(id_col, vec_col)
-                    .mapInPandas(assign, schema=self.cells.schema))
-        return IvfIndex(C, self.cells.unionByName(assigned),
-                        id_col, vec_col)
+        assigned = _assign_original(new_vectors, self.centroids,
+                                    self.id_col, self.vec_col)
+        return IvfIndex(self.centroids, self.cells.unionByName(assigned),
+                        self.id_col, self.vec_col)
 
     def save(self, path: str) -> None:
         spark = self.cells.sparkSession
@@ -725,6 +745,62 @@ def _kmeans_np(X: np.ndarray, k: int, seed: int, max_iter: int
     return C
 
 
+def _pq_codes(M: np.ndarray, books: np.ndarray,
+              bnorm: np.ndarray) -> np.ndarray:
+    """(n, dim) matrix → (n, m) int32 codes: per subspace ONE matmul +
+    argmin over the code axis (||x-c||² = ||x||² - 2xc + ||c||²; the
+    ||x||² term is constant per row and drops out of the argmin)."""
+    m, _, dsub = books.shape
+    cols = []
+    for j in range(m):
+        S = M[:, j * dsub:(j + 1) * dsub]
+        d = bnorm[j][None, :] - 2.0 * (S @ books[j].T)
+        cols.append(np.argmin(d, axis=1))
+    return np.stack(cols, axis=1).astype("int32")
+
+
+def _fit_pq_books(X: np.ndarray, m: int, n_codes: int, seed: int,
+                  max_iter: int) -> np.ndarray:
+    """Fit the m sub-codebooks on a (bounded, driver-side) sample matrix:
+    (m, n_codes, dsub)."""
+    dsub = X.shape[1] // m
+    return np.stack([
+        _kmeans_np(X[:, j * dsub:(j + 1) * dsub], n_codes, seed + j,
+                   max_iter)
+        for j in range(m)])
+
+
+def _save_books(spark, path: str, books: np.ndarray) -> None:
+    m, n_codes, dsub = books.shape
+    rows = [(int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(m) for c in range(n_codes)]
+    (spark.createDataFrame(rows, "j int, c int, v array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
+
+
+def _load_books(spark, path: str, m: int, n_codes: int,
+                dsub: int) -> np.ndarray:
+    books = np.zeros((m, n_codes, dsub))
+    for r in spark.read.parquet(f"{path}/books").collect():
+        books[r["j"], r["c"]] = r["v"]
+    return books
+
+
+def _local_topk_per_query(qi: np.ndarray, scores: np.ndarray,
+                          kk: int) -> np.ndarray:
+    """Row indices of the top-``kk`` scores per query index within one
+    Arrow batch — the map-side pre-top that keeps the global shortlist
+    window from funneling a query's entire probed candidate set into one
+    task. Lexsort by (query, -score); positions whose rank within their
+    query block is < kk survive."""
+    order = np.lexsort((-scores, qi))
+    q_sorted = qi[order]
+    starts = np.r_[0, np.flatnonzero(q_sorted[1:] != q_sorted[:-1]) + 1]
+    rank = np.arange(len(q_sorted)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(q_sorted)]))
+    return order[rank < kk]
+
+
 class PqIndex:
     """Product-quantization index (Jégou, Douze & Schmid 2011, "Product
     Quantization for Nearest Neighbor Search"): each L2-normalized vector
@@ -775,7 +851,6 @@ class PqIndex:
         dim = len(first[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        dsub = dim // m
         n_total = corpus.count()
         frac = min(1.0, fit_rows / max(n_total, 1))
         sample = (corpus.sample(fraction=frac, seed=seed)
@@ -783,11 +858,8 @@ class PqIndex:
         X = np.asarray([r[0] for r in
                         sample.select(vec_col).limit(fit_rows).collect()],
                        dtype=np.float64)
-        X = cls._normalize(X)
-        books = np.stack([
-            _kmeans_np(X[:, j * dsub:(j + 1) * dsub], n_codes,
-                       seed + j, max_iter)
-            for j in range(m)])             # (m, n_codes, dsub)
+        books = _fit_pq_books(cls._normalize(X), m, n_codes, seed,
+                              max_iter)    # (m, n_codes, dsub)
         codes = cls._encode(corpus, books, id_col, vec_col)
         return cls(books, codes, id_col, vec_col)
 
@@ -799,22 +871,15 @@ class PqIndex:
                         F.col(vec_col).cast("array<double>").alias("_v"))
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # ||x_sub - c||² = ||x||² - 2·x·c + ||c||²: per subspace ONE
-            # matmul + argmin over the code axis
             bnorm = (books ** 2).sum(axis=2)            # (m, n_codes)
             for b in batches:
                 if not len(b):
                     continue
                 V = np.stack(b["_v"].to_numpy()).astype(np.float64)
-                V = PqIndex._normalize(V)
-                cols = []
-                for j in range(m):
-                    S = V[:, j * dsub:(j + 1) * dsub]
-                    d = bnorm[j][None, :] - 2.0 * (S @ books[j].T)
-                    cols.append(np.argmin(d, axis=1))
                 yield pd.DataFrame({
                     "cand_id": b["cand_id"],
-                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                    "codes": list(_pq_codes(PqIndex._normalize(V), books,
+                                            bnorm)),
                     "_cv": b["_v"],
                 })
 
@@ -851,8 +916,9 @@ class PqIndex:
                 for j in range(m)], axis=1)             # (nq, m, dsub→codes)
         else:
             qids, luts = [], np.zeros((0, m, n_codes))
-        qid_type = ("string" if qrows and isinstance(qids[0], str)
-                    else "bigint")
+        # the real id type, not an isinstance guess — double/decimal/date
+        # ids would otherwise coerce (or error) through Arrow as int64
+        qid_type = queries.schema[id_col].dataType.simpleString()
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             nq = len(qids)
@@ -908,16 +974,26 @@ class PqIndex:
         return PqIndex(self.codebooks, self.codes.unionByName(delta),
                        self.id_col, self.vec_col)
 
+    def persist(self) -> "PqIndex":
+        """Pin the codes table for repeated searches on a freshly built
+        index: without this (or a :meth:`save`/:meth:`load` round-trip,
+        whose parquet scans prune to the code columns), every search
+        action re-runs the corpus encode through the lazy lineage —
+        twice per rerank search (ADC branch + vector-join branch)."""
+        from pyspark import StorageLevel
+        self.codes.persist(StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str) -> None:
         spark = self.codes.sparkSession
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        _save_books(spark, path, self.codebooks)
         m, n_codes, dsub = self.codebooks.shape
-        rows = [(int(j), int(c), [float(x) for x in self.codebooks[j, c]])
-                for j in range(m) for c in range(n_codes)]
-        (spark.createDataFrame(rows, "j int, c int, v array<double>")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
         (spark.createDataFrame(
             [(m, n_codes, dsub, self.id_col, self.vec_col)],
             "m int, n_codes int, dsub int, id_col string, vec_col string")
@@ -926,10 +1002,8 @@ class PqIndex:
     @classmethod
     def load(cls, spark, path: str) -> "PqIndex":
         meta = spark.read.parquet(f"{path}/meta").first()
-        m, n_codes, dsub = meta["m"], meta["n_codes"], meta["dsub"]
-        books = np.zeros((m, n_codes, dsub))
-        for r in spark.read.parquet(f"{path}/books").collect():
-            books[r["j"], r["c"]] = r["v"]
+        books = _load_books(spark, path, meta["m"], meta["n_codes"],
+                            meta["dsub"])
         return cls(books, spark.read.parquet(f"{path}/codes"),
                    meta["id_col"], meta["vec_col"])
 
@@ -986,7 +1060,6 @@ class IvfPqIndex:
         dim = len(first[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        dsub = dim // m
         ivf = IvfIndex.build(corpus, n_cells=n_cells, seed=seed,
                              max_iter=max_iter, fit_fraction=fit_fraction,
                              id_col=id_col, vec_col=vec_col)
@@ -1001,10 +1074,7 @@ class IvfPqIndex:
         V = PqIndex._normalize(np.asarray([r["_cv"] for r in rows],
                                           dtype=np.float64))
         R = V - C[np.asarray([r["cell"] for r in rows])]
-        books = np.stack([
-            _kmeans_np(R[:, j * dsub:(j + 1) * dsub], n_codes,
-                       seed + j, max_iter)
-            for j in range(m)])
+        books = _fit_pq_books(R, m, n_codes, seed, max_iter)
         codes = cls._encode(ivf.cells, C, books)
         return cls(C, books, codes, id_col, vec_col)
 
@@ -1013,7 +1083,6 @@ class IvfPqIndex:
                 books: np.ndarray) -> DataFrame:
         """(cand_id, cell, _cv) → + codes: residual-quantize each vector
         against its ASSIGNED cell's centroid with the shared books."""
-        m, n_codes, dsub = books.shape
         bnorm = (books ** 2).sum(axis=2)                 # (m, n_codes)
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1023,14 +1092,9 @@ class IvfPqIndex:
                 V = PqIndex._normalize(
                     np.asarray(list(b["_cv"]), dtype=np.float64))
                 R = V - centroids[b["cell"].to_numpy()]
-                cols = []
-                for j in range(m):
-                    S = R[:, j * dsub:(j + 1) * dsub]
-                    d = bnorm[j][None, :] - 2.0 * (S @ books[j].T)
-                    cols.append(np.argmin(d, axis=1))
                 yield pd.DataFrame({
                     "cand_id": b["cand_id"], "cell": b["cell"],
-                    "codes": list(np.stack(cols, axis=1).astype("int32")),
+                    "codes": list(_pq_codes(R, books, bnorm)),
                     "_cv": b["_cv"]})
 
         out_schema = ("cand_id "
@@ -1095,8 +1159,15 @@ class IvfPqIndex:
                 s = b["_qc"].to_numpy().astype(float)
                 for j in range(m):
                     s = s + luts[qi, j, Cd[:, j]]
-                yield pd.DataFrame({"query_id": b["query_id"],
-                                    "cand_id": b["cand_id"], "_adc": s})
+                # map-side pre-top: emit only each query's local top-kk —
+                # without this the shortlist window funnels a query's
+                # ENTIRE probed candidate set (≈ corpus × n_probe /
+                # n_cells rows) into one task
+                keep = _local_topk_per_query(qi, s, kk)
+                yield pd.DataFrame(
+                    {"query_id": b["query_id"].iloc[keep],
+                     "cand_id": b["cand_id"].iloc[keep],
+                     "_adc": s[keep]})
 
         cand_type = self.codes.schema["cand_id"].dataType.simpleString()
         qid_sql = id_type.simpleString()
@@ -1129,27 +1200,21 @@ class IvfPqIndex:
         with the FROZEN books — O(delta) work, no refit (quantizer drift
         would silently re-code history; re-``build`` when fresh-data
         recall degrades, the standard IVF trade-off)."""
-        C = self.centroids
-        id_col, vec_col = self.id_col, self.vec_col
+        cells = _assign_original(new_vectors, self.centroids,
+                                 self.id_col, self.vec_col)
+        delta = self._encode(cells, self.centroids, self.codebooks)
+        return IvfPqIndex(self.centroids, self.codebooks,
+                          self.codes.unionByName(delta),
+                          self.id_col, self.vec_col)
 
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                if not len(b):
-                    continue
-                V = PqIndex._normalize(
-                    np.asarray(list(b[vec_col]), dtype=np.float64))
-                yield pd.DataFrame({
-                    "cand_id": b[id_col],
-                    "cell": np.argmax(V @ C.T, axis=1).astype("int32"),
-                    "_cv": b[vec_col]})
+    def persist(self) -> "IvfPqIndex":
+        """See :meth:`PqIndex.persist` — same repeated-search contract."""
+        from pyspark import StorageLevel
+        self.codes.persist(StorageLevel.MEMORY_AND_DISK)
+        return self
 
-        cv_type = self.codes.schema["_cv"].dataType.simpleString()
-        cand_type = self.codes.schema["cand_id"].dataType.simpleString()
-        cells = (new_vectors.select(id_col, vec_col).mapInPandas(
-            assign, f"cand_id {cand_type}, cell int, _cv {cv_type}"))
-        delta = self._encode(cells, C, self.codebooks)
-        return IvfPqIndex(C, self.codebooks,
-                          self.codes.unionByName(delta), id_col, vec_col)
+    def unpersist(self) -> None:
+        self.codes.unpersist()
 
     # -- persistence --------------------------------------------------------
 
@@ -1160,11 +1225,8 @@ class IvfPqIndex:
                 for i, row in enumerate(self.centroids)]
         (spark.createDataFrame(cent, "cell int, centroid array<double>")
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+        _save_books(spark, path, self.codebooks)
         m, n_codes, dsub = self.codebooks.shape
-        rows = [(int(j), int(c), [float(x) for x in self.codebooks[j, c]])
-                for j in range(m) for c in range(n_codes)]
-        (spark.createDataFrame(rows, "j int, c int, v array<double>")
-         .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
         (spark.createDataFrame(
             [(m, n_codes, dsub, self.id_col, self.vec_col)],
             "m int, n_codes int, dsub int, id_col string, vec_col string")
@@ -1173,13 +1235,11 @@ class IvfPqIndex:
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
         meta = spark.read.parquet(f"{path}/meta").first()
-        m, n_codes = meta["m"], meta["n_codes"]
         crows = (spark.read.parquet(f"{path}/centroids")
                  .orderBy("cell").collect())
         centroids = np.asarray([r["centroid"] for r in crows],
                                dtype=np.float64)
-        books = np.zeros((m, n_codes, meta["dsub"]))
-        for r in spark.read.parquet(f"{path}/books").collect():
-            books[r["j"], r["c"]] = r["v"]
+        books = _load_books(spark, path, meta["m"], meta["n_codes"],
+                            meta["dsub"])
         return cls(centroids, books, spark.read.parquet(f"{path}/codes"),
                    meta["id_col"], meta["vec_col"])

@@ -1099,3 +1099,31 @@ def test_ivfpq_build_guards(spark, embs):
         IvfPqIndex.build(embs, m=7)          # 64 % 7 != 0
     with pytest.raises(ValueError):
         IvfPqIndex.build(embs.limit(0), m=8)  # empty corpus
+
+
+def test_ivf_assignment_consistent_with_probes(spark, embs):
+    """A query IDENTICAL to an indexed vector must surface it at
+    n_probe=1: build/add file vectors with the SAME argmax-dot rule the
+    probe uses (KMeans.transform's Euclidean-to-raw-means assignment
+    would file some vectors into cells the probe ranks second when
+    centroid norms vary — silently losing exact matches)."""
+    corpus = embs.where(F.col("vec_id") >= 10)
+    twins = (embs.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+             .select((F.col("vec_id") - 10).alias("vec_id"), "embedding"))
+    ivf = similarity.IvfIndex.build(corpus, n_cells=16, seed=3, max_iter=10)
+    top1 = {r["query_id"]: (r["vec_id"], r["cosine"])
+            for r in ivf.search(twins, k=1, n_probe=1).collect()}
+    assert set(top1) == set(range(10))
+    for q, (hit, cos) in top1.items():
+        assert hit == q + 10 and cos == 1.0
+    # same property through the IVF-PQ layout (deep shortlist so ADC
+    # quantization error cannot hide the twin from the exact rerank)
+    from fhir_data_validation_spark.pipeline.similarity import IvfPqIndex
+    ivfpq = IvfPqIndex.build(corpus, n_cells=16, m=8, n_codes=32, seed=3,
+                             max_iter=10)
+    top1pq = {r["query_id"]: (r["vec_id"], r["cosine"])
+              for r in ivfpq.search(twins, k=1, n_probe=1,
+                                    rerank_factor=64).collect()}
+    assert set(top1pq) == set(range(10))
+    for q, (hit, cos) in top1pq.items():
+        assert hit == q + 10 and cos == 1.0

@@ -190,7 +190,6 @@ def main() -> int:
               "scaling_efficiency_8_to_32": round(eff_832, 3),
               "hardware_cpu_ceiling_8_to_32": round(hw_eff_832, 3),
               "criterion": "≥0.8", "met": eff_28 >= 0.8}
-    print(json.dumps(result))
 
     # repeats history: this host shows bursty CPU steal (identical jobs
     # spread up to 65% wall across repeats), so a SINGLE run can flip the
@@ -222,6 +221,15 @@ def main() -> int:
     best32 = max(max((r.get("rps") or {}).values(), default=0)
                  for r in samples)
     met = median >= 0.8
+    # the MD verdict is the noise-robust median, but the EXIT CODE tracks
+    # the current run: a genuine regression must fail the bench on its
+    # first run, not after it has dragged the median down across five —
+    # gating history on the verdict would let the committed good samples
+    # mask new regressions indefinitely
+    result["met_current"] = eff_28 >= 0.8
+    result["met_median"] = met
+    result["median_2_to_8"] = round(median, 3)
+    print(json.dumps(result))
     eff_list = " / ".join(f"{r['eff_2_8']:.3f}" for r in samples)
 
     rows_tbl = "\n".join(
@@ -272,7 +280,7 @@ Unique/Reference shuffle passes, RequiredResources aggregation, and the
 Arrow `applyInPandas` drift stage; it excludes session startup, JIT/codegen
 warmup and corpus generation (<0.1% of the job at the 10^12-row target).
 """)
-    return 0 if met else 1
+    return 0 if eff_28 >= 0.8 else 1
 
 
 if __name__ == "__main__":
