@@ -345,6 +345,20 @@ def q_j5_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     return _viol(res)
 
 
+def q_c5_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters (stats.heavy_hitters): with
+    ``k`` covering the domain no counter subtraction fires, so the MG
+    summary IS the exact per-value count — the oracle; the approximate
+    regime's [n_lo, n_hi] bound + guaranteed-presence rule are pinned by
+    unit tests (no SQL twin)."""
+    from fhir_data_validation_spark import stats
+    docs = load_table(spark, sf, "documents")
+    return (stats.heavy_hitters(docs, "lang", k=100, group_col="source")
+            .select("group", "value",
+                    "n_lo", "n_hi")
+            .orderBy("group", F.desc("n_lo"), "value"))
+
+
 def q_c1_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group column stats via the library's one-pass profiler
     (``stats.profile`` — C1 min/max/mean/null-rate + C2 cardinality).
@@ -2440,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_cardinality": q_c2_cardinality,
         "c3_unique": q_c3_unique,
         "c4_histogram": q_c4_histogram,
+        "c5_heavy_hitters": q_c5_heavy_hitters,
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
         "j5_bloom_prefilter": q_j5_bloom_prefilter,
@@ -2727,6 +2742,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(l_quantity / 5) AS INTEGER) AS bucket,
                    count(*) AS cnt
             FROM lineitem GROUP BY bucket ORDER BY bucket""",
+        # c5: exact-regime Misra-Gries == plain GROUP BY counts
+        "c5_heavy_hitters": """
+            SELECT source AS "group", lang AS value,
+                   COUNT(*) AS n_lo, COUNT(*) AS n_hi
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY source, lang
+            ORDER BY "group", n_lo DESC, value""",
         "j1_reference": """
             SELECT CAST(o.o_orderkey AS VARCHAR) AS doc_id, 'REF-1' AS rule_id,
                    'REFERENCE_NOT_FOUND' AS error_code,

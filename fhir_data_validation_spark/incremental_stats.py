@@ -91,12 +91,19 @@ class IncrementalProfiler:
     lg_k:             HLL sketch precision (Spark ``hll_sketch_agg``).
     on_rewrite:       'rebuild' (default) or 'error' — what to do when a
                       non-append commit invalidates the partial history.
+    histograms:       ``{column: bucket_width}`` — also maintain mergeable
+                      per-delta histograms (+ the per-delta drift gate).
+    heavy_hitters:    ``{column: k}`` — also maintain a mergeable
+                      Misra-Gries top-``k`` summary per delta (≤ k
+                      candidate rows + 1 error row per (delta, group));
+                      fold with :meth:`merged_heavy_hitters`.
     """
 
     def __init__(self, table: PyIcebergTable, columns: list[str],
                  store_location: str, group_col: str | None = None,
                  lg_k: int = 12, on_rewrite: str = "rebuild",
                  histograms: dict[str, float] | None = None,
+                 heavy_hitters: dict[str, int] | None = None,
                  ks_alpha: float = 0.01):
         if on_rewrite not in ("rebuild", "error"):
             raise ValueError("on_rewrite must be 'rebuild' or 'error', "
@@ -107,6 +114,10 @@ class IncrementalProfiler:
             if w <= 0:
                 raise ValueError(f"histograms[{c!r}] bucket width must "
                                  f"be > 0, got {w}")
+        for c, hk in (heavy_hitters or {}).items():
+            if not isinstance(hk, int) or hk < 1:
+                raise ValueError(f"heavy_hitters[{c!r}] k must be an "
+                                 f"integer >= 1, got {hk!r}")
         self.table = table
         self.columns = list(columns)
         self.store_location = store_location
@@ -114,6 +125,7 @@ class IncrementalProfiler:
         self.lg_k = lg_k
         self.on_rewrite = on_rewrite
         self.histograms = dict(histograms or {})
+        self.heavy_hitters = dict(heavy_hitters or {})
         self.ks_alpha = ks_alpha
 
     # ------------------------------------------------------------ store --
@@ -191,7 +203,82 @@ class IncrementalProfiler:
         for c, width in self.histograms.items():
             out = out.unionByName(
                 self._hist_partials(df, c, width, to_snapshot, to_seq))
+        for c, hk in self.heavy_hitters.items():
+            out = out.unionByName(
+                self._hh_partials(df, c, hk, to_snapshot, to_seq))
         return out
+
+    def _hh_partials(self, df: DataFrame, column: str, k: int,
+                     to_snapshot: int, to_seq: int) -> DataFrame:
+        """Mergeable Misra-Gries partial for a delta: the delta's summary
+        pruned to ≤ ``k`` candidate rows per group (kind='hh': value in
+        ``min_str``, counter in ``cnt``) + one error row (kind='hherr',
+        ``cnt`` = cumulative subtraction D). The prune subtracts the
+        (k+1)-th largest folded counter — the Agarwal et al. merge rule —
+        so D keeps the invariant true_count ∈ [Σ counters, Σ counters +
+        Σ D] across any number of deltas."""
+        from pyspark.sql import Window
+        from .stats import heavy_hitters as _hh
+        folded = _hh(df, column, k=k, group_col=self.group_col)
+        w = (Window.partitionBy("group")
+             .orderBy(F.desc("n_lo"), F.asc("value")))
+        ranked = folded.withColumn("_rk", F.row_number().over(w))
+        dk = (ranked.where(F.col("_rk") == k + 1)
+              .select("group", F.col("n_lo").alias("_dk")))
+        base = (ranked.join(dk, "group", "left")
+                .withColumn("_dk", F.coalesce("_dk", F.lit(0)))
+                .withColumn("_c", F.col("n_lo") - F.col("_dk")))
+        # error rows come from base, not pruned: when the top k+1 counters
+        # all tie, the prune empties the candidate list but D must still
+        # be recorded
+        pruned = base.where((F.col("_rk") <= k) & (F.col("_c") > 0))
+        null_d = F.lit(None).cast("double")
+
+        def shape(src, kind, value, cnt):
+            return src.select(
+                F.col("group").cast("string").alias("group"),
+                F.lit(column).alias("column"),
+                F.lit(None).cast("long").alias("n_rows"),
+                F.lit(None).cast("long").alias("n_nulls"),
+                null_d.alias("min_num"), null_d.alias("max_num"),
+                null_d.alias("sum_num"), null_d.alias("sum_sq"),
+                value.alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+                F.lit(None).cast("binary").alias("hll"),
+                F.lit(kind).alias("kind"),
+                null_d.alias("bucket"),
+                cnt.cast("long").alias("cnt"),
+                F.lit(to_snapshot).alias("to_snapshot"),
+                F.lit(to_seq).alias("to_seq"))
+
+        vals = shape(pruned, "hh", F.col("value"), F.col("_c"))
+        errs = shape(
+            base.groupBy("group").agg(
+                (F.max("error_bound") + F.max("_dk")).alias("_D")),
+            "hherr", F.lit(None).cast("string"), F.col("_D"))
+        return vals.unionByName(errs)
+
+    def merged_heavy_hitters(self, column: str) -> DataFrame:
+        """Fold the stored MG partials for ``column`` across all deltas —
+        zero data IO: ``(group, value, n_lo, n_hi, error_bound)`` with the
+        same bound semantics as :func:`stats.heavy_hitters` (true count in
+        [n_lo, n_hi]; every value with true count > error_bound present)."""
+        if column not in self.heavy_hitters:
+            raise ValueError(f"no heavy-hitter tracking for {column!r} "
+                             f"(have {sorted(self.heavy_hitters)})")
+        rows = (self._store().read()
+                .where(F.col("column") == column)
+                .where(F.col("kind").isin("hh", "hherr")))
+        errs = (rows.where(F.col("kind") == "hherr")
+                .groupBy("group").agg(F.sum("cnt").alias("_D")))
+        return (rows.where(F.col("kind") == "hh")
+                .groupBy("group", F.col("min_str").alias("value"))
+                .agg(F.sum("cnt").alias("n_lo"))
+                .join(errs, "group")
+                .select("group", "value", "n_lo",
+                        (F.col("n_lo") + F.col("_D")).alias("n_hi"),
+                        F.col("_D").alias("error_bound"))
+                .orderBy(F.desc("n_lo"), F.asc("value")))
 
     def _hist_partials(self, df: DataFrame, column: str, width: float,
                        to_snapshot: int, to_seq: int) -> DataFrame:

@@ -319,3 +319,81 @@ def diff_tables(a: DataFrame, b: DataFrame, key_cols: list[str],
     return (j.withColumn("status", status)
             .where(F.col("status").isNotNull())
             .select(*key_cols, "status"))
+
+
+def heavy_hitters(df: DataFrame, column: str, k: int = 100,
+                  group_col: str | None = None) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitter summary of ``column``:
+    ``(group, value, n_lo, n_hi, error_bound)`` where the TRUE count of
+    every reported value lies in ``[n_lo, n_hi]`` and **every value whose
+    true count exceeds ``error_bound`` is guaranteed present** (Agarwal
+    et al. 2012, "Mergeable Summaries": MG summaries merge by counter
+    addition with additive error).
+
+    Why not ``groupBy(column).count()``: exact counting shuffles one row
+    per DISTINCT value — unbounded for open-domain columns (URLs,
+    fingerprints, n-grams) at corpus scale. Here each task keeps a
+    k-bounded counter dict (classic MG: overflow subtracts the (k+1)-th
+    largest counter from everything and drops the non-positive), emits
+    ≤ ``k`` candidate rows + 1 error row per (partition, group), and the
+    final reduce folds ≤ k × partitions rows — shuffle bounded by the
+    summary size, never the domain.
+
+    When ``k`` is at least the number of distinct values seen by every
+    task, no subtraction ever fires, ``error_bound`` is 0 and the counts
+    are EXACT — the contract-query regime; the approximate regime's
+    bounds are pinned by unit tests. NULL values are ignored (they are
+    null-rate territory, see :func:`profile`)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    group = (F.lit(GROUP_ALL) if group_col is None
+             else F.col(group_col).cast("string"))
+    src = (df.where(F.col(column).isNotNull())
+           .select(group.alias("_g"),
+                   F.col(column).cast("string").alias("_v")))
+
+    def summarize(batches):
+        state: dict = {}       # group -> {value: counter}
+        errs: dict = {}        # group -> cumulative subtraction D
+        rows: dict = {}        # group -> non-null row count
+        for b in batches:
+            for g, sub in b.groupby("_g", sort=False):
+                st = state.setdefault(g, {})
+                rows[g] = rows.get(g, 0) + len(sub)
+                for v, c in sub["_v"].value_counts(sort=False).items():
+                    st[v] = st.get(v, 0) + int(c)
+                if len(st) > 2 * k:     # amortized prune to k entries
+                    d = sorted(st.values(), reverse=True)[k]
+                    errs[g] = errs.get(g, 0) + d
+                    state[g] = {v: c - d for v, c in st.items() if c > d}
+        out = []
+        for g, st in state.items():
+            if len(st) > k:             # final prune to the contract size
+                d = sorted(st.values(), reverse=True)[k]
+                errs[g] = errs.get(g, 0) + d
+                st = {v: c - d for v, c in st.items() if c > d}
+            for v, c in st.items():
+                out.append((g, v, int(c), 0, 0))
+            out.append((g, None, 0, int(errs.get(g, 0)),
+                        int(rows.get(g, 0))))
+        yield pd.DataFrame(out, columns=["_g", "_v", "_c", "_d", "_n"])
+
+    partials = src.mapInPandas(
+        summarize, "_g string, _v string, _c long, _d long, _n long")
+    # every subtraction event lowered EVERY (implicit) counter of its
+    # task by d, so true - D <= counter <= true within a task; summing
+    # counters and D across tasks keeps true ∈ [Σc, Σc + ΣD]
+    per_group = (partials.where(F.col("_v").isNull())
+                 .groupBy("_g").agg(F.sum("_d").alias("_D"),
+                                    F.sum("_n").alias("_N")))
+    return (partials.where(F.col("_v").isNotNull())
+            .groupBy("_g", "_v").agg(F.sum("_c").alias("n_lo"))
+            .join(per_group, "_g")
+            .select(F.col("_g").alias("group"),
+                    F.col("_v").alias("value"),
+                    "n_lo",
+                    (F.col("n_lo") + F.col("_D")).alias("n_hi"),
+                    F.col("_D").alias("error_bound"))
+            .orderBy(F.desc("n_lo"), F.asc("value")))

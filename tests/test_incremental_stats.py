@@ -198,3 +198,51 @@ def test_histogram_partials_and_delta_drift_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="width"):
         IncrementalProfiler(t, ["v"], str(tmp_path / "bad"),
                             histograms={"v": 0})
+
+
+def test_heavy_hitter_partials_merge_exactly_and_bound(spark, tmp_path):
+    """MG partials fold across deltas: with k covering the domain the
+    merged counts are EXACT and equal a full-table groupBy; with k below
+    the domain the [n_lo, n_hi] bounds contain every true count and the
+    guaranteed-presence rule holds; partials land in the SAME store
+    commit as the stats (atomic watermark)."""
+    t = _mk(spark, tmp_path, "hh")
+    prof = IncrementalProfiler(
+        t, ["v"], str(tmp_path / "store_hh"), group_col="src",
+        heavy_hitters={"doc_id": 4, "src": 100})
+    # doc_id domain: one hot id re-appended every delta + unique tails
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        rows = [("HOT", 1, [1], "web")] * 25 + _batch(spark, lo, hi)
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        prof.update()
+    full = t.read()
+    # exact regime (k=100 >= |src domain|): merged == full groupBy
+    got_src = {(r["group"], r["value"], r["n_lo"], r["n_hi"])
+               for r in prof.merged_heavy_hitters("src").collect()}
+    want_src = {(r["src"], r["src"], r["n"], r["n"]) for r in
+                full.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got_src == want_src
+    # approximate regime (k=4, ~120 distinct doc_ids): bounds hold and
+    # the hot key (75 > error_bound) is guaranteed present
+    true = {(r["src"], r["doc_id"]): r["n"] for r in
+            full.groupBy("src", "doc_id").agg(F.count("*").alias("n"))
+            .collect()}
+    out = prof.merged_heavy_hitters("doc_id").collect()
+    web = [r for r in out if r["group"] == "web"]
+    assert web and all(r["n_lo"] <= true[("web", r["value"])] <= r["n_hi"]
+                       for r in web)
+    err = web[0]["error_bound"]
+    hot = [r for r in web if r["value"] == "HOT"]
+    assert true[("web", "HOT")] == 75 and 75 > err and hot
+    assert hot[0]["n_lo"] <= 75 <= hot[0]["n_hi"]
+    # store size contract: ≤ k candidates + 1 error row per (delta, group)
+    hh_rows = (prof._store().read()
+               .where("column = 'doc_id' AND kind = 'hh'")
+               .groupBy("to_snapshot", "group").count().collect())
+    assert all(r["count"] <= 4 for r in hh_rows)
+    # unknown column raises
+    with pytest.raises(ValueError):
+        prof.merged_heavy_hitters("nope")
+    with pytest.raises(ValueError):
+        IncrementalProfiler(t, ["v"], str(tmp_path / "s2"),
+                            heavy_hitters={"doc_id": 0})

@@ -212,3 +212,49 @@ def test_skew_report_top_k(spark):
     plan = (skew_report(df, "key")._jdf.queryExecution()
             .executedPlan().toString())
     assert "TakeOrdered" in plan
+
+
+# ------------------------------------------------ Misra-Gries heavy hitters -
+
+def test_heavy_hitters_exact_when_k_covers_domain(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r["value"], r["n_lo"], r["n_hi"])
+           for r in stats.heavy_hitters(docs, "lang", k=100).collect()}
+    want = {(r["lang"], r["n"], r["n"]) for r in
+            docs.where(F.col("lang").isNotNull())
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == want            # error_bound 0 ⇒ bounds collapse to exact
+
+
+def test_heavy_hitters_bounds_hold_under_pruning(spark):
+    """k far below the domain: every reported value's true count must sit
+    in [n_lo, n_hi], and values with true count > error_bound must be
+    reported (the MG guarantee)."""
+    rows = ([("hot",)] * 4000 + [("warm",)] * 1500
+            + [(f"cold{i}",) for i in range(4500)])
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = stats.heavy_hitters(df, "v", k=10).collect()
+    true = {"hot": 4000, "warm": 1500, **{f"cold{i}": 1 for i in range(4500)}}
+    by_val = {r["value"]: r for r in out}
+    for v, r in by_val.items():
+        assert r["n_lo"] <= true[v] <= r["n_hi"], (v, r)
+    err = out[0]["error_bound"]
+    assert err > 0
+    for v, n in true.items():
+        if n > err:
+            assert v in by_val, f"guaranteed hitter {v} missing (err={err})"
+
+
+def test_heavy_hitters_grouped_and_guards(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stats.heavy_hitters(docs, "lang", k=50, group_col="source")
+    rows = out.collect()
+    srcs = {r["group"] for r in rows}
+    assert len(srcs) > 1 and "<all>" not in srcs
+    one = [r for r in rows if r["group"] == sorted(srcs)[0]]
+    want = {(r["lang"], r["n"]) for r in
+            docs.where(F.col("source") == sorted(srcs)[0])
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert {(r["value"], r["n_lo"]) for r in one} == want
+    with pytest.raises(ValueError):
+        stats.heavy_hitters(docs, "lang", k=0)
