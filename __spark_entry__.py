@@ -359,6 +359,24 @@ def q_c5_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("group", F.desc("n_lo"), "value"))
 
 
+def q_hh1_dominance(spark: SparkSession, sf: str) -> DataFrame:
+    """HeavyHitters RULE through the engine (plans.heavy_hitters_plan):
+    values of ``lang`` holding > 20% of documents are dominance
+    violations. k=1000 covers the domain, so the Misra-Gries judgment is
+    exact and the oracle is a plain GROUP BY ... HAVING share check."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.model import RuleSet
+    docs = load_table(spark, sf, "documents")
+    rs = RuleSet.parse({"rules": [
+        {"id": "HH-1", "type": "HeavyHitters", "column": "lang",
+         "params": {"maxShare": 0.2, "k": 1000}}]})
+    cfg = EngineConfig(key_col="doc_id", group_col="source")
+    v = ValidationEngine(rs, config=cfg).validate(docs).violations
+    return (v.select(F.col("doc_id").alias("value"),
+                     F.col("detail")["countLo"].cast("long").alias("n"))
+            .orderBy("value"))
+
+
 def q_c1_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group column stats via the library's one-pass profiler
     (``stats.profile`` — C1 min/max/mean/null-rate + C2 cardinality).
@@ -2455,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_unique": q_c3_unique,
         "c4_histogram": q_c4_histogram,
         "c5_heavy_hitters": q_c5_heavy_hitters,
+        "hh1_dominance": q_hh1_dominance,
         "j1_reference": q_j1_reference,
         "j1_reference_seeded": q_j1_reference_seeded,
         "j5_bloom_prefilter": q_j5_bloom_prefilter,
@@ -2749,6 +2768,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang IS NOT NULL
             GROUP BY source, lang
             ORDER BY "group", n_lo DESC, value""",
+        # hh1: engine-path dominance rule, exact regime
+        "hh1_dominance": """
+            SELECT lang AS value, COUNT(*) AS n
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY lang
+            HAVING COUNT(*) > 0.2 * (SELECT COUNT(*) FROM documents
+                                     WHERE lang IS NOT NULL)
+            ORDER BY value""",
         "j1_reference": """
             SELECT CAST(o.o_orderkey AS VARCHAR) AS doc_id, 'REF-1' AS rule_id,
                    'REFERENCE_NOT_FOUND' AS error_code,

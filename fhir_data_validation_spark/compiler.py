@@ -191,6 +191,7 @@ DEFAULT_ERROR_CODES = {
     "Outlier": ErrorCode.OUTLIER_VALUE,
     "Monotonic": ErrorCode.MONOTONICITY_VIOLATION,
     "FunctionalDependency": ErrorCode.FUNCTIONAL_DEPENDENCY_VIOLATION,
+    "HeavyHitters": ErrorCode.HEAVY_HITTER_VIOLATION,
     "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
 
@@ -226,6 +227,7 @@ RULE_STAGES = {
     "DistinctBand": Stage.DATASET,
     "Monotonic": Stage.DATASET,
     "FunctionalDependency": Stage.DATASET,
+    "HeavyHitters": Stage.DATASET,
 }
 
 # rule types executed as dataset plans (aggregation/join passes)
@@ -233,7 +235,7 @@ DATASET_RULE_TYPES = ("Unique", "Reference", "Membership", "CodeSystem",
                       "CodeMaster", "RequiredResources", "Drift",
                       "Expectation", "Outlier", "AggConsistency",
                       "GroupShare", "DistinctBand", "Monotonic",
-                      "FunctionalDependency")
+                      "FunctionalDependency", "HeavyHitters")
 
 
 def _field_type(schema: StructType, name: str, rule: RuleDefinition) -> DataType:

@@ -80,6 +80,7 @@ class ErrorCode:
     MONOTONICITY_VIOLATION = "MONOTONICITY_VIOLATION"
     DISTINCT_BAND_VIOLATION = "DISTINCT_BAND_VIOLATION"
     FUNCTIONAL_DEPENDENCY_VIOLATION = "FUNCTIONAL_DEPENDENCY_VIOLATION"
+    HEAVY_HITTER_VIOLATION = "HEAVY_HITTER_VIOLATION"
     # terminology / CodeMaster family (SURVEY §2.5 R6, J4-J5)
     CODESYSTEM_MISMATCH = "CODESYSTEM_MISMATCH"
     UNKNOWN_SCREENING_TYPE = "UNKNOWN_SCREENING_TYPE"

@@ -324,8 +324,9 @@ def diff_tables(a: DataFrame, b: DataFrame, key_cols: list[str],
 def heavy_hitters(df: DataFrame, column: str, k: int = 100,
                   group_col: str | None = None) -> DataFrame:
     """Distributed Misra-Gries heavy-hitter summary of ``column``:
-    ``(group, value, n_lo, n_hi, error_bound)`` where the TRUE count of
-    every reported value lies in ``[n_lo, n_hi]`` and **every value whose
+    ``(group, value, n_lo, n_hi, error_bound, n_group)`` where the TRUE
+    count of every reported value lies in ``[n_lo, n_hi]``, ``n_group``
+    is the group's non-null row total, and **every value whose
     true count exceeds ``error_bound`` is guaranteed present** (Agarwal
     et al. 2012, "Mergeable Summaries": MG summaries merge by counter
     addition with additive error).
@@ -395,5 +396,6 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 100,
                     F.col("_v").alias("value"),
                     "n_lo",
                     (F.col("n_lo") + F.col("_D")).alias("n_hi"),
-                    F.col("_D").alias("error_bound"))
+                    F.col("_D").alias("error_bound"),
+                    F.col("_N").alias("n_group"))
             .orderBy(F.desc("n_lo"), F.asc("value")))

@@ -1176,3 +1176,46 @@ def test_distinct_band_compile_rejections(spark):
         with pytest.raises(RuleConfigurationError):
             ValidationEngine(rs, config=EngineConfig(
                 key_col="doc_id", group_col="grp")).validate(df)
+
+
+def test_heavy_hitters_rule_dominance_and_guards(spark):
+    """HeavyHitters: a value exceeding maxShare of rows is flagged once
+    (judged on the sketch's LOWER bound — exact here since k covers the
+    domain); maxCount lane; scope filtering; malformed params raise at
+    compile."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.model import RuleSet
+    rows = ([("dup", "web")] * 30
+            + [(f"u{i}", "web") for i in range(60)]
+            + [("bookdup", "book")] * 10)
+    df = spark.createDataFrame(rows, "url string, src string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id()
+                       .cast("string"))
+    cfg = EngineConfig(key_col="doc_id", group_col="src")
+    rs = RuleSet.parse({"rules": [
+        {"id": "HH-1", "type": "HeavyHitters", "column": "url",
+         "params": {"maxShare": 0.2, "k": 200}}]})
+    v = ValidationEngine(rs, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v} == {"dup"}      # 30/100 > 0.2
+    det = v[0]["detail"]
+    assert det["check"] == "maxShare" and det["countLo"] == "30"
+    assert det["shareLo"] == "0.3" and det["errorBound"] == "0"
+
+    # maxCount lane + source scoping: within book, bookdup has 10 rows
+    rs2 = RuleSet.parse({"rules": [
+        {"id": "HH-2", "type": "HeavyHitters", "column": "url",
+         "source": "book", "params": {"maxCount": 9, "k": 50}}]})
+    v2 = ValidationEngine(rs2, config=cfg).validate(df).violations.collect()
+    assert {r["doc_id"] for r in v2} == {"bookdup"}
+    assert v2[0]["detail"]["check"] == "maxCount"
+    assert v2[0]["source"] == "book"
+
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    for bad in ({"k": 50},                        # no bound at all
+                {"maxShare": 1.5},                # share out of range
+                {"maxShare": 0.2, "k": 0},        # bad k
+                {"maxCount": 0}):                 # bad count
+        with pytest.raises(RuleConfigurationError):
+            ValidationEngine(RuleSet.parse({"rules": [
+                {"id": "HH-X", "type": "HeavyHitters", "column": "url",
+                 "params": bad}]}), config=cfg).compile(df)
