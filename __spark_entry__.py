@@ -1899,9 +1899,10 @@ def q_i13_multi_partition(spark: SparkSession, sf: str) -> DataFrame:
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     # table content restricted to the two queried sources: the result set
-    # (want ∩ srcs) is identical, but the write stages 2×4 instead of 5×4
-    # leaf files — the bench then times partition routing + composed
-    # pruning, not 12 never-read parquet footers
+    # (want ∩ srcs) is identical, but the write stages 2×4 instead of
+    # 20×4 leaf files (the documents table has 20 sources) — the bench
+    # then times partition routing + composed pruning, not 72 never-read
+    # parquet footers
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 600)
             .where(F.col("source").isin("src1", "src2"))
@@ -1940,14 +1941,16 @@ def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
-    # one month of events: the query rolls up Jan 10-12 and the pruning
-    # pin only needs >1 day present — staging the corpus's whole day range
-    # would write dozens of never-read leaf files per draw
+    # one WEEK of events: the query rolls up Jan 10-12 and the pruning
+    # pin only needs >1 day staged — the corpus spans all of January, so
+    # staging it whole would write ~30 day partitions of which only 3 are
+    # ever read (the testdata covers 2024-01-01..01-30 exactly; a
+    # full-month filter trims nothing)
     ev = (load_table(spark, sf, "events")
           .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
                   "event_type")
-          .where((F.col("ts") >= F.lit("2024-01-01"))
-                 & (F.col("ts") < F.lit("2024-02-01"))))
+          .where((F.col("ts") >= F.lit("2024-01-08"))
+                 & (F.col("ts") < F.lit("2024-01-15"))))
     loc = tempfile.mkdtemp(prefix="fdv_icetp_") + "/ev"
     t = PyIcebergTable.create(spark, loc, ev.schema,
                               partition_by=("ts", "day"))

@@ -687,7 +687,14 @@ def semantic_dedup_incremental(new_docs: DataFrame, index: DataFrame,
                        F.col("_nv").alias("_mnv"))
     th = F.lit(float(threshold))
     sim = _dot(F.col("_nv"), F.col("_mnv"))
+    # _mid != _id: an at-least-once REPLAY of a batch whose docs already
+    # landed in the survivor index would otherwise match each doc to its
+    # own index row at cosine 1.0 — a self-referential dup_of a consumer
+    # cannot act on. With the guard, a replayed survivor matches only
+    # OTHER rows (usually none) and stays a non-dup; the index_delta
+    # anti-join below keeps its re-append out of the index.
     vs_index = (nb.join(idx, "cell")
+                .where(F.col("_mid") != F.col("_id"))
                 .withColumn("_cos", sim).where(F.col("_cos") >= th)
                 .select("_id", "_mid", "_cos"))
     nb2 = nb.select(F.col("_id").alias("_mid"), "cell",
@@ -710,6 +717,10 @@ def semantic_dedup_incremental(new_docs: DataFrame, index: DataFrame,
     index_delta = (assigned
                    .join(matches,
                          assigned[id_col] == matches["_id"], "left_anti")
+                   # replay idempotence: an id already in the index never
+                   # re-appends (it would double the survivor row and make
+                   # later batches match it twice)
+                   .join(index.select(F.col(id_col)), id_col, "left_anti")
                    .select(id_col, "cell", "_nv"))
     return verdicts, index_delta
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DataType, StringType, StructType
 
 from .compiler import _field_type, _nonempty, _safe_expr, _spark_path
-from .errors import RuleConfigurationError
+from .errors import ErrorCode, RuleConfigurationError
 from .model import RuleDefinition
 
 _SEVERITIES = ("warning", "info")
@@ -104,7 +104,7 @@ def _presence(path: str, dtype: DataType, applies_to_each: bool):
     if applies_to_each:
         if not isinstance(dtype, ArrayType):
             raise RuleConfigurationError(
-                "<spec-hint>", "RULE_CONFIGURATION_ERROR",
+                "<spec-hint>", ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"appliesToEach hint on non-array path {path!r} "
                 f"({dtype.simpleString()})")
         elem_ok = ((lambda x: x.isNotNull() & (F.trim(x) != ""))
@@ -133,7 +133,7 @@ def scan(df: DataFrame, hints: Iterable[SpecHint],
     if not hints:
         raise ValueError("scan needs at least one SpecHint")
     schema = df.schema
-    aggs, metas = [], []
+    aggs = []
     for i, h in enumerate(hints):
         probe = RuleDefinition(id=f"<spec-hint:{h.path}>", type="Required",
                                params={})
@@ -151,7 +151,6 @@ def scan(df: DataFrame, hints: Iterable[SpecHint],
             F.sum(F.when(checked, 1).otherwise(0)).alias(f"_c{i}"),
             F.min(F.when(miss, F.col(key_col))).alias(f"_w{i}"),
         ]
-        metas.append(h)
     agg = df.groupBy(F.col(group_col).alias("source")).agg(*aggs)
     rows = F.array(*[
         F.struct(F.lit(h.path).alias("path"),
@@ -161,7 +160,7 @@ def scan(df: DataFrame, hints: Iterable[SpecHint],
                  F.col(f"_m{i}").alias("n_missing"),
                  F.col(f"_c{i}").alias("n_checked"),
                  F.col(f"_w{i}").cast("string").alias("witness"))
-        for i, h in enumerate(metas)])
+        for i, h in enumerate(hints)])
     return (agg.select("source", F.explode(rows).alias("_h"))
             .select("source", "_h.*")
             .where(F.col("n_checked") > 0))

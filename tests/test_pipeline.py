@@ -1127,3 +1127,29 @@ def test_ivf_assignment_consistent_with_probes(spark, embs):
     assert set(top1pq) == set(range(10))
     for q, (hit, cos) in top1pq.items():
         assert hit == q + 10 and cos == 1.0
+
+
+def test_semantic_dedup_incremental_replay_idempotent(spark, embs):
+    """At-least-once replay: re-feeding a batch whose docs already landed
+    in the survivor index must (a) never mark a doc as a duplicate of
+    ITSELF, and (b) produce an EMPTY index delta (no double survivor
+    rows)."""
+    import numpy as np
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.999, 0.045])],
+        "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame(
+        [], "vec_id long, cell int, _nv array<double>")
+    v1, d1 = similarity.semantic_dedup_incremental(
+        batch, empty, cent, threshold=0.99)
+    assert sorted(r["vec_id"] for r in d1.collect()) == [1, 2]   # 3 dups 1
+    index = empty.unionByName(d1)
+    # replay the SAME batch against the updated index
+    v2, d2 = similarity.semantic_dedup_incremental(
+        batch, index, cent, threshold=0.99)
+    got = {r["vec_id"]: (r["dup"], r["dup_of"]) for r in v2.collect()}
+    assert got[1] == (False, None) and got[2] == (False, None)
+    assert got[3] == (True, 1)            # still dups the indexed 1
+    assert d2.count() == 0                # nothing re-appends
+    dedup.unpersist_all()

@@ -333,3 +333,19 @@ def test_ivfpq_probe_join_broadcasts_and_codes_scan_unshuffled(spark):
     import re
     m = re.search(r"MapInPandas.*", s)
     assert m and "_cv" not in m.group(0)
+
+
+def test_heavy_hitters_shuffle_bounded_by_summary(spark, corpus):
+    """The MG pass's 100×-scale property: the only wide exchange folds
+    ≤ k×partitions summary rows (hash on the group key AFTER the
+    MapInPandas summarizer) — the plan must NOT shuffle or sort the raw
+    input before the summarizer."""
+    from fhir_data_validation_spark import stats
+    out = stats.heavy_hitters(corpus, "doc_id", k=10)
+    s = explain_str(out)
+    assert "MapInPandas" in s and "Scan " in s
+    # formatted explain prints root-first, so everything BETWEEN the
+    # summarizer and the leaf scan is the summarizer's input pipeline:
+    # it must contain no Exchange/Sort (the raw rows flow straight in)
+    below_map = s[s.index("MapInPandas"): s.index("Scan ")]
+    assert "Exchange" not in below_map and "Sort" not in below_map
