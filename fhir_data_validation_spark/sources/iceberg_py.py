@@ -686,6 +686,15 @@ class PyIcebergTable:
         pname = (col if kind == "identity" else
                  f"{col}_trunc" if kind == "truncate" else
                  f"{col}_{kind}")
+        if kind != "identity" and any(f["name"] == pname
+                                      for f in ice_fields):
+            # the derived directory column would shadow a real data
+            # column on write and double-parse on read — broken table
+            # with no actionable error until the first append
+            raise ValueError(
+                f"derived partition field name {pname!r} collides with "
+                f"schema column {pname!r} — rename the column or pick a "
+                f"different transform source")
         return {"name": pname, "transform": transform,
                 "source-id": src["id"], "field-id": field_id}
 
@@ -712,6 +721,19 @@ class PyIcebergTable:
         names = [it if isinstance(it, str) else it[0] for it in items]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate partition source in {names}")
+        # derived FIELD names must be unique too: ('ts_day', identity)
+        # + ('ts', 'day') both derive 'ts_day' and would write two
+        # directory levels under one name
+        derived = []
+        for it in items:
+            col, tr = (it if isinstance(it, tuple) else (it, "identity"))
+            kind = tr.split("[", 1)[0]
+            derived.append(col if kind == "identity"
+                           else f"{col}_trunc" if kind == "truncate"
+                           else f"{col}_{kind}")
+        if len(set(derived)) != len(derived):
+            raise ValueError(
+                f"partition spec derives duplicate field names {derived}")
         return items
 
     @classmethod
@@ -1417,7 +1439,11 @@ class PyIcebergTable:
         the newest ``keep_last`` ANCESTORS of the current snapshot (after
         a :meth:`rollback_to`, snapshots newer by sequence number may be
         an abandoned branch — recency-based expiry would reclaim the
-        current state's own history) plus every tagged snapshot. Data
+        current state's own history) plus every tagged snapshot, plus the
+        FULL ancestor chain of every non-main branch (a staged branch's
+        intermediate commits must survive maintenance or ``fast_forward``
+        could no longer prove main is an ancestor — drop the branch to
+        release its chain). Data
         files still referenced by a kept snapshot are never touched; the
         expired snapshots' manifest lists, no-longer-referenced manifests,
         skip indexes and orphaned data files are removed. Time travel to
@@ -1428,7 +1454,22 @@ class PyIcebergTable:
         meta, old_version = self._load_meta_versioned()
         chain = self._ancestors(meta, meta["current-snapshot-id"])
         keep_ids = {s["snapshot-id"] for s in chain[:keep_last]}
-        keep_ids |= {r["snapshot-id"] for r in meta["refs"].values()}
+        # a BRANCH pins its FULL ancestor chain, not just its head: a
+        # staged branch's intermediate commits must survive maintenance
+        # or fast_forward can no longer prove main is an ancestor (and
+        # the publish-time snapshot-log walk breaks on the gap). A TAG
+        # pins only its snapshot — reading a pinned snapshot needs its
+        # own manifest list, never its ancestors.
+        for name, r in meta["refs"].items():
+            if r.get("type") == "branch" and name != "main":
+                keep_ids |= {s["snapshot-id"]
+                             for s in self._ancestors(meta,
+                                                      r["snapshot-id"])}
+            else:
+                # main is governed by keep_last above; tags pin only
+                # their snapshot (reads need its manifest list, not its
+                # ancestors)
+                keep_ids.add(r["snapshot-id"])
         snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
         kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
         expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
@@ -1537,6 +1578,20 @@ class PyIcebergTable:
         cur = _schema_by_id(meta)
         if any(f["name"] == name for f in cur["fields"]):
             raise ValueError(f"column {name!r} already exists")
+        # the name may never have belonged to a DIFFERENT field in ANY
+        # schema version (e.g. a since-renamed column): old data files
+        # physically carry that name, so _read_plan's name-history
+        # coalesce would pull the new field's request column out of them
+        # — silent wrong data (same guard as rename_column)
+        for s in meta["schemas"]:
+            clash = next((f for f in s["fields"] if f["name"] == name),
+                         None)
+            if clash is not None:
+                raise ValueError(
+                    f"cannot add {name!r}: schema {s['schema-id']} used "
+                    f"that name for field id {clash['id']} — old data "
+                    f"files are ambiguous under name-based resolution "
+                    f"(pick a fresh name)")
         ids = _IdGen(meta["last-column-id"])
         new_field = {"id": ids.next(), "name": name, "required": False,
                      "type": _iceberg_type(dtype, ids)}
@@ -2047,9 +2102,11 @@ class PyIcebergTable:
         try:
             self._commit_meta(meta, old_version)
         except CommitConflictError:
-            # undo this attempt's meta mutation and manifest list so the
-            # rebase retry starts clean (data files/manifests are reused)
-            meta["snapshots"].pop()
+            # the in-memory meta dict is POISONED past this point (this
+            # attempt's snapshot, refs, log and sequence advances are all
+            # baked in) — callers must reload from disk, which the rebase
+            # retry loop does; only the written manifest LIST is cleaned
+            # up here (data files/manifests are reused by the retry)
             _fs_delete(self.spark, mlist_path, best_effort=True)
             raise
         return snapshot_id
@@ -2188,6 +2245,17 @@ class PyIcebergTable:
                 e["file_sequence_number"] = inherited
         return entries
 
+    def _snapshot_or_none(self, meta: dict,
+                          snapshot_id: int | None) -> dict | None:
+        """Like :meth:`_snapshot`, but an empty MAIN (no snapshots yet —
+        normal while the first-ever batch is staged on a WAP branch)
+        resolves to ``None`` instead of raising, so the metadata views
+        can report an empty table instead of crashing the monitor. An
+        EXPLICIT snapshot id that does not exist still raises."""
+        if snapshot_id is None and meta["current-snapshot-id"] == -1:
+            return None
+        return self._snapshot(meta, snapshot_id)
+
     def _snapshot(self, meta: dict, snapshot_id: int | None) -> dict:
         if snapshot_id is None:
             snapshot_id = meta["current-snapshot-id"]
@@ -2283,7 +2351,9 @@ class PyIcebergTable:
         matchers of the spec that shaped it (a spec with no matcher for
         the filtered column keeps all its files: they may contain
         matches)."""
-        snap = self._snapshot(meta, snapshot_id)
+        snap = self._snapshot_or_none(meta, snapshot_id)
+        if snap is None:
+            return []
         out = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 0:
@@ -2301,7 +2371,9 @@ class PyIcebergTable:
                              ) -> list[tuple[dict, int, int]]:
         """[(manifest entry, added_snapshot_id, spec_id)] for a snapshot's
         live POSITION-DELETE files (``content=1`` manifests)."""
-        snap = self._snapshot(meta, snapshot_id)
+        snap = self._snapshot_or_none(meta, snapshot_id)
+        if snap is None:
+            return []
         out = []
         for mf in self._manifest_list(meta, snap["snapshot-id"]):
             if mf["content"] != 1:
@@ -2838,9 +2910,10 @@ class PyIcebergTable:
         of a snapshot — (file_path, partition, record_count,
         file_size_in_bytes, added_snapshot_id)."""
         meta = self._load_meta()
-        snap = self._snapshot(meta, snapshot_id)
+        snap = self._snapshot_or_none(meta, snapshot_id)
         rows = []
-        for mf in self._manifest_list(meta, snap["snapshot-id"]):
+        for mf in (self._manifest_list(meta, snap["snapshot-id"])
+                   if snap is not None else []):
             if mf["content"] != 0:
                 continue
             entries = self._manifest_entries_of(mf)
@@ -2939,8 +3012,9 @@ class PyIcebergTable:
         many small manifests with low added counts say
         :meth:`rewrite_manifests`; live ``content=1`` rows say MOR debt."""
         meta = self._load_meta()
-        snap = self._snapshot(meta, snapshot_id)
-        rows = [(mf["manifest_path"], mf["manifest_length"],
+        snap = self._snapshot_or_none(meta, snapshot_id)
+        rows = [] if snap is None else [
+                (mf["manifest_path"], mf["manifest_length"],
                  mf["partition_spec_id"], mf["content"],
                  mf["sequence_number"], mf["min_sequence_number"],
                  mf["added_snapshot_id"], mf["added_files_count"],
@@ -2964,9 +3038,10 @@ class PyIcebergTable:
         added/removed which file, and which sequence number orders it
         against merge-on-read deletes."""
         meta = self._load_meta()
-        snap = self._snapshot(meta, snapshot_id)
+        snap = self._snapshot_or_none(meta, snapshot_id)
         rows = []
-        for mf in self._manifest_list(meta, snap["snapshot-id"]):
+        for mf in (self._manifest_list(meta, snap["snapshot-id"])
+                   if snap is not None else []):
             for e in self._manifest_entries_of(mf):
                 d = e["data_file"]
                 rows.append((e["status"], e.get("snapshot_id"),

@@ -141,7 +141,8 @@ def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
 def audit_and_publish(table: PyIcebergTable, engine, branch: str,
                       publish_on_pass: bool = True,
                       drop_on_fail: bool = True,
-                      staged_only: bool = True) -> dict:
+                      staged_only: bool = True,
+                      recreate_on_drop: bool = False) -> dict:
     """The AUDIT + PUBLISH half of write-audit-publish: validate what a
     branch staged and gate its visibility on the verdicts.
 
@@ -154,6 +155,14 @@ def audit_and_publish(table: PyIcebergTable, engine, branch: str,
     branch, so the bad batch never reaches a reader and
     ``expire_snapshots`` reclaims its files. Either action is skipped when
     its flag is False (dry-run auditing).
+
+    ``recreate_on_drop=True`` re-creates the (empty, at main) branch
+    right after a failing drop — REQUIRED when a continuous-mode
+    streaming sink is still committing to the branch: its next
+    micro-batch would otherwise die on the missing ref and take the
+    whole streaming query down. Leave False for the drained
+    (``available_now``) batch-gate pattern, where a vanished branch
+    should be loud.
 
     Returns ``{"passed", "action", "staged_rows", "result"}`` — ``result``
     is the full :class:`~fhir_data_validation_spark.engine.ValidationResult`
@@ -176,6 +185,10 @@ def audit_and_publish(table: PyIcebergTable, engine, branch: str,
         staged = table.incremental(main_head, branch_head)
     else:
         staged = table.read(ref=branch)
+    # count once, BEFORE any branch mutation: validate() already scanned
+    # the staged frame, and counting after a drop would re-plan against
+    # a dead ref (and pay a second full scan either way at 10^12 rows)
+    staged_rows = staged.count()
     result = engine.validate(staged)
     passed = result.passed()
     action = None
@@ -184,6 +197,8 @@ def audit_and_publish(table: PyIcebergTable, engine, branch: str,
         action = "published"
     elif not passed and drop_on_fail:
         table.drop_branch(branch)
+        if recreate_on_drop:
+            table.branch(branch)
         action = "dropped"
     return {"passed": passed, "action": action,
-            "staged_rows": staged.count(), "result": result}
+            "staged_rows": staged_rows, "result": result}

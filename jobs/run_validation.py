@@ -143,6 +143,12 @@ def main(argv=None) -> int:
         print("--audit-branch requires --input-format pyiceberg",
               file=sys.stderr)
         return 2
+    if args.audit_branch and args.synth:
+        # --synth replaces the input entirely: the branch would be judged
+        # on synthetic data and the publish/drop step would have no table
+        print("--audit-branch is exclusive with --synth",
+              file=sys.stderr)
+        return 2
 
     if args.synth:
         df = dirty_token_table(spark, args.synth).drop("_row_id")

@@ -2203,3 +2203,81 @@ def test_metadata_views_history_refs_manifests_entries(spark, tmp_path):
     assert all(r["sequence_number"] is not None for r in e)  # inherited
     assert {r["file_format"] for r in e} == {"PARQUET"}
     assert t2.files().count() == len(live)
+
+
+# --------------------------------------------- review-fix regression pins --
+
+def test_add_column_rejects_historical_names(spark, table):
+    """A name a renamed field historically bore cannot be re-added: old
+    files physically carry it, so the name-history coalesce would pull
+    the NEW field's request column out of them — silent wrong data."""
+    table.rename_column("doc_id", "key")
+    table.append(_rows(spark, [("d4", [7], 1, "web")])
+                 .withColumnRenamed("doc_id", "key"))
+    with pytest.raises(ValueError, match="ambiguous"):
+        table.add_column("doc_id", T.StringType())
+    # a genuinely fresh name still works
+    table.add_column("notes", T.StringType())
+    got = {r["key"]: r["source"] for r in table.read().collect()}
+    assert got["d1"] == "web" and got["d4"] == "web"
+
+
+def test_expire_keeps_staged_branch_chain_publishable(spark, tmp_path):
+    """expire_snapshots while a MULTI-commit branch is staged must keep
+    the branch's intermediate snapshots: fast_forward needs the ancestor
+    chain to prove main is behind the branch."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "exp"), TOKENS_SCHEMA)
+    t.append(_rows(spark, [("d1", [1], 1, "web")]))          # main S1
+    t.branch("stage")
+    t.append(_rows(spark, [("d2", [2], 1, "web")]), branch="stage")  # S2
+    t.append(_rows(spark, [("d3", [3], 1, "web")]), branch="stage")  # S3
+    t.expire_snapshots()
+    t.fast_forward("main", "stage")                           # must not raise
+    assert {r["doc_id"] for r in t.read().collect()} == {"d1", "d2", "d3"}
+
+
+def test_metadata_views_on_empty_main_with_staged_branch(spark, tmp_path):
+    """First-ever batch staged off-main (the WAP bootstrap flow): every
+    metadata view must report an EMPTY table, not crash the monitor."""
+    t = PyIcebergTable.create(spark, str(tmp_path / "wapview"),
+                              TOKENS_SCHEMA)
+    t.branch("stage")
+    t.append(_rows(spark, [("d1", [1], 1, "web")]), branch="stage")
+    assert t.read().count() == 0
+    assert t.files().count() == 0
+    assert t.delete_files().count() == 0
+    assert t.partitions().count() == 0
+    assert t.manifests().count() == 0
+    assert t.entries().count() == 0
+    # explicit missing ids still raise
+    with pytest.raises(ValueError):
+        t.manifests(snapshot_id=12345)
+    # the staged branch itself is visible through read(ref=)
+    assert t.read(ref="stage").count() == 1
+
+
+def test_partition_spec_derived_name_collisions_raise(spark, tmp_path):
+    sch = T.StructType([T.StructField("ts", T.TimestampType(), True),
+                        T.StructField("ts_day", T.LongType(), True),
+                        T.StructField("v", T.LongType(), True)])
+    with pytest.raises(ValueError, match="collides with schema column"):
+        PyIcebergTable.create(spark, str(tmp_path / "pc1"), sch,
+                              partition_by=("ts", "day"))
+    sch2 = T.StructType([T.StructField("ts", T.TimestampType(), True),
+                         T.StructField("v", T.LongType(), True)])
+    with pytest.raises(ValueError, match="duplicate"):
+        PyIcebergTable.create(
+            spark, str(tmp_path / "pc2"), sch2,
+            partition_by=[("ts", "day"), ("ts", "day")])
+
+
+def test_run_validation_cli_rejects_synth_with_audit_branch(spark,
+                                                            tmp_path):
+    """--synth replaces the input entirely, so gating a branch on it
+    would judge synthetic data and then crash on the unbound table —
+    must be a clean usage error instead."""
+    from jobs.run_validation import main
+    rc = main(["--synth", "100", "--input-format", "pyiceberg",
+               "--audit-branch", "x", "--output",
+               str(tmp_path / "out")])
+    assert rc == 2

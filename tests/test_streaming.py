@@ -637,3 +637,40 @@ def test_semantic_dedup_stream_epochs_and_replay(spark, tmp_path):
     assert (vt.read().count(), it.read().count()) == (n_ver, n_idx)
     # 7 dups the indexed 3 — survivors unchanged
     assert sorted(r["vec_id"] for r in it.read().collect()) == [1, 3, 6]
+
+
+def test_audit_recreate_on_drop_keeps_stream_alive(spark, tmp_path):
+    """A continuous staging stream survives a failing audit when
+    recreate_on_drop=True: the branch is re-created (empty, at main) so
+    the sink's next micro-batch has a ref to commit to; the failed
+    batch's rows are gone."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import audit_and_publish
+    from fhir_data_validation_spark.streaming.sink import IcebergStreamSink
+
+    schema = "doc_id string, n_tok int, source string"
+    table = PyIcebergTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([], schema).schema)
+    table.append(spark.createDataFrame([("d0", 7, "web")], schema))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    table.branch("staged")
+    sink = IcebergStreamSink(table, "gate", branch="staged")
+    # epoch 0 stages a BAD batch (n_tok=0 violates min=1)
+    sink(spark.createDataFrame([("bad", 0, "web")], schema), 0)
+    rep = audit_and_publish(table, engine, "staged",
+                            recreate_on_drop=True)
+    assert rep["passed"] is False and rep["action"] == "dropped"
+    assert rep["staged_rows"] == 1
+    # the branch exists again — the stream's next epoch commits cleanly
+    sink(spark.createDataFrame([("good", 3, "web")], schema), 1)
+    rep2 = audit_and_publish(table, engine, "staged")
+    assert rep2["passed"] is True and rep2["action"] == "published"
+    got = {r["doc_id"] for r in table.read().collect()}
+    assert got == {"d0", "good"}                # bad batch never published
