@@ -2229,6 +2229,44 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental quantiles (``IncrementalProfiler.merged_quantiles``):
+    docs commit in three appends; per-delta HISTOGRAM partials fold by
+    summing bucket counts, and the quantile estimate inverts the merged
+    histogram (cumulative walk + in-bucket linear interpolation) with
+    ZERO data IO. The inversion is deterministic arithmetic over exact
+    merged counts, so it must equal the oracle running the identical
+    bucket/cumsum/interpolation chain on a full scan — value-exact, not
+    just within tolerance."""
+    import shutil
+    import tempfile
+    from fhir_data_validation_spark import IncrementalProfiler
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    width = 250.0
+    probs = (0.25, 0.5, 0.75, 0.99)
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars")
+    base = tempfile.mkdtemp(prefix="fdv_incq_")
+    t = PyIcebergTable.create(spark, base + "/docs", docs.schema)
+    prof = IncrementalProfiler(t, ["n_chars"], base + "/stats",
+                               group_col="source",
+                               histograms={"n_chars": width})
+    modes = []
+    for cond in (F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 == 1,
+                 F.col("doc_id") % 3 == 2):
+        t.append(docs.where(cond).coalesce(2))
+        modes.append(prof.update()["mode"])
+    out = (prof.merged_quantiles("n_chars", probs)
+           .withColumn("value", F.round("value", 4))
+           .withColumn("modes_ok", F.lit(
+               modes == ["rebuild", "delta", "delta"]))
+           .orderBy("group", "p"))
+    rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_seq1_sequence_shape(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence framing validation (SequenceShape rule, STRUCTURE
     stage): BOS at position 0, EOS closing the content, pad only as a
@@ -2575,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i12_rename_widen": q_i12_rename_widen,
         "i13_multi_partition": q_i13_multi_partition,
         "c10_incremental_profile": q_c10_incremental_profile,
+        "c11_merged_quantiles": q_c11_merged_quantiles,
     }
 
 
@@ -3222,6 +3261,38 @@ def oracle_sql() -> dict[str, str]:
                    min(lang) AS lang_min, max(lang) AS lang_max,
                    TRUE AS modes_ok
             FROM documents GROUP BY source ORDER BY "group" """,
+        # c11: incremental quantiles — the oracle states the identical
+        # histogram-inversion chain (floor-bucket counts → cumulative walk
+        # → in-bucket linear interpolation) over a full scan; merged
+        # bucket counts are exact, so the estimates agree to the digit
+        "c11_merged_quantiles": """
+            WITH h AS (
+              SELECT source AS grp,
+                     CAST(floor(n_chars / 250.0) AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT grp, bucket, cnt,
+                     SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+                         AS cum,
+                     SUM(cnt) OVER (PARTITION BY grp) AS tot
+              FROM h
+            ), p AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.99]) AS p),
+            hits AS (
+              SELECT c.grp, p.p, c.bucket, c.cnt, c.cum, c.tot,
+                     ROW_NUMBER() OVER (PARTITION BY c.grp, p.p
+                                        ORDER BY c.bucket) AS rk
+              FROM c JOIN p
+                ON c.cum >= GREATEST(p.p * c.tot, 1e-12)
+            )
+            SELECT grp AS "group", CAST(p AS DOUBLE) AS p,
+                   round((bucket + LEAST(
+                       (GREATEST(p * tot, 1e-12) - (cum - cnt))
+                           / cnt, 1.0)) * 250.0, 4) AS value,
+                   TRUE AS modes_ok
+            FROM hits WHERE rk = 1
+            ORDER BY "group", p""",
         # i10: merge-on-read upsert — final state after two row-delta
         # batches (doc_id%5 bumped +1000, then doc_id%10 re-bumped +5000:
         # the newer version wins), inserts 200-204 appended

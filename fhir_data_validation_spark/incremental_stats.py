@@ -400,6 +400,55 @@ class IncrementalProfiler:
                 .groupBy("group", "bucket")
                 .agg(F.sum("cnt").alias("cnt")))
 
+    def merged_quantiles(self, column: str,
+                         probs: tuple[float, ...] = (0.01, 0.25, 0.5,
+                                                     0.75, 0.99)
+                         ) -> DataFrame:
+        """Per-group quantile estimates folded from the stored histogram
+        partials — ``(group, p, value)`` long form (the
+        :func:`stats.quantiles` shape), ZERO data IO.
+
+        The estimate inverts the merged fixed-width histogram: walk the
+        cumulative counts to the bucket containing rank ``p × N`` and
+        interpolate linearly inside it, so the error is bounded by the
+        configured ``bucket_width`` regardless of how many deltas were
+        folded — the property a mergeable-percentile story needs (an
+        ``approx_percentile`` sketch cannot be persisted/merged across
+        independent runs from SQL, but bucket counts sum exactly).
+
+        All arithmetic runs on the |groups × buckets| reduced frame: one
+        window cumsum + one explode over ``probs``, never the data."""
+        from pyspark.sql import Window
+        if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+            raise ValueError(f"probs must be within [0, 1], got {probs!r}")
+        width = float(self.histograms.get(column, 0.0)) or None
+        if width is None:
+            raise ValueError(f"no histogram configured for {column!r} "
+                             f"(have {sorted(self.histograms)})")
+        h = self.merged_histogram(column)
+        w = Window.partitionBy("group").orderBy("bucket")
+        cum = (h.withColumn("_cum", F.sum("cnt").over(w))
+               .withColumn("_tot", F.sum("cnt").over(
+                   Window.partitionBy("group"))))
+        p_col = F.explode(F.array(*[F.lit(float(p)) for p in probs]))
+        ranked = cum.select("group", "bucket", "cnt", "_cum", "_tot",
+                            p_col.alias("p"))
+        # target rank in (0, N]; the first bucket whose cumulative count
+        # reaches it holds the quantile. min_by picks that bucket without
+        # a second shuffle ordering.
+        target = F.greatest(F.col("p") * F.col("_tot"), F.lit(1e-12))
+        hit = (ranked.where(F.col("_cum") >= target)
+               .groupBy("group", "p")
+               .agg(F.min_by(
+                   F.struct("bucket", "cnt", "_cum"), "bucket").alias("b"),
+                   F.first("_tot").alias("_tot")))
+        frac = ((F.greatest(F.col("p") * F.col("_tot"), F.lit(1e-12))
+                 - (F.col("b._cum") - F.col("b.cnt"))) / F.col("b.cnt"))
+        value = (F.col("b.bucket") + F.least(frac, F.lit(1.0))) * F.lit(width)
+        return (hit.select("group", "p",
+                           value.cast("double").alias("value"))
+                .orderBy("group", "p"))
+
     # ---------------------------------------------------------- profile --
 
     def profile(self, with_distinct: bool = True) -> DataFrame:

@@ -246,3 +246,34 @@ def test_heavy_hitter_partials_merge_exactly_and_bound(spark, tmp_path):
     with pytest.raises(ValueError):
         IncrementalProfiler(t, ["v"], str(tmp_path / "s2"),
                             heavy_hitters={"doc_id": 0})
+
+
+def test_merged_quantiles_from_histogram_partials(spark, tmp_path):
+    """merged_quantiles inverts the folded histogram: estimates land
+    within one bucket_width of the exact per-group percentiles no matter
+    how many deltas were folded; endpoints clamp to the data range."""
+    t = _mk(spark, tmp_path, "q1")
+    width = 5.0
+    prof = IncrementalProfiler(t, ["v"], str(tmp_path / "sq1"),
+                               group_col="src", histograms={"v": width})
+    for lo, hi in ((0, 400), (400, 800), (800, 1200)):
+        rows = [(f"d{i}", i, [1], "web" if i % 2 else "book")
+                for i in range(lo, hi)]
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        prof.update()
+    probs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    got = {(r["group"], r["p"]): r["value"]
+           for r in prof.merged_quantiles("v", probs).collect()}
+    exact = {(r["src"], p): r[f"q{i}"] for r in
+             t.read().groupBy("src")
+              .agg(*[F.expr(f"percentile(v, {p})").alias(f"q{i}")
+                     for i, p in enumerate(probs)]).collect()
+             for i, p in enumerate(probs)}
+    assert set(g for g, _ in got) == {"web", "book"}
+    for key, want in exact.items():
+        assert abs(got[key] - want) <= width + 1e-9, (key, got[key], want)
+    # p outside [0,1] and unconfigured columns raise
+    with pytest.raises(ValueError, match="probs"):
+        prof.merged_quantiles("v", (1.5,))
+    with pytest.raises(ValueError, match="no histogram"):
+        prof.merged_quantiles("doc_id")
