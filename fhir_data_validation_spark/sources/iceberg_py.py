@@ -68,6 +68,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from . import avro_io
 
@@ -992,7 +993,10 @@ class PyIcebergTable:
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         meta, old_version = self._load_meta_versioned()
         keys = [key] if isinstance(key, str) else list(key)
-        table_cols = self.schema().fieldNames()
+        # resolve columns from the metadata already in hand — a fresh
+        # self.schema() read could observe a NEWER schema than the
+        # version this commit builds on
+        table_cols = _spark_schema(_schema_by_id(meta)).fieldNames()
         missing = [c for c in table_cols if c not in updates.columns]
         if missing:
             raise ValueError(f"updates missing table columns {missing}")
@@ -1029,29 +1033,38 @@ class PyIcebergTable:
                 cond = e if cond is None else cond & e
             return cond
 
-        live = self._live_entries(meta, None)
-        dels = self._live_delete_entries(meta, None)
-        seqs = self._seqs_of(live)
-        candidates = self._cow_candidates(meta, live, stats_filter)
-        affected = self._probe_affected(
-            meta, candidates,
-            lambda df: df.join(key_df, _key_cond(df, key_df), "left_semi"),
-            dels, seqs)
-        scan = self._read_files_mor(
-            meta, sorted((p, candidates[p]) for p in affected), None, dels,
-            seqs)
-        survivors = (scan
-                     .join(key_df, _key_cond(scan, key_df), "left_anti")
-                     .unionByName(updates))
-        new_sid, n_carried = self._cow_commit(meta, old_version, live,
-                                              affected, survivors, "merge",
-                                              extra_tasks=1,
-                                              summary_extra=summary_extra,
-                                              properties_extra=properties_extra)
-        return {"snapshot_id": new_sid, "files_rewritten": len(affected),
-                "files_carried": n_carried,
-                "rows_replaced": sum(affected.values()),
-                "rows_written": updates.count()}
+        # persist the updates frame: it is consumed by the write AND the
+        # reported rows_written count — without the cache an expensive
+        # updates plan would execute twice (and a non-deterministic one
+        # could report a count disagreeing with what was committed)
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            live = self._live_entries(meta, None)
+            dels = self._live_delete_entries(meta, None)
+            seqs = self._seqs_of(live)
+            candidates = self._cow_candidates(meta, live, stats_filter)
+            affected = self._probe_affected(
+                meta, candidates,
+                lambda df: df.join(key_df, _key_cond(df, key_df),
+                                   "left_semi"),
+                dels, seqs)
+            scan = self._read_files_mor(
+                meta, sorted((p, candidates[p]) for p in affected), None,
+                dels, seqs)
+            survivors = (scan
+                         .join(key_df, _key_cond(scan, key_df), "left_anti")
+                         .unionByName(updates))
+            new_sid, n_carried = self._cow_commit(
+                meta, old_version, live, affected, survivors, "merge",
+                extra_tasks=1, summary_extra=summary_extra,
+                properties_extra=properties_extra)
+            return {"snapshot_id": new_sid,
+                    "files_rewritten": len(affected),
+                    "files_carried": n_carried,
+                    "rows_replaced": sum(affected.values()),
+                    "rows_written": updates.count()}
+        finally:
+            updates.unpersist()
 
     # ----------------------------------------- copy-on-write rewrite core --
 
@@ -1219,12 +1232,19 @@ class PyIcebergTable:
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually "
                              "exclusive")
-        meta = self._load_meta()
+        # pin the metadata version the rewrite is PLANNED against and
+        # commit on exactly that version: compact re-states the snapshot
+        # it scanned, so a concurrent commit landing in between must
+        # surface CommitConflictError (overwrite is not rebase-safe) —
+        # re-loading fresh metadata at commit time would CAS past the
+        # concurrent writer and silently drop its rows
+        meta, old_version = self._load_meta_versioned()
+        pinned_sid = meta["current-snapshot-id"]
         n_live = len(self._data_files(meta, None))
         n = min(target_files
                 or self.spark.sparkContext.defaultParallelism,
                 max(n_live, 1))
-        df = self.read()
+        df = self.read(None if pinned_sid == -1 else pinned_sid)
         pf = self._part_field(meta)
         if (sort_by or zorder_by) and pf:
             raise ValueError("clustered compaction supports "
@@ -1244,7 +1264,8 @@ class PyIcebergTable:
             df = df.repartition(n, pf.expr())
         else:
             df = df.repartition(n)
-        return self.overwrite(df)
+        return self._commit(df, operation="overwrite",
+                            pinned=(meta, old_version))
 
     def rewrite_manifests(self) -> dict:
         """METADATA-ONLY manifest compaction (Iceberg's
@@ -1547,8 +1568,14 @@ class PyIcebergTable:
             for mf in self._manifest_list(meta, s["snapshot-id"]):
                 _, _, entries = avro_io.read_container(
                     _read_bytes(self.spark, mf["manifest_path"]))
-                referenced |= {self._fkey(e["data_file"]["file_path"])
-                               for e in entries if e["status"] != 2}
+                # decode BOTH sides of the key: manifest paths and the
+                # directory listing have the same provenance, but Hive-
+                # escaped partition values (':' -> '%3A') must compare
+                # equal however either side happens to be encoded — a
+                # one-sided decode turns live files into "orphans"
+                referenced |= {
+                    self._fkey(_url_decode(e["data_file"]["file_path"]))
+                    for e in entries if e["status"] != 2}
         cutoff = _now_ms() - older_than_ms
         n = reclaimed = 0
         for root in (f"{self.location}/data",
@@ -1624,6 +1651,18 @@ class PyIcebergTable:
             raise ValueError(f"cannot drop partition column {name!r}")
         if len(cur["fields"]) == 1:
             raise ValueError("cannot drop the last column")
+        if meta["current-snapshot-id"] != -1:
+            # same guard as rename_column: a live equality-delete file
+            # keys on this field id — dropping it would make every later
+            # read crash resolving the delete keys, and add_column's
+            # any-schema name guard means no metadata op could undo it
+            for e, _, _ in self._live_delete_entries(meta):
+                ids = e["data_file"].get("equality_ids") or []
+                if field["id"] in ids:
+                    raise ValueError(
+                        f"cannot drop {name!r}: live equality-delete "
+                        f"files key on it — run compact() first to "
+                        f"materialize the deletes")
         new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
         meta["schemas"].append(
             {"type": "struct", "schema-id": new_id,
@@ -1802,8 +1841,13 @@ class PyIcebergTable:
     def _commit(self, df: DataFrame, operation: str,
                 summary_extra: dict[str, str] | None = None,
                 properties_extra: dict[str, str] | None = None,
-                branch: str = "main") -> int:
-        meta, old_version = self._load_meta_versioned()
+                branch: str = "main",
+                pinned: tuple[dict, int] | None = None) -> int:
+        # ``pinned`` = (metadata, version) a snapshot-scoped caller
+        # already planned against (compact): committing on it makes the
+        # CAS catch any commit that landed since planning
+        meta, old_version = (pinned if pinned is not None
+                             else self._load_meta_versioned())
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         entries = self._stage_data(meta, df, snapshot_id, seq)
@@ -2171,12 +2215,21 @@ class PyIcebergTable:
         # any filesystem; basePath keeps partition columns). Bounds cover
         # the top-level atomic columns and feed the skip index — the
         # engine-level analog of Iceberg's lower_bounds/upper_bounds.
-        reader = self.spark.read
+        # pin the stats scan to the DECLARED schema: schema inference
+        # would type identity-partition DIRECTORY values by their lexical
+        # shape ('001' -> int), recording bounds that later make a
+        # legitimate string stats_filter uncomparable
+        reader = self.spark.read.schema(schema)
         if pfs:
             reader = reader.option("basePath", files_dir)
+        # decimals are excluded from the skip index: its sidecar is plain
+        # JSON (Decimal does not serialize) and the bounds comparison
+        # contract is declared-type values — a decimal filter still works,
+        # it just never prunes on that column
         bound_cols = [f.name for f in schema.fields
                       if isinstance(f.dataType, (T.NumericType,
-                                                 T.StringType))]
+                                                 T.StringType))
+                      and not isinstance(f.dataType, T.DecimalType)]
         aggs = [F.count(F.lit(1)).alias("n")]
         for c in bound_cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -2199,7 +2252,11 @@ class PyIcebergTable:
             base = self._norm_path(fi["path"])
             partition: dict[str, Any] = {}
             for pf in pfs:
-                seg = next(s for s in fi["path"].split("/")
+                # take the DEEPEST matching segment: the partition dirs
+                # sit at the bottom of the path, and a same-named
+                # '<col>=' segment higher up (e.g. inside the table
+                # LOCATION itself) must not shadow the real value
+                seg = next(s for s in reversed(fi["path"].split("/"))
                            if s.startswith(f"{pf.name}="))
                 raw = _url_decode(seg.split("=", 1)[1])
                 partition[pf.name] = (None
@@ -2313,6 +2370,7 @@ class PyIcebergTable:
                 raise ValueError(
                     f"partition_filter key {col!r}: this table partitions "
                     f"on source column(s) {sorted(all_sources)}")
+            range_served = not isinstance(want, tuple)
             for sp, pfs in spec_pfs.items():
                 for pf in pfs:
                     if pf.source_name != col:
@@ -2322,10 +2380,15 @@ class PyIcebergTable:
                             raise ValueError("range partition_filter must "
                                              "be a (lo, hi) 2-tuple")
                         if not pf.monotonic:
-                            raise ValueError(
-                                "range partition_filter is not supported "
-                                "on a bucket transform (hashing destroys "
-                                "order) — pass explicit values instead")
+                            # a bucket transform cannot serve a range
+                            # (hashing destroys order) — but a RETIRED
+                            # bucket spec must not veto the filter after
+                            # a partition evolution: this spec simply
+                            # gets no matcher (its files conservatively
+                            # kept) and the error below fires only when
+                            # NO spec can range-prune at all
+                            continue
+                        range_served = True
                         lo = (None if want[0] is None
                               else pf.pyvalue(want[0]))
                         hi = (None if want[1] is None
@@ -2339,6 +2402,12 @@ class PyIcebergTable:
                                 else [want])
                         tv = {pf.pyvalue(v) for v in vals}
                         matchers[sp][pf.name] = lambda p, tv=tv: p in tv
+            if not range_served:
+                raise ValueError(
+                    f"range partition_filter on {col!r} is not supported: "
+                    "every spec partitioning it uses a bucket transform "
+                    "(hashing destroys order) — pass explicit values "
+                    "instead")
         return matchers
 
     def _live_entries(self, meta: dict, snapshot_id: int | None,
@@ -2703,14 +2772,16 @@ class PyIcebergTable:
             dd, (scan["_rk"] == dd["_dk"]) & (scan["_rpos"] == dd["_dpos"]),
             "left_anti")
 
-    def _field_names(self, meta: dict, ids: list[int]) -> list[str]:
+    def _field_names(self, meta: dict, ids: list[int],
+                     schema_id: int | None = None) -> list[str]:
         by_id = {f["id"]: f["name"]
-                 for f in _schema_by_id(meta)["fields"]}
+                 for f in _schema_by_id(meta, schema_id)["fields"]}
         return [by_id[i] for i in ids]
 
     def _anti_join_eq_deletes(self, scan: DataFrame, eq_entries: list,
                               meta: dict,
-                              file_seqs: dict[str, int]) -> DataFrame:
+                              file_seqs: dict[str, int],
+                              schema_id: int | None = None) -> DataFrame:
         """Apply EQUALITY deletes to a :meth:`_pos_scan` frame: per
         equality-id group, anti-join on null-safe key equality AND the
         sequence rule (delete seq > the row's file seq). The key sets
@@ -2726,9 +2797,15 @@ class PyIcebergTable:
             seq = int(e["sequence_number"] or 0)
             groups.setdefault(ids, {}).setdefault(seq, []).append(
                 e["data_file"]["file_path"])
-        schema = _spark_schema(_schema_by_id(meta))
+        # resolve delete-key names/types through the SCHEMA OF THIS READ
+        # (a time-travel scan carries its snapshot's column names — the
+        # current schema could have renamed the key since, and the delete
+        # parquet physically stores the at-delete-time name, which the
+        # rename/drop guards pin to the snapshot's name while the delete
+        # is live)
+        schema = _spark_schema(_schema_by_id(meta, schema_id))
         for ids, by_seq in sorted(groups.items()):
-            cols = self._field_names(meta, list(ids))
+            cols = self._field_names(meta, list(ids), schema_id)
             key_schema = T.StructType(
                 [schema[c] for c in cols])
             kdf = None
@@ -2748,12 +2825,14 @@ class PyIcebergTable:
 
     def _apply_deletes(self, scan: DataFrame, delete_entries: list,
                        meta: dict,
-                       file_seqs: dict[str, int]) -> DataFrame:
+                       file_seqs: dict[str, int],
+                       schema_id: int | None = None) -> DataFrame:
         pos, eq = self._split_deletes(delete_entries)
         if pos:
             scan = self._anti_join_pos_deletes(scan, pos)
         if eq:
-            scan = self._anti_join_eq_deletes(scan, eq, meta, file_seqs)
+            scan = self._anti_join_eq_deletes(scan, eq, meta, file_seqs,
+                                              schema_id)
         return scan
 
     def _read_files_mor(self, meta: dict, files: list[tuple[str, int]],
@@ -2794,7 +2873,7 @@ class PyIcebergTable:
         if dirty:
             d = (self._apply_deletes(
                      self._pos_scan(meta, dirty, schema_id),
-                     delete_entries, meta, seqs)
+                     delete_entries, meta, seqs, schema_id)
                  .drop("_rk", "_rpos"))
             out = out.unionByName(d)
         return out

@@ -2281,3 +2281,152 @@ def test_run_validation_cli_rejects_synth_with_audit_branch(spark,
                "--audit-branch", "x", "--output",
                str(tmp_path / "out")])
     assert rc == 2
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_decimal_column_appends_and_stats_filter_skips(spark, tmp_path):
+    """A DecimalType column must append cleanly (the JSON skip-index
+    sidecar cannot serialize Decimal, so decimals are excluded from the
+    bounds) and stats_filter on OTHER columns still prunes."""
+    from decimal import Decimal
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("amount", T.DecimalType(10, 2))])
+    t = PyIcebergTable.create(spark, str(tmp_path / "dec"), sch)
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.25")) for i in range(10)], sch)
+    t.append(df.repartition(2))
+    assert t.read().count() == 10
+    # decimal filters never prune (no bounds recorded) but must not crash
+    assert t.read(stats_filter={"k": (0, 3)}).count() >= 4
+    got = {r["amount"] for r in t.read().collect()}
+    assert Decimal("7.25") in got
+
+
+def test_identity_string_partition_numeric_values(spark, tmp_path):
+    """Zero-padded numeric-LOOKING string partition values must keep
+    their declared string type in the skip index: a later string-range
+    stats_filter on the partition source would otherwise hit an
+    int-vs-str comparison."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("code", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "pad"), sch,
+                              partition_by="code")
+    t.append(spark.createDataFrame(
+        [(1, "001"), (2, "050"), (3, "999")], sch))
+    out = t.read(stats_filter={"code": ("001", "099")})
+    assert {r["code"] for r in out.collect()} == {"001", "050"}
+    # and the values came back as the declared strings, not ints
+    assert {r["code"] for r in t.read().collect()} == {"001", "050", "999"}
+
+
+def test_drop_column_guarded_by_live_equality_deletes(spark, tmp_path):
+    """Dropping a column that live equality-delete files key on must
+    raise (the table would be unreadable and unrecoverable otherwise);
+    after compact() materializes the deletes, the drop succeeds."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "dropeq"), sch)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], sch))
+    t.delete_rows_eq(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.drop_column("k")
+    t.compact()
+    t.drop_column("k")
+    assert t.read().columns == ["v"]
+    assert {r["v"] for r in t.read().collect()} == {"a", "c"}
+
+
+def test_pinned_overwrite_surfaces_concurrent_commit(spark, tmp_path):
+    """A snapshot-scoped rewrite (compact's commit path) planned against
+    version V must raise CommitConflictError when another commit lands
+    before it publishes — not silently drop the concurrent rows."""
+    from fhir_data_validation_spark.sources.iceberg_py import (
+        CommitConflictError)
+    sch = T.StructType([T.StructField("k", T.LongType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "pin"), sch)
+    t.append(spark.createDataFrame([(1,), (2,)], sch))
+    meta, ver = t._load_meta_versioned()
+    planned = t.read(meta["current-snapshot-id"])
+    t.append(spark.createDataFrame([(3,)], sch))   # concurrent writer
+    with pytest.raises(CommitConflictError):
+        t._commit(planned, operation="overwrite", pinned=(meta, ver))
+    # nothing was lost
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_orphan_sweep_keeps_escaped_partition_values(spark, tmp_path):
+    """Hive-escaped partition directory values (':' -> '%3A') must
+    compare equal between the manifest paths and the directory listing —
+    a one-sided decode would delete live data as 'orphans'."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("ts_label", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "esc"), sch,
+                              partition_by="ts_label")
+    t.append(spark.createDataFrame(
+        [(1, "2024-01-01 10:00"), (2, "2024-01-01 11:30")], sch))
+    swept = t.remove_orphan_files(older_than_ms=0)
+    assert swept["orphan_files"] == 0
+    assert {r["ts_label"] for r in t.read().collect()} == {
+        "2024-01-01 10:00", "2024-01-01 11:30"}
+
+
+def test_eq_delete_time_travel_after_rename(spark, tmp_path):
+    """Time travel to a snapshot carrying live equality deletes must
+    resolve the delete keys with THAT snapshot's schema, even after the
+    column was renamed post-materialization."""
+    sch = T.StructType([T.StructField("a", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "ttr"), sch)
+    t.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], sch))
+    r = t.delete_rows_eq(spark.createDataFrame([(2,)], "a long"))
+    sid_del = r["snapshot_id"]
+    t.compact()                      # materialize -> no live deletes now
+    t.rename_column("a", "b")        # passes: current snapshot is clean
+    # current read: renamed column, delete applied
+    assert {x["b"] for x in t.read().collect()} == {1, 3}
+    # time travel: the delete-era snapshot reads with ITS schema ('a')
+    # and still applies the equality delete
+    old = t.read(snapshot_id=sid_del)
+    assert old.columns == ["a", "v"]
+    assert {x["a"] for x in old.collect()} == {1, 3}
+
+
+def test_range_filter_survives_partition_evolution_from_bucket(spark,
+                                                               tmp_path):
+    """Evolving away from a bucket spec must not permanently disable
+    range partition_filter: the retired bucket spec gets no matcher
+    (files conservatively kept) while the new order-preserving spec
+    prunes; an all-bucket table still raises."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "evo"), sch,
+                              partition_by=("k", "bucket[4]"))
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(8)], sch))
+    with pytest.raises(ValueError, match="bucket"):
+        t.read(partition_filter={"k": (0, 3)})
+    t.update_partition_spec([("k", "truncate[2]")])
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8, 16)], sch))
+    out = t.read(partition_filter={"k": (0, 3)}).where("k <= 3")
+    assert {r["k"] for r in out.collect()} == {0, 1, 2, 3}
+    # old-spec files are conservatively kept (not silently dropped)
+    all_k = {r["k"]
+             for r in t.read(partition_filter={"k": (0, 20)}).collect()}
+    assert all_k == set(range(16))
+
+
+def test_partition_value_not_shadowed_by_location_segment(spark,
+                                                          tmp_path):
+    """A '<col>=' segment inside the table LOCATION itself must not
+    shadow the real partition directory when manifests record partition
+    values."""
+    base = tmp_path / "source=eu" / "events"
+    base.parent.mkdir(parents=True, exist_ok=True)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("source", T.StringType())])
+    t = PyIcebergTable.create(spark, str(base), sch, partition_by="source")
+    t.append(spark.createDataFrame([(1, "us"), (2, "web")], sch))
+    only_us = t.read(partition_filter={"source": "us"})
+    assert [r["k"] for r in only_us.collect()] == [1]
+    assert {r["source"] for r in t.read().collect()} == {"us", "web"}
