@@ -384,6 +384,26 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 128, n: int = 3,
                                        for p in range(n_hashes)]).alias("sig"))
 
 
+def _check_bands(n_hashes: int, bands: int) -> None:
+    """Reject band splits that silently break LSH: ``bands > n_hashes``
+    makes rows-per-band 0 (every doc shares each band's single bucket —
+    with the default bucket cap that is ZERO candidates, without it the
+    full cross product), and a non-dividing split quietly ignores the
+    trailing ``n_hashes % bands`` hashes."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if bands > n_hashes:
+        raise ValueError(
+            f"bands ({bands}) must not exceed n_hashes ({n_hashes}): "
+            "rows-per-band would be 0 and every document would collapse "
+            "into one bucket per band")
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}) "
+            f"— the trailing {n_hashes % bands} hashes would be silently "
+            "ignored")
+
+
 def _band_buckets(sigs: DataFrame, bands: int) -> DataFrame:
     """(_id, band, bh) — one row per (doc, band) with the band-slice hash.
     Shared by within-corpus :func:`lsh_candidates` and the cross-corpus
@@ -437,6 +457,7 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.6, n: int = 3,
     (id_a, id_b, jaccard). LSH discovers candidates in O(docs × bands);
     the exact check touches only candidate pairs (array_intersect over the
     two shingle sets — no posting-list blowup)."""
+    _check_bands(n_hashes, bands)
     # one materialized shingle table serves the signature aggregation and
     # both verification joins (see _materialize for the persist-vs-
     # checkpoint rationale); the signature frame (O(docs) rows) persists
@@ -472,6 +493,7 @@ def similarity_join(left: DataFrame, right: DataFrame,
     ``b`` right docs emits ``a×b`` join rows). At the default 64-hash /
     32-band split, recall at j ≥ threshold 0.6 is ≈ 1-6e-7 (effectively
     exact), so emitted pairs = the exact cross-pair set."""
+    _check_bands(n_hashes, bands)
     sh_l = _materialize(_shingle_table(left, text_col, id_col, n))
     sh_r = _materialize(_shingle_table(right, text_col, id_col, n))
     # each side's signature frame feeds its hot-bucket count AND the
@@ -640,11 +662,18 @@ def simhash_incremental(new_docs: DataFrame, index: DataFrame,
                .where(F.col("_n") > max_bucket_size).select("c", "chunk"))
         cn = cn.join(F.broadcast(hot), ["c", "chunk"], "left_anti")
         ci = ci.join(F.broadcast(hot), ["c", "chunk"], "left_anti")
-    vs_index = (cn.alias("a").join(ci.alias("b"), ["c", "chunk"])
-                .select(F.col("a._id").alias("doc_id"),
-                        F.col("b._id").alias("match_id"),
-                        F.col("a.simhash").alias("_sa"),
-                        F.col("b.simhash").alias("_sb")))
+    # ONE chunk equi-join against the index serves both lanes: equal-id
+    # hits are REPLAYED docs (already indexed — the replay guard keeps
+    # them out of the duplicate lane AND out of index_delta, so a
+    # re-delivered batch is a no-op), unequal-id hits are candidates
+    probe = (cn.alias("a").join(ci.alias("b"), ["c", "chunk"])
+             .select(F.col("a._id").alias("doc_id"),
+                     F.col("b._id").alias("match_id"),
+                     F.col("a.simhash").alias("_sa"),
+                     F.col("b.simhash").alias("_sb")))
+    already = (probe.where(F.col("doc_id") == F.col("match_id"))
+               .select("doc_id").distinct())
+    vs_index = probe.where(F.col("doc_id") != F.col("match_id"))
     vs_batch = (cn.alias("a").join(cn.alias("b"), ["c", "chunk"])
                 .where(F.col("a._id") > F.col("b._id"))
                 .select(F.col("a._id").alias("doc_id"),
@@ -659,12 +688,23 @@ def simhash_incremental(new_docs: DataFrame, index: DataFrame,
                .groupBy("doc_id")
                .agg(F.min("match_id").alias("dup_of"),
                     F.min_by("hamming", "match_id").alias("hamming")))
-    verdicts = (sigs.withColumnRenamed("_id", "doc_id")
+    # verdicts start from the BATCH ids, not the signature frame: a doc
+    # with no extractable words has no signature (the word explode emits
+    # nothing), and the "one row per new doc" contract must still hold —
+    # such docs report dup=false with a null simhash and are NOT indexed
+    # (nothing to probe against later)
+    all_ids = (new_docs.select(F.col(id_col).alias("doc_id"))
+               .dropDuplicates())
+    verdicts = (all_ids
+                .join(sigs.withColumnRenamed("_id", "doc_id"),
+                      "doc_id", "left")
                 .join(matches, "doc_id", "left")
                 .select("doc_id", "simhash",
                         F.col("dup_of").isNotNull().alias("dup"),
                         "dup_of", "hamming"))
-    index_delta = (verdicts.where(~F.col("dup"))
+    index_delta = (verdicts.where(~F.col("dup")
+                                  & F.col("simhash").isNotNull())
+                   .join(already, "doc_id", "left_anti")
                    .select("doc_id", "simhash"))
     return verdicts, index_delta
 

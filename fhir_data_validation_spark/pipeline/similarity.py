@@ -49,11 +49,15 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.95,
     verifier / small-scale oracle."""
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # threshold on the UNROUNDED cosine (the emitted contract is
+    # "cosine >= threshold"; rounding first would admit pairs up to
+    # 5e-5 below it) — the 4-digit round is display-only
     return (left.crossJoin(right)
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-            .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+            .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+            .where(F.col("_cos") >= threshold)
+            .select("id_a", "id_b",
+                    F.round(F.col("_cos"), 4).alias("cosine")))
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.95,
@@ -90,13 +94,16 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.95,
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if broadcast_vecs:
         va, vb = F.broadcast(va), F.broadcast(vb)
+    # unrounded threshold, display-rounded value — same rationale as
+    # cosine_pairs (the two must agree: this path's recall is judged
+    # against that exact verifier)
     return (cands
             .join(va, "id_a")
             .join(vb, "id_b")
-            .withColumn("cosine",
-                        F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-            .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+            .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+            .where(F.col("_cos") >= threshold)
+            .select("id_a", "id_b",
+                    F.round(F.col("_cos"), 4).alias("cosine")))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -111,15 +118,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qid = query_id_col or id_col
     qrows = queries.select(F.col(qid).alias("qid"),
                            F.col(vec_col).alias("v")).collect()
-    q_ids = [r["qid"] for r in qrows]
-    qm = np.asarray([r["v"] for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-
     # ids keep their native types (hardcoding long here crashed the Arrow
     # serializer on string-keyed corpora)
     qid_t = queries.schema[qid].dataType.simpleString()
     vid_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_t}, vec_id {vid_t}, cosine double"
+    if not qrows:
+        # an empty query batch is a routine serving condition, not an
+        # error — np.linalg.norm on a 0-row matrix would raise
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int")
+    q_ids = [r["qid"] for r in qrows]
+    qm = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+    # zero-norm guard (same 1e-12 as the corpus side): a NaN query row
+    # would rank above every real cosine in the desc window
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
 
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -850,20 +863,29 @@ class PqIndex:
     def build(cls, corpus: DataFrame, m: int = 8, n_codes: int = 256,
               seed: int = 42, max_iter: int = 20,
               fit_rows: int = 20_000, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "PqIndex":
+              vec_col: str = "embedding",
+              fit_fraction: float | None = None) -> "PqIndex":
         """Fit ``m`` sub-codebooks on a bounded driver-side sample
         (``fit_rows`` caps the k-means input — codebooks are statistics,
         not data; the paper fits on ~100k of billions) and encode the
         whole corpus executor-side (one argmin matmul per subspace per
-        Arrow batch)."""
+        Arrow batch).
+
+        ``fit_fraction`` (0, 1]: sample rate for the codebook fit. When
+        given, the build SKIPS the corpus count it otherwise runs to
+        derive the rate — at 100-TB scale pass the known approximate
+        ``fit_rows / corpus_size`` and save a full pass."""
         first = corpus.select(vec_col).first()
         if first is None:
             raise ValueError("cannot build a PqIndex on an empty corpus")
         dim = len(first[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        n_total = corpus.count()
-        frac = min(1.0, fit_rows / max(n_total, 1))
+        if fit_fraction is None:
+            n_total = corpus.count()
+            frac = min(1.0, fit_rows / max(n_total, 1))
+        else:
+            frac = float(fit_fraction)
         sample = (corpus.sample(fraction=frac, seed=seed)
                   if frac < 1.0 else corpus)
         X = np.asarray([r[0] for r in
@@ -958,15 +980,23 @@ class PqIndex:
         # shortlist alone
         local = self.codes.select("cand_id", "codes").mapInPandas(
             gen, f"query_id {qid_type}, cand_id {cand_type}, _adc double")
+        # reduce to the GLOBAL kk shortlist before the rerank joins — the
+        # map-side candidates are per-batch top-kk, so without this
+        # window the vector join processes num_batches × kk rows per
+        # query instead of kk (same shape as IvfPqIndex.search)
+        w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"),
+                                                       F.asc("cand_id"))
+        short = (local.withColumn("_r", F.row_number().over(w_adc))
+                 .where(F.col("_r") <= kk).drop("_r"))
         if rerank:
             qv = (queries.select(F.col(id_col).alias("query_id"),
                                  F.col(vec_col).alias("_qv")))
-            scored = (local.join(self.codes.select("cand_id", "_cv"),
+            scored = (short.join(self.codes.select("cand_id", "_cv"),
                                  "cand_id")
                       .join(F.broadcast(qv), "query_id")
                       .withColumn("_s", cosine(F.col("_qv"), F.col("_cv"))))
         else:
-            scored = local.withColumn("_s", F.col("_adc"))
+            scored = short.withColumn("_s", F.col("_adc"))
         w = Window.partitionBy("query_id").orderBy(F.desc("_s"),
                                                    F.asc("cand_id"))
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -1076,9 +1106,14 @@ class IvfPqIndex:
                              id_col=id_col, vec_col=vec_col)
         C = ivf.centroids
         # residual fit sample: bounded driver-side collect, residuals
-        # computed here so the k-means sees exactly what encode() will see
-        n_total = corpus.count()
-        frac = min(1.0, fit_rows / max(n_total, 1))
+        # computed here so the k-means sees exactly what encode() will see.
+        # fit_fraction < 1 doubles as the sample rate here too, skipping
+        # the corpus count (one full pass saved at scale)
+        if fit_fraction < 1.0:
+            frac = fit_fraction
+        else:
+            n_total = corpus.count()
+            frac = min(1.0, fit_rows / max(n_total, 1))
         samp = (ivf.cells.sample(fraction=frac, seed=seed)
                 if frac < 1.0 else ivf.cells)
         rows = samp.select("cell", "_cv").limit(fit_rows).collect()

@@ -1153,3 +1153,80 @@ def test_semantic_dedup_incremental_replay_idempotent(spark, embs):
     assert got[3] == (True, 1)            # still dups the indexed 1
     assert d2.count() == 0                # nothing re-appends
     dedup.unpersist_all()
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_simhash_incremental_replay_idempotent(spark):
+    """Re-delivering a batch whose docs already landed in the index must
+    not mark the survivors as duplicates of themselves (same guard as
+    semantic_dedup_incremental)."""
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id long, text string")
+    batch = mk([(1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "spark query planning with shuffle exchange reuse")])
+    v1, d1 = dedup.simhash_incremental(batch, mk([]).limit(0).selectExpr(
+        "doc_id", "cast(doc_id as long) as simhash").limit(0))
+    assert {r["doc_id"] for r in d1.collect()} == {1, 2}
+    # replay: both docs are now in the index
+    v2, d2 = dedup.simhash_incremental(batch, d1)
+    got = {r["doc_id"]: r["dup"] for r in v2.collect()}
+    assert got == {1: False, 2: False}
+    assert d2.count() == 0        # fingerprints already indexed
+
+
+def test_simhash_incremental_wordless_doc_gets_verdict(spark):
+    """A doc with no extractable words still yields its verdict row
+    (dup=false, null simhash) and is never indexed."""
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id long, text string")
+    new = mk([(1, "normal words in a document"), (2, "???!!! ...")])
+    empty_index = mk([]).selectExpr(
+        "doc_id", "cast(doc_id as long) as simhash").limit(0)
+    verdicts, delta = dedup.simhash_incremental(new, empty_index)
+    got = {r["doc_id"]: r for r in verdicts.collect()}
+    assert set(got) == {1, 2}
+    assert not got[2]["dup"] and got[2]["simhash"] is None
+    assert {r["doc_id"] for r in delta.collect()} == {1}
+
+
+def test_minhash_band_split_validation(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="must not exceed"):
+        dedup.minhash_dedup(df, n_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_dedup(df, n_hashes=64, bands=48)
+    with pytest.raises(ValueError, match="must not exceed"):
+        dedup.similarity_join(df, df, n_hashes=8, bands=16)
+
+
+def test_cosine_topk_empty_and_zero_norm_queries(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>")
+    # empty query set: typed empty result, no crash
+    out = similarity.cosine_topk(corpus, corpus.limit(0), k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    # zero-norm query: no NaN ranks, finite cosines
+    zq = spark.createDataFrame([(9, [0.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    rows = similarity.cosine_topk(corpus, zq, k=3).collect()
+    assert len(rows) == 3
+    assert all(abs(r["cosine"]) < 1e-6 for r in rows)
+
+
+def test_cosine_pairs_threshold_on_unrounded(spark):
+    """The emitted contract is cosine >= threshold on the TRUE cosine —
+    a pair rounding UP to the threshold must not be admitted."""
+    import math
+    # cosine = 0.99996 -> rounds to 1.0 but is < 1.0
+    a = [1.0, 0.0]
+    th = math.cos(math.radians(0.6))        # below the pair's cosine
+    b = [math.cos(math.radians(0.51)), math.sin(math.radians(0.51))]
+    df = spark.createDataFrame([(1, a), (2, b)],
+                               "vec_id long, embedding array<double>")
+    # true cosine ~0.99996 rounds to 1.0 — must NOT pass threshold=1.0
+    assert similarity.cosine_pairs(df, threshold=1.0).count() == 0
+    assert similarity.cosine_pairs(df, threshold=th).count() == 1
