@@ -669,6 +669,14 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "ValueExclusivity requires params.columns (≥2 names)")
         for c in cols:
+            if "[*]" in c:
+                # the value[x] contract is over scalar/struct variants;
+                # an element path would compile here but F.col("a[*].b")
+                # cannot resolve at execution — reject at compile
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"ValueExclusivity columns must be scalar/struct "
+                    f"paths, not element paths ({c!r})")
             _field_type(schema, c, rule)
         present = sum(F.col(c).isNotNull().cast("int") for c in cols)
         # >1 variant present, the value[x] contract (JsonNodeStructuralValidator.cs:858-941)
@@ -997,6 +1005,16 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 raise RuleConfigurationError(
                     rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                     "JsonPath op 'inValues' needs non-empty params.values")
+            # each value must match asType, like op 'equals': a mismatch
+            # would ANSI-abort the scan casting the literals (or, off
+            # ANSI, null-cast and silently validate nothing)
+            for ev in values:
+                if isinstance(ev, bool) != (as_type == "boolean") \
+                        or not isinstance(ev, _OK_VALUES[as_type]):
+                    raise RuleConfigurationError(
+                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                        f"params.values entry {ev!r} does not match "
+                        f"asType {as_type!r}")
             bad = got.isNull() | ~got.isin(values)
             pairs.append(("allowed", json.dumps(values)))
         else:

@@ -85,9 +85,20 @@ class ValidationResult:
         if not kc:
             raise ValueError("split() needs key_col (not recorded on this "
                              "result — pass it explicitly)")
+        from .plans import VALUE_KEYED_RULE_TYPES
+        # only violations whose doc_id is a genuine ROW key may route
+        # rows: value-keyed families (heavy values, group names,
+        # determinant tuples — and Unique on a non-key column, whose
+        # doc_id is the duplicated VALUE) gate the run via passed()/
+        # verdicts instead; a colliding value must never quarantine an
+        # unrelated row
+        row_keyed = (~F.col("rule_type").isin(
+                         sorted(VALUE_KEYED_RULE_TYPES))
+                     & ~((F.col("rule_type") == "Unique")
+                         & (F.col("column") != kc)))
         bad = (self.violations
                .where(F.col("severity").isin(list(severities))
-                      & F.col("doc_id").isNotNull())
+                      & F.col("doc_id").isNotNull() & row_keyed)
                .select(F.col("doc_id").alias("_bad_key"))
                .distinct())
         on = F.col(kc).cast("string") == F.col("_bad_key")
@@ -430,7 +441,12 @@ def build_verdicts(df: DataFrame, violations: DataFrame,
                  .agg(F.count(F.lit(1)).alias("violations"),
                       F.count(F.when(F.col("severity") == Severity.ERROR, 1))
                        .alias("errors")))
-    verdicts = (grid.join(per_group, ["partition_key", "rule_id"], "left")
+    # FULL outer: a violation's source may name a partition absent from
+    # df — a declared-but-missing group (GroupShare closed world) or a
+    # value-keyed rule with source '*' (→ '<null>' with no null groups
+    # in the data). A left join would silently drop those rows and
+    # report the failing rule as passed.
+    verdicts = (grid.join(per_group, ["partition_key", "rule_id"], "full")
                     .select("partition_key", "rule_id", "rows",
                             F.coalesce("violations", F.lit(0)).alias("violations"),
                             F.coalesce("errors", F.lit(0)).alias("errors"))

@@ -29,6 +29,16 @@ VIOLATION_SCHEMA = (
     "detail map<string,string>, stage int"
 )
 
+# Rule families whose ``doc_id`` is a VALUE-domain key (the offending
+# column value / group name / determinant tuple), not a row key: they
+# gate the run, and quarantine routing must never match their doc_id
+# against row keys (a colliding value would quarantine an unrelated
+# row). Unique is value-keyed too UNLESS the deduplicated column IS the
+# row key — ValidationResult.split() special-cases that by comparing
+# the violation's ``column`` to the split key.
+VALUE_KEYED_RULE_TYPES = frozenset(
+    {"GroupShare", "DistinctBand", "HeavyHitters", "FunctionalDependency"})
+
 
 def _viol_cols(rule: RuleDefinition, stage: int, error_code: str | None = None,
                severity: str | None = None):
@@ -88,6 +98,11 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         rule.require_column()
         _require_dim(rule, plan)
         rule.require_param("on")
+        # resolve the (possibly dotted / element) path at COMPILE like
+        # every predicate rule — a typo or unsupported path must raise
+        # RuleConfigurationError before any job, not KeyError mid-run
+        from ..compiler import _field_type as _ft
+        _ft(plan.schema, rule.column, rule)
         exec_fn = lambda df, p: membership_plan(df, rule, stage, p)
     elif t == "CodeSystem":
         rule.require_column()
@@ -103,6 +118,18 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         rule.require_param("keyColumn")
         rule.require_param("dimKey")
         rule.require_param("allowedColumn")
+        # pre-flight the row-side columns (typos surface at compile, and
+        # CodeMaster has no element lane — reject [*] paths explicitly)
+        from ..compiler import _field_type as _ft_cm
+        for _c in [rule.column, rule.params["keyColumn"]] + (
+                [rule.params["screeningColumn"]]
+                if rule.params.get("screeningColumn") else []):
+            if "[*]" in _c:
+                raise RuleConfigurationError(
+                    rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"CodeMaster does not support element paths "
+                    f"({_c!r}) — point it at a scalar or array column")
+            _ft_cm(plan.schema, _c, rule)
         codes = (ErrorCode.INVALID_QUESTION_CODE,
                  ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
                  ErrorCode.INVALID_ANSWER_VALUE)
@@ -132,7 +159,8 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         # numeric knobs validate at COMPILE (pre-flight contract), not at
         # the first execute
         for p, dv in (("bucketWidth", 64), ("psiMax", 0.2),
-                      ("ksAlpha", 0.01), ("sampleFraction", 0.0)):
+                      ("ksAlpha", 0.01), ("sampleFraction", 0.0),
+                      ("jsdMax", 0.0)):
             try:
                 float(rule.params.get(p) if rule.params.get(p) is not None
                       else dv)
@@ -140,12 +168,33 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                 raise RuleConfigurationError(
                     rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                     f"params.{p} must be numeric: {exc}") from exc
-        if rule.params.get("mode", "numeric") not in ("numeric",
-                                                      "tokenFrequency"):
+        _bw = rule.params.get("bucketWidth")
+        if _bw is not None and float(_bw) <= 0:
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                f"unknown drift mode {rule.params.get('mode')!r} "
-                "(numeric | tokenFrequency)")
+                "params.bucketWidth must be > 0 (a zero width divides "
+                "by zero at execute)")
+        mode = rule.params.get("mode", "numeric")
+        if mode not in ("numeric", "tokenFrequency"):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"unknown drift mode {mode!r} (numeric | tokenFrequency)")
+        # column resolves against the schema at COMPILE like every other
+        # dataset rule (a typo must not become a mid-run AnalysisException)
+        from pyspark.sql.types import ArrayType as _Arr
+        from pyspark.sql.types import NumericType as _Num
+        from ..compiler import _field_type
+        _dtype = _field_type(plan.schema, rule.column, rule)
+        if mode == "numeric" and not isinstance(_dtype, _Num):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Drift numeric mode needs a numeric column, "
+                f"{rule.column!r} is {_dtype.simpleString()}")
+        if mode == "tokenFrequency" and not isinstance(_dtype, _Arr):
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"Drift tokenFrequency mode needs an array column, "
+                f"{rule.column!r} is {_dtype.simpleString()}")
         exec_fn = lambda df, p: drift_plan(df, rule, stage, p)
     elif t == "AggConsistency":
         _require_dim(rule, plan)
@@ -463,6 +512,7 @@ def membership_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     before the join (A6, ``ReferenceResolver.cs:89-103``) so violation
     volume is bounded by distinct bad values per row."""
     from pyspark.sql.types import ArrayType
+    from ..compiler import _field_type, _leaf_column
     col = rule.column
     dim = plan.dims[rule.params["dim"]]
     on = rule.params["on"]
@@ -470,17 +520,24 @@ def membership_plan(df: DataFrame, rule: RuleDefinition, stage: int,
         raise RuleConfigurationError(
             rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"dim has no column {on!r} (have {dim.columns})")
-    is_array = isinstance(df.schema[col].dataType, ArrayType)
-    if is_array:
+    # dotted struct paths and [*] element paths resolve through the same
+    # helpers as the predicate rules (compile already pre-flighted them)
+    dtype = _field_type(df.schema, col, rule)
+    src = _leaf_column(col)
+    if isinstance(dtype, ArrayType):
+        # null elements are skipped like the scalar lane skips null
+        # values (open-world nulls: Required owns missingness — a null
+        # element must not read as CODE_NOT_IN_VALUESET)
         values = (df.select(F.col(plan.config.key_col).alias("_k"),
                             F.col(plan.config.group_col).alias("_g"),
-                            F.explode(F.array_distinct(F.col(col)))
-                             .alias("_v")))
+                            F.explode(F.array_distinct(src))
+                             .alias("_v"))
+                  .where(F.col("_v").isNotNull()))
     else:
-        values = (df.where(F.col(col).isNotNull())
+        values = (df.where(src.isNotNull())
                   .select(F.col(plan.config.key_col).alias("_k"),
                           F.col(plan.config.group_col).alias("_g"),
-                          F.col(col).alias("_v")))
+                          src.alias("_v")))
     keys = dim.select(F.col(on).alias("_refkey")).dropDuplicates()
     if rule.params.get("broadcast", True):
         keys = F.broadcast(keys)
@@ -574,10 +631,33 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
 
     key = F.col(plan.config.key_col).alias("_k")
     grp = F.col(plan.config.group_col).alias("_g")
+    length_mismatch = None
     if isinstance(code_t, ArrayType):
+        src = df
+        if not code_el:
+            # two INDEPENDENT parallel arrays: positional alignment is the
+            # author's contract — enforce it. Unequal lengths (or exactly
+            # one side null) cannot align; arrays_zip would pad the short
+            # side with nulls and judge elements that have no counterpart.
+            # Such rows emit ONE alignment violation and skip the zip.
+            # Element paths over one base array are length-equal by
+            # construction and never take this lane.
+            aligned = (F.coalesce(F.size(code_c), F.lit(-1))
+                       == F.coalesce(F.size(sys_c), F.lit(-1)))
+            length_mismatch = (df.where(~aligned)
+                               .select(key, grp)
+                               .select(
+                F.col("_k").cast("string").alias("doc_id"),
+                *_viol_cols(rule, stage, ErrorCode.CODESYSTEM_MISMATCH),
+                F.col("_g").cast("string").alias("source"),
+                F.create_map(
+                    F.lit("check"), F.lit("lengthMismatch"),
+                    F.lit("expectedSystem"), F.lit(expected))
+                 .alias("detail")))
+            src = df.where(aligned)
         # aligned element pairs with their index; posexplode keeps the
         # reference's arrayIndex hint (.cs:1622, ExtractArrayIndexFromLocation)
-        pairs = (df.select(key, grp, F.posexplode(
+        pairs = (src.select(key, grp, F.posexplode(
                      F.arrays_zip(sys_c.alias("system"),
                                   code_c.alias("code"))).alias("_i", "_p"))
                  .select("_k", "_g", "_i",
@@ -625,7 +705,10 @@ def codesystem_plan(df: DataFrame, rule: RuleDefinition, stage: int,
                               F.lit(rule.params.get("dim")),
                               F.lit("index"), F.col("_i").cast("string"))
                            .alias("detail")))
-    return mismatch.unionByName(not_in_set)
+    out = mismatch.unionByName(not_in_set)
+    if length_mismatch is not None:
+        out = out.unionByName(length_mismatch)
+    return out
 
 
 # ------------------------------------------- CodeMaster (J4/J5 constraint dim)
@@ -679,7 +762,8 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
             raise RuleConfigurationError(
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 f"{where} has no column {c!r} (have {dim.columns})")
-    is_array = isinstance(df.schema[val_col].dataType, ArrayType)
+    from ..compiler import _field_type as _ft_exec
+    is_array = isinstance(_ft_exec(df.schema, val_col, rule), ArrayType)
 
     base = [F.col("_k").cast("string").alias("doc_id")]
     tail = [F.col("_g").cast("string").alias("source")]
@@ -754,8 +838,8 @@ def codemaster_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     # invalid. Multiplicity counts DUPLICATES (answerValues is a list);
     # only the invalid-value lane dedups per row (A6).
     from pyspark.sql.types import StringType
-    leaf = (df.schema[val_col].dataType.elementType if is_array
-            else df.schema[val_col].dataType)
+    _vt = _ft_exec(df.schema, val_col, rule)
+    leaf = _vt.elementType if is_array else _vt
     vals_nonempty = F.array_compact(F.col("_vals"))
     if isinstance(leaf, StringType):
         vals_nonempty = F.array_remove(vals_nonempty, "")

@@ -2,6 +2,8 @@
 seeded-corruption table (FIXTURES.md F2) — the reference's exact-assertion
 pattern (FhirPathRuleEngineTests.cs:76-114) over the Spark engine."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1219,3 +1221,86 @@ def test_heavy_hitters_rule_dominance_and_guards(spark):
             ValidationEngine(RuleSet.parse({"rules": [
                 {"id": "HH-X", "type": "HeavyHitters", "column": "url",
                  "params": bad}]}), config=cfg).compile(df)
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_split_ignores_value_keyed_violations(spark):
+    """Quarantine routing must use only ROW-keyed violations: a Unique
+    rule on a non-key column emits the duplicated VALUE as doc_id — it
+    must not quarantine a row whose key happens to equal that value."""
+    from fhir_data_validation_spark import EngineConfig, RuleSet, validate
+    df = spark.createDataFrame(
+        # doc 7's n_tok value 7 collides with doc_id 7; n_tok 7 is
+        # duplicated (docs 7 and 8) so Unique(n_tok) fires on value '7'
+        [(7, 7, "web"), (8, 7, "web"), (9, 3, "web")],
+        "doc_id long, n_tok long, source string")
+    rs = RuleSet.from_json(json.dumps({"rules": [
+        {"id": "U-NONKEY", "type": "Unique", "column": "n_tok"}]}))
+    res = validate(df, rs, config=EngineConfig(
+        key_col="doc_id", group_col="source"))
+    assert res.passed() is False          # the run still fails
+    clean, quarantined = res.split(df)
+    assert quarantined.count() == 0       # no row identity -> no routing
+    assert clean.count() == 3
+    # Unique ON the key column routes normally
+    df2 = spark.createDataFrame(
+        [(1, 5, "web"), (1, 6, "web"), (2, 7, "web")],
+        "doc_id long, n_tok long, source string")
+    rs2 = RuleSet.from_json(json.dumps({"rules": [
+        {"id": "U-KEY", "type": "Unique", "column": "doc_id"}]}))
+    res2 = validate(df2, rs2, config=EngineConfig(
+        key_col="doc_id", group_col="source"))
+    clean2, quarantined2 = res2.split(df2)
+    assert quarantined2.count() == 2 and clean2.count() == 1
+
+
+def test_verdicts_keep_value_keyed_violations(spark):
+    """A value-keyed rule with source='*' emits violations with a null
+    source; the verdict join must surface them (a left join silently
+    dropped the '<null>' partition row and reported the rule passed)."""
+    from fhir_data_validation_spark import EngineConfig, RuleSet, validate
+    rows = [(i, "dominant" if i < 90 else f"v{i}", "web")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, val string, source string")
+    rs = RuleSet.from_json(json.dumps({"rules": [
+        {"id": "HH-1", "type": "HeavyHitters", "column": "val",
+         "params": {"maxShare": 0.5, "k": 16}}]}))
+    res = validate(df, rs, config=EngineConfig(
+        key_col="doc_id", group_col="source"))
+    assert res.violations.count() == 1
+    v = {(r["partition_key"], r["rule_id"]): r
+         for r in res.verdicts.collect()}
+    flagged = [r for (pk, rid), r in v.items()
+               if rid == "HH-1" and r["violations"] > 0]
+    assert flagged and flagged[0]["passed"] is False
+    assert res.passed() is False
+
+
+def test_drift_rule_compile_validation(spark):
+    """Drift pre-flights its column and knobs at COMPILE: a typo'd or
+    non-numeric column, a zero bucketWidth and a non-numeric jsdMax must
+    all raise RuleConfigurationError before any job runs."""
+    from fhir_data_validation_spark import EngineConfig, RuleSet, ValidationEngine
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    df = token_table(spark, 100)
+    base = stats_baseline(df, "n_tok", 64)
+    cfg = EngineConfig(key_col="doc_id", group_col="source")
+
+    def compile_with(params, column="n_tok"):
+        rs = RuleSet.from_json(json.dumps({"rules": [
+            {"id": "DR-X", "type": "Drift", "column": column,
+             "params": {"baseline": "b", **params}}]}))
+        ValidationEngine(rs, dims={"b": base}, config=cfg).compile(df)
+
+    compile_with({})                                      # valid
+    with pytest.raises(RuleConfigurationError):
+        compile_with({}, column="n_tok_typo")
+    with pytest.raises(RuleConfigurationError):
+        compile_with({}, column="doc_id")                 # non-numeric
+    with pytest.raises(RuleConfigurationError):
+        compile_with({"bucketWidth": 0})
+    with pytest.raises(RuleConfigurationError):
+        compile_with({"jsdMax": "lots"})
+    with pytest.raises(RuleConfigurationError):
+        compile_with({"mode": "tokenFrequency"}, column="n_tok")

@@ -626,3 +626,87 @@ def test_per_element_off_by_default(spark):
                  "params": {"min": 0, "maxExclusive": 50257}}])
     rows = res.violations.collect()
     assert len(rows) == 1 and rows[0]["detail"]["badCount"] == "2"
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_membership_null_elements_and_dotted_paths(spark):
+    """Null array elements are skipped (Required owns missingness — same
+    open-world convention as the scalar lane), dotted struct paths
+    resolve, and a typo'd column raises at COMPILE, not KeyError mid-run."""
+    df = spark.createDataFrame(
+        [("d1", [1, None, 99999], {"code": "A"}, "web"),
+         ("d2", [None, None], {"code": "ZZZ"}, "web")],
+        "doc_id string, tokens array<int>, coding struct<code:string>, "
+        "source string")
+    vocab = spark.createDataFrame([(1,), (2,)], "token_id int")
+    res = _run(spark, df,
+               [{"id": "MEM-N", "type": "Membership", "column": "tokens",
+                 "params": {"dim": "vocab", "on": "token_id"}}],
+               dims={"vocab": vocab})
+    got = {(r["doc_id"], r["detail"]["value"])
+           for r in res.violations.collect()}
+    assert got == {("d1", "99999")}          # nulls never flagged
+    # dotted struct path
+    codes = spark.createDataFrame([("A",), ("B",)], "c string")
+    res2 = _run(spark, df,
+                [{"id": "MEM-D", "type": "Membership",
+                  "column": "coding.code",
+                  "params": {"dim": "codes", "on": "c"}}],
+                dims={"codes": codes})
+    assert [r["doc_id"] for r in res2.violations.collect()] == ["d2"]
+    # typo'd column -> compile-time RuleConfigurationError
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, df,
+             [{"id": "MEM-T", "type": "Membership", "column": "tokenz",
+               "params": {"dim": "vocab", "on": "token_id"}}],
+             dims={"vocab": vocab})
+
+
+def test_codesystem_parallel_array_length_mismatch(spark):
+    """Two independent parallel arrays of unequal length cannot align:
+    the row emits ONE lengthMismatch violation instead of zip-padding
+    and judging elements that have no counterpart."""
+    df = spark.createDataFrame(
+        [("d1", ["s", "s"], ["A", "B"], "web"),       # aligned, fine
+         ("d2", ["s"], ["A", "B"], "web"),            # mismatch
+         ("d3", None, ["A"], "web")],                 # one side null
+        "doc_id string, systems array<string>, codes array<string>, "
+        "source string")
+    dim = spark.createDataFrame([("A",), ("B",)], "code string")
+    res = _run(spark, df,
+               [{"id": "CS-P", "type": "CodeSystem", "column": "codes",
+                 "params": {"system": "s", "systemColumn": "systems",
+                            "dim": "cs", "on": "code"}}],
+               dims={"cs": dim})
+    rows = res.violations.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert "d1" not in by_doc
+    assert len(by_doc["d2"]) == 1
+    assert by_doc["d2"][0]["detail"]["check"] == "lengthMismatch"
+    assert len(by_doc["d3"]) == 1
+    assert by_doc["d3"][0]["detail"]["check"] == "lengthMismatch"
+
+
+def test_value_exclusivity_rejects_element_paths(spark):
+    df = spark.createDataFrame(
+        [("d1", [{"v": "x"}], "y", "web")],
+        "doc_id string, comp array<struct<v:string>>, alt string, "
+        "source string")
+    with pytest.raises(RuleConfigurationError, match="element path"):
+        _run(spark, df,
+             [{"id": "VX-1", "type": "ValueExclusivity", "column": "alt",
+               "params": {"columns": ["alt", "comp[*].v"]}}])
+
+
+def test_jsonpath_in_values_type_validation(spark):
+    df = spark.createDataFrame(
+        [("d1", '{"a": 1}', "web")],
+        "doc_id string, payload string, source string")
+    with pytest.raises(RuleConfigurationError, match="does not match"):
+        _run(spark, df,
+             [{"id": "JP-IV", "type": "JsonPath", "column": "payload",
+               "params": {"path": "$.a", "op": "inValues",
+                          "asType": "long", "values": ["a", "b"]}}])
