@@ -2800,7 +2800,7 @@ def oracle_sql() -> dict[str, str]:
                    'DUPLICATE_KEY' AS error_code
             FROM orders GROUP BY o_orderkey HAVING count(*) > 1""",
         "c4_histogram": """
-            SELECT CAST(floor(l_quantity / 5) AS INTEGER) AS bucket,
+            SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket,
                    count(*) AS cnt
             FROM lineitem GROUP BY bucket ORDER BY bucket""",
         # c5: exact-regime Misra-Gries == plain GROUP BY counts

@@ -48,11 +48,23 @@ from .compiler import EngineConfig
 from .engine import ValidationEngine, ValidationResult
 from .model import RuleSet
 
-# rule types that must see the whole dataset, not one group partition
-# (GroupShare compares shares ACROSS partitions; AggConsistency would
-# re-aggregate the entire child dim once per batch if run per-partition)
-_GLOBAL_RULE_TYPES = ("Unique", "RequiredResources", "Drift", "GroupShare",
-                      "AggConsistency")
+# Rule types that must see the whole dataset, not one group partition
+# (GroupShare compares shares ACROSS partitions; FunctionalDependency
+# misses determinants whose conflicting dependents land in different
+# batches; HeavyHitters/DistinctBand would count per batch; Monotonic
+# sequences can span groups). DERIVED from the compiler's dataset-rule
+# registry so a newly added dataset rule type defaults to the SAFE
+# global batch — a second hand-maintained list here silently drifted
+# once already. Only families with pure per-row join semantics are
+# batch-safe; Expectation/Outlier keep their special cases in
+# _needs_dataset_batch.
+_BATCH_SAFE_DATASET_TYPES = frozenset(
+    {"Reference", "Membership", "CodeSystem", "CodeMaster"})
+from .compiler import DATASET_RULE_TYPES as _DS_TYPES  # noqa: E402
+_GLOBAL_RULE_TYPES = tuple(
+    t for t in _DS_TYPES
+    if t not in _BATCH_SAFE_DATASET_TYPES
+    and t not in ("Expectation", "Outlier"))
 
 
 def _needs_dataset_batch(rule) -> bool:

@@ -64,7 +64,10 @@ def histogram(df: DataFrame, column: str, bucket_width: float,
               group_col: str | None = None) -> DataFrame:
     """C4: fixed-width histogram via floor-bucketing — one hash aggregation,
     shuffle = O(groups × buckets). Output (group, bucket, cnt)."""
-    bucket = F.floor(F.col(column) / bucket_width).cast("int").alias("bucket")
+    # long, not int: epoch-scale magnitudes (floor(1.7e12/64) > 2^31)
+    # would ANSI-abort the cast (or silently collide buckets off-ANSI) —
+    # same hazard grouped_token_counts documents for token ids
+    bucket = F.floor(F.col(column) / bucket_width).cast("long").alias("bucket")
     group = (F.lit(GROUP_ALL) if group_col is None
              else F.col(group_col).cast("string")).alias("group")
     return (df.where(F.col(column).isNotNull())
@@ -349,8 +352,13 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 100,
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # null group keys take the engine's '<null>' sentinel: pandas
+    # groupby drops NaN keys by default and the final join on _g would
+    # drop them too — a dup-storm concentrated in null-group rows must
+    # not be invisible to the summary
     group = (F.lit(GROUP_ALL) if group_col is None
-             else F.col(group_col).cast("string"))
+             else F.coalesce(F.col(group_col).cast("string"),
+                             F.lit("<null>")))
     src = (df.where(F.col(column).isNotNull())
            .select(group.alias("_g"),
                    F.col(column).cast("string").alias("_v")))

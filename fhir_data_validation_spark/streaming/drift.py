@@ -74,10 +74,20 @@ def drift_stream_foreach_batch(
         rows = out.collect()  # ≤ |sources| rows — reused for sink + gate
         if not rows:
             return
-        (batch_df.sparkSession.createDataFrame(rows, out.schema)
+        # foreachBatch is at-least-once: a replayed epoch overwrites its
+        # own partition (idempotent log) and must not re-page — the
+        # already-present epoch dir doubles as the alert replay guard
+        spark = batch_df.sparkSession
+        from ..fsutil import exists as _fs_exists
+        replayed = _fs_exists(
+            spark, f"{output_root}/drift/epoch={epoch_id}")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (spark.createDataFrame(rows, out.schema)
          .coalesce(1)
-         .write.mode("append").parquet(f"{output_root}/drift"))
-        if psi_max is not None and on_alert is not None:
+         .write.mode("overwrite").partitionBy("epoch")
+         .parquet(f"{output_root}/drift"))
+        if psi_max is not None and on_alert is not None and not replayed:
             bad = [r for r in rows
                    if r["psi"] is not None and r["psi"] > psi_max]
             if bad:

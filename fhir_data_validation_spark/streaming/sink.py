@@ -181,7 +181,15 @@ def audit_and_publish(table: PyIcebergTable, engine, branch: str,
     branch_head = ref["snapshot-id"]
     if branch_head == -1:
         raise ValueError(f"branch {branch!r} has no commits to audit")
-    if staged_only and main_head != -1 and main_head != branch_head:
+    if staged_only and main_head == branch_head:
+        # nothing staged (e.g. a retry right after a successful publish):
+        # short-circuit — falling through would re-validate the ENTIRE
+        # branch state (a full-table scan the docstring promises never
+        # happens) and a now-failing ruleset could even drop a branch
+        # that staged zero bad rows
+        return {"passed": True, "action": None, "staged_rows": 0,
+                "result": None}
+    if staged_only and main_head != -1:
         staged = table.incremental(main_head, branch_head)
     else:
         staged = table.read(ref=branch)

@@ -51,11 +51,17 @@ class SnapshotMonitor:
         self.table = table
         self.engine = engine
         self.cursor_path = cursor_path
-        self._cursor = from_snapshot
-        if self._cursor is None and cursor_path is not None \
-                and exists(table.spark, cursor_path):
+        # the DURABLE cursor wins when it exists: ``from_snapshot`` is a
+        # first-run default, not a standing override — a supervisor
+        # restarting the monitor with the same constructor args (e.g.
+        # GENESIS backfill) must resume, not re-validate all history on
+        # every restart
+        self._cursor = None
+        if cursor_path is not None and exists(table.spark, cursor_path):
             self._cursor = json.loads(
                 read_bytes(table.spark, cursor_path).decode())["snapshot_id"]
+        if self._cursor is None:
+            self._cursor = from_snapshot
 
     @property
     def cursor(self) -> int | None:
@@ -66,14 +72,22 @@ class SnapshotMonitor:
             write_bytes(self.table.spark, self.cursor_path,
                         json.dumps({"snapshot_id": self._cursor}).encode())
 
-    def poll_once(self) -> tuple[int, ValidationResult] | None:
+    def poll_once(self, commit: bool = True
+                  ) -> tuple[int, ValidationResult] | None:
         """One micro-batch: validate data appended since the cursor.
 
         Returns ``(new_snapshot_id, result)``, or ``None`` when the table
         has not advanced. The cursor moves (and persists) only AFTER the
         validation plan is materialized — a crash mid-batch re-validates
         the same delta on restart (at-least-once, idempotent because the
-        input snapshot range is immutable)."""
+        input snapshot range is immutable).
+
+        ``commit=False`` defers the cursor entirely: the caller durably
+        persists the result FIRST, then calls :meth:`commit` — closing
+        the window where a crash after the cursor advanced but before
+        the result reached its sink would lose that delta's findings
+        (:meth:`run` uses this internally: it commits only after the
+        consumer resumes the generator, i.e. has taken the batch)."""
         try:
             current = self.table.current_snapshot_id()
         except ValueError:                      # table has no snapshots yet
@@ -106,17 +120,27 @@ class SnapshotMonitor:
         result = self.engine.validate(delta)
         # materialize before the cursor moves (see docstring)
         result.violations.count()
-        self._cursor = current
-        self._save_cursor()
+        if commit:
+            self.commit(current)
         return current, result
+
+    def commit(self, snapshot_id: int) -> None:
+        """Advance and persist the cursor to ``snapshot_id`` — the
+        acknowledge step of the ``poll_once(commit=False)`` protocol."""
+        self._cursor = snapshot_id
+        self._save_cursor()
 
     def run(self, max_polls: int, interval_s: float = 0.0
             ) -> Iterator[tuple[int, ValidationResult]]:
         """Bounded poll loop (a driver-side micro-batch trigger): yields
-        each non-empty batch's (snapshot_id, result)."""
+        each non-empty batch's (snapshot_id, result). The cursor commits
+        AFTER the consumer resumes the generator — a consumer that dies
+        mid-batch (before asking for the next one) re-validates the same
+        delta on restart instead of silently losing it."""
         for i in range(max_polls):
-            out = self.poll_once()
+            out = self.poll_once(commit=False)
             if out is not None:
                 yield out
+                self.commit(out[0])
             if interval_s and i + 1 < max_polls:
                 time.sleep(interval_s)

@@ -70,11 +70,20 @@ def validate_stream_foreach_batch(stream_df: DataFrame, ruleset: RuleSet,
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch is at-least-once: a replayed epoch must REPLACE
+        # its own earlier (possibly partial) output, not append a second
+        # copy — dynamic partition overwrite on the epoch key makes the
+        # write idempotent per epoch
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
         res = engine.validate(batch_df)
         (res.violations.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("append").parquet(f"{output_root}/violations"))
+         .write.mode("overwrite").partitionBy("epoch")
+         .parquet(f"{output_root}/violations"))
         (res.verdicts.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("append").parquet(f"{output_root}/verdicts"))
+         .write.mode("overwrite").partitionBy("epoch")
+         .parquet(f"{output_root}/verdicts"))
         res.unpersist()
 
     writer = (stream_df.writeStream

@@ -221,3 +221,47 @@ def test_expectation_runs_dataset_level_in_batches(spark, tmp_path):
     exp_rows = metrics.where(F.col("rule_id") == "EXP-N").collect()
     assert [r["partition_key"] for r in exp_rows] == ["<dataset>"]
     assert all(r["passed"] for r in exp_rows)
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_global_rule_types_derived_from_compiler_registry():
+    """Every dataset rule type is either explicitly batch-safe (pure
+    per-row join semantics) or routed to the global <dataset> batch —
+    a hand-maintained second list silently drifted once (HeavyHitters/
+    DistinctBand/Monotonic/FunctionalDependency ran per batch with
+    batch-local, wrong semantics)."""
+    from fhir_data_validation_spark.compiler import DATASET_RULE_TYPES
+    from fhir_data_validation_spark.lineage import (_BATCH_SAFE_DATASET_TYPES,
+                                                    _GLOBAL_RULE_TYPES)
+    covered = (set(_GLOBAL_RULE_TYPES) | set(_BATCH_SAFE_DATASET_TYPES)
+               | {"Expectation", "Outlier"})
+    assert set(DATASET_RULE_TYPES) <= covered
+    for t in ("FunctionalDependency", "HeavyHitters", "DistinctBand",
+              "Monotonic", "GroupShare"):
+        assert t in _GLOBAL_RULE_TYPES
+
+
+def test_functional_dependency_spans_group_batches(spark, tmp_path):
+    """An FD conflict whose two dependents land in DIFFERENT group
+    batches must still be caught: the rule runs in the dataset batch,
+    not per group."""
+    df = spark.createDataFrame(
+        [(1, "order9", "cust1", "web"),
+         (2, "order9", "cust2", "books")],     # conflict across groups
+        "doc_id long, order_id string, customer string, source string")
+    from fhir_data_validation_spark.compiler import EngineConfig
+    rs = RuleSet.parse({"rules": [
+        {"id": "FD-1", "type": "FunctionalDependency",
+         "column": "customer",
+         "params": {"determinants": ["order_id"]}}]})
+    run = ResumableRun(rs, str(tmp_path / "fd_out"), run_id="fd1",
+                       groups_per_batch=1,      # one group per batch
+                       config=EngineConfig(key_col="doc_id",
+                                           group_col="source"))
+    metrics = run.run(df).collect()
+    fd = [m for m in metrics if m["rule_id"] == "FD-1"
+          and m["partition_key"] == _DATASET_KEY]
+    assert fd and fd[0]["violations"] == 1 and fd[0]["passed"] is False
+    viol = run.violations(spark)
+    assert viol.where("rule_id = 'FD-1'").count() == 1

@@ -258,3 +258,19 @@ def test_heavy_hitters_grouped_and_guards(spark):
     assert {(r["value"], r["n_lo"]) for r in one} == want
     with pytest.raises(ValueError):
         stats.heavy_hitters(docs, "lang", k=0)
+
+
+def test_heavy_hitters_null_group_sentinel(spark):
+    """Rows whose group key is NULL land in the '<null>' group instead of
+    silently vanishing from the summary (pandas groupby drops NaN keys
+    by default; the final join would drop null keys too)."""
+    from fhir_data_validation_spark.stats import heavy_hitters
+    rows = ([("u1", None)] * 30 + [("u2", None)] * 5
+            + [("u1", "web")] * 3)
+    df = spark.createDataFrame(rows, "url string, source string")
+    out = {(r["group"], r["value"]): r["n_lo"]
+           for r in heavy_hitters(df, "url", k=10,
+                                  group_col="source").collect()}
+    assert out[("<null>", "u1")] == 30
+    assert out[("<null>", "u2")] == 5
+    assert out[("web", "u1")] == 3

@@ -674,3 +674,100 @@ def test_audit_recreate_on_drop_keeps_stream_alive(spark, tmp_path):
     assert rep2["passed"] is True and rep2["action"] == "published"
     got = {r["doc_id"] for r in table.read().collect()}
     assert got == {"d0", "good"}                # bad batch never published
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_monitor_durable_cursor_beats_from_snapshot(spark, tmp_path):
+    """A restarted monitor with the same constructor args (GENESIS
+    backfill + cursor_path) resumes from the durable cursor instead of
+    re-validating all history on every restart."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    sch = "doc_id string, n_tok int, source string"
+    table = PyIcebergTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([], sch).schema)
+    table.append(spark.createDataFrame([("d1", 1, "web")], sch))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    cur = str(tmp_path / "cursor.json")
+    m1 = SnapshotMonitor(table, engine, cursor_path=cur,
+                         from_snapshot=SnapshotMonitor.GENESIS)
+    out = m1.poll_once()
+    assert out is not None          # backfill validated
+    # restart with the SAME args: durable cursor wins, nothing re-runs
+    m2 = SnapshotMonitor(table, engine, cursor_path=cur,
+                         from_snapshot=SnapshotMonitor.GENESIS)
+    assert m2.poll_once() is None
+
+
+def test_monitor_run_commits_after_consumption(spark, tmp_path):
+    """run() defers the cursor until the consumer resumes the generator:
+    abandoning the generator mid-batch leaves the cursor unmoved, so the
+    same delta re-validates (at-least-once for the consumer's sink)."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    sch = "doc_id string, n_tok int, source string"
+    table = PyIcebergTable.create(
+        spark, str(tmp_path / "t2"),
+        spark.createDataFrame([], sch).schema)
+    table.append(spark.createDataFrame([("d1", 1, "web")], sch))
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    m = SnapshotMonitor(table, engine,
+                        from_snapshot=SnapshotMonitor.GENESIS)
+    gen = m.run(max_polls=3)
+    sid, res = next(gen)            # take the batch, DON'T resume
+    gen.close()                     # consumer dies before the next ask
+    assert m.cursor == SnapshotMonitor.GENESIS   # cursor never moved
+    # a fresh loop re-delivers the same delta
+    sid2, res2 = next(m.run(max_polls=1))
+    assert sid2 == sid
+    # consuming to exhaustion commits
+    m2 = SnapshotMonitor(table, engine,
+                         from_snapshot=SnapshotMonitor.GENESIS)
+    list(m2.run(max_polls=1))
+    assert m2.cursor == table.current_snapshot_id()
+
+
+def test_audit_no_staged_delta_short_circuits(spark, tmp_path):
+    """audit_and_publish after a successful publish (no new staged
+    commits) must not rescan the branch state, re-publish, or drop the
+    branch — it reports a no-op."""
+    from fhir_data_validation_spark import (EngineConfig, RuleSet,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import audit_and_publish
+
+    sch = "doc_id string, n_tok int, source string"
+    table = PyIcebergTable.create(
+        spark, str(tmp_path / "t3"),
+        spark.createDataFrame([], sch).schema)
+    table.branch("staged")
+    table.append(spark.createDataFrame([("d1", 1, "web")], sch),
+                 branch="staged")
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    gate = audit_and_publish(table, engine, "staged")
+    assert gate["action"] == "published"
+    # retry with nothing staged: no-op, branch intact, nothing re-read
+    gate2 = audit_and_publish(table, engine, "staged")
+    assert gate2 == {"passed": True, "action": None, "staged_rows": 0,
+                     "result": None}
+    assert "staged" in table._load_meta().get("refs", {})
