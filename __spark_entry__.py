@@ -2945,8 +2945,8 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY doc_id""",
         "t4_fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
-                       'g')) AS fingerprint
+                   md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ',
+                       'g'))) AS fingerprint
             FROM documents ORDER BY doc_id""",
         "t5_quality_filter": """
             WITH w AS (
@@ -3013,8 +3013,8 @@ def oracle_sql() -> dict[str, str]:
             WITH seeded AS ({_SEEDED_DOCS_SQL}),
             fp AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
-                         'g')) AS fingerprint
+                     md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ',
+                         'g'))) AS fingerprint
               FROM seeded)
             SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
@@ -3023,8 +3023,8 @@ def oracle_sql() -> dict[str, str]:
             WITH seeded AS ({_SEEDED_DOCS_SQL}),
             fp AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(trim(text)), '[ \t\n]+', ' ',
-                         'g')) AS fingerprint
+                     md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ',
+                         'g'))) AS fingerprint
               FROM seeded),
             idx AS (
               SELECT fingerprint, min(doc_id) AS ikeep

@@ -93,8 +93,12 @@ def dedup_lines(col: Column, min_len: int = 0) -> Column:
                                               i.cast("string"))))
     kept = F.array_distinct(lines)
     if min_len > 0:
+        # strip only a TRAILING tag+position (what the tagging step
+        # appended): a plain split at the tag char would truncate an
+        # untagged long line that happens to contain an embedded NUL
+        # (binary-ish scraped text) — data loss on the keep path
         kept = F.transform(
-            kept, lambda x: F.element_at(F.split(x, _TAG, 2), 1))
+            kept, lambda x: F.regexp_replace(x, "\x00\\d+$", ""))
     return F.array_join(kept, "\n")
 
 

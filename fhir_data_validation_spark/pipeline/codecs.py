@@ -136,6 +136,11 @@ def _decode_png(data: bytes) -> dict:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width < 1 or height < 1:
+        # a zero-dimension image decodes to an empty pixel buffer that
+        # downstream indexing (aHash thumbnails) cannot handle — reject
+        # as malformed like every other degenerate header
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
     if interlace:
@@ -153,6 +158,14 @@ def _decode_png(data: bytes) -> dict:
     if color_type == 3:                                  # palette -> RGB
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
+        n_entries = len(palette) // 3
+        if pixels and max(pixels) >= n_entries:
+            # a short slice assignment would silently SHRINK the rgb
+            # buffer and scramble every later pixel — malformed input
+            # must raise, per the decoder contract
+            raise ValueError(
+                f"PNG palette index {max(pixels)} out of range "
+                f"(PLTE has {n_entries} entries)")
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(pixels):
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]

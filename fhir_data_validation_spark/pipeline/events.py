@@ -162,6 +162,10 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
         out_names[c] = c + suffix if c in left_keep else c
 
     payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    # a right row with a NULL event time has no position on the time
+    # axis — under the window's null ordering it would sort first/last
+    # and its payload would be carried onto rows it never qualifies for
+    right = right.where(F.col(ts_col).isNotNull())
     r = right.select(
         *[F.col(c) for c in by], F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"), payload.alias("__payload"),
@@ -185,7 +189,11 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
                for i in range(len(right_tie_cols))]]
     w = (Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last(F.col("__payload"), ignorenulls=True).over(w)
+    # a null-ts LEFT row keeps LEFT-ASOF shape (row present, no match):
+    # without the guard it sorts to one end of the window and absorbs
+    # whatever payload is running there
+    matched = F.when(F.col("__ts").isNotNull(),
+                     F.last(F.col("__payload"), ignorenulls=True).over(w))
     out = (u.withColumn("__m", matched)
            .where(F.col("__side") == 1))
     if tolerance_us is not None:
@@ -208,19 +216,21 @@ def _bin(col: Column, width: int | float) -> Column:
     boundary caveat at extreme magnitude/width ratios."""
     if isinstance(width, int):
         return (col - F.pmod(col, F.lit(width))).cast("long")
-    return (F.floor(col / F.lit(width)) * F.lit(width)).cast("long")
+    # float widths: the bin id is the QUOTIENT (already integral), not
+    # the scaled-back start — (q * width).cast('long') collapses
+    # distinct buckets to one id whenever consecutive starts truncate to
+    # the same long (every width < 1), duplicating joined pairs
+    return F.floor(col / F.lit(width)).cast("long")
 
 
 def _bin_seq(lo: Column, hi: Column, width: int | float) -> Column:
     step = F.lit(width if isinstance(width, int) else 1)
     if isinstance(width, int):
         return F.sequence(_bin(lo, width), _bin(hi, width), step)
-    # float widths: sequence over quotient indices, scale back via the
-    # same floor convention as _bin
-    return F.transform(
-        F.sequence(F.floor(lo / F.lit(width)), F.floor(hi / F.lit(width)),
-                   step),
-        lambda q: (q * F.lit(width)).cast("long"))
+    # float widths: the sequence of quotient indices IS the bin-id
+    # sequence (same convention as _bin) — one distinct id per bucket
+    return F.sequence(F.floor(lo / F.lit(width)),
+                      F.floor(hi / F.lit(width)), step)
 
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
@@ -304,7 +314,12 @@ def _duration_us(spec: str) -> int:
     unit = unit.rstrip("s")
     if unit not in _UNITS_US:
         raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
-    return int(n) * _UNITS_US[unit]
+    count = int(n)
+    if count < 1:
+        # a zero width reaches pmod(us, 0) → every bucket NULL → a
+        # silently empty result; negatives are equally meaningless
+        raise ValueError(f"duration count must be >= 1: {spec!r}")
+    return count * _UNITS_US[unit]
 
 
 def rollup_cascade(df: DataFrame, levels: tuple[str, ...] = ("1 hour",

@@ -90,13 +90,22 @@ def decode(df: DataFrame,
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                {k: str(v) for k, v in decoder(m, bytes(p)).items()}
-                for m, p in zip(pdf["modality"], pdf["payload"])]
+            feats, sizes = [], []
+            for m, p in zip(pdf["modality"], pdf["payload"]):
+                if p is None:
+                    # the schema declares payload nullable — a null row
+                    # routes to an error feature instead of killing the
+                    # task on bytes(None)
+                    feats.append({"error": "null payload"})
+                    sizes.append(0)
+                else:
+                    feats.append({k: str(v)
+                                  for k, v in decoder(m, bytes(p)).items()})
+                    sizes.append(len(p))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "n_bytes": pd.array(sizes, dtype="int32"),
                 "feature": feats})
 
     return (df.select("doc_id", "modality", "payload")
@@ -142,7 +151,10 @@ def resize(df: DataFrame, width: int, height: int,
             for m, p, meta in zip(pdf["modality"], pdf["payload"],
                                   pdf["meta"]):
                 meta = dict(meta) if meta is not None else {}
-                if m == "image":
+                if m == "image" and p is None:
+                    # nullable payload: route, don't crash bytes(None)
+                    meta["error"] = "null payload"
+                elif m == "image":
                     p = resizer(bytes(p), width, height)
                     meta.update({"resized_w": str(width),
                                  "resized_h": str(height)})
@@ -163,15 +175,23 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024,
     'frames' (byte windows stand in for decoded frames), one row per sampled
     frame with its index — the posexplode shape a real ffmpeg adapter would
     fill. Native expressions only."""
-    n_frames = F.least(F.lit(max_frames),
-                       (F.octet_length("payload") / every_n_bytes + 1)
-                       .cast("int"))
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.struct(
-            i.alias("frame_idx"),
-            F.substring(F.col("payload"), i * every_n_bytes + 1,
-                        every_n_bytes).alias("frame_bytes")))
+    # ceil(n / every): the old n/every + 1 emitted a phantom zero-byte
+    # frame for payloads that are an exact multiple of the stride (and
+    # one for empty payloads). The candidate index list is the constant
+    # 0..max_frames-1 sequence filtered to n_frames so a zero count
+    # yields an empty array instead of a reversed sequence.
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.ceil(F.octet_length("payload") / F.lit(every_n_bytes))
+         .cast("int"))
+    frames = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(max_frames - 1)),
+            lambda i: F.struct(
+                i.alias("frame_idx"),
+                F.substring(F.col("payload"), i * every_n_bytes + 1,
+                            every_n_bytes).alias("frame_bytes"))),
+        lambda s: s["frame_idx"] < n_frames)
     return (df.where(F.col("modality") == "video")
             .select("doc_id", F.explode(frames).alias("f"))
             .select("doc_id", "f.frame_idx",
@@ -214,13 +234,20 @@ def image_ahash(df: DataFrame, hash_size: int = 8,
 
     def _hash_one(modality: str, payload: bytes) -> tuple:
         try:
+            if payload is None:
+                raise ValueError("null payload")
             d = decoder(modality, bytes(payload))
             w, h, c = int(d["width"]), int(d["height"]), int(d["channels"])
             px = np.frombuffer(d["pixels"], dtype=np.uint8) \
                    .reshape(h, w, c).astype(np.float64)
-        except (ValueError, NotImplementedError, KeyError) as exc:
+        except (ValueError, NotImplementedError, KeyError,
+                TypeError, IndexError) as exc:
+            # the err lane is the contract: ONE degenerate payload must
+            # never kill the scan (S2 lenient-parse semantics)
             return None, f"{type(exc).__name__}: {exc}"
-        gray = px[:, :, :min(c, 3)].mean(axis=2)   # alpha never votes
+        # alpha never votes: gray (1ch) and gray+alpha (2ch) use the
+        # luma plane only; RGB/RGBA use the three color planes
+        gray = px[:, :, :1 if c <= 2 else 3].mean(axis=2)
         ys = (np.arange(hash_size) * h) // hash_size
         xs = (np.arange(hash_size) * w) // hash_size
         thumb = gray[np.ix_(ys, xs)]

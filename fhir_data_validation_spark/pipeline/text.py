@@ -91,7 +91,12 @@ def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-normalized
     lower-cased text (md5 so the DuckDB oracle computes the identical
     value; at scale this is one JVM hash per row either way)."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), "[ \\t\\n]+", " ")
+    # collapse BEFORE trimming: Spark trim strips only spaces, so a
+    # trailing tab/newline would survive an outer trim and become a
+    # trailing space after the collapse — two docs identical up to a
+    # trailing newline must fingerprint equal
+    return F.md5(F.trim(F.regexp_replace(F.lower(col),
+                                         "[ \\t\\n\\r]+", " "))
                  .cast("binary"))
 
 

@@ -198,3 +198,48 @@ def test_image_ahash_and_near_dup(spark):
     assert pairs[("g1", "g2")] == 0
     assert ("g1", "g3") in pairs and ("g2", "g3") in pairs
     assert all("inv" not in k and "bad" not in k for k in pairs)
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_png_palette_index_out_of_range_raises():
+    """A palette index past the PLTE table must raise, not silently
+    shrink the pixel buffer and scramble everything after it."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from fhir_data_validation_spark.pipeline.codecs import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)   # 2x1 palette
+    plte = bytes([255, 0, 0])                             # ONE entry
+    raw = bytes([0, 0, 1])                                # idx 1 >= 1
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
+def test_png_zero_dimensions_raise():
+    import struct
+    import zlib
+
+    import pytest
+
+    from fhir_data_validation_spark.pipeline.codecs import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 0, 8, 0, 0, 0, 0)   # height 0
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_png(png)

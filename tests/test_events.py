@@ -266,3 +266,56 @@ def test_funnel_order_ties_and_envelope(spark):
         events.funnel(df, steps=("signup",))
     with pytest.raises(ValueError):
         events.funnel(df, steps=("signup", "signup"))
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_range_join_fractional_width_no_duplicates(spark):
+    """Sub-1.0 bucket widths must not emit duplicate (point, interval)
+    pairs: the float-width bin id is the quotient index, so consecutive
+    buckets can never collapse to one id."""
+    from fhir_data_validation_spark.pipeline.events import range_join
+    pts = spark.createDataFrame([(1, 0.2), (2, 0.7)], "pid long, p double")
+    ivl = spark.createDataFrame([(10, 0.0, 0.9)],
+                                "iid long, lo double, hi double")
+    out = range_join(pts, ivl, "p", "lo", "hi", bucket_width=0.5).collect()
+    assert sorted((r["pid"], r["iid"]) for r in out) == [(1, 10), (2, 10)]
+    assert len(out) == 2                      # exactly once per pair
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null event times never fabricate matches: a null-ts left row keeps
+    LEFT-ASOF shape (present, no payload) in BOTH directions, and a
+    null-ts right row matches nothing."""
+    from fhir_data_validation_spark.pipeline.events import asof_join
+    left = spark.createDataFrame(
+        [("u", 100, "a"), ("u", None, "b")],
+        "user_id string, ts long, lbl string")
+    right = spark.createDataFrame(
+        [("u", 50, "early"), ("u", None, "ghost")],
+        "user_id string, ts long, tag string")
+    for direction in ("backward", "forward"):
+        rows = {r["lbl"]: r for r in asof_join(
+            left, right, ts_col="ts", by=("user_id",),
+            right_cols=("tag",), direction=direction).collect()}
+        assert len(rows) == 2                 # left rows all present
+        assert rows["b"]["tag"] is None       # null-ts left: no match
+        # the null-ts right row's payload appears nowhere
+        assert all(r["tag"] != "ghost" for r in rows.values())
+    # backward: ts=100 matches ts=50
+    back = {r["lbl"]: r for r in asof_join(
+        left, right, ts_col="ts", by=("user_id",),
+        right_cols=("tag",)).collect()}
+    assert back["a"]["tag"] == "early"
+
+
+def test_duration_rejects_nonpositive(spark):
+    from fhir_data_validation_spark.pipeline.events import rollup_cascade
+    df = (spark.createDataFrame([("u", "2024-01-01 00:00:00", 1.0)],
+                                "k string, ts string, v double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    with pytest.raises(ValueError, match=">= 1"):
+        rollup_cascade(df, levels=("0 day",), keys=("k",), value_col="v")
+    with pytest.raises(ValueError, match=">= 1"):
+        rollup_cascade(df, levels=("-1 hour", "1 day"), keys=("k",),
+                       value_col="v")

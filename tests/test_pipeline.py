@@ -1230,3 +1230,55 @@ def test_cosine_pairs_threshold_on_unrounded(spark):
     # true cosine ~0.99996 rounds to 1.0 — must NOT pass threshold=1.0
     assert similarity.cosine_pairs(df, threshold=1.0).count() == 0
     assert similarity.cosine_pairs(df, threshold=th).count() == 1
+
+
+def test_fingerprint_trailing_newline_equal(spark):
+    """Docs identical up to trailing/leading whitespace (incl. tabs and
+    newlines, which Spark trim does NOT strip) fingerprint equal."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "\thello  world "),
+         (4, "different")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3] != fps[4]
+
+
+def test_decode_and_ahash_handle_null_payloads(spark):
+    from fhir_data_validation_spark.pipeline.multimodal import (decode,
+                                                                image_ahash)
+    df = spark.createDataFrame(
+        [("d1", "image", None), ("d2", "text", b"abc")],
+        "doc_id string, modality string, payload binary")
+    feats = {r["doc_id"]: r for r in decode(
+        df, decoder=lambda m, p: {"n": len(p)}).collect()}
+    assert feats["d1"]["feature"] == {"error": "null payload"}
+    assert feats["d1"]["n_bytes"] == 0
+    assert feats["d2"]["feature"] == {"n": "3"}
+    hashes = {r["doc_id"]: r for r in image_ahash(df).collect()}
+    assert hashes["d1"]["ahash"] is None and "null" in hashes["d1"]["err"]
+
+
+def test_frame_sample_exact_multiple_no_phantom(spark):
+    from fhir_data_validation_spark.pipeline.multimodal import frame_sample
+    df = spark.createDataFrame(
+        [("v1", "video", b"x" * 2048), ("v2", "video", b"y" * 2047),
+         ("v3", "video", b"")],
+        "doc_id string, modality string, payload binary")
+    out = frame_sample(df, every_n_bytes=1024)
+    counts = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("v1") == 2          # exact multiple: no phantom
+    assert counts.get("v2") == 2
+    assert "v3" not in counts             # empty payload: zero frames
+    assert all(r["frame_n_bytes"] > 0 for r in out.collect())
+
+
+def test_dedup_lines_keeps_embedded_nul(spark):
+    from fhir_data_validation_spark.pipeline.cleaning import dedup_lines
+    doc = "abc\x00def is a long enough line\nshort\nshort"
+    df = spark.createDataFrame([(doc,)], "text string")
+    out = df.select(dedup_lines(F.col("text"), min_len=10)
+                    .alias("t")).first()["t"]
+    assert "abc\x00def is a long enough line" in out
+    assert out.count("short") == 2        # short lines always kept
