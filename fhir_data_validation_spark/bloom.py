@@ -187,9 +187,16 @@ class KeyIndex:
         return (flagged.where(~F.col("_kidx_flag")).drop("_kidx_flag"))
 
     def fpp_estimate(self) -> float:
-        """Analytic false-positive estimate (classic bound; blocking adds a
-        small constant factor on top — see the measured test)."""
-        return (1.0 - math.exp(-self.k / self.bits_per_key)) ** self.k
+        """Analytic false-positive estimate at the CURRENT load (classic
+        bound; blocking adds a small constant factor on top — see the
+        measured test). Uses the effective bits/key from the tracked
+        ``n_items``, not the build-time design constant: ``add()`` grows
+        the item count inside a fixed bit array, so an over-filled index
+        must report its real (degraded) fpp, not the design target."""
+        if self.n_items <= 0:
+            return 0.0
+        eff_bits = self.n_blocks * BLOCK_BITS / self.n_items
+        return (1.0 - math.exp(-self.k / eff_bits)) ** self.k
 
     # --------------------------------------------------------- save/load
     def save(self, path: str) -> None:

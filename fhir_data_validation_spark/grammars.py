@@ -35,23 +35,27 @@ from .model import RuleDefinition, RuleSet
 
 _SCHEME = r"[a-zA-Z][a-zA-Z0-9+.\-]*"
 
+# Anchors are \z (absolute end of input), NOT $: Java's regex (Spark
+# rlike) lets $ match before a final line terminator, so "abc\n" passes
+# ^\S+$ — a trailing newline would silently validate clean through every
+# grammar. (DuckDB's RE2 supports \z identically, keeping oracles exact.)
 PRIMITIVE_GRAMMARS: dict[str, dict] = {
-    "boolean": {"type": "Regex", "pattern": r"^(true|false)$"},
+    "boolean": {"type": "Regex", "pattern": r"^(true|false)\z"},
     "integer": {"type": "TypeCheck", "dataType": "int"},
     # decimal.TryParse trims whitespace and accepts a trailing point
     # ("7."); it rejects NaN/Infinity/exponent forms. (Simplification vs
     # C#: thousands separators are rejected here.)
     "decimal": {"type": "Regex",
-                "pattern": r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*$"},
-    "date": {"type": "Regex", "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?$"},
+                "pattern": r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*\z"},
+    "date": {"type": "Regex", "pattern": r"^\d{4}(-\d{2}(-\d{2})?)?\z"},
     "dateTime": {"type": "TypeCheck", "dataType": "timestamp"},
-    "id": {"type": "Regex", "pattern": r"^[A-Za-z0-9\-\.]{1,64}$"},
-    "string": {"type": "Regex", "pattern": r"^[^\n\r]*$"},
-    "code": {"type": "Regex", "pattern": r"^\S+$"},
-    "uri": {"type": "Regex", "pattern": r"^\S+$"},
-    "url": {"type": "Regex", "pattern": rf"^{_SCHEME}:\S*$"},
+    "id": {"type": "Regex", "pattern": r"^[A-Za-z0-9\-\.]{1,64}\z"},
+    "string": {"type": "Regex", "pattern": r"^[^\n\r]*\z"},
+    "code": {"type": "Regex", "pattern": r"^\S+\z"},
+    "uri": {"type": "Regex", "pattern": r"^\S+\z"},
+    "url": {"type": "Regex", "pattern": rf"^{_SCHEME}:\S*\z"},
     "canonical": {"type": "Regex",
-                  "pattern": rf"^{_SCHEME}:[^\s|]*(\|[^\s|]+)?$"},
+                  "pattern": rf"^{_SCHEME}:[^\s|]*(\|[^\s|]+)?\z"},
 }
 
 

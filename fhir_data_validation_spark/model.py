@@ -124,7 +124,11 @@ class RuleDefinition:
     def require_pattern(self) -> str:
         pattern = self.require_param("pattern")
         try:
-            re.compile(pattern)
+            # the probe runs in PYTHON re, the pattern in Java/RE2:
+            # translate Java's absolute-end anchor \z (which Python
+            # spells \Z) for the syntax check only — the original
+            # pattern string is what executes
+            re.compile(pattern.replace(r"\z", r"\Z"))
         except re.error as exc:
             raise RuleConfigurationError(
                 self.id, ErrorCode.RULE_CONFIGURATION_ERROR,

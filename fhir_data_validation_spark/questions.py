@@ -45,11 +45,18 @@ from .model import RuleDefinition, RuleSet
 ANSWER_TYPES = {
     "code": None,          # membership-checked, no cast lane
     "string": None,
-    "integer": "bigint",
-    "decimal": "double",
-    "quantity": "double",
+    # 32-bit like C# int.TryParse — a bigint cast would wave through
+    # values that overflow int32 (grammars.py documents the same choice)
+    "integer": "int",
+    # decimal.TryParse rejects NaN/Infinity/exponent forms a double cast
+    # accepts — the TYPE lane for these is the decimal digit GRAMMAR,
+    # not a cast (see _DECIMAL_GRAMMAR below)
+    "decimal": "decimal-grammar",
+    "quantity": "decimal-grammar",
     "boolean": "boolean",
 }
+
+_DECIMAL_GRAMMAR = r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*\z"
 
 ANSWER_REQUIRED = "ANSWER_REQUIRED"
 ANSWER_NOT_IN_VALUESET = "ANSWER_NOT_IN_VALUESET"
@@ -107,7 +114,10 @@ def question_rules(questions: Iterable[dict[str, Any]],
         if q.get("required"):
             add("REQ", "Required", error_code=ANSWER_REQUIRED)
         cast_target = ANSWER_TYPES[atype]
-        if cast_target:
+        if cast_target == "decimal-grammar":
+            add("TYPE", "Regex", {"pattern": _DECIMAL_GRAMMAR},
+                error_code=INVALID_ANSWER_TYPE)
+        elif cast_target:
             add("TYPE", "TypeCheck", {"dataType": cast_target},
                 error_code=INVALID_ANSWER_TYPE)
         if cons.get("min") is not None or cons.get("max") is not None:
@@ -125,8 +135,18 @@ def question_rules(questions: Iterable[dict[str, Any]],
                     "precision constraint needs decimal/quantity answerType")
             add("PRC", "Precision", {"precision": cons["precision"]})
         if cons.get("maxLength") is not None:
+            if atype not in ("string", "code"):
+                raise RuleConfigurationError(
+                    qid, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"maxLength constraint needs string/code answerType, "
+                    f"got {atype!r}")
             add("LEN", "MaxLength", {"maxLength": cons["maxLength"]})
         if cons.get("regex"):
+            if atype not in ("string", "code"):
+                raise RuleConfigurationError(
+                    qid, ErrorCode.RULE_CONFIGURATION_ERROR,
+                    f"regex constraint needs string/code answerType, "
+                    f"got {atype!r}")
             add("RGX", "Regex", {"pattern": cons["regex"]})
         if q.get("valueSet") is not None:
             vs = q["valueSet"]

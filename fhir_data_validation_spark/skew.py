@@ -42,8 +42,11 @@ def salted_count_distinct(df: DataFrame, group_col: str, value_col: str,
     salted = with_salt(df, key_col or value_col, buckets)
     partial = (salted.groupBy(group_col, SALT_COL)
                .agg(F.collect_set(value_col).alias("_vals")))
+    # explode_outer: a group whose values are ALL null collects an empty
+    # set, and a plain explode would drop the group entirely — the
+    # unsalted groupBy+countDistinct this replaces reports (group, 0)
     return (partial
-            .select(group_col, F.explode("_vals").alias("_v"))
+            .select(group_col, F.explode_outer("_vals").alias("_v"))
             .groupBy(group_col)
             .agg(F.countDistinct("_v").alias("n_distinct")))
 

@@ -78,6 +78,14 @@ def _encode(value: Any, schema: Any, out: bytearray,
     stype = schema["type"] if isinstance(schema, dict) else schema
     if stype == "null":
         return
+    if value is None:
+        # a None reaching a non-optional branch is a caller bug: str(None)
+        # would durably serialize the TEXT "None" (and bool(None) a
+        # false) into metadata that only fails far downstream — raise at
+        # the cause like int(None) already does for numeric fields
+        raise ValueError(
+            f"None for non-optional Avro type {stype!r} — declare the "
+            "field as a [\"null\", ...] union if absence is legal")
     if stype == "boolean":
         out.append(1 if value else 0)
     elif stype in ("int", "long"):
@@ -139,6 +147,28 @@ def _union_branch(value: Any, union: list, named: dict[str, Any]) -> int:
 def _register(schema: Any, named: dict[str, Any]) -> None:
     if isinstance(schema, dict) and schema.get("name"):
         named.setdefault(schema["name"], schema)
+
+
+def _register_all(schema: Any, named: dict[str, Any]) -> None:
+    """Walk the whole schema tree registering named types UP FRONT: lazy
+    registration during value traversal misses a defining occurrence that
+    sits in an untaken union branch, making a later by-name reference
+    fail data-dependently."""
+    if isinstance(schema, list):
+        for s in schema:
+            _register_all(s, named)
+    elif isinstance(schema, dict):
+        _register(schema, named)
+        t = schema.get("type")
+        if t == "record":
+            for f in schema.get("fields", ()):
+                _register_all(f.get("type"), named)
+        elif t == "array":
+            _register_all(schema.get("items"), named)
+        elif t == "map":
+            _register_all(schema.get("values"), named)
+        elif isinstance(t, (dict, list)):
+            _register_all(t, named)
 
 
 # ---------------------------------------------------------------- decoder --
@@ -203,6 +233,7 @@ def write_container(schema: dict, records: list[Any],
                     codec: str = "deflate") -> bytes:
     """Serialize records into an Avro object container file (one block)."""
     named: dict[str, Any] = {}
+    _register_all(schema, named)
     body = bytearray()
     for rec in records:
         _encode(rec, schema, body, named)
@@ -255,6 +286,7 @@ def read_container(data: bytes) -> tuple[dict, dict[str, bytes], list[Any]]:
     codec = meta.get("avro.codec", b"null").decode()
     sync = buf.read(16)
     named: dict[str, Any] = {}
+    _register_all(schema, named)
     records: list[Any] = []
     while True:
         head = buf.read(1)

@@ -42,11 +42,19 @@ from pyspark.sql.types import NumericType, StringType
 # candidate pattern registry (RegexPatternRegistry analog — public
 # grammars), MOST SPECIFIC FIRST: every uuid/date/integer string also
 # matches the permissive id grammar, so the first hit must be the tightest
+# \z anchors (not $) for the same reason as grammars.PRIMITIVE_GRAMMARS:
+# Java's $ matches before a trailing newline, so dirty values ending in
+# "\n" would count as matching and the suggester would claim a clean
+# grammar for dirty data. The 'id' pattern is SHARED with the grammar
+# registry so a fix there propagates here.
+from .grammars import PRIMITIVE_GRAMMARS as _GRAMMARS  # noqa: E402
+
 REGEX_REGISTRY: dict[str, str] = {
-    "uuid": r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
-    "isoDate": r"^\d{4}-\d{2}-\d{2}$",
-    "integerString": r"^[+-]?\d+$",
-    "id": r"^[A-Za-z0-9\-\.]{1,64}$",
+    "uuid": (r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-"
+             r"[0-9a-f]{4}-[0-9a-f]{12}\z"),
+    "isoDate": r"^\d{4}-\d{2}-\d{2}\z",
+    "integerString": r"^[+-]?\d+\z",
+    "id": _GRAMMARS["id"]["pattern"],
 }
 
 

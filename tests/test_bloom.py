@@ -129,3 +129,15 @@ def test_bloom_probe_plan_fact_side_unshuffled(spark):
     # exactly ONE hash exchange: the bloom-BUILD aggregation inside the
     # broadcast subtree. The fact side itself never shuffles.
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fpp_estimate_tracks_actual_load(spark):
+    """After add() overfills the fixed bit array, fpp_estimate must
+    report the degraded real rate, not the build-time design target."""
+    from fhir_data_validation_spark.bloom import KeyIndex
+    dim = spark.range(0, 1000).selectExpr("id AS k")
+    idx = KeyIndex.build(dim, "k", bits_per_key=16)
+    design = idx.fpp_estimate()
+    grown = idx.add(spark.range(1000, 20000).selectExpr("id AS k"), "k")
+    assert grown.fpp_estimate() > design * 10
+    assert 0.0 < grown.fpp_estimate() <= 1.0

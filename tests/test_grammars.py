@@ -52,3 +52,22 @@ def test_grammar_ruleset_and_unknown_primitive():
     with pytest.raises(RuleConfigurationError):
         grammar_rule("wavelength", "c")
     assert len(PRIMITIVE_GRAMMARS) == 11
+
+
+def test_trailing_newline_rejected_everywhere(spark):
+    """Java's $ matches before a final newline — every grammar must use
+    \\z so 'ABC\\n' style values are violations, not clean."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.grammars import grammar_ruleset
+    rows = [("d1", "abc\n", "web"), ("d2", "abc", "web"),
+            ("d3", "line1\nline2", "web")]
+    df = spark.createDataFrame(rows, "doc_id string, v string, source string")
+    for prim in ("code", "id", "uri", "string"):
+        res = ValidationEngine(
+            grammar_ruleset({"v": prim}),
+            config=EngineConfig(key_col="doc_id", group_col="source")
+        ).validate(df)
+        bad = {r["doc_id"] for r in res.violations.collect()}
+        assert "d1" in bad, prim          # trailing \n must violate
+        assert "d2" not in bad, prim
+        assert "d3" in bad, prim          # embedded newline too

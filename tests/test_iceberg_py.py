@@ -2430,3 +2430,32 @@ def test_partition_value_not_shadowed_by_location_segment(spark,
     only_us = t.read(partition_filter={"source": "us"})
     assert [r["k"] for r in only_us.collect()] == [1]
     assert {r["source"] for r in t.read().collect()} == {"us", "web"}
+
+
+def test_avro_none_for_required_field_raises():
+    """str(None) must never serialize the text 'None' into durable
+    metadata — a missing required field raises at the encoder."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "path", "type": "string"},
+        {"name": "opt", "type": ["null", "string"], "default": None}]}
+    with pytest.raises(ValueError, match="non-optional"):
+        avro_io.write_container(schema, [{"path": None, "opt": None}])
+    # unions still accept None
+    _, _, recs = avro_io.read_container(avro_io.write_container(
+        schema, [{"path": "p", "opt": None}]))
+    assert recs == [{"path": "p", "opt": None}]
+
+
+def test_avro_named_type_defined_in_untaken_union_branch():
+    """A named record defined inside a union branch resolves by name
+    even when the defining occurrence is never taken (eager schema-walk
+    registration, not lazy value-traversal registration)."""
+    schema = {"type": "record", "name": "outer", "fields": [
+        {"name": "a", "type": ["null", {
+            "type": "record", "name": "R",
+            "fields": [{"name": "x", "type": "long"}]}], "default": None},
+        {"name": "b", "type": ["null", "R"], "default": None}]}
+    rec = {"a": None, "b": {"x": 7}}
+    _, _, out = avro_io.read_container(
+        avro_io.write_container(schema, [rec]))
+    assert out == [rec]

@@ -119,3 +119,42 @@ def test_range_on_string_answer_never_aborts(spark):
     res = engine.validate(df)
     got = {(r["rule_id"], r["doc_id"]) for r in res.violations.collect()}
     assert got == {("Q-HR-RNG", "p2"), ("Q-HR-TYPE", "p3")}
+
+
+# --------------------------------------------- round-3 review regressions ---
+
+def test_integer_answer_is_int32_and_decimal_rejects_nan(spark):
+    """integer answers use 32-bit semantics (C# int.TryParse) and
+    decimal/quantity answers use the digit grammar — NaN/Infinity/
+    exponent forms and int32 overflows are INVALID_ANSWER_TYPE."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.questions import question_rules
+    df = spark.createDataFrame(
+        [("a1", "3000000000", "7.5", "web"),    # int32 overflow
+         ("a2", "42", "NaN", "web"),            # NaN decimal
+         ("a3", "7", "1e5", "web"),             # exponent decimal
+         ("a4", "-12", "3.25", "web")],         # clean
+        "doc_id string, int_ans string, dec_ans string, source string")
+    rs = question_rules([
+        {"id": "QI", "column": "int_ans", "answerType": "integer"},
+        {"id": "QD", "column": "dec_ans", "answerType": "decimal"}])
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="source")).validate(df)
+    got = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert ("a1", "QI-TYPE") in got
+    assert ("a2", "QD-TYPE") in got
+    assert ("a3", "QD-TYPE") in got
+    assert not any(d == "a4" for d, _ in got)
+
+
+def test_length_and_regex_constraints_need_string_answer():
+    from fhir_data_validation_spark.errors import RuleConfigurationError
+    from fhir_data_validation_spark.questions import question_rules
+    with pytest.raises(RuleConfigurationError, match="maxLength"):
+        question_rules([{"id": "QB", "column": "c",
+                         "answerType": "boolean",
+                         "constraints": {"maxLength": 2}}])
+    with pytest.raises(RuleConfigurationError, match="regex"):
+        question_rules([{"id": "QN", "column": "c",
+                         "answerType": "integer",
+                         "constraints": {"regex": "^x$"}}])

@@ -274,3 +274,15 @@ def test_heavy_hitters_null_group_sentinel(spark):
     assert out[("<null>", "u1")] == 30
     assert out[("<null>", "u2")] == 5
     assert out[("web", "u1")] == 3
+
+
+def test_salted_count_distinct_all_null_group(spark):
+    """A group whose values are all NULL reports n_distinct=0 like the
+    plain groupBy+countDistinct it replaces — not a missing row."""
+    from fhir_data_validation_spark.skew import salted_count_distinct
+    df = spark.createDataFrame(
+        [("web", None), ("web", None), ("book", "x")],
+        "source string, v string")
+    got = {r["source"]: r["n_distinct"] for r in
+           salted_count_distinct(df, "source", "v").collect()}
+    assert got == {"web": 0, "book": 1}
