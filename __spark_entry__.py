@@ -2253,16 +2253,45 @@ def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
                                group_col="source",
                                histograms={"n_chars": width})
     modes = []
-    for cond in (F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 == 1,
-                 F.col("doc_id") % 3 == 2):
+    # two batches suffice to attest the fold (rebuild seeds, delta
+    # merges); each append+update is ~8 fixed-cost Spark jobs, so batch
+    # count dominates this query's wall
+    for cond in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
         t.append(docs.where(cond).coalesce(2))
         modes.append(prof.update()["mode"])
     out = (prof.merged_quantiles("n_chars", probs)
            .withColumn("value", F.round("value", 4))
            .withColumn("modes_ok", F.lit(
-               modes == ["rebuild", "delta", "delta"]))
+               modes == ["rebuild", "delta"]))
            .orderBy("group", "p"))
     rows = out.collect()          # materialize before the scratch dir dies
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_i14_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only schema diff between snapshots: fields pair by
+    FIELD-ID, so a rename+widen reports as renamed/retyped rows (never a
+    spurious drop+add), adds/drops as themselves. The oracle enumerates
+    the expected change rows literally — the evolution steps are fixed."""
+    import shutil
+    import tempfile
+    from pyspark.sql import types as T
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+
+    sch = T.StructType([T.StructField("a", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    base = tempfile.mkdtemp(prefix="fdv_sd_")
+    t = PyIcebergTable.create(spark, base + "/t", sch)
+    s1 = t.append(spark.createDataFrame([(1, "x")], sch))
+    t.rename_column("a", "b")
+    t.widen_column("b", T.LongType())
+    t.add_column("c", T.StringType())
+    t.drop_column("v")
+    s2 = t.append(spark.createDataFrame([(2, "y")], "b long, c string"))
+    out = (t.schema_diff(s1, s2)
+           .orderBy("field_id", "change"))
+    rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
@@ -2614,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i13_multi_partition": q_i13_multi_partition,
         "c10_incremental_profile": q_c10_incremental_profile,
         "c11_merged_quantiles": q_c11_merged_quantiles,
+        "i14_schema_diff": q_i14_schema_diff,
     }
 
 
@@ -3293,6 +3323,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS modes_ok
             FROM hits WHERE rk = 1
             ORDER BY "group", p""",
+        # i14: metadata-only schema diff — the evolution steps are fixed,
+        # so the oracle enumerates the expected field-id-paired change
+        # rows literally (types render as the Iceberg type JSON strings)
+        "i14_schema_diff": """
+            SELECT * FROM (VALUES
+              ('renamed', 1, 'a', 'b', '"int"', '"long"'),
+              ('retyped', 1, 'a', 'b', '"int"', '"long"'),
+              ('dropped', 2, 'v', NULL, '"string"', NULL),
+              ('added',   3, NULL, 'c', NULL, '"string"'))
+            AS t(change, field_id, from_name, to_name, from_type, to_type)
+            ORDER BY field_id, change""",
         # i10: merge-on-read upsert — final state after two row-delta
         # batches (doc_id%5 bumped +1000, then doc_id%10 re-bumped +5000:
         # the newer version wins), inserts 200-204 appended

@@ -3146,6 +3146,48 @@ class PyIcebergTable:
     def schema(self) -> T.StructType:
         return _spark_schema(_schema_by_id(self._load_meta()))
 
+    def schema_diff(self, from_snapshot: int,
+                    to_snapshot: int | None = None) -> DataFrame:
+        """METADATA-ONLY schema comparison between two snapshots — the
+        schema half of snapshot reconciliation (``diff_tables`` covers
+        the data half). Fields pair by FIELD-ID (Iceberg's stable
+        identity), so a rename reports as ``renamed`` — not as an
+        unrelated drop+add the way a by-name diff would — and a widened
+        type as ``retyped`` with both types. Returns one row per change:
+        ``(change, field_id, from_name, to_name, from_type, to_type)``
+        with ``change ∈ {added, dropped, renamed, retyped}`` (a renamed
+        AND retyped field emits both rows). Zero data IO: two metadata
+        JSON reads."""
+        meta = self._load_meta()
+        old = _schema_by_id(meta, self._snapshot(
+            meta, from_snapshot).get("schema-id"))
+        new_sid = (None if to_snapshot is None
+                   else self._snapshot(meta, to_snapshot).get("schema-id"))
+        new = _schema_by_id(meta, new_sid)
+        by_id_old = {f["id"]: f for f in old["fields"]}
+        by_id_new = {f["id"]: f for f in new["fields"]}
+        rows = []
+        for fid in sorted(set(by_id_old) | set(by_id_new)):
+            o, n = by_id_old.get(fid), by_id_new.get(fid)
+            if o is None:
+                rows.append(("added", fid, None, n["name"],
+                             None, json.dumps(n["type"])))
+            elif n is None:
+                rows.append(("dropped", fid, o["name"], None,
+                             json.dumps(o["type"]), None))
+            else:
+                if o["name"] != n["name"]:
+                    rows.append(("renamed", fid, o["name"], n["name"],
+                                 json.dumps(o["type"]),
+                                 json.dumps(n["type"])))
+                if o["type"] != n["type"]:
+                    rows.append(("retyped", fid, o["name"], n["name"],
+                                 json.dumps(o["type"]),
+                                 json.dumps(n["type"])))
+        return self.spark.createDataFrame(
+            rows, "change string, field_id int, from_name string, "
+                  "to_name string, from_type string, to_type string")
+
 
 # -------------------------------------------------- MERGE-style lineage ----
 

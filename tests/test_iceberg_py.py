@@ -2459,3 +2459,30 @@ def test_avro_named_type_defined_in_untaken_union_branch():
     _, _, out = avro_io.read_container(
         avro_io.write_container(schema, [rec]))
     assert out == [rec]
+
+
+def test_schema_diff_by_field_id(spark, tmp_path):
+    """schema_diff pairs fields by FIELD-ID: renames report as renamed
+    (not drop+add), widenings as retyped, and add/drop as themselves —
+    zero data IO."""
+    sch = T.StructType([T.StructField("a", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    t = PyIcebergTable.create(spark, str(tmp_path / "sd"), sch)
+    s1 = t.append(spark.createDataFrame([(1, "x")], sch))
+    t.rename_column("a", "b")
+    t.widen_column("b", T.LongType())
+    t.add_column("c", T.StringType())
+    t.drop_column("v")
+    s2 = t.append(spark.createDataFrame(
+        [(2, None, "y")], "b long, v string, c string").select("b", "c"))
+    got = {(r["change"], r["from_name"], r["to_name"])
+           for r in t.schema_diff(s1, s2).collect()}
+    assert ("renamed", "a", "b") in got
+    assert ("retyped", "a", "b") in got
+    assert ("added", None, "c") in got
+    assert ("dropped", "v", None) in got
+    # identical snapshots diff empty
+    assert t.schema_diff(s2, s2).count() == 0
+    # reversed direction flips add/drop
+    rev = {r["change"] for r in t.schema_diff(s2, s1).collect()}
+    assert "added" in rev and "dropped" in rev
