@@ -28,6 +28,29 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _VIOL_COLS = ("doc_id", "rule_id", "error_code", "source")
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Tracked scratch dir for the Iceberg-lifecycle queries. Sweeps any
+    dir a PREVIOUSLY FAILED query left behind (its rmtree sits after the
+    collect, so an error strands the dir) before allocating a new one,
+    and registers an atexit sweep for the last query of a process —
+    repeated bench iterations must not accrete /tmp debris."""
+    import atexit
+    import shutil
+    import tempfile
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    if not getattr(_scratch_dir, "_hooked", False):
+        _scratch_dir._hooked = True
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _SCRATCH_DIRS])
+    return d
+
+
 def _viol(res) -> DataFrame:
     """Deterministic violations projection (detail map omitted: DuckDB map
     hashing differs; details are covered by unit tests)."""
@@ -46,6 +69,29 @@ def _validate(spark, df, rules, key_col, group_col, dims=None, dedupe=True):
 
 
 # --------------------------------------------------------------- queries ----
+
+def _grouped_orders(li: DataFrame, item) -> "DataFrame":
+    """lineitem → one row per order with the two-level nested structure
+    the repeated-element queries share: groups = [{name: lo, items:
+    [item where linenumber<=3]}, {name: hi, items: [the rest]}], sorted
+    for determinism. ONE definition — p5b/p5c/nav1 all validate against
+    this same shape and must never drift from their common oracle
+    convention."""
+    return (li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_list(
+                     F.when(F.col("l_linenumber") <= 3, item)))
+                 .alias("_lo"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("l_linenumber") > 3, item)))
+                 .alias("_hi"),
+                 F.min("l_returnflag").alias("rflag"))
+            .select("l_orderkey", "rflag",
+                    F.array(F.struct(F.lit("lo").alias("name"),
+                                     F.col("_lo").alias("items")),
+                            F.struct(F.lit("hi").alias("name"),
+                                     F.col("_hi").alias("items")))
+                    .alias("groups")))
+
 
 def q_r1_required(spark: SparkSession, sf: str) -> DataFrame:
     df = load_table(spark, sf, "events")
@@ -148,20 +194,7 @@ def q_p5b_nested_repetition(spark: SparkSession, sf: str) -> DataFrame:
     the composite (index, innerIndex) detail."""
     li = load_table(spark, sf, "lineitem")
     item = F.struct("l_linenumber", "l_quantity")
-    orders = (li.groupBy("l_orderkey")
-              .agg(F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") <= 3, item)))
-                   .alias("_lo"),
-                   F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") > 3, item)))
-                   .alias("_hi"),
-                   F.min("l_returnflag").alias("rflag"))
-              .select("l_orderkey", "rflag",
-                      F.array(F.struct(F.lit("lo").alias("name"),
-                                       F.col("_lo").alias("items")),
-                              F.struct(F.lit("hi").alias("name"),
-                                       F.col("_hi").alias("items")))
-                      .alias("groups")))
+    orders = _grouped_orders(li, item)
     res = _validate(spark, orders,
                     [{"id": "NST-2", "type": "Range",
                       "column": "groups[*].items[*].l_quantity",
@@ -188,20 +221,7 @@ def q_p5c_deep_repetition(spark: SparkSession, sf: str) -> DataFrame:
                   F.array(F.struct(F.col("l_quantity").alias("v")))) \
             .otherwise(F.array().cast("array<struct<v:double>>"))
     item = F.struct("l_linenumber", "l_quantity", leaf.alias("q"))
-    orders = (li.groupBy("l_orderkey")
-              .agg(F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") <= 3, item)))
-                   .alias("_lo"),
-                   F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") > 3, item)))
-                   .alias("_hi"),
-                   F.min("l_returnflag").alias("rflag"))
-              .select("l_orderkey", "rflag",
-                      F.array(F.struct(F.lit("lo").alias("name"),
-                                       F.col("_lo").alias("items")),
-                              F.struct(F.lit("hi").alias("name"),
-                                       F.col("_hi").alias("items")))
-                      .alias("groups")))
+    orders = _grouped_orders(li, item)
     res = _validate(spark, orders,
                     [{"id": "NST-3", "type": "Range",
                       "column": "groups[*].items[*].q[*].v",
@@ -223,20 +243,7 @@ def q_nav1_json_pointer(spark: SparkSession, sf: str) -> DataFrame:
     from fhir_data_validation_spark.navigation import with_pointer
     li = load_table(spark, sf, "lineitem")
     item = F.struct("l_linenumber", "l_quantity")
-    orders = (li.groupBy("l_orderkey")
-              .agg(F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") <= 3, item)))
-                   .alias("_lo"),
-                   F.sort_array(F.collect_list(
-                       F.when(F.col("l_linenumber") > 3, item)))
-                   .alias("_hi"),
-                   F.min("l_returnflag").alias("rflag"))
-              .select("l_orderkey", "rflag",
-                      F.array(F.struct(F.lit("lo").alias("name"),
-                                       F.col("_lo").alias("items")),
-                              F.struct(F.lit("hi").alias("name"),
-                                       F.col("_hi").alias("items")))
-                      .alias("groups")))
+    orders = _grouped_orders(li, item)
     res = _validate(spark, orders,
                     [{"id": "NAV-1", "type": "Range",
                       "column": "groups[*].items[*].l_quantity",
@@ -1746,7 +1753,7 @@ def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 500)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_ice_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_ice_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema, partition_by="source")
     s1 = t.append(docs.where(F.col("doc_id") < 250))
     t.append(docs.where(F.col("doc_id") >= 250))
@@ -1755,6 +1762,7 @@ def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1774,7 +1782,7 @@ def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 400)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icedel_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icedel_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 200).coalesce(1))
     t.append(docs.where(F.col("doc_id") >= 200).coalesce(1))
@@ -1788,6 +1796,7 @@ def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1803,7 +1812,7 @@ def q_i4_merge_rows(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = (load_table(spark, sf, "documents")
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icemg_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icemg_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 100).coalesce(1))
     t.append(docs.where((F.col("doc_id") >= 100)
@@ -1817,6 +1826,7 @@ def q_i4_merge_rows(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1834,7 +1844,7 @@ def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 300)
             .select("doc_id", "lang", "source"))
-    loc = tempfile.mkdtemp(prefix="fdv_icev_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icev_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 150))
     t.add_column("n_chars", T.LongType())
@@ -1850,6 +1860,7 @@ def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1870,7 +1881,7 @@ def q_i5_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 600)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icehp_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icehp_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema,
                               partition_by=("doc_id", "bucket[8]"))
     t.append(docs.repartition(8))
@@ -1882,6 +1893,7 @@ def q_i5_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1907,7 +1919,7 @@ def q_i13_multi_partition(spark: SparkSession, sf: str) -> DataFrame:
             .where(F.col("doc_id") < 600)
             .where(F.col("source").isin("src1", "src2"))
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icemp_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icemp_") + "/docs"
     t = PyIcebergTable.create(
         spark, loc, docs.schema,
         partition_by=["source", ("doc_id", "bucket[4]")])
@@ -1927,6 +1939,7 @@ def q_i13_multi_partition(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1951,7 +1964,7 @@ def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
                   "event_type")
           .where((F.col("ts") >= F.lit("2024-01-08"))
                  & (F.col("ts") < F.lit("2024-01-15"))))
-    loc = tempfile.mkdtemp(prefix="fdv_icetp_") + "/ev"
+    loc = _scratch_dir(prefix="fdv_icetp_") + "/ev"
     t = PyIcebergTable.create(spark, loc, ev.schema,
                               partition_by=("ts", "day"))
     t.append(ev.repartition(8))
@@ -1969,6 +1982,7 @@ def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("day"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1987,7 +2001,7 @@ def q_i7_changelog(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 300)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icecl_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icecl_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     s1 = t.append(docs.where(F.col("doc_id") < 200).coalesce(2))
     t.append(docs.where(F.col("doc_id") >= 200).coalesce(1))
@@ -1995,6 +2009,7 @@ def q_i7_changelog(spark: SparkSession, sf: str) -> DataFrame:
     out = t.changes(s1).orderBy("_change_type", "doc_id")
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2017,7 +2032,7 @@ def q_i8_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     ev = (load_table(spark, sf, "events")
           .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
                   "event_type"))
-    loc = tempfile.mkdtemp(prefix="fdv_icepe_") + "/ev"
+    loc = _scratch_dir(prefix="fdv_icepe_") + "/ev"
     t = PyIcebergTable.create(spark, loc, ev.schema,
                               partition_by=("ts", "day"))
     t.append(ev.where(F.col("event_id") % 2 == 0).repartition(4))
@@ -2041,6 +2056,7 @@ def q_i8_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("day"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2061,7 +2077,7 @@ def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 300)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icemor_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icemor_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 100).coalesce(2))
     t.append(docs.where((F.col("doc_id") >= 100)
@@ -2076,6 +2092,7 @@ def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2094,7 +2111,7 @@ def q_i10_mor_upsert(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 205)
             .select("doc_id", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_iceup_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_iceup_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 200).coalesce(2))
     b1 = (docs.where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 200))
@@ -2112,6 +2129,7 @@ def q_i10_mor_upsert(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2133,7 +2151,7 @@ def q_i11_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = (load_table(spark, sf, "documents")
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_icewap_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_icewap_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 200))
     n_main_before = t.read().count()
@@ -2141,8 +2159,10 @@ def q_i11_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     t.append(docs.where((F.col("doc_id") >= 200)
                         & (F.col("doc_id") < 400)), branch="audit")
     staged_invisible = t.read().count() == n_main_before
-    # audit passes (the staged batch has no doc_id >= 900) -> publish
-    assert t.read(ref="audit").where(F.col("doc_id") >= 900).count() == 0
+    # audit passes (the staged batch has no doc_id >= 900) -> publish;
+    # an if/raise (not assert) so the audited read survives python -O
+    if t.read(ref="audit").where(F.col("doc_id") >= 900).count() != 0:
+        raise AssertionError("audit batch unexpectedly dirty")
     t.fast_forward("main", "audit")
     # a second staged batch FAILS its audit and is rejected
     t.branch("audit2")
@@ -2154,6 +2174,7 @@ def q_i11_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2172,7 +2193,7 @@ def q_i12_rename_widen(spark: SparkSession, sf: str) -> DataFrame:
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 400)
             .select("doc_id", "lang", "source", "n_chars"))
-    loc = tempfile.mkdtemp(prefix="fdv_iceren_") + "/docs"
+    loc = _scratch_dir(prefix="fdv_iceren_") + "/docs"
     t = PyIcebergTable.create(spark, loc, docs.schema)
     t.append(docs.where(F.col("doc_id") < 200))
     t.rename_column("n_chars", "char_count")
@@ -2183,6 +2204,7 @@ def q_i12_rename_widen(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("doc_id"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2201,7 +2223,7 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = (load_table(spark, sf, "documents")
             .select("doc_id", "source", "n_chars", "lang"))
-    base = tempfile.mkdtemp(prefix="fdv_incprof_")
+    base = _scratch_dir(prefix="fdv_incprof_")
     t = PyIcebergTable.create(spark, base + "/docs", docs.schema)
     prof = IncrementalProfiler(t, ["n_chars", "lang"], base + "/stats",
                                group_col="source")
@@ -2226,6 +2248,7 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("group"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(base, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2247,7 +2270,7 @@ def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     probs = (0.25, 0.5, 0.75, 0.99)
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "source", "n_chars")
-    base = tempfile.mkdtemp(prefix="fdv_incq_")
+    base = _scratch_dir(prefix="fdv_incq_")
     t = PyIcebergTable.create(spark, base + "/docs", docs.schema)
     prof = IncrementalProfiler(t, ["n_chars"], base + "/stats",
                                group_col="source",
@@ -2266,6 +2289,7 @@ def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("group", "p"))
     rows = out.collect()          # materialize before the scratch dir dies
     shutil.rmtree(base, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2281,7 +2305,7 @@ def q_i14_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
 
     sch = T.StructType([T.StructField("a", T.IntegerType()),
                         T.StructField("v", T.StringType())])
-    base = tempfile.mkdtemp(prefix="fdv_sd_")
+    base = _scratch_dir(prefix="fdv_sd_")
     t = PyIcebergTable.create(spark, base + "/t", sch)
     s1 = t.append(spark.createDataFrame([(1, "x")], sch))
     t.rename_column("a", "b")
@@ -2293,6 +2317,7 @@ def q_i14_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
            .orderBy("field_id", "change"))
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -23,8 +23,13 @@ def write_bytes(spark: SparkSession, path: str, data: bytes,
                 overwrite: bool = True) -> None:
     fs, hpath, _ = jfs(spark, path)
     out = fs.create(hpath, overwrite)
-    out.write(bytearray(data))
-    out.close()
+    try:
+        out.write(bytearray(data))
+    finally:
+        # close on failure too: a leaked FSDataOutputStream holds the
+        # HDFS lease on the half-written file and blocks a retrying
+        # writer of the same path until lease expiry
+        out.close()
 
 
 def read_bytes(spark: SparkSession, path: str) -> bytes:

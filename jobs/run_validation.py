@@ -16,7 +16,8 @@ Cluster:
 
 Local smoke:
 
-    python jobs/run_validation.py --input /root/testdata/sf0.001 --synth 10000
+    python jobs/run_validation.py --input /root/testdata/sf0.001 \\
+        --output /tmp/fdv_smoke --synth 10000
 
 Resume after failure: re-submit with the same ``--run-id`` and ``--output``;
 completed partitions are skipped via the lineage table (see ``lineage.py``).
@@ -150,11 +151,32 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.since_snapshot and args.input_format != "pyiceberg" \
+            and args.input_format != "table":
+        # a silently ignored delta request would validate the FULL table:
+        # inflated counts, re-marked lineage, tripped regression gates
+        print("--since-snapshot requires an Iceberg input format "
+              "(pyiceberg or table)", file=sys.stderr)
+        return 2
+    if args.snapshot_id and args.input_format == "parquet" \
+            and not args.synth:
+        print("--snapshot-id requires an Iceberg input format",
+              file=sys.stderr)
+        return 2
+
     if args.synth:
         df = dirty_token_table(spark, args.synth).drop("_row_id")
     elif args.input_format == "table":
         reader = spark.read
-        if args.snapshot_id:
+        if args.since_snapshot:
+            # the runtime jar's incremental read: appended data only,
+            # optionally bounded by --snapshot-id as the end of the range
+            reader = reader.option("start-snapshot-id",
+                                   args.since_snapshot)
+            if args.snapshot_id:
+                reader = reader.option("end-snapshot-id",
+                                       args.snapshot_id)
+        elif args.snapshot_id:
             reader = reader.option("snapshot-id", args.snapshot_id)
         df = reader.table(args.input)
     elif args.input_format == "pyiceberg":
@@ -183,15 +205,28 @@ def main(argv=None) -> int:
         from fhir_data_validation_spark.questions import \
             question_rules_from_json
         qrs = question_rules_from_json(args.questions)
-        ruleset = RuleSet(version=ruleset.version,
-                          rules=ruleset.rules + qrs.rules)
+        # re-assert the unique-rule-id invariant the parse path enforces:
+        # the raw constructor would let a questions-generated id silently
+        # collide with a rules.json id and everything keyed by rule_id
+        # (dedup, lineage, regression rates) would merge the two rules
+        merged = ruleset.rules + qrs.rules
+        seen_ids: set[str] = set()
+        for r in merged:
+            if r.id in seen_ids:
+                print(f"duplicate rule id {r.id!r} between --rules and "
+                      f"--questions", file=sys.stderr)
+                return 2
+            seen_ids.add(r.id)
+        ruleset = RuleSet(version=ruleset.version, rules=merged)
     dims = {}
     for binding in args.dim:
         name, _, path = binding.partition("=")
         dims[name] = (spark.read.parquet(path) if "/" in path
                       else spark.read.table(path))
-    if not dims and not args.rules:
-        dims["sources_dim"] = sources_dim(spark)  # built-in rule set default
+    if "sources_dim" not in dims and not args.rules:
+        # the built-in rule set references sources_dim regardless of what
+        # OTHER dims the caller bound — inject unless explicitly provided
+        dims["sources_dim"] = sources_dim(spark)
 
     if args.review:
         from fhir_data_validation_spark.governance import (review_report,
@@ -207,6 +242,13 @@ def main(argv=None) -> int:
         from fhir_data_validation_spark.lint import lint_dataset, lint_report
         print(json.dumps(lint_report(lint_dataset(df, ruleset)),
                          default=str), file=sys.stderr)
+
+    if args.regression_baseline and args.no_resume:
+        # reject the invalid combination BEFORE the validation runs, not
+        # after the whole job + quarantine writes have completed
+        print("--regression-baseline needs a resumable run "
+              "(drop --no-resume)", file=sys.stderr)
+        return 2
 
     config = EngineConfig(key_col=args.key_col, group_col=args.group_col)
     run = None
@@ -243,8 +285,13 @@ def main(argv=None) -> int:
             key_col=args.key_col).split(df)
         quar.write.mode("overwrite").parquet(f"{args.output}/quarantine")
         clean.write.mode("overwrite").parquet(f"{args.output}/clean")
-        print(json.dumps({"quarantined": quar.count(),
-                          "clean": clean.count()}))
+        # count the WRITTEN parquet (footer metadata, near-free) — calling
+        # .count() on quar/clean would re-execute the split join over the
+        # full input, two extra table-wide passes at the 100-TB target
+        print(json.dumps({
+            "quarantined": spark.read.parquet(
+                f"{args.output}/quarantine").count(),
+            "clean": spark.read.parquet(f"{args.output}/clean").count()}))
 
     regressed = 0
     if args.regression_baseline:
