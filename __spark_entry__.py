@@ -2547,57 +2547,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver checks a prefix window of this registry
+    # against the DuckDB oracles.  Rounds 1-3 verified the 50 ids now at the
+    # BOTTOM of this dict (green in CORRECTNESS_r03.json); the 71 ids at the
+    # TOP never had a driver-green row, so they come first, followed by
+    # sh1_spec_hints (r03 hash-fail, oracle SQL fixed with BIGINT casts).
     return {
-        "r1_required": q_r1_required,
-        "r2_fixed_value": q_r2_fixed_value,
-        "r3_allowed_values": q_r3_allowed_values,
-        "r4_regex": q_r4_regex,
-        "r5_range": q_r5_range,
-        "r7_custom_expr": q_r7_custom_expr,
-        "p3_first_scope": q_p3_first_scope,
-        "p5_nested_elements": q_p5_nested_elements,
-        "p5b_nested_repetition": q_p5b_nested_repetition,
-        "nav1_json_pointer": q_nav1_json_pointer,
-        "sh1_spec_hints": q_sh1_spec_hints,
-        "p5c_deep_repetition": q_p5c_deep_repetition,
-        "a1_group_cardinality": q_a1_group_cardinality,
-        "a4_summary": q_a4_summary,
-        "a5_dedup": q_a5_dedup,
-        "c1_stats": q_c1_stats,
-        "c2_cardinality": q_c2_cardinality,
-        "c3_unique": q_c3_unique,
-        "c4_histogram": q_c4_histogram,
-        "c5_heavy_hitters": q_c5_heavy_hitters,
-        "hh1_dominance": q_hh1_dominance,
-        "j1_reference": q_j1_reference,
-        "j1_reference_seeded": q_j1_reference_seeded,
-        "j5_bloom_prefilter": q_j5_bloom_prefilter,
-        "r6_membership": q_r6_membership,
-        "r6b_codesystem_pair": q_r6b_codesystem_pair,
-        "j4_codemaster": q_j4_codemaster,
-        "q1_question_rules": q_q1_question_rules,
-        "t1_token_count": q_t1_token_count,
-        "t2_quality": q_t2_quality,
-        "t3_lang_id": q_t3_lang_id,
-        "t4_fingerprint": q_t4_fingerprint,
-        "t5_quality_filter": q_t5_quality_filter,
-        "t6_c4_filter": q_t6_c4_filter,
-        "t7_repetition": q_t7_repetition,
-        "d1_exact_dedup": q_d1_exact_dedup,
-        "d2_jaccard_pairs": q_d2_jaccard_pairs,
-        "x8_similarity_join": q_x8_similarity_join,
-        "d3_minhash_lsh": q_d3_minhash_lsh,
-        "d4_simhash": q_d4_simhash,
-        "d6_duplicate_clusters": q_d6_duplicate_clusters,
-        "d6b_keep_best_clusters": q_d6b_keep_best_clusters,
-        "d7_incremental_dedup": q_d7_incremental_dedup,
-        "d8_incremental_simhash": q_d8_incremental_simhash,
-        "d5_embedding_neardup": q_d5_embedding_neardup,
-        "s1_cosine_topk": q_s1_cosine_topk,
-        "s2_ivf_topk": q_s2_ivf_topk,
-        "s3_ivfpq_topk": q_s3_ivfpq_topk,
-        "sd1_semantic_dedup": q_sd1_semantic_dedup,
-        "m1_multimodal_meta": q_m1_multimodal_meta,
         "m2_png_decode": q_m2_png_decode,
         "k1_pack_sequences": q_k1_pack_sequences,
         "k2_chunk_overlap": q_k2_chunk_overlap,
@@ -2669,6 +2624,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_incremental_profile": q_c10_incremental_profile,
         "c11_merged_quantiles": q_c11_merged_quantiles,
         "i14_schema_diff": q_i14_schema_diff,
+        "sh1_spec_hints": q_sh1_spec_hints,
+        # --- below here: driver-green in CORRECTNESS_r03.json ---
+        "r1_required": q_r1_required,
+        "r2_fixed_value": q_r2_fixed_value,
+        "r3_allowed_values": q_r3_allowed_values,
+        "r4_regex": q_r4_regex,
+        "r5_range": q_r5_range,
+        "r7_custom_expr": q_r7_custom_expr,
+        "p3_first_scope": q_p3_first_scope,
+        "p5_nested_elements": q_p5_nested_elements,
+        "p5b_nested_repetition": q_p5b_nested_repetition,
+        "nav1_json_pointer": q_nav1_json_pointer,
+        "p5c_deep_repetition": q_p5c_deep_repetition,
+        "a1_group_cardinality": q_a1_group_cardinality,
+        "a4_summary": q_a4_summary,
+        "a5_dedup": q_a5_dedup,
+        "c1_stats": q_c1_stats,
+        "c2_cardinality": q_c2_cardinality,
+        "c3_unique": q_c3_unique,
+        "c4_histogram": q_c4_histogram,
+        "c5_heavy_hitters": q_c5_heavy_hitters,
+        "hh1_dominance": q_hh1_dominance,
+        "j1_reference": q_j1_reference,
+        "j1_reference_seeded": q_j1_reference_seeded,
+        "j5_bloom_prefilter": q_j5_bloom_prefilter,
+        "r6_membership": q_r6_membership,
+        "r6b_codesystem_pair": q_r6b_codesystem_pair,
+        "j4_codemaster": q_j4_codemaster,
+        "q1_question_rules": q_q1_question_rules,
+        "t1_token_count": q_t1_token_count,
+        "t2_quality": q_t2_quality,
+        "t3_lang_id": q_t3_lang_id,
+        "t4_fingerprint": q_t4_fingerprint,
+        "t5_quality_filter": q_t5_quality_filter,
+        "t6_c4_filter": q_t6_c4_filter,
+        "t7_repetition": q_t7_repetition,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_jaccard_pairs": q_d2_jaccard_pairs,
+        "x8_similarity_join": q_x8_similarity_join,
+        "d3_minhash_lsh": q_d3_minhash_lsh,
+        "d4_simhash": q_d4_simhash,
+        "d6_duplicate_clusters": q_d6_duplicate_clusters,
+        "d6b_keep_best_clusters": q_d6b_keep_best_clusters,
+        "d7_incremental_dedup": q_d7_incremental_dedup,
+        "d8_incremental_simhash": q_d8_incremental_simhash,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
+        "s1_cosine_topk": q_s1_cosine_topk,
+        "s2_ivf_topk": q_s2_ivf_topk,
+        "s3_ivfpq_topk": q_s3_ivfpq_topk,
+        "sd1_semantic_dedup": q_sd1_semantic_dedup,
+        "m1_multimodal_meta": q_m1_multimodal_meta,
     }
 
 
@@ -2742,9 +2748,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, 'seg_note' AS path,
                    'segment note expected' AS reason,
                    'warning' AS severity, FALSE AS conditional,
-                   sum(CASE WHEN seg_note IS NULL OR trim(seg_note) = ''
-                            THEN 1 ELSE 0 END) AS n_missing,
-                   count(*) AS n_checked,
+                   CAST(sum(CASE WHEN seg_note IS NULL OR trim(seg_note) = ''
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                   CAST(count(*) AS BIGINT) AS n_checked,
                    CAST(min(CASE WHEN seg_note IS NULL OR
                                       trim(seg_note) = ''
                                  THEN c_custkey END) AS VARCHAR) AS witness
@@ -2752,9 +2758,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT source, 'c_acctbal', 'positive balances audited',
                    'warning', TRUE,
-                   sum(CASE WHEN c_acctbal > 0 AND c_acctbal IS NULL
-                            THEN 1 ELSE 0 END),
-                   sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN c_acctbal > 0 AND c_acctbal IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT),
                    NULL
             FROM c GROUP BY source
             HAVING sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) > 0
