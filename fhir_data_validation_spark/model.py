@@ -126,9 +126,14 @@ class RuleDefinition:
         try:
             # the probe runs in PYTHON re, the pattern in Java/RE2:
             # translate Java's absolute-end anchor \z (which Python
-            # spells \Z) for the syntax check only — the original
-            # pattern string is what executes
-            re.compile(pattern.replace(r"\z", r"\Z"))
+            # spells \Z) and Unicode category classes \p{..}/\P{..}
+            # (which Python re lacks entirely — substituting a plain
+            # literal keeps the surrounding syntax checkable, inside or
+            # outside a character class) for the syntax check only — the
+            # original pattern string is what executes
+            probe = re.sub(r"\\[pP]\{[A-Za-z_]+\}", "A",
+                           pattern.replace(r"\z", r"\Z"))
+            re.compile(probe)
         except re.error as exc:
             raise RuleConfigurationError(
                 self.id, ErrorCode.RULE_CONFIGURATION_ERROR,

@@ -51,7 +51,168 @@ def test_grammar_ruleset_and_unknown_primitive():
     assert all(r.error_code == "INVALID_PRIMITIVE" for r in rs.rules)
     with pytest.raises(RuleConfigurationError):
         grammar_rule("wavelength", "c")
-    assert len(PRIMITIVE_GRAMMARS) == 11
+    assert len(PRIMITIVE_GRAMMARS) == 12
+
+
+# ---------------------------------------------------------------------------
+# The reference's grammar batteries, ported as value vectors.  Each entry is
+# (value, expect_violation); vectors come verbatim from the xUnit InlineData /
+# test bodies of the cited file.  Empty strings are EXCLUDED where the
+# reference rejects them (code/uri/url/canonical/reference): presence is a
+# separate Required rule under the engine-wide skip-empty contract
+# (grammars.py module docstring).
+REFERENCE_BATTERY = {
+    # FhirIdGrammarValidationTests.cs:45-96
+    "id": [
+        ("abc123", False), ("ABC123", False), ("a1b2c3", False),
+        ("test-id", False), ("test.id", False), ("test-id.123", False),
+        ("a", False), ("1234567890" * 6 + "1234", False),      # 64 chars
+        ("abc def", True), ("abc@123", True), ("abc#123", True),
+        ("abc$123", True), ("abc%123", True), ("abc&123", True),
+        ("abc*123", True), ("abc(123", True), ("abc)123", True),
+        ("abc/123", True), ("abc\\123", True),
+        ("1234567890" * 6 + "12345", True),                    # 65 chars
+        ("invalid id with spaces", True), ("invalid@id", True),
+        ("valid-id-123", False),
+    ],
+    # FhirCodeGrammarValidationTests.cs:40-48 (valid Theory) + the
+    # whitespace/control Facts at :80-330
+    "code": [
+        ("final", False), ("in-progress", False),
+        ("entered-in-error", False), ("ABC_123", False),
+        ("unknown", False), ("preliminary", False), ("amended", False),
+        ("corrected", False), ("unknown-status", False),
+        ("in progress", True), (" final", True), ("final ", True),
+        ("in\tprogress", True), ("in\nprogress", True),
+        ("bad\u0001code", True),                 # control char :259
+        ("bad\u007fcode", True),                 # DEL :296
+        ("bad\u0085nel", True),           # NEL is Cc - C# IsControl
+        ("a\u00a0b", True),               # NBSP is Zs - IsWhiteSpace
+        ("in valid", True),
+    ],
+    # FhirStringMarkdownGrammarValidationTests.cs — string forbids \n/\r,
+    # tabs and spaces fine (markdown is deliberately unvalidated, like the
+    # reference's registry which has no markdown validator)
+    "string": [
+        ("John Doe", False), ("John  \t  Doe", False),
+        ("Line 1\nLine 2", True), ("Line 1\r\nLine 2", True),
+        ("Line 1\nLine 2\nLine 3\nLine 4", True),
+        ("Line 1\rLine 2", True), ("Invalid\nString", True),
+    ],
+    # FhirUriUrlCanonicalGrammarValidationTests.cs:41-220
+    "uri": [
+        ("Patient/123", False),
+        ("urn:uuid:550e8400-e29b-41d4-a716-446655440000", False),
+        ("https://example.org/fhir/Patient/123", False),
+        ("abc def", True), ("xyz   123", True),
+        ("http://example.org\u0000/path", True),  # control char :190
+    ],
+    # :223-374
+    "url": [
+        ("https://example.org/fhir/Questionnaire/123", False),
+        ("http://example.org/fhir/Questionnaire/123", False),
+        ("Patient/123", True),
+        ("https://example.org/path with spaces", True),
+        ("relative/path", True),
+    ],
+    # :376-527
+    "canonical": [
+        ("https://example.org/StructureDefinition/foo", False),
+        ("https://example.org/StructureDefinition/foo|1.0.0", False),
+        ("Patient/foo", True),
+        ("https://example.org/foo|", True),       # empty version suffix
+        ("relative/path", True),
+    ],
+    # FhirReferenceGrammarValidationTests.cs:36-500 (Reference.reference
+    # format vectors; the reference-vs-identifier combination rule is the
+    # separate ValueExclusivity lane)
+    "reference": [
+        ("Patient/123", False), ("Practitioner/456", False),
+        ("Practitioner/123", False),
+        ("urn:uuid:550e8400-e29b-41d4-a716-446655440000", False),
+        ("https://example.org/fhir/Patient/123", False),
+        ("abc", True), ("patient/123", True),      # lowercase type
+        ("Patient", True),                         # missing id
+        ("Patient / 123", True),                   # embedded whitespace
+        ("urn:uuid:not-a-valid-uuid", True),
+        ("invalid-ref", True), ("invalid", True),
+    ],
+    # JsonNodeStructuralValidator.cs:744-761 — full dates calendar-checked
+    # via DateTime.TryParse, partials shape-only (so 2024-13 passes)
+    "date": [
+        ("2024", False), ("2024-01", False), ("2024-01-31", False),
+        ("2024-02-29", False),                     # leap year
+        ("2024-13", False),                        # partial: shape-only
+        ("2024-02-30", True), ("2023-02-29", True),
+        ("2024-13-01", True), ("not-a-date", True),
+        ("2024-1-3", True), ("24-01-01", True), ("2024/01/01", True),
+    ],
+    # PrimitiveValidators registry :86-88
+    "boolean": [
+        ("true", False), ("false", False), ("True", True), ("yes", True),
+        ("1", True),
+    ],
+    "integer": [
+        ("0", False), ("-17", False), ("42", False),
+        ("4.2", True), ("x", True), ("1e3", True),
+        ("3000000000", True),                      # overflows int32
+    ],
+    "decimal": [
+        ("4.2", False), ("-0.1", False), ("7", False), (".5", False),
+        ("+3.25", False), ("7.", False), (" 4.2 ", False),
+        ("x", True), ("NaN", True), ("Infinity", True), ("1e3", True),
+        (".", True),
+    ],
+}
+
+
+@pytest.mark.parametrize("prim", sorted(REFERENCE_BATTERY),
+                         ids=sorted(REFERENCE_BATTERY))
+def test_reference_battery(spark, prim):
+    """Every ported value vector judged in one engine pass per primitive."""
+    vec = REFERENCE_BATTERY[prim]
+    rows = [(f"v{i}", v, "web") for i, (v, _) in enumerate(vec)]
+    df = spark.createDataFrame(rows, "doc_id string, v string, source string")
+    from fhir_data_validation_spark.model import RuleSet
+    res = ValidationEngine(
+        RuleSet(rules=(grammar_rule(prim, "v"),))).validate(df)
+    fired = {r["doc_id"] for r in res.violations.collect()}
+    expect = {f"v{i}" for i, (_, bad) in enumerate(vec) if bad}
+    assert fired == expect, (
+        prim,
+        {f"v{i}": vec[i][0] for i in range(len(vec))
+         if (f"v{i}" in fired) != (f"v{i}" in expect)})
+
+
+def test_reference_battery_size():
+    """The ported battery must stay at least as large as the reference's
+    grammar coverage mandate (>=100 value cases across the primitives)."""
+    n = sum(len(v) for v in REFERENCE_BATTERY.values())
+    assert n >= 100, n
+
+
+def test_grammar_duckdb_parity(spark):
+    """The Regex grammars must judge IDENTICALLY in Spark (Java regex) and
+    DuckDB (RE2) — \\p{Z}/\\p{Cc} classes and \\z anchors are the portable
+    subset both engines implement; a drift here would silently poison
+    every oracle comparison involving grammar rules."""
+    import duckdb
+    from pyspark.sql import functions as F
+    vals = sorted({v for vec in REFERENCE_BATTERY.values()
+                   for v, _ in vec})
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    con = duckdb.connect()
+    for prim, spec in PRIMITIVE_GRAMMARS.items():
+        if spec["type"] != "Regex":
+            continue
+        pat = spec["pattern"]
+        spark_res = {r["v"]: r["m"] for r in
+                     df.select("v", F.col("v").rlike(pat).alias("m"))
+                       .collect()}
+        for v in vals:
+            duck = con.execute("SELECT regexp_matches(?, ?)",
+                               [v, pat]).fetchone()[0]
+            assert spark_res[v] == duck, (prim, repr(v))
 
 
 def test_trailing_newline_rejected_everywhere(spark):
