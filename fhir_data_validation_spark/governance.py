@@ -211,7 +211,11 @@ def review_rule(rule: RuleDefinition,
                 "REGEX_MISSING_PATTERN", BLOCKED, rule.id, {}))
         else:
             try:
-                re.compile(pattern)
+                # same Java/RE2 → Python translation as
+                # model.require_pattern: \z anchor and \p{..} Unicode
+                # category classes (the grammar registry uses both)
+                re.compile(re.sub(r"\\[pP]\{[A-Za-z_]+\}", "A",
+                                  pattern.replace("\\z", "\\Z")))
             except re.error as exc:
                 issues.append(ReviewIssue(
                     "REGEX_INVALID_PATTERN", BLOCKED, rule.id,
@@ -249,6 +253,23 @@ def review_rule(rule: RuleDefinition,
         issues.append(ReviewIssue(
             "FIXED_VALUE_WITHOUT_CONSTRAINTS", BLOCKED, rule.id,
             {"missingParams": ["value"]}))
+
+    # --- BLOCKED: custom errorCode outside the frozen details contract --
+    # (ValidationErrorDetailsValidator.cs:1-12: "DO NOT add new errorCodes
+    # without schema definition" — an override to a code with no declared
+    # details schema would emit violations no consumer can interpret;
+    # overrides to any CONTRACTED code are fine, the rule family's detail
+    # shape is validated against that code's variants at runtime)
+    if rule.error_code and t != "CodeMaster":   # CodeMaster ignores it (above)
+        from .details_contract import DETAILS_CONTRACT
+        if rule.error_code not in DETAILS_CONTRACT:
+            issues.append(ReviewIssue(
+                "CUSTOM_ERROR_CODE_NO_CONTRACT", BLOCKED, rule.id,
+                {"errorCode": rule.error_code,
+                 "known": sorted(DETAILS_CONTRACT),
+                 "reason": "errorCode override names a code with no "
+                           "frozen details schema "
+                           "(ValidationErrorDetailsValidator contract)"}))
 
     # --- schema-aware checks (upgrade of the name heuristics :38-51) ----
     if schema is not None and rule.column and needs_column:
