@@ -11,7 +11,10 @@ from . import skew, stats  # noqa: F401  (operator namespaces)
 from .bloom import KeyIndex
 from .compiler import EngineConfig, compile_ruleset
 from .engine import ValidationEngine, ValidationResult, validate
+from .details_contract import (DETAILS_CONTRACT, contract_report,
+                               validate_details)
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
+from .explanations import explain_rule, explain_ruleset, explain_violation
 from .governance import (ReviewIssue, RuleReviewResult, review_report,
                          review_rule, review_ruleset)
 from .grammars import PRIMITIVE_GRAMMARS, grammar_rule, grammar_ruleset
@@ -26,6 +29,8 @@ from .report import QualityReport, quality_report
 from .suggestions import suggest_rules
 
 __all__ = [
+    "DETAILS_CONTRACT", "contract_report", "validate_details",
+    "explain_rule", "explain_ruleset", "explain_violation",
     "EngineConfig", "ErrorCode", "IncrementalProfiler", "InstanceScope",
     "KeyIndex", "LineageStore",
     "LintFinding", "PRIMITIVE_GRAMMARS", "ReviewIssue",
