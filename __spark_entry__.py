@@ -796,7 +796,10 @@ _ANN_INDEX_CACHE: dict = {}
 
 
 def _ann_index(name: str, spark: SparkSession, sf: str, build):
-    key = (name, sf, id(spark))
+    # applicationId, not id(spark): CPython reuses object ids after GC, so
+    # a stopped-and-replaced session could collide and serve an index whose
+    # DataFrames belong to a dead JVM session (round-4 review fix)
+    key = (name, sf, spark.sparkContext.applicationId)
     if key not in _ANN_INDEX_CACHE:
         _ANN_INDEX_CACHE[key] = build()
     return _ANN_INDEX_CACHE[key]

@@ -76,7 +76,11 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
     ErrorCode.PRECISION_VIOLATION: [
         _shape(("precision",), {"actual"} | _ELEMENT)],
     ErrorCode.INVALID_PRIMITIVE: [
-        _shape(("dataType",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT)],
+        _shape(("dataType",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT),
+        # grammar lanes that compile to Regex / CustomExpr but report the
+        # primitive's code (grammars.py date calendar check)
+        _shape(("pattern",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT),
+        _shape(("expression",))],
     ErrorCode.VALUE_EXCLUSIVITY_VIOLATION: [
         _shape(("columns", "presentCount"))],
     ErrorCode.INVALID_ENUM_VALUE: [

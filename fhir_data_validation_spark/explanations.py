@@ -250,17 +250,14 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
     ``params.explanation: {what, how}`` wins verbatim with high
     confidence, like the reference's ``RuleExplanation`` override
     (:113-129)."""
-    from .compiler import DEFAULT_ERROR_CODES, RULE_STAGES
+    from .compiler import RULE_STAGES
+    from .plans import emitted_error_codes
 
     t = rule.type
     custom = rule.params.get("explanation") or {}
-    codes = [rule.error_code or DEFAULT_ERROR_CODES.get(t, "UNKNOWN")]
-    if t == "CodeMaster":
-        codes = ["UNKNOWN_SCREENING_TYPE", "MISSING_QUESTION_CODE",
-                 "INVALID_QUESTION_CODE", "INVALID_ANSWER_VALUE",
-                 "MULTIPLE_VALUES_NOT_ALLOWED"]
-    elif t == "Reference" and rule.params.get("expectedTypes"):
-        codes.append("REFERENCE_TYPE_MISMATCH")
+    # the SAME function the dataset-plan compiler uses — the authoring
+    # answer and the runtime emission cannot drift (round-4 review fix)
+    codes = list(emitted_error_codes(rule))
     stage_num = RULE_STAGES.get(t, Stage.BUSINESS)
     stage_name = {v: k for k, v in vars(Stage).items()
                   if isinstance(v, int)}.get(stage_num, str(stage_num))

@@ -211,11 +211,10 @@ def review_rule(rule: RuleDefinition,
                 "REGEX_MISSING_PATTERN", BLOCKED, rule.id, {}))
         else:
             try:
-                # same Java/RE2 → Python translation as
-                # model.require_pattern: \z anchor and \p{..} Unicode
-                # category classes (the grammar registry uses both)
-                re.compile(re.sub(r"\\[pP]\{[A-Za-z_]+\}", "A",
-                                  pattern.replace("\\z", "\\Z")))
+                # shared Java/RE2 → Python probe translation — review and
+                # parse must agree on which patterns are valid
+                from .model import probe_pattern
+                re.compile(probe_pattern(pattern))
             except re.error as exc:
                 issues.append(ReviewIssue(
                     "REGEX_INVALID_PATTERN", BLOCKED, rule.id,

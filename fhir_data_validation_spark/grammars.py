@@ -72,7 +72,8 @@ PRIMITIVE_GRAMMARS: dict[str, dict] = {
     # must fire.  try_cast keeps the check infallible under ANSI mode.
     "date": {"type": "CustomExpr",
              "expr": ("{col} IS NULL OR trim({col}) = '' OR "
-                      "({col} RLIKE '^\\\\d{{4}}(-\\\\d{{2}}(-\\\\d{{2}})?)?$'"
+                      "({col} RLIKE "
+                      "'^\\\\d{{4}}(-\\\\d{{2}}(-\\\\d{{2}})?)?\\\\z'"
                       " AND (length({col}) < 10"
                       " OR try_cast({col} AS DATE) IS NOT NULL))")},
     "dateTime": {"type": "TypeCheck", "dataType": "timestamp"},

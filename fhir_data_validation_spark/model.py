@@ -18,6 +18,24 @@ from typing import Any
 from .errors import ErrorCode, RuleConfigurationError, Severity, ValidationClass
 
 
+def probe_pattern(pattern: str) -> str:
+    """Translate a Java/RE2 regex into a PYTHON-re-checkable probe — the
+    probe runs in Python ``re`` for compile-time syntax validation only;
+    the ORIGINAL pattern string is what executes in Spark/DuckDB.
+
+    Translations: Java's absolute-end anchor ``\\z`` (Python spells it
+    ``\\Z``) and Unicode property classes ``\\p{..}``/``\\P{..}`` (Python
+    re lacks them entirely — substituting a plain literal keeps the
+    surrounding syntax checkable, inside or outside a character class;
+    ``[^{}]+`` covers every Java property spelling incl. ``gc=Lu`` /
+    ``blk=Greek`` / ``IsAlphabetic``).  Single shared implementation:
+    ``require_pattern`` and ``governance.review_rule`` must agree on
+    which patterns are valid.
+    """
+    return re.sub(r"\\[pP]\{[^{}]+\}", "A",
+                  pattern.replace(r"\z", r"\Z"))
+
+
 @dataclass(frozen=True)
 class InstanceScope:
     """Which rows of the scoped group a rule applies to.
@@ -124,16 +142,7 @@ class RuleDefinition:
     def require_pattern(self) -> str:
         pattern = self.require_param("pattern")
         try:
-            # the probe runs in PYTHON re, the pattern in Java/RE2:
-            # translate Java's absolute-end anchor \z (which Python
-            # spells \Z) and Unicode category classes \p{..}/\P{..}
-            # (which Python re lacks entirely — substituting a plain
-            # literal keeps the surrounding syntax checkable, inside or
-            # outside a character class) for the syntax check only — the
-            # original pattern string is what executes
-            probe = re.sub(r"\\[pP]\{[A-Za-z_]+\}", "A",
-                           pattern.replace(r"\z", r"\Z"))
-            re.compile(probe)
+            re.compile(probe_pattern(pattern))
         except re.error as exc:
             raise RuleConfigurationError(
                 self.id, ErrorCode.RULE_CONFIGURATION_ERROR,

@@ -61,10 +61,36 @@ def _require_dim(rule: RuleDefinition, plan) -> None:
             f"(have: {sorted(plan.dims)})")
 
 
-def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
-    from ..compiler import DatasetPlan, DEFAULT_ERROR_CODES
+def emitted_error_codes(rule: RuleDefinition) -> tuple[str, ...]:
+    """Every error code a compiled rule can emit — SCHEMA-FREE (no dims,
+    no input schema), so the authoring surfaces (``explanations``,
+    dashboard mappings) can consult it without compiling. :func:`build`
+    uses this same function for its plans, so the authoring answer and
+    the runtime emission can never drift."""
+    from ..compiler import DEFAULT_ERROR_CODES
     t = rule.type
     codes: tuple[str, ...] = (rule.error_code or DEFAULT_ERROR_CODES[t],)
+    if t == "Reference" and rule.params.get("expectedTypes"):
+        codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
+    elif t == "CodeSystem":
+        codes = (ErrorCode.CODESYSTEM_MISMATCH,
+                 ErrorCode.CODE_NOT_IN_VALUESET)
+    elif t == "CodeMaster":
+        # runtime owns the answer-error vocabulary (any errorCode
+        # override is ignored — governance warns about it)
+        codes = (ErrorCode.INVALID_QUESTION_CODE,
+                 ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
+                 ErrorCode.INVALID_ANSWER_VALUE)
+        if rule.params.get("screeningColumn"):
+            codes = codes + (ErrorCode.UNKNOWN_SCREENING_TYPE,
+                             ErrorCode.MISSING_QUESTION_CODE)
+    return codes
+
+
+def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
+    from ..compiler import DatasetPlan
+    t = rule.type
+    codes: tuple[str, ...] = emitted_error_codes(rule)
     if t == "Unique":
         from pyspark.sql.types import MapType
         from ..compiler import _field_type
@@ -91,8 +117,6 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                 rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "Reference needs 'column' or params.columns")
         _require_dim(rule, plan)
-        if rule.params.get("expectedTypes"):
-            codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
         exec_fn = lambda df, p: reference_plan(df, rule, stage, p)
     elif t == "Membership":
         rule.require_column()
@@ -109,8 +133,6 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
         _require_dim(rule, plan)
         rule.require_param("system")
         rule.require_param("systemColumn")
-        codes = (ErrorCode.CODESYSTEM_MISMATCH,
-                 ErrorCode.CODE_NOT_IN_VALUESET)
         exec_fn = lambda df, p: codesystem_plan(df, rule, stage, p)
     elif t == "CodeMaster":
         rule.require_column()
@@ -130,12 +152,6 @@ def build(rule: RuleDefinition, stage: int, plan) -> "DatasetPlanImpl":
                     f"CodeMaster does not support element paths "
                     f"({_c!r}) — point it at a scalar or array column")
             _ft_cm(plan.schema, _c, rule)
-        codes = (ErrorCode.INVALID_QUESTION_CODE,
-                 ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
-                 ErrorCode.INVALID_ANSWER_VALUE)
-        if rule.params.get("screeningColumn"):
-            codes = codes + (ErrorCode.UNKNOWN_SCREENING_TYPE,
-                             ErrorCode.MISSING_QUESTION_CODE)
         exec_fn = lambda df, p: codemaster_plan(df, rule, stage, p)
     elif t == "RequiredResources":
         reqs = rule.require_param("requirements")

@@ -164,19 +164,21 @@ def test_family_details_match_contract(spark, base_df, raw, codes):
 
 
 def test_codemaster_screening_details(spark):
-    """All five CodeMaster outcome codes carry contract-compliant details
-    (CodeMasterEngine two-level dispatch)."""
+    """All five CodeMaster outcome codes fire and carry contract-compliant
+    details (CodeMasterEngine two-level dispatch), incl. the multi-value
+    lane over an array answer to a multi=False question."""
     df = spark.createDataFrame(
-        [("d1", "bp", "sys", "high", "web"),
-         ("d2", "bp", "dia", "purple", "web"),
-         ("d3", "xx", "sys", "high", "web"),
-         ("d4", "bp", None, "high", "web"),
-         ("d6", "bp", "zz", "high", "web")],
-        "doc_id string, screening string, q string, answer string, "
-        "source string")
+        [("d1", "bp", "sys", ["high"], "web"),
+         ("d2", "bp", "dia", ["purple"], "web"),
+         ("d3", "xx", "sys", ["high"], "web"),
+         ("d4", "bp", None, ["high"], "web"),
+         ("d6", "bp", "zz", ["high"], "web"),
+         ("d7", "bp", "dia", ["high", "low"], "web")],   # multi on single
+        "doc_id string, screening string, q string, "
+        "answer array<string>, source string")
     dim = spark.createDataFrame(
         [("bp", "sys", ["high", "low"], True),
-         ("bp", "dia", ["high", "low"], True)],
+         ("bp", "dia", ["high", "low"], False)],
         "scr string, q string, allowed array<string>, multi boolean")
     rs = RuleSet(rules=(RuleDefinition.parse(
         {"id": "CM", "type": "CodeMaster", "column": "answer",
@@ -193,11 +195,35 @@ def test_codemaster_screening_details(spark):
     res.unpersist()
     got = {r["error_code"] for r in rows}
     assert {"INVALID_ANSWER_VALUE", "UNKNOWN_SCREENING_TYPE",
-            "MISSING_QUESTION_CODE", "INVALID_QUESTION_CODE"} <= got
+            "MISSING_QUESTION_CODE", "INVALID_QUESTION_CODE",
+            "MULTIPLE_VALUES_NOT_ALLOWED"} <= got
     for r in rows:
         problems = validate_details(r["error_code"], r["detail"])
         assert not problems, (r["error_code"],
                               sorted((r["detail"] or {}).keys()), problems)
+
+
+def test_grammar_rules_details_match_contract(spark):
+    """round-4 review regressions: grammar rules override errorCode to
+    INVALID_PRIMITIVE while compiling to Regex / CustomExpr lanes — the
+    contract must accept their {pattern,...} / {expression} detail shapes
+    (the date calendar lane shipped emitting {expression} against a
+    contract that only knew {dataType})."""
+    from fhir_data_validation_spark.grammars import grammar_rule
+    rows = [("g1", "ok-code", "web"), ("b1", "two words", "web"),
+            ("b2", "2024-02-30", "web")]
+    df = spark.createDataFrame(rows, "doc_id string, v string, source string")
+    for prim in ("code", "date", "id", "boolean"):
+        rs = RuleSet(rules=(grammar_rule(prim, "v"),))
+        res = ValidationEngine(rs, config=EngineConfig(
+            key_col="doc_id", group_col="source")).validate(df)
+        rows_out = res.violations.collect()
+        res.unpersist()
+        assert rows_out, prim          # something must fire per primitive
+        for r in rows_out:
+            problems = validate_details(r["error_code"], r["detail"])
+            assert not problems, (prim, sorted((r["detail"] or {}).keys()),
+                                  problems)
 
 
 def test_drift_details_match_contract(spark):
@@ -228,14 +254,14 @@ def test_battery_covers_contract():
     exercised = set().union(*(codes for _, codes in BATTERY)) | {
         "INVALID_ANSWER_VALUE", "UNKNOWN_SCREENING_TYPE",
         "MISSING_QUESTION_CODE", "INVALID_QUESTION_CODE",
+        ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
         ErrorCode.DISTRIBUTION_DRIFT}
     assert exercised <= set(DETAILS_CONTRACT)
-    assert len(exercised) >= 28
+    assert len(exercised) >= 29
     # declared-but-unemitted codes documented by their absence here:
     dormant = set(DETAILS_CONTRACT) - exercised
     assert dormant <= {ErrorCode.ARRAY_LENGTH_VIOLATION,
                        ErrorCode.UNEXPECTED_RESOURCE,
-                       ErrorCode.MULTIPLE_VALUES_NOT_ALLOWED,
                        "ANSWER_REQUIRED", "INVALID_ANSWER_TYPE",
                        "ANSWER_NOT_IN_VALUESET"}, dormant
 

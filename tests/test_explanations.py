@@ -101,10 +101,37 @@ def test_param_values_appear_in_checks():
     assert any("≥ 0" in c for c in exp["checks"])
     assert any("≤ 4" in c for c in exp["checks"])
     exp = explain_rule(RuleDefinition.parse(RULES[17]))  # CodeMaster
-    assert exp["error_codes"] == [
+    assert set(exp["error_codes"]) == {
         "UNKNOWN_SCREENING_TYPE", "MISSING_QUESTION_CODE",
         "INVALID_QUESTION_CODE", "INVALID_ANSWER_VALUE",
-        "MULTIPLE_VALUES_NOT_ALLOWED"]
+        "MULTIPLE_VALUES_NOT_ALLOWED"}
+
+
+def test_error_codes_come_from_plan_registry():
+    """round-4 review regressions: explain_rule must report the SAME code
+    set the dataset-plan compiler declares — CodeSystem's pair, the
+    conditional Reference type lane, CodeMaster's screening gating."""
+    from fhir_data_validation_spark.plans import emitted_error_codes
+    cs = explain_rule(RuleDefinition.parse(RULES[16]))   # CodeSystem
+    assert set(cs["error_codes"]) == {"CODESYSTEM_MISMATCH",
+                                      "CODE_NOT_IN_VALUESET"}
+    ref = explain_rule(RuleDefinition.parse(RULES[15]))  # typed Reference
+    assert "REFERENCE_TYPE_MISMATCH" in ref["error_codes"]
+    bare_ref = explain_rule(RuleDefinition.parse(
+        {"id": "B", "type": "Reference", "column": "r",
+         "params": {"dim": "d", "on": "k"}}))
+    assert bare_ref["error_codes"] == ["REFERENCE_NOT_FOUND"]
+    # CodeMaster WITHOUT screeningColumn: no screening codes
+    cm = explain_rule(RuleDefinition.parse(
+        {"id": "C", "type": "CodeMaster", "column": "a",
+         "params": {"dim": "d", "keyColumn": "q", "dimKey": "k",
+                    "allowedColumn": "al", "multiValueColumn": "m"}}))
+    assert "UNKNOWN_SCREENING_TYPE" not in cm["error_codes"]
+    # and all of the above equal the plans-side function verbatim
+    for raw in RULES:
+        rule = RuleDefinition.parse(raw)
+        assert explain_rule(rule)["error_codes"] == \
+            list(emitted_error_codes(rule))
 
 
 def test_confidence_tiers_match_reference():

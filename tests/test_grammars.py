@@ -146,6 +146,9 @@ REFERENCE_BATTERY = {
         ("2024-02-30", True), ("2023-02-29", True),
         ("2024-13-01", True), ("not-a-date", True),
         ("2024-1-3", True), ("24-01-01", True), ("2024/01/01", True),
+        # round-4 review regressions: the RLIKE must use \z — Java's $
+        # matches before a final newline, and try_cast trims it
+        ("2024\n", True), ("2024-01-31\n", True),
     ],
     # PrimitiveValidators registry :86-88
     "boolean": [
