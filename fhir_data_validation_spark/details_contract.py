@@ -82,7 +82,13 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
         _shape(("pattern",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT),
         _shape(("expression",))],
     ErrorCode.VALUE_EXCLUSIVITY_VIOLATION: [
-        _shape(("columns", "presentCount"))],
+        _shape(("columns", "presentCount")),
+        _shape(("expression",))],       # extension value[x] forall lane
+    # extension grammar (T7, JsonNodeStructuralValidator.cs:1087-1208):
+    # the url lane reports per element (index/value), the shape lane is a
+    # forall CustomExpr
+    "FHIR_EXTENSION_MISSING_URL": [_shape((), _ELEMENT | _ARRAY_SUMMARY)],
+    "FHIR_EXTENSION_INVALID_SHAPE": [_shape(("expression",))],
     ErrorCode.INVALID_ENUM_VALUE: [
         _shape(("allowed",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT)],
     # --- dataset / join family ----------------------------------------

@@ -129,3 +129,80 @@ def grammar_ruleset(bindings: dict[str, str], source: str = "*") -> RuleSet:
     rules = tuple(grammar_rule(prim, col, source=source)
                   for col, prim in sorted(bindings.items()))
     return RuleSet(version="grammars-1", rules=rules)
+
+
+def _sql_ident(name: str, rule_id: str) -> str:
+    """Backtick-quote a field name for splicing into a generated SQL
+    expression; reject names that could escape the quoting."""
+    if "`" in name or "\n" in name or "\r" in name:
+        raise RuleConfigurationError(
+            rule_id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"field name {name!r} cannot be quoted safely")
+    return f"`{name}`"
+
+
+def extension_rules(column: str, value_fields: list[str],
+                    nested_field: str = "extension",
+                    rule_prefix: str = "EXT",
+                    source: str = "*") -> tuple[RuleDefinition, ...]:
+    """Extension-grammar rules (T7) for an ``array<struct>`` column —
+    ``ValidateExtensionGrammar`` (``JsonNodeStructuralValidator.cs:1087-
+    1208``) re-expressed over tabular extension arrays:
+
+    1. every element's ``url`` must be present and non-empty
+       (``FHIR_EXTENSION_MISSING_URL``) — compiled through the engine's
+       element-path machinery (``{column}[*].url``) so each bad element
+       reports its index, like the reference's per-element JSON pointer;
+    2. every element must carry EITHER one ``value[x]`` field OR a
+       non-empty nested ``extension`` array, never both and never
+       neither (``FHIR_EXTENSION_INVALID_SHAPE``: reasons ``empty`` /
+       ``both``) — a single ``forall`` higher-order predicate, fused
+       into the scan like every CustomExpr lane;
+    3. at most one ``value[x]`` field per element (the reference's
+       multiple-value[x] check inside extensions, value[x] exclusivity).
+
+    ``value_fields`` lists the struct's value[x] member names (e.g.
+    ``["valueString", "valueCode"]``) — explicit because parquet schemas
+    carry every declared member regardless of which one a row uses.
+
+    For a NESTED level (``column="ext[*].extension"``) only the
+    per-element url lane is generated: the shape lanes are single SQL
+    ``forall`` expressions over a resolvable top-level column, while the
+    url lane rides the engine's arbitrary-depth element-path machinery.
+    """
+    if not value_fields:
+        raise RuleConfigurationError(
+            rule_prefix, ErrorCode.RULE_CONFIGURATION_ERROR,
+            "extension_rules needs the struct's value[x] field names")
+    url_rule = RuleDefinition.parse({
+        "id": f"{rule_prefix}-URL", "type": "Required",
+        "column": f"{column}[*].url", "source": source,
+        "errorCode": "FHIR_EXTENSION_MISSING_URL",
+        "params": {"perElement": True}})
+    if "[*]" in column:
+        for v in value_fields:
+            _sql_ident(v, rule_prefix)      # still validate the names
+        return (url_rule,)
+    col = _sql_ident(column, rule_prefix)
+    vfs = [_sql_ident(v, rule_prefix) for v in value_fields]
+    nst = _sql_ident(nested_field, rule_prefix)
+    has_value = "(" + " OR ".join(
+        f"e.{v} IS NOT NULL" for v in vfs) + ")"
+    has_nested = (f"(e.{nst} IS NOT NULL AND size(e.{nst}) > 0)")
+    n_values = "(" + " + ".join(
+        f"IF(e.{v} IS NOT NULL, 1, 0)" for v in vfs) + ")"
+    return (
+        url_rule,
+        RuleDefinition.parse({
+            "id": f"{rule_prefix}-SHAPE", "type": "CustomExpr",
+            "source": source,
+            "errorCode": "FHIR_EXTENSION_INVALID_SHAPE",
+            "expr": (f"{col} IS NULL OR forall({col}, "
+                     f"e -> {has_value} != {has_nested})")}),
+        RuleDefinition.parse({
+            "id": f"{rule_prefix}-VALUEX", "type": "CustomExpr",
+            "source": source,
+            "errorCode": "VALUE_EXCLUSIVITY_VIOLATION",
+            "expr": (f"{col} IS NULL OR forall({col}, "
+                     f"e -> {n_values} <= 1)")}),
+    )

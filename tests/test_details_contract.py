@@ -260,10 +260,14 @@ def test_battery_covers_contract():
     assert len(exercised) >= 29
     # declared-but-unemitted codes documented by their absence here:
     dormant = set(DETAILS_CONTRACT) - exercised
+    # ANSWER_* fire in test_questions.py, FHIR_EXTENSION_* in
+    # test_extensions.py (both contract-checked there)
     assert dormant <= {ErrorCode.ARRAY_LENGTH_VIOLATION,
                        ErrorCode.UNEXPECTED_RESOURCE,
                        "ANSWER_REQUIRED", "INVALID_ANSWER_TYPE",
-                       "ANSWER_NOT_IN_VALUESET"}, dormant
+                       "ANSWER_NOT_IN_VALUESET",
+                       "FHIR_EXTENSION_MISSING_URL",
+                       "FHIR_EXTENSION_INVALID_SHAPE"}, dormant
 
 
 def test_validate_details_semantics():
