@@ -785,6 +785,45 @@ def q_sd1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q_ext1_extension_grammar(spark: SparkSession, sf: str) -> DataFrame:
+    """T7 extension grammar end-to-end: lineitems synthesized into one
+    extension struct each (url missing on linenumber 7, value[x] fields
+    driven by quantity bands, nested extensions on small quantities),
+    rolled up per order, then ``grammars.extension_rules`` — per-element
+    FHIR_EXTENSION_MISSING_URL with the element index, doc-level
+    value[x]-XOR-nested shape and multi-value[x] exclusivity
+    (JsonNodeStructuralValidator.cs:1087-1208 semantics)."""
+    from fhir_data_validation_spark.grammars import extension_rules
+
+    li = load_table(spark, sf, "lineitem")
+    ext = F.struct(
+        F.col("l_linenumber"),
+        F.when(F.col("l_linenumber") != 7,
+               F.concat(F.lit("http://x/"),
+                        F.col("l_linenumber").cast("string"))).alias("url"),
+        F.when(F.col("l_quantity") >= 25,
+               F.col("l_returnflag")).alias("valueString"),
+        F.when(F.col("l_quantity") >= 45,
+               F.col("l_linestatus")).alias("valueCode"),
+        F.when(F.col("l_quantity") <= 5,
+               F.array(F.struct(F.lit("u").alias("url"),
+                                F.lit("v").alias("valueString"))))
+         .alias("extension"),
+    )
+    orders = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(ext)).alias("exts"),
+                   F.min("l_returnflag").alias("rflag")))
+    engine = ValidationEngine(
+        RuleSet(rules=extension_rules("exts",
+                                      ["valueString", "valueCode"])),
+        config=EngineConfig(key_col="l_orderkey", group_col="rflag"))
+    res = engine.validate(orders)
+    return (res.violations
+            .select("doc_id", "rule_id", "error_code",
+                    F.col("detail")["index"].alias("idx"))
+            .orderBy("doc_id", "rule_id", "idx"))
+
+
 # build-once-serve-many memo for the ANN contract queries: the library's
 # intended usage is a persistent index (IvfIndex.save/load) serving many
 # query batches, but a bare queries() callable re-fit the KMeans quantizer
@@ -2576,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TOP never had a driver-green row, so they come first, followed by
     # sh1_spec_hints (r03 hash-fail, oracle SQL fixed with BIGINT casts).
     return {
+        "ext1_extension_grammar": q_ext1_extension_grammar,
         "m2_png_decode": q_m2_png_decode,
         "k1_pack_sequences": q_k1_pack_sequences,
         "k2_chunk_overlap": q_k2_chunk_overlap,
@@ -2703,6 +2743,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ext1_extension_grammar": """
+            WITH e AS (
+              SELECT l_orderkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) - 1 AS idx,
+                     (l_linenumber = 7) AS no_url,
+                     (l_quantity >= 25 OR l_quantity >= 45) AS has_value,
+                     (l_quantity >= 25 AND l_quantity >= 45) AS two_values,
+                     (l_quantity <= 5) AS has_nested
+              FROM lineitem)
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   'EXT-URL' AS rule_id,
+                   'FHIR_EXTENSION_MISSING_URL' AS error_code,
+                   CAST(idx AS VARCHAR) AS idx
+            FROM e WHERE no_url
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'EXT-SHAPE',
+                   'FHIR_EXTENSION_INVALID_SHAPE', CAST(NULL AS VARCHAR)
+            FROM e GROUP BY l_orderkey
+            HAVING bool_or(has_value = has_nested)
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'EXT-VALUEX',
+                   'VALUE_EXCLUSIVITY_VIOLATION', CAST(NULL AS VARCHAR)
+            FROM e GROUP BY l_orderkey
+            HAVING bool_or(two_values)
+            ORDER BY doc_id, rule_id, idx""",
         "r1_required": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id, 'REQ-1' AS rule_id,
                    'FIELD_REQUIRED' AS error_code, event_type AS source
