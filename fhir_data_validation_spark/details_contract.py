@@ -66,7 +66,10 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
     ErrorCode.ARRAY_LENGTH_OUT_OF_RANGE: [
         _shape(("min", "max", "actual"))],
     ErrorCode.ARRAY_LENGTH_VIOLATION: [
-        _shape(("min", "max", "actual"))],
+        _shape(("min", "max", "actual")),
+        # the size(tokens)=n_tok invariant (rulesets.py INV-001) reports
+        # this code from a CustomExpr lane
+        _shape(("expression",))],
     ErrorCode.CUSTOM_CONDITION_FAILED: [_shape(("expression",))],
     ErrorCode.ANSWER_OUT_OF_RANGE: [
         _shape(("min", "max"), {"actual", "maxExclusive"}

@@ -60,6 +60,16 @@ class ValidationResult:
         return self.violations.where(
             F.col("severity") == Severity.ERROR).limit(1).count() == 0
 
+    def contract_report(self, limit: int = 20) -> list[dict]:
+        """Audit this run's violations against the frozen per-errorCode
+        details contract (``details_contract.DETAILS_CONTRACT`` — the
+        ``ValidationErrorDetailsValidator.cs`` analog). Inspects only the
+        DISTINCT (error_code, detail-key-set) combinations, so the job is
+        bounded by |codes| × |lane shapes| at any corpus size. Empty list
+        = every emitted detail map matches its code's declared shapes."""
+        from .details_contract import contract_report
+        return contract_report(self.violations, limit=limit)
+
     def split(self, df: DataFrame,
               severities: tuple[str, ...] = (Severity.ERROR,),
               key_col: str | None = None) -> tuple[DataFrame, DataFrame]:

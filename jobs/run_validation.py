@@ -99,6 +99,13 @@ def parse_args(argv=None):
                    help="advisory dataset lint before validating "
                         "(LintValidationService.cs analog); findings print "
                         "to stderr, never block")
+    p.add_argument("--audit-details", action="store_true",
+                   help="after validating, audit the emitted violations "
+                        "against the frozen per-errorCode details contract "
+                        "(ValidationErrorDetailsValidator analog); "
+                        "non-compliant (code, key-set) combos print to "
+                        "stderr and the job exits 4 — bounded by distinct "
+                        "shapes, never row count")
     p.add_argument("--quarantine", action="store_true",
                    help="also write the INPUT rows split by verdict: rows "
                         "with error-severity violations to "
@@ -293,6 +300,16 @@ def main(argv=None) -> int:
                 f"{args.output}/quarantine").count(),
             "clean": spark.read.parquet(f"{args.output}/clean").count()}))
 
+    contract_fail = 0
+    if args.audit_details:
+        from fhir_data_validation_spark.details_contract import \
+            contract_report
+        bad = contract_report(violations)
+        for b in bad:
+            print(json.dumps({"details_contract_violation": b}),
+                  file=sys.stderr)
+        contract_fail = len(bad)
+
     regressed = 0
     if args.regression_baseline:
         if run is None:
@@ -323,6 +340,8 @@ def main(argv=None) -> int:
             wap_table.drop_branch(args.audit_branch)
             print(json.dumps({"wap": "dropped",
                               "branch": args.audit_branch}))
+    if contract_fail:
+        return 4
     if regressed:
         return 3
     return 1 if failed else 0

@@ -267,6 +267,15 @@ class TestCli:
         assert rc in (0, 1)
         assert (tmp_path / "out" / "verdicts").exists()
 
+    def test_audit_details_clean_on_default_ruleset(self, spark, tmp_path):
+        """--audit-details: the default rule set's violations all satisfy
+        the frozen details contract, so the audit never flips the exit
+        code (4 would mean the library's own lanes break the contract)."""
+        from jobs.run_validation import main
+        rc = main(["--synth", "50", "--no-resume", "--audit-details",
+                   "--output", str(tmp_path / "out")])
+        assert rc in (0, 1)
+
 
 class TestLint:
     def test_referenced_columns_sweeps_params(self):
