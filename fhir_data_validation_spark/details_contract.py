@@ -212,28 +212,48 @@ def validate_details(error_code: str,
             f"{error_code}: " + " | ".join(problems)]
 
 
+_COMBO_CAP = 10_000
+
+
 def contract_report(violations, limit: int = 20) -> list[dict]:
     """Driver-side audit of a violations DataFrame against the contract.
 
     Collects only the DISTINCT (error_code, key-set) combinations — a
     reduced frame bounded by |codes| x |lane shapes|, never by row count
     (safe at any scale) — and validates each. Returns a list of
-    ``{"error_code", "keys", "problems"}`` dicts for non-compliant
-    combinations (empty = fully compliant).
+    ``{"error_code", "keys", "problems", "unknown_code"}`` dicts for
+    non-compliant combinations (empty = fully compliant).
+
+    ``unknown_code=True`` marks codes with NO contract entry — the
+    reference logs-and-skips these (``ValidationErrorDetailsValidator.cs
+    :104-108``), so callers should treat them as warnings, not failures.
+    If the distinct-combo count exceeds the safety cap (a pathological
+    lane emitting data-derived detail keys), a ``<truncated>`` sentinel
+    entry reports it rather than silently claiming full compliance.
     """
     from pyspark.sql import functions as F
     combos = (violations
               .select("error_code",
                       F.sort_array(F.map_keys("detail")).alias("keys"))
               .distinct()
-              .limit(10_000)
+              .limit(_COMBO_CAP + 1)
               .collect())
     out = []
+    if len(combos) > _COMBO_CAP:
+        combos = combos[:_COMBO_CAP]
+        out.append({"error_code": "<truncated>", "keys": [],
+                    "unknown_code": False,
+                    "problems": [f"more than {_COMBO_CAP} distinct "
+                                 f"(error_code, key-set) combinations — "
+                                 f"audit truncated; a lane is emitting "
+                                 f"data-derived detail keys"]})
     for row in combos:
         problems = validate_details(
             row["error_code"], {k: "" for k in (row["keys"] or [])})
         if problems:
             out.append({"error_code": row["error_code"],
                         "keys": list(row["keys"] or []),
+                        "unknown_code":
+                            row["error_code"] not in DETAILS_CONTRACT,
                         "problems": problems[:limit]})
     return out

@@ -112,10 +112,12 @@ def grammar_rule(primitive: str, column: str, rule_id: str | None = None,
         raw["params"] = {"pattern": spec["pattern"]}
     elif spec["type"] == "CustomExpr":
         # the column name is spliced into the expression template; quote
-        # it with backticks so any legal Spark column name works.  The
+        # it through the same guard as every generated-SQL path in this
+        # module (backtick injection rejected at rule build).  The
         # IS NULL / trim() = '' prefix keeps the engine-wide skip-empty
         # contract (the CustomExpr lane itself treats null as violation).
-        raw["expr"] = spec["expr"].format(col=f"`{column}`")
+        raw["expr"] = spec["expr"].format(
+            col=_sql_col_ref(column, raw["id"]))
         raw["params"] = {}
     else:
         raw["params"] = {"dataType": spec["dataType"]}
@@ -139,6 +141,13 @@ def _sql_ident(name: str, rule_id: str) -> str:
             rule_id, ErrorCode.RULE_CONFIGURATION_ERROR,
             f"field name {name!r} cannot be quoted safely")
     return f"`{name}`"
+
+
+def _sql_col_ref(path: str, rule_id: str) -> str:
+    """A dotted struct path (``meta.ext``) as a generated-SQL reference:
+    every dot segment quoted individually, so nested struct columns
+    resolve instead of being treated as one literal identifier."""
+    return ".".join(_sql_ident(p, rule_id) for p in path.split("."))
 
 
 def extension_rules(column: str, value_fields: list[str],
@@ -165,44 +174,70 @@ def extension_rules(column: str, value_fields: list[str],
     ``["valueString", "valueCode"]``) — explicit because parquet schemas
     carry every declared member regardless of which one a row uses.
 
-    For a NESTED level (``column="ext[*].extension"``) only the
-    per-element url lane is generated: the shape lanes are single SQL
-    ``forall`` expressions over a resolvable top-level column, while the
-    url lane rides the engine's arbitrary-depth element-path machinery.
+    Works at ANY depth: ``column`` may be a dotted struct path
+    (``meta.ext``) and may descend through nested repetition
+    (``ext[*].extension``) — the shape lanes wrap their per-element
+    predicate in one ``forall`` per array level, and the url lane rides
+    the engine's arbitrary-depth element-path machinery.  When the
+    innermost struct has NO nested-extension member (typical leaf
+    level), pass ``nested_field=None``: the shape check then requires a
+    value[x] on every element (nothing can nest).
     """
     if not value_fields:
         raise RuleConfigurationError(
             rule_prefix, ErrorCode.RULE_CONFIGURATION_ERROR,
             "extension_rules needs the struct's value[x] field names")
+    if column.endswith("[*]"):
+        raise RuleConfigurationError(
+            rule_prefix, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"column {column!r} must name the array itself, not its "
+            f"elements (drop the trailing [*])")
     url_rule = RuleDefinition.parse({
         "id": f"{rule_prefix}-URL", "type": "Required",
         "column": f"{column}[*].url", "source": source,
         "errorCode": "FHIR_EXTENSION_MISSING_URL",
         "params": {"perElement": True}})
-    if "[*]" in column:
-        for v in value_fields:
-            _sql_ident(v, rule_prefix)      # still validate the names
-        return (url_rule,)
-    col = _sql_ident(column, rule_prefix)
     vfs = [_sql_ident(v, rule_prefix) for v in value_fields]
-    nst = _sql_ident(nested_field, rule_prefix)
+
+    # per-element predicates use the {E} placeholder for the lambda
+    # variable (not string replacement of a literal prefix, which a field
+    # name could collide with)
     has_value = "(" + " OR ".join(
-        f"e.{v} IS NOT NULL" for v in vfs) + ")"
-    has_nested = (f"(e.{nst} IS NOT NULL AND size(e.{nst}) > 0)")
+        f"{{E}}.{v} IS NOT NULL" for v in vfs) + ")"
+    if nested_field is None:
+        has_nested = "false"
+    else:
+        nst = _sql_ident(nested_field, rule_prefix)
+        has_nested = (f"({{E}}.{nst} IS NOT NULL "
+                      f"AND size({{E}}.{nst}) > 0)")
     n_values = "(" + " + ".join(
-        f"IF(e.{v} IS NOT NULL, 1, 0)" for v in vfs) + ")"
+        f"IF({{E}}.{v} IS NOT NULL, 1, 0)" for v in vfs) + ")"
+
+    # one forall per array level: "a[*].b" → a IS NULL OR forall(a,
+    # x0 -> x0.b IS NULL OR forall(x0.b, x1 -> <pred(x1)>))
+    segs = column.split("[*].")
+
+    def wrap(pred_of_e: str) -> str:
+        def build(i: int, base: str) -> str:
+            var = f"x{i}"
+            if i == len(segs) - 1:
+                body = pred_of_e.format(E=var)
+            else:
+                inner = f"{var}.{_sql_col_ref(segs[i + 1], rule_prefix)}"
+                body = build(i + 1, inner)
+            return f"{base} IS NULL OR forall({base}, {var} -> ({body}))"
+        return build(0, _sql_col_ref(segs[0], rule_prefix))
+
     return (
         url_rule,
         RuleDefinition.parse({
             "id": f"{rule_prefix}-SHAPE", "type": "CustomExpr",
             "source": source,
             "errorCode": "FHIR_EXTENSION_INVALID_SHAPE",
-            "expr": (f"{col} IS NULL OR forall({col}, "
-                     f"e -> {has_value} != {has_nested})")}),
+            "expr": wrap(f"{has_value} != {has_nested}")}),
         RuleDefinition.parse({
             "id": f"{rule_prefix}-VALUEX", "type": "CustomExpr",
             "source": source,
             "errorCode": "VALUE_EXCLUSIVITY_VIOLATION",
-            "expr": (f"{col} IS NULL OR forall({col}, "
-                     f"e -> {n_values} <= 1)")}),
+            "expr": wrap(f"{n_values} <= 1")}),
     )

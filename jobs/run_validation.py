@@ -304,11 +304,17 @@ def main(argv=None) -> int:
     if args.audit_details:
         from fhir_data_validation_spark.details_contract import \
             contract_report
-        bad = contract_report(violations)
-        for b in bad:
-            print(json.dumps({"details_contract_violation": b}),
-                  file=sys.stderr)
-        contract_fail = len(bad)
+        for b in contract_report(violations):
+            if b.get("unknown_code"):
+                # reference semantics: unknown codes warn, never fail
+                # (ValidationErrorDetailsValidator.cs:104-108) — a user
+                # ruleset with a custom errorCode stays a valid run
+                print(json.dumps({"details_contract_warning": b}),
+                      file=sys.stderr)
+            else:
+                print(json.dumps({"details_contract_violation": b}),
+                      file=sys.stderr)
+                contract_fail += 1
 
     regressed = 0
     if args.regression_baseline:
@@ -330,13 +336,17 @@ def main(argv=None) -> int:
     print(json.dumps({"failed_verdicts": failed,
                       "regressions": regressed}))
     if args.audit_branch:
-        # WRITE-AUDIT-PUBLISH: visibility is the verdict's to grant
-        if not failed and not regressed and args.publish_on_pass:
+        # WRITE-AUDIT-PUBLISH: visibility is the verdict's to grant — a
+        # details-contract failure is part of the verdict (publishing
+        # then exiting 4 would make the exit code and the side effect
+        # contradict each other)
+        gate_failed = failed or regressed or contract_fail
+        if not gate_failed and args.publish_on_pass:
             published = wap_table.fast_forward("main", args.audit_branch)
             print(json.dumps({"wap": "published",
                               "branch": args.audit_branch,
                               "snapshot_id": published}))
-        elif (failed or regressed) and args.drop_on_fail:
+        elif gate_failed and args.drop_on_fail:
             wap_table.drop_branch(args.audit_branch)
             print(json.dumps({"wap": "dropped",
                               "branch": args.audit_branch}))

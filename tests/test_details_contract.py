@@ -301,6 +301,43 @@ def test_contract_report_reduced(spark, base_df):
     res.unpersist()
 
 
+def test_contract_report_unknown_code_flag_and_truncation(spark,
+                                                          monkeypatch):
+    """round-4 review regressions: unknown codes are flagged (callers
+    warn, never fail — reference semantics) and an over-cap combo count
+    surfaces a <truncated> sentinel instead of silently passing."""
+    import fhir_data_validation_spark.details_contract as dc
+    rows = [("d1", "MYSTERY_CODE", {"a": "1"}),
+            ("d2", "MYSTERY_CODE", {"b": "1"}),
+            ("d3", "MYSTERY_CODE", {"c": "1"})]
+    df = spark.createDataFrame(
+        rows, "doc_id string, error_code string, detail map<string,string>")
+    rep = dc.contract_report(df)
+    assert len(rep) == 3 and all(b["unknown_code"] for b in rep)
+    monkeypatch.setattr(dc, "_COMBO_CAP", 2)
+    rep2 = dc.contract_report(df)
+    assert rep2[0]["error_code"] == "<truncated>"
+    assert not rep2[0]["unknown_code"]
+
+
+def test_cli_audit_warns_not_fails_on_custom_code(spark, tmp_path):
+    """round-4 review regressions: --audit-details must not flip the exit
+    code over a user ruleset's contract-less custom errorCode (the
+    reference warns and skips unknown codes)."""
+    import json
+
+    from jobs.run_validation import main
+    rules = {"version": "1", "rules": [
+        {"id": "ORG-1", "type": "CustomExpr", "expr": "n_tok >= 0",
+         "errorCode": "ORG_SPECIFIC_CODE"}]}
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+    rc = main(["--synth", "50", "--no-resume", "--audit-details",
+               "--rules", str(rules_path),
+               "--output", str(tmp_path / "out")])
+    assert rc in (0, 1), rc        # 4 would mean the warning failed the run
+
+
 def test_governance_blocks_contract_less_custom_code():
     from fhir_data_validation_spark.governance import BLOCKED, review_rule
     rule = RuleDefinition.parse(

@@ -131,12 +131,55 @@ def test_nested_extension_missing_url(spark):
                                 nested=[(None, "Boston")])])]
     rules = (extension_rules("ext", V)
              + extension_rules("ext[*].extension", ["valueString"],
-                               rule_prefix="NEST"))
+                               rule_prefix="NEST", nested_field=None))
     # the nested lane needs the inner struct's fields only
     out = _run(spark, rows, rules=rules)
     nested = [r for r in out
               if r["rule_id"] == "NEST-URL"]
     assert nested, [r["rule_id"] for r in out]
+
+
+def test_nested_level_shape_lanes_fire(spark):
+    """round-4 review regressions: nested levels get REAL shape lanes
+    (one forall per array depth), not just the url rule — a nested
+    element with no value[x] must fire SHAPE (the reference validates
+    recursively at every depth, ValidateExtensionGrammar)."""
+    rows = [
+        # nested element with a value → clean at the nested level
+        ("ok", "web", [_ext("http://x/a",
+                            nested=[("http://x/n", "val")])]),
+        # nested element with NO value and nothing to nest → empty shape
+        ("empty", "web", [_ext("http://x/a",
+                               nested=[("http://x/n", None)])]),
+    ]
+    rules = extension_rules("ext[*].extension", ["valueString"],
+                            rule_prefix="NEST", nested_field=None)
+    assert len(rules) == 3          # url + shape + valuex, not url-only
+    out = _run(spark, rows, rules=rules)
+    shape = {r["doc_id"] for r in out
+             if r["error_code"] == "FHIR_EXTENSION_INVALID_SHAPE"}
+    assert shape == {"empty"}
+
+
+def test_dotted_struct_path_resolves(spark):
+    """round-4 review regressions: a dotted struct path (meta.ext) must
+    quote per segment — one literal identifier crashed mid-validate with
+    UNRESOLVED_COLUMN instead of resolving the nested struct."""
+    schema = ("doc_id string, source string, meta struct<ext: array<"
+              "struct<url string, valueString string, valueCode string, "
+              "extension array<struct<url string, valueString string"
+              ">>>>>")
+    rows = [("d1", "web", ([("http://x/a", None, None, None)],)),  # empty
+            ("d2", "web", ([("http://x/a", "v", None, None)],))]   # ok
+    df = spark.createDataFrame(rows, schema)
+    rs = RuleSet(rules=extension_rules("meta.ext", V))
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="source")).validate(df)
+    out = res.violations.collect()
+    res.unpersist()
+    shape = {r["doc_id"] for r in out
+             if r["error_code"] == "FHIR_EXTENSION_INVALID_SHAPE"}
+    assert shape == {"d1"}
 
 
 def test_governance_and_explanations_cover_extension_rules():
