@@ -2615,62 +2615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TOP never had a driver-green row, so they come first, followed by
     # sh1_spec_hints (r03 hash-fail, oracle SQL fixed with BIGINT casts).
     return {
-        "ext1_extension_grammar": q_ext1_extension_grammar,
-        "m2_png_decode": q_m2_png_decode,
-        "k1_pack_sequences": q_k1_pack_sequences,
-        "k2_chunk_overlap": q_k2_chunk_overlap,
-        "sm5_quantile_select": q_sm5_quantile_select,
-        "sm6_weighted_sample": q_sm6_weighted_sample,
-        "ir1_dsir_weights": q_ir1_dsir_weights,
-        "sm7_curriculum": q_sm7_curriculum,
-        "sm8_interleave": q_sm8_interleave,
-        "t9_tfidf_topk": q_t9_tfidf_topk,
-        "t10_char_entropy": q_t10_char_entropy,
-        "sm1_domain_mix": q_sm1_domain_mix,
-        "sm2_rate_sample": q_sm2_rate_sample,
-        "sm3_split_assign": q_sm3_split_assign,
-        "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
-        "c6_rollup": q_c6_rollup,
-        "c7_pivot": q_c7_pivot,
-        "c8_cube": q_c8_cube,
-        "c9_data_card": q_c9_data_card,
-        "sk1_skew_report": q_sk1_skew_report,
-        "cl1_winsorize": q_cl1_winsorize,
-        "x7_table_diff": q_x7_table_diff,
-        "w1_sessions": q_w1_sessions,
-        "w2_tumbling": q_w2_tumbling,
-        "w3_hopping": q_w3_hopping,
-        "w4_asof_join": q_w4_asof_join,
-        "w5_range_join": q_w5_range_join,
-        "w6_rollup_cascade": q_w6_rollup_cascade,
-        "w7_retention": q_w7_retention,
-        "w8_funnel": q_w8_funnel,
-        "x1_contamination": q_x1_contamination,
-        "x2_pii_redaction": q_x2_pii_redaction,
-        "x3_line_dedup": q_x3_line_dedup,
-        "x9_strip_markup": q_x9_strip_markup,
-        "x10_normalize": q_x10_normalize,
-        "x4_boilerplate": q_x4_boilerplate,
-        "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
-        "x6_token_span_dedup": q_x6_token_span_dedup,
-        "e1_expectations": q_e1_expectations,
-        "o1_outliers": q_o1_outliers,
-        "mono1_monotonic": q_mono1_monotonic,
-        "mono2_sequence_gap": q_mono2_sequence_gap,
-        "fd1_functional_dependency": q_fd1_functional_dependency,
-        "t8_vocab_oov": q_t8_vocab_oov,
-        "v1_vector_check": q_v1_vector_check,
-        "seq1_sequence_shape": q_seq1_sequence_shape,
-        "jp1_jsonpath": q_jp1_jsonpath,
-        "ac1_agg_consistency": q_ac1_agg_consistency,
-        "gs1_group_share": q_gs1_group_share,
-        "db1_distinct_band": q_db1_distinct_band,
-        "c3b_unique_composite": q_c3b_unique_composite,
-        "sp1_quarantine_split": q_sp1_quarantine_split,
-        "rg1_regression_gate": q_rg1_regression_gate,
-        "j2_reference_type": q_j2_reference_type,
-        "a3_where_counting": q_a3_where_counting,
-        "c5_drift": q_c5_drift,
+        # Ordering contract: the driver checks a prefix window of this
+        # registry. The 72 ids below never had a driver-green row;
+        # they are ordered by the round-3 verdict's priority (Iceberg
+        # lifecycle, incremental stats, the repaired sh1, the new ext1,
+        # windows/events, sampling) so even a ~50-wide window covers
+        # the families that matter most. Round-3-green entries follow.
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
         "i2_delete_rows": q_i2_delete_rows,
         "i3_schema_evolution": q_i3_schema_evolution,
@@ -2684,10 +2634,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i11_wap_publish": q_i11_wap_publish,
         "i12_rename_widen": q_i12_rename_widen,
         "i13_multi_partition": q_i13_multi_partition,
+        "i14_schema_diff": q_i14_schema_diff,
         "c10_incremental_profile": q_c10_incremental_profile,
         "c11_merged_quantiles": q_c11_merged_quantiles,
-        "i14_schema_diff": q_i14_schema_diff,
         "sh1_spec_hints": q_sh1_spec_hints,
+        "ext1_extension_grammar": q_ext1_extension_grammar,
+        "w1_sessions": q_w1_sessions,
+        "w2_tumbling": q_w2_tumbling,
+        "w3_hopping": q_w3_hopping,
+        "w4_asof_join": q_w4_asof_join,
+        "w5_range_join": q_w5_range_join,
+        "w6_rollup_cascade": q_w6_rollup_cascade,
+        "w7_retention": q_w7_retention,
+        "w8_funnel": q_w8_funnel,
+        "sm1_domain_mix": q_sm1_domain_mix,
+        "sm2_rate_sample": q_sm2_rate_sample,
+        "sm3_split_assign": q_sm3_split_assign,
+        "sm4_shuffle_ranks": q_sm4_shuffle_ranks,
+        "sm5_quantile_select": q_sm5_quantile_select,
+        "sm6_weighted_sample": q_sm6_weighted_sample,
+        "sm7_curriculum": q_sm7_curriculum,
+        "sm8_interleave": q_sm8_interleave,
+        "ir1_dsir_weights": q_ir1_dsir_weights,
+        "cl1_winsorize": q_cl1_winsorize,
+        "x1_contamination": q_x1_contamination,
+        "x2_pii_redaction": q_x2_pii_redaction,
+        "x3_line_dedup": q_x3_line_dedup,
+        "x4_boilerplate": q_x4_boilerplate,
+        "x5_corpus_line_dedup": q_x5_corpus_line_dedup,
+        "x6_token_span_dedup": q_x6_token_span_dedup,
+        "x7_table_diff": q_x7_table_diff,
+        "x9_strip_markup": q_x9_strip_markup,
+        "x10_normalize": q_x10_normalize,
+        "e1_expectations": q_e1_expectations,
+        "o1_outliers": q_o1_outliers,
+        "j2_reference_type": q_j2_reference_type,
+        "a3_where_counting": q_a3_where_counting,
+        "c5_drift": q_c5_drift,
+        "mono1_monotonic": q_mono1_monotonic,
+        "mono2_sequence_gap": q_mono2_sequence_gap,
+        "fd1_functional_dependency": q_fd1_functional_dependency,
+        "t8_vocab_oov": q_t8_vocab_oov,
+        "t9_tfidf_topk": q_t9_tfidf_topk,
+        "t10_char_entropy": q_t10_char_entropy,
+        "v1_vector_check": q_v1_vector_check,
+        "seq1_sequence_shape": q_seq1_sequence_shape,
+        "jp1_jsonpath": q_jp1_jsonpath,
+        "ac1_agg_consistency": q_ac1_agg_consistency,
+        "gs1_group_share": q_gs1_group_share,
+        "db1_distinct_band": q_db1_distinct_band,
+        "c3b_unique_composite": q_c3b_unique_composite,
+        "sp1_quarantine_split": q_sp1_quarantine_split,
+        "rg1_regression_gate": q_rg1_regression_gate,
+        "k1_pack_sequences": q_k1_pack_sequences,
+        "k2_chunk_overlap": q_k2_chunk_overlap,
+        "m2_png_decode": q_m2_png_decode,
+        "sk1_skew_report": q_sk1_skew_report,
+        "c6_rollup": q_c6_rollup,
+        "c7_pivot": q_c7_pivot,
+        "c8_cube": q_c8_cube,
+        "c9_data_card": q_c9_data_card,
         # --- below here: driver-green in CORRECTNESS_r03.json ---
         "r1_required": q_r1_required,
         "r2_fixed_value": q_r2_fixed_value,
