@@ -132,6 +132,10 @@ class CompiledPlan:
     dataset_plans: list[DatasetPlan] = field(default_factory=list)
     needs_first_scope: bool = False
     dims: dict[str, DataFrame] = field(default_factory=dict)
+    # compile-time notices emitted as single dataset-level violation rows
+    # (Phase B.2: ENUM_VALIDATION_SKIPPED — transparency without guessing);
+    # each is a dict matching the violations schema, zero distributed cost
+    notices: list = field(default_factory=list)
 
     @property
     def rule_ids(self) -> list[str]:
@@ -537,6 +541,20 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
 
     for rule in ruleset.rules:
         downgraded_from: str | None = None
+        if rule.type == "Enum":
+            # Phase B: binding strength drives severity
+            # (MapBindingStrengthToSeverity,
+            # JsonNodeStructuralValidator.cs:534-545); an explicit
+            # governance severity override below still wins
+            rule = _apply_enum_binding(rule)
+            if (not rule.params.get("values")
+                    and rule.params.get("valueSet")):
+                # Phase B.2: the value set is declared but not resolvable
+                # to values — emit ONE dataset-level skip notice instead
+                # of guessing or refusing the run
+                # (CreateEnumValidationSkippedError, :549-578)
+                plan.notices.append(_enum_skip_notice(rule))
+                continue
         if rule.id in overrides:
             new_sev = overrides[rule.id]
             if new_sev not in Severity.ALL:
@@ -591,6 +609,45 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             rule=rule, condition=scope & cond, detail=detail, stage=stage,
             elements=elements, hof=hof))
     return plan
+
+
+# FHIR binding strength → severity (MapBindingStrengthToSeverity,
+# JsonNodeStructuralValidator.cs:534-545; fhirlab.net severity model)
+BINDING_SEVERITY = {
+    "required": Severity.ERROR,
+    "extensible": Severity.WARNING,
+    "preferred": Severity.INFO,
+    "example": Severity.INFO,
+}
+
+
+def _apply_enum_binding(rule: RuleDefinition) -> RuleDefinition:
+    binding = rule.params.get("binding")
+    if binding is None:
+        return rule
+    if binding not in BINDING_SEVERITY:
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"binding {binding!r} not in {sorted(BINDING_SEVERITY)}")
+    from dataclasses import replace
+    return replace(rule, severity=BINDING_SEVERITY[binding])
+
+
+def _enum_skip_notice(rule: RuleDefinition) -> dict:
+    """One dataset-level violation row announcing that enum validation
+    was skipped — detail keys exactly the reference's frozen schema
+    (ValidationErrorDetailsValidator.ValidateEnumValidationSkipped)."""
+    binding = rule.params.get("binding") or "required"
+    return {
+        "doc_id": None, "rule_id": rule.id, "rule_type": "Enum",
+        "error_code": ErrorCode.ENUM_VALIDATION_SKIPPED,
+        "severity": rule.severity, "source": "<dataset>",
+        "column": rule.column,
+        "detail": {"valueSet": str(rule.params["valueSet"]),
+                   "bindingStrength": binding,
+                   "reason": "valueSet not resolvable to values"},
+        "stage": Stage.STRUCTURE,
+    }
 
 
 def _with_downgrade_provenance(execute: Callable, downgraded_from: str

@@ -94,6 +94,10 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
     "FHIR_EXTENSION_INVALID_SHAPE": [_shape(("expression",))],
     ErrorCode.INVALID_ENUM_VALUE: [
         _shape(("allowed",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT)],
+    # ValidateEnumValidationSkipped (:154-173): Phase B.2 transparency
+    # notice when a declared valueSet cannot be enforced
+    ErrorCode.ENUM_VALIDATION_SKIPPED: [
+        _shape(("valueSet", "bindingStrength", "reason"))],
     # --- dataset / join family ----------------------------------------
     ErrorCode.DUPLICATE_KEY: [_shape(("count",))],
     # ValidateReferenceNotFound (:240-244): {reference, expectedType?} —

@@ -57,6 +57,7 @@ class ErrorCode:
     CUSTOM_CONDITION_FAILED = "CUSTOM_CONDITION_FAILED"
     # structural / grammar family (SURVEY §2.7)
     INVALID_ENUM_VALUE = "INVALID_ENUM_VALUE"
+    ENUM_VALIDATION_SKIPPED = "ENUM_VALIDATION_SKIPPED"
     INVALID_PRIMITIVE = "INVALID_PRIMITIVE"
     VALUE_EXCLUSIVITY_VIOLATION = "VALUE_EXCLUSIVITY_VIOLATION"
     # constraint family (SURVEY §2.6)

@@ -101,7 +101,17 @@ def _checks(rule: RuleDefinition) -> list[str]:
     elif t == "FixedValue":
         out.append(f"`{col}` must equal {p.get('value')!r}")
     elif t in ("AllowedValues", "Enum"):
-        out.append(f"`{col}` must be one of: {_fmt(p.get('values', []))}")
+        if t == "Enum" and not p.get("values") and p.get("valueSet"):
+            out.append(f"valueSet {p['valueSet']!r} is not resolvable to "
+                       f"values — the run emits one "
+                       f"ENUM_VALIDATION_SKIPPED notice instead of "
+                       f"enforcing the binding")
+        else:
+            out.append(f"`{col}` must be one of: "
+                       f"{_fmt(p.get('values', []))}")
+        if t == "Enum" and p.get("binding"):
+            out.append(f"binding strength {p['binding']!r} sets the "
+                       f"violation severity")
     elif t == "Regex":
         out.append(f"`{col}` must match pattern {p.get('pattern')!r}")
     elif t == "ArrayLength":

@@ -235,7 +235,17 @@ def review_rule(rule: RuleDefinition,
                 {"min": lo, "max": hi}))
     if t in ("AllowedValues", "Enum"):
         values = rule.params.get("values")
-        if not values:
+        if not values and t == "Enum" and rule.params.get("valueSet"):
+            # Phase B.2: a declared-but-unresolved valueSet compiles to a
+            # single ENUM_VALIDATION_SKIPPED notice — legal, but the
+            # author should know the enum is NOT being enforced
+            issues.append(ReviewIssue(
+                "ENUM_VALUESET_UNRESOLVED", WARNING, rule.id,
+                {"valueSet": rule.params["valueSet"],
+                 "reason": "no values[] for this valueSet — the run will "
+                           "emit ENUM_VALIDATION_SKIPPED instead of "
+                           "enforcing the binding"}))
+        elif not values:
             issues.append(ReviewIssue(
                 "ALLOWED_VALUES_EMPTY", BLOCKED, rule.id,
                 {"ruleType": t, "reason": "empty values[] rejects every row"}))

@@ -70,7 +70,11 @@ def emitted_error_codes(rule: RuleDefinition) -> tuple[str, ...]:
     from ..compiler import DEFAULT_ERROR_CODES
     t = rule.type
     codes: tuple[str, ...] = (rule.error_code or DEFAULT_ERROR_CODES[t],)
-    if t == "Reference" and rule.params.get("expectedTypes"):
+    if (t == "Enum" and not rule.params.get("values")
+            and rule.params.get("valueSet")):
+        # Phase B.2: unresolvable valueSet compiles to the skip notice
+        codes = (ErrorCode.ENUM_VALIDATION_SKIPPED,)
+    elif t == "Reference" and rule.params.get("expectedTypes"):
         codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
     elif t == "CodeSystem":
         codes = (ErrorCode.CODESYSTEM_MISMATCH,

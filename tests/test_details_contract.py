@@ -261,9 +261,11 @@ def test_battery_covers_contract():
     # declared-but-unemitted codes documented by their absence here:
     dormant = set(DETAILS_CONTRACT) - exercised
     # ANSWER_* fire in test_questions.py, FHIR_EXTENSION_* in
-    # test_extensions.py (both contract-checked there)
+    # test_extensions.py, ENUM_VALIDATION_SKIPPED in
+    # test_enum_binding.py (all contract-checked there)
     assert dormant <= {ErrorCode.ARRAY_LENGTH_VIOLATION,
                        ErrorCode.UNEXPECTED_RESOURCE,
+                       ErrorCode.ENUM_VALIDATION_SKIPPED,
                        "ANSWER_REQUIRED", "INVALID_ANSWER_TYPE",
                        "ANSWER_NOT_IN_VALUESET",
                        "FHIR_EXTENSION_MISSING_URL",
