@@ -2609,14 +2609,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver checks a prefix window of this registry
-    # against the DuckDB oracles.  Rounds 1-3 verified the 50 ids now at the
-    # BOTTOM of this dict (green in CORRECTNESS_r03.json); the 71 ids at the
-    # TOP never had a driver-green row, so they come first, followed by
-    # sh1_spec_hints (r03 hash-fail, oracle SQL fixed with BIGINT casts).
     return {
         # Ordering contract: the driver checks a prefix window of this
-        # registry. The 72 ids below never had a driver-green row;
+        # registry. The 73 ids below never had a driver-green row;
         # they are ordered by the round-3 verdict's priority (Iceberg
         # lifecycle, incremental stats, the repaired sh1, the new ext1,
         # windows/events, sampling) so even a ~50-wide window covers

@@ -547,14 +547,6 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # JsonNodeStructuralValidator.cs:534-545); an explicit
             # governance severity override below still wins
             rule = _apply_enum_binding(rule)
-            if (not rule.params.get("values")
-                    and rule.params.get("valueSet")):
-                # Phase B.2: the value set is declared but not resolvable
-                # to values — emit ONE dataset-level skip notice instead
-                # of guessing or refusing the run
-                # (CreateEnumValidationSkippedError, :549-578)
-                plan.notices.append(_enum_skip_notice(rule))
-                continue
         if rule.id in overrides:
             new_sev = overrides[rule.id]
             if new_sev not in Severity.ALL:
@@ -571,6 +563,18 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             if new_sev != rule.severity:
                 downgraded_from = rule.severity
             rule = replace(rule, severity=new_sev)
+        if (rule.type == "Enum" and not rule.params.get("values")
+                and rule.params.get("valueSet")):
+            # Phase B.2: the value set is declared but not resolvable to
+            # values — emit ONE dataset-level skip notice instead of
+            # guessing or refusing the run
+            # (CreateEnumValidationSkippedError, :549-578). Placed AFTER
+            # the override block (overrides apply to the notice and stay
+            # validated) and behind the same column pre-flight as every
+            # compiled rule — a typo'd column must still fail compile.
+            _field_type(schema, rule.require_column(), rule)
+            plan.notices.append(_enum_skip_notice(rule, downgraded_from))
+            continue
         stage = RULE_STAGES.get(rule.type)
         if stage is None:
             raise RuleConfigurationError(
@@ -633,19 +637,36 @@ def _apply_enum_binding(rule: RuleDefinition) -> RuleDefinition:
     return replace(rule, severity=BINDING_SEVERITY[binding])
 
 
-def _enum_skip_notice(rule: RuleDefinition) -> dict:
+# severity → the binding strength it corresponds to (inverse of
+# BINDING_SEVERITY's first match) — keeps a notice's reported strength
+# consistent with its effective severity when no binding was declared
+_SEVERITY_BINDING = {Severity.ERROR: "required",
+                     Severity.WARNING: "extensible",
+                     Severity.INFO: "example"}
+
+
+def _enum_skip_notice(rule: RuleDefinition,
+                      downgraded_from: str | None = None) -> dict:
     """One dataset-level violation row announcing that enum validation
     was skipped — detail keys exactly the reference's frozen schema
-    (ValidationErrorDetailsValidator.ValidateEnumValidationSkipped)."""
-    binding = rule.params.get("binding") or "required"
+    (ValidationErrorDetailsValidator.ValidateEnumValidationSkipped).
+    ``bindingStrength`` reports the declared binding, or the strength
+    consistent with the rule's effective severity when none was declared
+    (claiming 'required' on an info-severity notice would contradict the
+    row's own pass/fail effect)."""
+    binding = (rule.params.get("binding")
+               or _SEVERITY_BINDING[rule.severity])
+    detail = {"valueSet": str(rule.params["valueSet"]),
+              "bindingStrength": binding,
+              "reason": "valueSet not resolvable to values"}
+    if downgraded_from is not None:
+        detail["downgradedFrom"] = downgraded_from
     return {
         "doc_id": None, "rule_id": rule.id, "rule_type": "Enum",
         "error_code": ErrorCode.ENUM_VALIDATION_SKIPPED,
         "severity": rule.severity, "source": "<dataset>",
         "column": rule.column,
-        "detail": {"valueSet": str(rule.params["valueSet"]),
-                   "bindingStrength": binding,
-                   "reason": "valueSet not resolvable to values"},
+        "detail": detail,
         "stage": Stage.STRUCTURE,
     }
 

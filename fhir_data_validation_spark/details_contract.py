@@ -97,7 +97,8 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
     # ValidateEnumValidationSkipped (:154-173): Phase B.2 transparency
     # notice when a declared valueSet cannot be enforced
     ErrorCode.ENUM_VALIDATION_SKIPPED: [
-        _shape(("valueSet", "bindingStrength", "reason"))],
+        _shape(("valueSet", "bindingStrength", "reason"),
+               {"downgradedFrom"})],
     # --- dataset / join family ----------------------------------------
     ErrorCode.DUPLICATE_KEY: [_shape(("count",))],
     # ValidateReferenceNotFound (:240-244): {reference, expectedType?} —

@@ -238,12 +238,8 @@ class ValidationEngine:
 
     # -- internals ---------------------------------------------------------
 
-    _VIOLATIONS_SCHEMA = ("doc_id string, rule_id string, rule_type string, "
-                          "error_code string, severity string, "
-                          "source string, column string, "
-                          "detail map<string,string>, stage int")
-
     def _all_violations(self, df: DataFrame, plan: CompiledPlan) -> DataFrame:
+        from .plans import VIOLATION_SCHEMA
         parts: list[DataFrame] = []
         if plan.predicates:
             parts.append(predicate_violations(df, plan))
@@ -253,10 +249,9 @@ class ValidationEngine:
             # compile-time notices (ENUM_VALIDATION_SKIPPED): a handful of
             # literal dataset-level rows, zero distributed cost
             parts.append(df.sparkSession.createDataFrame(
-                plan.notices, self._VIOLATIONS_SCHEMA))
+                plan.notices, VIOLATION_SCHEMA))
         if not parts:
-            return df.sparkSession.createDataFrame(
-                [], self._VIOLATIONS_SCHEMA)
+            return df.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

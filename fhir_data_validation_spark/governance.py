@@ -233,6 +233,17 @@ def review_rule(rule: RuleDefinition,
             issues.append(ReviewIssue(
                 "RANGE_MIN_ABOVE_MAX", BLOCKED, rule.id,
                 {"min": lo, "max": hi}))
+    if t == "Enum":
+        binding = rule.params.get("binding")
+        if binding is not None and binding not in (
+                "required", "extensible", "preferred", "example"):
+            # review must predict compile: _apply_enum_binding raises on
+            # unknown strengths (round-4 review fix)
+            issues.append(ReviewIssue(
+                "ENUM_INVALID_BINDING", BLOCKED, rule.id,
+                {"binding": binding,
+                 "known": ["required", "extensible", "preferred",
+                           "example"]}))
     if t in ("AllowedValues", "Enum"):
         values = rule.params.get("values")
         if not values and t == "Enum" and rule.params.get("valueSet"):

@@ -51,6 +51,20 @@ def validate_stream(stream_df: DataFrame, ruleset: RuleSet,
             first[0], ErrorCode.RULE_CONFIGURATION_ERROR,
             "'first' instance scope needs a window — not defined on an "
             "unbounded stream")
+    skip = [r.id for r in ruleset.rules
+            if r.type == "Enum" and not r.params.get("values")
+            and r.params.get("valueSet")]
+    if skip:
+        # Phase B.2 skip-lane rules compile to a STATIC dataset-level
+        # notice row, which a pure streaming projection cannot union in
+        # (and silently dropping it would defeat the transparency
+        # contract) — reject like the other stateful families
+        raise RuleConfigurationError(
+            skip[0], ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"Enum rules {skip} have an unresolvable valueSet and would "
+            "emit a dataset-level ENUM_VALIDATION_SKIPPED notice, which "
+            "a streaming projection cannot carry; resolve the values or "
+            "use validate_stream_foreach_batch")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
     return predicate_violations(stream_df, plan)
 

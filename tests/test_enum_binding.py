@@ -93,6 +93,78 @@ def test_enum_without_values_or_valueset_still_raises(spark):
                      "params": {}})
 
 
+def test_skip_notice_honors_severity_overrides(spark):
+    """round-4 review regressions: the skip lane goes THROUGH the
+    governance-override machinery — a downgrade applies to the notice
+    (with provenance), an invalid override severity still raises."""
+    rule = RuleDefinition.parse(
+        {"id": "E-VS", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs"}})    # required → error
+    res = ValidationEngine(
+        RuleSet(rules=(rule,)),
+        config=EngineConfig(key_col="doc_id", group_col="source",
+                            severity_overrides=(("E-VS", "warning"),))
+    ).validate(_df(spark))
+    rows = res.violations.collect()
+    res.unpersist()
+    assert len(rows) == 1
+    assert rows[0]["severity"] == "warning"
+    assert rows[0]["detail"]["downgradedFrom"] == "error"
+    with pytest.raises(RuleConfigurationError):
+        ValidationEngine(
+            RuleSet(rules=(rule,)),
+            config=EngineConfig(key_col="doc_id", group_col="source",
+                                severity_overrides=(("E-VS", "bogus"),))
+        ).validate(_df(spark))
+
+
+def test_skip_lane_column_preflight(spark):
+    """round-4 review regressions: a typo'd column on a skip-lane rule
+    must fail compile like every other rule (total pre-flight)."""
+    with pytest.raises(RuleConfigurationError):
+        _run(spark, {"id": "E-T", "type": "Enum", "column": "no_such",
+                     "params": {"valueSet": "http://vs"}})
+
+
+def test_notice_binding_consistent_with_severity(spark):
+    """round-4 review regressions: with no declared binding, the notice
+    reports the strength consistent with its severity (an info notice
+    claiming bindingStrength=required would contradict its own effect)."""
+    out = _run(spark, {"id": "E-I", "type": "Enum", "column": "status",
+                       "severity": "info",
+                       "params": {"valueSet": "http://vs"}})
+    assert out[0]["severity"] == "info"
+    assert out[0]["detail"]["bindingStrength"] == "example"
+
+
+def test_validate_stream_rejects_skip_lane(spark):
+    """round-4 review regressions: a streaming projection cannot carry
+    the static dataset-level notice — reject at compile, never drop."""
+    from fhir_data_validation_spark.streaming.validate import \
+        validate_stream
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("CAST(value AS STRING) AS doc_id",
+                          "'web' AS source", "'x' AS status"))
+    rs = RuleSet(rules=(RuleDefinition.parse(
+        {"id": "E-VS", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs"}}),))
+    with pytest.raises(RuleConfigurationError):
+        validate_stream(stream, rs, EngineConfig(key_col="doc_id",
+                                                 group_col="source"))
+
+
+def test_review_blocks_unknown_binding():
+    """round-4 review regressions: review must predict the compile-time
+    rejection of an unknown binding strength."""
+    from fhir_data_validation_spark.governance import BLOCKED, review_rule
+    rule = RuleDefinition.parse(
+        {"id": "E-X", "type": "Enum", "column": "status",
+         "params": {"values": ["a"], "binding": "mandatory"}})
+    result = review_rule(rule)
+    assert result.status == BLOCKED
+    assert any(i.code == "ENUM_INVALID_BINDING" for i in result.issues)
+
+
 def test_governance_and_registry_cover_skip_lane():
     from fhir_data_validation_spark.governance import review_rule
     from fhir_data_validation_spark.plans import emitted_error_codes
