@@ -20,6 +20,7 @@ expressions → ``RULE_CONFIGURATION_ERROR``. Bad rules never reach executors.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -738,7 +739,17 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         # try_add …) for arithmetic that can fail; the engine's own lanes
         # never emit fallible expressions.
         cond = ~F.coalesce(_safe_expr(rule, rule.expr), F.lit(False))
-        return cond, _smap(("expression", rule.expr))
+        # higher-order functions are CodegenFallback: left in the shared
+        # chunk they would force EVERY co-chunked rule's scan filter out
+        # of whole-stage codegen, so HOF-bearing expressions get the same
+        # own-chunk treatment as the VectorCheck norm lane. Detection is
+        # a conservative name scan — a false positive only costs a
+        # separate (still fused) chunk.
+        hof = bool(re.search(
+            r"\b(forall|exists|aggregate|reduce|transform|filter|"
+            r"zip_with|map_filter|map_zip_with|transform_keys|"
+            r"transform_values|array_sort)\s*\(", rule.expr))
+        return cond, _smap(("expression", rule.expr)), None, hof
 
     if t == "ValueExclusivity":
         cols = rule.require_param("columns")

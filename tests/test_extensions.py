@@ -191,6 +191,26 @@ def test_governance_and_explanations_cover_extension_rules():
         assert exp["summary"] and exp["error_codes"]
 
 
+def test_forall_lanes_are_hof_chunked(spark):
+    """round-4 review regressions: the forall shape/value[x] lanes are
+    CodegenFallback — they must carry hof=True so the engine chunks them
+    apart and co-compiled plain rules keep their whole-stage-codegen
+    scan filter (same treatment as the VectorCheck norm lane)."""
+    from fhir_data_validation_spark.compiler import compile_ruleset
+    from fhir_data_validation_spark.model import RuleDefinition
+    df = spark.createDataFrame([], SCHEMA)
+    plain = RuleDefinition.parse(
+        {"id": "PLAIN", "type": "CustomExpr", "expr": "doc_id IS NOT NULL"})
+    rs = RuleSet(rules=extension_rules("ext", V) + (plain,))
+    plan = compile_ruleset(rs, df.schema,
+                           EngineConfig(key_col="doc_id",
+                                        group_col="source"), {})
+    hof_by_id = {p.rule.id: p.hof for p in plan.predicates}
+    assert hof_by_id["EXT-SHAPE"] is True
+    assert hof_by_id["EXT-VALUEX"] is True
+    assert hof_by_id["PLAIN"] is False
+
+
 def test_bad_inputs_raise():
     with pytest.raises(RuleConfigurationError):
         extension_rules("ext", [])
