@@ -200,6 +200,14 @@ DEFAULT_ERROR_CODES = {
     "VectorCheck": ErrorCode.VECTOR_CHECK_FAILED,
 }
 
+# SQL higher-order-function names (case-insensitive — Spark resolves
+# function names case-insensitively): expressions carrying one are
+# CodegenFallback and get their own predicate chunk
+_HOF_NAMES_RE = re.compile(
+    r"(?i)\b(forall|exists|aggregate|reduce|transform|filter|"
+    r"zip_with|map_filter|map_zip_with|transform_keys|"
+    r"transform_values|array_sort)\s*\(")
+
 # Rule type → pipeline stage (dedup authority ordering, ValidationPipeline.cs:783-827)
 RULE_STAGES = {
     "TypeCheck": Stage.STRUCTURE,
@@ -604,6 +612,11 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
         cond, detail = out[0], out[1]
         elements = out[2] if len(out) > 2 else None
         hof = out[3] if len(out) > 3 else False
+        if (not hof and rule.scope.kind == "filter"
+                and _HOF_NAMES_RE.search(rule.scope.condition or "")):
+            # a filter-scope condition with a HOF poisons the shared
+            # chunk exactly like a HOF rule condition (round-4 review)
+            hof = True
         if downgraded_from is not None:
             # provenance of the governance downgrade rides the detail map —
             # the reference records the original severity on downgraded
@@ -638,8 +651,8 @@ def _apply_enum_binding(rule: RuleDefinition) -> RuleDefinition:
     return replace(rule, severity=BINDING_SEVERITY[binding])
 
 
-# severity → the binding strength it corresponds to (inverse of
-# BINDING_SEVERITY's first match) — keeps a notice's reported strength
+# severity → a representative binding strength of that severity (the
+# canonical choice per tier) — keeps a notice's reported strength
 # consistent with its effective severity when no binding was declared
 _SEVERITY_BINDING = {Severity.ERROR: "required",
                      Severity.WARNING: "extensible",
@@ -745,11 +758,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
         # own-chunk treatment as the VectorCheck norm lane. Detection is
         # a conservative name scan — a false positive only costs a
         # separate (still fused) chunk.
-        hof = bool(re.search(
-            r"\b(forall|exists|aggregate|reduce|transform|filter|"
-            r"zip_with|map_filter|map_zip_with|transform_keys|"
-            r"transform_values|array_sort)\s*\(", rule.expr))
-        return cond, _smap(("expression", rule.expr)), None, hof
+        return (cond, _smap(("expression", rule.expr)), None,
+                bool(_HOF_NAMES_RE.search(rule.expr)))
 
     if t == "ValueExclusivity":
         cols = rule.require_param("columns")
@@ -876,9 +886,12 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                 col, is_bad, config.max_examples,
                 has_bad=F.exists(col, is_bad), indexed=indexed)
             cond = col.isNotNull() & has_bad
+            # exists() is a CodegenFallback HOF in the scan filter — own
+            # chunk, like the VectorCheck norm lane (round-4 review fix)
             return (cond, _smap(("badCount", bad_count),
                                 ("examples", examples)),
-                    bad_els if rule.params.get("perElement") else None)
+                    bad_els if rule.params.get("perElement") else None,
+                    True)
         # missing OR all-empty (FhirPathRuleEngine.cs:971-1033:
         # empty string / whitespace counts as missing)
         return ~_nonempty(col, dtype), _smap()
@@ -949,7 +962,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             return (cond,
                     _smap(("pattern", pattern), ("badCount", bad_count),
                           ("examples", examples)),
-                    bad_els if rule.params.get("perElement") else None)
+                    bad_els if rule.params.get("perElement") else None,
+                    True)   # exists() HOF — own chunk
         cond = _nonempty(col, dtype) & ~col.cast("string").rlike(pattern)
         return cond, _smap(("pattern", pattern), ("actual", col))
 
@@ -1279,7 +1293,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
                     _smap(("min", "" if lo is None else lo),
                           ("max", "" if hi is None else hi),
                           ("badCount", bad_count), ("examples", examples)),
-                    bad_els if rule.params.get("perElement") else None)
+                    bad_els if rule.params.get("perElement") else None,
+                    bool(str_numeric))  # exists probe only on str-numeric
         cond = F.lit(False)
         if lo is not None:
             cond = cond | (col < lo)
@@ -1302,7 +1317,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             return (cond,
                     _smap(("maxLength", max_len), ("badCount", bad_count),
                           ("examples", examples)),
-                    bad_els if rule.params.get("perElement") else None)
+                    bad_els if rule.params.get("perElement") else None,
+                    True)   # exists() HOF — own chunk
         cond = col.isNotNull() & (F.length(col.cast("string")) > max_len)
         return cond, _smap(("maxLength", max_len),
                            ("actual", F.length(col.cast("string"))))
@@ -1334,7 +1350,8 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
             return (cond,
                     _smap(("dataType", target), ("badCount", bad_count),
                           ("examples", examples)),
-                    bad_els if rule.params.get("perElement") else None)
+                    bad_els if rule.params.get("perElement") else None,
+                    True)   # exists() HOF — own chunk
         try:
             casted = col.cast("string").try_cast(target)
         except Exception as exc:

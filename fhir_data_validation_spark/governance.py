@@ -235,15 +235,14 @@ def review_rule(rule: RuleDefinition,
                 {"min": lo, "max": hi}))
     if t == "Enum":
         binding = rule.params.get("binding")
-        if binding is not None and binding not in (
-                "required", "extensible", "preferred", "example"):
-            # review must predict compile: _apply_enum_binding raises on
-            # unknown strengths (round-4 review fix)
+        # review must predict compile: _apply_enum_binding raises on
+        # unknown strengths — same registry, no hand-synced list
+        from .compiler import BINDING_SEVERITY
+        if binding is not None and binding not in BINDING_SEVERITY:
             issues.append(ReviewIssue(
                 "ENUM_INVALID_BINDING", BLOCKED, rule.id,
                 {"binding": binding,
-                 "known": ["required", "extensible", "preferred",
-                           "example"]}))
+                 "known": sorted(BINDING_SEVERITY)}))
     if t in ("AllowedValues", "Enum"):
         values = rule.params.get("values")
         if not values and t == "Enum" and rule.params.get("valueSet"):

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..compiler import DATASET_RULE_TYPES, EngineConfig, compile_ruleset
+from .validate import _reject_notices
 from ..errors import ErrorCode, RuleConfigurationError
 from ..model import RuleSet
 
@@ -40,6 +41,7 @@ def violation_rates(stream_df: DataFrame, ruleset: RuleSet, ts_col: str,
             "dataset-scoped / first-scope rules cannot be monitored on an "
             "unbounded stream")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    _reject_notices(plan)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for p in plan.predicates:
         aggs.append(F.sum(F.when(p.condition, 1).otherwise(0))

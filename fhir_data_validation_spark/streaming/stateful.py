@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 from ..compiler import DATASET_RULE_TYPES, EngineConfig, compile_ruleset
+from .validate import _reject_notices
 from ..errors import ErrorCode, RuleConfigurationError
 from ..model import RuleSet
 
@@ -53,6 +54,7 @@ def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
             "dataset-scoped / first-scope rules not supported in the "
             "stateful streaming lane")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    _reject_notices(plan)
     if not plan.predicates:
         raise RuleConfigurationError(
             "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,
@@ -128,6 +130,7 @@ def running_violation_totals_tws(stream_df: DataFrame, ruleset: RuleSet,
             "dataset-scoped / first-scope rules not supported in the "
             "stateful streaming lane")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    _reject_notices(plan)
     if not plan.predicates:
         raise RuleConfigurationError(
             "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,

@@ -51,21 +51,8 @@ def validate_stream(stream_df: DataFrame, ruleset: RuleSet,
             first[0], ErrorCode.RULE_CONFIGURATION_ERROR,
             "'first' instance scope needs a window — not defined on an "
             "unbounded stream")
-    skip = [r.id for r in ruleset.rules
-            if r.type == "Enum" and not r.params.get("values")
-            and r.params.get("valueSet")]
-    if skip:
-        # Phase B.2 skip-lane rules compile to a STATIC dataset-level
-        # notice row, which a pure streaming projection cannot union in
-        # (and silently dropping it would defeat the transparency
-        # contract) — reject like the other stateful families
-        raise RuleConfigurationError(
-            skip[0], ErrorCode.RULE_CONFIGURATION_ERROR,
-            f"Enum rules {skip} have an unresolvable valueSet and would "
-            "emit a dataset-level ENUM_VALIDATION_SKIPPED notice, which "
-            "a streaming projection cannot carry; resolve the values or "
-            "use validate_stream_foreach_batch")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
+    _reject_notices(plan)
     return predicate_violations(stream_df, plan)
 
 
@@ -106,3 +93,20 @@ def validate_stream_foreach_batch(stream_df: DataFrame, ruleset: RuleSet,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def _reject_notices(plan) -> None:
+    """Compile-time notices (ENUM_VALIDATION_SKIPPED) are STATIC
+    dataset-level rows — a pure streaming projection cannot union them in,
+    and silently dropping them would defeat the Phase B.2 transparency
+    contract. Checking the COMPILED plan (not re-deriving the condition)
+    keeps this drift-proof against future notice-producing families; the
+    foreachBatch lane carries notices via the full engine."""
+    if plan.notices:
+        rid = plan.notices[0]["rule_id"]
+        raise RuleConfigurationError(
+            rid, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"rule {rid!r} compiles to a dataset-level "
+            f"{plan.notices[0]['error_code']} notice, which a streaming "
+            "projection cannot carry; resolve the rule or use "
+            "validate_stream_foreach_batch")
