@@ -125,13 +125,19 @@ class ValidationResult:
 
     def response(self, max_errors: int = 100,
                  rules_version: str | None = None,
-                 processing_time_ms: int | None = None) -> dict:
+                 processing_time_ms: int | None = None,
+                 explain: bool = False) -> dict:
         """S5 response assembly: the reference's ``ValidationResponse``
         payload (``Models/ValidationResponse.cs:9-85``) — error list
         (bounded by ``max_errors``; total counts stay exact), severity +
         stage summary, metadata — computed in ONE aggregation pass plus one
         bounded collect. At corpus scale the full violations table stays in
-        the violations DataFrame/sink; this is the API-shaped digest."""
+        the violations DataFrame/sink; this is the API-shaped digest.
+
+        ``explain=True`` attaches a structured ``{what, how, confidence}``
+        explanation to each returned error (the reference's authoring-mode
+        ``ValidationError.Explanation`` field, always optional) — pure
+        driver-side templating over the already-collected bounded list."""
         counts = (self.violations
                   .groupBy("severity", "rule_type")
                   .agg(F.count(F.lit(1)).alias("n"))
@@ -168,6 +174,11 @@ class ValidationResult:
             for r in (self.violations
                       .orderBy(sev_rank, "rule_id", "doc_id")
                       .limit(max_errors).collect())]
+        if explain:
+            from .explanations import explain_violation
+            for e in errors:
+                e["explanation"] = explain_violation(
+                    e["errorCode"], e["fieldPath"], e["details"])
         total = sum(by_sev.values())
         summary = {
             "totalErrors": total,

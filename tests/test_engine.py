@@ -249,6 +249,14 @@ def test_response_assembly(result):
             "source", "fieldPath", "details"} <= set(e)
     assert resp["metadata"] == {"rulesVersion": "1.0",
                                 "processingTimeMs": 42}
+    # authoring-mode explanations (ValidationError.Explanation analog):
+    # opt-in, structured, attached to every returned error
+    assert "explanation" not in e
+    explained = result.response(max_errors=3, explain=True)
+    for err in explained["errors"]:
+        exp = err["explanation"]
+        assert exp["what"] and exp["how"]
+        assert exp["confidence"] in ("high", "medium", "low")
 
 
 def test_drift_jsd_chi2_statistics_and_gate(spark):
