@@ -785,6 +785,61 @@ def q_sd1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q_gr1_code_grammar(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 code grammar with the portable Unicode classes end-to-end: a
+    synthesized value column carries a deterministic space (every 7th
+    doc) or a control character (every 11th), then the registry's
+    ``code`` grammar (``^[^\\p{Z}\\p{Cc}]+\\z``) judges it — the oracle
+    runs the IDENTICAL pattern in DuckDB's RE2, so the row only matches
+    if Java regex and RE2 agree on the class semantics."""
+    from fhir_data_validation_spark.grammars import grammar_rule
+    from fhir_data_validation_spark.model import RuleSet as _RS
+
+    docs = (load_table(spark, sf, "documents")
+            .withColumn("v", F.concat(
+                F.col("lang"),
+                F.when(F.col("n_chars") % 7 == 0, F.lit(" "))
+                 .otherwise(F.lit("")),
+                F.when(F.col("n_chars") % 11 == 0, F.expr("chr(1)"))
+                 .otherwise(F.lit("")),
+                F.lit("x"))))
+    res = ValidationEngine(
+        _RS(rules=(grammar_rule("code", "v", rule_id="GR-CODE"),)),
+        config=EngineConfig(key_col="doc_id",
+                            group_col="lang")).validate(docs)
+    return (res.violations
+            .select(F.col("doc_id"), "rule_id", "error_code",
+                    F.col("source"))
+            .orderBy("doc_id"))
+
+
+def q_en1_enum_binding(spark: SparkSession, sf: str) -> DataFrame:
+    """Phase B enum semantics end-to-end: an Enum rule with
+    binding=extensible demotes its violations to warning severity, and a
+    second Enum rule whose valueSet has no resolvable values emits ONE
+    dataset-level ENUM_VALIDATION_SKIPPED notice with the frozen
+    {valueSet, bindingStrength, reason} details."""
+    from fhir_data_validation_spark.model import RuleSet as _RS
+
+    nation = load_table(spark, sf, "nation")
+    res = ValidationEngine(
+        _RS.parse({"rules": [
+            {"id": "EN-1", "type": "Enum", "column": "n_name",
+             "params": {"values": ["FRANCE", "GERMANY"],
+                        "binding": "extensible"}},
+            {"id": "EN-2", "type": "Enum", "column": "n_name",
+             "params": {"valueSet": "http://example.org/vs/nations",
+                        "binding": "preferred"}},
+        ]}),
+        config=EngineConfig(key_col="n_nationkey",
+                            group_col="n_name")).validate(nation)
+    return (res.violations
+            .select("doc_id", "rule_id", "error_code", "severity",
+                    F.col("detail")["bindingStrength"].alias("binding"),
+                    F.col("detail")["valueSet"].alias("value_set"))
+            .orderBy("rule_id", "doc_id"))
+
+
 def q_ext1_extension_grammar(spark: SparkSession, sf: str) -> DataFrame:
     """T7 extension grammar end-to-end: lineitems synthesized into one
     extension struct each (url missing on linenumber 7, value[x] fields
@@ -2611,7 +2666,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering contract: the driver checks a prefix window of this
-        # registry. The 73 ids below never had a driver-green row;
+        # registry. The 75 ids below never had a driver-green row;
         # they are ordered by the round-3 verdict's priority (Iceberg
         # lifecycle, incremental stats, the repaired sh1, the new ext1,
         # windows/events, sampling) so even a ~50-wide window covers
@@ -2634,6 +2689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_merged_quantiles": q_c11_merged_quantiles,
         "sh1_spec_hints": q_sh1_spec_hints,
         "ext1_extension_grammar": q_ext1_extension_grammar,
+        "gr1_code_grammar": q_gr1_code_grammar,
+        "en1_enum_binding": q_en1_enum_binding,
         "w1_sessions": q_w1_sessions,
         "w2_tumbling": q_w2_tumbling,
         "w3_hopping": q_w3_hopping,
@@ -2744,6 +2801,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gr1_code_grammar": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     lang || CASE WHEN n_chars % 7 = 0 THEN ' '
+                                  ELSE '' END
+                          || CASE WHEN n_chars % 11 = 0 THEN chr(1)
+                                  ELSE '' END
+                          || 'x' AS v
+              FROM documents)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'GR-CODE' AS rule_id,
+                   'INVALID_PRIMITIVE' AS error_code, lang AS source
+            FROM d
+            WHERE v IS NOT NULL AND trim(v) <> ''
+              AND NOT regexp_matches(v, '^[^\p{Z}\p{Cc}]+\z')
+            ORDER BY doc_id""",
+        "en1_enum_binding": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS doc_id,
+                   'EN-1' AS rule_id,
+                   'INVALID_ENUM_VALUE' AS error_code,
+                   'warning' AS severity,
+                   CAST(NULL AS VARCHAR) AS binding,
+                   CAST(NULL AS VARCHAR) AS value_set
+            FROM nation
+            WHERE n_name IS NOT NULL AND trim(n_name) <> ''
+              AND n_name NOT IN ('FRANCE', 'GERMANY')
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR), 'EN-2',
+                   'ENUM_VALIDATION_SKIPPED', 'info', 'preferred',
+                   'http://example.org/vs/nations'
+            ORDER BY rule_id, doc_id""",
         "ext1_extension_grammar": """
             WITH e AS (
               SELECT l_orderkey,
