@@ -825,7 +825,7 @@ def q_en1_enum_binding(spark: SparkSession, sf: str) -> DataFrame:
     res = ValidationEngine(
         _RS.parse({"rules": [
             {"id": "EN-1", "type": "Enum", "column": "n_name",
-             "params": {"values": ["FRANCE", "GERMANY"],
+             "params": {"values": ["NATION_0", "NATION_1"],
                         "binding": "extensible"}},
             {"id": "EN-2", "type": "Enum", "column": "n_name",
              "params": {"valueSet": "http://example.org/vs/nations",
@@ -2826,7 +2826,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS value_set
             FROM nation
             WHERE n_name IS NOT NULL AND trim(n_name) <> ''
-              AND n_name NOT IN ('FRANCE', 'GERMANY')
+              AND n_name NOT IN ('NATION_0', 'NATION_1')
             UNION ALL
             SELECT CAST(NULL AS VARCHAR), 'EN-2',
                    'ENUM_VALIDATION_SKIPPED', 'info', 'preferred',

@@ -2,6 +2,8 @@
 cross-cutting invariants every engine run must keep — stage provenance,
 row completeness, no duplicate errors, spec-hint separation."""
 
+import pytest
+
 from fhir_data_validation_spark import EngineConfig, ValidationEngine
 from fhir_data_validation_spark.compiler import RULE_STAGES
 from fhir_data_validation_spark.model import RuleDefinition, RuleSet
@@ -10,7 +12,11 @@ from fhir_data_validation_spark.sources.synth import (dirty_token_table,
                                                       sources_dim)
 
 
-def _run_default(spark):
+@pytest.fixture(scope="module")
+def default_rows(spark):
+    """One shared validate of the dirty corpus (the pattern of
+    test_engine.py's `result` fixture) — every guardrail asserts over
+    these collected rows."""
     df = dirty_token_table(spark, 2000).drop("_row_id")
     res = ValidationEngine(default_token_ruleset(),
                            dims={"sources_dim": sources_dim(spark)}
@@ -23,11 +29,10 @@ def _run_default(spark):
 
 def test_stage_provenance_matches_rule_type(spark):
     """OnlyJsonNodeStructuralValidator_MayEmitStructureErrors analog:
-    a violation's stage is ALWAYS the one its rule type declares —
-    STRUCTURE rows can only come from STRUCTURE-stage families."""
-    rows = _run_default(spark)
-    # the deduped violations frame drops the stage column; re-run the
-    # undeduped internals to see provenance
+    a violation's stage is ALWAYS the one its rule type declares — for
+    BOTH the fused predicate lane and every dataset plan (the public
+    violations frame drops stage, so provenance is asserted on the
+    internal lanes)."""
     from fhir_data_validation_spark.engine import predicate_violations
     df = dirty_token_table(spark, 2000).drop("_row_id")
     eng = ValidationEngine(default_token_ruleset(),
@@ -35,16 +40,18 @@ def test_stage_provenance_matches_rule_type(spark):
     plan = eng.compile(df)
     staged = predicate_violations(df, plan).collect()
     assert staged
+    for dp in plan.dataset_plans:
+        staged += dp.execute(df, plan).collect()
     for r in staged:
         assert r["stage"] == RULE_STAGES[r["rule_type"]], (
             r["rule_id"], r["rule_type"], r["stage"])
 
 
-def test_no_duplicate_error_rows(spark):
+def test_no_duplicate_error_rows(default_rows):
     """StructureValidation_MustNotEmitDuplicateErrors analog: after A5
     dedup, no two violation rows share (doc_id, rule_id, error_code,
     column, detail)."""
-    rows = _run_default(spark)
+    rows = default_rows
     seen = set()
     for r in rows:
         key = (r["doc_id"], r["rule_id"], r["error_code"], r["column"],
@@ -53,12 +60,12 @@ def test_no_duplicate_error_rows(spark):
         seen.add(key)
 
 
-def test_errors_carry_required_properties(spark):
+def test_errors_carry_required_properties(default_rows):
     """StructureErrors_MustHaveRequiredProperties analog: every emitted
     violation names its rule, code, severity, and group; per-row families
     always carry a doc identity (only dataset-level rollups may not)."""
     from fhir_data_validation_spark.compiler import DATASET_RULE_TYPES
-    rows = _run_default(spark)
+    rows = default_rows
     for r in rows:
         assert r["rule_id"] and r["error_code"], r
         assert r["severity"] in ("error", "warning", "info"), r
@@ -73,12 +80,12 @@ def test_errors_carry_required_properties(spark):
                 assert r["source"] is not None, r
 
 
-def test_structural_rules_never_emit_spec_hints(spark):
+def test_structural_rules_never_emit_spec_hints(spark, default_rows):
     """JsonNodeStructuralValidator_MustNotEmitSpecHint analog: the
     validation surface and the spec-hint surface stay separate — an
     engine run never produces spec-hint rows, and the spec-hint pass
     never produces violation-shaped rows."""
-    rows = _run_default(spark)
+    rows = default_rows
     assert all(r["error_code"] != "SPEC_HINT" for r in rows)
     from fhir_data_validation_spark.spechints import SpecHint, scan
     df = dirty_token_table(spark, 500).drop("_row_id")
