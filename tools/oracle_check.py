@@ -19,6 +19,12 @@ if "--only" in ARGS:
     i = ARGS.index("--only")
     ONLY = ARGS[i + 1].split(",")
     ARGS = ARGS[:i] + ARGS[i + 2:]
+# --exact: compare floats at FULL precision (repr of the double), like the
+# driver's value hash — catches last-ulp cross-engine drift that the
+# default 4-decimal re-round forgives
+EXACT = "--exact" in ARGS
+if EXACT:
+    ARGS.remove("--exact")
 SF = ARGS[0] if ARGS else "/root/testdata/sf0.01"
 
 
@@ -29,8 +35,10 @@ def normalize(rows, cols):
         vals = []
         for c in sorted(d):
             v = d[c]
-            if isinstance(v, float):
+            if isinstance(v, float) and not EXACT:
                 v = round(v, 4)
+            elif isinstance(v, float):
+                v = repr(v)
             if isinstance(v, bool):
                 v = bool(v)
             vals.append((c, str(v)))
