@@ -2666,11 +2666,65 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering contract: the driver checks a prefix window of this
-        # registry. The 75 ids below never had a driver-green row;
-        # they are ordered by the round-3 verdict's priority (Iceberg
-        # lifecycle, incremental stats, the repaired sh1, the new ext1,
-        # windows/events, sampling) so even a ~50-wide window covers
-        # the families that matter most. Round-3-green entries follow.
+        # registry (~50 wide). After rounds 3+4, 97 of the 124 ids have
+        # a driver-green CORRECTNESS row; the 27 that never got one are
+        # placed FIRST — the two repaired float-hash ids (c10/o1, now
+        # derived from exact integer sums on both engines), then the 25
+        # ids that sat just past round 4's window. The remaining window
+        # slots re-confirm the oldest (round-3) greens; everything below
+        # slot 50 has a green row in CORRECTNESS_r03/r04.json.
+        "c10_incremental_profile": q_c10_incremental_profile,
+        "o1_outliers": q_o1_outliers,
+        "a3_where_counting": q_a3_where_counting,
+        "c5_drift": q_c5_drift,
+        "mono1_monotonic": q_mono1_monotonic,
+        "mono2_sequence_gap": q_mono2_sequence_gap,
+        "fd1_functional_dependency": q_fd1_functional_dependency,
+        "t8_vocab_oov": q_t8_vocab_oov,
+        "t9_tfidf_topk": q_t9_tfidf_topk,
+        "t10_char_entropy": q_t10_char_entropy,
+        "v1_vector_check": q_v1_vector_check,
+        "seq1_sequence_shape": q_seq1_sequence_shape,
+        "jp1_jsonpath": q_jp1_jsonpath,
+        "ac1_agg_consistency": q_ac1_agg_consistency,
+        "gs1_group_share": q_gs1_group_share,
+        "db1_distinct_band": q_db1_distinct_band,
+        "c3b_unique_composite": q_c3b_unique_composite,
+        "sp1_quarantine_split": q_sp1_quarantine_split,
+        "rg1_regression_gate": q_rg1_regression_gate,
+        "k1_pack_sequences": q_k1_pack_sequences,
+        "k2_chunk_overlap": q_k2_chunk_overlap,
+        "m2_png_decode": q_m2_png_decode,
+        "sk1_skew_report": q_sk1_skew_report,
+        "c6_rollup": q_c6_rollup,
+        "c7_pivot": q_c7_pivot,
+        "c8_cube": q_c8_cube,
+        "c9_data_card": q_c9_data_card,
+        # --- 23 re-confirmation slots: oldest (round-3) greens ---
+        "r1_required": q_r1_required,
+        "r2_fixed_value": q_r2_fixed_value,
+        "r3_allowed_values": q_r3_allowed_values,
+        "r4_regex": q_r4_regex,
+        "r5_range": q_r5_range,
+        "r7_custom_expr": q_r7_custom_expr,
+        "p3_first_scope": q_p3_first_scope,
+        "p5_nested_elements": q_p5_nested_elements,
+        "p5b_nested_repetition": q_p5b_nested_repetition,
+        "nav1_json_pointer": q_nav1_json_pointer,
+        "p5c_deep_repetition": q_p5c_deep_repetition,
+        "a1_group_cardinality": q_a1_group_cardinality,
+        "a4_summary": q_a4_summary,
+        "a5_dedup": q_a5_dedup,
+        "c1_stats": q_c1_stats,
+        "c2_cardinality": q_c2_cardinality,
+        "c3_unique": q_c3_unique,
+        "c4_histogram": q_c4_histogram,
+        "c5_heavy_hitters": q_c5_heavy_hitters,
+        "hh1_dominance": q_hh1_dominance,
+        "j1_reference": q_j1_reference,
+        "j1_reference_seeded": q_j1_reference_seeded,
+        "j5_bloom_prefilter": q_j5_bloom_prefilter,
+        # --- below here: driver-green in CORRECTNESS_r03/r04.json ---
         "i1_iceberg_roundtrip": q_i1_iceberg_roundtrip,
         "i2_delete_rows": q_i2_delete_rows,
         "i3_schema_evolution": q_i3_schema_evolution,
@@ -2685,7 +2739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i12_rename_widen": q_i12_rename_widen,
         "i13_multi_partition": q_i13_multi_partition,
         "i14_schema_diff": q_i14_schema_diff,
-        "c10_incremental_profile": q_c10_incremental_profile,
         "c11_merged_quantiles": q_c11_merged_quantiles,
         "sh1_spec_hints": q_sh1_spec_hints,
         "ext1_extension_grammar": q_ext1_extension_grammar,
@@ -2719,57 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_strip_markup": q_x9_strip_markup,
         "x10_normalize": q_x10_normalize,
         "e1_expectations": q_e1_expectations,
-        "o1_outliers": q_o1_outliers,
         "j2_reference_type": q_j2_reference_type,
-        "a3_where_counting": q_a3_where_counting,
-        "c5_drift": q_c5_drift,
-        "mono1_monotonic": q_mono1_monotonic,
-        "mono2_sequence_gap": q_mono2_sequence_gap,
-        "fd1_functional_dependency": q_fd1_functional_dependency,
-        "t8_vocab_oov": q_t8_vocab_oov,
-        "t9_tfidf_topk": q_t9_tfidf_topk,
-        "t10_char_entropy": q_t10_char_entropy,
-        "v1_vector_check": q_v1_vector_check,
-        "seq1_sequence_shape": q_seq1_sequence_shape,
-        "jp1_jsonpath": q_jp1_jsonpath,
-        "ac1_agg_consistency": q_ac1_agg_consistency,
-        "gs1_group_share": q_gs1_group_share,
-        "db1_distinct_band": q_db1_distinct_band,
-        "c3b_unique_composite": q_c3b_unique_composite,
-        "sp1_quarantine_split": q_sp1_quarantine_split,
-        "rg1_regression_gate": q_rg1_regression_gate,
-        "k1_pack_sequences": q_k1_pack_sequences,
-        "k2_chunk_overlap": q_k2_chunk_overlap,
-        "m2_png_decode": q_m2_png_decode,
-        "sk1_skew_report": q_sk1_skew_report,
-        "c6_rollup": q_c6_rollup,
-        "c7_pivot": q_c7_pivot,
-        "c8_cube": q_c8_cube,
-        "c9_data_card": q_c9_data_card,
-        # --- below here: driver-green in CORRECTNESS_r03.json ---
-        "r1_required": q_r1_required,
-        "r2_fixed_value": q_r2_fixed_value,
-        "r3_allowed_values": q_r3_allowed_values,
-        "r4_regex": q_r4_regex,
-        "r5_range": q_r5_range,
-        "r7_custom_expr": q_r7_custom_expr,
-        "p3_first_scope": q_p3_first_scope,
-        "p5_nested_elements": q_p5_nested_elements,
-        "p5b_nested_repetition": q_p5b_nested_repetition,
-        "nav1_json_pointer": q_nav1_json_pointer,
-        "p5c_deep_repetition": q_p5c_deep_repetition,
-        "a1_group_cardinality": q_a1_group_cardinality,
-        "a4_summary": q_a4_summary,
-        "a5_dedup": q_a5_dedup,
-        "c1_stats": q_c1_stats,
-        "c2_cardinality": q_c2_cardinality,
-        "c3_unique": q_c3_unique,
-        "c4_histogram": q_c4_histogram,
-        "c5_heavy_hitters": q_c5_heavy_hitters,
-        "hh1_dominance": q_hh1_dominance,
-        "j1_reference": q_j1_reference,
-        "j1_reference_seeded": q_j1_reference_seeded,
-        "j5_bloom_prefilter": q_j5_bloom_prefilter,
         "r6_membership": q_r6_membership,
         "r6b_codesystem_pair": q_r6b_codesystem_pair,
         "j4_codemaster": q_j4_codemaster,

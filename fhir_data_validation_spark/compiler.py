@@ -582,7 +582,27 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # validated) and behind the same column pre-flight as every
             # compiled rule — a typo'd column must still fail compile.
             _field_type(schema, rule.require_column(), rule)
-            plan.notices.append(_enum_skip_notice(rule, downgraded_from))
+            declared = rule.params.get("binding")
+            if declared is None or declared == "example":
+                # the reference emits NO notice when no binding is
+                # declared or the binding is 'example'
+                # (JsonNodeStructuralValidator.cs:366-369)
+                continue
+            # skip-notice severity is CAPPED below the binding's own:
+            # required→warning, everything else→info (:379) — a skipped
+            # enum never fails a run; the binding-derived severity
+            # applies only to actual INVALID_ENUM_VALUE rows. An
+            # explicit governance override still wins (with provenance).
+            capped = (Severity.WARNING if declared == "required"
+                      else Severity.INFO)
+            notice_sev, notice_downgraded = capped, None
+            if rule.id in overrides:
+                notice_sev = overrides[rule.id]
+                if notice_sev != capped:
+                    notice_downgraded = capped
+            plan.notices.append(
+                _enum_skip_notice(rule, declared, notice_sev,
+                                  notice_downgraded))
             continue
         stage = RULE_STAGES.get(rule.type)
         if stage is None:
@@ -651,25 +671,15 @@ def _apply_enum_binding(rule: RuleDefinition) -> RuleDefinition:
     return replace(rule, severity=BINDING_SEVERITY[binding])
 
 
-# severity → a representative binding strength of that severity (the
-# canonical choice per tier) — keeps a notice's reported strength
-# consistent with its effective severity when no binding was declared
-_SEVERITY_BINDING = {Severity.ERROR: "required",
-                     Severity.WARNING: "extensible",
-                     Severity.INFO: "example"}
-
-
-def _enum_skip_notice(rule: RuleDefinition,
+def _enum_skip_notice(rule: RuleDefinition, binding: str, severity: str,
                       downgraded_from: str | None = None) -> dict:
     """One dataset-level violation row announcing that enum validation
     was skipped — detail keys exactly the reference's frozen schema
     (ValidationErrorDetailsValidator.ValidateEnumValidationSkipped).
-    ``bindingStrength`` reports the declared binding, or the strength
-    consistent with the rule's effective severity when none was declared
-    (claiming 'required' on an info-severity notice would contradict the
-    row's own pass/fail effect)."""
-    binding = (rule.params.get("binding")
-               or _SEVERITY_BINDING[rule.severity])
+    ``binding`` is the DECLARED strength (the caller suppresses the
+    notice entirely for missing/'example' bindings, :366-369);
+    ``severity`` is the capped notice severity (required→warning, else
+    info, :379) or an explicit governance override of it."""
     detail = {"valueSet": str(rule.params["valueSet"]),
               "bindingStrength": binding,
               "reason": "valueSet not resolvable to values"}
@@ -678,7 +688,7 @@ def _enum_skip_notice(rule: RuleDefinition,
     return {
         "doc_id": None, "rule_id": rule.id, "rule_type": "Enum",
         "error_code": ErrorCode.ENUM_VALIDATION_SKIPPED,
-        "severity": rule.severity, "source": "<dataset>",
+        "severity": severity, "source": "<dataset>",
         "column": rule.column,
         "detail": detail,
         "stage": Stage.STRUCTURE,

@@ -47,8 +47,12 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
     #     names where the reference defines the code) -------------------
     # ValidateRequiredFieldMissing (:188-198): {required: true} — this
     # engine's Required lane emits an EMPTY detail (absence needs no
-    # payload); element lanes may add index/value
-    ErrorCode.FIELD_REQUIRED: [_shape((), _ELEMENT)],
+    # payload); element lanes add index/value, and a non-perElement
+    # Required on an array element path ('a[*].b') reports the array
+    # summary {badCount, examples} like every other array rule
+    # (round-5, advice item 2 — the summary lane was missing here and
+    # a fully valid run failed --audit-details)
+    ErrorCode.FIELD_REQUIRED: [_shape((), _ELEMENT | _ARRAY_SUMMARY)],
     # ValidateFixedValueMismatch (:182-186): {actual?, expected}
     ErrorCode.FIXED_VALUE_MISMATCH: [
         _shape(("expected",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT)],

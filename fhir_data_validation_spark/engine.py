@@ -292,6 +292,17 @@ def predicate_violations(df: DataFrame, plan: CompiledPlan) -> DataFrame:
     body bounded (SURVEY §7.3a); chunks share the scan via union.
     """
     cfg = plan.config
+    if not plan.predicates:
+        # a ruleset can legally compile to zero per-row predicates (e.g.
+        # every rule was a suppressed enum-skip lane, round 5) — return a
+        # typed empty frame DERIVED FROM the input so the result stays a
+        # streaming DataFrame on streaming input (a driver-side
+        # createDataFrame([]) would not union/writeStream there)
+        from .plans import VIOLATION_SCHEMA
+        from pyspark.sql.types import StructType
+        empty_cols = [F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in StructType.fromDDL(VIOLATION_SCHEMA).fields]
+        return df.where(F.lit(False)).select(*empty_cols)
     if plan.needs_first_scope:
         # `first` instance scope (P3): stable first row per group by key order
         w = Window.partitionBy(cfg.group_col).orderBy(cfg.key_col)

@@ -102,10 +102,20 @@ def _checks(rule: RuleDefinition) -> list[str]:
         out.append(f"`{col}` must equal {p.get('value')!r}")
     elif t in ("AllowedValues", "Enum"):
         if t == "Enum" and not p.get("values") and p.get("valueSet"):
-            out.append(f"valueSet {p['valueSet']!r} is not resolvable to "
-                       f"values — the run emits one "
-                       f"ENUM_VALIDATION_SKIPPED notice instead of "
-                       f"enforcing the binding")
+            b = p.get("binding")
+            if b is None or b == "example":
+                out.append(f"valueSet {p['valueSet']!r} is not resolvable "
+                           f"to values and the binding is "
+                           f"{'missing' if b is None else 'example'} — "
+                           f"the run emits nothing for this rule (skip "
+                           f"notices are suppressed)")
+            else:
+                out.append(f"valueSet {p['valueSet']!r} is not resolvable "
+                           f"to values — the run emits one "
+                           f"ENUM_VALIDATION_SKIPPED notice (severity "
+                           f"capped at "
+                           f"{'warning' if b == 'required' else 'info'}) "
+                           f"instead of enforcing the binding")
         else:
             out.append(f"`{col}` must be one of: "
                        f"{_fmt(p.get('values', []))}")

@@ -69,11 +69,22 @@ def emitted_error_codes(rule: RuleDefinition) -> tuple[str, ...]:
     the runtime emission can never drift."""
     from ..compiler import DEFAULT_ERROR_CODES
     t = rule.type
-    codes: tuple[str, ...] = (rule.error_code or DEFAULT_ERROR_CODES[t],)
+    default = DEFAULT_ERROR_CODES.get(t)
+    if default is None:
+        # same contract as every other authoring surface: unknown rule
+        # types raise RuleConfigurationError, never a bare KeyError
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"unknown rule type {t!r}")
+    codes: tuple[str, ...] = (rule.error_code or default,)
     if (t == "Enum" and not rule.params.get("values")
             and rule.params.get("valueSet")):
-        # Phase B.2: unresolvable valueSet compiles to the skip notice
-        codes = (ErrorCode.ENUM_VALIDATION_SKIPPED,)
+        # Phase B.2: unresolvable valueSet compiles to the skip notice —
+        # unless the binding is missing or 'example', where the
+        # reference emits NOTHING (JsonNodeStructuralValidator.cs:366-369)
+        binding = rule.params.get("binding")
+        codes = (() if binding is None or binding == "example"
+                 else (ErrorCode.ENUM_VALIDATION_SKIPPED,))
     elif t == "Reference" and rule.params.get("expectedTypes"):
         codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)
     elif t == "CodeSystem":

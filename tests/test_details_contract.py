@@ -163,6 +163,33 @@ def test_family_details_match_contract(spark, base_df, raw, codes):
                               sorted((r["detail"] or {}).keys()), problems)
 
 
+def test_required_on_array_element_path_details(spark):
+    """round-5 review regressions (advice item 2): a plain Required rule
+    on an array element path ('a[*].b') emits the array-summary detail
+    {badCount, examples}, and perElement adds index/value — BOTH shapes
+    must pass the frozen FIELD_REQUIRED contract (the summary keys were
+    missing from the contract, so a fully valid run exited 4 under
+    --audit-details and dropped the WAP branch)."""
+    from fhir_data_validation_spark.model import RuleSet as _RS
+    df = spark.createDataFrame(
+        [("d1", "web", [("x",), (None,)]), ("d2", "web", [(None,)])],
+        "doc_id string, source string, a array<struct<b:string>>")
+    for params in ({}, {"perElement": True}):
+        rs = _RS(rules=(RuleDefinition.parse(
+            {"id": "RQ-E", "type": "Required", "column": "a[*].b",
+             "params": params}),))
+        res = ValidationEngine(rs, config=EngineConfig(
+            key_col="doc_id", group_col="source")).validate(df)
+        rows = res.violations.collect()
+        res.unpersist()
+        assert rows, params
+        for r in rows:
+            assert r["error_code"] == ErrorCode.FIELD_REQUIRED
+            problems = validate_details(r["error_code"], r["detail"])
+            assert not problems, \
+                (params, sorted((r["detail"] or {}).keys()), problems)
+
+
 def test_codemaster_screening_details(spark):
     """All five CodeMaster outcome codes fire and carry contract-compliant
     details (CodeMasterEngine two-level dispatch), incl. the multi-value

@@ -58,33 +58,56 @@ def test_unresolvable_valueset_emits_skip_notice(spark):
     assert n["error_code"] == "ENUM_VALIDATION_SKIPPED"
     assert n["doc_id"] is None          # dataset-level, no row identity
     assert n["source"] == "<dataset>"
-    assert n["severity"] == "warning"   # extensible → warning
+    # round-5 (advice): skip-notice severity is CAPPED — only a required
+    # binding reaches warning; extensible/preferred are info (:379)
+    assert n["severity"] == "info"
     assert n["detail"]["bindingStrength"] == "extensible"
     assert "observation-status" in n["detail"]["valueSet"]
     # detail keys are exactly the reference's frozen schema
     assert validate_details(n["error_code"], n["detail"]) == []
 
 
-def test_skip_notice_does_not_fail_run_unless_required(spark):
-    """A skipped extensible/preferred binding is a warning — the run
-    still passes; a skipped REQUIRED binding is an error-severity notice
-    and fails the run (the binding demanded enforcement)."""
-    soft = ValidationEngine(
-        RuleSet(rules=(RuleDefinition.parse(
-            {"id": "E-S", "type": "Enum", "column": "status",
-             "params": {"valueSet": "http://vs", "binding": "example"}}),)),
-        config=EngineConfig(key_col="doc_id", group_col="source")
-    ).validate(_df(spark))
-    assert soft.passed()
-    soft.unpersist()
+def test_skip_notice_never_fails_run(spark):
+    """round-5 review regressions (advice item 1): a skipped enum NEVER
+    fails a run — the notice severity is capped at warning for a
+    required binding (JsonNodeStructuralValidator.cs:379), info
+    otherwise, while the binding's own severity applies only to actual
+    INVALID_ENUM_VALUE rows."""
     hard = ValidationEngine(
         RuleSet(rules=(RuleDefinition.parse(
             {"id": "E-H", "type": "Enum", "column": "status",
-             "params": {"valueSet": "http://vs"}}),)),   # default required
+             "params": {"valueSet": "http://vs",
+                        "binding": "required"}}),)),
         config=EngineConfig(key_col="doc_id", group_col="source")
     ).validate(_df(spark))
-    assert not hard.passed()
+    rows = hard.violations.collect()
+    assert hard.passed()                 # warning, not error
+    assert len(rows) == 1 and rows[0]["severity"] == "warning"
+    assert rows[0]["detail"]["bindingStrength"] == "required"
     hard.unpersist()
+
+
+def test_skip_notice_suppressed_for_missing_or_example_binding(spark):
+    """round-5 review regressions (advice item 1): the reference emits
+    NO skip notice when the binding is missing or 'example'
+    (JsonNodeStructuralValidator.cs:366-369) — the run passes clean."""
+    for params in ({"valueSet": "http://vs"},
+                   {"valueSet": "http://vs", "binding": "example"}):
+        res = ValidationEngine(
+            RuleSet(rules=(RuleDefinition.parse(
+                {"id": "E-S", "type": "Enum", "column": "status",
+                 "params": params}),)),
+            config=EngineConfig(key_col="doc_id", group_col="source")
+        ).validate(_df(spark))
+        assert res.passed()
+        assert res.violations.count() == 0
+        res.unpersist()
+    # and the authoring registry agrees: nothing is emitted
+    from fhir_data_validation_spark.plans import emitted_error_codes
+    rule = RuleDefinition.parse(
+        {"id": "E-S", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs", "binding": "example"}})
+    assert emitted_error_codes(rule) == ()
 
 
 def test_enum_without_values_or_valueset_still_raises(spark):
@@ -94,22 +117,23 @@ def test_enum_without_values_or_valueset_still_raises(spark):
 
 
 def test_skip_notice_honors_severity_overrides(spark):
-    """round-4 review regressions: the skip lane goes THROUGH the
-    governance-override machinery — a downgrade applies to the notice
-    (with provenance), an invalid override severity still raises."""
+    """round-4 review regressions (updated round 5): the skip lane goes
+    THROUGH the governance-override machinery — an explicit override
+    applies to the notice with provenance against the CAPPED severity
+    (required caps at warning), and an invalid override still raises."""
     rule = RuleDefinition.parse(
         {"id": "E-VS", "type": "Enum", "column": "status",
-         "params": {"valueSet": "http://vs"}})    # required → error
+         "params": {"valueSet": "http://vs", "binding": "required"}})
     res = ValidationEngine(
         RuleSet(rules=(rule,)),
         config=EngineConfig(key_col="doc_id", group_col="source",
-                            severity_overrides=(("E-VS", "warning"),))
+                            severity_overrides=(("E-VS", "info"),))
     ).validate(_df(spark))
     rows = res.violations.collect()
     res.unpersist()
     assert len(rows) == 1
-    assert rows[0]["severity"] == "warning"
-    assert rows[0]["detail"]["downgradedFrom"] == "error"
+    assert rows[0]["severity"] == "info"
+    assert rows[0]["detail"]["downgradedFrom"] == "warning"
     with pytest.raises(RuleConfigurationError):
         ValidationEngine(
             RuleSet(rules=(rule,)),
@@ -120,21 +144,11 @@ def test_skip_notice_honors_severity_overrides(spark):
 
 def test_skip_lane_column_preflight(spark):
     """round-4 review regressions: a typo'd column on a skip-lane rule
-    must fail compile like every other rule (total pre-flight)."""
+    must fail compile like every other rule (total pre-flight) — even
+    when the missing binding means no notice would be emitted."""
     with pytest.raises(RuleConfigurationError):
         _run(spark, {"id": "E-T", "type": "Enum", "column": "no_such",
                      "params": {"valueSet": "http://vs"}})
-
-
-def test_notice_binding_consistent_with_severity(spark):
-    """round-4 review regressions: with no declared binding, the notice
-    reports the strength consistent with its severity (an info notice
-    claiming bindingStrength=required would contradict its own effect)."""
-    out = _run(spark, {"id": "E-I", "type": "Enum", "column": "status",
-                       "severity": "info",
-                       "params": {"valueSet": "http://vs"}})
-    assert out[0]["severity"] == "info"
-    assert out[0]["detail"]["bindingStrength"] == "example"
 
 
 def test_validate_stream_rejects_skip_lane(spark):
@@ -147,10 +161,18 @@ def test_validate_stream_rejects_skip_lane(spark):
                           "'web' AS source", "'x' AS status"))
     rs = RuleSet(rules=(RuleDefinition.parse(
         {"id": "E-VS", "type": "Enum", "column": "status",
-         "params": {"valueSet": "http://vs"}}),))
+         "params": {"valueSet": "http://vs", "binding": "required"}}),))
     with pytest.raises(RuleConfigurationError):
         validate_stream(stream, rs, EngineConfig(key_col="doc_id",
                                                  group_col="source"))
+    # a suppressed skip lane (no binding) emits nothing — the stream
+    # compiles fine (round-5: suppression per the reference :366-369)
+    rs_ok = RuleSet(rules=(RuleDefinition.parse(
+        {"id": "E-VS", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs"}}),))
+    q = validate_stream(stream, rs_ok, EngineConfig(key_col="doc_id",
+                                                    group_col="source"))
+    assert q is not None
 
 
 def test_review_blocks_unknown_binding():

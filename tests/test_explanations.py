@@ -134,6 +134,21 @@ def test_error_codes_come_from_plan_registry():
             list(emitted_error_codes(rule))
 
 
+def test_unknown_rule_type_raises_configuration_error():
+    """round-5 review regressions (advice item 3): explain_rule /
+    emitted_error_codes on an unknown rule type must raise the same
+    RuleConfigurationError every other authoring surface raises, never
+    a bare KeyError."""
+    from fhir_data_validation_spark import RuleConfigurationError
+    from fhir_data_validation_spark.plans import emitted_error_codes
+    rule = RuleDefinition.parse(
+        {"id": "W", "type": "Wavelength", "column": "x", "params": {}})
+    with pytest.raises(RuleConfigurationError):
+        emitted_error_codes(rule)
+    with pytest.raises(RuleConfigurationError):
+        explain_rule(rule)
+
+
 def test_confidence_tiers_match_reference():
     """Reference tiers (:155-360): spec-deterministic = high, regex/code
     system = medium, custom condition = low."""
