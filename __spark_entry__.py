@@ -1099,7 +1099,12 @@ def q_v1_vector_check(spark: SparkSession, sf: str) -> DataFrame:
     rebound onto the embeddings table): dim/finite lanes are native
     codegen expressions; the L2-norm lane (HOF) is isolated in its own
     fused chunk. The view seeds deterministic corruption — ×3-scaled
-    (norm), 32-dim truncated (dim) and NaN-tail (finite) vectors."""
+    (norm), 32-dim truncated (dim) and NaN-tail (finite) vectors.
+
+    Float determinism: the rounded norm is a left-to-right Σx² over the
+    same literal array in both engines — one fixed IEEE chain, bit-exact
+    (tools/oracle_check.py --exact green).
+    """
     from fhir_data_validation_spark import EngineConfig, ValidationEngine
     from fhir_data_validation_spark.model import RuleSet
     emb = load_table(spark, sf, "embeddings")
@@ -1137,7 +1142,11 @@ def q_t8_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary build + per-doc OOV profile (pipeline/text.vocabulary /
     oov_profile): min_count=5, max_size=2000 vocab (count desc, token asc
     tiebreak), then occurrence-counting OOV rates via broadcast join +
-    doc re-aggregation (shuffle O(docs), not O(tokens))."""
+    doc re-aggregation (shuffle O(docs), not O(tokens)).
+
+    Float determinism: oov_rate is exact-int / exact-int stated as one
+    division in both engines — bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.pipeline import text
     tok = _md5_token_table(spark, sf)
     vocab = text.vocabulary(tok, min_count=5, max_size=2000)
@@ -1151,7 +1160,12 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical outlier rule (plans.outlier_plan, via ValidationEngine):
     per-source z-score fences (μ ± 1.5σ) over n_tok, rows outside the fences
     become violations. Two-pass: one fence aggregation, broadcast join
-    back. Output value-checks observed value, side, and the fences."""
+    back. Output value-checks observed value, side, and the fences.
+
+    Float determinism: fences derive from exact DECIMAL (n, Σx, Σx²)
+    through the identical IEEE chain in the oracle (round-5 fix) —
+    bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark import ValidationEngine
     from fhir_data_validation_spark.model import RuleSet
     rs = RuleSet.parse({"rules": [
@@ -1173,7 +1187,11 @@ def q_mono1_monotonic(spark: SparkSession, sf: str) -> DataFrame:
     ValidationEngine): within each user's event stream ordered by
     event_id, `value` must be non-decreasing; every rewind is a violation
     carrying (prev, observed). One shuffle on the key, one codegen lag
-    window — the event-stream invariant (counters never drop)."""
+    window — the event-stream invariant (counters never drop).
+
+    Float determinism: prev/observed are integer-valued doubles —
+    round(·,4) is identity; bit-exact (oracle_check --exact green).
+    """
     df = load_table(spark, sf, "events")
     res = _validate(
         spark, df,
@@ -1196,7 +1214,11 @@ def q_mono2_sequence_gap(spark: SparkSession, sf: str) -> DataFrame:
     within each user's stream, consecutive event ids must not jump by
     more than 500 — the missing-sequence-number / skipped-window check.
     The gap lane rides the SAME single-shuffle lag window as mono1;
-    detail.check names the lane. Oracle: the identical LAG + CASE."""
+    detail.check names the lane. Oracle: the identical LAG + CASE.
+
+    Float determinism: integer-valued event ids — rounding is identity;
+    bit-exact (oracle_check --exact green).
+    """
     df = load_table(spark, sf, "events")
     res = _validate(
         spark, df,
@@ -1274,7 +1296,11 @@ def q_e1_expectations(spark: SparkSession, sf: str) -> DataFrame:
 def q_t7_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition signals (pipeline/text.repetition_profile):
     duplicate line/word/n-gram fractions over multi-line-shaped documents
-    — one codegen projection, value-checked to 4 decimals."""
+    — one codegen projection, value-checked to 4 decimals.
+
+    Float determinism: duplicate fractions are exact-int / exact-int
+    single divisions — bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.pipeline.text import repetition_profile
     docs = (load_table(spark, sf, "documents")
             .select("doc_id",
@@ -1314,7 +1340,12 @@ def q_sm5_quantile_select(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stratum quantile gating (pipeline/selection.select_above_quantile):
     keep documents at or above their language's 0.8 length quantile —
     exact R-7 interpolated percentile (DuckDB quantile_cont twin), fences
-    broadcast back onto the unshuffled scan."""
+    broadcast back onto the unshuffled scan.
+
+    Float determinism: the R-7 fence is lo + frac·(hi−lo) over exact
+    integer order statistics, stated identically in DuckDB
+    quantile_cont — bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.pipeline.selection import \
         select_above_quantile
     docs = (load_table(spark, sf, "documents")
@@ -1333,7 +1364,12 @@ def q_ir1_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     doc under Laplace-smoothed hashed word-unigram+bigram models —
     target = the English documents, raw = the whole corpus. The md5_60
     bucket hash makes the entire chain (grams → buckets → models →
-    per-doc score) exactly reproducible in the DuckDB oracle."""
+    per-doc score) exactly reproducible in the DuckDB oracle.
+
+    Float determinism: log-ratios of exact integer counts through the
+    identical ln()/division chain both sides — bit-exact
+    (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.pipeline.selection import dsir_weights
     docs = load_table(spark, sf, "documents")
     w = dsir_weights(docs, docs.where("lang = 'en'"), n_buckets=1000)
@@ -1360,7 +1396,12 @@ def q_t10_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     per-doc bits/char under the corpus character unigram model
     (Laplace-0.5) — the cheap CCNet-style LM-quality stand-in. The model
     is ≤ |alphabet| rows embedded as a literal map, so scoring is a
-    shuffle-free codegen projection."""
+    shuffle-free codegen projection.
+
+    Float determinism: bits/char sums the literal-map model in array
+    order on both sides — one fixed chain, bit-exact (oracle_check
+    --exact green).
+    """
     docs = load_table(spark, sf, "documents")
     return text.char_cross_entropy(docs).orderBy("doc_id")
 
@@ -1395,7 +1436,12 @@ def q_t9_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (pipeline/text.tfidf_topk):
     smoothed idf, deterministic (score desc, term asc) ranking; the
     corpus-size scalar is an aggregated 1-row cross join, never a driver
-    action. Scores value-checked to 4 decimals."""
+    action. Scores value-checked to 4 decimals.
+
+    Float determinism: tf·idf = int · ln((1+N)/(1+df))+1 — exact integer
+    inputs through one identical chain both sides — bit-exact
+    (oracle_check --exact green).
+    """
     out = text.tfidf_topk(load_table(spark, sf, "documents"), k=3)
     return (out.select("doc_id", "rank", "term", "tf",
                        F.col("df").alias("doc_freq"),
@@ -1446,7 +1492,11 @@ def q_sk1_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     user_ids in the event stream with row counts and exact corpus share —
     one count aggregation + TakeOrderedAndProject top-k (plan pinned in
     unit tests), total via 1-row agg cross join. Oracle: window-rank
-    restatement."""
+    restatement.
+
+    Float determinism: share = exact-int / exact-int one division both
+    sides — bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.skew import skew_report
     df = load_table(spark, sf, "events")
     return skew_report(df, "user_id", top_k=10).orderBy("rank")
@@ -1457,7 +1507,12 @@ def q_c9_data_card(spark: SparkSession, sf: str) -> DataFrame:
     whitespace-token volume, and exact R-7 length quantiles plus the
     corpus <all> rollup row — ONE rollup aggregation pass. Oracle:
     GROUP BY source UNION ALL the corpus totals, quantile_cont on the
-    same double-cast lengths."""
+    same double-cast lengths.
+
+    Float determinism: R-7 quantiles interpolate exact integer order
+    statistics with the identical formula as DuckDB quantile_cont —
+    bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark import stats
     docs = load_table(spark, sf, "documents")
     return stats.data_card(docs).orderBy("source")
@@ -1831,7 +1886,12 @@ def q_c5_drift(spark: SparkSession, sf: str) -> DataFrame:
     early-linenumber and late-linenumber quantity distributions, via the
     engine's ``drift_compare`` (JVM histogram reduce → Arrow pass). The
     oracle recomputes both statistics in SQL (full-outer bucket join,
-    eps-clamped PSI, windowed-cumsum KS)."""
+    eps-clamped PSI, windowed-cumsum KS).
+
+    Float determinism: all four statistics reduce exact integer bucket
+    counts in bucket order through identical chains (Arrow pass vs SQL
+    cumsum) — bit-exact (oracle_check --exact green).
+    """
     from fhir_data_validation_spark.plans import drift_compare
     li = load_table(spark, sf, "lineitem")
 
@@ -2332,7 +2392,12 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     stats store; ``profile()`` folds the partials with ZERO data IO. The
     merged exact fields must equal a one-shot full-table aggregation —
     the oracle computes exactly that. ``modes_ok`` pins that the folds
-    really were rebuild→delta→delta (not silent full scans)."""
+    really were rebuild→delta→delta (not silent full scans).
+
+    Float determinism: nc_mean = exactly-merged Σx / non-null count, the
+    oracle states the same sum/count division (round-5 fix) — bit-exact
+    (oracle_check --exact green).
+    """
     import shutil
     import tempfile
     from fhir_data_validation_spark import IncrementalProfiler
@@ -2377,7 +2442,12 @@ def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     ZERO data IO. The inversion is deterministic arithmetic over exact
     merged counts, so it must equal the oracle running the identical
     bucket/cumsum/interpolation chain on a full scan — value-exact, not
-    just within tolerance."""
+    just within tolerance.
+
+    Float determinism: histogram inversion over exact merged counts with
+    the identical interpolation chain — bit-exact (oracle_check --exact
+    green).
+    """
     import shutil
     import tempfile
     from fhir_data_validation_spark import IncrementalProfiler
@@ -4124,7 +4194,10 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x <> '')) AS n_tok
               FROM documents),
             f AS (
-              SELECT source, count(*) AS n,
+              -- count(n_tok), not count(*): the engine's n is the
+              -- NON-NULL count (F.count of the cast column), and the
+              -- sums skip NULLs on both sides (round-5 review)
+              SELECT source, count(n_tok) AS n,
                      CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE) AS s1,
                      CAST(sum(CAST(n_tok AS BIGINT)
                               * CAST(n_tok AS BIGINT)) AS DOUBLE) AS s2

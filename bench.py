@@ -206,8 +206,43 @@ def main():
         **tok,
         "cpus": cpus,
         **host_health(cpu_start),
+        "regressions": _regressions(queries),
     }
     print(json.dumps(result))
+
+
+def _regressions(queries: dict[str, float],
+                 threshold: float = 1.3, floor: float = 1.0) -> list[dict]:
+    """Soft per-query wall budget (round-4 verdict item 5): compare
+    against the newest BENCH_r*.json in the repo and flag queries that
+    are >30% slower AND above 1 s now — catches regressions like
+    round-3's ANN refit in-round instead of at judging. Fail-soft: the
+    bench still exits 0; the list rides the JSON (empty on a clean run)
+    and each entry also prints to stderr."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    baselines = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not baselines:
+        return []
+    try:
+        with open(baselines[-1]) as f:
+            prev = json.load(f)
+        # the driver wraps bench stdout as {"rc", "tail", "parsed": {...}}
+        prev = prev.get("parsed", prev).get("queries", {})
+    except (OSError, ValueError, AttributeError):
+        return []
+    out = []
+    for name, wall in queries.items():
+        base = prev.get(name)
+        if base and wall > floor and wall > threshold * base:
+            entry = {"query": name, "sec": wall, "prev_sec": base,
+                     "ratio": round(wall / base, 2),
+                     "baseline": os.path.basename(baselines[-1])}
+            out.append(entry)
+            print(f"BENCH REGRESSION {name}: {wall:.2f}s vs "
+                  f"{base:.2f}s in {entry['baseline']} "
+                  f"({entry['ratio']}x)", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -278,6 +278,21 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
     # the SAME function the dataset-plan compiler uses — the authoring
     # answer and the runtime emission cannot drift (round-4 review fix)
     codes = list(emitted_error_codes(rule))
+    # the structured severity must be what the COMPILED rule emits, not
+    # the parse default (round-5 review): an Enum's binding drives its
+    # violation severity, a skip-lane notice is capped required→warning/
+    # else→info, and a suppressed skip lane emits nothing at all
+    severity = rule.severity or "error"
+    if t == "Enum":
+        from .compiler import BINDING_SEVERITY
+        binding = rule.params.get("binding")
+        skip_lane = (not rule.params.get("values")
+                     and rule.params.get("valueSet"))
+        if skip_lane:
+            severity = (None if not codes
+                        else "warning" if binding == "required" else "info")
+        elif binding in BINDING_SEVERITY:
+            severity = BINDING_SEVERITY[binding]
     stage_num = RULE_STAGES.get(t, Stage.BUSINESS)
     stage_name = {v: k for k, v in vars(Stage).items()
                   if isinstance(v, int)}.get(stage_num, str(stage_num))
@@ -294,7 +309,7 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
             "(doc_id, rule_id, error_code); fix the data or adjust the "
             "rule's parameters."),
         "error_codes": codes,
-        "severity": rule.severity or "error",
+        "severity": severity,
         "stage": stage_name,
         "confidence": ("high" if custom
                        else _CONFIDENCE.get(t, "medium")),

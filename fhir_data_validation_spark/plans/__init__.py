@@ -1884,18 +1884,29 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
         except Exception:
             exact = False
     if method == "zscore" and exact:
-        # decimal(18,0) value → Σx decimal(28,0), Σx² decimal(38,0):
-        # exact and order-free; the double chain below is then
-        # bit-identical regardless of partitioning or engine
-        x = F.col(column).cast("decimal(18,0)")
-        aggs = [F.sum(x).alias("_s1"), F.sum(x * x).alias("_s2"),
-                F.count(c).alias("n")]
+        # decimal(19,0) holds ANY bigint (max ~9.2e18, 19 digits) and
+        # its square fits decimal(38,0) (max ~8.5e37), so the casts can
+        # never overflow; the SUMS still can on extreme data (~1e8 rows
+        # of ~1e15 values), so they are try_sum — NULL on overflow
+        # instead of an ANSI crash — and each group falls back to the
+        # avg/stddev moments computed IN THE SAME single aggregation.
+        # Exact groups stay bit-identical; overflowing groups degrade to
+        # the engine-deterministic (not cross-engine) fences rather than
+        # failing the run or silently dropping rows (round-5 review).
+        x = F.col(column).cast("decimal(19,0)")
+        aggs = [F.try_sum(x).alias("_s1"), F.try_sum(x * x).alias("_s2"),
+                F.count(c).alias("n"),
+                F.avg(c).alias("_mu_f"), F.stddev(c).alias("_sd_f")]
         nd = F.col("n").cast("double")
         s1 = F.col("_s1").cast("double")
         s2 = F.col("_s2").cast("double")
-        mu = s1 / nd
-        sd = F.when(F.col("n") >= 2, F.sqrt(F.greatest(
-            (s2 - s1 * s1 / nd) / (nd - F.lit(1.0)), F.lit(0.0))))
+        exact_ok = F.col("_s1").isNotNull() & F.col("_s2").isNotNull()
+        mu = F.when(exact_ok, s1 / nd).otherwise(F.col("_mu_f"))
+        sd = F.when(
+            F.col("n") >= 2,
+            F.when(exact_ok, F.sqrt(F.greatest(
+                (s2 - s1 * s1 / nd) / (nd - F.lit(1.0)), F.lit(0.0))))
+             .otherwise(F.col("_sd_f")))
         lo = mu - F.lit(kk) * sd
         hi = mu + F.lit(kk) * sd
     elif method == "zscore":

@@ -460,6 +460,50 @@ def test_outlier_zscore_fences_bit_identical_across_partitionings(spark):
     assert abs(fb["hi"] - (mu + 0.25 + 1.5 * sd)) < 1e-6
 
 
+def test_outlier_zscore_exact_path_survives_huge_values_and_nulls(spark):
+    """round-5 review regressions: (a) epoch-nanosecond-scale bigints
+    must not crash the exact decimal path under ANSI (try_sum degrades
+    the group to the avg/stddev moments computed in the same pass);
+    (b) NULL values are excluded from n AND the sums — fences with NULLs
+    present equal the closed-form over the non-null values only."""
+    import math
+
+    from fhir_data_validation_spark.plans import outlier_bounds
+    # (a) values around 1.7e18: x*x ≈ 2.9e36 per row — the per-row cast
+    # and square fit, and with few rows the sums fit too (exact path);
+    # scale a second group to force Σx² overflow → per-group fallback
+    big = [("b%d" % i, 1_700_000_000_000_000_000 + i, "big")
+           for i in range(50)]
+    over = [("o%d" % i, 9_000_000_000_000_000_000, "over")
+            for i in range(200)]
+    df = spark.createDataFrame(big + over,
+                               "doc_id string, v long, source string")
+    rows = {r["group"]: r for r in outlier_bounds(
+        df, "v", method="zscore", k=3.0, group_col="source").collect()}
+    assert rows["big"]["n"] == 50 and rows["big"]["lo"] is not None
+    assert math.isfinite(rows["big"]["lo"])
+    # the overflow group degrades (stddev of a constant = 0) not crashes
+    assert rows["over"]["n"] == 200
+    assert rows["over"]["hi"] is not None
+    # (b) NULLs excluded from n and sums, fences = closed form over
+    # non-null values; still bit-identical across partitionings
+    vals = [(i * 13) % 101 for i in range(400)]
+    rows2 = ([("d%d" % i, v, "web") for i, v in enumerate(vals)]
+             + [("n%d" % i, None, "web") for i in range(37)])
+    dfn = spark.createDataFrame(rows2, "doc_id string, v int, source string")
+    got = {}
+    for parts in (1, 11):
+        f = outlier_bounds(dfn.repartition(parts), "v",
+                           method="zscore", k=2.0).collect()[0]
+        got[parts] = (f["n"], f["lo"], f["hi"])
+    assert got[1] == got[11]
+    n = float(len(vals))
+    s1, s2 = float(sum(vals)), float(sum(v * v for v in vals))
+    mu = s1 / n
+    sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+    assert got[1] == (len(vals), mu - 2.0 * sd, mu + 2.0 * sd)
+
+
 def test_outlier_compile_rejections(spark):
     from fhir_data_validation_spark import RuleConfigurationError
     from fhir_data_validation_spark.model import RuleSet

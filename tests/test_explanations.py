@@ -149,6 +149,33 @@ def test_unknown_rule_type_raises_configuration_error():
         explain_rule(rule)
 
 
+def test_explain_severity_matches_compiled_emission():
+    """round-5 review regressions: the structured severity field reports
+    what the COMPILED rule emits — binding-driven severity for enum
+    violations, the capped notice severity for skip lanes, and None for
+    a suppressed skip lane that emits nothing."""
+    base = {"id": "E", "type": "Enum", "column": "status"}
+    # values + binding: binding severity applies to INVALID_ENUM_VALUE
+    exp = explain_rule(RuleDefinition.parse(
+        {**base, "params": {"values": ["a"], "binding": "extensible"}}))
+    assert exp["severity"] == "warning"
+    # skip lane, required binding: capped at warning
+    exp = explain_rule(RuleDefinition.parse(
+        {**base, "params": {"valueSet": "http://vs",
+                            "binding": "required"}}))
+    assert exp["severity"] == "warning"
+    assert exp["error_codes"] == ["ENUM_VALIDATION_SKIPPED"]
+    # skip lane, preferred binding: info
+    exp = explain_rule(RuleDefinition.parse(
+        {**base, "params": {"valueSet": "http://vs",
+                            "binding": "preferred"}}))
+    assert exp["severity"] == "info"
+    # suppressed skip lane: nothing is emitted
+    exp = explain_rule(RuleDefinition.parse(
+        {**base, "params": {"valueSet": "http://vs"}}))
+    assert exp["error_codes"] == [] and exp["severity"] is None
+
+
 def test_confidence_tiers_match_reference():
     """Reference tiers (:155-360): spec-deterministic = high, regex/code
     system = medium, custom condition = low."""

@@ -104,7 +104,10 @@ def test_notices_respect_guardrails(spark):
     eng = ValidationEngine(
         RuleSet(rules=(RuleDefinition.parse(
             {"id": "E-VS", "type": "Enum", "column": "status",
-             "params": {"valueSet": "http://vs"}}),)),
+             # round 5: a binding is required for the notice to exist at
+             # all (missing/'example' bindings suppress it entirely)
+             "params": {"valueSet": "http://vs",
+                        "binding": "required"}}),)),
         config=EngineConfig(key_col="doc_id", group_col="source"))
     plan = eng.compile(df)
     assert len(plan.notices) == 1
