@@ -4196,18 +4196,23 @@ def oracle_sql() -> dict[str, str]:
             f AS (
               -- count(n_tok), not count(*): the engine's n is the
               -- NON-NULL count (F.count of the cast column), and the
-              -- sums skip NULLs on both sides (round-5 review)
+              -- sums skip NULLs on both sides (round-5 review). Sums
+              -- stay in exact integer arithmetic (hugeint here, decimal
+              -- in the engine) and the variance numerator n*s2 - s1*s1
+              -- is computed exactly BEFORE the one cast to double — no
+              -- catastrophic cancellation, identical chain both engines
               SELECT source, count(n_tok) AS n,
-                     CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE) AS s1,
-                     CAST(sum(CAST(n_tok AS BIGINT)
-                              * CAST(n_tok AS BIGINT)) AS DOUBLE) AS s2
+                     sum(CAST(n_tok AS BIGINT)) AS s1,
+                     sum(CAST(n_tok AS BIGINT)
+                         * CAST(n_tok AS BIGINT)) AS s2
               FROM w GROUP BY source),
             g AS (
               SELECT source, n,
-                     s1 / CAST(n AS DOUBLE) AS mu,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
                      CASE WHEN n >= 2 THEN
-                       sqrt(greatest((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                                       / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)))
                      END AS sd
               FROM f),
             b AS (

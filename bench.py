@@ -206,19 +206,24 @@ def main():
         **tok,
         "cpus": cpus,
         **host_health(cpu_start),
-        "regressions": _regressions(queries),
+        "regressions": _regressions(
+            queries, sf=sf_dir.rstrip("/").rsplit("sf", 1)[-1], cpus=cpus),
     }
     print(json.dumps(result))
 
 
-def _regressions(queries: dict[str, float],
+def _regressions(queries: dict[str, float], sf: str | None = None,
+                 cpus: int | None = None,
                  threshold: float = 1.3, floor: float = 1.0) -> list[dict]:
     """Soft per-query wall budget (round-4 verdict item 5): compare
     against the newest BENCH_r*.json in the repo and flag queries that
     are >30% slower AND above 1 s now — catches regressions like
     round-3's ANN refit in-round instead of at judging. Fail-soft: the
     bench still exits 0; the list rides the JSON (empty on a clean run)
-    and each entry also prints to stderr."""
+    and each entry also prints to stderr. A baseline from a DIFFERENT
+    run configuration (sf or cpus mismatch, or a non-zero driver rc) is
+    skipped — comparing sf0.1 walls against an sf1 run would flag the
+    whole registry (round-5 review batch 2)."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     baselines = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
@@ -226,9 +231,16 @@ def _regressions(queries: dict[str, float],
         return []
     try:
         with open(baselines[-1]) as f:
-            prev = json.load(f)
+            wrapper = json.load(f)
         # the driver wraps bench stdout as {"rc", "tail", "parsed": {...}}
-        prev = prev.get("parsed", prev).get("queries", {})
+        if wrapper.get("rc", 0) != 0:
+            return []
+        parsed = wrapper.get("parsed", wrapper)
+        if sf is not None and str(parsed.get("sf")) != str(sf):
+            return []
+        if cpus is not None and parsed.get("cpus") not in (None, cpus):
+            return []
+        prev = parsed.get("queries", {})
     except (OSError, ValueError, AttributeError):
         return []
     out = []

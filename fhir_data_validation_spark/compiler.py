@@ -591,15 +591,21 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # skip-notice severity is CAPPED below the binding's own:
             # required→warning, everything else→info (:379) — a skipped
             # enum never fails a run; the binding-derived severity
-            # applies only to actual INVALID_ENUM_VALUE rows. An
-            # explicit governance override still wins (with provenance).
+            # applies only to actual INVALID_ENUM_VALUE rows. A
+            # governance override may LOWER the notice further (with
+            # downgrade provenance) but never raise it past the cap —
+            # the reference's override model is downgrade-only
+            # (Models/RuleSet.cs:93-100), and an 'error' override would
+            # silently break the never-fails-a-run invariant while
+            # mislabeling the upgrade as downgradedFrom (round-5 review)
             capped = (Severity.WARNING if declared == "required"
                       else Severity.INFO)
             notice_sev, notice_downgraded = capped, None
             if rule.id in overrides:
-                notice_sev = overrides[rule.id]
-                if notice_sev != capped:
-                    notice_downgraded = capped
+                rank = {s: i for i, s in enumerate(Severity.ALL)}
+                override = overrides[rule.id]
+                if rank[override] > rank[capped]:   # strictly lower tier
+                    notice_sev, notice_downgraded = override, capped
             plan.notices.append(
                 _enum_skip_notice(rule, declared, notice_sev,
                                   notice_downgraded))

@@ -285,13 +285,22 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
     severity = rule.severity or "error"
     if t == "Enum":
         from .compiler import BINDING_SEVERITY
+        from .errors import ErrorCode, RuleConfigurationError
         binding = rule.params.get("binding")
+        if binding is not None and binding not in BINDING_SEVERITY:
+            # the compiler rejects this rule before anything is emitted
+            # (_apply_enum_binding) — the authoring surface must say the
+            # same, not describe an emission for a typo'd binding
+            # (round-5 review batch 2)
+            raise RuleConfigurationError(
+                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"binding {binding!r} not in {sorted(BINDING_SEVERITY)}")
         skip_lane = (not rule.params.get("values")
                      and rule.params.get("valueSet"))
         if skip_lane:
             severity = (None if not codes
                         else "warning" if binding == "required" else "info")
-        elif binding in BINDING_SEVERITY:
+        elif binding is not None:
             severity = BINDING_SEVERITY[binding]
     stage_num = RULE_STAGES.get(t, Stage.BUSINESS)
     stage_name = {v: k for k, v in vars(Stage).items()

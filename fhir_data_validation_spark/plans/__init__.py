@@ -1859,9 +1859,11 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
     exact order-free reductions — ``(n, Σx, Σx²)`` in DECIMAL — through
     a fixed chain of IEEE double ops (each correctly rounded on
     identical inputs), so lo/hi are bit-identical across partitionings
-    AND across engines (an oracle stating the same chain — e.g. DuckDB
-    ``sqrt(greatest((s2 − s1·s1/n)/(n−1), 0))`` — reproduces them to
-    the last ulp). Floating-point columns cannot sum exactly, so they
+    AND across engines (an oracle stating the same chain — DuckDB
+    ``sqrt(CAST(n·s2 − s1·s1 AS DOUBLE) / (n·(n−1)))`` over hugeint
+    sums — reproduces them to the last ulp; the variance numerator
+    stays in exact integer arithmetic, so there is no catastrophic
+    cancellation either). Floating-point columns cannot sum exactly, so they
     keep ``avg``/``stddev``, whose partial-moment merge order makes the
     last ulp plan- and engine-dependent: deterministic within one plan,
     NOT cross-engine reproducible."""
@@ -1898,14 +1900,25 @@ def outlier_bounds(df: DataFrame, column: str, method: str = "zscore",
                 F.count(c).alias("n"),
                 F.avg(c).alias("_mu_f"), F.stddev(c).alias("_sd_f")]
         nd = F.col("n").cast("double")
-        s1 = F.col("_s1").cast("double")
-        s2 = F.col("_s2").cast("double")
-        exact_ok = F.col("_s1").isNotNull() & F.col("_s2").isNotNull()
-        mu = F.when(exact_ok, s1 / nd).otherwise(F.col("_mu_f"))
+        s1, s2 = F.col("_s1"), F.col("_s2")
+        # variance NUMERATOR n·Σx² − (Σx)² entirely in decimal — exact
+        # integer arithmetic, so no catastrophic cancellation for
+        # large-magnitude values (the double form s2 − s1²/n loses ALL
+        # significant digits for e.g. epoch-nanosecond columns, round-5
+        # review batch 2); the single cast of the exact numerator to
+        # double is correctly rounded, keeping bit-exactness. try_* ops
+        # turn any decimal(38) overflow into NULL → that group falls
+        # back to the stable central-moment stddev from the same pass.
+        num = F.try_subtract(
+            F.try_multiply(F.col("n").cast("decimal(38,0)"), s2),
+            F.try_multiply(s1, s1))
+        exact_ok = num.isNotNull()
+        mu = F.when(exact_ok, s1.cast("double") / nd) \
+             .otherwise(F.col("_mu_f"))
         sd = F.when(
             F.col("n") >= 2,
-            F.when(exact_ok, F.sqrt(F.greatest(
-                (s2 - s1 * s1 / nd) / (nd - F.lit(1.0)), F.lit(0.0))))
+            F.when(exact_ok, F.sqrt(
+                num.cast("double") / (nd * (nd - F.lit(1.0)))))
              .otherwise(F.col("_sd_f")))
         lo = mu - F.lit(kk) * sd
         hi = mu + F.lit(kk) * sd

@@ -446,11 +446,13 @@ def test_outlier_zscore_fences_bit_identical_across_partitionings(spark):
         fences[parts] = (f["lo"], f["hi"])
     assert fences[1] == fences[7] == fences[32]
     xs = [r[1] for r in rows]
-    n = float(len(xs))
-    s1 = float(sum(xs))
-    s2 = float(sum(x * x for x in xs))
+    ni = len(xs)
+    s1i, s2i = sum(xs), sum(x * x for x in xs)
+    n, s1 = float(ni), float(s1i)
     mu = s1 / n
-    sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+    # exact integer variance numerator, ONE cast to double — the chain
+    # the engine and the oracles state
+    sd = math.sqrt(float(ni * s2i - s1i * s1i) / (n * (n - 1.0)))
     assert fences[1] == (mu - 1.5 * sd, mu + 1.5 * sd)
     # floating-point columns keep the documented avg/stddev fallback:
     # same fences within double noise, no exact-path decimal cast
@@ -469,10 +471,13 @@ def test_outlier_zscore_exact_path_survives_huge_values_and_nulls(spark):
     import math
 
     from fhir_data_validation_spark.plans import outlier_bounds
-    # (a) values around 1.7e18: x*x ≈ 2.9e36 per row — the per-row cast
-    # and square fit, and with few rows the sums fit too (exact path);
-    # scale a second group to force Σx² overflow → per-group fallback
-    big = [("b%d" % i, 1_700_000_000_000_000_000 + i, "big")
+    # (a) epoch-nanosecond-scale values (1.7e18) spread by i·1e12:
+    # Σx² needs ~39 digits → try_sum NULLs → the group falls back to
+    # the STABLE central-moment stddev computed in the same pass (the
+    # old double textbook formula could cancel catastrophically —
+    # review batch 2); fences must reflect the true ~14.58e12 spread,
+    # not 0, not garbage, and never an ANSI overflow crash
+    big = [("b%d" % i, 1_700_000_000_000_000_000 + i * 10 ** 12, "big")
            for i in range(50)]
     over = [("o%d" % i, 9_000_000_000_000_000_000, "over")
             for i in range(200)]
@@ -482,6 +487,10 @@ def test_outlier_zscore_exact_path_survives_huge_values_and_nulls(spark):
         df, "v", method="zscore", k=3.0, group_col="source").collect()}
     assert rows["big"]["n"] == 50 and rows["big"]["lo"] is not None
     assert math.isfinite(rows["big"]["lo"])
+    true_sd = 1e12 * math.sqrt(
+        sum((i - 24.5) ** 2 for i in range(50)) / 49.0)
+    width = rows["big"]["hi"] - rows["big"]["lo"]
+    assert abs(width - 6.0 * true_sd) / (6.0 * true_sd) < 1e-3, width
     # the overflow group degrades (stddev of a constant = 0) not crashes
     assert rows["over"]["n"] == 200
     assert rows["over"]["hi"] is not None
@@ -497,10 +506,11 @@ def test_outlier_zscore_exact_path_survives_huge_values_and_nulls(spark):
                            method="zscore", k=2.0).collect()[0]
         got[parts] = (f["n"], f["lo"], f["hi"])
     assert got[1] == got[11]
-    n = float(len(vals))
-    s1, s2 = float(sum(vals)), float(sum(v * v for v in vals))
-    mu = s1 / n
-    sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+    ni, s1i = len(vals), sum(vals)
+    s2i = sum(v * v for v in vals)
+    n = float(ni)
+    mu = float(s1i) / n
+    sd = math.sqrt(float(ni * s2i - s1i * s1i) / (n * (n - 1.0)))
     assert got[1] == (len(vals), mu - 2.0 * sd, mu + 2.0 * sd)
 
 

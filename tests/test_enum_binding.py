@@ -142,6 +142,27 @@ def test_skip_notice_honors_severity_overrides(spark):
         ).validate(_df(spark))
 
 
+def test_skip_notice_override_cannot_raise_past_cap(spark):
+    """round-5 review regressions (batch 2): an 'error' override on a
+    skip notice would break the never-fails-a-run invariant and record
+    an upgrade as downgradedFrom — overrides are downgrade-only on the
+    notice, so the cap wins and no provenance is recorded."""
+    rule = RuleDefinition.parse(
+        {"id": "E-VS", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs", "binding": "required"}})
+    res = ValidationEngine(
+        RuleSet(rules=(rule,)),
+        config=EngineConfig(key_col="doc_id", group_col="source",
+                            severity_overrides=(("E-VS", "error"),))
+    ).validate(_df(spark))
+    rows = res.violations.collect()
+    assert res.passed()
+    res.unpersist()
+    assert len(rows) == 1
+    assert rows[0]["severity"] == "warning"          # capped, not raised
+    assert "downgradedFrom" not in (rows[0]["detail"] or {})
+
+
 def test_skip_lane_column_preflight(spark):
     """round-4 review regressions: a typo'd column on a skip-lane rule
     must fail compile like every other rule (total pre-flight) — even

@@ -174,6 +174,14 @@ def test_explain_severity_matches_compiled_emission():
     exp = explain_rule(RuleDefinition.parse(
         {**base, "params": {"valueSet": "http://vs"}}))
     assert exp["error_codes"] == [] and exp["severity"] is None
+    # a typo'd binding raises exactly like the compiler would — the
+    # authoring surface never describes an emission for an
+    # uncompilable rule (round-5 review batch 2)
+    from fhir_data_validation_spark import RuleConfigurationError
+    with pytest.raises(RuleConfigurationError):
+        explain_rule(RuleDefinition.parse(
+            {**base, "params": {"valueSet": "http://vs",
+                                "binding": "requird"}}))
 
 
 def test_confidence_tiers_match_reference():
