@@ -583,7 +583,8 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # compiled rule — a typo'd column must still fail compile.
             _field_type(schema, rule.require_column(), rule)
             declared = rule.params.get("binding")
-            if declared is None or declared == "example":
+            capped = notice_cap(declared)
+            if capped is None:
                 # the reference emits NO notice when no binding is
                 # declared or the binding is 'example'
                 # (JsonNodeStructuralValidator.cs:366-369)
@@ -598,8 +599,6 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # (Models/RuleSet.cs:93-100), and an 'error' override would
             # silently break the never-fails-a-run invariant while
             # mislabeling the upgrade as downgradedFrom (round-5 review)
-            capped = (Severity.WARNING if declared == "required"
-                      else Severity.INFO)
             notice_sev, notice_downgraded = capped, None
             if rule.id in overrides:
                 rank = {s: i for i, s in enumerate(Severity.ALL)}
@@ -663,6 +662,19 @@ BINDING_SEVERITY = {
     "preferred": Severity.INFO,
     "example": Severity.INFO,
 }
+
+
+def notice_cap(binding: str | None) -> str | None:
+    """Severity of the ENUM_VALIDATION_SKIPPED notice for a declared
+    binding — the SINGLE source of truth for the reference's cap
+    (JsonNodeStructuralValidator.cs:366-379): ``None`` means the notice
+    is suppressed entirely (missing or 'example' binding); otherwise
+    required→warning, everything else→info. Compile, explain_rule and
+    governance review all consult this function (round-5 review batch 3:
+    the rule was hand-duplicated in four call sites)."""
+    if binding is None or binding == "example":
+        return None
+    return Severity.WARNING if binding == "required" else Severity.INFO
 
 
 def _apply_enum_binding(rule: RuleDefinition) -> RuleDefinition:

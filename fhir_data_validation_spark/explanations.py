@@ -102,8 +102,10 @@ def _checks(rule: RuleDefinition) -> list[str]:
         out.append(f"`{col}` must equal {p.get('value')!r}")
     elif t in ("AllowedValues", "Enum"):
         if t == "Enum" and not p.get("values") and p.get("valueSet"):
+            from .compiler import notice_cap
             b = p.get("binding")
-            if b is None or b == "example":
+            cap = notice_cap(b)
+            if cap is None:
                 out.append(f"valueSet {p['valueSet']!r} is not resolvable "
                            f"to values and the binding is "
                            f"{'missing' if b is None else 'example'} — "
@@ -113,8 +115,7 @@ def _checks(rule: RuleDefinition) -> list[str]:
                 out.append(f"valueSet {p['valueSet']!r} is not resolvable "
                            f"to values — the run emits one "
                            f"ENUM_VALIDATION_SKIPPED notice (severity "
-                           f"capped at "
-                           f"{'warning' if b == 'required' else 'info'}) "
+                           f"capped at {cap}) "
                            f"instead of enforcing the binding")
         else:
             out.append(f"`{col}` must be one of: "
@@ -298,8 +299,8 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
         skip_lane = (not rule.params.get("values")
                      and rule.params.get("valueSet"))
         if skip_lane:
-            severity = (None if not codes
-                        else "warning" if binding == "required" else "info")
+            from .compiler import notice_cap
+            severity = notice_cap(binding)    # None = nothing emitted
         elif binding is not None:
             severity = BINDING_SEVERITY[binding]
     stage_num = RULE_STAGES.get(t, Stage.BUSINESS)

@@ -249,21 +249,19 @@ def review_rule(rule: RuleDefinition,
             # Phase B.2: a declared-but-unresolved valueSet compiles to a
             # single ENUM_VALIDATION_SKIPPED notice — legal, but the
             # author should know the enum is NOT being enforced
-            b = rule.params.get("binding")
-            suppressed = b is None or b == "example"
+            from .compiler import notice_cap
+            cap = notice_cap(rule.params.get("binding"))
             issues.append(ReviewIssue(
                 "ENUM_VALUESET_UNRESOLVED", WARNING, rule.id,
                 {"valueSet": rule.params["valueSet"],
                  "reason": ("no values[] for this valueSet — the run "
                             "emits NOTHING for this rule (skip notices "
                             "are suppressed for missing/'example' "
-                            "bindings)" if suppressed else
+                            "bindings)" if cap is None else
                             "no values[] for this valueSet — the run "
                             "will emit one ENUM_VALIDATION_SKIPPED "
-                            "notice (capped at "
-                            + ("warning" if b == "required" else "info")
-                            + " severity) instead of enforcing the "
-                            "binding")}))
+                            "notice (capped at " + cap + " severity) "
+                            "instead of enforcing the binding")}))
         elif not values:
             issues.append(ReviewIssue(
                 "ALLOWED_VALUES_EMPTY", BLOCKED, rule.id,

@@ -55,6 +55,12 @@ _PARTIAL_SCHEMA = T.StructType([
     T.StructField("max_num", T.DoubleType(), True),
     T.StructField("sum_num", T.DoubleType(), True),
     T.StructField("sum_sq", T.DoubleType(), True),
+    # exact decimal Σx for INTEGRAL columns (and array lengths): double
+    # partial sums stop being exact past 2^53 and their fold order then
+    # perturbs the mean's last ulp (round-5 review batch 3) — the
+    # decimal lane keeps profile()'s mean bit-exact at any scale; NULL
+    # for floating-point columns (inexact by nature) and on overflow
+    T.StructField("sum_dec", T.DecimalType(38, 0), True),
     T.StructField("min_str", T.StringType(), True),
     T.StructField("max_str", T.StringType(), True),
     T.StructField("hll", T.BinaryType(), True),
@@ -136,7 +142,13 @@ class IncrementalProfiler:
 
     def _store(self) -> PyIcebergTable:
         if PyIcebergTable.exists(self.spark, self.store_location):
-            return PyIcebergTable(self.spark, self.store_location)
+            store = PyIcebergTable(self.spark, self.store_location)
+            # stores written before the exact-sum lane existed evolve
+            # in place (metadata-only; old partials read sum_dec=NULL →
+            # profile() falls back to the double sum for them)
+            if "sum_dec" not in store.schema().fieldNames():
+                store.add_column("sum_dec", T.DecimalType(38, 0))
+            return store
         return PyIcebergTable.create(self.spark, self.store_location,
                                      _PARTIAL_SCHEMA)
 
@@ -168,7 +180,14 @@ class IncrementalProfiler:
             # tokens) — stats.profile convention
             val = F.size(col) if isinstance(dtype, ArrayType) else col
             numeric = isinstance(dtype, (NumericType, ArrayType))
+            from pyspark.sql.types import IntegralType
+            integral = isinstance(dtype, (IntegralType, ArrayType))
             d = val.cast("double") if numeric else F.lit(None).cast("double")
+            # exact decimal sum lane for integral values — order-free,
+            # stays exact where double partials would drift past 2^53
+            dec = (F.try_sum(val.cast("decimal(19,0)"))
+                    .cast("decimal(38,0)") if integral
+                   else F.first(F.lit(None).cast("decimal(38,0)")))
             s = val.cast("string") if not numeric \
                 else F.lit(None).cast("string")
             aggs += [
@@ -176,6 +195,7 @@ class IncrementalProfiler:
                 F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}"),
                 F.sum(d).alias(f"_sum_{c}"),
                 F.sum(d * d).alias(f"_sq_{c}"),
+                dec.alias(f"_sd_{c}"),
                 F.min(s).alias(f"_slo_{c}"), F.max(s).alias(f"_shi_{c}"),
                 F.hll_sketch_agg(val.cast("string"),
                                  self.lg_k).alias(f"_hll_{c}"),
@@ -187,6 +207,7 @@ class IncrementalProfiler:
                 F.col(f"_hi_{c}").alias("max_num"),
                 F.col(f"_sum_{c}").alias("sum_num"),
                 F.col(f"_sq_{c}").alias("sum_sq"),
+                F.col(f"_sd_{c}").alias("sum_dec"),
                 F.col(f"_slo_{c}").alias("min_str"),
                 F.col(f"_shi_{c}").alias("max_str"),
                 F.col(f"_hll_{c}").alias("hll"),
@@ -242,6 +263,7 @@ class IncrementalProfiler:
                 F.lit(None).cast("long").alias("n_nulls"),
                 null_d.alias("min_num"), null_d.alias("max_num"),
                 null_d.alias("sum_num"), null_d.alias("sum_sq"),
+                F.lit(None).cast("decimal(38,0)").alias("sum_dec"),
                 value.alias("min_str"),
                 F.lit(None).cast("string").alias("max_str"),
                 F.lit(None).cast("binary").alias("hll"),
@@ -296,6 +318,7 @@ class IncrementalProfiler:
             F.lit(None).cast("long").alias("n_nulls"),
             null_d.alias("min_num"), null_d.alias("max_num"),
             null_d.alias("sum_num"), null_d.alias("sum_sq"),
+            F.lit(None).cast("decimal(38,0)").alias("sum_dec"),
             F.lit(None).cast("string").alias("min_str"),
             F.lit(None).cast("string").alias("max_str"),
             F.lit(None).cast("binary").alias("hll"),
@@ -465,20 +488,33 @@ class IncrementalProfiler:
             F.min("min_num").alias("min_num"),
             F.max("max_num").alias("max_num"),
             F.sum("sum_num").alias("_sum"),
+            # exact decimal fold: order-free, bit-exact at any scale for
+            # integral columns; NULL (→ double fallback) for float
+            # columns, pre-evolution partials, or decimal overflow.
+            # count() distinguishes "no decimal lane" from "lane present
+            # but try_sum overflowed": a NULL from overflow must NOT
+            # silently fall back to the drifted double sum
+            F.try_sum("sum_dec").alias("_sum_dec"),
+            F.count("sum_dec").alias("_n_dec"),
+            F.count("sum_num").alias("_n_dbl"),
             F.min("min_str").alias("min_str"),
             F.max("max_str").alias("max_str"),
         ]
         if with_distinct:
             aggs.append(F.hll_sketch_estimate(F.hll_union_agg("hll"))
                         .alias("n_distinct"))
+        exact_ok = (F.col("_sum_dec").isNotNull()
+                    & (F.col("_n_dec") == F.col("_n_dbl")))
         out = (p.groupBy("group", "column").agg(*aggs)
                .withColumn("null_rate",
                            F.col("n_nulls") / F.col("n_rows"))
                .withColumn("mean",
-                           F.col("_sum")
+                           F.when(exact_ok,
+                                  F.col("_sum_dec").cast("double"))
+                           .otherwise(F.col("_sum"))
                            / F.nullif(F.col("n_rows") - F.col("n_nulls"),
                                       F.lit(0)))
-               .drop("_sum"))
+               .drop("_sum", "_sum_dec", "_n_dec", "_n_dbl"))
         cols = ["group", "column", "n_rows", "n_nulls", "null_rate",
                 "min_num", "max_num", "mean", "min_str", "max_str"]
         if with_distinct:

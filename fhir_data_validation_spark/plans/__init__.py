@@ -80,10 +80,10 @@ def emitted_error_codes(rule: RuleDefinition) -> tuple[str, ...]:
     if (t == "Enum" and not rule.params.get("values")
             and rule.params.get("valueSet")):
         # Phase B.2: unresolvable valueSet compiles to the skip notice —
-        # unless the binding is missing or 'example', where the
-        # reference emits NOTHING (JsonNodeStructuralValidator.cs:366-369)
-        binding = rule.params.get("binding")
-        codes = (() if binding is None or binding == "example"
+        # unless notice_cap says it is suppressed (missing/'example'
+        # binding, JsonNodeStructuralValidator.cs:366-369)
+        from ..compiler import notice_cap
+        codes = (() if notice_cap(rule.params.get("binding")) is None
                  else (ErrorCode.ENUM_VALIDATION_SKIPPED,))
     elif t == "Reference" and rule.params.get("expectedTypes"):
         codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)

@@ -277,3 +277,26 @@ def test_merged_quantiles_from_histogram_partials(spark, tmp_path):
         prof.merged_quantiles("v", (1.5,))
     with pytest.raises(ValueError, match="no histogram"):
         prof.merged_quantiles("doc_id")
+
+
+def test_profile_mean_exact_beyond_double_precision(spark, tmp_path):
+    """round-5 review regressions (batch 3): per-delta sums ride an
+    exact DECIMAL lane for integral columns, so profile()'s mean stays
+    bit-exact even when the running sum exceeds 2^53 — double partials
+    drift with fold order there, breaking the c10 cross-engine contract
+    (oracle: CAST(sum AS BIGINT→DOUBLE)/count)."""
+    vals = [9_100_000_000_000_001 + 7 * i for i in range(99)]
+    rows = [("d%d" % i, v, None, "web") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    t = PyIcebergTable.create(spark, str(tmp_path / "t_big"), SCHEMA)
+    prof = IncrementalProfiler(t, ["v"], str(tmp_path / "s_big"),
+                               group_col="src")
+    for k in range(3):
+        t.append(df.where(
+            F.col("doc_id").substr(2, 10).cast("int") % 3 == k).coalesce(2))
+        prof.update()
+    got = {r["column"]: r
+           for r in prof.profile(with_distinct=False).collect()}
+    exact = float(sum(vals)) / len(vals)   # correctly-rounded double of
+    assert got["v"]["mean"] == exact       # the EXACT integer sum
+    assert got["v"]["n_rows"] == 99

@@ -38,7 +38,10 @@ def normalize(rows, cols):
             if isinstance(v, float) and not EXACT:
                 v = round(v, 4)
             elif isinstance(v, float):
-                v = repr(v)
+                # repr of the PLAIN float: numpy>=2 reprs np.float64
+                # as 'np.float64(0.1)', which would spuriously fail
+                # every exact comparison (round-5 review batch 3)
+                v = repr(float(v))
             if isinstance(v, bool):
                 v = bool(v)
             vals.append((c, str(v)))
