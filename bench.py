@@ -197,17 +197,17 @@ def main():
     queries = time_queries(spark, sf_dir)
     tok = token_throughput(spark, n_tokens)
     total = round(sum(queries.values()) + tok["token_wall_sec"], 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "validated sequences/sec (full rule-set) + operator suite sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
         **tok,
         "cpus": cpus,
         **host_health(cpu_start),
-        "regressions": _regressions(
-            queries, sf=sf_dir.rstrip("/").rsplit("sf", 1)[-1], cpus=cpus),
+        "regressions": _regressions(queries, sf=sf, cpus=cpus),
     }
     print(json.dumps(result))
 
@@ -220,39 +220,48 @@ def _regressions(queries: dict[str, float], sf: str | None = None,
     are >30% slower AND above 1 s now — catches regressions like
     round-3's ANN refit in-round instead of at judging. Fail-soft: the
     bench still exits 0; the list rides the JSON (empty on a clean run)
-    and each entry also prints to stderr. A baseline from a DIFFERENT
-    run configuration (sf or cpus mismatch, or a non-zero driver rc) is
-    skipped — comparing sf0.1 walls against an sf1 run would flag the
-    whole registry (round-5 review batch 2)."""
+    and each entry also prints to stderr. Baselines are walked
+    NEWEST-FIRST BY ROUND NUMBER (numeric — lexicographic would
+    misorder r100 vs r20) and the first one whose run configuration
+    matches (same sf and cpus, driver rc == 0) is used — a newest
+    baseline from a different sf / a failed round must not disable
+    detection while a valid older baseline sits next to it (round-5
+    review batches 2+4)."""
     import glob
+    import re
     here = os.path.dirname(os.path.abspath(__file__))
-    baselines = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not baselines:
-        return []
-    try:
-        with open(baselines[-1]) as f:
-            wrapper = json.load(f)
-        # the driver wraps bench stdout as {"rc", "tail", "parsed": {...}}
-        if wrapper.get("rc", 0) != 0:
-            return []
-        parsed = wrapper.get("parsed", wrapper)
-        if sf is not None and str(parsed.get("sf")) != str(sf):
-            return []
-        if cpus is not None and parsed.get("cpus") not in (None, cpus):
-            return []
-        prev = parsed.get("queries", {})
-    except (OSError, ValueError, AttributeError):
+    baselines = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True)
+    prev, used = None, None
+    for path in baselines:
+        try:
+            with open(path) as f:
+                wrapper = json.load(f)
+            # driver wraps bench stdout as {"rc", "tail", "parsed": {...}}
+            if wrapper.get("rc", 0) != 0:
+                continue
+            parsed = wrapper.get("parsed", wrapper)
+            if sf is not None and str(parsed.get("sf")) != str(sf):
+                continue
+            if cpus is not None and parsed.get("cpus") not in (None, cpus):
+                continue
+            prev, used = parsed.get("queries", {}), os.path.basename(path)
+            break
+        except (OSError, ValueError, AttributeError):
+            continue
+    if not prev:
         return []
     out = []
     for name, wall in queries.items():
         base = prev.get(name)
         if base and wall > floor and wall > threshold * base:
             entry = {"query": name, "sec": wall, "prev_sec": base,
-                     "ratio": round(wall / base, 2),
-                     "baseline": os.path.basename(baselines[-1])}
+                     "ratio": round(wall / base, 2), "baseline": used}
             out.append(entry)
             print(f"BENCH REGRESSION {name}: {wall:.2f}s vs "
-                  f"{base:.2f}s in {entry['baseline']} "
+                  f"{base:.2f}s in {used} "
                   f"({entry['ratio']}x)", file=sys.stderr)
     return out
 

@@ -583,7 +583,7 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
             # compiled rule — a typo'd column must still fail compile.
             _field_type(schema, rule.require_column(), rule)
             declared = rule.params.get("binding")
-            capped = notice_cap(declared)
+            capped = notice_cap(declared, rule.id)
             if capped is None:
                 # the reference emits NO notice when no binding is
                 # declared or the binding is 'example'
@@ -664,16 +664,23 @@ BINDING_SEVERITY = {
 }
 
 
-def notice_cap(binding: str | None) -> str | None:
+def notice_cap(binding: str | None, rule_id: str = "?") -> str | None:
     """Severity of the ENUM_VALIDATION_SKIPPED notice for a declared
     binding — the SINGLE source of truth for the reference's cap
     (JsonNodeStructuralValidator.cs:366-379): ``None`` means the notice
     is suppressed entirely (missing or 'example' binding); otherwise
-    required→warning, everything else→info. Compile, explain_rule and
-    governance review all consult this function (round-5 review batch 3:
-    the rule was hand-duplicated in four call sites)."""
+    required→warning, everything else→info. Compile, explain_rule,
+    emitted_error_codes and governance review all consult this function
+    (round-5 review batches 3-4: the rule was hand-duplicated in four
+    call sites). An UNKNOWN binding raises the same
+    RuleConfigurationError the compiler raises — the authoring surfaces
+    must never describe an emission for an uncompilable rule."""
     if binding is None or binding == "example":
         return None
+    if binding not in BINDING_SEVERITY:
+        raise RuleConfigurationError(
+            rule_id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"binding {binding!r} not in {sorted(BINDING_SEVERITY)}")
     return Severity.WARNING if binding == "required" else Severity.INFO
 
 

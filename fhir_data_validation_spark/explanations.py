@@ -285,22 +285,17 @@ def explain_rule(rule: RuleDefinition) -> dict[str, Any]:
     # else→info, and a suppressed skip lane emits nothing at all
     severity = rule.severity or "error"
     if t == "Enum":
-        from .compiler import BINDING_SEVERITY
-        from .errors import ErrorCode, RuleConfigurationError
+        from .compiler import BINDING_SEVERITY, notice_cap
         binding = rule.params.get("binding")
-        if binding is not None and binding not in BINDING_SEVERITY:
-            # the compiler rejects this rule before anything is emitted
-            # (_apply_enum_binding) — the authoring surface must say the
-            # same, not describe an emission for a typo'd binding
-            # (round-5 review batch 2)
-            raise RuleConfigurationError(
-                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                f"binding {binding!r} not in {sorted(BINDING_SEVERITY)}")
+        # notice_cap VALIDATES the binding (raises the compiler's own
+        # RuleConfigurationError on a typo — round-5 review batches 2+4:
+        # the authoring surface must never describe an emission for an
+        # uncompilable rule) and yields the capped notice severity
+        cap = notice_cap(binding, rule.id)
         skip_lane = (not rule.params.get("values")
                      and rule.params.get("valueSet"))
         if skip_lane:
-            from .compiler import notice_cap
-            severity = notice_cap(binding)    # None = nothing emitted
+            severity = cap                    # None = nothing emitted
         elif binding is not None:
             severity = BINDING_SEVERITY[binding]
     stage_num = RULE_STAGES.get(t, Stage.BUSINESS)

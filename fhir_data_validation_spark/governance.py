@@ -250,18 +250,24 @@ def review_rule(rule: RuleDefinition,
             # single ENUM_VALIDATION_SKIPPED notice — legal, but the
             # author should know the enum is NOT being enforced
             from .compiler import notice_cap
-            cap = notice_cap(rule.params.get("binding"))
-            issues.append(ReviewIssue(
-                "ENUM_VALUESET_UNRESOLVED", WARNING, rule.id,
-                {"valueSet": rule.params["valueSet"],
-                 "reason": ("no values[] for this valueSet — the run "
-                            "emits NOTHING for this rule (skip notices "
-                            "are suppressed for missing/'example' "
-                            "bindings)" if cap is None else
-                            "no values[] for this valueSet — the run "
-                            "will emit one ENUM_VALIDATION_SKIPPED "
-                            "notice (capped at " + cap + " severity) "
-                            "instead of enforcing the binding")}))
+            b = rule.params.get("binding")
+            # an UNKNOWN binding already produced the BLOCKED
+            # ENUM_INVALID_BINDING issue above — describing a skip
+            # emission for an uncompilable rule would contradict it
+            # (round-5 review batch 4)
+            if b is None or b in BINDING_SEVERITY:
+                cap = notice_cap(b, rule.id)
+                issues.append(ReviewIssue(
+                    "ENUM_VALUESET_UNRESOLVED", WARNING, rule.id,
+                    {"valueSet": rule.params["valueSet"],
+                     "reason": ("no values[] for this valueSet — the run "
+                                "emits NOTHING for this rule (skip "
+                                "notices are suppressed for missing/"
+                                "'example' bindings)" if cap is None else
+                                "no values[] for this valueSet — the run "
+                                "will emit one ENUM_VALIDATION_SKIPPED "
+                                "notice (capped at " + cap + " severity) "
+                                "instead of enforcing the binding")}))
         elif not values:
             issues.append(ReviewIssue(
                 "ALLOWED_VALUES_EMPTY", BLOCKED, rule.id,

@@ -479,7 +479,10 @@ class IncrementalProfiler:
         one row per (group, column) with ``n_rows, n_nulls, null_rate,
         min_num, max_num, mean, min_str, max_str`` (+ ``n_distinct`` HLL
         estimate unless ``with_distinct=False``). Exact for every field
-        except ``n_distinct`` (sketch union, ~2% at the default lg_k).
+        except ``n_distinct`` (sketch union, ~2% at the default lg_k);
+        ``mean`` is bit-exact for integral columns up to Σ|x| < 10^38
+        (exact decimal lane) and falls back to the double sum beyond —
+        or when any contributing partial predates the lane.
         Cost: an aggregation over the tiny partials table — zero data IO."""
         p = self._store().read().where(F.col("kind") == "stat")
         aggs = [
@@ -488,12 +491,15 @@ class IncrementalProfiler:
             F.min("min_num").alias("min_num"),
             F.max("max_num").alias("max_num"),
             F.sum("sum_num").alias("_sum"),
-            # exact decimal fold: order-free, bit-exact at any scale for
-            # integral columns; NULL (→ double fallback) for float
-            # columns, pre-evolution partials, or decimal overflow.
-            # count() distinguishes "no decimal lane" from "lane present
-            # but try_sum overflowed": a NULL from overflow must NOT
-            # silently fall back to the drifted double sum
+            # exact decimal fold: order-free, bit-exact for integral
+            # columns up to Σ|x| < 10^38. The count() pair guards the
+            # MIXED case — pre-evolution partials without the lane must
+            # not let a PARTIAL decimal sum masquerade as the total.
+            # Overflow (per-delta or at the fold) nulls the lane and the
+            # mean falls back to the double sum, which is approximate
+            # past 2^53 — at ≥1e38 a double mean is inherently
+            # last-ulp-approximate, so the fallback is the honest
+            # result, not a silent corruption (round-5 review batch 4)
             F.try_sum("sum_dec").alias("_sum_dec"),
             F.count("sum_dec").alias("_n_dec"),
             F.count("sum_num").alias("_n_dbl"),

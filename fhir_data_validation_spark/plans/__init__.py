@@ -83,7 +83,8 @@ def emitted_error_codes(rule: RuleDefinition) -> tuple[str, ...]:
         # unless notice_cap says it is suppressed (missing/'example'
         # binding, JsonNodeStructuralValidator.cs:366-369)
         from ..compiler import notice_cap
-        codes = (() if notice_cap(rule.params.get("binding")) is None
+        codes = (() if notice_cap(rule.params.get("binding"),
+                                  rule.id) is None
                  else (ErrorCode.ENUM_VALIDATION_SKIPPED,))
     elif t == "Reference" and rule.params.get("expectedTypes"):
         codes = codes + (ErrorCode.REFERENCE_TYPE_MISMATCH,)

@@ -196,6 +196,26 @@ def test_validate_stream_rejects_skip_lane(spark):
     assert q is not None
 
 
+def test_unknown_binding_consistent_across_authoring_surfaces():
+    """round-5 review regressions (batch 4): a typo'd binding must look
+    the same everywhere — emitted_error_codes raises the compiler's
+    RuleConfigurationError (never describes an emission for an
+    uncompilable rule), and governance review does not emit an
+    ENUM_VALUESET_UNRESOLVED issue contradicting its own BLOCKED
+    ENUM_INVALID_BINDING."""
+    from fhir_data_validation_spark.governance import review_rule
+    from fhir_data_validation_spark.plans import emitted_error_codes
+    rule = RuleDefinition.parse(
+        {"id": "E-T", "type": "Enum", "column": "status",
+         "params": {"valueSet": "http://vs", "binding": "requird"}})
+    with pytest.raises(RuleConfigurationError):
+        emitted_error_codes(rule)
+    result = review_rule(rule)
+    codes = {i.code for i in result.issues}
+    assert "ENUM_INVALID_BINDING" in codes
+    assert "ENUM_VALUESET_UNRESOLVED" not in codes
+
+
 def test_review_blocks_unknown_binding():
     """round-4 review regressions: review must predict the compile-time
     rejection of an unknown binding strength."""
