@@ -992,7 +992,14 @@ def _md5_token_table(spark: SparkSession, sf: str) -> DataFrame:
     from documents: each word hashes to a 0..49999 token id via the md5_60
     trick (top-60 md5 bits mod 50000), bit-for-bit reproducible in the
     oracle dialect. The production pipeline would carry real tokenizer
-    output; the packing arithmetic is identical."""
+    output; the packing arithmetic is identical.
+
+    CONVENTION PIN: the oracle-side twin of ``words()`` is
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '')`` — inlined (shaped per context) in 14 oracle_sql
+    entries (o1, e1, t7-t10, k1, k2, seq1, ...). Changing the word-split
+    convention means updating ``pipeline/text.words`` AND every one of
+    those sites; ``tools/oracle_check.py --exact`` catches a missed one."""
     from fhir_data_validation_spark.pipeline.text import words
     docs = load_table(spark, sf, "documents")
     w = words(F.col("text"))
@@ -1173,7 +1180,11 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
          "params": {"method": "zscore", "k": 1.5}}]})
     v = ValidationEngine(rs).validate(_md5_token_table(spark, sf)).violations
     d = F.col("detail")
-    return (v.select("doc_id", "source", "rule_id", "error_code",
+    # doc_id back to long like every sibling query: the oracle orders by
+    # BIGINT, and a string doc_id would sort '110' before '8' (round-5
+    # review batch 5 — type/order parity for the one-shot driver check)
+    return (v.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source", "rule_id", "error_code",
                      d["observed"].cast("double").cast("long")
                       .alias("n_tok"),
                      d["side"].alias("side"),
@@ -1924,7 +1935,6 @@ def q_i1_iceberg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     snapshot log, manifests and file-level change tracking are all
     correct."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -1953,7 +1963,6 @@ def q_i2_delete_rows(spark: SparkSession, sf: str) -> DataFrame:
     rewrite dropped exactly the matching rows and the carried file kept
     its data intact."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -1984,7 +1993,6 @@ def q_i4_merge_rows(spark: SparkSession, sf: str) -> DataFrame:
     the first file must be carried untouched (files_carried=1 in the
     oracle), matched rows replaced, inserts appended."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2015,7 +2023,6 @@ def q_i3_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     post-evolution rows with their value — name-based parquet resolution
     against the snapshot-pinned schema."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2052,7 +2059,6 @@ def q_i5_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
     if the bucket routing is consistent between write and read — a wrong
     hash on either side loses rows."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2084,7 +2090,6 @@ def q_i13_multi_partition(spark: SparkSession, sf: str) -> DataFrame:
     right (source, bucket) leaf on write and both matchers compose on
     read."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     # table content restricted to the two queried sources: the result set
@@ -2128,7 +2133,6 @@ def q_i6_time_partition(spark: SparkSession, sf: str) -> DataFrame:
     the oracle only if day boundaries land exactly (a µs-precision error
     on either edge moves rows across days)."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     # one WEEK of events: the query rolls up Jan 10-12 and the pruning
@@ -2172,7 +2176,6 @@ def q_i7_changelog(spark: SparkSession, sf: str) -> DataFrame:
     deletes — rows carried through the delete's file rewrites cancel via
     EXCEPT ALL, so any carry error surfaces as phantom rows."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2203,7 +2206,6 @@ def q_i8_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     own transform)."""
     import datetime as dt
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     ev = (load_table(spark, sf, "events")
@@ -2248,7 +2250,6 @@ def q_i9_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     compose without resurrecting MOR-deleted rows — the carried delete
     manifest keeps applying to untouched files."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2282,7 +2283,6 @@ def q_i10_mor_upsert(spark: SparkSession, sf: str) -> DataFrame:
     win). The read-back equals the SQL of the final state; zero_rewrite
     pins that neither batch rewrote a data file."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2323,7 +2323,6 @@ def q_i11_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     Values match only if branch commits never leak into main, publish is
     exactly the branch head, and the rejected branch left no trace."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2364,7 +2363,6 @@ def q_i12_rename_widen(spark: SparkSession, sf: str) -> DataFrame:
     field's name history); values match only if no row lost its value to
     the rename and new files resolve under the new name."""
     import shutil
-    import tempfile
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
     docs = (load_table(spark, sf, "documents")
@@ -2399,7 +2397,6 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     (oracle_check --exact green).
     """
     import shutil
-    import tempfile
     from fhir_data_validation_spark import IncrementalProfiler
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
@@ -2449,7 +2446,6 @@ def q_c11_merged_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     green).
     """
     import shutil
-    import tempfile
     from fhir_data_validation_spark import IncrementalProfiler
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
@@ -2486,7 +2482,6 @@ def q_i14_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
     spurious drop+add), adds/drops as themselves. The oracle enumerates
     the expected change rows literally — the evolution steps are fixed."""
     import shutil
-    import tempfile
     from pyspark.sql import types as T
     from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
 
@@ -4372,7 +4367,10 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY cnt DESC, key ASC)
                        AS "rank"
               FROM c)
-            SELECT "rank", key, cnt, cnt / total AS share
+            -- CAST rank to INT: Spark's skew_report emits int32 and the
+            -- file's convention width-matches (round-5 review batch 5)
+            SELECT CAST("rank" AS INT) AS "rank", key, cnt,
+                   cnt / total AS share
             FROM r, t WHERE "rank" <= 10 ORDER BY "rank" """,
         # c9: data card — per-source stats UNION ALL the corpus totals;
         # quantile_cont = Spark's exact R-7 percentile
