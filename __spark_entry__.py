@@ -1170,8 +1170,11 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
     back. Output value-checks observed value, side, and the fences.
 
     Float determinism: fences derive from exact DECIMAL (n, Σx, Σx²)
-    through the identical IEEE chain in the oracle (round-5 fix) —
-    bit-exact (oracle_check --exact green).
+    through the identical IEEE chain in the oracle (round-5 fix), and
+    even the final 4-decimal rounding is the arithmetic half-up chain
+    floor(x·10⁴ + 0.5)/10⁴ stated in both engines — F.round/DuckDB
+    round() disagree on repr-halfway doubles (e.g. 405.80105), review
+    batch 6 — so the whole output is bit-exact by construction.
     """
     from fhir_data_validation_spark import ValidationEngine
     from fhir_data_validation_spark.model import RuleSet
@@ -1180,6 +1183,10 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
          "params": {"method": "zscore", "k": 1.5}}]})
     v = ValidationEngine(rs).validate(_md5_token_table(spark, sf)).violations
     d = F.col("detail")
+
+    def r4(c):
+        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")
+                / F.lit(10000.0))
     # doc_id back to long like every sibling query: the oracle orders by
     # BIGINT, and a string doc_id would sort '110' before '8' (round-5
     # review batch 5 — type/order parity for the one-shot driver check)
@@ -1188,8 +1195,8 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
                      d["observed"].cast("double").cast("long")
                       .alias("n_tok"),
                      d["side"].alias("side"),
-                     F.round(d["lo"].cast("double"), 4).alias("lo"),
-                     F.round(d["hi"].cast("double"), 4).alias("hi"))
+                     r4(d["lo"].cast("double")).alias("lo"),
+                     r4(d["hi"].cast("double")).alias("hi"))
              .orderBy("doc_id"))
 
 
@@ -2393,8 +2400,10 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
     really were rebuild→delta→delta (not silent full scans).
 
     Float determinism: nc_mean = exactly-merged Σx / non-null count, the
-    oracle states the same sum/count division (round-5 fix) — bit-exact
-    (oracle_check --exact green).
+    oracle states the same sum/count division (round-5 fix), and the
+    4-decimal rounding is the arithmetic floor(x·10⁴ + 0.5)/10⁴ chain
+    both sides (F.round/DuckDB round() split on repr-halfway doubles) —
+    bit-exact by construction.
     """
     import shutil
     from fhir_data_validation_spark import IncrementalProfiler
@@ -2418,7 +2427,10 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
                   F.col("n_nulls").alias("nc_nulls"),
                   F.col("min_num").alias("nc_min"),
                   F.col("max_num").alias("nc_max"),
-                  F.round("mean", 4).alias("nc_mean")))
+                  # arithmetic half-up: F.round/DuckDB round() disagree
+                  # on repr-halfway doubles (round-5 review batch 6)
+                  (F.floor(F.col("mean") * F.lit(10000.0) + F.lit(0.5))
+                    .cast("double") / F.lit(10000.0)).alias("nc_mean")))
     lg = (p.where(F.col("column") == "lang")
           .select("group", F.col("min_str").alias("lang_min"),
                   F.col("max_str").alias("lang_max")))
@@ -3569,8 +3581,9 @@ def oracle_sql() -> dict[str, str]:
                        AS nc_nulls,
                    CAST(min(n_chars) AS DOUBLE) AS nc_min,
                    CAST(max(n_chars) AS DOUBLE) AS nc_max,
-                   round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
-                         / count(n_chars), 4) AS nc_mean,
+                   CAST(floor(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                              / count(n_chars) * 10000.0 + 0.5) AS DOUBLE)
+                       / 10000.0 AS nc_mean,
                    min(lang) AS lang_min, max(lang) AS lang_max,
                    TRUE AS modes_ok
             FROM documents GROUP BY source ORDER BY "group" """,
@@ -4181,7 +4194,10 @@ def oracle_sql() -> dict[str, str]:
             -- zscore exact path): every double op is IEEE correctly
             -- rounded on identical inputs, so lo/hi match Spark to the
             -- last ulp — avg/stddev would merge partial moments in an
-            -- engine-specific order and flip round(·,4) near boundaries
+            -- engine-specific order. The 4-decimal rounding is the
+            -- arithmetic floor(x*1e4 + 0.5)/1e4 chain on BOTH sides:
+            -- Spark's repr-based F.round and DuckDB's binary round()
+            -- disagree on repr-halfway doubles like 405.80105
             WITH w AS (
               SELECT doc_id, source,
                      len(list_filter(regexp_split_to_array(lower(text),
@@ -4218,7 +4234,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w.n_tok AS BIGINT) AS n_tok,
                    CASE WHEN w.n_tok < b.lo THEN 'below'
                         ELSE 'above' END AS side,
-                   round(b.lo, 4) AS lo, round(b.hi, 4) AS hi
+                   CAST(floor(b.lo * 10000.0 + 0.5) AS DOUBLE)
+                       / 10000.0 AS lo,
+                   CAST(floor(b.hi * 10000.0 + 0.5) AS DOUBLE)
+                       / 10000.0 AS hi
             FROM w JOIN b USING (source)
             WHERE b.n >= 2 AND (w.n_tok < b.lo OR w.n_tok > b.hi)
             ORDER BY w.doc_id""",

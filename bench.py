@@ -230,10 +230,13 @@ def _regressions(queries: dict[str, float], sf: str | None = None,
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
-    baselines = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-        reverse=True)
+    # filter BEFORE sorting: a digit-less name like BENCH_results.json
+    # matches the glob but not the regex, and a key-function crash
+    # would kill the bench after all measurement (round-5 review)
+    rounds = [(int(m.group(1)), p)
+              for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    baselines = [p for _, p in sorted(rounds, reverse=True)]
     prev, used = None, None
     for path in baselines:
         try:

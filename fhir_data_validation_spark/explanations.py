@@ -120,7 +120,11 @@ def _checks(rule: RuleDefinition) -> list[str]:
         else:
             out.append(f"`{col}` must be one of: "
                        f"{_fmt(p.get('values', []))}")
-        if t == "Enum" and p.get("binding"):
+        # the binding-sets-severity line applies ONLY to enforced enums:
+        # a skip lane emits no violations and the notice severity comes
+        # from the cap, not the binding (round-5 review batch 6)
+        if (t == "Enum" and p.get("binding")
+                and (p.get("values") or not p.get("valueSet"))):
             out.append(f"binding strength {p['binding']!r} sets the "
                        f"violation severity")
     elif t == "Regex":

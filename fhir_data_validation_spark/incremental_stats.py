@@ -184,8 +184,13 @@ class IncrementalProfiler:
             integral = isinstance(dtype, (IntegralType, ArrayType))
             d = val.cast("double") if numeric else F.lit(None).cast("double")
             # exact decimal sum lane for integral values — order-free,
-            # stays exact where double partials would drift past 2^53
-            dec = (F.try_sum(val.cast("decimal(19,0)"))
+            # stays exact where double partials would drift past 2^53.
+            # decimal(28,0) per-row (any bigint fits) so try_sum's
+            # result type is decimal(38,0) — summing decimal(19,0)
+            # would cap the SUM at decimal(29,0), nulling the lane nine
+            # orders of magnitude before the documented 10^38 bound
+            # (round-5 review batch 6)
+            dec = (F.try_sum(val.cast("decimal(28,0)"))
                     .cast("decimal(38,0)") if integral
                    else F.first(F.lit(None).cast("decimal(38,0)")))
             s = val.cast("string") if not numeric \

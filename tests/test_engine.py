@@ -1401,3 +1401,31 @@ def test_drift_rule_compile_validation(spark):
         compile_with({"jsdMax": "lots"})
     with pytest.raises(RuleConfigurationError):
         compile_with({"mode": "tokenFrequency"}, column="n_tok")
+
+
+def test_arithmetic_round_chain_matches_duckdb_on_halfway_doubles(spark):
+    """round-5 review regressions (batch 6): Spark's F.round is
+    repr-based HALF_UP while DuckDB's round() works on the binary
+    double, so they disagree on repr-halfway values (405.80105 →
+    405.8011 vs 405.801). The o1/c10 contract queries therefore round
+    via the arithmetic floor(x·10⁴ + 0.5)/10⁴ chain — pin that the
+    chain is bit-identical across the two engines on exactly the
+    values where the built-ins split."""
+    import duckdb
+    vals = [405.80105, 954.0809499999999, 443.93514999999996,
+            473.86424999999997, -8.66815, 0.00005, 123.45678]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(
+        (F.floor(F.col("x") * F.lit(10000.0) + F.lit(0.5)).cast("double")
+         / F.lit(10000.0)).alias("r")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT CAST(floor(CAST(? AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE)"
+        " / 10000.0", [v]).fetchone()[0] for v in vals]
+    assert got == want
+    # and at least one of these is a value where the built-ins disagree
+    spark_round = [r["r"] for r in df.select(
+        F.round("x", 4).alias("r")).collect()]
+    duck_round = [con.execute("SELECT round(CAST(? AS DOUBLE), 4)",
+                              [v]).fetchone()[0] for v in vals]
+    assert spark_round != duck_round
