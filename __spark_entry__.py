@@ -987,6 +987,20 @@ def q_m2_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _round4_arith(c):
+    """Arithmetic half-up 4-decimal rounding ``floor(x·10⁴ + 0.5)/10⁴``
+    — the SINGLE Spark-side statement of the cross-engine rounding
+    convention (round-5 review batches 6-7). Spark's repr-based
+    ``F.round`` and DuckDB's binary ``round()`` disagree on
+    repr-halfway doubles (405.80105 → 405.8011 vs 405.801); this chain
+    is plain IEEE ops, so stating the same
+    ``CAST(floor(x * 10000.0 + 0.5) AS DOUBLE) / 10000.0`` in an
+    oracle reproduces it bit-for-bit. Parity pinned in
+    tests/test_engine.py::test_arithmetic_round_chain_matches_duckdb…"""
+    return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")
+            / F.lit(10000.0))
+
+
 def _md5_token_table(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic (doc_id, tokens, n_tok, source) token table derived
     from documents: each word hashes to a 0..49999 token id via the md5_60
@@ -1183,10 +1197,6 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
          "params": {"method": "zscore", "k": 1.5}}]})
     v = ValidationEngine(rs).validate(_md5_token_table(spark, sf)).violations
     d = F.col("detail")
-
-    def r4(c):
-        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")
-                / F.lit(10000.0))
     # doc_id back to long like every sibling query: the oracle orders by
     # BIGINT, and a string doc_id would sort '110' before '8' (round-5
     # review batch 5 — type/order parity for the one-shot driver check)
@@ -1195,8 +1205,8 @@ def q_o1_outliers(spark: SparkSession, sf: str) -> DataFrame:
                      d["observed"].cast("double").cast("long")
                       .alias("n_tok"),
                      d["side"].alias("side"),
-                     r4(d["lo"].cast("double")).alias("lo"),
-                     r4(d["hi"].cast("double")).alias("hi"))
+                     _round4_arith(d["lo"].cast("double")).alias("lo"),
+                     _round4_arith(d["hi"].cast("double")).alias("hi"))
              .orderBy("doc_id"))
 
 
@@ -2429,8 +2439,7 @@ def q_c10_incremental_profile(spark: SparkSession, sf: str) -> DataFrame:
                   F.col("max_num").alias("nc_max"),
                   # arithmetic half-up: F.round/DuckDB round() disagree
                   # on repr-halfway doubles (round-5 review batch 6)
-                  (F.floor(F.col("mean") * F.lit(10000.0) + F.lit(0.5))
-                    .cast("double") / F.lit(10000.0)).alias("nc_mean")))
+                  _round4_arith(F.col("mean")).alias("nc_mean")))
     lg = (p.where(F.col("column") == "lang")
           .select("group", F.col("min_str").alias("lang_min"),
                   F.col("max_str").alias("lang_max")))

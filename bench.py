@@ -250,7 +250,12 @@ def _regressions(queries: dict[str, float], sf: str | None = None,
                 continue
             if cpus is not None and parsed.get("cpus") not in (None, cpus):
                 continue
-            prev, used = parsed.get("queries", {}), os.path.basename(path)
+            if not parsed.get("queries"):
+                # config matches but no walls recorded (e.g. the driver
+                # stored rc without parsing stdout) — keep walking to an
+                # older usable baseline instead of disabling detection
+                continue
+            prev, used = parsed["queries"], os.path.basename(path)
             break
         except (OSError, ValueError, AttributeError):
             continue

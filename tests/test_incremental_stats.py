@@ -300,3 +300,46 @@ def test_profile_mean_exact_beyond_double_precision(spark, tmp_path):
     exact = float(sum(vals)) / len(vals)   # correctly-rounded double of
     assert got["v"]["mean"] == exact       # the EXACT integer sum
     assert got["v"]["n_rows"] == 99
+
+
+def test_profile_over_pre_evolution_store_falls_back_cleanly(spark, tmp_path):
+    """round-5 review regressions (batch 7): a store written BEFORE the
+    exact sum_dec lane existed evolves in place (add_column) and a
+    mixed history — one pre-evolution partial (sum_dec NULL) + one
+    post-evolution delta — must take the double-sum fallback and still
+    produce the correct mean over BOTH deltas (a partial decimal sum
+    must never masquerade as the total)."""
+    from fhir_data_validation_spark.incremental_stats import \
+        _PARTIAL_SCHEMA
+
+    d1_vals = [10, 20, 30, 40]
+    d2_vals = [50, 60]
+    t = PyIcebergTable.create(spark, str(tmp_path / "t_evo"), SCHEMA)
+    t.append(spark.createDataFrame(
+        [(f"a{i}", v, None, "web") for i, v in enumerate(d1_vals)], SCHEMA))
+    sid1 = t.current_snapshot_id()
+    seq1 = {r["snapshot_id"]: r["sequence_number"]
+            for r in t.snapshots().collect()}[sid1]
+    # handcraft delta-1's partial in the PRE-evolution schema
+    old_schema = T.StructType(
+        [f for f in _PARTIAL_SCHEMA.fields if f.name != "sum_dec"])
+    store_t = PyIcebergTable.create(spark, str(tmp_path / "s_evo"),
+                                    old_schema)
+    store_t.append(spark.createDataFrame(
+        [("web", "v", len(d1_vals), 0, float(min(d1_vals)),
+          float(max(d1_vals)), float(sum(d1_vals)),
+          float(sum(v * v for v in d1_vals)), None, None, None,
+          "stat", None, None, sid1, seq1)], old_schema))
+    prof = IncrementalProfiler(t, ["v"], str(tmp_path / "s_evo"),
+                               group_col="src")
+    t.append(spark.createDataFrame(
+        [(f"b{i}", v, None, "web") for i, v in enumerate(d2_vals)], SCHEMA))
+    assert prof.update()["mode"] == "delta"   # cursor honored, not rebuilt
+    # the store now holds one NULL-lane and one decimal-lane partial
+    lanes = (prof._store().read().where(F.col("kind") == "stat")
+             .select("sum_dec").collect())
+    assert sorted(r["sum_dec"] is None for r in lanes) == [False, True]
+    got = prof.profile(with_distinct=False).collect()[0]
+    allv = d1_vals + d2_vals
+    assert got["n_rows"] == len(allv)
+    assert got["mean"] == float(sum(allv)) / len(allv)
