@@ -32,6 +32,24 @@ def write_bytes(spark: SparkSession, path: str, data: bytes,
         out.close()
 
 
+def write_bytes_atomic(spark: SparkSession, path: str,
+                       data: bytes) -> None:
+    """Write-then-RENAME: ``write_bytes`` truncates the target on
+    ``create`` before any byte lands, so a crash mid-write leaves a
+    corrupt file that shadows recovery fallbacks (round-5 review —
+    the SnapshotMonitor cursor). The temp+rename pattern leaves either
+    the old content or the new, never a partial write, on any
+    rename-atomic filesystem (local, HDFS; object stores approximate)."""
+    tmp = f"{path}.tmp"
+    write_bytes(spark, tmp, data, overwrite=True)
+    fs, hpath, jvm = jfs(spark, path)
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tpath, hpath):
+        raise IOError(f"rename {tmp} -> {path} failed")
+
+
 def read_bytes(spark: SparkSession, path: str) -> bytes:
     fs, hpath, jvm = jfs(spark, path)
     stream = fs.open(hpath)

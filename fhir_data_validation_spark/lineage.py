@@ -192,7 +192,6 @@ class ResumableRun:
     def run(self, df: DataFrame) -> DataFrame:
         """Execute (or resume) the run; returns the lineage metrics DF."""
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         done = self.lineage.completed_partitions(spark, self.run_id)
 
         group = self.config.group_col
@@ -299,15 +298,22 @@ class ResumableRun:
         ``<dataset>`` key so it can never clobber per-group batches."""
         pkey = (F.lit(_DATASET_KEY) if dataset_level
                 else F.coalesce(F.col("source"), F.lit(_NULL_KEY)))
+        # write-scoped dynamic overwrite (round-5 review batch 8): the
+        # old session-level conf flip changed overwrite semantics for
+        # every other partitioned write on the shared session
         (res.violations
          .withColumn("run_id", F.lit(self.run_id))
          .withColumn("partition_key", pkey)
-         .write.mode("overwrite").partitionBy("run_id", "partition_key")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("run_id", "partition_key")
          .parquet(self._violations_path))
         verd = res.verdicts.withColumn("run_id", F.lit(self.run_id))
         if dataset_level:
             verd = verd.withColumn("partition_key", F.lit(_DATASET_KEY))
-        (verd.write.mode("overwrite").partitionBy("run_id", "partition_key")
+        (verd.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("run_id", "partition_key")
          .parquet(self._verdicts_path))
 
     def _mark(self, spark: SparkSession, res: ValidationResult,

@@ -1372,21 +1372,34 @@ class PyIcebergTable:
         self._commit_meta(meta, old_version)
         return sid
 
-    def drop_branch(self, name: str) -> None:
+    def drop_branch(self, name: str,
+                    expected_head: int | None = None) -> None:
         """Drop a branch ref (e.g. a failed-audit staging branch). The
         branch's snapshots stay in metadata until
         :meth:`expire_snapshots` reclaims them as non-ancestors — exactly
-        how a rejected WAP batch's files get cleaned up."""
+        how a rejected WAP batch's files get cleaned up.
+
+        ``expected_head`` pins the head the drop decision was made for
+        (same CAS-coupled check as :meth:`fast_forward`): a branch that
+        advanced after a failing audit raises instead of silently
+        destroying commits that were never audited (round-5 review)."""
         if name == "main":
             raise ValueError("cannot drop the main branch")
         meta, old_version = self._load_meta_versioned()
         if meta["refs"].get(name, {}).get("type") != "branch":
             raise ValueError(f"no branch named {name!r}")
+        if expected_head is not None and \
+                meta["refs"][name]["snapshot-id"] != expected_head:
+            raise ValueError(
+                f"branch {name!r} advanced to "
+                f"{meta['refs'][name]['snapshot-id']} after the audit of "
+                f"{expected_head}; re-run the audit before dropping")
         del meta["refs"][name]
         meta["last-updated-ms"] = _now_ms()
         self._commit_meta(meta, old_version)
 
-    def fast_forward(self, name: str, to: str) -> int:
+    def fast_forward(self, name: str, to: str,
+                     expected_head: int | None = None) -> int:
         """Fast-forward ref ``name`` to branch ``to``'s head (Iceberg's
         ``fast_forward`` procedure — the PUBLISH step of
         write-audit-publish). Requires ``name``'s head to be an ancestor
@@ -1394,7 +1407,13 @@ class PyIcebergTable:
         ``name`` and only the branch committed since); a diverged target
         raises instead of silently dropping commits. Fast-forwarding
         ``main`` makes the audited snapshots visible to every reader
-        atomically. Returns the new head snapshot id."""
+        atomically. Returns the new head snapshot id.
+
+        ``expected_head`` pins the source branch head THIS publish was
+        approved for: the check runs against the same metadata load the
+        commit CAS-es on, so a branch that advanced after the audit
+        (e.g. a continuous-mode sink still committing) raises instead of
+        publishing never-audited snapshots (round-5 review)."""
         meta, old_version = self._load_meta_versioned()
         to_ref = meta.get("refs", {}).get(to)
         if to_ref is None or to_ref.get("type") != "branch":
@@ -1402,6 +1421,11 @@ class PyIcebergTable:
         target = to_ref["snapshot-id"]
         if target == -1:
             raise ValueError(f"branch {to!r} has no commits")
+        if expected_head is not None and target != expected_head:
+            raise ValueError(
+                f"branch {to!r} advanced to {target} after the audit of "
+                f"{expected_head}; re-run the audit to cover the new "
+                f"commits before publishing")
         if name == "main":
             head = meta["current-snapshot-id"]
         else:

@@ -76,22 +76,30 @@ def drift_stream_foreach_batch(
             return
         # foreachBatch is at-least-once: a replayed epoch overwrites its
         # own partition (idempotent log) and must not re-page — the
-        # already-present epoch dir doubles as the alert replay guard
+        # already-present epoch dir doubles as the alert replay guard.
+        # The alert fires BEFORE the write: a crash between the two
+        # re-pages on replay (at-least-once alerting) — the old
+        # write-then-alert order made alerting at-MOST-once, silently
+        # losing the page for any epoch that crashed in the gap
+        # (round-5 review batch 8)
         spark = batch_df.sparkSession
         from ..fsutil import exists as _fs_exists
         replayed = _fs_exists(
             spark, f"{output_root}/drift/epoch={epoch_id}")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        (spark.createDataFrame(rows, out.schema)
-         .coalesce(1)
-         .write.mode("overwrite").partitionBy("epoch")
-         .parquet(f"{output_root}/drift"))
         if psi_max is not None and on_alert is not None and not replayed:
             bad = [r for r in rows
                    if r["psi"] is not None and r["psi"] > psi_max]
             if bad:
                 on_alert(epoch_id, bad)
+        # write-scoped dynamic overwrite: a session-level conf flip would
+        # silently change overwrite semantics for every OTHER partitioned
+        # write in the application (round-5 review batch 8)
+        (spark.createDataFrame(rows, out.schema)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(f"{output_root}/drift"))
 
     writer = (stream_df.writeStream
               .foreachBatch(_process)

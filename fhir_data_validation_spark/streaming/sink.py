@@ -56,12 +56,23 @@ class IcebergStreamSink:
     batch appends and an equality delete of its keys removes the old
     versions at read time — the streaming CDC sink, zero table scans and
     zero files rewritten per epoch. The epoch marker rides in the same
-    atomic commit either way, so checkpoint replays stay exactly-once."""
+    atomic commit either way, so checkpoint replays stay exactly-once.
+
+    FRESH-CHECKPOINT HAZARD (round-5 review batch 8): Spark resets
+    ``epoch_id`` to 0 when a query starts on a NEW/cleared checkpoint
+    directory, so a guard keyed only on ``name`` would silently SKIP the
+    first ``last_epoch()+1`` batches of the new run. Pass ``run_id=``
+    (any string tied to the checkpoint — e.g. a hash of its path, or a
+    date for a reprocess) to scope the guard per run: a new run_id
+    starts its epoch history at -1 and nothing is skipped. Reusing a
+    run_id across two queries has the same double-skip semantics as
+    reusing a name."""
 
     def __init__(self, table: PyIcebergTable, name: str = "sink",
                  mode: str = "append",
                  key: str | list[str] | None = None,
-                 branch: str = "main"):
+                 branch: str = "main",
+                 run_id: str | None = None):
         if mode not in ("append", "upsert"):
             raise ValueError(f"mode must be 'append' or 'upsert', "
                              f"got {mode!r}")
@@ -75,8 +86,9 @@ class IcebergStreamSink:
         self.mode = mode
         self.key = key
         self.branch = branch
-        self._summary_key = f"sink-{name}-epoch"
-        self._prop_key = f"sink.{name}.epoch"
+        scope = name if run_id is None else f"{name}-{run_id}"
+        self._summary_key = f"sink-{scope}-epoch"
+        self._prop_key = f"sink.{scope}.epoch"
         self._last: int | None = None   # in-memory fast path per process
 
     def last_epoch(self) -> int:
@@ -127,10 +139,20 @@ def write_stream_to_table(stream_df: DataFrame, table: PyIcebergTable,
     one append snapshot per micro-batch, replay-safe (see
     :class:`IcebergStreamSink`). ``available_now=True`` drains the
     source's current backlog and stops (the batch-ingest pattern);
-    ``False`` runs continuously. Returns the ``StreamingQuery``."""
+    ``False`` runs continuously. Returns the ``StreamingQuery``.
+
+    The replay guard is scoped to this checkpoint directory (the sink's
+    ``run_id``), so pointing a new run at a fresh checkpoint — where
+    Spark restarts ``epoch_id`` at 0 — re-ingests from the new source
+    position instead of silently skipping the first N batches against
+    the old run's high-water mark."""
+    import hashlib
+    ckpt_id = hashlib.sha1(
+        checkpoint_dir.rstrip("/").encode()).hexdigest()[:12]
     writer = (stream_df.writeStream
               .foreachBatch(IcebergStreamSink(table, name, mode=mode,
-                                              key=key, branch=branch))
+                                              key=key, branch=branch,
+                                              run_id=ckpt_id))
               .option("checkpointLocation", checkpoint_dir)
               .queryName(f"iceberg-{name}"))
     if available_now:
@@ -200,11 +222,17 @@ def audit_and_publish(table: PyIcebergTable, engine, branch: str,
     result = engine.validate(staged)
     passed = result.passed()
     action = None
+    # publish/drop are PINNED to the head the audit covered
+    # (expected_head rides the same metadata load the commit CAS-es
+    # on): a branch that advanced while validate() ran — a
+    # continuous-mode sink committing epoch K mid-audit — would
+    # otherwise publish K unaudited, or destroy K on drop while the
+    # sink's replay guard marks it committed (round-5 review batch 8)
     if passed and publish_on_pass:
-        table.fast_forward("main", branch)
+        table.fast_forward("main", branch, expected_head=branch_head)
         action = "published"
     elif not passed and drop_on_fail:
-        table.drop_branch(branch)
+        table.drop_branch(branch, expected_head=branch_head)
         if recreate_on_drop:
             table.branch(branch)
         action = "dropped"

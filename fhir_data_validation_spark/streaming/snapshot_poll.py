@@ -23,7 +23,7 @@ import time
 from typing import Iterator
 
 from ..engine import ValidationEngine, ValidationResult
-from ..fsutil import exists, read_bytes, write_bytes
+from ..fsutil import exists, read_bytes, write_bytes_atomic
 from ..sources.iceberg_py import PyIcebergTable
 
 
@@ -58,8 +58,17 @@ class SnapshotMonitor:
         # every restart
         self._cursor = None
         if cursor_path is not None and exists(table.spark, cursor_path):
-            self._cursor = json.loads(
-                read_bytes(table.spark, cursor_path).decode())["snapshot_id"]
+            try:
+                self._cursor = json.loads(
+                    read_bytes(table.spark,
+                               cursor_path).decode())["snapshot_id"]
+            except (ValueError, KeyError):
+                # writes are temp+rename atomic, so a corrupt cursor only
+                # predates that fix (or the store lost the rename): fall
+                # back to from_snapshot instead of wedging every restart
+                # on json.loads (round-5 review batch 8); at-least-once —
+                # re-validation, never skipped data
+                self._cursor = None
         if self._cursor is None:
             self._cursor = from_snapshot
 
@@ -69,8 +78,12 @@ class SnapshotMonitor:
 
     def _save_cursor(self) -> None:
         if self.cursor_path is not None:
-            write_bytes(self.table.spark, self.cursor_path,
-                        json.dumps({"snapshot_id": self._cursor}).encode())
+            # temp+rename: a plain create() truncates the live cursor
+            # before writing, so a crash mid-write corrupts it and every
+            # restart dies on json.loads (round-5 review batch 8)
+            write_bytes_atomic(
+                self.table.spark, self.cursor_path,
+                json.dumps({"snapshot_id": self._cursor}).encode())
 
     def poll_once(self, commit: bool = True
                   ) -> tuple[int, ValidationResult] | None:
@@ -109,7 +122,20 @@ class SnapshotMonitor:
             delta = self.table.read(current)    # full backfill batch
         else:
             try:
-                delta = self.table.incremental(self._cursor, current)
+                if self._append_only_since(self._cursor):
+                    delta = self.table.incremental(self._cursor, current)
+                else:
+                    # a compaction / COW rewrite restates live files at a
+                    # higher sequence number, so incremental() would
+                    # re-read the ENTIRE table as the "delta" and
+                    # re-report every historical violation as new
+                    # (round-5 review batch 8). changes() nets rewrites
+                    # away (pure compaction = empty changelog); the NET
+                    # INSERTED rows are exactly the new data to validate.
+                    delta = (self.table
+                             .changes(self._cursor, current)
+                             .where("_change_type = 'insert'")
+                             .drop("_change_type"))
             except ValueError:
                 # the cursor's snapshot was expired (expire_snapshots) —
                 # the incremental range is gone, so fall back to a full
@@ -123,6 +149,24 @@ class SnapshotMonitor:
         if commit:
             self.commit(current)
         return current, result
+
+    def _append_only_since(self, cursor: int) -> bool:
+        """True when every commit between the cursor and the current head
+        only ADDED data files (append/replace-free history in the
+        ``incremental`` sense): the cheap added-files delta is then the
+        exact new-data set. A cursor outside the current ancestry raises
+        ValueError so the caller's expiry fallback handles it."""
+        snaps = {r["snapshot_id"]: r
+                 for r in self.table.snapshots().collect()}
+        sid = self.table.current_snapshot_id()
+        while sid is not None and sid in snaps:
+            if sid == cursor:
+                return True
+            if snaps[sid]["operation"] not in ("append",):
+                return False
+            sid = snaps[sid]["parent_id"]
+        raise ValueError(f"cursor snapshot {cursor} not in the current "
+                         f"ancestry")
 
     def commit(self, snapshot_id: int) -> None:
         """Advance and persist the cursor to ``snapshot_id`` — the

@@ -37,14 +37,36 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _slim_counts(stream_df: DataFrame, plan, config) -> DataFrame:
+    """(source, _viol) projection feeding the stateful stage: ``_viol``
+    SUMS the per-rule conditions — a row failing two rules contributes 2,
+    matching the batch verdict table's per-rule violation counts (the
+    old any-rule OR-fold counted it once, silently undercounting —
+    round-5 review batch 8). Per-ELEMENT array violations still count
+    once per (row, rule) here, not once per element: the element
+    explosion happens in the full engine only, and that caveat is
+    documented on both public lanes."""
+    viol = None
+    for p in plan.predicates:
+        term = F.coalesce(p.condition, F.lit(False)).cast("int")
+        viol = term if viol is None else viol + term
+    return stream_df.select(
+        F.coalesce(F.col(config.group_col).cast("string"), F.lit("<null>"))
+         .alias("source"),
+        viol.alias("_viol"))
+
+
 def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
                              config: EngineConfig | None = None) -> DataFrame:
     """Streaming DataFrame of lifetime (rows, violations, batches) per
     group, updated every micro-batch via ``applyInPandasWithState``.
 
-    The per-row rule conditions compile to ONE boolean column before the
-    stateful stage, so the Python side only sums booleans — no rule logic
-    crosses the Arrow boundary."""
+    The per-row rule conditions compile to ONE integer column (the SUM
+    of per-rule hits — a row failing two rules counts 2, matching the
+    batch verdict totals at rule granularity; per-element array
+    violations count once per (row, rule) here, not per element) before
+    the stateful stage, so the Python side only sums ints — no rule
+    logic crosses the Arrow boundary."""
     config = config or EngineConfig()
     bad = [r.id for r in ruleset.rules
            if r.type in DATASET_RULE_TYPES or r.scope.kind == "first"]
@@ -60,14 +82,7 @@ def running_violation_totals(stream_df: DataFrame, ruleset: RuleSet,
             "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,
             "stateful streaming lane needs at least one per-row predicate "
             "rule (ruleset compiled to zero predicates)")
-    any_cond = plan.predicates[0].condition
-    for p in plan.predicates[1:]:
-        any_cond = any_cond | p.condition
-
-    slim = stream_df.select(
-        F.coalesce(F.col(config.group_col).cast("string"), F.lit("<null>"))
-         .alias("source"),
-        F.coalesce(any_cond, F.lit(False)).cast("int").alias("_viol"))
+    slim = _slim_counts(stream_df, plan, config)
 
     def update(key: Tuple[str],
                pdfs: Iterator[pd.DataFrame],
@@ -136,14 +151,7 @@ def running_violation_totals_tws(stream_df: DataFrame, ruleset: RuleSet,
             "<ruleset>", ErrorCode.RULE_CONFIGURATION_ERROR,
             "stateful streaming lane needs at least one per-row predicate "
             "rule (ruleset compiled to zero predicates)")
-    any_cond = plan.predicates[0].condition
-    for p in plan.predicates[1:]:
-        any_cond = any_cond | p.condition
-
-    slim = stream_df.select(
-        F.coalesce(F.col(config.group_col).cast("string"), F.lit("<null>"))
-         .alias("source"),
-        F.coalesce(any_cond, F.lit(False)).cast("int").alias("_viol"))
+    slim = _slim_counts(stream_df, plan, config)
 
     class Totals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

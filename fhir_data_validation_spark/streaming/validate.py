@@ -53,6 +53,22 @@ def validate_stream(stream_df: DataFrame, ruleset: RuleSet,
             "unbounded stream")
     plan = compile_ruleset(ruleset, stream_df.schema, config, {})
     _reject_notices(plan)
+    if config.dedupe and plan.needs_dedupe():
+        # the batch engine's A5 stage collapses colliding
+        # (error_code, column) locations with earlier-authority wins —
+        # an aggregation over ALL violations, which a pure streaming
+        # projection cannot express. Silently skipping it would make
+        # streaming counts diverge from the batch twin on the same data
+        # (round-5 review batch 8) — reject like _reject_notices does
+        colliding = [p.rule.id for p in plan.predicates]
+        raise RuleConfigurationError(
+            colliding[0] if colliding else "?",
+            ErrorCode.RULE_CONFIGURATION_ERROR,
+            "ruleset has rules that can emit the same (error_code, "
+            "column) location, which the batch engine A5-dedupes; a "
+            "streaming projection cannot — disambiguate the rules' "
+            "errorCodes, set config.dedupe=False to accept duplicate "
+            "locations, or use validate_stream_foreach_batch")
     return predicate_violations(stream_df, plan)
 
 
@@ -73,19 +89,26 @@ def validate_stream_foreach_batch(stream_df: DataFrame, ruleset: RuleSet,
             return
         # foreachBatch is at-least-once: a replayed epoch must REPLACE
         # its own earlier (possibly partial) output, not append a second
-        # copy — dynamic partition overwrite on the epoch key makes the
-        # write idempotent per epoch
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        # copy — WRITE-SCOPED dynamic partition overwrite on the epoch
+        # key makes the write idempotent per epoch without flipping the
+        # session-global overwrite semantics for every other partitioned
+        # write in the application (round-5 review batch 8)
         res = engine.validate(batch_df)
-        (res.violations.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite").partitionBy("epoch")
-         .parquet(f"{output_root}/violations"))
-        (res.verdicts.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite").partitionBy("epoch")
-         .parquet(f"{output_root}/verdicts"))
-        res.unpersist()
+        try:
+            (res.violations.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(f"{output_root}/violations"))
+            (res.verdicts.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(f"{output_root}/verdicts"))
+        finally:
+            # a failed epoch write must not strand the persisted
+            # violations cache across retries (round-5 review batch 8)
+            res.unpersist()
 
     writer = (stream_df.writeStream
               .foreachBatch(_process)

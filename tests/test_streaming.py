@@ -771,3 +771,156 @@ def test_audit_no_staged_delta_short_circuits(spark, tmp_path):
     assert gate2 == {"passed": True, "action": None, "staged_rows": 0,
                      "result": None}
     assert "staged" in table._load_meta().get("refs", {})
+
+
+def test_sink_fresh_run_id_does_not_skip_epoch_zero(spark, tmp_path):
+    """round-5 review regressions (batch 8): Spark restarts epoch_id at 0
+    on a fresh checkpoint — a guard keyed only on the sink name would
+    silently skip the new run's first batches against the old run's
+    high-water mark. A new run_id scopes the guard per run."""
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import IcebergStreamSink
+    df = spark.createDataFrame([("d1", 3, "web")],
+                               "doc_id string, n_tok int, source string")
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"), df.schema)
+    run1 = IcebergStreamSink(table, name="s", run_id="ckpt-a")
+    for epoch in (0, 1, 2):
+        run1(df, epoch)
+    assert table.read().count() == 3
+    # same name, fresh checkpoint (new run_id): epoch 0 must COMMIT
+    run2 = IcebergStreamSink(table, name="s", run_id="ckpt-b")
+    run2(df, 0)
+    assert table.read().count() == 4
+    # while a true replay within run2 still skips
+    run2(df, 0)
+    assert table.read().count() == 4
+
+
+def test_audit_and_publish_refuses_branch_advanced_mid_audit(spark,
+                                                             tmp_path):
+    """round-5 review regressions (batch 8): commits staged AFTER the
+    audit read its branch head must never be published unaudited (nor
+    destroyed by a failing drop) — the publish/drop is pinned to the
+    audited head and raises when the branch moved."""
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import audit_and_publish
+
+    df = spark.createDataFrame([("d1", 3, "web")],
+                               "doc_id string, n_tok int, source string")
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"), df.schema)
+    table.append(df)
+    table.branch("staged")
+    table.append(df, branch="staged")
+
+    class SneakyEngine:
+        """Appends to the branch DURING validate() — the continuous-mode
+        sink racing the audit."""
+        def __init__(self, passed):
+            self._passed = passed
+
+        def validate(self, staged):
+            staged.count()
+            table.append(df, branch="staged")     # epoch K lands mid-audit
+            outer = self
+
+            class R:
+                def passed(self):
+                    return outer._passed
+            return R()
+
+    with pytest.raises(ValueError, match="advanced"):
+        audit_and_publish(table, SneakyEngine(True), "staged")
+    with pytest.raises(ValueError, match="advanced"):
+        audit_and_publish(table, SneakyEngine(False), "staged")
+    # neither path mutated refs: the branch still exists with its commits,
+    # and main never advanced past its own head
+    meta = table._load_meta()
+    assert "staged" in meta["refs"]
+    assert table.read().count() == 1              # main unchanged
+
+
+def test_monitor_compaction_is_not_new_data(spark, tmp_path):
+    """round-5 review regressions (batch 8): a compaction restates live
+    files at a higher sequence number — incremental() would re-read the
+    whole table as the 'delta' and re-report every historical violation;
+    the monitor must see an EMPTY batch instead."""
+    from fhir_data_validation_spark import EngineConfig, RuleSet, \
+        ValidationEngine
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    df = spark.createDataFrame(
+        [("d1", 0, "web"), ("d2", 0, "web")],    # both violate min 1
+        "doc_id string, n_tok int, source string")
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"), df.schema)
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    monitor = SnapshotMonitor(table, engine,
+                              from_snapshot=SnapshotMonitor.GENESIS)
+    table.append(df.limit(1))
+    table.append(df.subtract(df.limit(1)))
+    sid, res = monitor.poll_once()
+    assert res.violations.count() == 2            # both rows reported once
+    table.compact()                               # bytes moved, no new data
+    out = monitor.poll_once()
+    if out is not None:                           # snapshot advanced...
+        _, res2 = out
+        assert res2.violations.count() == 0       # ...but NOTHING re-reported
+
+
+def test_monitor_corrupt_cursor_falls_back(spark, tmp_path):
+    """round-5 review regressions (batch 8): a truncated/corrupt cursor
+    file must not wedge every restart on json.loads — the monitor falls
+    back to from_snapshot (at-least-once, never an unrecoverable crash).
+    Cursor writes are temp+rename atomic so this only covers pre-fix
+    debris."""
+    from fhir_data_validation_spark import EngineConfig, RuleSet, \
+        ValidationEngine
+    from fhir_data_validation_spark.fsutil import read_bytes, write_bytes
+    from fhir_data_validation_spark.sources.iceberg_py import PyIcebergTable
+    from fhir_data_validation_spark.streaming import SnapshotMonitor
+
+    df = spark.createDataFrame([("d1", 3, "web")],
+                               "doc_id string, n_tok int, source string")
+    table = PyIcebergTable.create(spark, str(tmp_path / "tbl"), df.schema)
+    table.append(df)
+    engine = ValidationEngine(
+        RuleSet.parse({"rules": [
+            {"id": "R1", "type": "Range", "column": "n_tok",
+             "params": {"min": 1}}]}),
+        config=EngineConfig(key_col="doc_id", group_col="source"))
+    cursor = str(tmp_path / "cursor.json")
+    write_bytes(spark, cursor, b'{"snapshot_')     # truncated mid-write
+    monitor = SnapshotMonitor(table, engine, cursor_path=cursor,
+                              from_snapshot=SnapshotMonitor.GENESIS)
+    out = monitor.poll_once()
+    assert out is not None and out[1].violations.count() == 0
+    # and the re-written cursor is valid json again
+    import json as _json
+    assert "snapshot_id" in _json.loads(read_bytes(spark, cursor).decode())
+
+
+def test_stateful_viol_column_sums_per_rule_hits(spark):
+    """round-5 review regressions (batch 8): a row failing TWO rules
+    contributes 2 to violations_total (rule-granular, matching the batch
+    verdict totals), not 1 as the old any-rule OR-fold counted."""
+    from fhir_data_validation_spark import EngineConfig
+    from fhir_data_validation_spark.compiler import compile_ruleset
+    from fhir_data_validation_spark.streaming.stateful import _slim_counts
+
+    cfg = EngineConfig(key_col="doc_id", group_col="source")
+    rs = RuleSet.parse({"rules": [
+        {"id": "R1", "type": "Range", "column": "n_tok",
+         "params": {"min": 1}},
+        {"id": "R2", "type": "Required", "column": "lang"}]})
+    df = spark.createDataFrame(
+        [("d1", 0, None, "web"),      # fails BOTH rules
+         ("d2", 5, "en", "web"),      # clean
+         ("d3", 0, "en", "web")],     # fails one
+        "doc_id string, n_tok int, lang string, source string")
+    plan = compile_ruleset(rs, df.schema, cfg, {})
+    rows = _slim_counts(df, plan, cfg).collect()
+    assert sorted(r["_viol"] for r in rows) == [0, 1, 2]
