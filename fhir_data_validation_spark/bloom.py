@@ -124,21 +124,41 @@ class KeyIndex:
 
     def add(self, df: DataFrame, col: str) -> "KeyIndex":
         """Merge a key delta in O(delta + blocks): same hashes + ``bit_or``
-        make this bitwise-identical to a rebuild over the union."""
+        make this bitwise-identical to a rebuild over the union. The
+        delta scans ONCE — ``n_delta`` rides the same aggregation as a
+        count of delta rows (a separate ``count()`` re-executed the
+        whole upstream, e.g. an Iceberg incremental scan, a second time
+        — round-5 review batch 9)."""
         self._check_type(df, col)
         block, masks = _probe_exprs(F.col(col), self.n_blocks, self.k)
         delta = (df.where(F.col(col).isNotNull())
                  .select(block.alias("block"),
-                         *[m.alias(f"w{j}") for j, m in enumerate(masks)]))
-        merged = (self.blocks.unionByName(delta)
-                  .groupBy("block")
-                  .agg(*[F.bit_or(f"w{j}").alias(f"w{j}")
-                         for j in range(_WORDS)]))
-        n_delta = df.where(F.col(col).isNotNull()).count()
-        return KeyIndex(merged, self.n_blocks, self.k, self.bits_per_key,
-                        self.n_items + n_delta, self.key_type)
+                         *[m.alias(f"w{j}") for j, m in enumerate(masks)],
+                         F.lit(1).alias("_n")))
+        existing = self.blocks.withColumn("_n", F.lit(0))
+        merged_all = (existing.unionByName(delta)
+                      .groupBy("block")
+                      .agg(*[F.bit_or(f"w{j}").alias(f"w{j}")
+                             for j in range(_WORDS)],
+                           F.sum("_n").alias("_n")))
+        from pyspark import StorageLevel
+        merged_all = merged_all.persist(StorageLevel.MEMORY_AND_DISK)
+        n_delta = (merged_all.agg(F.sum("_n")).collect()[0][0] or 0)
+        merged = merged_all.drop("_n")
+        out = KeyIndex(merged, self.n_blocks, self.k, self.bits_per_key,
+                       self.n_items + int(n_delta), self.key_type)
+        out._persisted = merged_all
+        return out
 
     # ------------------------------------------------------------- probe
+    def unpersist(self) -> None:
+        """Release the blocks cache (``add`` persists the merged index so
+        the single delta scan serves both the count and later probes)."""
+        try:
+            getattr(self, "_persisted", self.blocks).unpersist()
+        except Exception:
+            pass
+
     def _check_type(self, df: DataFrame, col: str) -> None:
         t = df.schema[col].dataType.simpleString()
         if t != self.key_type:

@@ -87,7 +87,13 @@ DETAILS_CONTRACT: dict[str, list[dict[str, frozenset]]] = {
         # grammar lanes that compile to Regex / CustomExpr but report the
         # primitive's code (grammars.py date calendar check)
         _shape(("pattern",), {"actual"} | _ARRAY_SUMMARY | _ELEMENT),
-        _shape(("expression",))],
+        _shape(("expression",)),
+        # the lenient-ingest lane (sources/ingest.corrupt_record_
+        # violations): a strict-parse-rejected line reports its bounded
+        # raw snippet — without this shape a run whose only "defect" is
+        # a malformed input line failed --audit-details (round-5 review
+        # batch 9)
+        _shape(("raw",))],
     ErrorCode.VALUE_EXCLUSIVITY_VIOLATION: [
         _shape(("columns", "presentCount")),
         _shape(("expression",))],       # extension value[x] forall lane

@@ -48,6 +48,10 @@ class ValidationResult:
     verdicts: DataFrame     # (partition_key, rule_id, rows, violations, errors, passed)
     _persisted: DataFrame | None = None
     key_col: str | None = None   # the run's EngineConfig.key_col (for split)
+    # ids of the run's per-row predicate rules: lets split() tell a
+    # NULL-KEY row's violation (doc_id null, rule per-row) apart from a
+    # genuine dataset-level row (round-5 review batch 9)
+    row_rule_ids: tuple[str, ...] = ()
 
     def unpersist(self) -> None:
         """Release the cached violations (batch runners call this once a
@@ -84,7 +88,12 @@ class ValidationResult:
         Dataset-level violations (null ``doc_id`` — RequiredResources /
         Expectation / Drift / GroupShare rollups) have no row identity:
         they gate the RUN (``passed()``), not individual rows, and are
-        ignored here.
+        ignored here. A NULL-KEY row's own per-row violations also carry
+        a null doc_id — those are NOT dataset-level: when any exist (at
+        the given severities, from a per-row rule of this run), ALL
+        null-key rows are quarantined, because null keys are mutually
+        indistinguishable and shipping a known-bad row as clean is the
+        one unacceptable outcome (round-5 review batch 9).
 
         Plan shape: the distinct bad-key set is *reduced* data (≤ bad
         rows); both sides join against it — AQE broadcasts it when small,
@@ -106,14 +115,32 @@ class ValidationResult:
                          sorted(VALUE_KEYED_RULE_TYPES))
                      & ~((F.col("rule_type") == "Unique")
                          & (F.col("column") != kc)))
+        sev = F.col("severity").isin(list(severities))
         bad = (self.violations
-               .where(F.col("severity").isin(list(severities))
-                      & F.col("doc_id").isNotNull() & row_keyed)
+               .where(sev & F.col("doc_id").isNotNull() & row_keyed)
                .select(F.col("doc_id").alias("_bad_key"))
                .distinct())
         on = F.col(kc).cast("string") == F.col("_bad_key")
-        clean = df.join(bad, on=on, how="left_anti")
-        quarantined = df.join(bad, on=on, how="left_semi")
+        # per-row violations from a NULL-key row carry doc_id NULL — they
+        # would never equi-match and the bad row would ship as clean.
+        # row_rule_ids (the run's per-row predicate rules) separates them
+        # from genuine dataset-level rows; one limit(1) count on the
+        # persisted violations decides the routing
+        null_key_bad = False
+        if self.row_rule_ids:
+            null_key_bad = (self.violations.where(
+                sev & F.col("doc_id").isNull()
+                & F.col("rule_id").isin(list(self.row_rule_ids)))
+                .limit(1).count() > 0)
+        if null_key_bad:
+            key_null = F.col(kc).isNull()
+            with_key = df.where(~key_null)
+            clean = with_key.join(bad, on=on, how="left_anti")
+            quarantined = df.where(key_null).unionByName(
+                with_key.join(bad, on=on, how="left_semi"))
+        else:
+            clean = df.join(bad, on=on, how="left_anti")
+            quarantined = df.join(bad, on=on, how="left_semi")
         return clean, quarantined
 
     def summary(self) -> DataFrame:
@@ -137,7 +164,14 @@ class ValidationResult:
         ``explain=True`` attaches a structured ``{what, how, confidence}``
         explanation to each returned error (the reference's authoring-mode
         ``ValidationError.Explanation`` field, always optional) — pure
-        driver-side templating over the already-collected bounded list."""
+        driver-side templating over the already-collected bounded list.
+
+        Naming note (reference semantics): a ``ValidationError`` object is
+        an ISSUE of any severity (the severity rides inside it), so
+        ``totalErrors`` and the stage ``*ErrorCount`` buckets count
+        issues of ALL severities and partition ``totalErrors`` exactly;
+        only ``errorCount`` (and ``isValid``, keyed off it) is
+        severity='error'-scoped. Pinned by test_response_assembly."""
         counts = (self.violations
                   .groupBy("severity", "rule_type")
                   .agg(F.count(F.lit(1)).alias("n"))
@@ -162,17 +196,24 @@ class ValidationResult:
                      if RULE_STAGES.get(t) == Stage.STRUCTURE)
         # deterministic digest, errors first — a bare limit() would return
         # an arbitrary subset that can omit every ERROR row while isValid
-        # is false
+        # is false. The sort key extends past (rule, doc) with column /
+        # error_code / element index so per-element violations of one
+        # rule on one doc don't tie at the truncation boundary and flap
+        # run-to-run (round-5 review batch 9)
         sev_rank = (F.when(F.col("severity") == Severity.ERROR, 0)
                     .when(F.col("severity") == Severity.WARNING, 1)
                     .otherwise(2))
+        d = F.col("detail")
         errors = [
             {"resourceId": r["doc_id"], "ruleId": r["rule_id"],
              "ruleType": r["rule_type"], "errorCode": r["error_code"],
              "severity": r["severity"], "source": r["source"],
              "fieldPath": r["column"], "details": dict(r["detail"] or {})}
             for r in (self.violations
-                      .orderBy(sev_rank, "rule_id", "doc_id")
+                      .orderBy(sev_rank, "rule_id", "doc_id", "column",
+                               "error_code",
+                               d["index"].cast("int"),
+                               d["innerIndex"].cast("int"), d["value"])
                       .limit(max_errors).collect())]
         if explain:
             from .explanations import explain_violation
@@ -245,7 +286,9 @@ class ValidationEngine:
         verdicts = build_verdicts(df, violations, plan)
         return ValidationResult(violations=violations.drop("stage"),
                                 verdicts=verdicts, _persisted=violations,
-                                key_col=self.config.key_col)
+                                key_col=self.config.key_col,
+                                row_rule_ids=tuple(
+                                    p.rule.id for p in plan.predicates))
 
     # -- internals ---------------------------------------------------------
 
@@ -468,8 +511,17 @@ def build_verdicts(df: DataFrame, violations: DataFrame,
         [(rid,) for rid in plan.rule_ids], "rule_id string")
     grid = rows_per_group.crossJoin(F.broadcast(rule_ids))
 
+    # a NULL-KEY row's per-row violation carries doc_id NULL but is NOT
+    # dataset-level: it must count under ITS group's verdict (it carries
+    # source), not drift to the <dataset> row while the group reports
+    # passed (round-5 review batch 9). Per-row rules are exactly
+    # plan.predicates; dataset plans and notices stay run-level.
+    row_ids = [p.rule.id for p in plan.predicates]
+    is_row_level = F.col("doc_id").isNotNull()
+    if row_ids:
+        is_row_level = is_row_level | F.col("rule_id").isin(row_ids)
     per_group = (violations
-                 .where(F.col("doc_id").isNotNull())
+                 .where(is_row_level)
                  .groupBy(F.coalesce(F.col("source"), F.lit(null_key))
                           .alias("partition_key"),
                           F.col("rule_id"))
@@ -487,8 +539,9 @@ def build_verdicts(df: DataFrame, violations: DataFrame,
                             F.coalesce("errors", F.lit(0)).alias("errors"))
                     .withColumn("passed", F.col("errors") == 0))
 
-    # dataset-level violations (no doc_id) → a run-level verdict row
-    run_level = (violations.where(F.col("doc_id").isNull())
+    # dataset-level violations (no doc_id, non-per-row rule) → a
+    # run-level verdict row
+    run_level = (violations.where(~is_row_level)
                  .groupBy("rule_id")
                  .agg(F.count(F.lit(1)).alias("violations"),
                       F.count(F.when(F.col("severity") == Severity.ERROR, 1))

@@ -303,7 +303,13 @@ def unique_plan(df: DataFrame, rule: RuleDefinition, stage: int,
     key_repr = (F.col(cols[0]).cast("string") if len(cols) == 1
                 else F.to_json(F.struct(*[F.col(c) for c in cols])))
     vcols = _viol_cols(rule, stage, rule.error_code or ErrorCode.DUPLICATE_KEY)
-    if len(cols) > 1:
+    if rule.params.get("columns"):
+        # the violation's column names the DEDUPLICATED columns, never a
+        # stale rule.column: split()'s row-vs-value-keyed routing
+        # compares it to the key col, and a Unique authored as
+        # params.columns=['k'] must route exactly like column='k'
+        # (round-5 review batch 9 — the empty/mismatched column made
+        # identical rules route differently by authoring shape)
         vcols[4] = F.lit(",".join(cols)).alias("column")
     return dups.select(
         key_repr.alias("doc_id"),

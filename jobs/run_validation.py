@@ -147,6 +147,13 @@ def main(argv=None) -> int:
         session = SparkSession.builder.getOrCreate()
     spark = session
 
+    if not args.input and not args.synth:
+        # usage errors exit 2 — an unhandled traceback exits 1, which the
+        # contract reserves for failed verdicts, so an orchestrator
+        # branching on the code would misread "no input given" as
+        # "validation ran and failed" (round-5 review batch 9)
+        print("--input (or --synth) is required", file=sys.stderr)
+        return 2
     if args.audit_branch and args.input_format != "pyiceberg":
         print("--audit-branch requires --input-format pyiceberg",
               file=sys.stderr)
@@ -227,7 +234,13 @@ def main(argv=None) -> int:
         ruleset = RuleSet(version=ruleset.version, rules=merged)
     dims = {}
     for binding in args.dim:
-        name, _, path = binding.partition("=")
+        name, eq, path = binding.partition("=")
+        if not eq or not name or not path:
+            # a '='-less binding used to crash deep in spark.read with
+            # exit 1 (the failed-verdicts code) — usage errors exit 2
+            print(f"--dim must be name=path-or-table, got {binding!r}",
+                  file=sys.stderr)
+            return 2
         dims[name] = (spark.read.parquet(path) if "/" in path
                       else spark.read.table(path))
     if "sources_dim" not in dims and not args.rules:
@@ -265,8 +278,15 @@ def main(argv=None) -> int:
             f"{args.output}/violations")
         res.verdicts.write.mode("overwrite").parquet(
             f"{args.output}/verdicts")
-        verdicts = res.verdicts
-        violations = res.violations
+        # downstream counts read BACK the written parquet (footer
+        # metadata, near-free): res.verdicts is lazy, and counting it
+        # re-runs the rows-per-group aggregation over the ENTIRE
+        # uncached input — one extra table-wide pass at the 100-TB
+        # target (round-5 review batch 9; same rule as the quarantine
+        # count below)
+        res.unpersist()
+        verdicts = spark.read.parquet(f"{args.output}/verdicts")
+        violations = spark.read.parquet(f"{args.output}/violations")
     else:
         kwargs = dict(dims=dims, config=config,
                       groups_per_batch=args.groups_per_batch)
@@ -318,10 +338,8 @@ def main(argv=None) -> int:
 
     regressed = 0
     if args.regression_baseline:
-        if run is None:
-            print("--regression-baseline needs a resumable run "
-                  "(drop --no-resume)", file=sys.stderr)
-            return 2
+        # (--regression-baseline + --no-resume already exited 2 before
+        # validation ran, so `run` is always bound here)
         from fhir_data_validation_spark.lineage import regression_report
         rep = regression_report(
             run.lineage.read(spark), run.run_id,

@@ -1429,3 +1429,76 @@ def test_arithmetic_round_chain_matches_duckdb_on_halfway_doubles(spark):
     duck_round = [con.execute("SELECT round(CAST(? AS DOUBLE), 4)",
                               [v]).fetchone()[0] for v in vals]
     assert spark_round != duck_round
+
+
+def test_null_key_rows_quarantine_and_verdict_attribution(spark):
+    """round-5 review regressions (batch 9): a NULL-key row failing a
+    per-row rule must (a) land in quarantine — null keys never
+    equi-match, so it used to ship as clean — and (b) count under ITS
+    group's verdict, not drift to <dataset> while the group reports
+    passed."""
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("d1", 5, "web"), (None, 0, "web"), ("d3", 7, "web")],
+        "doc_id string, n_tok int, source string")
+    rs = RuleSet.parse({"rules": [
+        {"id": "R1", "type": "Range", "column": "n_tok",
+         "params": {"min": 1}}]})
+    res = ValidationEngine(rs).validate(df)
+    clean, quar = res.split(df)
+    assert [r["n_tok"] for r in quar.collect()] == [0]
+    assert sorted(r["doc_id"] for r in clean.collect()) == ["d1", "d3"]
+    verd = {(r["partition_key"], r["rule_id"]): r
+            for r in res.verdicts.collect()}
+    assert verd[("web", "R1")]["errors"] == 1
+    assert verd[("web", "R1")]["passed"] is False
+    assert ("<dataset>", "R1") not in verd
+    res.unpersist()
+
+
+def test_unique_params_columns_routes_like_column(spark):
+    """round-5 review regressions (batch 9): Unique authored as
+    params.columns=['doc_id'] must quarantine duplicates exactly like
+    the identical rule authored as column='doc_id' (the violation's
+    column field names the deduplicated columns)."""
+    from fhir_data_validation_spark.model import RuleSet
+    df = spark.createDataFrame(
+        [("d1", "web"), ("d1", "web"), ("d2", "web")],
+        "doc_id string, source string")
+    rs_cols = RuleSet.parse({"rules": [
+        {"id": "U1", "type": "Unique",
+         "params": {"columns": ["doc_id"]}}]})
+    rs_col = RuleSet.parse({"rules": [
+        {"id": "U1", "type": "Unique", "column": "doc_id"}]})
+    outs = []
+    for rs in (rs_cols, rs_col):
+        res = ValidationEngine(rs).validate(df)
+        v = res.violations.collect()
+        assert v and all(r["column"] == "doc_id" for r in v)
+        clean, quar = res.split(df)
+        outs.append((sorted(r["doc_id"] for r in quar.collect()),
+                     sorted(r["doc_id"] for r in clean.collect())))
+        res.unpersist()
+    assert outs[0] == outs[1] == (["d1", "d1"], ["d2"])
+
+
+def test_ingest_violations_pass_details_contract(spark, tmp_path):
+    """round-5 review regressions (batch 9): the lenient-ingest lane's
+    {raw} detail must satisfy the frozen INVALID_PRIMITIVE contract —
+    a run whose only defect is a malformed input line used to fail
+    --audit-details."""
+    from fhir_data_validation_spark import validate_details
+    from fhir_data_validation_spark.sources.ingest import (
+        corrupt_record_violations, read_json_lenient)
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": "d1", "source": "web"}\n')
+        f.write('{bad json\n')
+    from pyspark.sql.types import StructType
+    df = read_json_lenient(
+        spark, p, StructType.fromDDL("doc_id string, source string"))
+    viols = corrupt_record_violations(df).collect()
+    assert len(viols) == 1
+    assert viols[0]["error_code"] == "INVALID_PRIMITIVE"
+    assert validate_details(viols[0]["error_code"],
+                            dict(viols[0]["detail"])) == []
