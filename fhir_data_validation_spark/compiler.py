@@ -619,6 +619,18 @@ def compile_ruleset(ruleset: RuleSet, schema: StructType,
         # int()/float() coercion deep in a rule builder
         try:
             if rule.type in DATASET_RULE_TYPES:
+                if rule.scope.kind != "all":
+                    # no dataset plan consults scope — a filter/first
+                    # scope would be silently ignored and e.g. Unique
+                    # would flag keys duplicated only across rows the
+                    # author filtered out (round-5 review batch 10);
+                    # rule.source is the supported dataset-rule filter
+                    raise RuleConfigurationError(
+                        rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                        f"{rule.type} is dataset-scoped and does not "
+                        f"support instance scope {rule.scope.kind!r}; "
+                        "use 'source' to restrict the group, or "
+                        "pre-filter the input")
                 dp = dataset_plans.build(rule, stage, plan)
                 if downgraded_from is not None:
                     dp.execute = _with_downgrade_provenance(dp.execute,
@@ -1360,12 +1372,22 @@ def _compile_predicate(rule: RuleDefinition, schema: StructType,
 
     if t == "Precision":
         digits = int(rule.require_param("precision"))
-        if not isinstance(dtype, NumericType):
-            raise RuleConfigurationError(
-                rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
-                f"Precision column {col_name!r} is not numeric")
-        cond = col.isNotNull() & (F.round(col, digits) != col)
-        return cond, _smap(("precision", digits), ("actual", col))
+        if isinstance(dtype, NumericType):
+            cond = col.isNotNull() & (F.round(col, digits) != col)
+            return cond, _smap(("precision", digits), ("actual", col))
+        if isinstance(dtype, StringType):
+            # the questions-dim pattern, same as the Range lane: string
+            # answer columns try_cast — unparseable strings are the TYPE
+            # lane's finding, not a precision violation (round-5 review
+            # batch 10: a precision constraint on a string answer column
+            # could never compile)
+            cast = F.trim(col).try_cast("double")
+            cond = (col.isNotNull() & cast.isNotNull()
+                    & (F.round(cast, digits) != cast))
+            return cond, _smap(("precision", digits), ("actual", col))
+        raise RuleConfigurationError(
+            rule.id, ErrorCode.RULE_CONFIGURATION_ERROR,
+            f"Precision column {col_name!r} is not numeric")
 
     if t == "TypeCheck":
         target = rule.require_param("dataType")

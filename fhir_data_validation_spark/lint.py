@@ -56,14 +56,23 @@ def referenced_columns(ruleset: RuleSet | Iterable[RuleDefinition]
     for r in rules:
         if r.column:
             cols.add(r.column)
-        for p in ("systemColumn", "keyColumn", "multiValueColumn",
-                  "screeningColumn", "typeColumn"):
+        # round-5 review batch 10: orderBy / by / determinants / the
+        # AggConsistency join key were missed, so lint reported clean
+        # datasets the compiler rejects with INVALID_FIELD_PATH. NOTE:
+        # "on" is DIM-side for Reference/Membership but INPUT-side for
+        # AggConsistency; "valueColumn" is always dim-side — excluded.
+        input_params = ["systemColumn", "keyColumn", "multiValueColumn",
+                        "screeningColumn", "typeColumn", "orderBy", "by"]
+        if r.type == "AggConsistency":
+            input_params.append("on")
+        for p in input_params:
             v = r.params.get(p)
             if isinstance(v, str):
                 cols.add(v)
-        v = r.params.get("columns")
-        if isinstance(v, (list, tuple)):
-            cols.update(c for c in v if isinstance(c, str))
+        for p in ("columns", "determinants"):
+            v = r.params.get(p)
+            if isinstance(v, (list, tuple)):
+                cols.update(c for c in v if isinstance(c, str))
     # physical top-level name: "a[*].b.c" reads column "a"
     return {c.replace("[*]", "").split(".")[0] for c in cols}
 
@@ -81,8 +90,8 @@ def _compatible(actual: DataType, expected: DataType) -> str:
     if actual == expected:
         return "same"
     if isinstance(actual, ArrayType) and isinstance(expected, ArrayType):
-        inner = _compatible(actual.elementType, expected.elementType)
-        return inner if inner != "same" else "same"
+        # array compatibility is elementwise recursion, nothing more
+        return _compatible(actual.elementType, expected.elementType)
     if (type(actual), type(expected)) in _SAFE_WIDENING:
         return "widens"
     return "mismatch"
@@ -152,8 +161,13 @@ def lint_dataset(df: DataFrame,
                         {"actualType": actual[name].simpleString(),
                          "expectedType": etype.simpleString()}))
 
-    # rule-referenced columns missing outright (no expected schema needed)
-    for name in sorted(needed - set(actual)):
+    # rule-referenced columns missing outright — skipping any already
+    # reported by the expected-schema loop above (one defect, one
+    # finding; the overlap double-counted errors — round-5 review
+    # batch 10)
+    already = {f_.column for f_ in findings
+               if f_.code == "MISSING_REQUIRED_FIELD"}
+    for name in sorted(needed - set(actual) - already):
         findings.append(LintFinding(
             "MISSING_REQUIRED_FIELD", ERROR, name,
             f"rule-referenced column {name!r} is missing from the input",

@@ -67,6 +67,15 @@ class InstanceScope:
             raise RuleConfigurationError(
                 rule_id, ErrorCode.RULE_CONFIGURATION_ERROR,
                 "scope kind 'filter' requires a 'condition' expression")
+        if kind != "filter" and cond:
+            # only the filter kind evaluates a condition — silently
+            # storing one on 'all'/'first' dropped the author's row
+            # filter and validated rows they meant to exclude (round-5
+            # review batch 10); a typo'd kind must be loud
+            raise RuleConfigurationError(
+                rule_id, ErrorCode.RULE_CONFIGURATION_ERROR,
+                f"scope kind {kind!r} does not take a 'condition' "
+                f"(did you mean kind: 'filter'?)")
         return InstanceScope(kind=kind, condition=cond)
 
 

@@ -90,11 +90,20 @@ def json_pointer(path: str, indexes: Sequence[int | None] = ()) -> str | None:
     ``indexes`` supplies one entry per ``[*]`` marker in order; ``None``
     (or exhaustion) stops resolution at that array node. Empty path →
     ``None`` (dataset-level violations have no location).
+
+    Paths with THREE or more markers resolve only the FIRST array: the
+    engine's detail convention carries (index, innerIndex) where
+    innerIndex at depth ≥ 3 is a flattened ordinal, not the second
+    array's index — consuming it as one would fabricate a location
+    (round-5 review batch 10; matches ``with_pointer``, which stops at
+    the second-level array for the same reason).
     """
     segs = split_segments(path)
     if not segs:
         return None
     idx = list(indexes)
+    if sum(1 for _, starred in segs if starred) >= 3:
+        idx = idx[:1]
     parts: list[str] = []
     for name, starred in segs:
         parts.append(_escape(name))
@@ -111,10 +120,14 @@ def breadcrumbs(path: str, indexes: Sequence[int | None] = ()) -> list[str]:
 
     The frontend breadcrumb shape (``smartPathFormatting.ts``): one crumb
     per field, array fields suffixed with their resolved index (or ``[*]``
-    when unresolved — the crumb still names the array).
+    when unresolved — the crumb still names the array). Same ≥3-marker
+    truncation as :func:`json_pointer` (innerIndex is a flattened
+    ordinal there, not the second array's index).
     """
     segs = split_segments(path)
     idx = list(indexes)
+    if sum(1 for _, starred in segs if starred) >= 3:
+        idx = idx[:1]
     out: list[str] = []
     resolved = True
     for name, starred in segs:

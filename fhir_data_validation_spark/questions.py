@@ -53,10 +53,21 @@ ANSWER_TYPES = {
     # not a cast (see _DECIMAL_GRAMMAR below)
     "decimal": "decimal-grammar",
     "quantity": "decimal-grammar",
-    "boolean": "boolean",
+    # bool.TryParse accepts trimmed, case-insensitive true/false and
+    # NOTHING else — Spark's string→boolean try_cast also waves through
+    # 'y'/'n'/'t'/'f'/'yes'/'no'/'0'/'1', so the TYPE lane is a grammar,
+    # not a cast (round-5 review batch 10)
+    "boolean": "boolean-grammar",
 }
 
-_DECIMAL_GRAMMAR = r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*\z"
+# the SHARED decimal grammar (grammars.PRIMITIVE_GRAMMARS) — importing,
+# not copying, so a fix there propagates (round-5 review batch 10)
+from .grammars import PRIMITIVE_GRAMMARS as _PG  # noqa: E402
+
+_DECIMAL_GRAMMAR = _PG["decimal"]["pattern"]
+# C# bool.TryParse: trimmed + case-insensitive (unlike FHIR's strict
+# lowercase boolean in grammars.py — different spec, different grammar)
+_BOOLEAN_GRAMMAR = r"^\s*(?i:true|false)\s*\z"
 
 ANSWER_REQUIRED = "ANSWER_REQUIRED"
 ANSWER_NOT_IN_VALUESET = "ANSWER_NOT_IN_VALUESET"
@@ -116,6 +127,9 @@ def question_rules(questions: Iterable[dict[str, Any]],
         cast_target = ANSWER_TYPES[atype]
         if cast_target == "decimal-grammar":
             add("TYPE", "Regex", {"pattern": _DECIMAL_GRAMMAR},
+                error_code=INVALID_ANSWER_TYPE)
+        elif cast_target == "boolean-grammar":
+            add("TYPE", "Regex", {"pattern": _BOOLEAN_GRAMMAR},
                 error_code=INVALID_ANSWER_TYPE)
         elif cast_target:
             add("TYPE", "TypeCheck", {"dataType": cast_target},

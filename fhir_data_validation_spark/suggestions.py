@@ -136,6 +136,15 @@ def suggest_rules(df: DataFrame, columns: list[str] | None = None,
                 0.7, f"~{ad} distinct values over {n_rows} rows — key-like",
                 n_rows)
         values = list(p2[f"{name}__set"]) if name in set_cols else None
+        if values is not None:
+            # collected decimal.Decimal values must become plain floats
+            # (like RangeDetector's float()) or the emitted dict breaks
+            # the 'ready-to-parse rule' contract — the compiler's value
+            # comparability check only accepts int/float for numeric
+            # columns (round-5 review batch 10)
+            import decimal
+            values = [float(v) if isinstance(v, decimal.Decimal) else v
+                      for v in values]
         if values is not None and len(values) == 1:
             add("FixedValueDetector",
                 {"id": f"SUG-FIX-{name}", "type": "FixedValue",

@@ -173,3 +173,29 @@ def test_range_bool_bound_rejected_on_string_column(spark, schema):
             _compile_one(schema, {"id": "RB", "type": "Range",
                                   "column": "source",
                                   "params": {"min": bad}})
+
+
+def test_scope_misuse_is_loud(spark):
+    """round-5 review regressions (batch 10): (a) a condition on a
+    non-filter scope kind used to be silently dropped (the author's row
+    filter never ran); (b) dataset rules silently ignored instance
+    scopes (Unique would flag keys duplicated only across filtered-out
+    rows). Both must raise at parse/compile."""
+    import pytest
+
+    from fhir_data_validation_spark import (EngineConfig,
+                                            RuleConfigurationError,
+                                            ValidationEngine)
+    from fhir_data_validation_spark.model import RuleDefinition, RuleSet
+    with pytest.raises(RuleConfigurationError):
+        RuleDefinition.parse(
+            {"id": "S1", "type": "Required", "column": "c",
+             "scope": {"kind": "all", "condition": "status = 'final'"}})
+    df = spark.createDataFrame([("d1", "w")],
+                               "doc_id string, source string")
+    rs = RuleSet(rules=(RuleDefinition.parse(
+        {"id": "U1", "type": "Unique", "column": "doc_id",
+         "scope": {"kind": "filter", "condition": "source = 'w'"}}),))
+    with pytest.raises(RuleConfigurationError):
+        ValidationEngine(rs, config=EngineConfig(
+            key_col="doc_id", group_col="source")).validate(df)

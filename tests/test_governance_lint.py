@@ -335,3 +335,40 @@ class TestLint:
         rep = lint_report(lint_dataset(df, expected_schema=expected))
         assert rep["findingCount"] == 1 and rep["warnings"] == 1
         assert rep["findings"][0]["code"] == "TYPE_MISMATCH"
+
+
+def test_lint_covers_orderby_determinants_and_by(spark):
+    """round-5 review regressions (batch 10): lint must flag the columns
+    the compiler would reject — orderBy (Monotonic), determinants
+    (FunctionalDependency) and by (DistinctBand) were missed, and an
+    expected-schema + ruleset overlap double-counted the finding."""
+    from pyspark.sql.types import StructType
+
+    from fhir_data_validation_spark.lint import lint_dataset
+    from fhir_data_validation_spark.model import RuleDefinition
+    df = spark.createDataFrame([("d1", 1, "w")],
+                               "doc_id string, v int, source string")
+    rules = [
+        RuleDefinition.parse({"id": "M", "type": "Monotonic",
+                              "column": "v",
+                              "params": {"keyColumn": "doc_id",
+                                         "orderBy": "ts"}}),
+        RuleDefinition.parse({"id": "F", "type": "FunctionalDependency",
+                              "column": "v",
+                              "params": {"determinants": ["det"]}}),
+        RuleDefinition.parse({"id": "D", "type": "DistinctBand",
+                              "column": "v",
+                              "params": {"by": "region",
+                                         "bands": {"x": {"min": 1}}}}),
+    ]
+    missing = {f.column for f in lint_dataset(df, rules)
+               if f.code == "MISSING_REQUIRED_FIELD"}
+    assert {"ts", "det", "region"} <= missing
+    # overlap dedup: expected schema + rule both referencing a missing
+    # column → ONE finding, not two
+    exp = StructType.fromDDL("doc_id string, v int, source string, "
+                             "ts timestamp")
+    findings = lint_dataset(df, rules, expected_schema=exp)
+    assert sum(1 for f in findings
+               if f.code == "MISSING_REQUIRED_FIELD"
+               and f.column == "ts") == 1

@@ -133,3 +133,16 @@ def test_resolve_first_match_rejects_bad_expr(spark):
                                "doc_id string, src string, v int")
     with pytest.raises(RuleConfigurationError):
         resolve_first_match(df, "v >= (", "tags[*].code", group_col="src")
+
+
+def test_pointer_depth3_stops_at_second_array():
+    """round-5 review regressions (batch 10): with ≥3 markers the second
+    detail index is a FLATTENED ordinal, not the second array's index —
+    json_pointer/breadcrumbs must stop where with_pointer stops instead
+    of fabricating a location."""
+    from fhir_data_validation_spark.navigation import (breadcrumbs,
+                                                       json_pointer)
+    assert json_pointer("a[*].b[*].c[*].d", (1, 2)) == "/a/1/b"
+    assert breadcrumbs("a[*].b[*].c[*].d", (1, 2)) == ["a[1]", "b[*]"]
+    # two markers keep full resolution (innerIndex IS the second index)
+    assert json_pointer("a[*].b[*].c", (1, 2)) == "/a/1/b/2/c"

@@ -158,3 +158,46 @@ def test_length_and_regex_constraints_need_string_answer():
         question_rules([{"id": "QN", "column": "c",
                          "answerType": "integer",
                          "constraints": {"regex": "^x$"}}])
+
+
+def test_boolean_answer_grammar_rejects_trybool_lookalikes(spark):
+    """round-5 review regressions (batch 10): Spark's string→boolean
+    try_cast accepts y/n/t/f/yes/no/0/1 — C# bool.TryParse does not, so
+    the boolean TYPE lane is a trimmed case-insensitive grammar."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.questions import question_rules
+    rs = question_rules([{"id": "QB", "column": "ans",
+                          "answerType": "boolean"}])
+    df = spark.createDataFrame(
+        [("d1", "true", "w"), ("d2", " False ", "w"), ("d3", "TRUE", "w"),
+         ("d4", "yes", "w"), ("d5", "1", "w"), ("d6", "t", "w"),
+         ("d7", "n", "w")],
+        "doc_id string, ans string, source string")
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="source")).validate(df)
+    bad = sorted(r["doc_id"] for r in res.violations.collect())
+    res.unpersist()
+    assert bad == ["d4", "d5", "d6", "d7"]
+
+
+def test_precision_constraint_compiles_on_string_answer_column(spark):
+    """round-5 review regressions (batch 10): a precision constraint on
+    a decimal answerType must run on the string answer column the
+    questions-dim pattern uses (try_cast lane, like Range); unparseable
+    strings stay the TYPE lane's finding."""
+    from fhir_data_validation_spark import EngineConfig, ValidationEngine
+    from fhir_data_validation_spark.questions import question_rules
+    rs = question_rules([{"id": "QD", "column": "ans",
+                          "answerType": "decimal",
+                          "constraints": {"precision": 2}}])
+    df = spark.createDataFrame(
+        [("d1", "1.25", "w"), ("d2", "1.257", "w"), ("d3", "oops", "w")],
+        "doc_id string, ans string, source string")
+    res = ValidationEngine(rs, config=EngineConfig(
+        key_col="doc_id", group_col="source")).validate(df)
+    by_code = {}
+    for r in res.violations.collect():
+        by_code.setdefault(r["error_code"], []).append(r["doc_id"])
+    res.unpersist()
+    assert by_code.get("PRECISION_VIOLATION") == ["d2"]
+    assert by_code.get("INVALID_ANSWER_TYPE") == ["d3"]
