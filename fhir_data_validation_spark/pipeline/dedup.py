@@ -198,7 +198,13 @@ def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
     fps = _materialize(
         new_docs.select(F.col(id_col).alias("doc_id"),
                         fingerprint(F.col(text_col)).alias("fingerprint")))
-    batch_min = (fps.groupBy("fingerprint")
+    # NULL fingerprints (null text) stay OUT of the grouping and the
+    # index: NULL never equi-joins, so such docs would vanish from
+    # verdicts and re-append a (NULL, keep) index row every batch —
+    # they instead report dup=false below, same contract as
+    # simhash_incremental's wordless docs (round-5 review batch 11)
+    nn = fps.where(F.col("fingerprint").isNotNull())
+    batch_min = (nn.groupBy("fingerprint")
                  .agg(F.min("doc_id").alias("_batch_keep")))
     # defensive min-reduce: a duplicate fingerprint row in the index
     # (e.g. a union of overlapping deltas) would otherwise fan out every
@@ -211,7 +217,8 @@ def exact_duplicates_incremental(new_docs: DataFrame, index: DataFrame,
         .select("fingerprint",
                 F.coalesce("_idx_keep", "_batch_keep").alias("keep"),
                 F.col("_idx_keep").isNull().alias("_new_fp")))
-    verdicts = (fps.join(keepers, "fingerprint")
+    verdicts = (fps.join(keepers, "fingerprint", "left")
+                .withColumn("keep", F.coalesce("keep", F.col("doc_id")))
                 .select("doc_id", "fingerprint", "keep",
                         (F.col("doc_id") != F.col("keep")).alias("dup")))
     index_delta = keepers.where("_new_fp").select("fingerprint", "keep")
@@ -437,6 +444,13 @@ def lsh_candidates(sigs: DataFrame, bands: int = 64,
     collapses at linear cost; handle boilerplate there first. Within a
     clique the pairs lost are mutually-duplicate pairs, not cross-cluster
     ones. None disables the cap."""
+    # same guard minhash_dedup/similarity_join apply: bands > n_hashes
+    # makes every band slice empty → all docs share one bucket per band
+    # → the size cap drops them → ZERO candidates, silently (round-5
+    # review batch 11). One first() on the driver reads the sig length.
+    head = sigs.select(F.size("sig").alias("n")).first()
+    if head is not None:
+        _check_bands(int(head["n"]), bands)
     buckets = _band_buckets(sigs, bands)
     if max_bucket_size is not None:
         buckets = _anti_join_hot_keys(buckets, ["band", "bh"],
@@ -880,13 +894,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
     if quality is None:
         return labels.select(F.col("id").alias("doc_id"), "cluster",
                              (F.col("id") == F.col("cluster")).alias("keep"))
-    # keep-best: -inf sentinel makes null/missing scores lose to any real
-    # score while an all-null cluster still elects its min id (q == max_q
-    # holds for every member, the min(id) tiebreak decides)
+    # keep-best: -inf sentinel makes null/missing/NaN scores lose to any
+    # real score while an all-null cluster still elects its min id
+    # (q == max_q holds for every member, the min(id) tiebreak decides).
+    # NaN folds into the sentinel too — Spark's max() ranks NaN above
+    # every real score and NaN = NaN is true in the winner filter, so a
+    # raw NaN would elect the UNMEASURED doc as the cluster's canonical
+    # survivor (round-5 review batch 11)
     neg_inf = F.lit(float("-inf"))
+    q = F.col(quality_col).cast("double")
     scored = (labels
               .join(quality.select(F.col(id_col).alias("id"),
-                                   F.col(quality_col).cast("double")
+                                   F.when(F.isnan(q), None).otherwise(q)
                                     .alias("_q")),
                     "id", "left")
               .withColumn("_q", F.coalesce("_q", neg_inf)))

@@ -60,6 +60,12 @@ def pack_sequences(df: DataFrame, seq_len: int, shard_col: str = "source",
     Every sequence except possibly a shard's last has exactly ``seq_len``
     tokens; pieces within a sequence tile it exactly (asserted by the
     pytest invariants and the DuckDB oracle).
+
+    All stream/cut arithmetic derives from ``size(tokens_col)`` — the
+    array actually sliced — so a stale ``n_tok`` column can never lose
+    tail tokens or shift every later token in a sequence (round-5
+    review batch 11); ``n_tok_col`` remains accepted for signature
+    compatibility but the array is the single source of truth.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
@@ -69,7 +75,7 @@ def pack_sequences(df: DataFrame, seq_len: int, shard_col: str = "source",
              ] if order_cols else [F.col(id_col)]
     w = (Window.partitionBy(shard_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    n = F.col(n_tok_col).cast("long")
+    n = F.size(F.col(tokens_col)).cast("long")
     end = F.sum(n).over(w)            # stream offset after this doc
     start = (end - n).alias("_start")  # stream offset of this doc's first token
     L = F.lit(int(seq_len)).cast("long")

@@ -60,9 +60,13 @@ def sample_by_rate(df: DataFrame, rates: float | Mapping[str, float],
     stratum mapping (strata absent from the mapping are dropped).
 
     Shuffle-free: compiles to a single filter predicate, so Catalyst keeps
-    it against the scan — the 100-TB selection path."""
+    it against the scan — the 100-TB selection path. A NaN rate (e.g. a
+    0/0 quota division upstream) drops its stratum like rate 0 — Spark's
+    ``u < NaN`` is TRUE for every u, which would keep the stratum at
+    100% (round-5 review batch 11)."""
     rate = (_per_stratum(rates, by, 0.0)
             if isinstance(rates, Mapping) else F.lit(float(rates)))
+    rate = F.when(F.isnan(rate), F.lit(0.0)).otherwise(rate)
     return df.where(hash_unit(F.col(key_col), salt) < rate)
 
 
@@ -291,10 +295,13 @@ def weighted_key(key: Column, weight: Column, salt: int | str = 0) -> Column:
     ``u = hash_unit(key, salt)``: taking the ``n`` LARGEST keys is an
     exact weight-proportional sample without replacement. Deterministic
     in (key, salt), so re-runs, repartitions and appends never swap a
-    row's fate. Non-positive or null weights yield a null key
-    (zero inclusion probability)."""
+    row's fate. Non-positive, null or NaN weights yield a null key
+    (zero inclusion probability) — NaN passes Spark's ``w > 0`` (NaN
+    compares greater than every value) and would sort ABOVE every real
+    key, displacing the whole sample (round-5 review batch 11)."""
     w = weight.cast("double")
-    return F.when(w > 0, F.pow(hash_unit(key, salt), F.lit(1.0) / w))
+    return F.when((w > 0) & ~F.isnan(w),
+                  F.pow(hash_unit(key, salt), F.lit(1.0) / w))
 
 
 def sample_weighted(df: DataFrame, n: int, weight_col: str,
@@ -348,7 +355,13 @@ def curriculum_buckets(df: DataFrame, metric_col: str, n_buckets: int,
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    # NaN metrics fold into the NULL lane BEFORE anything reads them:
+    # Spark NaN compares greater than every value, so a raw NaN would
+    # land in the top bucket ("hardest") and enough of them corrupt the
+    # percentile fences into NaN — collapsing ALL rows into bucket n-1
+    # (round-5 review batch 11)
     m = F.col(metric_col).cast("double")
+    m = F.when(F.isnan(m), F.lit(None).cast("double")).otherwise(m)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     agg = (F.percentile(m, F.array(*[F.lit(p) for p in probs])) if exact
            else F.approx_percentile(m, F.array(*[F.lit(p) for p in probs]),

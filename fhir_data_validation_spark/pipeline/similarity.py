@@ -144,11 +144,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             sims = qm @ cm.T                      # (n_queries, batch)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # deterministic per-batch top-k: pre-sort by id, then a
+            # STABLE sort on -sim keeps the lowest id among tied
+            # cosines — a bare argpartition keeps an arbitrary tie
+            # member, so the candidate the global (desc cosine, asc
+            # vec_id) window would pick could be dropped before it ever
+            # reached the window (round-5 review batch 11; the exact
+            # lane must be exactly deterministic)
+            id_asc = np.argsort(ids, kind="stable")
+            sel = np.empty((sims.shape[0], kk), dtype=np.int64)
+            for i in range(sims.shape[0]):
+                order = id_asc[np.argsort(-sims[i][id_asc],
+                                          kind="stable")]
+                sel[i] = order[:kk]
             rows = {
                 "query_id": np.repeat(q_ids, kk),
-                "vec_id": ids[idx].ravel(),
-                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                "vec_id": ids[sel].ravel(),
+                "cosine": np.take_along_axis(sims, sel, axis=1).ravel(),
             }
             yield pd.DataFrame(rows)
 
@@ -886,11 +898,21 @@ class PqIndex:
             frac = min(1.0, fit_rows / max(n_total, 1))
         else:
             frac = float(fit_fraction)
+            if not 0.0 < frac <= 1.0:
+                raise ValueError(
+                    f"fit_fraction must be in (0, 1], got {frac}")
         sample = (corpus.sample(fraction=frac, seed=seed)
                   if frac < 1.0 else corpus)
-        X = np.asarray([r[0] for r in
-                        sample.select(vec_col).limit(fit_rows).collect()],
-                       dtype=np.float64)
+        rows = sample.select(vec_col).limit(fit_rows).collect()
+        if not rows:
+            # a too-small fit_fraction on a small corpus — fail with the
+            # clear error the empty-corpus path raises, not a numpy
+            # AxisError inside _normalize (round-5 review batch 11)
+            raise ValueError(
+                f"fit sample is empty (fit_fraction={frac} over this "
+                f"corpus) — raise fit_fraction or drop it to sample by "
+                f"fit_rows")
+        X = np.asarray([r[0] for r in rows], dtype=np.float64)
         books = _fit_pq_books(cls._normalize(X), m, n_codes, seed,
                               max_iter)    # (m, n_codes, dsub)
         codes = cls._encode(corpus, books, id_col, vec_col)
@@ -1117,6 +1139,11 @@ class IvfPqIndex:
         samp = (ivf.cells.sample(fraction=frac, seed=seed)
                 if frac < 1.0 else ivf.cells)
         rows = samp.select("cell", "_cv").limit(fit_rows).collect()
+        if not rows:
+            raise ValueError(
+                f"residual fit sample is empty (fit_fraction={frac} over "
+                f"this corpus) — raise fit_fraction or drop it to sample "
+                f"by fit_rows")
         V = PqIndex._normalize(np.asarray([r["_cv"] for r in rows],
                                           dtype=np.float64))
         R = V - C[np.asarray([r["cell"] for r in rows])]

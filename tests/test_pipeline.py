@@ -1282,3 +1282,69 @@ def test_dedup_lines_keeps_embedded_nul(spark):
                     .alias("t")).first()["t"]
     assert "abc\x00def is a long enough line" in out
     assert out.count("short") == 2        # short lines always kept
+
+
+def test_incremental_exact_dedup_null_text_contract(spark):
+    """round-5 review regressions (batch 11): null-text docs must get a
+    dup=false verdict row (one row per new doc) and never enter the
+    index — NULL fingerprints used to vanish from verdicts and append a
+    (NULL, keep) index row every batch."""
+    from fhir_data_validation_spark.pipeline import dedup
+    idx = spark.createDataFrame([], "fingerprint string, keep string")
+    batch = spark.createDataFrame(
+        [("d1", "same text"), ("d2", "same text"), ("d3", None)],
+        "doc_id string, text string")
+    verdicts, delta = dedup.exact_duplicates_incremental(batch, idx)
+    v = {r["doc_id"]: r for r in verdicts.collect()}
+    assert set(v) == {"d1", "d2", "d3"}
+    assert v["d3"]["dup"] is False and v["d3"]["fingerprint"] is None
+    assert v["d2"]["dup"] is True
+    d = delta.collect()
+    assert all(r["fingerprint"] is not None for r in d)
+    dedup.unpersist_all()
+
+
+def test_lsh_candidates_rejects_bands_above_signature_length(spark):
+    """round-5 review regressions (batch 11): bands > n_hashes makes
+    every band slice empty and silently returns ZERO candidates — the
+    public lsh_candidates now applies the same guard minhash_dedup
+    does."""
+    import pytest
+
+    from fhir_data_validation_spark.pipeline import dedup
+    docs = spark.createDataFrame(
+        [("d%d" % i, "alpha beta gamma delta epsilon zeta") for i in
+         range(4)], "doc_id string, text string")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16)
+    with pytest.raises(ValueError):
+        dedup.lsh_candidates(sigs, bands=64)
+    dedup.unpersist_all()
+
+
+def test_keep_best_clusters_nan_quality_loses(spark):
+    """round-5 review regressions (batch 11): a NaN quality score must
+    lose to any real score (NaN ranks above everything in Spark max and
+    NaN = NaN matches the winner filter — the unmeasured doc used to be
+    elected canonical)."""
+    from fhir_data_validation_spark.pipeline import dedup
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    quality = spark.createDataFrame(
+        [("a", float("nan")), ("b", 0.95)], "doc_id string, q double")
+    out = {r["doc_id"]: r["keep"] for r in dedup.duplicate_clusters(
+        pairs, quality=quality, quality_col="q").collect()}
+    assert out == {"a": False, "b": True}
+    dedup.unpersist_all()
+
+
+def test_pack_sequences_ignores_stale_n_tok(spark):
+    """round-5 review regressions (batch 11): the cut arithmetic derives
+    from size(tokens), so a stale n_tok can neither drop tail tokens
+    nor shift later sequences."""
+    from fhir_data_validation_spark.pipeline.packing import pack_sequences
+    df = spark.createDataFrame(
+        [("d1", list(range(10)), 4, "w")],   # stale n_tok=4, really 10
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pieces = pack_sequences(df, seq_len=6).collect()
+    toks = [t for r in sorted(pieces, key=lambda r: r["seq"])
+            for t in r["piece"]]
+    assert toks == list(range(10))

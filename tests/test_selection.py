@@ -508,3 +508,29 @@ def test_dsir_plan_shape(spark):
         sel.explain("formatted")
     # global top-n must be a per-partition merge, not a global sort
     assert "TakeOrderedAndProject" in buf2.getvalue()
+
+
+def test_nan_weights_rates_and_metrics_never_poison_selection(spark):
+    """round-5 review regressions (batch 11): Spark NaN compares greater
+    than every value, so (a) NaN weights would displace the whole
+    weighted sample, (b) a NaN rate would keep its stratum at 100%, and
+    (c) NaN metrics would land in the top curriculum bucket and corrupt
+    the fences. All three fold NaN into the excluded/null lane."""
+    from fhir_data_validation_spark.pipeline.selection import (
+        curriculum_buckets, sample_by_rate, sample_weighted)
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("d%d" % i, "web", 1.0 + i / 100.0) for i in range(50)]
+        + [("n%d" % i, "web", nan) for i in range(60)],
+        "doc_id string, source string, w double")
+    picked = sample_weighted(df, 20, "w", key_col="doc_id").collect()
+    assert len(picked) == 20
+    assert all(not r["doc_id"].startswith("n") for r in picked)
+    # NaN rate drops the stratum (not keep-all)
+    out = sample_by_rate(df, {"web": nan}, by="source").count()
+    assert out == 0
+    # NaN metrics: null bucket, real fences
+    b = curriculum_buckets(df, "w", 3)
+    rows = {r["doc_id"]: r["bucket"] for r in b.collect()}
+    assert all(rows["n%d" % i] is None for i in range(60))
+    assert {rows["d%d" % i] for i in range(50)} == {0, 1, 2}
