@@ -1172,7 +1172,7 @@ def q_t8_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
     tok = _md5_token_table(spark, sf)
     vocab = text.vocabulary(tok, min_count=5, max_size=2000)
     prof = text.oov_profile(tok, vocab)
-    return (prof.select(F.col("id").alias("doc_id"), "n_tok", "n_oov",
+    return (prof.select("doc_id", "n_tok", "n_oov",
                         F.round("oov_rate", 6).alias("oov_rate"))
             .orderBy("doc_id"))
 
@@ -3226,12 +3226,15 @@ def oracle_sql() -> dict[str, str]:
                                     'Brand#21', 'Brand#22', 'Brand#23'))
             ORDER BY doc_id, rule_id, error_code, source""",
         "t1_token_count": """
+            -- round-5 batch 12: full-whitespace split with boundary
+            -- empties discarded (Spark trim strips only spaces, so the
+            -- old chain counted phantom tokens on \\n-terminated docs);
+            -- the BPE punct class excludes \\r like the engine's
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+'))
-                   END AS n_ws,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS n_ws,
                    len(regexp_extract_all(text,
-                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_bpe
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]')) AS n_bpe
             FROM documents ORDER BY doc_id""",
         "t2_quality": f"""
             WITH c AS (
@@ -4311,8 +4314,10 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(text, ' value ', chr(10), 'g') AS t
               FROM documents),
             w AS (
+              -- round-5 batch 12: CRLF-tolerant line split, empties out
               SELECT doc_id,
-                     string_split(t, chr(10)) AS lines,
+                     list_filter(regexp_split_to_array(t, '\\r?\\n'),
+                                 x -> x <> '') AS lines,
                      list_filter(regexp_split_to_array(lower(t),
                                                        '[^a-z0-9]+'),
                                  x -> x <> '') AS ws
@@ -4406,10 +4411,9 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT source, count(*) AS n_docs,
                      sum(length(text)) AS n_chars,
-                     sum(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text),
-                                                        '[ \t\n]+'))
-                         END) AS n_tokens,
+                     sum(len(list_filter(
+                         regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))) AS n_tokens,
                      quantile_cont(CAST(length(text) AS DOUBLE), 0.5)
                        AS p50_len,
                      quantile_cont(CAST(length(text) AS DOUBLE), 0.9)

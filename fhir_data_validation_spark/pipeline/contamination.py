@@ -41,13 +41,21 @@ def token_shingles(tokens: Column, n: int = 13) -> Column:
     that carry tokenizer output instead of text). Sequences shorter than
     ``n`` tokens yield their whole sequence as one shingle; empty/null
     sequences yield an empty set."""
+    # null elements serialize as a sentinel BEFORE concat_ws (which
+    # silently DROPS nulls): [1, null, 2] must not hash like [1, 2] —
+    # a doc could be flagged by, or evade, a window it doesn't share
+    # (round-5 review batch 12)
+    def ser(arr: Column) -> Column:
+        return F.concat_ws(",", F.transform(
+            arr, lambda t: F.coalesce(t.cast("string"), F.lit("␀"))))
+
     k = F.size(tokens)
     shingled = F.transform(
         F.sequence(F.lit(1), k - (n - 1)),
-        lambda i: F.xxhash64(F.concat_ws(",", F.slice(tokens, i, n))))
+        lambda i: F.xxhash64(ser(F.slice(tokens, i, n))))
     return F.array_distinct(
         F.when(k >= n, shingled)
-         .when(k > 0, F.array(F.xxhash64(F.concat_ws(",", tokens))))
+         .when(k > 0, F.array(F.xxhash64(ser(tokens))))
          .otherwise(F.array().cast("array<long>")))
 
 
@@ -76,6 +84,14 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     """
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
+    if bench_tokens_col and not tokens_col:
+        # a token-shingled benchmark against a WORD-shingled corpus can
+        # never overlap (different hash domains) — the old code silently
+        # ignored bench_tokens_col and shingled benchmark TEXT instead
+        # (round-5 review batch 12)
+        raise ValueError(
+            "bench_tokens_col needs tokens_col too — word-hash and "
+            "token-hash shingles never overlap across sides")
 
     def shingles(col: Column, token_side: bool) -> Column:
         if token_side:

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 # GPT-2-ish coarse token pattern: word | number | single punctuation.
 # Kept to the regex subset with identical semantics in Java regex and RE2
 # so the DuckDB oracle can state the same expression.
-BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
 
 # tiny per-language stopword lexicons for the n-gram/stopword language-id
 # heuristic (deterministic, closed-world — not a model)
@@ -34,10 +34,15 @@ def words(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    t = F.trim(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, "[ \\t\\n]+")))
+    """Whitespace token count; empty/blank text counts 0, NULL stays
+    NULL. Splits on FULL whitespace (``\\s``) and discards boundary
+    empties — the old trim-then-split chain stripped only SPACES
+    (Spark ``trim`` semantics), so a newline-terminated doc gained a
+    phantom trailing token, a blank-but-newline doc counted 2, and a
+    CRLF doc glued ``\\r`` onto its tokens (round-5 review batch 12)."""
+    toks = F.filter(F.split(col, "\\s+"), lambda w: w != "")
+    return F.when(col.isNull(), F.lit(None).cast("int")) \
+            .otherwise(F.size(toks))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -164,8 +169,12 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
     filter directly."""
     c = F.col(text_col)
     ws = words(c)
+    # lines: CRLF-tolerant split, boundary/blank empties excluded — a
+    # doc ending in two newlines otherwise counted duplicate "" lines
+    # and inflated dup_line_frac (round-5 review batch 12)
+    lines = F.filter(F.split(c, "\\r?\\n"), lambda l: l != "")
     out = [F.col(id_col),
-           dup_fraction(F.split(c, "\n", -1)).alias("dup_line_frac"),
+           dup_fraction(lines).alias("dup_line_frac"),
            dup_fraction(ws).alias("dup_word_frac")]
     for n in ngram_ns:
         out.append(dup_fraction(_raw_ngrams(ws, n))
@@ -249,7 +258,10 @@ def oov_profile(df: DataFrame, vocab: DataFrame,
             .withColumn("oov_rate",
                         F.when(F.col("n_tok") > 0,
                                F.col("n_oov") / F.col("n_tok"))
-                         .cast("double")))
+                         .cast("double"))
+            # id column keeps the CALLER's name, like tfidf_topk — the
+            # internal 'id' leaked and broke join-back (round-5 batch 12)
+            .withColumnRenamed("id", id_col))
 
 
 # ----------------------------------------------------------- TF-IDF (t9)

@@ -30,8 +30,11 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     (HLL, relative error ``rsd``) by default — exact distinct shuffles the
     full value set and is only for small-scale oracle parity.
     """
-    columns = columns or [f.name for f in df.schema.fields
-                          if f.name != group_col]
+    # explicit [] means "no per-column stats" (just n_rows) — `or` would
+    # silently profile EVERY column of a wide table (round-5 batch 12)
+    columns = (columns if columns is not None
+               else [f.name for f in df.schema.fields
+                     if f.name != group_col])
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         dtype = df.schema[c].dataType

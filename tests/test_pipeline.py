@@ -569,7 +569,8 @@ def test_vocabulary_and_oov_profile(spark):
     # count desc, token asc: 1(3), 2(3) beat 9(3)? no — tie on 3 keeps
     # token asc order: 1, 2 (9 drops), 3(2) drops
     assert sorted(r["token"] for r in top.collect()) == [1, 2]
-    prof = {r["id"]: r for r in
+    # round-5 batch 12: the profile now keeps the CALLER's id column name
+    prof = {r["doc_id"]: r for r in
             text.oov_profile(df, top, broadcast_vocab=True).collect()}
     assert prof["a"]["n_tok"] == 4 and prof["a"]["n_oov"] == 1  # the 3
     assert prof["b"]["n_oov"] == 1                              # the 9
@@ -577,7 +578,7 @@ def test_vocabulary_and_oov_profile(spark):
     assert abs(prof["c"]["oov_rate"] - 1.0) < 1e-12
     assert prof["d"]["n_tok"] == 0 and prof["d"]["oov_rate"] is None
     # shuffle-join fallback agrees
-    prof2 = {r["id"]: (r["n_tok"], r["n_oov"]) for r in
+    prof2 = {r["doc_id"]: (r["n_tok"], r["n_oov"]) for r in
              text.oov_profile(df, top, broadcast_vocab=False).collect()}
     assert prof2 == {k: (v["n_tok"], v["n_oov"]) for k, v in prof.items()}
 
@@ -1348,3 +1349,55 @@ def test_pack_sequences_ignores_stale_n_tok(spark):
     toks = [t for r in sorted(pieces, key=lambda r: r["seq"])
             for t in r["piece"]]
     assert toks == list(range(10))
+
+
+def test_whitespace_token_and_line_edges(spark):
+    """round-5 review regressions (batch 12): newline-terminated, blank-
+    but-newline and CRLF docs must not inflate token counts (Spark trim
+    strips only SPACES), the BPE punct class excludes carriage returns,
+    and repetition's line split is CRLF-tolerant with empties excluded."""
+    from fhir_data_validation_spark.pipeline import text
+    df = spark.createDataFrame(
+        [("d1", "a b\n"),        # trailing newline: 2 tokens, not 3
+         ("d2", "\n"),           # blank-but-newline: 0, not 2
+         ("d3", "a\r\nb"),       # CRLF: 2 clean tokens, no \r token
+         ("d4", ""), ("d5", None),
+         ("d6", "x\ny\n\nx\n")],  # lines: x,y,x — no empty-line dups
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("ws"),
+        text.token_count_bpe(F.col("text")).alias("bpe")).collect()}
+    assert got["d1"] == (2, 2)
+    assert got["d2"] == (0, 0)
+    assert got["d3"] == (2, 2)       # \r is whitespace, not a BPE token
+    assert got["d4"] == (0, 0)
+    assert got["d5"][0] is None
+    rep = {r["doc_id"]: r["dup_line_frac"] for r in
+           text.repetition_profile(df.where("text IS NOT NULL"))
+               .collect()}
+    assert abs(rep["d6"] - (1.0 / 3.0)) < 1e-4    # x,y,x → 1 dup of 3
+    assert rep["d2"] == 0.0                        # no non-empty lines
+
+
+def test_contamination_mixed_sides_and_null_tokens(spark):
+    """round-5 review regressions (batch 12): bench_tokens_col without
+    tokens_col raises (word-hash vs token-hash can never overlap — it
+    was silently ignored), and interior null tokens hash differently
+    from their null-free collapse."""
+    import pytest
+
+    from fhir_data_validation_spark.pipeline import contamination
+    docs = spark.createDataFrame([("d1", "some text here")],
+                                 "doc_id string, text string")
+    bench = spark.createDataFrame([([1, 2, 3],)], "tokens array<int>")
+    with pytest.raises(ValueError):
+        contamination.benchmark_contamination(
+            docs, bench, bench_tokens_col="tokens")
+    a = spark.createDataFrame([([1, None, 2],)], "t array<int>") \
+        .select(contamination.token_shingles(F.col("t"), 3).alias("s")) \
+        .collect()[0]["s"]
+    b = spark.createDataFrame([([1, 2],)], "t array<int>") \
+        .select(contamination.token_shingles(F.col("t"), 3).alias("s")) \
+        .collect()[0]["s"]
+    assert a != b
