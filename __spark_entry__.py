@@ -3231,7 +3231,8 @@ def oracle_sql() -> dict[str, str]:
             -- old chain counted phantom tokens on \\n-terminated docs);
             -- the BPE punct class excludes \\r like the engine's
             SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   len(list_filter(regexp_split_to_array(text,
+                         '[ \t\n\x0B\f\r]+'),
                                    x -> x <> '')) AS n_ws,
                    len(regexp_extract_all(text,
                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]')) AS n_bpe
@@ -3288,7 +3289,7 @@ def oracle_sql() -> dict[str, str]:
                     lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS n_dist,
                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
                 length(text) AS n_chars,
-                length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r]', '', 'g'))
                   AS symbols
               FROM documents)
             SELECT * FROM (
@@ -4412,7 +4413,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, count(*) AS n_docs,
                      sum(length(text)) AS n_chars,
                      sum(len(list_filter(
-                         regexp_split_to_array(text, '\\s+'),
+                         regexp_split_to_array(text,
+                         '[ \t\n\x0B\f\r]+'),
                          x -> x <> ''))) AS n_tokens,
                      quantile_cont(CAST(length(text) AS DOUBLE), 0.5)
                        AS p50_len,
@@ -4852,7 +4854,7 @@ def oracle_sql() -> dict[str, str]:
                        '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b',
                        '<PHONE>', 'g') AS t3 FROM s2),
             s4 AS (SELECT *, regexp_replace(t3,
-                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b',
                        '<IPV4>', 'g') AS t4 FROM s3)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(t0,
@@ -4865,7 +4867,7 @@ def oracle_sql() -> dict[str, str]:
                      '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
                      AS BIGINT) AS n_pii_phone,
                    CAST(len(regexp_extract_all(t3,
-                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                     '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b'))
                      AS BIGINT) AS n_pii_ipv4,
                    md5(t4) AS red_md5
             FROM s4 ORDER BY doc_id""",

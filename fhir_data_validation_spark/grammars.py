@@ -62,10 +62,15 @@ PRIMITIVE_GRAMMARS: dict[str, dict] = {
     "boolean": {"type": "Regex", "pattern": r"^(true|false)\z"},
     "integer": {"type": "TypeCheck", "dataType": "int"},
     # decimal.TryParse trims whitespace and accepts a trailing point
-    # ("7."); it rejects NaN/Infinity/exponent forms. (Simplification vs
-    # C#: thousands separators are rejected here.)
+    # ("7."); it rejects NaN/Infinity/exponent forms. (Simplifications
+    # vs C#: thousands separators rejected; Unicode whitespace like NBSP
+    # that TryParse trims is rejected too.) Whitespace is the EXPLICIT
+    # [ \t\n\f\r] class, not \s — Java's \s includes \x0B where RE2's
+    # does not, so a bare \s breaks the module's Spark↔DuckDB parity
+    # discipline (round-5 review batch 13).
     "decimal": {"type": "Regex",
-                "pattern": r"^\s*[+-]?(\d+\.?\d*|\.\d+)\s*\z"},
+                "pattern":
+                    r"^[ \t\n\f\r]*[+-]?(\d+\.?\d*|\.\d+)[ \t\n\f\r]*\z"},
     # partial dates (YYYY, YYYY-MM) are shape-checked only, but a full
     # 10-char date must also be a real calendar date — the reference runs
     # DateTime.TryParse when Length == 10 (":744-761"), so 2024-02-30

@@ -32,8 +32,13 @@ _TAG = "\x00"
 
 
 def doc_lines(col: Column) -> Column:
-    """Text split into lines (trailing empties kept)."""
-    return F.split(col, "\n", -1)
+    """Text split into lines (trailing empties kept). CRLF-tolerant:
+    ``\\r\\n`` and ``\\n`` both terminate a line — with a bare ``\\n``
+    split, every CRLF line kept its ``\\r`` so 'foo\\r' and 'foo'
+    hashed as different boilerplate lines and ``min_len`` was off by
+    one on CRLF documents (round-5 review batch 13). Rebuilt docs are
+    LF-normalized as a consequence."""
+    return F.split(col, "\\r?\\n", -1)
 
 
 # --- markup stripping -------------------------------------------------------
@@ -42,9 +47,17 @@ def doc_lines(col: Column) -> Column:
 # backreferences, no \s whose definition differs between engines) so a SQL
 # oracle can state the IDENTICAL expressions (same discipline as
 # redaction.py).
-_MARKUP_SCRIPT = r"(?is)<script[^>]*>.*?</script[ \t\n\r\f]*>"
-_MARKUP_STYLE = r"(?is)<style[^>]*>.*?</style[ \t\n\r\f]*>"
-_MARKUP_COMMENT = r"(?s)<!--.*?-->"
+#
+# Each block pattern has an unterminated-\z fallback: HTML treats an
+# unclosed <script>/<!-- as running to end-of-document, and WITHOUT the
+# fallback a doc with many unclosed openers makes Java's lazy .*? scan
+# to the end once PER opener — O(openers × length), an effective
+# executor hang on pathological scraped HTML (round-5 review batch 13;
+# RE2 is linear regardless, so the oracle is unaffected but states the
+# same pattern).
+_MARKUP_SCRIPT = r"(?is)<script[^>]*>(.*?</script[ \t\n\r\f]*>|.*\z)"
+_MARKUP_STYLE = r"(?is)<style[^>]*>(.*?</style[ \t\n\r\f]*>|.*\z)"
+_MARKUP_COMMENT = r"(?s)<!--(.*?-->|.*\z)"
 _MARKUP_TAG = r"(?s)<[^>]*>"
 _MARKUP_WS = r"[ \t\n\r\f]+"
 # &amp; decoded LAST so double-escaped text ("&amp;lt;") resolves to the
@@ -90,15 +103,19 @@ def dedup_lines(col: Column, min_len: int = 0) -> Column:
             lines,
             lambda x, i: F.when(F.length(x) >= min_len, x)
                           .otherwise(F.concat(x, F.lit(_TAG),
-                                              i.cast("string"))))
+                                              i.cast("string"),
+                                              F.lit(_TAG))))
     kept = F.array_distinct(lines)
     if min_len > 0:
-        # strip only a TRAILING tag+position (what the tagging step
-        # appended): a plain split at the tag char would truncate an
-        # untagged long line that happens to contain an embedded NUL
-        # (binary-ish scraped text) — data loss on the keep path
+        # strip only the TRAILING NUL-delimited tag the tagging step
+        # appended (NUL + position + NUL): the old single-NUL suffix
+        # pattern also matched a GENUINE long line ending in NUL+digits
+        # (binary-ish scraped text), truncating it and collapsing
+        # distinct lines like 'data\\x001'/'data\\x002' (round-5 review
+        # batch 13); a line ending in NUL-digits-NUL remains the one
+        # documented residual collision
         kept = F.transform(
-            kept, lambda x: F.regexp_replace(x, "\x00\\d+$", ""))
+            kept, lambda x: F.regexp_replace(x, "\x00\\d+\x00$", ""))
     return F.array_join(kept, "\n")
 
 
@@ -163,10 +180,21 @@ def _rebuild_docs(df: DataFrame, kept: DataFrame, text_col: str,
                         "\n").alias("_clean"),
                     F.count("*").cast("long").alias("_n_kept")))
     n_lines = F.size(doc_lines(F.col(text_col)))
+    null_text = F.col(text_col).isNull()
     return (df.join(rebuilt, id_col, "left")
+            # NULL text stays NULL with 0 removed (it has no lines) —
+            # coercing it to '' destroyed null provenance and emitted a
+            # NULL/-1 n_removed_lines that poisoned sums, diverging from
+            # dedup_lines which preserves NULL (round-5 review batch 13)
             .withColumn("n_removed_lines",
-                        n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+                        F.when(null_text, F.lit(0)).otherwise(
+                            n_lines - F.coalesce(F.col("_n_kept"),
+                                                 F.lit(0))))
+            .withColumn(text_col,
+                        F.when(null_text,
+                               F.lit(None).cast("string"))
+                         .otherwise(F.coalesce(F.col("_clean"),
+                                               F.lit(""))))
             .drop("_clean", "_n_kept"))
 
 

@@ -225,14 +225,21 @@ def resize_nearest(pixels: bytes, width: int, height: int, channels: int,
 
 def decode_wav(data: bytes) -> dict:
     """Parse a RIFF/WAVE payload with the stdlib ``wave`` module:
-    ``{sample_rate, n_channels, sample_width, n_samples, duration_s}``."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate, n = w.getframerate(), w.getnframes()
-        return {"sample_rate": rate,
-                "n_channels": w.getnchannels(),
-                "sample_width": w.getsampwidth(),
-                "n_samples": n,
-                "duration_s": round(n / rate, 6) if rate else 0.0}
+    ``{sample_rate, n_channels, sample_width, n_samples, duration_s}``.
+    Malformed payloads ALWAYS raise ValueError, matching decode_png's
+    contract — ``wave.Error`` is NOT a ValueError subclass, so a
+    truncated or non-PCM payload used to escape the one ``except`` the
+    family documents and kill the Spark task (round-5 review batch 13)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate, n = w.getframerate(), w.getnframes()
+            return {"sample_rate": rate,
+                    "n_channels": w.getnchannels(),
+                    "sample_width": w.getsampwidth(),
+                    "n_samples": n,
+                    "duration_s": round(n / rate, 6) if rate else 0.0}
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"bad WAV payload: {exc}") from exc
 
 
 def encode_wav(frames: bytes, sample_rate: int = 16000,

@@ -99,8 +99,16 @@ def decode(df: DataFrame,
                     feats.append({"error": "null payload"})
                     sizes.append(0)
                 else:
-                    feats.append({k: str(v)
-                                  for k, v in decoder(m, bytes(p)).items()})
+                    # lenient S2 contract (same as image_ahash): ONE
+                    # corrupt payload in a 100-TB corpus must take the
+                    # err lane, not fail the stage after retries
+                    # (round-5 review batch 13)
+                    try:
+                        feats.append(
+                            {k: str(v)
+                             for k, v in decoder(m, bytes(p)).items()})
+                    except (ValueError, NotImplementedError) as exc:
+                        feats.append({"error": str(exc)[:200]})
                     sizes.append(len(p))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -155,9 +163,15 @@ def resize(df: DataFrame, width: int, height: int,
                     # nullable payload: route, don't crash bytes(None)
                     meta["error"] = "null payload"
                 elif m == "image":
-                    p = resizer(bytes(p), width, height)
-                    meta.update({"resized_w": str(width),
-                                 "resized_h": str(height)})
+                    # lenient S2 contract: a corrupt/unsupported payload
+                    # takes the err lane with the ORIGINAL payload kept,
+                    # never a stage failure (round-5 review batch 13)
+                    try:
+                        p = resizer(bytes(p), width, height)
+                        meta.update({"resized_w": str(width),
+                                     "resized_h": str(height)})
+                    except (ValueError, NotImplementedError) as exc:
+                        meta["error"] = str(exc)[:200]
                 out_payload.append(p)
                 out_meta.append(meta)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
@@ -180,10 +194,15 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024,
     # one for empty payloads). The candidate index list is the constant
     # 0..max_frames-1 sequence filtered to n_frames so a zero count
     # yields an empty array instead of a reversed sequence.
+    # coalesce BEFORE least: Spark's least() SKIPS null arguments, so a
+    # NULL payload yielded least(max_frames, NULL) = max_frames phantom
+    # frames instead of 0 (round-5 review batch 13)
     n_frames = F.least(
         F.lit(max_frames),
-        F.ceil(F.octet_length("payload") / F.lit(every_n_bytes))
-         .cast("int"))
+        F.coalesce(
+            F.ceil(F.octet_length("payload") / F.lit(every_n_bytes))
+             .cast("int"),
+            F.lit(0)))
     frames = F.filter(
         F.transform(
             F.sequence(F.lit(0), F.lit(max_frames - 1)),

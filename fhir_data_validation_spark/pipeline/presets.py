@@ -42,11 +42,15 @@ def gopher_quality_rules(text_col: str = "text",
          "errorCode": "QUALITY_DUPLICATE_WORDS",
          "expr": (f"{n} = 0 OR 1.0 - CAST(size(array_distinct({w})) "
                   f"AS DOUBLE) / {n} <= {max_dup_word_frac}")},
+        # whitespace (tab/newline/CR) is NOT a symbol: counting it flagged
+        # ordinary multi-line prose purely for its line structure
+        # (round-5 review batch 13)
         {"id": "QF-SYMBOLS", "type": "CustomExpr",
          "errorCode": "QUALITY_SYMBOL_RATIO",
          "expr": (f"length({text_col}) = 0 OR "
                   f"CAST(length(regexp_replace({text_col}, "
-                  f"'[a-zA-Z0-9 ]', '')) AS DOUBLE) / length({text_col}) "
+                  f"'[a-zA-Z0-9 \\t\\n\\r]', '')) AS DOUBLE) / "
+                  f"length({text_col}) "
                   f"<= {max_symbol_ratio}")},
     ]
     return {"version": "1.0", "rules": rules}

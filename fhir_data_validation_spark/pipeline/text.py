@@ -40,7 +40,10 @@ def token_count_ws(col: Column) -> Column:
     (Spark ``trim`` semantics), so a newline-terminated doc gained a
     phantom trailing token, a blank-but-newline doc counted 2, and a
     CRLF doc glued ``\\r`` onto its tokens (round-5 review batch 12)."""
-    toks = F.filter(F.split(col, "\\s+"), lambda w: w != "")
+    # explicit class, not \s: Java \s includes \x0B where RE2's does
+    # not — the oracle states the identical class (round-5 batch 13)
+    toks = F.filter(F.split(col, "[ \\t\\n\\x0B\\f\\r]+"),
+                    lambda w: w != "")
     return F.when(col.isNull(), F.lit(None).cast("int")) \
             .otherwise(F.size(toks))
 

@@ -67,7 +67,8 @@ from .grammars import PRIMITIVE_GRAMMARS as _PG  # noqa: E402
 _DECIMAL_GRAMMAR = _PG["decimal"]["pattern"]
 # C# bool.TryParse: trimmed + case-insensitive (unlike FHIR's strict
 # lowercase boolean in grammars.py — different spec, different grammar)
-_BOOLEAN_GRAMMAR = r"^\s*(?i:true|false)\s*\z"
+_BOOLEAN_GRAMMAR = (r"^[ \t\n\f\r]*(?i:true|false)"
+                    r"[ \t\n\f\r]*\z")
 
 ANSWER_REQUIRED = "ANSWER_REQUIRED"
 ANSWER_NOT_IN_VALUESET = "ANSWER_NOT_IN_VALUESET"

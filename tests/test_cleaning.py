@@ -270,3 +270,55 @@ def test_dedup_lines_corpus_within_doc_repeat(spark):
     out = cleaning.dedup_lines_corpus(df).collect()[0]
     assert out["text"] == "repeated inside doc line\nmiddle unique content"
     assert out["n_removed_lines"] == 1
+
+
+def test_round5_batch13_cleaning_edges(spark):
+    """round-5 review regressions (batch 13): CRLF-tolerant line split,
+    NUL-tagged keep-alive no longer corrupts genuine NUL+digit suffixes,
+    NULL text survives the boilerplate rebuild, and unterminated
+    script/comment blocks strip to end-of-doc instead of driving Java's
+    lazy scan quadratic."""
+    from fhir_data_validation_spark.pipeline import cleaning
+    # keep path: genuine trailing NUL+digits survives dedup_lines
+    df = spark.createDataFrame([("d1", "data\x007\nother long line here")],
+                               "doc_id string, text string")
+    out = df.select(cleaning.dedup_lines(F.col("text"), min_len=3)
+                    .alias("t")).collect()[0]["t"]
+    assert out == "data\x007\nother long line here"
+    # two distinct NUL-suffixed lines stay distinct
+    df2 = spark.createDataFrame([("d", "data\x001\ndata\x002")],
+                                "doc_id string, text string")
+    out2 = df2.select(cleaning.dedup_lines(F.col("text"), min_len=3)
+                      .alias("t")).collect()[0]["t"]
+    assert out2 == "data\x001\ndata\x002"
+    # CRLF and LF copies of a boilerplate line hash identically now
+    crlf = spark.createDataFrame(
+        [("a", "keep me unique A\r\ncookie banner line\r\n"),
+         ("b", "keep me unique B\ncookie banner line\n"),
+         ("c", None)],
+        "doc_id string, text string")
+    cleaned = {r["doc_id"]: r for r in cleaning.remove_boilerplate(
+        crlf, min_docs=2, min_len=10).collect()}
+    assert "cookie banner" not in cleaned["a"]["text"]
+    assert "cookie banner" not in cleaned["b"]["text"]
+    assert cleaned["c"]["text"] is None           # NULL provenance kept
+    assert cleaned["c"]["n_removed_lines"] == 0
+    # unterminated blocks strip to end (and stay linear-time)
+    ht = spark.createDataFrame(
+        [("h", "before <script>never closed " + "<!-- " * 1000 + "x")],
+        "doc_id string, text string")
+    stripped = ht.select(cleaning.strip_markup(F.col("text"))
+                         .alias("t")).collect()[0]["t"]
+    assert stripped == "before"
+
+
+def test_round5_batch13_ipv4_octet_bounds(spark):
+    """round-5 review regressions (batch 13): dotted quads with octets
+    above 255 (version strings, section numbers) are not PII."""
+    from fhir_data_validation_spark.pipeline.redaction import redact_docs
+    df = spark.createDataFrame(
+        [("d1", "from 10.1.400.999 to 10.2.500.999 via 192.168.0.1")],
+        "doc_id string, text string")
+    r = redact_docs(df).collect()[0]
+    assert r["n_pii_ipv4"] == 1
+    assert "10.1.400.999" in r["text"] and "<IPV4>" in r["text"]

@@ -132,12 +132,23 @@ def test_decode_dataflow_with_stdlib_codecs(spark):
     assert out["aud1"]["n_samples"] == "100"
 
 
-def test_decode_dataflow_unsupported_format_raises(spark):
+def test_decode_dataflow_unsupported_format_takes_err_lane(spark):
+    """round-5 review regressions (batch 13): one unsupported or corrupt
+    payload routes to the error feature (lenient S2 contract, like
+    image_ahash) instead of failing the whole stage; a truncated WAV's
+    wave.Error normalizes to ValueError so the same lane catches it."""
     df = spark.createDataFrame(
-        [("d1", "image", bytearray(b"GIF89a....."), {})],
+        [("d1", "image", bytearray(b"GIF89a....."), {}),
+         ("d2", "audio", bytearray(b"RIFF\x24\x00\x00\x00WAVE"), {}),
+         ("d3", "image", bytearray(
+             codecs.encode_png(_random_pixels(2, 2, 3, seed=1), 2, 2, 3)),
+          {})],
         multimodal.MULTIMODAL_SCHEMA)
-    with pytest.raises(Exception, match="no built-in codec"):
-        multimodal.decode(df).collect()
+    out = {r["doc_id"]: dict(r["feature"])
+           for r in multimodal.decode(df).collect()}
+    assert "no built-in codec" in out["d1"]["error"]
+    assert "bad WAV payload" in out["d2"]["error"]
+    assert out["d3"]["width"] == "2"        # healthy rows still decode
 
 
 def test_resize_dataflow_png(spark):

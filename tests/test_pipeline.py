@@ -254,13 +254,16 @@ def test_multimodal_meta(docs):
         multimodal.MODALITIES)
 
 
-def test_decode_default_rejects_unknown_formats(docs):
-    """The default (stdlib) decoder handles PNG/WAV; synthetic text-byte
-    payloads are neither, so the job fails with the explicit codec error
-    (full codec coverage: tests/test_codecs.py)."""
+def test_decode_default_routes_unknown_formats_to_err_lane(docs):
+    """round-5 review regressions (batch 13): the default decoder handles
+    PNG/WAV; anything else takes the error FEATURE (lenient S2 contract)
+    instead of failing the whole stage."""
     mm = multimodal.synth_multimodal(docs)
-    with pytest.raises(Exception, match="no built-in codec"):
-        multimodal.decode(mm).collect()
+    rows = multimodal.decode(mm).collect()
+    assert len(rows) == mm.count()
+    assert all("no built-in codec" in r["feature"].get("error", "")
+               or "error" not in r["feature"] for r in rows)
+    assert any("error" in r["feature"] for r in rows)
 
 
 def test_decode_with_fake_decoder(docs):
@@ -299,9 +302,13 @@ def test_gopher_quality_rules(spark, docs):
 
 def test_resize_default_rejects_non_png_and_fake_resizer(docs, spark):
     mm = multimodal.synth_multimodal(docs)
-    import pytest as _pytest
-    with _pytest.raises(Exception, match="stdlib resizer handles PNG only"):
-        multimodal.resize(mm, 32, 32).collect()
+    # round-5 batch 13: non-PNG payloads take the meta err lane, the
+    # original payload is kept, and the stage never fails
+    lenient = {r["doc_id"]: r for r in
+               multimodal.resize(mm, 32, 32).collect()}
+    img = [r for r in lenient.values() if r["modality"] == "image"]
+    assert img and all("stdlib resizer handles PNG only"
+                       in r["meta"].get("error", "") for r in img)
     out = multimodal.resize(mm, 8, 8, resizer=multimodal.fake_resizer)
     rows = out.collect()
     assert len(rows) == mm.count()
@@ -1401,3 +1408,17 @@ def test_contamination_mixed_sides_and_null_tokens(spark):
         .select(contamination.token_shingles(F.col("t"), 3).alias("s")) \
         .collect()[0]["s"]
     assert a != b
+
+
+def test_frame_sample_null_payload_emits_no_frames(spark):
+    """round-5 review regressions (batch 13): Spark's least() SKIPS null
+    arguments, so a NULL video payload produced max_frames phantom rows."""
+    mm = spark.createDataFrame(
+        [("v1", "video", bytearray(b"x" * 200), {}),
+         ("v2", "video", None, {})],
+        multimodal.MULTIMODAL_SCHEMA)
+    rows = multimodal.frame_sample(mm, every_n_bytes=64,
+                                   max_frames=8).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert "v2" not in ids
+    assert 1 <= ids.count("v1") <= 8
